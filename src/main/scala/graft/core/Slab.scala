@@ -1,0 +1,144 @@
+package graft.core
+
+/** An n-D array paired with its coordinates: the unit of reads and writes
+  * (reference: src/io/mandoline/slab.clj:10-12).
+  *
+  * Data is a flat row-major **big-endian** byte buffer — the exact
+  * serialization `ucar.ma2.Array.getDataAsByteBuffer` produces, so chunk
+  * SHA-1s (reference: src/io/mandoline/chunk.clj:35-45) hash these bytes
+  * directly and all merge operations are type-agnostic byte-run copies.
+  *
+  * Slab slices are always step-1 (the reference's hot paths enforce the
+  * same restriction, slice.clj:104-126).
+  */
+final case class Slab(dtype: DType, slice: Slice, bytes: Array[Byte]) {
+  def shape: Vector[Int] = if (slice.rank == 0) Vector.empty else slice.shape
+  def volume: Long = slice.volume
+
+  /** Byte offset of a global coordinate inside this slab's buffer. */
+  def offsetOf(coord: Seq[Long]): Int = {
+    var lin = 0L
+    val sh = shape
+    var i = 0
+    while (i < slice.rank) {
+      lin = lin * sh(i) + (coord(i) - slice.start(i))
+      i += 1
+    }
+    (lin * dtype.size).toInt
+  }
+
+  def valueAt(coord: Seq[Long]): Double = dtype.get(bytes, offsetOf(coord))
+
+  /** Copy of the region `view` (must be contained in this slab's slice)
+    * (reference: slab.clj:70-84 `subset`, restricted to step 1). */
+  def subset(view: Slice): Slab = {
+    require(view.isContainedIn(slice),
+      s"subset slice $view is not contained in slab slice $slice")
+    require(view.stepIsOne, "subset: only step-1 views are supported")
+    if (view == slice) this
+    else {
+      val out = Slab.empty(dtype, view)
+      Slab.copyRegion(this, out, view)
+      out
+    }
+  }
+
+  /** `subset` after intersecting with an arbitrary overlapping slice;
+    * identity when fully inside (reference: slab.clj:86-94). */
+  def intersectWith(view: Slice): Slab =
+    if (slice.isContainedIn(view)) this
+    else subset(slice.intersect(view))
+
+  /** Last-writer-wins overlay: clip `src` to this slab's slice and copy its
+    * cells over this slab's buffer IN PLACE; returns this slab
+    * (reference: slab.clj:115-121 `merge` + 96-113 `copy-into`). */
+  def mergeFrom(src: Slab): Slab = {
+    require(src.dtype == dtype, s"type mismatch: ${src.dtype} vs $dtype")
+    val clipped = src.intersectWith(slice)
+    Slab.copyRegion(clipped, this, clipped.slice)
+    this
+  }
+
+  def contentHash: String = Sha1.hex(bytes)
+
+  override def equals(o: Any): Boolean = o match {
+    case s: Slab =>
+      s.dtype == dtype && s.slice == slice &&
+        java.util.Arrays.equals(s.bytes, bytes)
+    case _ => false
+  }
+  override def hashCode: Int =
+    31 * (31 * dtype.hashCode + slice.hashCode) + java.util.Arrays.hashCode(bytes)
+}
+
+object Slab {
+  /** Fill-initialized slab (reference: slab.clj:47-68). */
+  def empty(dtype: DType, slice: Slice, fill: Double): Slab = {
+    val n = slice.volume
+    require(n * dtype.size <= Int.MaxValue, s"slab too large: $slice")
+    val bytes = new Array[Byte]((n * dtype.size).toInt)
+    if (fill != 0.0 || java.lang.Double.doubleToRawLongBits(fill) != 0L) {
+      // write one cell then replicate the pattern (fast fill)
+      dtype.put(bytes, 0, fill)
+      var filled = dtype.size
+      val total = bytes.length
+      while (filled < total) {
+        val chunk = math.min(filled, total - filled)
+        System.arraycopy(bytes, 0, bytes, filled, chunk)
+        filled += chunk
+      }
+    }
+    Slab(dtype, slice, bytes)
+  }
+
+  /** Zero-initialized slab. */
+  def empty(dtype: DType, slice: Slice): Slab = {
+    val n = slice.volume
+    require(n * dtype.size <= Int.MaxValue, s"slab too large: $slice")
+    Slab(dtype, slice, new Array[Byte]((n * dtype.size).toInt))
+  }
+
+  /** Build a slab from doubles in row-major order (test/helper path). */
+  def fromDoubles(dtype: DType, slice: Slice, values: Seq[Double]): Slab = {
+    require(values.size == slice.volume, s"${values.size} values for $slice")
+    val s = empty(dtype, slice)
+    var i = 0
+    values.foreach { v => dtype.put(s.bytes, i * dtype.size, v); i += 1 }
+    s
+  }
+
+  /** Copy the cells of region `region` (must be inside both slabs' slices)
+    * from `src` to `dst`. Contiguous runs along the last axis are copied
+    * with System.arraycopy. */
+  private[core] def copyRegion(src: Slab, dst: Slab, region: Slice): Unit = {
+    val rank = region.rank
+    val es = src.dtype.size
+    if (rank == 0) {
+      System.arraycopy(src.bytes, src.offsetOf(Nil), dst.bytes, dst.offsetOf(Nil), es)
+      return
+    }
+    val rShape = region.shape
+    val runLen = rShape(rank - 1)
+    val runBytes = runLen * es
+    // iterate over all outer coordinates (all axes but the last)
+    val outer = new Array[Long](rank)
+    var i = 0
+    while (i < rank) { outer(i) = region.start(i); i += 1 }
+    val nOuter = rShape.take(rank - 1).foldLeft(1L)(_ * _.toLong)
+    var it = 0L
+    while (it < nOuter) {
+      val so = src.offsetOf(outer.toIndexedSeq)
+      val dof = dst.offsetOf(outer.toIndexedSeq)
+      System.arraycopy(src.bytes, so, dst.bytes, dof, runBytes)
+      // increment outer coordinate (last-but-one axis fastest)
+      var ax = rank - 2
+      var carry = true
+      while (ax >= 0 && carry) {
+        outer(ax) += 1
+        if (outer(ax) >= region.stop(ax)) { outer(ax) = region.start(ax); ax -= 1 }
+        else carry = false
+      }
+      it += 1
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pinned vectors from the reference's pure unit tests
+  * (test/io/mandoline/slice_test.clj, chunk_test.clj, slab_test.clj). */
+class CoreSpec extends AnyFunSuite {
+
+  test("slice defaults: stop=start+1, step=1 (slice_test)") {
+    val s = Slice.of(0, 0, 0)
+    assert(s.stop == Vector(1L, 1L, 1L) && s.step == Vector(1L, 1L, 1L))
+  }
+
+  test("slice shape honors step") {
+    assert(Slice(Vector(0L, 0L, 0L), Vector(4L, 5L, 2L), Vector(2L, 2L, 2L)).shape
+      == Vector(2, 3, 1))
+  }
+
+  test("slice parity mismatch throws") {
+    intercept[IllegalArgumentException] {
+      Slice(Vector(0L), Vector(1L, 2L), Vector(1L))
+    }
+  }
+
+  test("contains: a inside b") {
+    val big = Slice(Seq(0L, 0L), Seq(10L, 10L))
+    val small = Slice(Seq(2L, 3L), Seq(5L, 7L))
+    assert(small.isContainedIn(big))
+    assert(!big.isContainedIn(small))
+    // rank-0 contains rank-0
+    assert(Slice(Seq.empty[Long], Seq.empty[Long]).isContainedIn(Slice(Seq.empty[Long], Seq.empty[Long])))
+  }
+
+  test("intersection: step-1, max/min, throws when disjoint (slice_test)") {
+    val a = Slice(Seq(0L, 0L), Seq(5L, 5L))
+    val b = Slice(Seq(3L, 2L), Seq(9L, 4L))
+    assert(a.intersect(b) == Slice(Seq(3L, 2L), Seq(5L, 4L)))
+    intercept[IllegalArgumentException] {
+      a.intersect(Slice(Seq(5L, 5L), Seq(6L, 6L)))
+    }
+  }
+
+  test("translate re-origins") {
+    val origin = Slice(Seq(2L, 2L), Seq(9L, 9L))
+    val s = Slice(Seq(3L, 4L), Seq(5L, 6L))
+    assert(s.translate(origin) == Slice(Seq(1L, 2L), Seq(3L, 4L)))
+  }
+
+  test("iter is row-major, last dim fastest (slice_test)") {
+    val coords = Slice(Seq(0L, 0L), Seq(2L, 2L)).iter.map(_.toVector).toVector
+    assert(coords == Vector(Vector(0L, 0L), Vector(0L, 1L), Vector(1L, 0L), Vector(1L, 1L)))
+  }
+
+  test("to-chunk-coordinate: floor-div cartesian (chunk_test.clj:11-24)") {
+    val grid = Slice(Vector(0L, 0L), Vector(10L, 10L), Vector(4L, 4L))
+    val slice = Slice(Seq(2L, 3L), Seq(9L, 5L))
+    assert(ChunkGrid.toChunkCoordinates(slice, grid) ==
+      Vector(Vector(0L, 0L), Vector(0L, 1L), Vector(1L, 0L), Vector(1L, 1L), Vector(2L, 0L), Vector(2L, 1L)))
+  }
+
+  test("from-chunk-coordinate overhangs the edge (chunk_test.clj:26-33, variable.clj:58-74)") {
+    val grid = Slice(Vector(0L), Vector(10L), Vector(4L))
+    assert(ChunkGrid.fromChunkCoordinate(grid, Seq(2L)) == Slice(Seq(8L), Seq(12L)))
+  }
+
+  test("scalar (rank-0) slices work (scalar.clj:11-18)") {
+    val s = Slice(Seq.empty[Long], Seq.empty[Long])
+    assert(s.volume == 1L && s.iter.toSeq.map(_.toVector) == Seq(Vector.empty))
+    val grid = Slice(Vector.empty[Long], Vector.empty[Long], Vector.empty[Long])
+    assert(ChunkGrid.toChunkCoordinates(s, grid) == Vector(Vector.empty))
+  }
+
+  test("chunk id is 40 hex chars of SHA-1 (chunk_test.clj:35-45)") {
+    val slab = Slab.fromDoubles(DType.SHORT, Slice(Seq(0L), Seq(3L)), Seq(1, 2, 3))
+    val h = slab.contentHash
+    assert(h.length == 40 && h.matches("[0-9a-f]{40}"))
+    // deterministic
+    assert(h == Slab.fromDoubles(DType.SHORT, Slice(Seq(0L), Seq(3L)), Seq(1, 2, 3)).contentHash)
+  }
+
+  test("slab subset/intersect/merge (slab_test.clj:25-52)") {
+    val base = Slab.fromDoubles(DType.INT, Slice(Seq(0L, 0L), Seq(3L, 3L)),
+      Seq(0, 1, 2, 3, 4, 5, 6, 7, 8))
+    val sub = base.subset(Slice(Seq(1L, 1L), Seq(3L, 2L)))
+    assert(sub.valueAt(Seq(1L, 1L)) == 4.0 && sub.valueAt(Seq(2L, 1L)) == 7.0)
+    intercept[IllegalArgumentException] {
+      base.subset(Slice(Seq(2L, 2L), Seq(5L, 5L))) // not contained
+    }
+    // intersect clips
+    val clipped = base.intersectWith(Slice(Seq(2L, 0L), Seq(9L, 2L)))
+    assert(clipped.slice == Slice(Seq(2L, 0L), Seq(3L, 2L)))
+    assert(clipped.valueAt(Seq(2L, 0L)) == 6.0)
+    // merge: last writer wins per cell
+    val overlay = Slab.fromDoubles(DType.INT, Slice(Seq(1L, 1L), Seq(2L, 2L)), Seq(99))
+    base.mergeFrom(overlay)
+    assert(base.valueAt(Seq(1L, 1L)) == 99.0 && base.valueAt(Seq(0L, 0L)) == 0.0)
+  }
+
+  test("fill init, all types, incl NaN (slab/empty)") {
+    for (t <- DType.all if t != DType.CHAR) {
+      val s = Slab.empty(t, Slice(Seq(0L), Seq(4L)), -3.0)
+      assert(s.valueAt(Seq(2L)) == -3.0, t.name)
+    }
+    val f = Slab.empty(DType.FLOAT, Slice(Seq(0L), Seq(4L)), Double.NaN)
+    assert(f.valueAt(Seq(0L)).isNaN)
+    val c = Slab.empty(DType.CHAR, Slice(Seq(0L), Seq(2L)), 'a'.toDouble)
+    assert(c.valueAt(Seq(1L)) == 97.0)
+  }
+
+  test("big-endian round trip for every type") {
+    for (t <- DType.all) {
+      val vals = Seq(0.0, 1.0, 65.0, 100.0)
+      val s = Slab.fromDoubles(t, Slice(Seq(0L), Seq(4L)), vals)
+      assert(vals.indices.forall(i => s.valueAt(Seq(i.toLong)) == vals(i)), t.name)
+    }
+    // negative values for signed types
+    for (t <- Seq(DType.BYTE, DType.SHORT, DType.INT, DType.LONG, DType.FLOAT, DType.DOUBLE)) {
+      val s = Slab.fromDoubles(t, Slice(Seq(0L), Seq(1L)), Seq(-3.0))
+      assert(s.valueAt(Seq(0L)) == -3.0, t.name)
+    }
+  }
+}
