@@ -1,0 +1,444 @@
+package graft.spark
+
+import graft.core._
+import graft.filters.FilterChain
+import graft.meta.DatasetMeta
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Spark-native, Parquet-backed dataset store — the distributed counterpart
+  * of the reference's DynamoDB/SQLite backends, designed per SURVEY.md §7.1:
+  *
+  *   root/<dataset>/versions/<vid>.json   committed version manifests
+  *   root/<dataset>/index/                Parquet (var, version, seq, coord, hash)
+  *   root/chunks/                         Parquet (hash, ref, bytes) — shared
+  *                                        across datasets (cross-dataset dedup,
+  *                                        reference: backend/mem.clj:15-17)
+  *
+  * Scale design (100 TB target):
+  *  - ingest is ONE shuffle: slab fragments are clipped to their chunk at
+  *    shred time (so shuffle volume ≤ data volume), hash-partitioned by
+  *    chunk coordinate — each coordinate is owned by exactly one task, which
+  *    makes the reference's CAS retry loop unnecessary intra-job
+  *    (reference: impl.clj:246-278; SURVEY §4).
+  *  - chunk blobs are written once, content-deduplicated with
+  *    dropDuplicates(hash) + left-anti join against existing hashes
+  *    (reference dedup bound: test/io/mandoline/impl_test.clj:17-39).
+  *  - reads enumerate ONLY covering chunk coordinates (array-analog of
+  *    partition pruning, reference: io/mandoline.clj:250-256) — generated
+  *    distributedly with spark.range, never collected on the driver — and
+  *    pre-filter the index scan with per-axis coordinate range predicates
+  *    before the MVCC resolve.
+  *  - MVCC resolve = max_by((version,seq)) over committed-ancestry ∪ the
+  *    in-flight version, reproducing the reference's "greatest committed
+  *    version ≤ target" read rule (reference: backend/mem.clj:32-49).
+  */
+final class SparkStore(val spark: SparkSession, val root: String) {
+  import SparkStore._
+
+  private def rootPath: Path = Paths.get(root)
+  private def dsPath(name: String): Path = rootPath.resolve(name)
+  private def versionsDir(name: String): Path = dsPath(name).resolve("versions")
+  def indexDir(name: String): String = dsPath(name).resolve("index").toString
+  def chunksDir: String = rootPath.resolve("chunks").toString
+
+  // ---- catalog (V1/V7/V8) ----
+
+  def create(name: String): Unit = {
+    if (name == null || name.trim.isEmpty)
+      throw new IllegalArgumentException("dataset name must be a non-empty string")
+    if (Files.exists(dsPath(name)))
+      throw new IllegalStateException(s"""dataset with name "$name" already exists.""")
+    Files.createDirectories(versionsDir(name))
+  }
+
+  def destroy(name: String): Unit =
+    if (Files.exists(dsPath(name))) {
+      Files.walk(dsPath(name)).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  def listDatasets: Seq[String] =
+    if (!Files.exists(rootPath)) Nil
+    else Files.list(rootPath).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString != "chunks")
+      .map(_.getFileName.toString).toSeq
+
+  def datasetExists(name: String): Boolean = Files.exists(dsPath(name))
+
+  // ---- versions (V2-V6) ----
+
+  /** Committed versions, reverse-chronological (V4). */
+  def versions(name: String): Seq[(Long, Long)] = { // (timestamp, versionId)
+    val dir = versionsDir(name)
+    if (!Files.exists(dir)) throw new IllegalArgumentException(
+      s"""dataset with name "$name" does not exist.""")
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map { p =>
+        val m = DatasetMeta.fromJson(Files.readString(p))
+        val ts = extractTimestamp(m)
+        (ts, m.versionId.get)
+      }.toSeq.sortBy { case (ts, vid) => (ts, vid) }.reverse
+  }
+
+  def metadata(name: String, versionId: Long): DatasetMeta = {
+    val p = versionsDir(name).resolve(s"$versionId.json")
+    require(Files.exists(p), s"no committed version $versionId in dataset $name")
+    DatasetMeta.fromJson(Files.readString(p))
+  }
+
+  def reader(name: String): SparkDatasetReader = new SparkDatasetReader(this, name)
+
+  /** V2 add-version (reference: src/io/mandoline.clj:143-158). */
+  def addVersion(name: String, meta: DatasetMeta): SparkVersionWriter = {
+    val vs = versions(name)
+    val parentMeta = vs.headOption.map { case (_, vid) => metadata(name, vid) }
+    DatasetMeta.validate(meta)
+    val inherited = parentMeta match {
+      case Some(p) => DatasetMeta.inherit(meta, p)
+      case None => meta.copy(parent = None)
+    }
+    new SparkVersionWriter(this, name, DatasetMeta.newVersion(inherited), parentMeta)
+  }
+
+  /** Reconstruct an in-flight writer from its token (V9). */
+  def writerFromToken(name: String, token: String): SparkVersionWriter = {
+    val meta = DatasetMeta.fromJson(token)
+    new SparkVersionWriter(this, name, meta, meta.parent.map(metadata(name, _)))
+  }
+
+  /** V3 finish-version: atomic manifest write after re-checking the parent
+    * is still latest (reference: src/io/mandoline.clj:292-310). */
+  private[spark] def commitVersion(name: String, meta: DatasetMeta): Long = {
+    val latest = versions(name).headOption.map(_._2)
+    if (latest != meta.parent)
+      throw new IllegalStateException(
+        s"version ${meta.versionId.get} has parent ${meta.parent.getOrElse("none")}, " +
+          s"but the latest version is ${latest.getOrElse("none")}")
+    val vid = meta.versionId.get
+    val withTs = stampTimestamp(meta, System.currentTimeMillis())
+    val tmp = versionsDir(name).resolve(s".$vid.json.tmp")
+    Files.writeString(tmp, withTs.toJson)
+    Files.move(tmp, versionsDir(name).resolve(s"$vid.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    vid
+  }
+
+  // ---- physical tables ----
+
+  private[spark] def indexDF(name: String): DataFrame = {
+    val dir = indexDir(name)
+    if (!Files.exists(Paths.get(dir))) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], indexSchema)
+    else spark.read.schema(indexSchema).parquet(dir)
+  }
+
+  private[spark] def chunksDF: DataFrame = {
+    if (!Files.exists(Paths.get(chunksDir))) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], chunksSchema)
+    else spark.read.schema(chunksSchema).parquet(chunksDir)
+  }
+
+  /** MVCC index resolution: for each coordinate of `varName`, the hash of
+    * the greatest (version, seq) among versions that are committed-and-≤
+    * `upTo`, plus (optionally) the in-flight version itself
+    * (reference read rule: backend/mem.clj:32-49; write-side base lookup:
+    * impl.clj:246-250). */
+  private[spark] def resolvedIndex(name: String, varName: String, upTo: Long,
+      includeUncommitted: Option[Long] = None): DataFrame = {
+    val committed = versions(name).map(_._2).filter(_ <= upTo)
+    val admissible = committed ++ includeUncommitted.toSeq
+    indexDF(name)
+      .filter(col("var") === varName && col("version").isin(admissible: _*))
+      .groupBy("coordKey")
+      .agg(
+        max_by(col("hash"), struct(col("version"), col("seq"))).as("hash"),
+        first(col("coord")).as("coord"))
+  }
+}
+
+object SparkStore {
+  private[spark] val indexSchema = StructType(Seq(
+    StructField("var", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("coordKey", StringType, nullable = false),
+    StructField("coord", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("hash", StringType, nullable = false)))
+
+  private[spark] val chunksSchema = StructType(Seq(
+    StructField("hash", StringType, nullable = false),
+    StructField("ref", LongType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false)))
+
+  def coordKey(coord: Seq[Long]): String = coord.mkString(",")
+
+  /** Manifest timestamp rides in the metadata's extra JSON. */
+  private[spark] def stampTimestamp(m: DatasetMeta, ts: Long): DatasetMeta = {
+    val extra = m.extra match {
+      case Some(e) if e.startsWith("{") && e.length > 2 =>
+        e.dropRight(1) + s""","graft-committed-at":$ts}"""
+      case _ => s"""{"graft-committed-at":$ts}"""
+    }
+    m.copy(extra = Some(extra))
+  }
+  private[spark] def extractTimestamp(m: DatasetMeta): Long =
+    m.extra.flatMap { e =>
+      """"graft-committed-at":(\d+)""".r.findFirstMatchIn(e).map(_.group(1).toLong)
+    }.getOrElse(0L)
+}
+
+/** Time-travel reader over a Spark store (V5,
+  * reference: src/io/mandoline.clj:117-141). */
+final class SparkDatasetReader(store: SparkStore, name: String) {
+  def versions: Seq[(Long, Long)] = store.versions(name)
+
+  def onVersion(vid: Long): SparkPinnedReader =
+    new SparkPinnedReader(store, name, store.metadata(name, vid))
+
+  def onNthVersion(n: Int): SparkPinnedReader = {
+    val vs = versions
+    val idx = if (n < 0) vs.size + n else n
+    require(idx >= 0 && idx < vs.size, s"no version at index $n (have ${vs.size})")
+    onVersion(vs(idx)._2)
+  }
+
+  def onLastVersion(): SparkPinnedReader = onNthVersion(0)
+
+  def onTimestamp(tsMillis: Long): SparkPinnedReader = {
+    val vs = versions.filter(_._1 <= tsMillis)
+    require(vs.nonEmpty, s"no version at or before $tsMillis")
+    onVersion(vs.head._2)
+  }
+}
+
+/** Distributed read path (R1-R6 as one Spark plan). */
+final class SparkPinnedReader(store: SparkStore, name: String, val meta: DatasetMeta) {
+  import store.spark
+  import spark.implicits._
+
+  private def vid = meta.versionId.get
+
+  /** (coordKey, coord) of every chunk covering `request` — generated
+    * distributedly from the chunk-grid arithmetic (the pruned "physical
+    * plan", reference: io/mandoline.clj:250-256 + chunk.clj:11-25). */
+  private def coveringCoordsDF(varName: String, request: Slice): DataFrame = {
+    val grid = meta.chunkGridSlice(varName)
+    val lo = (0 until request.rank).map(i => Math.floorDiv(request.start(i), grid.step(i)))
+    val hi = (0 until request.rank).map(i => Math.floorDiv(request.stop(i) - 1, grid.step(i)))
+    val counts = (0 until request.rank).map(i => hi(i) - lo(i) + 1)
+    val n = counts.foldLeft(1L)(_ * _)
+    val loB = lo.toArray; val cB = counts.toArray
+    spark.range(n).map { linear =>
+      val rank = loB.length
+      val c = new Array[Long](rank)
+      var rem = linear
+      var i = rank - 1
+      while (i >= 0) { c(i) = loB(i) + rem % cB(i); rem /= cB(i); i -= 1 }
+      (SparkStore.coordKey(c.toIndexedSeq), c)
+    }.toDF("coordKey", "coord")
+  }
+
+  /** Per-axis coordinate range filter applied to the index scan BEFORE the
+    * MVCC resolve — cuts the shuffle to the request's chunk envelope. */
+  private def coordEnvelopeFilter(varName: String, request: Slice) = {
+    val grid = meta.chunkGridSlice(varName)
+    (0 until request.rank).map { i =>
+      val lo = Math.floorDiv(request.start(i), grid.step(i))
+      val hi = Math.floorDiv(request.stop(i) - 1, grid.step(i))
+      col("coord")(i).between(lo, hi)
+    }.foldLeft(lit(true))(_ && _)
+  }
+
+  /** (coordKey, coord, bytes|null) for every covering chunk: pruned coords
+    * ⋈ resolved index ⋈ chunk blobs. Null bytes ⇒ fill chunk (R5). */
+  private[spark] def chunkRows(varName: String, request: Slice): DataFrame = {
+    val coords = coveringCoordsDF(varName, request)
+    val resolved = store.resolvedIndex(name, varName, vid)
+      .filter(coordEnvelopeFilter(varName, request))
+      .select("coordKey", "hash")
+    coords
+      .join(resolved, Seq("coordKey"), "left")
+      .join(store.chunksDF.select("hash", "bytes"), Seq("hash"), "left")
+      .select(col("coordKey"), col("coord"), col("bytes"))
+  }
+
+  /** R1/R2 as the Spark-native exploded view: one row per cell of the
+    * request, schema (dim₁: Long, …, dimₙ: Long, value: <elem type>).
+    * Fill cells are materialized for never-written coordinates
+    * (reference fill semantics: impl.clj:221-223). */
+  def exploded(varName: String, request: Slice, checkBounds: Boolean = true): DataFrame = {
+    val varSlice = meta.varSlice(varName)
+    if (checkBounds && !request.isContainedIn(varSlice))
+      throw new IndexOutOfBoundsException(
+        s"Request slice $request crosses the variable's extent: $varSlice.")
+    val dtype = meta.dtype(varName)
+    val dims = meta.variables(varName).shape
+    val schema = StructType(
+      dims.map(d => StructField(d, LongType, nullable = false)) :+
+        StructField("value", dtype.sparkType, nullable = false))
+    val metaJson = meta.toJson
+    val varN = varName
+    val req = request
+    val rows = chunkRows(varName, request)
+    val enc = Encoders.row(schema)
+    rows.mapPartitions { it =>
+      // decode once per partition, explode each chunk clipped to the request
+      val m = DatasetMeta.fromJson(metaJson)
+      val dt = m.dtype(varN)
+      val fill = m.fill(varN)
+      it.flatMap { r =>
+        val coord = r.getSeq[Long](1).toVector
+        val chunkSlice = m.chunkSlice(varN, coord)
+        val slab =
+          if (r.isNullAt(2)) Slab.empty(dt, chunkSlice, fill)
+          else Slab(dt, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](2)))
+        val clipped = slab.intersectWith(req)
+        val rank = clipped.slice.rank
+        clipped.slice.iter.map { cell =>
+          val out = new Array[Any](rank + 1)
+          var i = 0
+          while (i < rank) { out(i) = cell(i); i += 1 }
+          out(rank) = dt.getBoxed(clipped.bytes, clipped.offsetOf(cell.toIndexedSeq))
+          Row.fromSeq(out.toIndexedSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Driver-side slab assembly for small windows (R1 get-slice,
+    * reference: io/mandoline.clj:260-270). */
+  def getSlice(varName: String, request: Slice, checkBounds: Boolean = true): Slab = {
+    val varSlice = meta.varSlice(varName)
+    if (checkBounds && !request.isContainedIn(varSlice))
+      throw new IndexOutOfBoundsException(
+        s"Request slice $request crosses the variable's extent: $varSlice.")
+    val dtype = meta.dtype(varName)
+    val fill = meta.fill(varName)
+    val response = Slab.empty(dtype, request, fill)
+    chunkRows(varName, request).collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        val coord = r.getSeq[Long](1).toVector
+        val chunkSlice = meta.chunkSlice(varName, coord)
+        val slab = Slab(dtype, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](2)))
+        response.mergeFrom(slab.intersectWith(request))
+      }
+    }
+    response
+  }
+}
+
+/** Distributed write path (W1-W8 as one shuffle + two appends). */
+final class SparkVersionWriter(store: SparkStore, name: String,
+    val meta: DatasetMeta, val parentMeta: Option[DatasetMeta]) {
+  import store.spark
+  import spark.implicits._
+
+  def token: String = meta.toJson
+  private def vid = meta.versionId.get
+
+  /** Shredded slab fragment: a slab clipped to one chunk.
+    * `seq` carries write order for last-writer-wins determinism
+    * (reference overlap semantics: concurrency.clj:75-160; SURVEY §7.4). */
+  private type Frag = (String, Array[Long], Long, Array[Long], Array[Long], Array[Byte])
+
+  /** Driver-convenience write. */
+  def write(varName: String, slabs: Seq[Slab]): Unit = {
+    val indexed = slabs.zipWithIndex.map { case (s, i) =>
+      (s.slice.start.toArray, s.slice.stop.toArray, s.bytes, i.toLong)
+    }
+    writeRows(varName, spark.createDataset(indexed)
+      .toDF("start", "stop", "bytes", "seq"))
+  }
+
+  /** Distributed write: `slabRows` has columns
+    * (start: Array[Long], stop: Array[Long], bytes: Binary, seq: Long) where
+    * bytes is the slab's raw big-endian row-major buffer. */
+  def writeRows(varName: String, slabRows: DataFrame): Unit = {
+    val metaJson = meta.toJson
+    val parentJson = parentMeta.map(_.toJson)
+    val varN = varName
+    val jobSeqBase = System.currentTimeMillis() << 20 // orders across write() calls
+
+    // 1. shred: slab → per-chunk clipped fragments (flatMap, no shuffle yet)
+    val frags: Dataset[Frag] = slabRows
+      .select("start", "stop", "bytes", "seq").as[(Array[Long], Array[Long], Array[Byte], Long)]
+      .flatMap { case (start, stop, bytes, seq) =>
+        val m = DatasetMeta.fromJson(metaJson)
+        val dt = m.dtype(varN)
+        val slabSlice = Slice(start.toVector, stop.toVector)
+        val slab = Slab(dt, slabSlice, bytes)
+        val grid = m.chunkGridSlice(varN)
+        ChunkGrid.toChunkCoordinates(slabSlice, grid).iterator.map { coord =>
+          val chunkSlice = ChunkGrid.fromChunkCoordinate(grid, coord)
+          val clipped = slab.intersectWith(chunkSlice)
+          (SparkStore.coordKey(coord), coord.toArray, jobSeqBase + seq,
+            clipped.slice.start.toArray, clipped.slice.stop.toArray, clipped.bytes)
+        }
+      }
+
+    // 2. base chunks: current in-flight version's own entries (read-modify-
+    //    write across write() calls) ∪ committed ancestry ≤ parent
+    //    (reference: impl.clj:232-250)
+    val baseIdx = store.resolvedIndex(name, varN,
+      upTo = meta.parent.getOrElse(Long.MinValue), includeUncommitted = Some(vid))
+      .select("coordKey", "hash")
+    val baseChunks = baseIdx
+      .join(store.chunksDF.select("hash", "bytes"), Seq("hash"))
+      .select(col("coordKey"), col("bytes").as("baseBytes"))
+      .as[(String, Array[Byte])]
+
+    // 3. ONE shuffle: cogroup fragments with base chunks by coordinate;
+    //    each coordinate owned by exactly one task → fold in seq order
+    val merged = frags.groupByKey(_._1)
+      .cogroup(baseChunks.groupByKey(_._1)) { (key, fIt, bIt) =>
+        val fs = fIt.toArray
+        if (fs.isEmpty) Iterator.empty
+        else {
+          val m = DatasetMeta.fromJson(metaJson)
+          val dt = m.dtype(varN)
+          val coord = key.split(',').filter(_.nonEmpty).map(_.toLong).toVector
+          val chunkSlice = m.chunkSlice(varN, coord)
+          val base = bIt.toSeq.headOption match {
+            case Some((_, bb)) =>
+              // base chunk's slice == child chunk slice (grid is frozen
+              // across versions, reference: dataset.clj:55-61)
+              Slab(dt, chunkSlice, FilterChain.decode(bb))
+            case None => Slab.empty(dt, chunkSlice, m.fill(varN))
+          }
+          fs.sortBy(_._3).foreach { case (_, _, _, fStart, fStop, fBytes) =>
+            base.mergeFrom(Slab(dt, Slice(fStart.toVector, fStop.toVector), fBytes))
+          }
+          val framed = FilterChain.encode(m.filters match {
+            case Nil => FilterChain.DefaultWriteChain
+            case f => f
+          }, base.bytes)
+          Iterator((key, coord.toArray, base.contentHash, framed))
+        }
+      }.toDF("coordKey", "coord", "hash", "bytes")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // 4. chunk append: content-dedup within the batch, then against the
+      //    store (left-anti) — reference dedup bound impl_test.clj:17-39
+      val newBlobs = merged.select(col("hash"), col("bytes"))
+        .dropDuplicates("hash")
+        .join(store.chunksDF.select("hash"), Seq("hash"), "left_anti")
+        .select(col("hash"), lit(-1L).as("ref"), col("bytes"))
+      newBlobs.write.mode("append").parquet(store.chunksDir)
+
+      // 5. index append
+      merged.select(
+        lit(varN).as("var"), lit(vid).as("version"), lit(jobSeqBase).as("seq"),
+        col("coordKey"), col("coord"), col("hash"))
+        .write.mode("append").parquet(store.indexDir(name))
+    } finally merged.unpersist()
+  }
+
+  /** V3 commit. */
+  def finishVersion(): Long = store.commitVersion(name, meta)
+}

@@ -1,0 +1,186 @@
+package graft
+
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.SparkStore
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Distributed read/write path over the Parquet-backed SparkStore —
+  * the Spark-native analog of the reference's entire_flow / time-travel /
+  * dedup suites. */
+class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkTestSession.spark
+  private var rootDir: java.nio.file.Path = _
+
+  override def beforeAll(): Unit = {
+    rootDir = java.nio.file.Files.createTempDirectory("graft-spark-test")
+  }
+
+  private def freshStore(): SparkStore =
+    new SparkStore(spark, java.nio.file.Files.createTempDirectory(rootDir, "store").toString)
+
+  private def meta2d = DatasetMeta(
+    dimensions = Map("x" -> 9L, "y" -> 10L), // deliberately not chunk-aligned
+    chunkDimensions = Map("x" -> 4L, "y" -> 3L),
+    variables = Map("v" -> VariableDef("double", Vector("x", "y"), -9.0)))
+
+  test("spark write→commit→exploded read: merge, fill, boundary chunks") {
+    val store = freshStore()
+    store.create("ds")
+    val w = store.addVersion("ds", meta2d)
+    val a = Slab.fromDoubles(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(5L, 6L)),
+      (1 to 30).map(_.toDouble))
+    val b = Slab.empty(DType.DOUBLE, Slice(Seq(3L, 4L), Seq(9L, 10L)), 50.0)
+    w.write("v", Seq(a, b))
+    val v1 = w.finishVersion()
+
+    val r = store.reader("ds").onLastVersion()
+    assert(r.meta.versionId.contains(v1))
+    val df = r.exploded("v", Slice(Seq(0L, 0L), Seq(9L, 10L)))
+    val cells = df.collect().map(row =>
+      (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    assert(cells.size == 90)
+    assert(cells((0L, 0L)) == 1.0)          // slab a
+    assert(cells((2L, 5L)) == 18.0)         // slab a interior
+    assert(cells((3L, 4L)) == 50.0)         // overlap → b (last writer wins)
+    assert(cells((8L, 9L)) == 50.0)         // slab b corner (boundary chunk)
+    assert(cells((8L, 0L)) == -9.0)         // unwritten → fill
+    // driver-side getSlice agrees with exploded view
+    val slab = r.getSlice("v", Slice(Seq(2L, 3L), Seq(6L, 7L)))
+    assert(slab.valueAt(Seq(3L, 4L)) == 50.0)
+    assert(slab.valueAt(Seq(2L, 3L)) == 16.0)
+  }
+
+  test("pruned read touches only covering chunks; windowed slice correct") {
+    val store = freshStore()
+    store.create("ds")
+    val w = store.addVersion("ds", meta2d)
+    w.write("v", Seq(Slab.fromDoubles(DType.DOUBLE,
+      Slice(Seq(0L, 0L), Seq(9L, 10L)), (1 to 90).map(_.toDouble))))
+    w.finishVersion()
+    val r = store.reader("ds").onLastVersion()
+    // window inside one chunk
+    val df = r.exploded("v", Slice(Seq(0L, 0L), Seq(2L, 2L)))
+    assert(df.count() == 4)
+    val vals = df.collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(vals((0L, 0L)) == 1.0 && vals((1L, 1L)) == 12.0)
+    // bounds check
+    intercept[IndexOutOfBoundsException] {
+      r.exploded("v", Slice(Seq(0L, 0L), Seq(10L, 10L)))
+    }
+  }
+
+  test("time travel + structural sharing + uncommitted invisibility on Spark backend") {
+    val store = freshStore()
+    store.create("ds")
+    val w1 = store.addVersion("ds", meta2d)
+    w1.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(9L, 10L)), 7.0)))
+    val v1 = w1.finishVersion()
+
+    val w2 = store.addVersion("ds", meta2d)
+    w2.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(4L, 4L), Seq(6L, 6L)), 8.0)))
+    val v2 = w2.finishVersion()
+
+    // v3 in-flight (uncommitted)
+    val w3 = store.addVersion("ds", meta2d)
+    w3.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(9L, 10L)), 99.0)))
+
+    val r = store.reader("ds")
+    assert(r.versions.map(_._2) == Seq(v2, v1))
+    val at = Slice(Seq(4L, 4L), Seq(6L, 6L))
+    assert(r.onVersion(v1).getSlice("v", at).valueAt(Seq(5L, 5L)) == 7.0)
+    assert(r.onVersion(v2).getSlice("v", at).valueAt(Seq(5L, 5L)) == 8.0)
+    // structural sharing: v2 sees v1 data where untouched
+    assert(r.onVersion(v2).getSlice("v", Slice(Seq(0L, 0L), Seq(1L, 1L))).valueAt(Seq(0L, 0L)) == 7.0)
+    // latest (committed) still v2 despite w3's writes
+    assert(r.onLastVersion().getSlice("v", at).valueAt(Seq(5L, 5L)) == 8.0)
+    // commit v3 → now visible
+    val v3 = w3.finishVersion()
+    assert(r.onLastVersion().getSlice("v", at).valueAt(Seq(5L, 5L)) == 99.0)
+    assert(r.versions.map(_._2) == Seq(v3, v2, v1))
+  }
+
+  test("read-modify-write within a version across write() calls") {
+    val store = freshStore()
+    store.create("ds")
+    val w = store.addVersion("ds", meta2d)
+    w.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(4L, 3L)), 1.0)))
+    // second write() call touches the SAME chunk — must merge onto first
+    w.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(1L, 1L)), 2.0)))
+    w.finishVersion()
+    val got = store.reader("ds").onLastVersion().getSlice("v", Slice(Seq(0L, 0L), Seq(4L, 3L)))
+    assert(got.valueAt(Seq(0L, 0L)) == 2.0)
+    assert(got.valueAt(Seq(3L, 2L)) == 1.0) // first write retained
+  }
+
+  test("content dedup across chunks and versions (impl_test.clj:17-39 analog)") {
+    val store = freshStore()
+    store.create("ds")
+    val m = DatasetMeta(
+      dimensions = Map("x" -> 40L, "y" -> 40L),
+      chunkDimensions = Map("x" -> 2L, "y" -> 2L), // 400 chunks
+      variables = Map("v" -> VariableDef("short", Vector("x", "y"), -3.0)))
+    val w = store.addVersion("ds", m)
+    w.write("v", Seq(Slab.empty(DType.SHORT, Slice(Seq(0L, 0L), Seq(40L, 40L)), 5.0)))
+    w.finishVersion()
+    val distinctBlobs = store.spark.read.parquet(store.chunksDir).count()
+    assert(distinctBlobs == 1L, s"expected 1 stored blob, got $distinctBlobs")
+    // second identical version adds no blobs
+    val w2 = store.addVersion("ds", m)
+    w2.write("v", Seq(Slab.empty(DType.SHORT, Slice(Seq(0L, 0L), Seq(40L, 40L)), 5.0)))
+    w2.finishVersion()
+    assert(store.spark.read.parquet(store.chunksDir).count() == 1L)
+  }
+
+  test("grow on spark backend: retained + new + fill; per-version bounds") {
+    val store = freshStore()
+    store.create("ds")
+    val v1m = DatasetMeta(
+      dimensions = Map("x" -> 4L, "y" -> 4L),
+      chunkDimensions = Map("x" -> 3L, "y" -> 3L),
+      variables = Map("v" -> VariableDef("int", Vector("x", "y"), -1.0)))
+    val w1 = store.addVersion("ds", v1m)
+    w1.write("v", Seq(Slab.empty(DType.INT, Slice(Seq(0L, 0L), Seq(4L, 4L)), 5.0)))
+    val v1 = w1.finishVersion()
+    val w2 = store.addVersion("ds", v1m.copy(dimensions = Map("x" -> 8L, "y" -> 8L)))
+    w2.write("v", Seq(Slab.empty(DType.INT, Slice(Seq(6L, 6L), Seq(8L, 8L)), 9.0)))
+    val v2 = w2.finishVersion()
+    val r = store.reader("ds")
+    val full = r.onVersion(v2).getSlice("v", Slice(Seq(0L, 0L), Seq(8L, 8L)))
+    assert(full.valueAt(Seq(1L, 1L)) == 5.0)
+    assert(full.valueAt(Seq(7L, 7L)) == 9.0)
+    assert(full.valueAt(Seq(5L, 0L)) == -1.0)
+    intercept[IndexOutOfBoundsException] {
+      r.onVersion(v1).getSlice("v", Slice(Seq(0L, 0L), Seq(8L, 8L)))
+    }
+  }
+
+  test("writer token: distributed multi-writer ingest, single commit (script.clj analog)") {
+    val store = freshStore()
+    store.create("ds")
+    val w = store.addVersion("ds", meta2d)
+    val tok = w.token
+    val w2 = store.writerFromToken("ds", tok)
+    w2.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(4L, 10L)), 1.0)))
+    w.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(4L, 0L), Seq(9L, 10L)), 2.0)))
+    w.finishVersion()
+    val got = store.reader("ds").onLastVersion().getSlice("v", Slice(Seq(0L, 0L), Seq(9L, 10L)))
+    assert(got.valueAt(Seq(0L, 0L)) == 1.0 && got.valueAt(Seq(8L, 9L)) == 2.0)
+  }
+}
