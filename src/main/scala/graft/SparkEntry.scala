@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{ArrayQueries, PipelineQueries, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers:
+  *  - the SURVEY §2.7 array-engine query set (q_arr_*): every query runs
+  *    the full distributed path — shred→shuffle-merge ingest, Parquet
+  *    chunk/index tables, MVCC version resolve, pruned exploded reads;
+  *  - the relational operator surface (q_rel_*): scan/filter/join/agg/
+  *    window/semi-anti over the testdata;
+  *  - training-data pipeline operators (q_pipe_*): exact + MinHash-LSH +
+  *    SimHash + Jaccard dedup, brute-force & LSH ANN, language-ID,
+  *    quality scoring, token counts, fingerprints, multimodal plumbing.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ArrayQueries.queries("q_arr_slice")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ArrayQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
+
+  /** DuckDB-equivalent SQL per query; keys absent here (e.g. the
+    * approximate q_pipe_knn_lsh) get the driver's rows-only check. */
+  def oracleSql: Map[String, String] =
+    ArrayQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
 }

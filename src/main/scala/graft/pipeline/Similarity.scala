@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor operators over an embedding column
+  * (`Array[Float]`).
+  *
+  * - `bruteForceTopK` is the exact baseline: query-side broadcast cross
+  *   join + codegen'd higher-order-function dot products (no UDFs).
+  * - `lshTopK` is the scale path: random-hyperplane LSH buckets the
+  *   vectors so the pairwise step runs per-bucket, not all-pairs —
+  *   at 100 TB the cross join is the difference between feasible and not.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays (deterministic
+    * left-to-right summation — matches the oracle's evaluation order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact top-k cosine neighbors for the `nQueries` lowest vec_ids.
+    * Output: (query_id, neighbor_id, rank). */
+  def bruteForceTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random-hyperplane LSH: `nBits`-bit signature from fixed pseudo-random
+    * hyperplanes (deterministic, seeded by dimension index — no RNG at
+    * runtime). Vectors sharing a signature land in one bucket; top-k then
+    * runs inside buckets only. Returns (query_id, neighbor_id, rank) for
+    * neighbors found in the query's bucket — a recall/throughput tradeoff
+    * tuned by nBits. */
+  def lshTopK(emb: DataFrame, k: Int, nQueries: Int, nBits: Int = 8): DataFrame = {
+    val n = withNorm(emb)
+    // hyperplane h, component j = a fixed arithmetic hash mapped to (-1, 1)
+    def plane(h: Int): Column =
+      transform(col("v"), (x, j) => x * (pmod(lit(h * 2654435761L) + j * lit(40503L), lit(1024L)).cast("double") / 512.0 - 1.0))
+    val sigBits = (0 until nBits).map(h =>
+      when(aggregate(plane(h), lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0")))
+    val sig = n.withColumn("bucket", concat(sigBits: _*))
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val cand = sig.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    q.join(cand, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+}

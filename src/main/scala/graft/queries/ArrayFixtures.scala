@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.SparkStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** Deterministic array-engine fixtures built FROM the driver's parquet
+  * testdata (FIXTURES.md §F8): a dense events-per-hour variable family,
+  * written through the full distributed ingest path, so every §2.7 oracle
+  * query exercises shred → shuffle-merge → dedup append → commit → MVCC
+  * resolve → pruned exploded read.
+  *
+  * Versions written to dataset `ev` (variable `n`, long, fill −1):
+  *   v1: slab A = per-hour event counts on [0,H) then slab B = 999 on
+  *       [20,30)  (in-version overlap → last-writer-wins, Q-MERGE)
+  *   v2: slab C = 777 on [25,35)                        (Q-TIMETRAVEL)
+  *   v3: zeros everywhere, NEVER committed              (Q-ABORT)
+  * plus `m` (written [0,10) only → fill visible, Q-FILL), scalar `s`
+  * (total event count, Q-SCALAR), float `f` with NaN fill (Q-NAN).
+  * Dataset `evgrow`: v1 counts on [0,H); v2 grows H → H+24 (Q-GROW).
+  * Dataset `dd`: 50 constant chunks → 1 blob (Q-DEDUP).
+  */
+object ArrayFixtures {
+
+  final case class Handles(store: SparkStore, hours: Long,
+      evV1: Long, evV2: Long, growV1: Long, growV2: Long)
+
+  private val cache = TrieMap.empty[String, Handles]
+
+  def get(spark: SparkSession, sfDir: String): Handles =
+    cache.getOrElseUpdate(sfDir, synchronized { build(spark, sfDir) })
+
+  /** Per-hour event counts relative to the first hour in the table —
+    * the shared ground truth with the DuckDB oracle
+    * (`floor(epoch(ts)/3600) - min(...)`). The events table stores
+    * TIMESTAMP(NANOS), which vanilla Spark parquet rejects — read the
+    * raw nanos as long and floor-divide (identical to epoch()/3600). */
+  def hourCounts(spark: SparkSession, sfDir: String): Array[Long] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(floor(col("ts").cast("long") / 3600000000000L).cast("long").as("ah"))
+    val rows = ev.groupBy("ah").count().collect()
+    val minH = rows.map(_.getLong(0)).min
+    val maxH = rows.map(_.getLong(0)).max
+    val counts = new Array[Long]((maxH - minH + 1).toInt)
+    rows.foreach(r => counts((r.getLong(0) - minH).toInt) = r.getLong(1))
+    counts
+  }
+
+  private def build(spark: SparkSession, sfDir: String): Handles = {
+    val counts = hourCounts(spark, sfDir)
+    val h = counts.length.toLong
+    val root = java.nio.file.Files.createTempDirectory("graft_fixture").toString
+    val store = new SparkStore(spark, root)
+
+    def countsSlab(dtype: DType, upto: Long): Slab =
+      Slab.fromDoubles(dtype, Slice(Seq(0L), Seq(upto)),
+        counts.take(upto.toInt).map(_.toDouble).toIndexedSeq)
+
+    // ---- dataset ev ----
+    store.create("ev")
+    val evMeta = DatasetMeta(
+      dimensions = Map("h" -> h),
+      chunkDimensions = Map("h" -> 64L),
+      variables = Map(
+        "n" -> VariableDef("long", Vector("h"), -1.0),
+        "m" -> VariableDef("long", Vector("h"), -1.0),
+        "s" -> VariableDef("long", Vector(), 0.0),
+        "f" -> VariableDef("float", Vector("h"), Double.NaN)))
+    val w1 = store.addVersion("ev", evMeta)
+    w1.write("n", Seq(
+      countsSlab(DType.LONG, h),
+      Slab.empty(DType.LONG, Slice(Seq(20L), Seq(30L)), 999.0)))
+    w1.write("m", Seq(countsSlab(DType.LONG, 10L)))
+    w1.write("s", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq.empty[Long], Seq.empty[Long]), Seq(counts.sum.toDouble))))
+    w1.write("f", Seq(countsSlab(DType.FLOAT, 5L)))
+    val evV1 = w1.finishVersion()
+
+    val w2 = store.addVersion("ev", evMeta)
+    w2.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(25L), Seq(35L)), 777.0)))
+    val evV2 = w2.finishVersion()
+
+    // v3: written but never committed (Q-ABORT, failed_ingest.clj analog)
+    val w3 = store.addVersion("ev", evMeta)
+    w3.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(h)), 0.0)))
+
+    // ---- dataset evgrow ----
+    store.create("evgrow")
+    val gMeta = DatasetMeta(
+      dimensions = Map("h" -> h),
+      chunkDimensions = Map("h" -> 64L),
+      variables = Map("g" -> VariableDef("long", Vector("h"), -1.0)))
+    val gw1 = store.addVersion("evgrow", gMeta)
+    gw1.write("g", Seq(countsSlab(DType.LONG, h)))
+    val growV1 = gw1.finishVersion()
+    val gw2 = store.addVersion("evgrow", gMeta.copy(dimensions = Map("h" -> (h + 24))))
+    val growV2 = gw2.finishVersion()
+
+    // ---- dataset dd: 100 cells / chunk 2 → 50 identical chunks ----
+    store.create("dd")
+    val dMeta = DatasetMeta(
+      dimensions = Map("x" -> 100L),
+      chunkDimensions = Map("x" -> 2L),
+      variables = Map("d" -> VariableDef("short", Vector("x"), -3.0)))
+    val dw = store.addVersion("dd", dMeta)
+    dw.write("d", Seq(Slab.empty(DType.SHORT, Slice(Seq(0L), Seq(100L)), 5.0)))
+    dw.finishVersion()
+
+    Handles(store, h, evV1, evV2, growV1, growV2)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.core.Slice
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SURVEY §2.7 declared query set: each query runs the full engine path
+  * (distributed ingest already done by ArrayFixtures; here: MVCC resolve →
+  * pruned chunk join → decode → exploded view), and each has a DuckDB
+  * oracle over the same events.parquet ground truth.
+  */
+object ArrayQueries {
+
+  /** Shared oracle CTE: per-hour counts re-origined to the first hour —
+    * the exact ground truth the fixture slabs were built from. */
+  private val cte =
+    """WITH hb AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS ah FROM events),
+      |c AS (SELECT ah - (SELECT min(ah) FROM hb) AS h, count(*) AS cnt FROM hb GROUP BY 1),
+      |hh AS (SELECT max(h)+1 AS maxh FROM c)
+      |""".stripMargin
+
+  private def grid = "FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R1-R6 + S1-S9 + W1-W8 + V2/V3 + P1/P2: hyperslab read at v2
+    "q_arr_slice" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onVersion(fx.evV2)
+        .exploded("n", Slice(Seq(10L), Seq(40L))).orderBy("h")
+    }),
+    // W2: in-version overlapping writes, last-writer-wins
+    "q_arr_merge" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onVersion(fx.evV1)
+        .exploded("n", Slice(Seq(15L), Seq(35L))).orderBy("h")
+    }),
+    // R5: fill for never-written coordinates
+    "q_arr_fill" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onVersion(fx.evV1)
+        .exploded("m", Slice(Seq(0L), Seq(30L))).orderBy("h")
+    }),
+    // V5: same slice at the parent version (discrepant vs q_arr_slice)
+    "q_arr_timetravel" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onVersion(fx.evV1)
+        .exploded("n", Slice(Seq(20L), Seq(40L))).orderBy("h")
+    }),
+    // V3/V4: uncommitted version (v3, zeros) invisible to latest-readers
+    "q_arr_abort" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onLastVersion()
+        .exploded("n", Slice(Seq(20L), Seq(40L))).orderBy("h")
+    }),
+    // grow: re-dimensioned child, retained data + fill in the new region
+    "q_arr_grow" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("evgrow").onVersion(fx.growV2)
+        .exploded("g", Slice(Seq(fx.hours - 5), Seq(fx.hours + 24))).orderBy("h")
+    }),
+    // 0-d scalar variable
+    "q_arr_scalar" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onVersion(fx.evV1)
+        .exploded("s", Slice(Seq.empty[Long], Seq.empty[Long]))
+    }),
+    // NaN fill round trip for float
+    "q_arr_nan" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onVersion(fx.evV1)
+        .exploded("f", Slice(Seq(0L), Seq(10L)))
+        .agg(
+          sum(when(isnan(col("value")), 1L).otherwise(0L)).as("nan_cells"),
+          sum(when(isnan(col("value")), 0.0).otherwise(col("value").cast("double"))).as("sum_vals"))
+    }),
+    // V4: reverse-chronological versions + parent linkage
+    "q_arr_versions" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val rows = fx.store.versions("ev").zipWithIndex.map { case ((_, vid), i) =>
+        (i.toLong, fx.store.metadata("ev", vid).parent.isDefined)
+      }
+      s.createDataFrame(rows).toDF("ord", "has_parent").orderBy("ord")
+    }),
+    // W4/W7: content-addressed dedup — 50 identical chunks → 1 blob
+    "q_arr_dedup" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      s.read.parquet(fx.store.indexDir("dd"))
+        .filter(col("var") === "d")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("hash")).as("n_blobs"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_arr_slice" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 25 AND g.h < 35 THEN 777
+        |      WHEN g.h >= 20 AND g.h < 25 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |""".stripMargin + grid + " WHERE g.h >= 10 AND g.h < 40 ORDER BY h"),
+    "q_arr_merge" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |""".stripMargin + grid + " WHERE g.h >= 15 AND g.h < 35 ORDER BY h"),
+    "q_arr_fill" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h < 10 THEN COALESCE(c.cnt, 0) ELSE -1 END AS value
+        |""".stripMargin + grid + " WHERE g.h >= 0 AND g.h < 30 ORDER BY h"),
+    "q_arr_timetravel" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |""".stripMargin + grid + " WHERE g.h >= 20 AND g.h < 40 ORDER BY h"),
+    "q_arr_abort" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 25 AND g.h < 35 THEN 777
+        |      WHEN g.h >= 20 AND g.h < 25 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |""".stripMargin + grid + " WHERE g.h >= 20 AND g.h < 40 ORDER BY h"),
+    "q_arr_grow" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h < (SELECT maxh FROM hh) THEN COALESCE(c.cnt, 0) ELSE -1 END AS value
+        |""".stripMargin + grid +
+      " WHERE g.h >= (SELECT maxh - 5 FROM hh) AND g.h < (SELECT maxh + 24 FROM hh) ORDER BY h"),
+    "q_arr_scalar" -> "SELECT count(*) AS value FROM events",
+    "q_arr_nan" -> (cte +
+      """SELECT CAST(5 AS BIGINT) AS nan_cells,
+        | (SELECT CAST(COALESCE(sum(CASE WHEN h < 5 THEN cnt ELSE 0 END), 0) AS DOUBLE) FROM c) AS sum_vals
+        |""".stripMargin),
+    "q_arr_versions" ->
+      "SELECT * FROM (VALUES (CAST(0 AS BIGINT), true), (CAST(1 AS BIGINT), false)) t(ord, has_parent) ORDER BY ord",
+    "q_arr_dedup" ->
+      "SELECT CAST(50 AS BIGINT) AS n_chunks, CAST(1 AS BIGINT) AS n_blobs")
+}

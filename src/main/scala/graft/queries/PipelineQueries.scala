@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents/embeddings tables,
+  * each cross-checked against a DuckDB oracle computing the identical
+  * deterministic function (md5-string minhashing, integer Jaccard,
+  * pure-arithmetic quality scores).
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipe_dedup_exact" -> ((s, dir) => Dedup.exactStats(docs(s, dir))),
+    "q_pipe_minhash" -> ((s, dir) => Dedup.minHashCandidatePairs(docs(s, dir), k = 8)),
+    "q_pipe_simhash" -> ((s, dir) => Dedup.simHash16(docs(s, dir).filter(col("doc_id") < 50))),
+    "q_pipe_jaccard" -> ((s, dir) => Dedup.successorJaccard(docs(s, dir), "en")),
+    "q_pipe_knn" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
+    // approximate variant — no SQL oracle (rows-only check)
+    "q_pipe_knn_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), k = 5, nQueries = 20)),
+    "q_pipe_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.langIdExpr(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+    "q_pipe_quality" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*)
+        .orderBy("doc_id")),
+    "q_pipe_tokens" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id") +: TextOps.tokenCountColumns(col("text")): _*)
+        .orderBy("doc_id")),
+    "q_pipe_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "q_pipe_multimodal" -> ((s, dir) =>
+      Multimodal.extractMeta(docs(s, dir)).toDF().orderBy("doc_id")))
+
+  /** Shared word-set CTE for the oracle side. */
+  private val wordsCte =
+    """WITH words AS (
+      | SELECT DISTINCT doc_id, w AS word
+      | FROM documents, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pipe_dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+        | count(*) - count(DISTINCT text) AS n_dups FROM documents""".stripMargin,
+
+    "q_pipe_minhash" -> ("""WITH words AS (
+      | SELECT DISTINCT doc_id, w AS word
+      | FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
+      |      unnest(list_transform(range(1, greatest(length(norm)-4, 1)+1),
+      |                            i -> substr(norm, CAST(i AS INT), 5))) t(w)
+      |)""".stripMargin + """,
+      |sigs AS (
+      | SELECT doc_id,
+      |  min(md5('0#' || word)) AS s0, min(md5('1#' || word)) AS s1,
+      |  min(md5('2#' || word)) AS s2, min(md5('3#' || word)) AS s3,
+      |  min(md5('4#' || word)) AS s4, min(md5('5#' || word)) AS s5,
+      |  min(md5('6#' || word)) AS s6, min(md5('7#' || word)) AS s7
+      | FROM words GROUP BY doc_id),
+      |buckets AS (
+      | SELECT doc_id, 0 AS band, s0 || s1 AS key FROM sigs
+      | UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigs
+      | UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigs
+      | UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigs)
+      |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |FROM buckets l JOIN buckets r ON l.band = r.band AND l.key = r.key
+      |WHERE l.doc_id < r.doc_id
+      |ORDER BY a, b""".stripMargin),
+
+    "q_pipe_simhash" -> (wordsCte.replace("FROM documents,", "FROM documents,")
+      + """
+      |SELECT doc_id,
+      |""".stripMargin
+      + (1 to 16).map(k =>
+        s" CASE WHEN sum(CASE WHEN substr(md5(word), $k, 1) >= '8' THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END")
+        .mkString("concat(\n", ",\n", ") AS simhash16")
+      + """
+      |FROM words WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q_pipe_jaccard" -> (wordsCte + """,
+      |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |pairs AS (
+      | SELECT doc_id AS a, lead(doc_id) OVER (ORDER BY doc_id) AS b FROM en),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM words GROUP BY doc_id),
+      |inter AS (
+      | SELECT p.a, p.b, count(*) AS inter
+      | FROM pairs p JOIN words wa ON wa.doc_id = p.a
+      |              JOIN words wb ON wb.doc_id = p.b AND wb.word = wa.word
+      | GROUP BY p.a, p.b)
+      |SELECT p.b AS b, p.a AS a, COALESCE(i.inter, 0) AS inter,
+      |       sa.sz + sb.sz - COALESCE(i.inter, 0) AS uni
+      |FROM pairs p
+      |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+      |JOIN sizes sa ON sa.doc_id = p.a
+      |JOIN sizes sb ON sb.doc_id = p.b
+      |WHERE p.b IS NOT NULL
+      |  AND COALESCE(i.inter, 0) * 10 >= sa.sz + sb.sz - COALESCE(i.inter, 0)
+      |ORDER BY a, b""".stripMargin),
+
+    "q_pipe_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |        list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS sim
+        |      FROM n q, n t WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_pipe_langid" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(toks, x -> x IN (${sqlList(words)})))"
+      s"""WITH t AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        | FROM documents),
+        |h AS (SELECT doc_id,
+        |  ${hits(TextOps.StopEn)} AS en, ${hits(TextOps.StopDe)} AS de,
+        |  ${hits(TextOps.StopEs)} AS es, ${hits(TextOps.StopFr)} AS fr
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+        |      WHEN en >= greatest(de, es, fr) THEN 'en'
+        |      WHEN de >= greatest(es, fr) THEN 'de'
+        |      WHEN es >= fr THEN 'es'
+        |      ELSE 'fr' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pipe_quality" ->
+      s"""WITH t AS (
+        | SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct
+        | FROM documents WHERE doc_id < 100),
+        |u AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens, punct,
+        |  CAST(len(list_filter(toks, x -> x IN (${sqlList(TextOps.StopEn)}))) AS BIGINT) AS stops
+        | FROM t)
+        |SELECT doc_id, n_chars, n_tokens,
+        | round(CAST(punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+        | round(CAST(stops AS DOUBLE) / greatest(n_tokens, 1), 4) AS stop_ratio,
+        | round(CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.5
+        |   + CAST(stops AS DOUBLE) / greatest(n_tokens, 1) * 0.3
+        |   + (1.0 - CAST(punct AS DOUBLE) / n_chars) * 0.2, 4) AS quality
+        |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_pipe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS alnum_tokens,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(floor((octet_length(encode(text)) + 3) / 4.0) AS BIGINT) AS approx_bpe_tokens
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "q_pipe_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pipe_multimodal" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        | CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+        | CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

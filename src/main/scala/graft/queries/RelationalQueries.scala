@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator surface over the driver testdata — the exploded-view
+  * analogs of SURVEY §2.6 (scan/filter/join/agg/sort/window), with
+  * exact-decimal arithmetic so the DuckDB oracle hash-matches bit-for-bit
+  * (doubles are only produced by one final cast from an exact decimal sum).
+  */
+object RelationalQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // scan + filter + group-agg (TPC-H Q1 shape); filter/projection pushed
+    // down to the parquet scan, partial aggregation map-side
+    "q_rel_pricing" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // 3-way join (broadcast dims) + agg + deterministic top-k
+    "q_rel_top_revenue" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust.filter(col("c_nationkey") < 13)),
+          ord("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // window functions: per-customer order sequence + running spend
+    "q_rel_window" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_custkey") < 20)
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      ord
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_spend",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .filter(col("rn") <= 5)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("running_spend"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // semi/anti join surface: customers with and without orders
+    "q_rel_semi_anti" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet").select("o_custkey")
+      val withOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      val withoutOrders = cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      withOrders.agg(count(lit(1)).as("n")).withColumn("kind", lit("with_orders"))
+        .unionByName(
+          withoutOrders.agg(count(lit(1)).as("n")).withColumn("kind", lit("without_orders")))
+        .select("kind", "n").orderBy("kind")
+    }),
+
+    // distinct + set-style aggregation over a dimension hierarchy join
+    "q_rel_region_sales" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_spend"))
+        .orderBy("r_name")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rel_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rel_top_revenue" ->
+      """SELECT o_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey < 13 AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q_rel_window" ->
+      """SELECT o_custkey, rn, o_orderkey, running_spend FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
+        | FROM orders WHERE o_custkey < 20
+        |) t WHERE rn <= 5 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rel_semi_anti" ->
+      """SELECT kind, n FROM (
+        | SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        | UNION ALL
+        | SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |) t ORDER BY kind""".stripMargin,
+    "q_rel_region_sales" ->
+      """SELECT r_name,
+        | COUNT(DISTINCT o_custkey) AS n_customers,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name
+        |ORDER BY r_name""".stripMargin)
+}
