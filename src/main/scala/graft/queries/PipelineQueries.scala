@@ -64,18 +64,22 @@ object PipelineQueries {
       |)""".stripMargin + """,
       |sigs AS (
       | SELECT doc_id,
-      |  min(md5('0#' || word)) AS s0, min(md5('1#' || word)) AS s1,
-      |  min(md5('2#' || word)) AS s2, min(md5('3#' || word)) AS s3,
-      |  min(md5('4#' || word)) AS s4, min(md5('5#' || word)) AS s5,
-      |  min(md5('6#' || word)) AS s6, min(md5('7#' || word)) AS s7
+      |  min(substr(md5(word), 1, 8)) AS s0, min(substr(md5(word), 9, 8)) AS s1,
+      |  min(substr(md5(word), 17, 8)) AS s2, min(substr(md5(word), 25, 8)) AS s3,
+      |  min(substr(md5('x' || word), 1, 8)) AS s4, min(substr(md5('x' || word), 9, 8)) AS s5,
+      |  min(substr(md5('x' || word), 17, 8)) AS s6, min(substr(md5('x' || word), 25, 8)) AS s7
       | FROM words GROUP BY doc_id),
       |buckets AS (
       | SELECT doc_id, 0 AS band, s0 || s1 AS key FROM sigs
       | UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigs
       | UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigs
-      | UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigs)
+      | UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigs),
+      |small AS (
+      | SELECT band, key FROM buckets GROUP BY band, key
+      | HAVING count(*) <= 32 AND count(*) > 1),
+      |kept AS (SELECT b.* FROM buckets b JOIN small s ON b.band = s.band AND b.key = s.key)
       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      |FROM buckets l JOIN buckets r ON l.band = r.band AND l.key = r.key
+      |FROM kept l JOIN kept r ON l.band = r.band AND l.key = r.key
       |WHERE l.doc_id < r.doc_id
       |ORDER BY a, b""".stripMargin),
 

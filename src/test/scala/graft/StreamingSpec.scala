@@ -1,0 +1,49 @@
+package graft
+
+import graft.core.Slice
+import graft.spark.SparkStore
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming ingest: micro-batches become committed versions; late rows
+  * land in later versions; time travel walks stream progress. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("each micro-batch commits a version; late data lands in a later version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val store = new SparkStore(spark, root)
+
+    val input = MemoryStream[Timestamp]
+    val events = input.toDF().toDF("ts")
+    val counts = StreamingIngest.hourlyCounts(events, watermark = "10 hours")
+    val h0 = 473000L // arbitrary epoch-hour origin for the test
+    val q = StreamingIngest.versionedSink(store, "stream_ev", h0, hours = 100L)(counts)
+    try {
+      def ts(hour: Long, minute: Int): Timestamp =
+        new Timestamp((hour * 3600L + minute * 60L) * 1000L)
+
+      input.addData(ts(h0 + 1, 0), ts(h0 + 1, 30), ts(h0 + 2, 10))
+      q.processAllAvailable()
+      val r1 = store.reader("stream_ev").onLastVersion()
+      val s1 = r1.getSlice("n", Slice(Seq(0L), Seq(5L)))
+      assert(s1.valueAt(Seq(1L)) == 2.0 && s1.valueAt(Seq(2L)) == 1.0)
+      val v1 = r1.meta.versionId.get
+
+      // late event for hour h0+1 (inside watermark) → new version snapshot
+      input.addData(ts(h0 + 1, 45))
+      q.processAllAvailable()
+      val r2 = store.reader("stream_ev").onLastVersion()
+      assert(r2.meta.versionId.get != v1)
+      assert(r2.getSlice("n", Slice(Seq(1L), Seq(2L))).valueAt(Seq(1L)) == 3.0)
+      // time travel back to the pre-late-data snapshot
+      assert(store.reader("stream_ev").onVersion(v1)
+        .getSlice("n", Slice(Seq(1L), Seq(2L))).valueAt(Seq(1L)) == 2.0)
+      assert(store.versions("stream_ev").size >= 2)
+    } finally q.stop()
+  }
+}
