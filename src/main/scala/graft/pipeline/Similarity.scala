@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays (deterministic
-    * left-to-right summation — matches the oracle's evaluation order). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product — graft's native codegen expression
+    * (graft.functions.DotProduct); left-to-right summation matches the
+    * oracle's evaluation order bit-for-bit. */
+  private def dot(emb: DataFrame)(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dotProduct(emb.sparkSession, a, b)
 
-  private def withNorm(emb: DataFrame): DataFrame =
+  private def withNorm(emb: DataFrame): DataFrame = {
+    val d = dot(emb) _
     emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(d(col("v"), col("v"))))
+  }
 
   /** Exact top-k cosine neighbors for the `nQueries` lowest vec_ids.
     * Output: (query_id, neighbor_id, rank). */
@@ -34,7 +37,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("sim", dot(emb)(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
@@ -62,7 +65,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     q.join(cand, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("sim", dot(emb)(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")

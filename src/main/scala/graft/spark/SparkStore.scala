@@ -3,7 +3,7 @@ package graft.spark
 import graft.core._
 import graft.filters.FilterChain
 import graft.meta.DatasetMeta
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -134,7 +134,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     val dir = indexDir(name)
     if (!Files.exists(Paths.get(dir))) spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], indexSchema)
-    else spark.read.schema(indexSchema).parquet(dir)
+    else spark.read.parquet(dir) // (var, version) are partition dirs
   }
 
   private[spark] def chunksDF: DataFrame = {
@@ -143,17 +143,50 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     else spark.read.schema(chunksSchema).parquet(chunksDir)
   }
 
+  /** Content-addressed garbage collection: drop chunk blobs not referenced
+    * by ANY dataset's index (committed or in-flight — index rows are
+    * append-only, so chunks of uncommitted versions are retained). The
+    * refcount column stays advisory (−1), like the reference's
+    * unimplemented refcounting (impl.clj:253-254); GC derives liveness
+    * relationally instead. Single-writer operation. Returns #removed. */
+  def vacuum(): Long = {
+    if (!Files.exists(Paths.get(chunksDir))) return 0L
+    val referenced = listDatasets.map(ds => indexDF(ds).select("hash"))
+      .reduceOption(_ union _)
+      .getOrElse(spark.emptyDataFrame.withColumn("hash", lit("")).select("hash"))
+      .distinct()
+    val before = chunksDF.count()
+    val keptDir = rootPath.resolve(".chunks_compact").toString
+    chunksDF.join(referenced, Seq("hash"), "left_semi")
+      .write.mode("overwrite").parquet(keptDir)
+    val after = spark.read.parquet(keptDir).count()
+    // swap directories
+    val live = Paths.get(chunksDir)
+    val old = rootPath.resolve(".chunks_old")
+    Files.move(live, old)
+    Files.move(Paths.get(keptDir), live)
+    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    before - after
+  }
+
   /** MVCC index resolution: for each coordinate of `varName`, the hash of
     * the greatest (version, seq) among versions that are committed-and-≤
     * `upTo`, plus (optionally) the in-flight version itself
     * (reference read rule: backend/mem.clj:32-49; write-side base lookup:
     * impl.clj:246-250). */
+  /** `coordFilter` is applied to the RAW index scan, before the group-by:
+    * Catalyst cannot push a filter through max_by, and without this a
+    * windowed read would shuffle the variable's entire per-version index
+    * (filtering on the group key pre-aggregation is semantics-preserving —
+    * coord is functionally determined by coordKey). */
   private[spark] def resolvedIndex(name: String, varName: String, upTo: Long,
-      includeUncommitted: Option[Long] = None): DataFrame = {
+      includeUncommitted: Option[Long] = None,
+      coordFilter: Column = lit(true)): DataFrame = {
     val committed = versions(name).map(_._2).filter(_ <= upTo)
     val admissible = committed ++ includeUncommitted.toSeq
     indexDF(name)
       .filter(col("var") === varName && col("version").isin(admissible: _*))
+      .filter(coordFilter)
       .groupBy("coordKey")
       .agg(
         max_by(col("hash"), struct(col("version"), col("seq"))).as("hash"),
@@ -258,8 +291,8 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     * ⋈ resolved index ⋈ chunk blobs. Null bytes ⇒ fill chunk (R5). */
   private[spark] def chunkRows(varName: String, request: Slice): DataFrame = {
     val coords = coveringCoordsDF(varName, request)
-    val resolved = store.resolvedIndex(name, varName, vid)
-      .filter(coordEnvelopeFilter(varName, request))
+    val resolved = store.resolvedIndex(name, varName, vid,
+        coordFilter = coordEnvelopeFilter(varName, request))
       .select("coordKey", "hash")
     coords
       .join(resolved, Seq("coordKey"), "left")
@@ -431,11 +464,13 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         .select(col("hash"), lit(-1L).as("ref"), col("bytes"))
       newBlobs.write.mode("append").parquet(store.chunksDir)
 
-      // 5. index append
+      // 5. index append, hive-partitioned by (var, version) so the MVCC
+      //    resolve prunes whole files by version instead of filtering rows
       merged.select(
         lit(varN).as("var"), lit(vid).as("version"), lit(jobSeqBase).as("seq"),
         col("coordKey"), col("coord"), col("hash"))
-        .write.mode("append").parquet(store.indexDir(name))
+        .write.partitionBy("var", "version").mode("append")
+        .parquet(store.indexDir(name))
     } finally merged.unpersist()
   }
 

@@ -1,0 +1,66 @@
+package graft
+
+import graft.core._
+import graft.functions.VectorFunctions
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.SparkStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VacuumAndFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("vacuum removes unreferenced blobs, keeps all referenced incl uncommitted") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vac").toString
+    val store = new SparkStore(spark, root)
+    store.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 8L), chunkDimensions = Map("x" -> 2L),
+      variables = Map("v" -> VariableDef("int", Vector("x"), 0.0)))
+    val w1 = store.addVersion("ds", meta)
+    w1.write("v", Seq(Slab.empty(DType.INT, Slice(Seq(0L), Seq(8L)), 1.0)))
+    w1.finishVersion()
+    // orphan blob: simulate an aborted write's leftover by appending directly
+    import spark.implicits._
+    Seq(("deadbeef" * 5, -1L, Array[Byte](1, 2, 3))).toDF("hash", "ref", "bytes")
+      .write.mode("append").parquet(store.chunksDir)
+    // in-flight v2 writes a new chunk (uncommitted — must survive vacuum)
+    val w2 = store.addVersion("ds", meta)
+    w2.write("v", Seq(Slab.empty(DType.INT, Slice(Seq(0L), Seq(2L)), 9.0)))
+
+    val total = spark.read.parquet(store.chunksDir).count()
+    val removed = store.vacuum()
+    assert(removed == 1L, s"expected 1 orphan removed, got $removed (of $total)")
+    // reads still work at v1 and for the in-flight writer after commit
+    val v2 = w2.finishVersion()
+    val r = store.reader("ds").onVersion(v2)
+    assert(r.getSlice("v", Slice(Seq(0L), Seq(8L))).valueAt(Seq(0L)) == 9.0)
+    assert(r.getSlice("v", Slice(Seq(7L), Seq(8L))).valueAt(Seq(7L)) == 1.0)
+    // idempotent
+    assert(store.vacuum() == 0L)
+  }
+
+  test("graft_dot native expression: correct, null-safe, codegen'd") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.5, -1.0), Array(2.0, 2.0))).toDF("a", "b")
+    val out = df.select(VectorFunctions.dotProduct(spark, col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(32.0, -1.0))
+    // matches the HOF fold bit-for-bit on real embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val both = emb.select(
+      VectorFunctions.dotProduct(spark, col("v"), col("v")).as("native"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // null-safe
+    val withNull = Seq((Some(Array(1.0)), None: Option[Array[Double]])).toDF("a", "b")
+    assert(withNull.select(VectorFunctions.dotProduct(spark, col("a"), col("b"))).first().isNullAt(0))
+    // type mismatch is a clean analysis error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.dotProduct(spark, col("a"), lit("nope"))).collect()
+    }
+  }
+}
