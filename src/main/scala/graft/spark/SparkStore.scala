@@ -143,6 +143,19 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     else spark.read.schema(chunksSchema).parquet(chunksDir)
   }
 
+  /** V10 get-stats: storage sizes in bytes
+    * (reference: impl/protocol.clj:75-82). */
+  def getStats(name: String): Map[String, Long] = {
+    def dirSize(p: Path): Long =
+      if (!Files.exists(p)) 0L
+      else Files.walk(p).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+    Map(
+      "metadata-size" -> dirSize(versionsDir(name)),
+      "index-size" -> dirSize(Paths.get(indexDir(name))),
+      "data-size" -> dirSize(Paths.get(chunksDir)))
+  }
+
   /** Content-addressed garbage collection: drop chunk blobs not referenced
     * by ANY dataset's index (committed or in-flight — index rows are
     * append-only, so chunks of uncommitted versions are retained). The
