@@ -313,6 +313,38 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
       .select(col("coordKey"), col("coord"), col("bytes"))
   }
 
+  /** R2 `stream` as a Spark-native Dataset: one row per covering chunk,
+    * decoded and clipped to the request — (coord, start, stop, bytes)
+    * where bytes is the clipped slab's raw big-endian buffer
+    * (reference: src/io/mandoline.clj:223-258; laziness becomes plan
+    * laziness, npmap becomes task parallelism). */
+  def streamChunks(varName: String, request: Slice, checkBounds: Boolean = true): DataFrame = {
+    val varSlice = meta.varSlice(varName)
+    if (checkBounds && !request.isContainedIn(varSlice))
+      throw new IndexOutOfBoundsException(
+        s"Request slice $request crosses the variable's extent: $varSlice.")
+    val metaJson = meta.toJson
+    val varN = varName
+    val req = request
+    import spark.implicits._
+    chunkRows(varName, request)
+      .select(col("coord"), col("bytes"))
+      .as[(Array[Long], Array[Byte])]
+      .mapPartitions { it =>
+        val m = DatasetMeta.fromJson(metaJson)
+        val dt = m.dtype(varN)
+        val fill = m.fill(varN)
+        it.map { case (coord, framed) =>
+          val chunkSlice = m.chunkSlice(varN, coord.toVector)
+          val slab =
+            if (framed == null) Slab.empty(dt, chunkSlice, fill)
+            else Slab(dt, chunkSlice, FilterChain.decode(framed))
+          val clipped = slab.intersectWith(req)
+          (coord, clipped.slice.start.toArray, clipped.slice.stop.toArray, clipped.bytes)
+        }
+      }.toDF("coord", "start", "stop", "bytes")
+  }
+
   /** R1/R2 as the Spark-native exploded view: one row per cell of the
     * request, schema (dim₁: Long, …, dimₙ: Long, value: <elem type>).
     * Fill cells are materialized for never-written coordinates

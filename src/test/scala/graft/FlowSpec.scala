@@ -338,6 +338,43 @@ class FlowSpec extends AnyFunSuite {
     assert(backend.chunks.size == 1)
   }
 
+  test("CAS retry under contention: concurrent writers to the same chunk, disjoint cells (concurrency.clj)") {
+    val store = freshStore()
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 16L),
+      chunkDimensions = Map("x" -> 16L), // ONE chunk → maximal contention
+      variables = Map("foo" -> VariableDef("int", Vector("x"), -1.0)))
+    store.create("ds")
+    val vw = store.writer("ds").addVersion(meta)
+    // 16 threads, each writes its own single cell through its own writer —
+    // all updates target the same chunk, exercising the CAS retry loop
+    val threads = (0 until 16).map { i =>
+      new Thread(() => {
+        val w = VersionWriter.fromToken(store, "ds", vw.token)
+        w.write("foo", Seq(Slab.fromDoubles(DType.INT,
+          Slice(Seq(i.toLong), Seq(i + 1L)), Seq(i * 10.0))))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    vw.finishVersion()
+    val got = store.reader("ds").onLastVersion().getSlice("foo", Slice(Seq(0L), Seq(16L)))
+    (0 until 16).foreach(i => assert(got.valueAt(Seq(i.toLong)) == i * 10.0, s"cell $i"))
+  }
+
+  test("entire flow with caches disabled (with-and-without-caches, test/utils.clj:166-169)") {
+    val store = new GraftStore(new MemBackend, chunkCacheSize = 0)
+    store.create("ds")
+    val vw = store.writer("ds").addVersion(foobarMeta)
+    vw.write("foo", Seq(
+      randomSlab(DType.SHORT, Slice(Seq(0L, 0L, 0L), Seq(3L, 5L, 8L)), 11),
+      constSlab(DType.SHORT, Slice(Seq(3L, 5L, 8L), Seq(10L, 10L, 10L)), 1.0)))
+    vw.finishVersion()
+    val got = store.reader("ds").onLastVersion()
+      .getSlice("foo", Slice(Seq(0L, 0L, 0L), Seq(10L, 11L, 13L)))
+    assert(got.valueAt(Seq(5L, 7L, 9L)) == 1.0)
+    assert(got.valueAt(Seq(9L, 10L, 12L)) == -3.0)
+  }
+
   test("metadata JSON round trip incl literal NaN and extra attributes (utils.clj:106-122)") {
     val m = foobarMeta.copy(
       variables = foobarMeta.variables +

@@ -171,6 +171,29 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streamChunks: one clipped slab row per covering chunk (R2 analog)") {
+    val store = freshStore()
+    store.create("ds")
+    val w = store.addVersion("ds", meta2d)
+    w.write("v", Seq(Slab.fromDoubles(DType.DOUBLE,
+      Slice(Seq(0L, 0L), Seq(9L, 10L)), (1 to 90).map(_.toDouble))))
+    w.finishVersion()
+    val r = store.reader("ds").onLastVersion()
+    val req = Slice(Seq(2L, 2L), Seq(6L, 5L)) // covers chunks (0,0),(0,1),(1,0),(1,1)
+    val rows = r.streamChunks("v", req).collect()
+    assert(rows.length == 4)
+    rows.foreach { row =>
+      val start = row.getSeq[Long](1)
+      val stop = row.getSeq[Long](2)
+      val bytes = row.getAs[Array[Byte]](3)
+      val slab = Slab(DType.DOUBLE, Slice(start, stop), bytes)
+      // every clipped slab lies inside the request and carries true values
+      assert(slab.slice.isContainedIn(req))
+      val c = slab.slice.start
+      assert(slab.valueAt(c) == (c(0) * 10 + c(1) + 1).toDouble)
+    }
+  }
+
   test("writer token: distributed multi-writer ingest, single commit (script.clj analog)") {
     val store = freshStore()
     store.create("ds")
