@@ -61,7 +61,7 @@ object ArrayBench {
 
   def run(spark: SparkSession): Seq[(String, Double)] = {
     // volume scale: 1.0 = the reference's full 216M-cell fixture
-    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "0.125").toDouble
+    val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1.0").toDouble
     val zDim = math.max(30L, (900 * scale).toLong)
     val dims = Map("x" -> 400L, "y" -> 600L, "z" -> zDim)
     val meta = DatasetMeta(

@@ -101,3 +101,34 @@ abstract class BackendLaws(name: String, mkBackend: () => Backend) extends AnyFu
 }
 
 class MemBackendLaws extends BackendLaws("mem", () => new MemBackend)
+
+/** Chunk-cache behavior pinned from the reference
+  * (src/io/mandoline/impl/cache.clj:77-113, test/impl/cache_test.clj):
+  * read-through, populated on read miss only, LRU-evicting. */
+class ChunkCacheSpec extends AnyFunSuite {
+  import graft.store.{CachingChunkStore, ChunkStore}
+
+  private class CountingStore extends ChunkStore {
+    val m = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    var reads = 0
+    def readChunk(h: String): Array[Byte] = { reads += 1; m(h) }
+    def chunkRefs(h: String): Long = 0
+    def writeChunk(h: String, r: Long, b: Array[Byte]): Unit = { validateWrite(h, b); m(h) = b }
+    def updateChunkRefs(h: String, d: Long): Unit = ()
+  }
+
+  test("read-through cache: second read served from cache; LRU evicts") {
+    val inner = new CountingStore
+    val cached = new CachingChunkStore(inner, maxEntries = 2)
+    (1 to 3).foreach(i => cached.writeChunk(s"h$i", 0, Array(i.toByte)))
+    cached.readChunk("h1"); cached.readChunk("h1")
+    assert(inner.reads == 1) // second hit cached
+    cached.readChunk("h2"); cached.readChunk("h3") // evicts h1 (cap 2)
+    cached.readChunk("h1")
+    assert(inner.reads == 4) // h1 was evicted → re-read
+    // writes do NOT populate the cache (read-miss only, cache.clj:77-113)
+    cached.writeChunk("h9", 0, Array(9.toByte))
+    cached.readChunk("h9")
+    assert(inner.reads == 5)
+  }
+}

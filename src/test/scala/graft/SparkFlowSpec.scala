@@ -194,6 +194,25 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("shrink on spark backend: retained data inside new bounds; old extent rejected") {
+    val store = freshStore()
+    store.create("ds")
+    val v1m = DatasetMeta(
+      dimensions = Map("x" -> 12L, "y" -> 12L),
+      chunkDimensions = Map("x" -> 5L, "y" -> 5L),
+      variables = Map("v" -> VariableDef("int", Vector("x", "y"), -1.0)))
+    val w1 = store.addVersion("ds", v1m)
+    w1.write("v", Seq(Slab.empty(DType.INT, Slice(Seq(0L, 0L), Seq(12L, 12L)), 5.0)))
+    w1.finishVersion()
+    val w2 = store.addVersion("ds", v1m.copy(dimensions = Map("x" -> 6L, "y" -> 7L)))
+    val v2 = w2.finishVersion()
+    val r = store.reader("ds").onVersion(v2)
+    assert(r.getSlice("v", Slice(Seq(0L, 0L), Seq(6L, 7L))).valueAt(Seq(5L, 6L)) == 5.0)
+    intercept[IndexOutOfBoundsException] {
+      r.exploded("v", Slice(Seq(0L, 0L), Seq(12L, 12L)))
+    }
+  }
+
   test("writer token: distributed multi-writer ingest, single commit (script.clj analog)") {
     val store = freshStore()
     store.create("ds")
