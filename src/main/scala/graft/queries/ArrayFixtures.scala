@@ -26,7 +26,8 @@ import scala.collection.concurrent.TrieMap
 object ArrayFixtures {
 
   final case class Handles(store: SparkStore, hours: Long,
-      evV1: Long, evV2: Long, growV1: Long, growV2: Long)
+      evV1: Long, evV2: Long, growV1: Long, growV2: Long,
+      months: Long, gridV1: Long)
 
   private val cache = TrieMap.empty[String, Handles]
 
@@ -100,6 +101,35 @@ object ArrayFixtures {
     val gw2 = store.addVersion("evgrow", gMeta.copy(dimensions = Map("h" -> (h + 24))))
     val growV2 = gw2.finishVersion()
 
+    // ---- dataset grid: 2-D revenue[shipMonth × partBucket] from lineitem
+    //      (FIXTURES.md F8 shape) ----
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("am"),
+        pmod(col("l_partkey"), lit(8L)).as("b"),
+        col("l_quantity"))
+    val gRows = li.groupBy("am", "b")
+      .agg(sum(col("l_quantity")).cast("long").as("q")).collect()
+    val minM = gRows.map(_.getAs[Number]("am").longValue).min
+    val maxM = gRows.map(_.getAs[Number]("am").longValue).max
+    val months = maxM - minM + 1
+    val cells = Array.ofDim[Double](months.toInt, 8)
+    for (r <- cells.indices; c <- 0 until 8) cells(r)(c) = 0.0
+    gRows.foreach { r =>
+      cells((r.getAs[Number]("am").longValue - minM).toInt)(r.getAs[Number]("b").intValue) =
+        r.getLong(2).toDouble
+    }
+    store.create("grid")
+    val gridMeta = DatasetMeta(
+      dimensions = Map("m" -> months, "b" -> 8L),
+      chunkDimensions = Map("m" -> 4L, "b" -> 4L),
+      variables = Map("qty" -> VariableDef("long", Vector("m", "b"), -1.0)))
+    val gwr = store.addVersion("grid", gridMeta)
+    gwr.write("qty", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(months, 8L)),
+      cells.flatten.toIndexedSeq)))
+    val gridV1 = gwr.finishVersion()
+
     // ---- dataset dd: 100 cells / chunk 2 → 50 identical chunks ----
     store.create("dd")
     val dMeta = DatasetMeta(
@@ -110,6 +140,6 @@ object ArrayFixtures {
     dw.write("d", Seq(Slab.empty(DType.SHORT, Slice(Seq(0L), Seq(100L)), 5.0)))
     dw.finishVersion()
 
-    Handles(store, h, evV1, evV2, growV1, growV2)
+    Handles(store, h, evV1, evV2, growV1, growV2, months, gridV1)
   }
 }

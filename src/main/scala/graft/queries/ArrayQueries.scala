@@ -81,6 +81,14 @@ object ArrayQueries {
       }
       s.createDataFrame(rows).toDF("ord", "has_parent").orderBy("ord")
     }),
+    // 2-D hyperslab: revenue grid [shipMonth × partBucket] from lineitem,
+    // windowed on both axes (multi-axis chunk pruning + fill)
+    "q_arr_2d" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("grid").onVersion(fx.gridV1)
+        .exploded("qty", Slice(Seq(2L, 1L), Seq(math.min(12L, fx.months), 6L)))
+        .orderBy("m", "b")
+    }),
     // W4/W7: content-addressed dedup — 50 identical chunks → 1 blob
     "q_arr_dedup" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
@@ -123,6 +131,22 @@ object ArrayQueries {
         |""".stripMargin + grid +
       " WHERE g.h >= (SELECT maxh - 5 FROM hh) AND g.h < (SELECT maxh + 24 FROM hh) ORDER BY h"),
     "q_arr_scalar" -> "SELECT count(*) AS value FROM events",
+    "q_arr_2d" ->
+      """WITH lb AS (
+        | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,
+        |        l_partkey % 8 AS b, l_quantity
+        | FROM lineitem),
+        |mn AS (SELECT min(am) AS m0, max(am) - min(am) + 1 AS nm FROM lb),
+        |g AS (SELECT am - (SELECT m0 FROM mn) AS m, b,
+        |        CAST(sum(l_quantity) AS BIGINT) AS q
+        |      FROM lb GROUP BY 1, 2)
+        |SELECT gm.m AS m, gb.b AS b, COALESCE(g.q, 0) AS value
+        |FROM range(0, 10000) gm(m)
+        |CROSS JOIN range(0, 8) gb(b)
+        |LEFT JOIN g ON g.m = gm.m AND g.b = gb.b
+        |WHERE gm.m >= 2 AND gm.m < least(12, (SELECT nm FROM mn))
+        |  AND gb.b >= 1 AND gb.b < 6
+        |ORDER BY m, b""".stripMargin,
     "q_arr_nan" -> (cte +
       """SELECT CAST(5 AS BIGINT) AS nan_cells,
         | (SELECT CAST(COALESCE(sum(CASE WHEN h < 5 THEN cnt ELSE 0 END), 0) AS DOUBLE) FROM c) AS sum_vals
