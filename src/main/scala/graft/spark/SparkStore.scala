@@ -507,7 +507,12 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         .dropDuplicates("hash")
         .join(store.chunksDF.select("hash"), Seq("hash"), "left_anti")
         .select(col("hash"), lit(-1L).as("ref"), col("bytes"))
-      newBlobs.write.mode("append").parquet(store.chunksDir)
+      // blobs are already LZ4-framed — skip parquet's recompression; sort
+      // within partitions so row-group min/max stats become tight hash
+      // ranges (point lookups by hash prune row groups)
+      newBlobs.sortWithinPartitions("hash")
+        .write.option("compression", "uncompressed")
+        .mode("append").parquet(store.chunksDir)
 
       // 5. index append, hive-partitioned by (var, version) so the MVCC
       //    resolve prunes whole files by version instead of filtering rows

@@ -338,6 +338,31 @@ class FlowSpec extends AnyFunSuite {
     assert(backend.chunks.size == 1)
   }
 
+  test("lots of tiny slices: 100 single-column writes, then grow (concurrency.clj:27-29)") {
+    val store = freshStore()
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 50L, "y" -> 100L),
+      chunkDimensions = Map("x" -> 5L, "y" -> 5L),
+      variables = Map("foo" -> VariableDef("short", Vector("x", "y"), -3.0)))
+    store.create("ds")
+    val w = store.writer("ds").addVersion(meta)
+    // one slab per y-column, each a 50×1 stripe valued y
+    w.write("foo", (0 until 100).map(y =>
+      constSlab(DType.SHORT, Slice(Seq(0L, y.toLong), Seq(50L, y + 1L)), y.toDouble)))
+    w.finishVersion()
+    val got = store.reader("ds").onLastVersion().getSlice("foo", Slice(Seq(0L, 0L), Seq(50L, 100L)))
+    assert(got.valueAt(Seq(0L, 0L)) == 0.0)
+    assert(got.valueAt(Seq(49L, 99L)) == 99.0)
+    assert(got.valueAt(Seq(25L, 42L)) == 42.0)
+    // v2 grows y 100→110; old columns retained, new region fill
+    val w2 = store.writer("ds").addVersion(meta.copy(
+      dimensions = Map("x" -> 50L, "y" -> 110L)))
+    w2.finishVersion()
+    val g2 = store.reader("ds").onLastVersion().getSlice("foo", Slice(Seq(0L, 0L), Seq(50L, 110L)))
+    assert(g2.valueAt(Seq(10L, 99L)) == 99.0)
+    assert(g2.valueAt(Seq(10L, 105L)) == -3.0)
+  }
+
   test("CAS retry under contention: concurrent writers to the same chunk, disjoint cells (concurrency.clj)") {
     val store = freshStore()
     val meta = DatasetMeta(
