@@ -42,7 +42,16 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
     "q_pipe_multimodal" -> ((s, dir) =>
-      Multimodal.extractMeta(docs(s, dir)).toDF().orderBy("doc_id")))
+      Multimodal.extractMeta(docs(s, dir)).toDF().orderBy("doc_id")),
+    // gap-based sessionization (batch twin of the flatMapGroupsWithState op)
+    "q_pipe_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          floor(col("ts").cast("long") / 1000000000L).cast("long").as("ts_s"))
+        .filter(col("user_id") < 50)
+      graft.streaming.Sessionize.sessionsBatch(ev, gapSeconds = 1800L)
+    }))
 
   /** Shared word-set CTE for the oracle side. */
   private val wordsCte =
@@ -174,6 +183,27 @@ object PipelineQueries {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pipe_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        | FROM events WHERE user_id < 50),
+        |g AS (
+        | SELECT *,
+        |  CASE WHEN lag(ts_s) OVER w IS NULL
+        |         OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |s AS (
+        | SELECT *, SUM(new_session) OVER
+        |   (PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_no
+        | FROM g)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_types,
+        |       max(ts_s) - min(ts_s) AS duration_s
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "q_pipe_multimodal" ->
       """SELECT doc_id,

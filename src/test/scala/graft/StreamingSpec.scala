@@ -12,6 +12,35 @@ import java.sql.Timestamp
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("stateful sessionization via flatMapGroupsWithState: gap splits, state carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize
+    import Sessionize.{Event, Session}
+    val input = MemoryStream[Event]
+    val out = Sessionize.sessions(input.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      def ev(u: Long, tMs: Long, t: String) = Event(u, new Timestamp(tMs), t)
+      // batch 1: user 1 has two events 10s apart (one open session)
+      input.addData(ev(1, 0, "click"), ev(1, 10000, "view"))
+      out.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // session still open
+      // batch 2: event 2 minutes later → closes the first session
+      input.addData(ev(1, 130000, "click"))
+      out.processAllAvailable()
+      val closed = spark.table("sessions_out").as[Session].collect()
+      assert(closed.length == 1)
+      assert(closed(0).n_events == 2 && closed(0).n_types == 2 && closed(0).duration_ms == 10000L)
+      // state carried across batches: the new open session closes on next gap
+      input.addData(ev(1, 300000, "buy"))
+      out.processAllAvailable()
+      val all = spark.table("sessions_out").as[Session].collect()
+      assert(all.length == 2 && all.map(_.n_events).sum == 3)
+    } finally out.stop()
+  }
+
   test("each micro-batch commits a version; late data lands in a later version") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
