@@ -187,6 +187,11 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * `upTo`, plus (optionally) the in-flight version itself
     * (reference read rule: backend/mem.clj:32-49; write-side base lookup:
     * impl.clj:246-250). */
+  /** Public wrapper for the DSv2 source's planning step. */
+  def resolvedIndexPublic(name: String, varName: String, upTo: Long,
+      coordFilter: Column): DataFrame =
+    resolvedIndex(name, varName, upTo, coordFilter = coordFilter)
+
   /** `coordFilter` is applied to the RAW index scan, before the group-by:
     * Catalyst cannot push a filter through max_by, and without this a
     * windowed read would shuffle the variable's entire per-version index

@@ -1,0 +1,285 @@
+package graft.spark.source
+
+import graft.core._
+import graft.filters.FilterChain
+import graft.meta.DatasetMeta
+import graft.spark.SparkStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 read path for graft variables:
+  *
+  * {{{
+  * spark.read.format("graft")
+  *   .option("root", "/data/graft-root")
+  *   .option("dataset", "climate").option("variable", "temp")
+  *   .option("version", "1786…")           // optional; default latest
+  *   .load()
+  *   .filter($"lat" >= 10 && $"lat" < 20)  // pushed down → chunk pruning
+  * }}}
+  *
+  * Range predicates on dimension columns are pushed into the scan and
+  * compiled to a narrowed hyperslab (the array analog of partition
+  * pruning, reference: io/mandoline.clj:250-256). Planning resolves the
+  * MVCC index once on the driver; each input partition owns a group of
+  * chunks and reads their blobs straight from the chunk parquet files
+  * with hash-range row-group pruning (blobs are written hash-sorted).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftSource.resolve(options.asScala.toMap).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftTable(properties.asScala.toMap)
+}
+
+private[source] final case class Resolved(store: SparkStore, meta: DatasetMeta,
+    dataset: String, variable: String) {
+  def dims: Vector[String] = meta.variables(variable).shape
+  def schema: StructType = StructType(
+    dims.map(d => StructField(d, LongType, nullable = false)) :+
+      StructField("value", meta.dtype(variable).sparkType, nullable = false))
+}
+
+private[source] object GraftSource {
+  def resolve(options: Map[String, String]): Resolved = {
+    def req(k: String) = options.getOrElse(k,
+      throw new IllegalArgumentException(s"graft source requires option '$k'"))
+    val spark = SparkSession.active
+    val store = new SparkStore(spark, req("root"))
+    val dataset = req("dataset")
+    val variable = req("variable")
+    val vid = options.get("version").map(_.toLong)
+      .getOrElse {
+        val vs = store.versions(dataset)
+        require(vs.nonEmpty, s"dataset $dataset has no committed versions")
+        vs.head._2
+      }
+    val meta = store.metadata(dataset, vid)
+    require(meta.variables.contains(variable),
+      s"no variable '$variable' in dataset $dataset at version $vid")
+    Resolved(store, meta, dataset, variable)
+  }
+}
+
+private[source] class GraftTable(options: Map[String, String])
+    extends Table with SupportsRead {
+  private lazy val resolved = GraftSource.resolve(options)
+  override def name(): String =
+    s"graft:${options.getOrElse("dataset", "?")}/${options.getOrElse("variable", "?")}"
+  override def schema(): StructType = resolved.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(resolved)
+}
+
+private[source] class GraftScanBuilder(r: Resolved)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val dims = r.dims
+  private var lo: Array[Long] = Array.fill(dims.size)(0L)
+  private var hi: Array[Long] = dims.map(r.meta.dimensions(_)).toArray // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = r.schema
+
+  private def dimIdx(attr: String): Int = dims.indexOf(attr)
+
+  /** Accept >=, >, <=, <, = on dimension columns; everything else stays
+    * post-scan. Each accepted filter narrows the request hyperslab. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case GreaterThan(a, _: Number) => dimIdx(a) >= 0
+      case GreaterThanOrEqual(a, _: Number) => dimIdx(a) >= 0
+      case LessThan(a, _: Number) => dimIdx(a) >= 0
+      case LessThanOrEqual(a, _: Number) => dimIdx(a) >= 0
+      case EqualTo(a, _: Number) => dimIdx(a) >= 0
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan(a, v: Number) =>
+        val i = dimIdx(a); lo(i) = math.max(lo(i), v.longValue + 1)
+      case GreaterThanOrEqual(a, v: Number) =>
+        val i = dimIdx(a); lo(i) = math.max(lo(i), v.longValue)
+      case LessThan(a, v: Number) =>
+        val i = dimIdx(a); hi(i) = math.min(hi(i), v.longValue)
+      case LessThanOrEqual(a, v: Number) =>
+        val i = dimIdx(a); hi(i) = math.min(hi(i), v.longValue + 1)
+      case EqualTo(a, v: Number) =>
+        val i = dimIdx(a)
+        lo(i) = math.max(lo(i), v.longValue); hi(i) = math.min(hi(i), v.longValue + 1)
+      case _ =>
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val empty = (0 until dims.size).exists(i => hi(i) <= lo(i))
+    new GraftScan(r, Slice(lo.toVector, hi.toVector.map(math.max(_, 0L))), empty, required)
+  }
+}
+
+/** One input partition = a group of chunk coordinates + the chunk-file
+  * hash ranges needed to locate their blobs. */
+private[source] final case class GraftInputPartition(
+    coords: Array[Array[Long]], hashes: Array[String], // hashes(i) == null → fill chunk
+    files: Array[String]) extends InputPartition
+
+private[source] class GraftScan(r: Resolved, request: Slice, empty: Boolean,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan ${r.dataset}/${r.variable} request=$request"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (empty || request.volume == 0) return Array.empty
+    val grid = r.meta.chunkGridSlice(r.variable)
+    val coords = ChunkGrid.toChunkCoordinates(request, grid)
+    // resolve the MVCC index once, driver-side (small: covering coords only)
+    import org.apache.spark.sql.functions.col
+    val envelope = (0 until request.rank).map { i =>
+      val lo = Math.floorDiv(request.start(i), grid.step(i))
+      val hi = Math.floorDiv(request.stop(i) - 1, grid.step(i))
+      col("coord")(i).between(lo, hi)
+    }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
+    val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
+      r.meta.versionId.get, envelope)
+      .select("coordKey", "hash").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    val files = chunkFiles
+    val perPartition = math.max(1, coords.size / math.max(1,
+      SparkSession.active.sparkContext.defaultParallelism))
+    coords.grouped(math.max(perPartition, 8)).map { group =>
+      GraftInputPartition(
+        group.map(_.toArray).toArray,
+        group.map(c => resolved.getOrElse(SparkStore.coordKey(c), null)).toArray,
+        files)
+    }.toArray
+  }
+
+  private def chunkFiles: Array[String] = {
+    val dir = java.nio.file.Paths.get(r.store.chunksDir)
+    if (!java.nio.file.Files.exists(dir)) Array.empty
+    else java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(_.toString).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(r.meta.toJson, r.variable, request,
+      required.fieldNames)
+}
+
+private[source] class GraftReaderFactory(metaJson: String, variable: String,
+    request: Slice, requiredFields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition],
+      metaJson, variable, request, requiredFields)
+}
+
+private[source] class GraftPartitionReader(part: GraftInputPartition,
+    metaJson: String, variable: String, request: Slice,
+    requiredFields: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val meta = DatasetMeta.fromJson(metaJson)
+  private val dtype = meta.dtype(variable)
+  private val fill = meta.fill(variable)
+  private val dims = meta.variables(variable).shape
+  // projection: for each required field, its dim index or -1 for value
+  private val proj: Array[Int] = requiredFields.map {
+    case "value" => -1
+    case d => dims.indexOf(d)
+  }
+
+  private val bytesByHash: Map[String, Array[Byte]] = {
+    val wanted = part.hashes.filter(_ != null).toSet
+    if (wanted.isEmpty) Map.empty
+    else ChunkBlobReader.read(part.files, wanted)
+  }
+
+  private val cells: Iterator[InternalRow] = part.coords.iterator
+    .zip(part.hashes.iterator).flatMap { case (coord, hash) =>
+      val chunkSlice = meta.chunkSlice(variable, coord.toVector)
+      val slab =
+        if (hash == null) Slab.empty(dtype, chunkSlice, fill)
+        else Slab(dtype, chunkSlice,
+          FilterChain.decode(bytesByHash.getOrElse(hash,
+            throw new IllegalStateException(s"missing blob for hash $hash"))))
+      val clipped = slab.intersectWith(request)
+      clipped.slice.iter.map { cell =>
+        val out = new Array[Any](proj.length)
+        var i = 0
+        while (i < proj.length) {
+          out(i) =
+            if (proj(i) >= 0) cell(proj(i))
+            else dtype.getBoxed(clipped.bytes, clipped.offsetOf(cell.toIndexedSeq))
+          i += 1
+        }
+        new GenericInternalRow(out): InternalRow
+      }
+    }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (cells.hasNext) { current = cells.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Executor-side point lookup of chunk blobs from the hash-sorted chunk
+  * parquet files: or-chain equality predicates give row-group pruning via
+  * min/max stats (parquet-hadoop Group API). */
+private[source] object ChunkBlobReader {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.io.api.Binary
+
+  def read(files: Array[String], wanted: Set[String]): Map[String, Array[Byte]] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val pred: FilterPredicate = wanted.toSeq
+      .map(h => FilterApi.eq(FilterApi.binaryColumn("hash"), Binary.fromString(h))
+        : FilterPredicate)
+      .reduce(FilterApi.or)
+    val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    files.foreach { f =>
+      if (out.size < wanted.size) {
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
+          .withConf(conf)
+          .withFilter(FilterCompat.get(pred))
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val h = g.getString("hash", 0)
+            if (wanted.contains(h) && !out.contains(h))
+              out(h) = g.getBinary("bytes", 0).getBytes
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    out.toMap
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.SparkStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** spark.read.format("graft"): schema inference, pushdown → chunk
+  * pruning, column pruning, version time travel, post-scan residuals. */
+class DataSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkStore(): (SparkStore, Long, Long) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+    val store = new SparkStore(spark, root)
+    store.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 9L, "y" -> 10L),
+      chunkDimensions = Map("x" -> 4L, "y" -> 3L),
+      variables = Map("v" -> VariableDef("double", Vector("x", "y"), -9.0)))
+    val w1 = store.addVersion("ds", meta)
+    w1.write("v", Seq(Slab.fromDoubles(DType.DOUBLE,
+      Slice(Seq(0L, 0L), Seq(9L, 10L)), (1 to 90).map(_.toDouble))))
+    val v1 = w1.finishVersion()
+    val w2 = store.addVersion("ds", meta)
+    w2.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(1L, 1L)), 777.0)))
+    val v2 = w2.finishVersion()
+    (store, v1, v2)
+  }
+
+  private def load(store: SparkStore, version: Option[Long] = None) = {
+    val r = spark.read.format("graft")
+      .option("root", store.root).option("dataset", "ds").option("variable", "v")
+    version.fold(r)(v => r.option("version", v.toString)).load()
+  }
+
+  test("schema inference + full read") {
+    val (store, _, _) = mkStore()
+    val df = load(store)
+    assert(df.schema.simpleString == "struct<x:bigint,y:bigint,value:double>")
+    assert(df.count() == 90)
+    val m = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((0L, 0L)) == 777.0) // latest version
+    assert(m((8L, 9L)) == 90.0)
+  }
+
+  test("dim-range filters are pushed down and prune chunks") {
+    val (store, _, _) = mkStore()
+    val df = load(store).filter(col("x") >= 4 && col("x") < 8 && col("y") === 2)
+    val cells = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cells.size == 4)
+    assert(cells((4L, 2L)) == 43.0 && cells((7L, 2L)) == 73.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), plan.take(500))
+    // the narrowed request shows in the scan description
+    assert(plan.contains("request=Slice(Vector(4, 2),Vector(8, 3)"), plan.take(800))
+  }
+
+  test("column pruning: value-only and dim-only projections") {
+    val (store, _, _) = mkStore()
+    assert(load(store).select("value").collect().map(_.getDouble(0)).sum > 0)
+    assert(load(store).select("y").distinct().count() == 10)
+  }
+
+  test("version option time-travels; residual value filter applies post-scan") {
+    val (store, v1, _) = mkStore()
+    val old = load(store, Some(v1)).filter(col("x") === 0 && col("y") === 0)
+    assert(old.first().getDouble(2) == 1.0) // pre-overwrite
+    // value predicate is NOT pushed (stays a residual Filter) but works
+    val hi = load(store).filter(col("value") > 85.0)
+    assert(hi.count() == 6) // cells 86..90 plus the 777 overwrite at (0,0)
+  }
+
+  test("contradictory pushed range → empty scan, no crash") {
+    val (store, _, _) = mkStore()
+    assert(load(store).filter(col("x") > 100).count() == 0)
+    assert(load(store).filter(col("x") >= 5 && col("x") < 5).count() == 0)
+  }
+}
