@@ -108,11 +108,14 @@ object Engine {
     }
   }
 
-  /** Materialize one hyperslab (reference: src/io/mandoline.clj:260-270). */
+  /** Materialize one hyperslab (reference: src/io/mandoline.clj:260-270).
+    * Instrumented like the reference's opt-in timers
+    * (io/mandoline.clj:312-321). */
   def getSlice(reader: VariableReader, request: Slice,
-      checkBounds: Boolean = true): Slab = {
-    val fill = reader.meta.fill(reader.varName)
-    val response = Slab.empty(reader.meta.dtype(reader.varName), request, fill)
-    stream(reader, request, checkBounds).foldLeft(response)(_.mergeFrom(_))
-  }
+      checkBounds: Boolean = true): Slab =
+    graft.metrics.Instrument.timed("engine.getSlice") {
+      val fill = reader.meta.fill(reader.varName)
+      val response = Slab.empty(reader.meta.dtype(reader.varName), request, fill)
+      stream(reader, request, checkBounds).foldLeft(response)(_.mergeFrom(_))
+    }
 }
