@@ -15,13 +15,19 @@ final case class Slab(dtype: DType, slice: Slice, bytes: Array[Byte]) {
   def shape: Vector[Int] = if (slice.rank == 0) Vector.empty else slice.shape
   def volume: Long = slice.volume
 
+  // cached per-slab (offsetOf runs once per cell in the exploded hot loop)
+  @transient private lazy val shapeArr: Array[Int] =
+    if (slice.rank == 0) Array.empty else slice.shape.toArray
+  @transient private lazy val startArr: Array[Long] = slice.start.toArray
+
   /** Byte offset of a global coordinate inside this slab's buffer. */
   def offsetOf(coord: Seq[Long]): Int = {
     var lin = 0L
-    val sh = shape
+    val sh = shapeArr
+    val st = startArr
     var i = 0
-    while (i < slice.rank) {
-      lin = lin * sh(i) + (coord(i) - slice.start(i))
+    while (i < sh.length) {
+      lin = lin * sh(i) + (coord(i) - st(i))
       i += 1
     }
     (lin * dtype.size).toInt

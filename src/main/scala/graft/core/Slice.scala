@@ -31,6 +31,11 @@ final case class Slice(start: Vector[Long], stop: Vector[Long], step: Vector[Lon
   /** Number of selected cells (1 for rank 0). */
   def volume: Long = shape.foldLeft(1L)(_ * _.toLong)
 
+  /** True when every axis has positive extent (a constructible slice may
+    * still be empty, e.g. start == stop — callers reject those early
+    * rather than crashing deep inside executor tasks). */
+  def nonEmpty: Boolean = (0 until rank).forall(i => stop(i) > start(i))
+
   def stepIsOne: Boolean = step.forall(_ == 1L)
 
   /** True when `this` lies inside `outer` (reference `contains a b`

@@ -94,6 +94,7 @@ object Engine {
     val VariableReader(meta, varName, index, store) = reader
     val dtype = meta.dtype(varName)
     val varSlice = meta.varSlice(varName)
+    require(request.nonEmpty, s"request slice is empty: $request")
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")

@@ -19,8 +19,7 @@ object Instrument {
     private[metrics] val maxNanos = new AtomicLong(0L)
     def record(nanos: Long): Unit = {
       count.increment(); totalNanos.add(nanos)
-      var cur = maxNanos.get()
-      while (nanos > cur && !maxNanos.compareAndSet(cur, nanos)) cur = maxNanos.get()
+      maxNanos.accumulateAndGet(nanos, math.max(_, _))
     }
     def snapshot: Map[String, Double] = Map(
       "count" -> count.sum.toDouble,
@@ -42,20 +41,33 @@ object Instrument {
       try f finally timer(name).record(System.nanoTime() - t0)
     }
 
-  /** Enable and attach the SQL-execution listener (idempotent per session).
-    * Every DataFrame action is recorded under its first line of the
-    * logical plan's simple name. */
+  // one listener per session, tracked so enable is idempotent and
+  // disable actually detaches it
+  private val listeners =
+    new ConcurrentHashMap[SparkSession, QueryExecutionListener]()
+
+  /** Enable and attach the SQL-execution listener (idempotent per
+    * session). Every DataFrame action is recorded under its action name
+    * (`sql.count`, `sql.collect`, …). */
   def enable(spark: SparkSession): Unit = {
     enabled = true
-    spark.listenerManager.register(new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        timer(s"sql.$funcName").record(durationNs)
-      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
-        timer(s"sql.$funcName.failed").record(0L)
+    listeners.computeIfAbsent(spark, { s =>
+      val l = new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          if (enabled) timer(s"sql.$funcName").record(durationNs)
+        override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+          if (enabled) timer(s"sql.$funcName.failed").record(0L)
+      }
+      s.listenerManager.register(l)
+      l
     })
   }
 
-  def disable(): Unit = { enabled = false }
+  def disable(): Unit = {
+    enabled = false
+    listeners.forEach((spark, l) => spark.listenerManager.unregister(l))
+    listeners.clear()
+  }
 
   def snapshot: Map[String, Map[String, Double]] = {
     val b = Map.newBuilder[String, Map[String, Double]]

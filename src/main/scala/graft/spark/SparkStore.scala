@@ -58,14 +58,19 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
   def destroy(name: String): Unit =
     if (Files.exists(dsPath(name))) {
-      Files.walk(dsPath(name)).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(dsPath(name))) {
+        _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     }
 
   def listDatasets: Seq[String] =
     if (!Files.exists(rootPath)) Nil
-    else Files.list(rootPath).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString != "chunks")
-      .map(_.getFileName.toString).toSeq
+    else scala.util.Using.resource(Files.list(rootPath)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString != "chunks"
+          && !p.getFileName.toString.startsWith("."))
+        .map(_.getFileName.toString).toSeq
+    }
 
   def datasetExists(name: String): Boolean = Files.exists(dsPath(name))
 
@@ -76,13 +81,15 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     val dir = versionsDir(name)
     if (!Files.exists(dir)) throw new IllegalArgumentException(
       s"""dataset with name "$name" does not exist.""")
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map { p =>
-        val m = DatasetMeta.fromJson(Files.readString(p))
-        val ts = extractTimestamp(m)
-        (ts, m.versionId.get)
-      }.toSeq.sortBy { case (ts, vid) => (ts, vid) }.reverse
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .map { p =>
+          val m = DatasetMeta.fromJson(Files.readString(p))
+          val ts = extractTimestamp(m)
+          (ts, m.versionId.get)
+        }.toSeq
+    }.sortBy { case (ts, vid) => (ts, vid) }.reverse
   }
 
   def metadata(name: String, versionId: Long): DatasetMeta = {
@@ -138,9 +145,19 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   }
 
   private[spark] def chunksDF: DataFrame = {
+    healChunksDir()
     if (!Files.exists(Paths.get(chunksDir))) spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], chunksSchema)
     else spark.read.schema(chunksSchema).parquet(chunksDir)
+  }
+
+  /** Crash recovery for vacuum's two-rename swap: if the live chunks dir
+    * is missing but the pre-swap copy exists, restore it (reads must
+    * never silently degrade to fill values). */
+  private def healChunksDir(): Unit = {
+    val live = Paths.get(chunksDir)
+    val old = rootPath.resolve(".chunks_old")
+    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
   }
 
   /** V10 get-stats: storage sizes in bytes
@@ -148,8 +165,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   def getStats(name: String): Map[String, Long] = {
     def dirSize(p: Path): Long =
       if (!Files.exists(p)) 0L
-      else Files.walk(p).iterator().asScala
-        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      else scala.util.Using.resource(Files.walk(p)) {
+        _.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      }
     Map(
       "metadata-size" -> dirSize(versionsDir(name)),
       "index-size" -> dirSize(Paths.get(indexDir(name))),
@@ -163,6 +181,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * unimplemented refcounting (impl.clj:253-254); GC derives liveness
     * relationally instead. Single-writer operation. Returns #removed. */
   def vacuum(): Long = {
+    healChunksDir()
     if (!Files.exists(Paths.get(chunksDir))) return 0L
     val referenced = listDatasets.map(ds => indexDF(ds).select("hash"))
       .reduceOption(_ union _)
@@ -171,14 +190,19 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     val before = chunksDF.count()
     val keptDir = rootPath.resolve(".chunks_compact").toString
     chunksDF.join(referenced, Seq("hash"), "left_semi")
-      .write.mode("overwrite").parquet(keptDir)
+      .dropDuplicates("hash") // compact duplicate rows from racy appends
+      .sortWithinPartitions("hash")
+      .write.option("compression", "uncompressed").mode("overwrite").parquet(keptDir)
     val after = spark.read.parquet(keptDir).count()
-    // swap directories
+    // two-rename swap; a crash between the moves is healed on next open
+    // (healChunksDir restores .chunks_old)
     val live = Paths.get(chunksDir)
     val old = rootPath.resolve(".chunks_old")
     Files.move(live, old)
     Files.move(Paths.get(keptDir), live)
-    Files.walk(old).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    scala.util.Using.resource(Files.walk(old)) {
+      _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
     before - after
   }
 
@@ -228,14 +252,15 @@ object SparkStore {
 
   def coordKey(coord: Seq[Long]): String = coord.mkString(",")
 
-  /** Manifest timestamp rides in the metadata's extra JSON. */
+  /** Manifest timestamp rides in the metadata's extra JSON (parsed and
+    * re-emitted — no string surgery, arbitrary user extra survives). */
   private[spark] def stampTimestamp(m: DatasetMeta, ts: Long): DatasetMeta = {
-    val extra = m.extra match {
-      case Some(e) if e.startsWith("{") && e.length > 2 =>
-        e.dropRight(1) + s""","graft-committed-at":$ts}"""
-      case _ => s"""{"graft-committed-at":$ts}"""
-    }
-    m.copy(extra = Some(extra))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.extra
+      .map(e => mapper.readTree(e).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(mapper.createObjectNode())
+    node.put("graft-committed-at", ts)
+    m.copy(extra = Some(mapper.writeValueAsString(node)))
   }
   private[spark] def extractTimestamp(m: DatasetMeta): Long =
     m.extra.flatMap { e =>
@@ -265,6 +290,12 @@ final class SparkDatasetReader(store: SparkStore, name: String) {
     require(vs.nonEmpty, s"no version at or before $tsMillis")
     onVersion(vs.head._2)
   }
+}
+
+object SparkPinnedReader {
+  /** Windows covering at most this many chunks use the collected-isin
+    * point-lookup path instead of the shuffle join. */
+  val PointLookupThreshold = 1024L
 }
 
 /** Distributed read path (R1-R6 as one Spark plan). */
@@ -305,17 +336,49 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     }.foldLeft(lit(true))(_ && _)
   }
 
+  /** Number of chunks covering the request — pure driver arithmetic. */
+  private def coveringChunkCount(varName: String, request: Slice): Long = {
+    val grid = meta.chunkGridSlice(varName)
+    (0 until request.rank).map { i =>
+      Math.floorDiv(request.stop(i) - 1, grid.step(i)) -
+        Math.floorDiv(request.start(i), grid.step(i)) + 1
+    }.foldLeft(1L)(_ * _)
+  }
+
   /** (coordKey, coord, bytes|null) for every covering chunk: pruned coords
-    * ⋈ resolved index ⋈ chunk blobs. Null bytes ⇒ fill chunk (R5). */
+    * ⋈ resolved index ⋈ chunk blobs. Null bytes ⇒ fill chunk (R5).
+    *
+    * For small windows (≤ `PointLookupThreshold` covering chunks) the
+    * resolved hashes are collected and pushed into the chunk scan as an
+    * `isin` predicate — parquet row-group stats on the hash-sorted blobs
+    * prune to point lookups instead of shuffling the chunk table through
+    * a join. Large reads keep the shuffle join (the isin list would be
+    * unbounded). Duplicate blob rows (possible when concurrent writers
+    * race the append-side dedup) are dropped per coordinate. */
   private[spark] def chunkRows(varName: String, request: Slice): DataFrame = {
     val coords = coveringCoordsDF(varName, request)
     val resolved = store.resolvedIndex(name, varName, vid,
         coordFilter = coordEnvelopeFilter(varName, request))
       .select("coordKey", "hash")
-    coords
-      .join(resolved, Seq("coordKey"), "left")
-      .join(store.chunksDF.select("hash", "bytes"), Seq("hash"), "left")
+    val joined =
+      if (coveringChunkCount(varName, request) <= SparkPinnedReader.PointLookupThreshold) {
+        import spark.implicits._
+        val pairs = resolved.as[(String, String)].collect()
+        val resolvedLocal = pairs.toIndexedSeq.toDF("coordKey", "hash")
+        val blobs = store.chunksDF
+          .filter(col("hash").isin(pairs.map(_._2).toIndexedSeq: _*))
+          .select("hash", "bytes")
+        coords
+          .join(broadcast(resolvedLocal), Seq("coordKey"), "left")
+          .join(broadcast(blobs), Seq("hash"), "left")
+      } else {
+        coords
+          .join(resolved, Seq("coordKey"), "left")
+          .join(store.chunksDF.select("hash", "bytes"), Seq("hash"), "left")
+      }
+    joined
       .select(col("coordKey"), col("coord"), col("bytes"))
+      .dropDuplicates("coordKey")
   }
 
   /** R2 `stream` as a Spark-native Dataset: one row per covering chunk,
@@ -325,6 +388,7 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     * laziness, npmap becomes task parallelism). */
   def streamChunks(varName: String, request: Slice, checkBounds: Boolean = true): DataFrame = {
     val varSlice = meta.varSlice(varName)
+    require(request.nonEmpty, s"request slice is empty: $request")
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
@@ -356,6 +420,7 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     * (reference fill semantics: impl.clj:221-223). */
   def exploded(varName: String, request: Slice, checkBounds: Boolean = true): DataFrame = {
     val varSlice = meta.varSlice(varName)
+    require(request.nonEmpty, s"request slice is empty: $request")
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
@@ -397,6 +462,7 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     * reference: io/mandoline.clj:260-270). */
   def getSlice(varName: String, request: Slice, checkBounds: Boolean = true): Slab = {
     val varSlice = meta.varSlice(varName)
+    require(request.nonEmpty, s"request slice is empty: $request")
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
@@ -441,11 +507,18 @@ final class SparkVersionWriter(store: SparkStore, name: String,
   /** Distributed write: `slabRows` has columns
     * (start: Array[Long], stop: Array[Long], bytes: Binary, seq: Long) where
     * bytes is the slab's raw big-endian row-major buffer. */
+  // strictly increasing across write() calls of THIS writer even within
+  // one millisecond (cross-driver order still follows the wall clock, as
+  // in the reference's CAS semantics where concurrent-writer interleaving
+  // is unspecified)
+  private val lastSeqBase = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def writeRows(varName: String, slabRows: DataFrame): Unit = {
     val metaJson = meta.toJson
     val parentJson = parentMeta.map(_.toJson)
     val varN = varName
-    val jobSeqBase = System.currentTimeMillis() << 20 // orders across write() calls
+    val jobSeqBase = lastSeqBase.updateAndGet(prev =>
+      math.max(System.currentTimeMillis(), (prev >> 20) + 1)) << 20
 
     // 1. shred: slab → per-chunk clipped fragments (flatMap, no shuffle yet)
     val frags: Dataset[Frag] = slabRows
@@ -464,15 +537,27 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         }
       }
 
+    // touched chunk coordinates, computed WITHOUT shuffling slab bytes —
+    // base-chunk loading below is restricted to these (writing one slab
+    // to a petabyte variable must not load the whole variable's chunks)
+    val touched = slabRows.select("start", "stop").as[(Array[Long], Array[Long])]
+      .flatMap { case (start, stop) =>
+        val m = DatasetMeta.fromJson(metaJson)
+        ChunkGrid.toChunkCoordinates(Slice(start.toVector, stop.toVector),
+          m.chunkGridSlice(varN)).iterator.map(SparkStore.coordKey)
+      }.distinct().toDF("coordKey")
+
     // 2. base chunks: current in-flight version's own entries (read-modify-
     //    write across write() calls) ∪ committed ancestry ≤ parent
-    //    (reference: impl.clj:232-250)
+    //    (reference: impl.clj:232-250), semi-joined to the touched coords
     val baseIdx = store.resolvedIndex(name, varN,
       upTo = meta.parent.getOrElse(Long.MinValue), includeUncommitted = Some(vid))
+      .join(touched, Seq("coordKey"), "left_semi")
       .select("coordKey", "hash")
     val baseChunks = baseIdx
       .join(store.chunksDF.select("hash", "bytes"), Seq("hash"))
       .select(col("coordKey"), col("bytes").as("baseBytes"))
+      .dropDuplicates("coordKey") // tolerate duplicate blob rows (racy dedup)
       .as[(String, Array[Byte])]
 
     // 3. ONE shuffle: cogroup fragments with base chunks by coordinate;
@@ -493,8 +578,12 @@ final class SparkVersionWriter(store: SparkStore, name: String,
               Slab(dt, chunkSlice, FilterChain.decode(bb))
             case None => Slab.empty(dt, chunkSlice, m.fill(varN))
           }
-          fs.sortBy(_._3).foreach { case (_, _, _, fStart, fStop, fBytes) =>
-            base.mergeFrom(Slab(dt, Slice(fStart.toVector, fStop.toVector), fBytes))
+          // total order: seq, then fragment origin (seq ties would otherwise
+          // merge in nondeterministic shuffle-fetch order, and a persisted-
+          // partition recompute could hash differently than the stored blob)
+          fs.sortBy(f => (f._3, f._4.mkString(","))).foreach {
+            case (_, _, _, fStart, fStop, fBytes) =>
+              base.mergeFrom(Slab(dt, Slice(fStart.toVector, fStop.toVector), fBytes))
           }
           val framed = FilterChain.encode(m.filters match {
             case Nil => FilterChain.DefaultWriteChain

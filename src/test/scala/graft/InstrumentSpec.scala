@@ -26,10 +26,20 @@ class InstrumentSpec extends AnyFunSuite {
     store.reader("ds").onLastVersion().getSlice("v", Slice(Seq(0L), Seq(2L)))
     val snap = Instrument.snapshot("engine.getSlice")
     assert(snap("count") == 2.0 && snap("totalSec") >= 0.0)
-    // spark executions show up via the listener
+    // spark executions show up via the listener (async bus: poll bounded)
     SparkTestSession.spark.range(10).count()
-    Thread.sleep(1500) // let the async listener bus drain
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (!Instrument.snapshot.keys.exists(_.startsWith("sql.")) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
     assert(Instrument.snapshot.keys.exists(_.startsWith("sql.")))
+    // double enable must not double-count
+    Instrument.enable(SparkTestSession.spark)
+    val before = Instrument.snapshot.get("sql.count").map(_("count")).getOrElse(0.0)
+    SparkTestSession.spark.range(10).count()
+    val d2 = System.nanoTime() + 10e9.toLong
+    while (Instrument.snapshot.get("sql.count").map(_("count")).getOrElse(0.0) <= before &&
+        System.nanoTime() < d2) Thread.sleep(50)
+    assert(Instrument.snapshot("sql.count")("count") == before + 1.0)
     Instrument.disable()
   }
 }
