@@ -44,6 +44,49 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest of K
+    * coarse centroids; queries probe only the `nProbe` nearest centroid
+    * lists. Centroids here are the K lowest-id vectors (deterministic
+    * seeding — a production build would run k-means refinement; the
+    * partition/probe plumbing is identical). At scale the assignment is a
+    * broadcast join against K ≈ √N centroids and the search touches
+    * N·nProbe/K candidates instead of N. */
+  def ivfTopK(emb: DataFrame, k: Int, nQueries: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val n = withNorm(emb)
+    val d = dot(emb) _
+    val cents = broadcast(n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn")))
+    // assign every vector to its nearest centroid (rank 1 by cosine)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = n.crossJoin(cents)
+      .withColumn("csim", d(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+    // queries probe their nProbe nearest centroids
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(cents)
+      .withColumn("csim", d(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
+    // search only within the probed lists
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", d(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Random-hyperplane LSH: `nBits`-bit signature from fixed pseudo-random
     * hyperplanes (deterministic, seeded by dimension index — no RNG at
     * runtime). Vectors sharing a signature land in one bucket; top-k then

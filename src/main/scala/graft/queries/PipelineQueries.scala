@@ -25,8 +25,9 @@ object PipelineQueries {
     "q_pipe_simhash" -> ((s, dir) => Dedup.simHash16(docs(s, dir).filter(col("doc_id") < 50))),
     "q_pipe_jaccard" -> ((s, dir) => Dedup.successorJaccard(docs(s, dir), "en")),
     "q_pipe_knn" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
-    // approximate variant — no SQL oracle (rows-only check)
+    // approximate variants — no SQL oracle (rows-only check)
     "q_pipe_knn_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), k = 5, nQueries = 20)),
+    "q_pipe_knn_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), k = 5, nQueries = 20)),
     "q_pipe_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langIdExpr(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
