@@ -150,16 +150,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** (a, b) successor pairs by ascending id — the scale-safe equivalent of
+    * `lead(id) OVER (ORDER BY id)`. A global ORDER BY window sorts the whole
+    * id set in ONE task; instead the ids are range-bucketed by value,
+    * `lead` runs per bucket (parallel, partition-local sort), and each
+    * bucket's last id is stitched to the next non-empty bucket's min via a
+    * broadcast join on the tiny (≤ nBuckets rows) per-bucket-min table.
+    * The only unpartitioned window left runs over those ≤ nBuckets rows —
+    * bounded by a constant, not by the data. */
+  def successorPairs(ids: DataFrame, idCol: String = "doc_id",
+      nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = ids.sparkSession
+    val a = ids.select(col(idCol).cast("long").as("a"))
+    val stats = a.agg(min(col("a")).as("lo"), max(col("a")).as("hi")).head()
+    if (stats.isNullAt(0))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType))))
+    val lo = stats.getLong(0); val hi = stats.getLong(1)
+    val span = math.max(hi - lo + 1, 1L)
+    val width = math.max(1L, (span + nBuckets - 1) / nBuckets)
+    // integer-exact bucketing: `div`, never `/` (long `/` promotes to double)
+    val bucketed = a.withColumn("bucket", expr(s"(a - ${lo}L) div ${width}L"))
+    val within = bucketed
+      .withColumn("b", lead(col("a"), 1).over(Window.partitionBy("bucket").orderBy("a")))
+    // stitch map: bucket → min id of the next non-empty bucket. Range
+    // bucketing makes per-bucket mins monotone in bucket, so "next
+    // non-empty bucket's min" = min(bmin) over all greater buckets — a
+    // windowless ≤ nBuckets × nBuckets self-join, no global sort anywhere.
+    val bmins = bucketed.groupBy("bucket").agg(min(col("a")).as("bmin"))
+    val nextMins = bmins.as("x")
+      .join(bmins.as("y"), col("y.bucket") > col("x.bucket"))
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(min(col("y.bmin")).as("next_min"))
+    within
+      .join(broadcast(nextMins), Seq("bucket"), "left")
+      .withColumn("b", coalesce(col("b"), col("next_min")))
+      .filter(col("b").isNotNull)
+      .select("a", "b")
+  }
+
   /** Word-set Jaccard between each document and its successor (by id)
     * within a language — integer intersection/union counts, thresholded
     * with exact cross-multiplication (inter*10 ≥ union ⇔ J ≥ 0.1). */
   def successorJaccard(docs: DataFrame, lang: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sel = docs.filter(col("lang") === lang).select("doc_id")
-    val pairs = sel
-      .withColumn("b", lead(col("doc_id"), 1).over(Window.orderBy("doc_id")))
-      .filter(col("b").isNotNull)
-      .select(col("doc_id").as("a"), col("b"))
+    val pairs = successorPairs(sel)
     val words = wordSets(docs)
     val wa = words.select(col("doc_id").as("a"), col("word"))
     val wb = words.select(col("doc_id").as("b"), col("word"))

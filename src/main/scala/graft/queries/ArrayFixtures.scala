@@ -21,12 +21,16 @@ import scala.collection.concurrent.TrieMap
   * plus `m` (written [0,10) only → fill visible, Q-FILL), scalar `s`
   * (total event count, Q-SCALAR), float `f` with NaN fill (Q-NAN).
   * Dataset `evgrow`: v1 counts on [0,H); v2 grows H → H+24 (Q-GROW).
+  * Dataset `evshrink`: v1 counts on [0,H); v2 shrinks H → H−16 (Q-SHRINK,
+  * reference test/shrink.clj:55-70 — retained data visible inside the new
+  * bounds, the old extent rejected per-version).
   * Dataset `dd`: 50 constant chunks → 1 blob (Q-DEDUP).
   */
 object ArrayFixtures {
 
   final case class Handles(store: SparkStore, hours: Long,
       evV1: Long, evV2: Long, growV1: Long, growV2: Long,
+      shrinkV1: Long, shrinkV2: Long,
       months: Long, gridV1: Long)
 
   private val cache = TrieMap.empty[String, Handles]
@@ -101,6 +105,18 @@ object ArrayFixtures {
     val gw2 = store.addVersion("evgrow", gMeta.copy(dimensions = Map("h" -> (h + 24))))
     val growV2 = gw2.finishVersion()
 
+    // ---- dataset evshrink (Q-SHRINK, shrink.clj:55-70) ----
+    store.create("evshrink")
+    val sMeta = DatasetMeta(
+      dimensions = Map("h" -> h),
+      chunkDimensions = Map("h" -> 64L),
+      variables = Map("k" -> VariableDef("long", Vector("h"), -1.0)))
+    val sw1 = store.addVersion("evshrink", sMeta)
+    sw1.write("k", Seq(countsSlab(DType.LONG, h)))
+    val shrinkV1 = sw1.finishVersion()
+    val sw2 = store.addVersion("evshrink", sMeta.copy(dimensions = Map("h" -> (h - 16))))
+    val shrinkV2 = sw2.finishVersion()
+
     // ---- dataset grid: 2-D revenue[shipMonth × partBucket] from lineitem
     //      (FIXTURES.md F8 shape) ----
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -140,6 +156,6 @@ object ArrayFixtures {
     dw.write("d", Seq(Slab.empty(DType.SHORT, Slice(Seq(0L), Seq(100L)), 5.0)))
     dw.finishVersion()
 
-    Handles(store, h, evV1, evV2, growV1, growV2, months, gridV1)
+    Handles(store, h, evV1, evV2, growV1, growV2, shrinkV1, shrinkV2, months, gridV1)
   }
 }

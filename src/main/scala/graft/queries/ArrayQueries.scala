@@ -58,6 +58,19 @@ object ArrayQueries {
       fx.store.reader("evgrow").onVersion(fx.growV2)
         .exploded("g", Slice(Seq(fx.hours - 5), Seq(fx.hours + 24))).orderBy("h")
     }),
+    // shrink: re-dimensioned child H → H−16 — retained data visible inside
+    // the new bounds, the OLD extent rejected at this version
+    // (reference: src/io/mandoline/test/shrink.clj:55-70)
+    "q_arr_shrink" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val rdr = fx.store.reader("evshrink").onVersion(fx.shrinkV2)
+      val oldExtentRejected =
+        try { rdr.exploded("k", Slice(Seq(0L), Seq(fx.hours))); false }
+        catch { case _: IndexOutOfBoundsException => true }
+      rdr.exploded("k", Slice(Seq(fx.hours - 36), Seq(fx.hours - 16)))
+        .withColumn("old_extent_rejected", lit(oldExtentRejected))
+        .orderBy("h")
+    }),
     // 0-d scalar variable
     "q_arr_scalar" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
@@ -130,6 +143,10 @@ object ArrayQueries {
         | CASE WHEN g.h < (SELECT maxh FROM hh) THEN COALESCE(c.cnt, 0) ELSE -1 END AS value
         |""".stripMargin + grid +
       " WHERE g.h >= (SELECT maxh - 5 FROM hh) AND g.h < (SELECT maxh + 24 FROM hh) ORDER BY h"),
+    "q_arr_shrink" -> (cte +
+      """SELECT g.h AS h, COALESCE(c.cnt, 0) AS value, true AS old_extent_rejected
+        |""".stripMargin + grid +
+      " WHERE g.h >= (SELECT maxh - 36 FROM hh) AND g.h < (SELECT maxh - 16 FROM hh) ORDER BY h"),
     "q_arr_scalar" -> "SELECT count(*) AS value FROM events",
     "q_arr_2d" ->
       """WITH lb AS (

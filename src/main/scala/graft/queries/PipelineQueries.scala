@@ -49,7 +49,10 @@ object PipelineQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = s.read.parquet(s"$dir/events.parquet")
         .select(col("user_id"), col("event_id"), col("event_type"),
-          floor(col("ts").cast("long") / 1000000000L).cast("long").as("ts_s"))
+          // exact integer ns→s: long `/` promotes to double (exact only to
+          // 2^53 < 1.7e18 ns), which can floor a boundary event into the
+          // wrong second. `div` is integer division, ns-exact.
+          expr("ts div 1000000000L").cast("long").as("ts_s"))
         .filter(col("user_id") < 50)
       graft.streaming.Sessionize.sessionsBatch(ev, gapSeconds = 1800L)
     }))
@@ -188,7 +191,7 @@ object PipelineQueries {
     "q_pipe_sessions" ->
       """WITH e AS (
         | SELECT user_id, event_id, event_type,
-        |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
         | FROM events WHERE user_id < 50),
         |g AS (
         | SELECT *,
