@@ -46,31 +46,54 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest of K
     * coarse centroids; queries probe only the `nProbe` nearest centroid
-    * lists. Centroids here are the K lowest-id vectors (deterministic
-    * seeding — a production build would run k-means refinement; the
-    * partition/probe plumbing is identical). At scale the assignment is a
-    * broadcast join against K ≈ √N centroids and the search touches
-    * N·nProbe/K candidates instead of N. */
+    * lists. Seeding is the K lowest-id vectors, refined by `lloydIters`
+    * k-means passes. At scale the assignment is a broadcast join against
+    * K ≈ √N centroids and the search touches N·nProbe/K candidates
+    * instead of N.
+    *
+    * The Lloyd update is DETERMINISTIC and engine-portable: centroid
+    * components are Σ round(x·1024) (integer sums — exact in ANY
+    * aggregation order, unlike float sums) divided once by 1024·count.
+    * That makes the whole query bit-reproducible and lets the DuckDB
+    * oracle compute the identical centroids (see PipelineQueries). The
+    * quantization (≈2⁻¹⁰ grid) is far below any realistic inter-centroid
+    * distance, so it costs nothing in recall. */
   def ivfTopK(emb: DataFrame, k: Int, nQueries: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
     val n = withNorm(emb)
     val d = dot(emb) _
-    val cents = broadcast(n.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn")))
     // assign every vector to its nearest centroid (rank 1 by cosine)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = n.crossJoin(cents)
-      .withColumn("csim", d(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+    def assign(cents: DataFrame): DataFrame = {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cent_id").asc)
+      n.crossJoin(broadcast(cents))
+        .withColumn("csim", d(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+    }
+    // Lloyd update: order-free exact integer sums per (centroid, dim),
+    // one double division at the end — bit-identical on any engine
+    def refine(assigned: DataFrame): DataFrame =
+      assigned.select(col("cent_id"), posexplode(col("v")).as(Seq("j", "x")))
+        .groupBy("cent_id", "j")
+        .agg(sum(round(col("x") * 1024).cast("long")).as("s"), count(lit(1)).as("cnt"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("j"),
+            (col("s") / (lit(1024.0) * col("cnt"))).as("value")))),
+          _.getField("value")).as("cv"))
+        .withColumn("cn", sqrt(d(col("cv"), col("cv"))))
+    var cents = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 0 until lloydIters) cents = refine(assign(cents))
+    val assigned = assign(cents)
     // queries probe their nProbe nearest centroids
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cent_id").asc)
     val probes = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .crossJoin(cents)
+      .crossJoin(broadcast(cents))
       .withColumn("csim", d(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("prk", row_number().over(wProbe))
       .filter(col("prk") <= nProbe)

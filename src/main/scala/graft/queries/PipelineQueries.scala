@@ -25,7 +25,9 @@ object PipelineQueries {
     "q_pipe_simhash" -> ((s, dir) => Dedup.simHash16(docs(s, dir).filter(col("doc_id") < 50))),
     "q_pipe_jaccard" -> ((s, dir) => Dedup.successorJaccard(docs(s, dir), "en")),
     "q_pipe_knn" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
-    // approximate variants — no SQL oracle (rows-only check)
+    // approximate variants — deterministic by construction (fixed arithmetic
+    // hyperplanes; quantized-integer Lloyd update), so both are under the
+    // full DuckDB oracle gate
     "q_pipe_knn_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), k = 5, nQueries = 20)),
     "q_pipe_knn_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), k = 5, nQueries = 20)),
     "q_pipe_langid" -> ((s, dir) =>
@@ -135,6 +137,67 @@ object PipelineQueries {
         |r AS (SELECT query_id, neighbor_id,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM p)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // LSH: same fixed hyperplanes (h·2654435761 + j·40503 mod 1024, j
+    // 0-based; DuckDB lambda index i is 1-based → i−1), same sequential
+    // mul-then-add dot products as graft_dot.
+    "q_pipe_knn_lsh" -> {
+      def planeW(h: Int): String =
+        s"list_transform(v, (x, i) -> CAST((${h * 2654435761L} + (i - 1) * 40503) % 1024 AS DOUBLE) / 512.0 - 1.0)"
+      val bits = (0 until 8).map(h =>
+        s"CASE WHEN list_dot_product(v, ${planeW(h)}) >= 0 THEN '1' ELSE '0' END")
+          .mkString("concat(", ",\n      ", ")")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |s AS (SELECT vec_id, v, nrm, $bits AS bucket FROM n),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM s WHERE vec_id < 20),
+        |r AS (
+        | SELECT q.query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.query_id
+        |     ORDER BY list_dot_product(q.qv, c.v) / (q.qn * c.nrm) DESC, c.vec_id) AS rank
+        | FROM q JOIN s c ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // IVF: seeding = 16 lowest-id vectors; ONE Lloyd pass with the
+    // quantized-integer centroid update (Σ round(x·1024) is order-free
+    // exact, ÷(1024·count) once) — bit-identical to Similarity.ivfTopK.
+    "q_pipe_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |a1 AS (
+        | SELECT vec_id, v, cent_id FROM (
+        |  SELECT n.vec_id, n.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS crk
+        |  FROM n, c0 c) WHERE crk = 1),
+        |s1 AS (
+        | SELECT cent_id, j, sum(CAST(round(x * 1024) AS BIGINT)) AS s, count(*) AS cnt
+        | FROM (SELECT cent_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM a1)
+        | GROUP BY cent_id, j),
+        |c1 AS (SELECT cent_id, list(s / (1024.0 * cnt) ORDER BY j) AS cv FROM s1 GROUP BY cent_id),
+        |c1n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1),
+        |a2 AS (
+        | SELECT vec_id AS neighbor_id, v, nrm, cent_id FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS crk
+        |  FROM n, c1n c) WHERE crk = 1),
+        |p AS (
+        | SELECT query_id, qv, qn, cent_id FROM (
+        |  SELECT n.vec_id AS query_id, n.v AS qv, n.nrm AS qn, c.cent_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS prk
+        |  FROM n, c1n c WHERE n.vec_id < 20) WHERE prk <= 4),
+        |r AS (
+        | SELECT p.query_id, a.neighbor_id,
+        |   row_number() OVER (PARTITION BY p.query_id
+        |     ORDER BY list_dot_product(p.qv, a.v) / (p.qn * a.nrm) DESC, a.neighbor_id) AS rank
+        | FROM p JOIN a2 a ON a.cent_id = p.cent_id AND a.neighbor_id <> p.query_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 

@@ -16,9 +16,14 @@ class SimilaritySpec extends AnyFunSuite {
     val lsh = pairs(Similarity.lshTopK(emb, 5, 10))
     assert(exact.size == 50)
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
-    assert(ivfRecall > 0.3, s"IVF recall too low: $ivfRecall") // nProbe=4/16 lists
+    assert(ivfRecall >= 0.5, s"IVF recall too low at nProbe=4/16: $ivfRecall")
+    // probing every list must recover the exact answer (IVF partitions the
+    // corpus; the union of all lists is the corpus)
+    val ivfAll = pairs(Similarity.ivfTopK(emb, 5, 10, nProbe = 16))
+    val allRecall = (exact intersect ivfAll).size.toDouble / exact.size
+    assert(allRecall >= 0.9, s"IVF recall too low at nProbe=16/16: $allRecall")
     assert(ivf.nonEmpty && lsh.nonEmpty)
-    // determinism
+    // determinism (k-means update is quantized-integer, order-free exact)
     assert(pairs(Similarity.ivfTopK(emb, 5, 10)) == ivf)
   }
 }
