@@ -179,28 +179,48 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * append-only, so chunks of uncommitted versions are retained). The
     * refcount column stays advisory (−1), like the reference's
     * unimplemented refcounting (impl.clj:253-254); GC derives liveness
-    * relationally instead. Single-writer operation. Returns #removed. */
-  def vacuum(): Long = {
+    * relationally instead. Returns #removed.
+    *
+    * Safe under concurrent ingest via `graceMs`: writeRows appends blobs
+    * BEFORE their index rows, so a vacuum in that window would see the new
+    * blobs as unreferenced and drop live data. Chunk parquet files younger
+    * than the grace window are therefore carried over verbatim (their
+    * index rows, if any, may still be in flight); only older files are
+    * compacted against the reference set. Pass graceMs = 0 only when no
+    * ingest can be running. */
+  def vacuum(graceMs: Long = SparkStore.VacuumGraceMs): Long = {
     healChunksDir()
     if (!Files.exists(Paths.get(chunksDir))) return 0L
+    val cutoff = System.currentTimeMillis() - graceMs
+    val allFiles = scala.util.Using.resource(Files.list(Paths.get(chunksDir))) {
+      _.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val (recent, old) = allFiles.partition(p => Files.getLastModifiedTime(p).toMillis > cutoff)
+    if (old.isEmpty) return 0L
     val referenced = listDatasets.map(ds => indexDF(ds).select("hash"))
       .reduceOption(_ union _)
       .getOrElse(spark.emptyDataFrame.withColumn("hash", lit("")).select("hash"))
       .distinct()
-    val before = chunksDF.count()
-    val keptDir = rootPath.resolve(".chunks_compact").toString
-    chunksDF.join(referenced, Seq("hash"), "left_semi")
+    val oldDF = spark.read.schema(SparkStore.chunksSchema)
+      .parquet(old.map(_.toString): _*)
+    val before = oldDF.count()
+    val keptDir = rootPath.resolve(".chunks_compact")
+    oldDF.join(referenced, Seq("hash"), "left_semi")
       .dropDuplicates("hash") // compact duplicate rows from racy appends
       .sortWithinPartitions("hash")
-      .write.option("compression", "uncompressed").mode("overwrite").parquet(keptDir)
-    val after = spark.read.parquet(keptDir).count()
+      .write.option("compression", "uncompressed").mode("overwrite").parquet(keptDir.toString)
+    val after = spark.read.parquet(keptDir.toString).count()
+    // in-grace files ride along untouched (preserve mtime so a later
+    // vacuum sees their true age)
+    recent.foreach(p => Files.copy(p, keptDir.resolve(p.getFileName.toString),
+      java.nio.file.StandardCopyOption.COPY_ATTRIBUTES))
     // two-rename swap; a crash between the moves is healed on next open
     // (healChunksDir restores .chunks_old)
     val live = Paths.get(chunksDir)
-    val old = rootPath.resolve(".chunks_old")
-    Files.move(live, old)
-    Files.move(Paths.get(keptDir), live)
-    scala.util.Using.resource(Files.walk(old)) {
+    val oldDir = rootPath.resolve(".chunks_old")
+    Files.move(live, oldDir)
+    Files.move(keptDir, live)
+    scala.util.Using.resource(Files.walk(oldDir)) {
       _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
     before - after
@@ -237,6 +257,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 }
 
 object SparkStore {
+  /** Default vacuum grace window: chunk files younger than this are never
+    * collected (their index rows may still be in flight — see vacuum). */
+  val VacuumGraceMs: Long = 15L * 60 * 1000
+
   private[spark] val indexSchema = StructType(Seq(
     StructField("var", StringType, nullable = false),
     StructField("version", LongType, nullable = false),
@@ -296,6 +320,21 @@ object SparkPinnedReader {
   /** Windows covering at most this many chunks use the collected-isin
     * point-lookup path instead of the shuffle join. */
   val PointLookupThreshold = 1024L
+
+  /** `getSlice` assembles the response ON THE DRIVER — cap the cell count
+    * so a polite full-variable request can't OOM it (64M cells ≈ 512 MiB
+    * of doubles). Larger reads belong on `exploded()`/`streamChunks()`. */
+  val MaxSliceCells = 1L << 26
+
+  /** A resolved index entry whose blob row is ABSENT (GC'd or lost file)
+    * must fail loudly, never silently degrade to fill values — only a
+    * null hash (no index entry at all) means a legitimate fill chunk.
+    * (Serializable-safe: called from executor closures.) */
+  def requireBlob(coordKey: String, hash: String, bytes: Array[Byte]): Unit =
+    if (hash != null && bytes == null)
+      throw new IllegalStateException(
+        s"chunk $coordKey resolved to blob $hash but the blob is missing " +
+          "from the chunk store (GC'd or lost?) — refusing to read fill")
 }
 
 /** Distributed read path (R1-R6 as one Spark plan). */
@@ -377,9 +416,10 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
           .join(store.chunksDF.select("hash", "bytes"), Seq("hash"), "left")
       }
     joined
-      .select(col("coordKey"), col("coord"), col("bytes"))
+      .select(col("coordKey"), col("coord"), col("hash"), col("bytes"))
       .dropDuplicates("coordKey")
   }
+
 
   /** R2 `stream` as a Spark-native Dataset: one row per covering chunk,
     * decoded and clipped to the request — (coord, start, stop, bytes)
@@ -397,13 +437,14 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     val req = request
     import spark.implicits._
     chunkRows(varName, request)
-      .select(col("coord"), col("bytes"))
-      .as[(Array[Long], Array[Byte])]
+      .select(col("coordKey"), col("coord"), col("hash"), col("bytes"))
+      .as[(String, Array[Long], String, Array[Byte])]
       .mapPartitions { it =>
         val m = DatasetMeta.fromJson(metaJson)
         val dt = m.dtype(varN)
         val fill = m.fill(varN)
-        it.map { case (coord, framed) =>
+        it.map { case (key, coord, hash, framed) =>
+          SparkPinnedReader.requireBlob(key, hash, framed)
           val chunkSlice = m.chunkSlice(varN, coord.toVector)
           val slab =
             if (framed == null) Slab.empty(dt, chunkSlice, fill)
@@ -441,10 +482,12 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
       val fill = m.fill(varN)
       it.flatMap { r =>
         val coord = r.getSeq[Long](1).toVector
+        SparkPinnedReader.requireBlob(r.getString(0), r.getString(2),
+          if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3))
         val chunkSlice = m.chunkSlice(varN, coord)
         val slab =
-          if (r.isNullAt(2)) Slab.empty(dt, chunkSlice, fill)
-          else Slab(dt, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](2)))
+          if (r.isNullAt(3)) Slab.empty(dt, chunkSlice, fill)
+          else Slab(dt, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](3)))
         val clipped = slab.intersectWith(req)
         val rank = clipped.slice.rank
         clipped.slice.iter.map { cell =>
@@ -459,10 +502,17 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
   }
 
   /** Driver-side slab assembly for small windows (R1 get-slice,
-    * reference: io/mandoline.clj:260-270). */
-  def getSlice(varName: String, request: Slice, checkBounds: Boolean = true): Slab = {
+    * reference: io/mandoline.clj:260-270). Requests above `maxCells`
+    * are refused — the response slab lives on the driver; use
+    * `exploded()`/`streamChunks()` for large reads. */
+  def getSlice(varName: String, request: Slice, checkBounds: Boolean = true,
+      maxCells: Long = SparkPinnedReader.MaxSliceCells): Slab = {
     val varSlice = meta.varSlice(varName)
     require(request.nonEmpty, s"request slice is empty: $request")
+    require(request.volume <= maxCells,
+      s"getSlice request covers ${request.volume} cells > cap $maxCells; " +
+        "the response slab is assembled on the driver — use exploded() or " +
+        "streamChunks() for reads this large")
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
@@ -470,10 +520,12 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     val fill = meta.fill(varName)
     val response = Slab.empty(dtype, request, fill)
     chunkRows(varName, request).collect().foreach { r =>
-      if (!r.isNullAt(2)) {
+      SparkPinnedReader.requireBlob(r.getString(0), r.getString(2),
+        if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3))
+      if (!r.isNullAt(3)) {
         val coord = r.getSeq[Long](1).toVector
         val chunkSlice = meta.chunkSlice(varName, coord)
-        val slab = Slab(dtype, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](2)))
+        val slab = Slab(dtype, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](3)))
         response.mergeFrom(slab.intersectWith(request))
       }
     }
@@ -524,6 +576,13 @@ final class SparkVersionWriter(store: SparkStore, name: String,
     val frags: Dataset[Frag] = slabRows
       .select("start", "stop", "bytes", "seq").as[(Array[Long], Array[Long], Array[Byte], Long)]
       .flatMap { case (start, stop, bytes, seq) =>
+        // the per-call seq space is 20 bits (jobSeqBase << 20 | seq); a
+        // larger seq would bleed into a LATER job's range and corrupt
+        // cross-call last-writer-wins ordering — fail the job instead
+        if (seq < 0L || seq >= (1L << 20))
+          throw new IllegalArgumentException(
+            s"slab seq $seq outside [0, 2^20): one writeRows call is " +
+              "limited to 2^20 slab rows — split the write into batches")
         val m = DatasetMeta.fromJson(metaJson)
         val dt = m.dtype(varN)
         val slabSlice = Slice(start.toVector, stop.toVector)

@@ -225,4 +225,30 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = store.reader("ds").onLastVersion().getSlice("v", Slice(Seq(0L, 0L), Seq(9L, 10L)))
     assert(got.valueAt(Seq(0L, 0L)) == 1.0 && got.valueAt(Seq(8L, 9L)) == 2.0)
   }
+
+  test("multi-process token ingest: independent store instances write disjoint " +
+      "coords, master commits, union reads back (concurrency.clj:162-243)") {
+    // separate SparkStore instances over one root = separate drivers: all
+    // coordination state lives in parquet/manifest files, none in memory
+    val root = java.nio.file.Files.createTempDirectory("graft-mp").toString
+    val master = new SparkStore(spark, root)
+    master.create("ds")
+    val w = master.addVersion("ds", meta2d)
+    val tok = w.token
+    // two "worker processes": fresh store objects, writers rebuilt from the
+    // token, disjoint coordinate sets (left / right halves)
+    val workerA = new SparkStore(spark, root).writerFromToken("ds", tok)
+    val workerB = new SparkStore(spark, root).writerFromToken("ds", tok)
+    workerA.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(9L, 5L)), 3.0)))
+    workerB.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 5L), Seq(9L, 10L)), 4.0)))
+    // before the master commits, nothing is visible to latest-readers
+    assert(new SparkStore(spark, root).versions("ds").isEmpty)
+    val vid = w.finishVersion()
+    // a FOURTH independent instance reads the union back
+    val readBack = new SparkStore(spark, root).reader("ds").onVersion(vid)
+    val got = readBack.getSlice("v", Slice(Seq(0L, 0L), Seq(9L, 10L)))
+    assert(got.valueAt(Seq(4L, 2L)) == 3.0, "worker A's half")
+    assert(got.valueAt(Seq(4L, 7L)) == 4.0, "worker B's half")
+    assert(got.valueAt(Seq(8L, 0L)) == 3.0 && got.valueAt(Seq(8L, 9L)) == 4.0)
+  }
 }

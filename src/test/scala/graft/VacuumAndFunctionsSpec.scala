@@ -6,6 +6,7 @@ import graft.meta.{DatasetMeta, VariableDef}
 import graft.spark.SparkStore
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 class VacuumAndFunctionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -28,8 +29,10 @@ class VacuumAndFunctionsSpec extends AnyFunSuite {
     val w2 = store.addVersion("ds", meta)
     w2.write("v", Seq(Slab.empty(DType.INT, Slice(Seq(0L), Seq(2L)), 9.0)))
 
+    // default grace window: everything just written is in-grace → no-op
+    assert(store.vacuum() == 0L)
     val total = spark.read.parquet(store.chunksDir).count()
-    val removed = store.vacuum()
+    val removed = store.vacuum(graceMs = 0L)
     assert(removed == 1L, s"expected 1 orphan removed, got $removed (of $total)")
     // reads still work at v1 and for the in-flight writer after commit
     val v2 = w2.finishVersion()
@@ -37,7 +40,49 @@ class VacuumAndFunctionsSpec extends AnyFunSuite {
     assert(r.getSlice("v", Slice(Seq(0L), Seq(8L))).valueAt(Seq(0L)) == 9.0)
     assert(r.getSlice("v", Slice(Seq(7L), Seq(8L))).valueAt(Seq(7L)) == 1.0)
     // idempotent
-    assert(store.vacuum() == 0L)
+    assert(store.vacuum(graceMs = 0L) == 0L)
+  }
+
+  test("missing blob for a resolved hash fails loudly instead of reading fill") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dangling").toString
+    val store = new SparkStore(spark, root)
+    store.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 4L), chunkDimensions = Map("x" -> 2L),
+      variables = Map("v" -> VariableDef("int", Vector("x"), 0.0)))
+    val w = store.addVersion("ds", meta)
+    w.write("v", Seq(Slab.empty(DType.INT, Slice(Seq(0L), Seq(4L)), 7.0)))
+    val v1 = w.finishVersion()
+    // destroy the blob store out from under the index (lost-file scenario)
+    val chunks = java.nio.file.Paths.get(store.chunksDir)
+    scala.util.Using.resource(java.nio.file.Files.walk(chunks)) {
+      _.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    }
+    val r = store.reader("ds").onVersion(v1)
+    intercept[IllegalStateException] {
+      r.getSlice("v", Slice(Seq(0L), Seq(4L)))
+    }
+    intercept[org.apache.spark.SparkException] { // executor-side throw
+      r.exploded("v", Slice(Seq(0L), Seq(4L))).collect()
+    }
+  }
+
+  test("getSlice refuses requests above the driver cell budget") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    val store = new SparkStore(spark, root)
+    store.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> (1L << 30)), chunkDimensions = Map("x" -> (1L << 20)),
+      variables = Map("v" -> VariableDef("int", Vector("x"), 0.0)))
+    val w = store.addVersion("ds", meta)
+    val v1 = w.finishVersion()
+    val r = store.reader("ds").onVersion(v1)
+    val e = intercept[IllegalArgumentException] {
+      r.getSlice("v", Slice(Seq(0L), Seq(1L << 30)))
+    }
+    assert(e.getMessage.contains("exploded"))
+    // explicit budget override still works
+    assert(r.getSlice("v", Slice(Seq(0L), Seq(4L)), maxCells = 8L).volume == 4L)
   }
 
   test("graft_dot native expression: correct, null-safe, codegen'd") {
