@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.core.{DType, Slab, Slice}
 import graft.meta.{DatasetMeta, VariableDef}
 import graft.spark.SparkStore
 import org.apache.spark.sql.DataFrame
@@ -34,9 +33,17 @@ object StreamingIngest {
         (unix_timestamp(col("w.start")) / 3600L).cast("long").as("ah"),
         col("cnt"))
 
-  /** Sink: every micro-batch snapshot becomes one committed version of
+  /** Sink: every micro-batch DELTA becomes one committed version of
     * variable `n` (long, fill −1) of `dsName`. `h0` re-origins absolute
-    * epoch-hours to array coordinates; `hours` is the variable extent. */
+    * epoch-hours to array coordinates; `hours` is the variable extent.
+    *
+    * Update mode + watermark: each batch carries only the windows whose
+    * aggregate changed; those cells are encoded as single-cell slab rows
+    * ON THE EXECUTORS and routed through the distributed `writeRows`
+    * plan — no driver-side collect anywhere, so an arbitrarily large
+    * micro-batch ingests at write-path scale. The MVCC resolve overlays
+    * versions per coordinate, so latest-readers see the cumulative state
+    * and `onVersion`/`onTimestamp` time-travel through stream progress. */
   def versionedSink(store: SparkStore, dsName: String, h0: Long, hours: Long)(
       counts: DataFrame): StreamingQuery = {
     if (!store.datasetExists(dsName)) {
@@ -47,20 +54,32 @@ object StreamingIngest {
       chunkDimensions = Map("h" -> 64L),
       variables = Map("n" -> VariableDef("long", Vector("h"), -1.0)))
     counts.writeStream
-      .outputMode("complete")
+      .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cells = batch.collect().map(r => (r.getLong(0) - h0, r.getLong(1)))
-          .filter { case (h, _) => h >= 0 && h < hours }
-        if (cells.nonEmpty) {
-          val lo = cells.map(_._1).min
-          val hi = cells.map(_._1).max + 1
-          val dense = Array.fill[Double]((hi - lo).toInt)(0.0)
-          cells.foreach { case (h, c) => dense((h - lo).toInt) = c.toDouble }
-          val w = store.addVersion(dsName, meta)
-          w.write("n", Seq(Slab.fromDoubles(DType.LONG,
-            Slice(Seq(lo), Seq(hi)), dense.toIndexedSeq)))
-          w.finishVersion()
-        }
+        import batch.sparkSession.implicits._
+        val slabRows = batch
+          .select((col("ah") - h0).as("h"), col("cnt"))
+          .filter(col("h") >= 0 && col("h") < hours)
+          .as[(Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (h, cnt) =>
+              // one cell per changed window: big-endian long payload
+              // (DType.LONG wire format), disjoint cells → seq 0 for all
+              val b = java.nio.ByteBuffer.allocate(8)
+              b.putLong(cnt)
+              (Array(h), Array(h + 1), b.array(), 0L)
+            }
+          }
+          .toDF("start", "stop", "bytes", "seq")
+          .persist()
+        try {
+          if (slabRows.limit(1).count() > 0) {
+            val w = store.addVersion(dsName, meta)
+            w.writeRows("n", slabRows)
+            w.finishVersion()
+            ()
+          }
+        } finally slabRows.unpersist()
         ()
       }
       .start()
