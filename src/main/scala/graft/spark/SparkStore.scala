@@ -174,6 +174,39 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       "data-size" -> dirSize(Paths.get(chunksDir)))
   }
 
+  /** Fresh scan-manifest directory for a DSv2 large-scan planning job —
+    * under the store root so executors share it. Best-effort cleanup at
+    * JVM exit; vacuum() also sweeps manifests older than its grace
+    * window (a manifest only lives for one query). */
+  private[graft] def newScanManifestDir(): String = {
+    val dir = rootPath.resolve(".scan_manifest")
+      .resolve(java.util.UUID.randomUUID().toString)
+    Files.createDirectories(dir.getParent)
+    val hook = new Thread(() =>
+      if (Files.exists(dir))
+        scala.util.Using.resource(Files.walk(dir)) {
+          _.iterator().asScala.toSeq.reverse.foreach(p =>
+            try Files.delete(p) catch { case _: java.io.IOException => })
+        })
+    Runtime.getRuntime.addShutdownHook(hook)
+    dir.toString
+  }
+
+  private def sweepScanManifests(cutoffMs: Long): Unit = {
+    val base = rootPath.resolve(".scan_manifest")
+    if (!Files.exists(base)) return
+    scala.util.Using.resource(Files.list(base)) {
+      _.iterator().asScala.toSeq
+        .filter(d => Files.getLastModifiedTime(d).toMillis <= cutoffMs)
+        .foreach { d =>
+          scala.util.Using.resource(Files.walk(d)) {
+            _.iterator().asScala.toSeq.reverse.foreach(p =>
+              try Files.delete(p) catch { case _: java.io.IOException => })
+          }
+        }
+    }
+  }
+
   /** Content-addressed garbage collection: drop chunk blobs not referenced
     * by ANY dataset's index (committed or in-flight — index rows are
     * append-only, so chunks of uncommitted versions are retained). The
@@ -190,6 +223,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * ingest can be running. */
   def vacuum(graceMs: Long = SparkStore.VacuumGraceMs): Long = {
     healChunksDir()
+    sweepScanManifests(System.currentTimeMillis() - graceMs)
     if (!Files.exists(Paths.get(chunksDir))) return 0L
     val cutoff = System.currentTimeMillis() - graceMs
     val allFiles = scala.util.Using.resource(Files.list(Paths.get(chunksDir))) {

@@ -3,13 +3,14 @@ package graft.spark.source
 import graft.core._
 import graft.filters.FilterChain
 import graft.meta.DatasetMeta
-import graft.spark.SparkStore
+import graft.spark.{SparkPinnedReader, SparkStore}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -136,11 +137,22 @@ private[source] class GraftScanBuilder(r: Resolved)
   }
 }
 
-/** One input partition = a group of chunk coordinates + the chunk-file
-  * hash ranges needed to locate their blobs. */
-private[source] final case class GraftInputPartition(
+/** Input partitions come in two shapes:
+  *  - point: an explicit coordinate group + resolved hashes (small windows,
+  *    ≤ PointLookupThreshold covering chunks — the pushdown sweet spot);
+  *  - range: a linear coordinate RANGE (coords derived arithmetically on
+  *    the executor) + the manifest files holding this range's resolved
+  *    (linear → hash) rows. Nothing per-chunk ever materializes on the
+  *    driver, so a full-variable scan at millions of chunks plans in
+  *    O(#partitions) driver memory. */
+private[source] final case class GraftPointPartition(
     coords: Array[Array[Long]], hashes: Array[String], // hashes(i) == null → fill chunk
     files: Array[String]) extends InputPartition
+
+private[source] final case class GraftRangePartition(
+    linearFrom: Long, linearTo: Long, // [from, to)
+    lo: Array[Long], counts: Array[Long], // chunk-grid window (per-axis)
+    manifestFiles: Array[String], chunkFiles: Array[String]) extends InputPartition
 
 private[source] class GraftScan(r: Resolved, request: Slice, empty: Boolean,
     required: StructType) extends Scan with Batch {
@@ -150,17 +162,34 @@ private[source] class GraftScan(r: Resolved, request: Slice, empty: Boolean,
   override def description(): String =
     s"GraftScan ${r.dataset}/${r.variable} request=$request"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (empty || request.volume == 0) return Array.empty
-    val grid = r.meta.chunkGridSlice(r.variable)
-    val coords = ChunkGrid.toChunkCoordinates(request, grid)
-    // resolve the MVCC index once, driver-side (small: covering coords only)
+  private def grid = r.meta.chunkGridSlice(r.variable)
+
+  private def envelope = {
     import org.apache.spark.sql.functions.col
-    val envelope = (0 until request.rank).map { i =>
+    (0 until request.rank).map { i =>
       val lo = Math.floorDiv(request.start(i), grid.step(i))
       val hi = Math.floorDiv(request.stop(i) - 1, grid.step(i))
       col("coord")(i).between(lo, hi)
     }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (empty || request.volume == 0) return Array.empty
+    val g = grid
+    val lo = (0 until request.rank)
+      .map(i => Math.floorDiv(request.start(i), g.step(i))).toArray
+    val counts = (0 until request.rank).map { i =>
+      Math.floorDiv(request.stop(i) - 1, g.step(i)) - lo(i) + 1
+    }.toArray
+    val n = counts.foldLeft(1L)(_ * _)
+    if (n <= SparkPinnedReader.PointLookupThreshold) planPoint()
+    else planRange(n, lo, counts)
+  }
+
+  /** Small windows: resolve the covering coords driver-side (bounded by
+    * PointLookupThreshold) and push exact hash lookups to the readers. */
+  private def planPoint(): Array[InputPartition] = {
+    val coords = ChunkGrid.toChunkCoordinates(request, grid)
     val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
       r.meta.versionId.get, envelope)
       .select("coordKey", "hash").collect()
@@ -169,10 +198,53 @@ private[source] class GraftScan(r: Resolved, request: Slice, empty: Boolean,
     val perPartition = math.max(1, coords.size / math.max(1,
       SparkSession.active.sparkContext.defaultParallelism))
     coords.grouped(math.max(perPartition, 8)).map { group =>
-      GraftInputPartition(
+      GraftPointPartition(
         group.map(_.toArray).toArray,
         group.map(c => resolved.getOrElse(SparkStore.coordKey(c), null)).toArray,
         files)
+    }.toArray
+  }
+
+  /** Large scans: ONE distributed job resolves the MVCC index and writes a
+    * (linear, hash) scan manifest bucketed by linear chunk range under the
+    * store root (shared storage, so executors can read it); each input
+    * partition owns one bucket. Fill chunks have no manifest row — readers
+    * detect them by absence. */
+  private def planRange(n: Long, lo: Array[Long],
+      counts: Array[Long]): Array[InputPartition] = {
+    val spark = SparkSession.active
+    import spark.implicits._
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    val chunksPer = math.max(256L, (n + 4L * par - 1) / (4L * par))
+    val nBuckets = ((n + chunksPer - 1) / chunksPer).toInt
+    val loB = lo; val cB = counts
+    val coordsDF = spark.range(n).map { linear =>
+      val l = linear.toLong
+      val rank = loB.length
+      val c = new Array[Long](rank)
+      var rem = l; var i = rank - 1
+      while (i >= 0) { c(i) = loB(i) + rem % cB(i); rem /= cB(i); i -= 1 }
+      (l, SparkStore.coordKey(c.toIndexedSeq))
+    }.toDF("linear", "coordKey")
+    val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
+      r.meta.versionId.get, envelope).select("coordKey", "hash")
+    val dir = r.store.newScanManifestDir()
+    coordsDF.join(resolved, Seq("coordKey")) // inner: data chunks only
+      .select(col("linear"), col("hash"),
+        expr(s"linear div ${chunksPer}L").as("bucket"))
+      .write.partitionBy("bucket").parquet(dir)
+    // one listing, grouped by bucket — O(#files) driver work
+    val bucketFiles: Map[Long, Array[String]] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .toArray
+        .groupBy(p => p.getParent.getFileName.toString.stripPrefix("bucket=").toLong)
+        .map { case (b, ps) => b -> ps.map(_.toString) }
+    val files = chunkFiles
+    (0 until nBuckets).map { b =>
+      GraftRangePartition(b * chunksPer, math.min((b + 1) * chunksPer, n),
+        lo, counts, bucketFiles.getOrElse(b.toLong, Array.empty), files)
+        : InputPartition
     }.toArray
   }
 
@@ -192,11 +264,10 @@ private[source] class GraftScan(r: Resolved, request: Slice, empty: Boolean,
 private[source] class GraftReaderFactory(metaJson: String, variable: String,
     request: Slice, requiredFields: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition],
-      metaJson, variable, request, requiredFields)
+    new GraftPartitionReader(p, metaJson, variable, request, requiredFields)
 }
 
-private[source] class GraftPartitionReader(part: GraftInputPartition,
+private[source] class GraftPartitionReader(part: InputPartition,
     metaJson: String, variable: String, request: Slice,
     requiredFields: Array[String]) extends PartitionReader[InternalRow] {
 
@@ -210,14 +281,40 @@ private[source] class GraftPartitionReader(part: GraftInputPartition,
     case d => dims.indexOf(d)
   }
 
-  private val bytesByHash: Map[String, Array[Byte]] = {
-    val wanted = part.hashes.filter(_ != null).toSet
-    if (wanted.isEmpty) Map.empty
-    else ChunkBlobReader.read(part.files, wanted)
+  // manifest bucket read ONCE per range partition (null for point partitions)
+  private val manifest: java.util.HashMap[java.lang.Long, String] = part match {
+    case p: GraftRangePartition => ScanManifestReader.read(p.manifestFiles)
+    case _ => null
   }
 
-  private val cells: Iterator[InternalRow] = part.coords.iterator
-    .zip(part.hashes.iterator).flatMap { case (coord, hash) =>
+  /** (coord, hash|null) pairs of this partition plus the chunk files —
+    * point partitions carry them verbatim; range partitions derive coords
+    * arithmetically and look hashes up in their manifest bucket. */
+  private val (pairs: Iterator[(Array[Long], String)], chunkFiles: Array[String]) =
+    part match {
+      case p: GraftPointPartition =>
+        (p.coords.iterator.zip(p.hashes.iterator), p.files)
+      case p: GraftRangePartition =>
+        val it = Iterator.range(p.linearFrom, p.linearTo).map { linear =>
+          val rank = p.lo.length
+          val c = new Array[Long](rank)
+          var rem = linear; var i = rank - 1
+          while (i >= 0) { c(i) = p.lo(i) + rem % p.counts(i); rem /= p.counts(i); i -= 1 }
+          (c, manifest.get(linear))
+        }
+        (it, p.chunkFiles)
+    }
+
+  private lazy val bytesByHash: Map[String, Array[Byte]] = part match {
+    case p: GraftPointPartition =>
+      val wanted = p.hashes.filter(_ != null).toSet
+      if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
+    case _: GraftRangePartition =>
+      val wanted = manifest.values().asScala.toSet
+      if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
+  }
+
+  private val cells: Iterator[InternalRow] = pairs.flatMap { case (coord, hash) =>
       val chunkSlice = meta.chunkSlice(variable, coord.toVector)
       val slab =
         if (hash == null) Slab.empty(dtype, chunkSlice, fill)
@@ -245,9 +342,37 @@ private[source] class GraftPartitionReader(part: GraftInputPartition,
   override def close(): Unit = ()
 }
 
+/** Executor-side reader for scan-manifest buckets: (linear, hash) rows. */
+private[source] object ScanManifestReader {
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  def read(files: Array[String]): java.util.HashMap[java.lang.Long, String] = {
+    val out = new java.util.HashMap[java.lang.Long, String]()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out.put(g.getLong("linear", 0), g.getString("hash", 0))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out
+  }
+}
+
 /** Executor-side point lookup of chunk blobs from the hash-sorted chunk
-  * parquet files: or-chain equality predicates give row-group pruning via
-  * min/max stats (parquet-hadoop Group API). */
+  * parquet files: equality predicates give row-group pruning via min/max
+  * stats (parquet-hadoop Group API). Small wanted sets use a BALANCED or
+  * tree (depth log₂k — a left-deep reduce at thousands of hashes risks
+  * StackOverflowError in the recursive predicate visitors); large sets
+  * fall back to one min/max range predicate with exact membership checked
+  * against the in-memory wanted set. */
 private[source] object ChunkBlobReader {
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
@@ -255,12 +380,25 @@ private[source] object ChunkBlobReader {
   import org.apache.parquet.hadoop.example.GroupReadSupport
   import org.apache.parquet.io.api.Binary
 
+  /** Above this many wanted hashes, use the range predicate. */
+  val OrTreeLimit = 512
+
+  private def balancedOr(hs: Array[String], from: Int, to: Int): FilterPredicate =
+    if (to - from == 1)
+      FilterApi.eq(FilterApi.binaryColumn("hash"), Binary.fromString(hs(from)))
+    else {
+      val mid = (from + to) / 2
+      FilterApi.or(balancedOr(hs, from, mid), balancedOr(hs, mid, to))
+    }
+
   def read(files: Array[String], wanted: Set[String]): Map[String, Array[Byte]] = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    val pred: FilterPredicate = wanted.toSeq
-      .map(h => FilterApi.eq(FilterApi.binaryColumn("hash"), Binary.fromString(h))
-        : FilterPredicate)
-      .reduce(FilterApi.or)
+    val sorted = wanted.toArray.sorted
+    val pred: FilterPredicate =
+      if (sorted.length <= OrTreeLimit) balancedOr(sorted, 0, sorted.length)
+      else FilterApi.and(
+        FilterApi.gtEq(FilterApi.binaryColumn("hash"), Binary.fromString(sorted.head)),
+        FilterApi.ltEq(FilterApi.binaryColumn("hash"), Binary.fromString(sorted.last)))
     val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
     files.foreach { f =>
       if (out.size < wanted.size) {

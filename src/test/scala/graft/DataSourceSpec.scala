@@ -77,4 +77,32 @@ class DataSourceSpec extends AnyFunSuite {
     assert(load(store).filter(col("x") > 100).count() == 0)
     assert(load(store).filter(col("x") >= 5 && col("x") < 5).count() == 0)
   }
+
+  test("full-variable scan above the point threshold plans coordinate ranges: " +
+      "O(buckets) driver state, manifest resolved distributedly, parity with exploded") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv2-full").toString
+    val store = new SparkStore(spark, root)
+    store.create("big")
+    // 1100 covering chunks > PointLookupThreshold (1024) → range path
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 2200L), chunkDimensions = Map("x" -> 2L),
+      variables = Map("v" -> VariableDef("long", Vector("x"), -9.0)))
+    val w = store.addVersion("big", meta)
+    w.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(1000L)), (0 until 1000).map(_.toDouble))))
+    val v1 = w.finishVersion()
+    val df = spark.read.format("graft").option("root", store.root)
+      .option("dataset", "big").option("variable", "v").load()
+    // partitions bounded by ~4×parallelism buckets, NOT by chunk count
+    assert(df.rdd.getNumPartitions <= 4 * spark.sparkContext.defaultParallelism + 1,
+      s"got ${df.rdd.getNumPartitions} partitions")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2200)
+    assert(got(0L) == 0L && got(999L) == 999L)
+    assert(got(1000L) == -9L && got(2199L) == -9L, "fill for never-written chunks")
+    val exp = store.reader("big").onVersion(v1)
+      .exploded("v", Slice(Seq(0L), Seq(2200L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp, "range-path scan must match the join-based exploded plan")
+  }
 }
