@@ -492,7 +492,13 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
   /** R1/R2 as the Spark-native exploded view: one row per cell of the
     * request, schema (dim₁: Long, …, dimₙ: Long, value: <elem type>).
     * Fill cells are materialized for never-written coordinates
-    * (reference fill semantics: impl.clj:221-223). */
+    * (reference fill semantics: impl.clj:221-223).
+    *
+    * Plan shape: chunk blobs decode to PRIMITIVE arrays via the codegen'd
+    * `graft_cells` expression, then `posexplode` + pure long arithmetic
+    * derive each cell's coordinates inside whole-stage codegen — no boxed
+    * Row-per-cell path (which dominated the full-read bench ~5 s of 8 s
+    * at the 216M-cell reference shape). */
   def exploded(varName: String, request: Slice, checkBounds: Boolean = true): DataFrame = {
     val varSlice = meta.varSlice(varName)
     require(request.nonEmpty, s"request slice is empty: $request")
@@ -500,39 +506,52 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
     val dtype = meta.dtype(varName)
+    val fill = meta.fill(varName)
     val dims = meta.variables(varName).shape
-    val schema = StructType(
-      dims.map(d => StructField(d, LongType, nullable = false)) :+
-        StructField("value", dtype.sparkType, nullable = false))
-    val metaJson = meta.toJson
-    val varN = varName
-    val req = request
-    val rows = chunkRows(varName, request)
-    val enc = Encoders.row(schema)
-    rows.mapPartitions { it =>
-      // decode once per partition, explode each chunk clipped to the request
-      val m = DatasetMeta.fromJson(metaJson)
-      val dt = m.dtype(varN)
-      val fill = m.fill(varN)
-      it.flatMap { r =>
-        val coord = r.getSeq[Long](1).toVector
-        SparkPinnedReader.requireBlob(r.getString(0), r.getString(2),
-          if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3))
-        val chunkSlice = m.chunkSlice(varN, coord)
-        val slab =
-          if (r.isNullAt(3)) Slab.empty(dt, chunkSlice, fill)
-          else Slab(dt, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](3)))
-        val clipped = slab.intersectWith(req)
-        val rank = clipped.slice.rank
-        clipped.slice.iter.map { cell =>
-          val out = new Array[Any](rank + 1)
-          var i = 0
-          while (i < rank) { out(i) = cell(i); i += 1 }
-          out(rank) = dt.getBoxed(clipped.bytes, clipped.offsetOf(cell.toIndexedSeq))
-          Row.fromSeq(out.toIndexedSeq)
-        }
-      }
-    }(enc)
+    val rank = dims.length
+    val grid = meta.chunkGridSlice(varName)
+    graft.functions.ChunkFunctions.register(spark)
+
+    // dangling index entry (hash without blob) fails INSIDE the plan —
+    // same invariant as requireBlob on the driver paths
+    val guarded = chunkRows(varName, request).withColumn("bytes",
+      when(col("hash").isNotNull && col("bytes").isNull,
+        raise_error(concat(
+          lit("chunk "), col("coordKey"), lit(" resolved to blob "), col("hash"),
+          lit(" but the blob is missing from the chunk store (GC'd or lost?)" +
+            " — refusing to read fill"))).cast("binary"))
+        .otherwise(col("bytes")))
+
+    // per-chunk base/shape/stride computed ONCE PER CHUNK as columns (chunk
+    // overhang at the variable edge clipped by least()); the per-cell loop
+    // then only does rank × (div, mod, add) on plain column references —
+    // keeping the generated Generate loop small enough to JIT (a repeated
+    // inline shape expression blew past the 8KB HugeMethodLimit and ran
+    // the whole cell loop in the bytecode interpreter, ~100× slower)
+    val perChunk = (0 until rank).flatMap { i =>
+      val shape = least(lit(varSlice.stop(i)), (col("coord")(i) + 1) * lit(grid.step(i))) -
+        col("coord")(i) * lit(grid.step(i))
+      Seq(shape.as(s"__shape$i"), (col("coord")(i) * lit(grid.step(i))).as(s"__base$i"))
+    }
+    val withShape = guarded.select(col("bytes") +: perChunk: _*)
+    val withStride = (0 until rank).foldLeft(withShape) { (df, i) =>
+      val stride = (i + 1 until rank).map(j => col(s"__shape$j")).foldLeft(lit(1L))(_ * _)
+      df.withColumn(s"__stride$i", stride)
+    }
+    val volume = (0 until rank).map(i => col(s"__shape$i")).foldLeft(lit(1L))(_ * _)
+    val carried = (0 until rank).flatMap(i =>
+      Seq(col(s"__base$i"), col(s"__stride$i"), col(s"__shape$i")))
+    val cells = withStride.select(carried :+
+      posexplode(graft.functions.ChunkFunctions.chunkCells(spark,
+        col("bytes"), volume.cast("long"), lit(dtype.name), lit(fill))): _*)
+    val cellCols = (0 until rank).map { i =>
+      s"(__base$i + (CAST(pos AS BIGINT) div __stride$i) % __shape$i) AS `${dims(i)}`"
+    }
+    val out = cells.selectExpr((cellCols :+ "col AS value"): _*)
+    // clip boundary chunks to the request (interior cells pass trivially)
+    (0 until rank).foldLeft(out) { (df, i) =>
+      df.filter(col(dims(i)) >= request.start(i) && col(dims(i)) < request.stop(i))
+    }
   }
 
   /** Driver-side slab assembly for small windows (R1 get-slice,
@@ -689,10 +708,16 @@ final class SparkVersionWriter(store: SparkStore, name: String,
 
     try {
       // 4. chunk append: content-dedup within the batch, then against the
-      //    store (left-anti) — reference dedup bound impl_test.clj:17-39
-      val newBlobs = merged.select(col("hash"), col("bytes"))
-        .dropDuplicates("hash")
+      //    store (left-anti) — reference dedup bound impl_test.clj:17-39.
+      //    Dedup decisions move ONLY (hash, coordKey) strings through the
+      //    shuffles; blob bytes are fetched once from the persisted cogroup
+      //    output by joining the winner coordKeys back (merged is already
+      //    hash-partitioned by coordKey, so its bytes don't re-shuffle)
+      val winners = merged.select("coordKey", "hash")
+        .groupBy("hash").agg(min("coordKey").as("coordKey"))
         .join(store.chunksDF.select("hash"), Seq("hash"), "left_anti")
+        .select("coordKey")
+      val newBlobs = merged.join(winners, Seq("coordKey"))
         .select(col("hash"), lit(-1L).as("ref"), col("bytes"))
       // blobs are already LZ4-framed — skip parquet's recompression; sort
       // within partitions so row-group min/max stats become tight hash

@@ -62,9 +62,11 @@ class VacuumAndFunctionsSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       r.getSlice("v", Slice(Seq(0L), Seq(4L)))
     }
-    intercept[org.apache.spark.SparkException] { // executor-side throw
+    // plan-side raise_error (SparkRuntimeException) — message keeps the invariant
+    val ex = intercept[Exception] {
       r.exploded("v", Slice(Seq(0L), Seq(4L))).collect()
     }
+    assert(ex.getMessage.contains("refusing to read fill"), ex.getMessage)
   }
 
   test("getSlice refuses requests above the driver cell budget") {
