@@ -8,8 +8,10 @@ package graft.core
   * SHA-1s (reference: src/io/mandoline/chunk.clj:35-45) hash these bytes
   * directly and all merge operations are type-agnostic byte-run copies.
   *
-  * Slab slices are always step-1 (the reference's hot paths enforce the
-  * same restriction, slice.clj:104-126).
+  * Hot-path slices (chunks, requests) are step-1, like the reference's
+  * fast paths (slice.clj:104-126); strided (step>1) views are supported
+  * by `subset` via a gather, pinned to the reference's
+  * test/io/mandoline/slab_test.clj:25-52 semantics.
   */
 final case class Slab(dtype: DType, slice: Slice, bytes: Array[Byte]) {
   def shape: Vector[Int] = if (slice.rank == 0) Vector.empty else slice.shape
@@ -19,15 +21,18 @@ final case class Slab(dtype: DType, slice: Slice, bytes: Array[Byte]) {
   @transient private lazy val shapeArr: Array[Int] =
     if (slice.rank == 0) Array.empty else slice.shape.toArray
   @transient private lazy val startArr: Array[Long] = slice.start.toArray
+  @transient private lazy val stepArr: Array[Long] = slice.step.toArray
 
-  /** Byte offset of a global coordinate inside this slab's buffer. */
+  /** Byte offset of a global coordinate inside this slab's buffer
+    * (strided slabs index their lattice: (coord − start) / step). */
   def offsetOf(coord: Seq[Long]): Int = {
     var lin = 0L
     val sh = shapeArr
     val st = startArr
+    val sp = stepArr
     var i = 0
     while (i < sh.length) {
-      lin = lin * sh(i) + (coord(i) - st(i))
+      lin = lin * sh(i) + (coord(i) - st(i)) / sp(i)
       i += 1
     }
     (lin * dtype.size).toInt
@@ -35,16 +40,36 @@ final case class Slab(dtype: DType, slice: Slice, bytes: Array[Byte]) {
 
   def valueAt(coord: Seq[Long]): Double = dtype.get(bytes, offsetOf(coord))
 
-  /** Copy of the region `view` (must be contained in this slab's slice)
-    * (reference: slab.clj:70-84 `subset`, restricted to step 1). */
+  /** Copy of the region `view` (must be contained in this slab's slice).
+    * Step-1 views of step-1 slabs copy contiguous runs; strided views
+    * gather cell-by-cell. A strided view of a strided slab requires EQUAL
+    * steps, like the reference (slab_test.clj:49-52 pins the mismatch
+    * error); off-lattice coordinates are rejected.
+    * (reference: slab.clj:70-84 `subset`). */
   def subset(view: Slice): Slab = {
     require(view.isContainedIn(slice),
       s"subset slice $view is not contained in slab slice $slice")
-    require(view.stepIsOne, "subset: only step-1 views are supported")
     if (view == slice) this
-    else {
+    else if (view.stepIsOne && slice.stepIsOne) {
       val out = Slab.empty(dtype, view)
       Slab.copyRegion(this, out, view)
+      out
+    } else {
+      require(slice.stepIsOne || slice.step == view.step,
+        s"subset: step sizes are different (slab ${slice.step}, view ${view.step})")
+      val es = dtype.size
+      val out = Slab.empty(dtype, view)
+      var off = 0
+      view.iter.foreach { c =>
+        var i = 0
+        while (i < c.length) {
+          require((c(i) - slice.start(i)) % slice.step(i) == 0,
+            s"subset: coordinate ${c.toSeq} off the slab's step lattice $slice")
+          i += 1
+        }
+        System.arraycopy(bytes, offsetOf(c.toIndexedSeq), out.bytes, off, es)
+        off += es
+      }
       out
     }
   }

@@ -7,9 +7,10 @@ import graft.spark.{SparkPinnedReader, SparkStore}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -76,15 +77,161 @@ private[source] object GraftSource {
 }
 
 private[source] class GraftTable(options: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private lazy val resolved = GraftSource.resolve(options)
   override def name(): String =
     s"graft:${options.getOrElse("dataset", "?")}/${options.getOrElse("variable", "?")}"
   override def schema(): StructType = resolved.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(resolved)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(!options.contains("version"),
+      "graft write: the 'version' option is read-only time travel; " +
+        "writes always commit a NEW version on top of the latest")
+    new GraftWriteBuilder(resolved)
+  }
+}
+
+/** Write side of `format("graft")`: the exploded-cell DataFrame
+  * (dim₁, …, dimₙ, value) commits as ONE NEW VERSION of the variable.
+  *
+  * Implemented as a V1Write bridge deliberately: graft's ingest is a
+  * whole-plan operation (cells shred to chunk fragments, ONE cogroup
+  * shuffle gives each chunk a single read-modify-write owner, then
+  * content-dedup'd appends — `SparkVersionWriter.writeRows`). Independent
+  * per-partition DataWriters could not merge concurrent cell writes to
+  * one chunk without re-creating that shuffle; the bridge hands us the
+  * whole DataFrame to route through the existing distributed plan.
+  * SaveMode.Append and Overwrite behave identically (MVCC versions are
+  * append-only; the new version shadows written coordinates). */
+private[source] class GraftWriteBuilder(r: Resolved)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this // MVCC append-only: same plan
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            overwrite: Boolean): Unit = GraftCellIngest.ingest(r, data)
+      }
+  }
+}
+
+private[source] object GraftCellIngest {
+  /** Max cells per assembled run-slab (bounds executor buffer memory). */
+  val MaxRunCells = 1 << 16
+
+  /** Route an exploded-cell DataFrame through the distributed write path.
+    * Cells are locally sorted and coalesced into contiguous runs along the
+    * LAST axis (dense frames — the common shape, e.g. re-ingesting a
+    * transformed exploded view — become long slab rows instead of
+    * per-cell fragments); the one-shuffle cogroup in writeRows then
+    * merges runs onto base chunks. */
+  def ingest(r: Resolved, data: org.apache.spark.sql.DataFrame): Unit = {
+    val dims = r.dims
+    val rank = dims.length
+    val variable = r.variable
+    val dtype = r.meta.dtype(variable)
+    val varSlice = r.meta.varSlice(variable)
+    val spark = data.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val missing = (dims :+ "value").filterNot(data.columns.contains)
+    require(missing.isEmpty,
+      s"graft write: input is missing column(s) ${missing.mkString(", ")} — " +
+        s"expected (${(dims :+ "value").mkString(", ")})")
+    val cells = data.select(
+      dims.map(d => col(d).cast("long")) :+ col("value").cast(dtype.sparkType): _*)
+    val sorted = if (rank == 0) cells else cells.sortWithinPartitions(dims.map(col): _*)
+    val dtName = dtype.name
+    val es = dtype.size
+    val lo = varSlice.start.toArray
+    val hi = varSlice.stop.toArray
+    val slabRows = sorted.mapPartitions { rows =>
+      val dt = graft.core.DType(dtName)
+      new Iterator[(Array[Long], Array[Long], Array[Byte], Long)] {
+        private var runStart: Array[Long] = _
+        private var runBuf: java.io.ByteArrayOutputStream = _
+        private var runLen = 0
+        private var pendingRow: org.apache.spark.sql.Row = _
+
+        private def cellBytes(row: org.apache.spark.sql.Row): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(es) // big-endian
+          dt match {
+            case graft.core.DType.BYTE => bb.put(row.getByte(rank))
+            case graft.core.DType.SHORT => bb.putShort(row.getShort(rank))
+            case graft.core.DType.CHAR => bb.putShort(row.getInt(rank).toShort)
+            case graft.core.DType.INT => bb.putInt(row.getInt(rank))
+            case graft.core.DType.LONG => bb.putLong(row.getLong(rank))
+            case graft.core.DType.FLOAT => bb.putFloat(row.getFloat(rank))
+            case graft.core.DType.DOUBLE => bb.putDouble(row.getDouble(rank))
+          }
+          bb.array()
+        }
+        private def coordOf(row: org.apache.spark.sql.Row): Array[Long] = {
+          val c = new Array[Long](rank)
+          var i = 0
+          while (i < rank) {
+            c(i) = row.getLong(i)
+            if (c(i) < lo(i) || c(i) >= hi(i))
+              throw new IndexOutOfBoundsException(
+                s"graft write: cell ${c.toSeq} outside the variable extent " +
+                  s"[${lo.toSeq} … ${hi.toSeq})")
+            i += 1
+          }
+          c
+        }
+        private def continuesRun(c: Array[Long]): Boolean = {
+          if (runStart == null || runLen >= MaxRunCells) return false
+          var i = 0
+          while (i < rank - 1) { if (c(i) != runStart(i)) return false; i += 1 }
+          rank == 0 || c(rank - 1) == runStart(rank - 1) + runLen
+        }
+        private def emit(): (Array[Long], Array[Long], Array[Byte], Long) = {
+          val stop = runStart.clone()
+          if (rank > 0) stop(rank - 1) = runStart(rank - 1) + runLen
+          val out = (runStart,
+            if (rank == 0) Array.empty[Long]
+            else runStart.indices.map(i => if (i == rank - 1) stop(i) else runStart(i) + 1).toArray,
+            runBuf.toByteArray, 0L)
+          runStart = null; runBuf = null; runLen = 0
+          out
+        }
+
+        def hasNext: Boolean = pendingRow != null || rows.hasNext || runStart != null
+        def next(): (Array[Long], Array[Long], Array[Byte], Long) = {
+          while (true) {
+            val row = if (pendingRow != null) { val p = pendingRow; pendingRow = null; p }
+              else if (rows.hasNext) rows.next()
+              else return emit() // flush trailing run
+            val c = coordOf(row)
+            if (rank == 0) { // scalar: one run per row
+              runStart = c; runBuf = new java.io.ByteArrayOutputStream(es)
+              runBuf.write(cellBytes(row)); runLen = 1
+              return emit()
+            } else if (continuesRun(c)) {
+              runBuf.write(cellBytes(row)); runLen += 1
+            } else if (runStart == null) {
+              runStart = c; runBuf = new java.io.ByteArrayOutputStream(64)
+              runBuf.write(cellBytes(row)); runLen = 1
+            } else { // run break: emit, reprocess this row next call
+              pendingRow = row
+              return emit()
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
+      }
+    }.toDF("start", "stop", "bytes", "seq")
+    val vs = r.store.versions(r.dataset)
+    require(vs.nonEmpty, s"dataset ${r.dataset} has no committed versions")
+    val w = r.store.addVersion(r.dataset, r.store.metadata(r.dataset, vs.head._2))
+    w.writeRows(variable, slabRows)
+    w.finishVersion()
+    ()
+  }
 }
 
 private[source] class GraftScanBuilder(r: Resolved)

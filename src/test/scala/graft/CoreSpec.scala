@@ -97,6 +97,40 @@ class CoreSpec extends AnyFunSuite {
     assert(base.valueAt(Seq(1L, 1L)) == 99.0 && base.valueAt(Seq(0L, 0L)) == 0.0)
   }
 
+  test("strided subset: reference's pinned vectors (slab_test.clj:25-52)") {
+    // x: short slab on [7,13)×[3,8), values row-major
+    val x = Slab.fromDoubles(DType.SHORT, Slice(Seq(7L, 3L), Seq(13L, 8L)),
+      Seq(1, 2, 3, 4, 5, 2, 3, 4, 5, 6, 3, 4, 5, 6, 7, 4, 5, 6, 7, 8,
+        5, 6, 7, 8, 9, 6, 7, 8, 9, 0))
+    def vals(s: Slab): Seq[Double] =
+      s.slice.iter.map(c => s.valueAt(c.toIndexedSeq)).toSeq
+    // u: step-1 view
+    val u = x.subset(Slice(Vector(7L, 3L), Vector(10L, 5L), Vector(1L, 1L)))
+    assert(vals(u) == Seq(1, 2, 2, 3, 3, 4).map(_.toDouble))
+    // v: step [2,1] view → x ∈ {8,10}, y ∈ {4,5}
+    val v = x.subset(Slice(Vector(8L, 4L), Vector(12L, 6L), Vector(2L, 1L)))
+    assert(vals(v) == Seq(3, 4, 5, 6).map(_.toDouble))
+    // w: step [2,2] view → (7,3), (7,5)
+    val w = x.subset(Slice(Vector(7L, 3L), Vector(9L, 7L), Vector(2L, 2L)))
+    assert(vals(w) == Seq(1, 3).map(_.toDouble))
+    // non-overlapping view rejected
+    intercept[IllegalArgumentException] {
+      x.subset(Slice(Vector(0L, 0L), Vector(2L, 3L), Vector(1L, 1L)))
+    }
+    // strided slab, view with DIFFERENT steps rejected
+    val z = Slab.fromDoubles(DType.SHORT,
+      Slice(Vector(0L, 0L), Vector(12L, 10L), Vector(2L, 2L)),
+      Seq(1, 2, 3, 4, 5, 2, 3, 4, 5, 6, 3, 4, 5, 6, 7, 4, 5, 6, 7, 8,
+        5, 6, 7, 8, 9, 6, 7, 8, 9, 0))
+    intercept[IllegalArgumentException] {
+      z.subset(Slice(Vector(8L, 4L), Vector(12L, 6L), Vector(2L, 1L)))
+    }
+    // strided slab, EQUAL-step sub-view gathers on the lattice
+    val z2 = z.subset(Slice(Vector(2L, 2L), Vector(5L, 5L), Vector(2L, 2L)))
+    assert(vals(z2) == Seq(z.valueAt(Seq(2L, 2L)), z.valueAt(Seq(2L, 4L)),
+      z.valueAt(Seq(4L, 2L)), z.valueAt(Seq(4L, 4L))))
+  }
+
   test("fill init, all types, incl NaN (slab/empty)") {
     for (t <- DType.all if t != DType.CHAR) {
       val s = Slab.empty(t, Slice(Seq(0L), Seq(4L)), -3.0)

@@ -78,6 +78,45 @@ class DataSourceSpec extends AnyFunSuite {
     assert(load(store).filter(col("x") >= 5 && col("x") < 5).count() == 0)
   }
 
+  test("df.write.format(graft) commits a new version: cells merge onto the " +
+      "latest state, run coalescing, bounds + missing-column rejection") {
+    val (store, _, v2) = mkStore()
+    import spark.implicits._
+    // overwrite a 2×3 window with value 1000+x*10+y, leave the rest
+    val cells = (for { x <- 2L to 3L; y <- 4L to 6L }
+      yield (x, y, 1000.0 + x * 10 + y)).toDF("x", "y", "value")
+    cells.write.format("graft").option("root", store.root)
+      .option("dataset", "ds").option("variable", "v").mode("append").save()
+    val after = load(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(after((2L, 4L)) == 1024.0 && after((3L, 6L)) == 1036.0)
+    assert(after((0L, 0L)) == 777.0, "untouched cells keep the previous version's state")
+    assert(after((8L, 9L)) == 90.0)
+    // a THIRD version exists now; time travel back still sees v2's state
+    assert(store.versions("ds").size == 3)
+    val back = load(store, Some(v2)).filter(col("x") === 2 && col("y") === 4).first().getDouble(2)
+    assert(back == 25.0) // original value at (2,4) pre-write
+    // out-of-extent cells rejected
+    val bad = Seq((50L, 0L, 1.0)).toDF("x", "y", "value")
+    val e = intercept[Exception] {
+      bad.write.format("graft").option("root", store.root)
+        .option("dataset", "ds").option("variable", "v").mode("append").save()
+    }
+    assert(e.getMessage.contains("outside the variable extent")
+      || e.getCause != null, e.getMessage)
+    // missing value column rejected (Spark's by-name resolution, pre-plan)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, 1L)).toDF("x", "y").write.format("graft").option("root", store.root)
+        .option("dataset", "ds").option("variable", "v").mode("append").save()
+    }
+    // version option on write rejected
+    intercept[IllegalArgumentException] {
+      cells.write.format("graft").option("root", store.root)
+        .option("dataset", "ds").option("variable", "v")
+        .option("version", v2.toString).mode("append").save()
+    }
+  }
+
   test("full-variable scan above the point threshold plans coordinate ranges: " +
       "O(buckets) driver state, manifest resolved distributedly, parity with exploded") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsv2-full").toString
