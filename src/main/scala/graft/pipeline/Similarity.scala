@@ -60,13 +60,25 @@ object Similarity {
     * distance, so it costs nothing in recall. */
   def ivfTopK(emb: DataFrame, k: Int, nQueries: Int,
       nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val n = withNorm(emb)
     val d = dot(emb) _
+    // Centroids are COLLECTED per Lloyd iteration (K ≈ √N rows of dim
+    // doubles — driver-trivial at any scale, the standard k-means shape):
+    // a lazy centroid subplan would be re-evaluated by every downstream
+    // crossJoin, multiplying full scans of the embedding table per
+    // iteration. Values are bit-identical either way (the quantized
+    // update is order-free exact), so the DuckDB oracle is unaffected.
+    def centsDF(local: Array[(Long, Array[Double])]): DataFrame =
+      broadcast(local.toIndexedSeq.toDF("cent_id", "cv")
+        // cn recomputed with the same codegen dot — identical op order
+        .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
     // assign every vector to its nearest centroid (rank 1 by cosine)
     def assign(cents: DataFrame): DataFrame = {
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("csim").desc, col("cent_id").asc)
-      n.crossJoin(broadcast(cents))
+      n.crossJoin(cents)
         .withColumn("csim", d(col("v"), col("cv")) / (col("nrm") * col("cn")))
         .withColumn("crk", row_number().over(wAssign))
         .filter(col("crk") === 1)
@@ -74,7 +86,7 @@ object Similarity {
     }
     // Lloyd update: order-free exact integer sums per (centroid, dim),
     // one double division at the end — bit-identical on any engine
-    def refine(assigned: DataFrame): DataFrame =
+    def refine(assigned: DataFrame): Array[(Long, Array[Double])] =
       assigned.select(col("cent_id"), posexplode(col("v")).as(Seq("j", "x")))
         .groupBy("cent_id", "j")
         .agg(sum(round(col("x") * 1024).cast("long")).as("s"), count(lit(1)).as("cnt"))
@@ -83,10 +95,12 @@ object Similarity {
           array_sort(collect_list(struct(col("j"),
             (col("s") / (lit(1024.0) * col("cnt"))).as("value")))),
           _.getField("value")).as("cv"))
-        .withColumn("cn", sqrt(d(col("cv"), col("cv"))))
-    var cents = n.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    for (_ <- 0 until lloydIters) cents = refine(assign(cents))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    var centsLocal = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    for (_ <- 0 until lloydIters) centsLocal = refine(assign(centsDF(centsLocal)))
+    val cents = centsDF(centsLocal)
     val assigned = assign(cents)
     // queries probe their nProbe nearest centroids
     val wProbe = Window.partitionBy("query_id")
