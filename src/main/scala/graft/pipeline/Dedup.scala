@@ -68,39 +68,42 @@ object Dedup {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hexChars = "0123456789abcdef".toCharArray
-        def hex(d: Array[Byte]): String = {
-          val out = new Array[Char](32)
-          var i = 0
-          while (i < 16) {
-            out(2 * i) = hexChars((d(i) >> 4) & 0xf)
-            out(2 * i + 1) = hexChars(d(i) & 0xf)
-            i += 1
-          }
-          new String(out)
-        }
+        // 8-hex-char digest slices compare lexicographically exactly like
+        // their 4 big-endian bytes compare UNSIGNED — so the loop tracks
+        // unsigned-int minima (zero allocation per shingle: the digest runs
+        // over a slice of the ascii norm buffer, no substring/hex/getBytes)
+        // and formats hex once per document. Identical output to the
+        // string formulation, same md5 math as the DuckDB oracle.
+        def be32(d: Array[Byte], o: Int): Int =
+          ((d(o) & 0xff) << 24) | ((d(o + 1) & 0xff) << 16) |
+            ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)
         it.map { case (id, text) =>
           // identical normalization to shingleSets: [^a-z0-9]+ → ' ', trim
           val norm = text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
-          val mins = Array.fill(8)("￿")
-          val len = norm.length
+          val nb = norm.getBytes("UTF-8") // pure ascii post-normalization
+          val mins = Array.fill(8)(-1) // 0xFFFFFFFF = unsigned max sentinel
+          val len = nb.length
           val nPos = math.max(len - 4, 1)
           var i = 0
           while (i < nPos) {
-            val sh = norm.substring(i, math.min(i + 5, len))
-            val d1 = hex(md.digest(sh.getBytes("UTF-8")))
-            val d2 = hex(md.digest(("x" + sh).getBytes("UTF-8")))
+            val sl = math.min(5, len - i)
+            md.reset(); md.update(nb, i, sl)
+            val d1 = md.digest()
+            md.reset(); md.update('x'.toByte); md.update(nb, i, sl)
+            val d2 = md.digest()
             var s = 0
             while (s < 4) {
-              val sl1 = d1.substring(8 * s, 8 * s + 8)
-              if (sl1 < mins(s)) mins(s) = sl1
-              val sl2 = d2.substring(8 * s, 8 * s + 8)
-              if (sl2 < mins(4 + s)) mins(4 + s) = sl2
+              val v1 = be32(d1, 4 * s)
+              if (java.lang.Integer.compareUnsigned(v1, mins(s)) < 0) mins(s) = v1
+              val v2 = be32(d2, 4 * s)
+              if (java.lang.Integer.compareUnsigned(v2, mins(4 + s)) < 0) mins(4 + s) = v2
               s += 1
             }
             i += 1
           }
-          (id, mins(0), mins(1), mins(2), mins(3), mins(4), mins(5), mins(6), mins(7))
+          def hex8(v: Int): String = f"${v & 0xffffffffL}%08x"
+          (id, hex8(mins(0)), hex8(mins(1)), hex8(mins(2)), hex8(mins(3)),
+            hex8(mins(4)), hex8(mins(5)), hex8(mins(6)), hex8(mins(7)))
         }
       }
       .toDF("doc_id", "sig0", "sig1", "sig2", "sig3", "sig4", "sig5", "sig6", "sig7")
