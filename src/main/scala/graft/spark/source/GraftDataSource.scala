@@ -412,21 +412,23 @@ private[source] class GraftReaderFactory(metaJson: String, variable: String,
     request: Slice, requiredFields: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(p, metaJson, variable, request, requiredFields)
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(p, metaJson, variable, request, requiredFields)
 }
 
-private[source] class GraftPartitionReader(part: InputPartition,
-    metaJson: String, variable: String, request: Slice,
-    requiredFields: Array[String]) extends PartitionReader[InternalRow] {
+/** Shared per-partition cursor: resolves this partition's (coord, hash)
+  * pairs (point partitions carry them verbatim; range partitions derive
+  * coords arithmetically and consult their manifest bucket), fetches the
+  * wanted blobs, and yields each covering chunk CLIPPED to the request. */
+private[source] final class ChunkSlabCursor(part: InputPartition,
+    metaJson: String, variable: String, request: Slice) {
 
-  private val meta = DatasetMeta.fromJson(metaJson)
-  private val dtype = meta.dtype(variable)
+  val meta: DatasetMeta = DatasetMeta.fromJson(metaJson)
+  val dtype: DType = meta.dtype(variable)
+  val dims: Vector[String] = meta.variables(variable).shape
   private val fill = meta.fill(variable)
-  private val dims = meta.variables(variable).shape
-  // projection: for each required field, its dim index or -1 for value
-  private val proj: Array[Int] = requiredFields.map {
-    case "value" => -1
-    case d => dims.indexOf(d)
-  }
 
   // manifest bucket read ONCE per range partition (null for point partitions)
   private val manifest: java.util.HashMap[java.lang.Long, String] = part match {
@@ -434,9 +436,6 @@ private[source] class GraftPartitionReader(part: InputPartition,
     case _ => null
   }
 
-  /** (coord, hash|null) pairs of this partition plus the chunk files —
-    * point partitions carry them verbatim; range partitions derive coords
-    * arithmetically and look hashes up in their manifest bucket. */
   private val (pairs: Iterator[(Array[Long], String)], chunkFiles: Array[String]) =
     part match {
       case p: GraftPointPartition =>
@@ -461,14 +460,31 @@ private[source] class GraftPartitionReader(part: InputPartition,
       if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
   }
 
-  private val cells: Iterator[InternalRow] = pairs.flatMap { case (coord, hash) =>
-      val chunkSlice = meta.chunkSlice(variable, coord.toVector)
-      val slab =
-        if (hash == null) Slab.empty(dtype, chunkSlice, fill)
-        else Slab(dtype, chunkSlice,
-          FilterChain.decode(bytesByHash.getOrElse(hash,
-            throw new IllegalStateException(s"missing blob for hash $hash"))))
-      val clipped = slab.intersectWith(request)
+  /** Each covering chunk as a slab clipped to the request. */
+  def clippedSlabs: Iterator[Slab] = pairs.map { case (coord, hash) =>
+    val chunkSlice = meta.chunkSlice(variable, coord.toVector)
+    val slab =
+      if (hash == null) Slab.empty(dtype, chunkSlice, fill)
+      else Slab(dtype, chunkSlice,
+        FilterChain.decode(bytesByHash.getOrElse(hash,
+          throw new IllegalStateException(s"missing blob for hash $hash"))))
+    slab.intersectWith(request)
+  }
+}
+
+private[source] class GraftPartitionReader(part: InputPartition,
+    metaJson: String, variable: String, request: Slice,
+    requiredFields: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val cursor = new ChunkSlabCursor(part, metaJson, variable, request)
+  private val dtype = cursor.dtype
+  // projection: for each required field, its dim index or -1 for value
+  private val proj: Array[Int] = requiredFields.map {
+    case "value" => -1
+    case d => cursor.dims.indexOf(d)
+  }
+
+  private val cells: Iterator[InternalRow] = cursor.clippedSlabs.flatMap { clipped =>
       clipped.slice.iter.map { cell =>
         val out = new Array[Any](proj.length)
         var i = 0
@@ -487,6 +503,86 @@ private[source] class GraftPartitionReader(part: InputPartition,
     if (cells.hasNext) { current = cells.next(); true } else false
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Columnar read path: one ColumnarBatch per clipped chunk, dim columns
+  * filled by stride arithmetic and the value column decoded straight from
+  * the big-endian slab buffer into primitive vectors — no per-cell boxing,
+  * and Spark's ColumnarToRow/codegen consumes the batches directly. */
+private[source] class GraftColumnarReader(part: InputPartition,
+    metaJson: String, variable: String, request: Slice,
+    requiredFields: Array[String])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val cursor = new ChunkSlabCursor(part, metaJson, variable, request)
+  private val dtype = cursor.dtype
+  private val proj: Array[Int] = requiredFields.map {
+    case "value" => -1
+    case d => cursor.dims.indexOf(d)
+  }
+  private val slabs = cursor.clippedSlabs
+  private var batch: ColumnarBatch = _
+
+  private def buildBatch(clipped: Slab): ColumnarBatch = {
+    val slice = clipped.slice
+    val rank = slice.rank
+    val shape = if (rank == 0) Array.empty[Int] else slice.shape.toArray
+    val n = slice.volume.toInt
+    val vectors = proj.map { p =>
+      val dt = if (p >= 0) LongType else dtype.sparkType
+      val v = new OnHeapColumnVector(n, dt)
+      if (p >= 0) {
+        // dim column: start + (i div stride) % shape (request slices are step-1)
+        var stride = 1L
+        var j = rank - 1
+        while (j > p) { stride *= shape(j); j -= 1 }
+        val start = slice.start(p)
+        val sh = shape(p)
+        var i = 0
+        while (i < n) { v.putLong(i, start + (i / stride) % sh); i += 1 }
+      } else {
+        val b = clipped.bytes
+        dtype match {
+          case DType.BYTE =>
+            var i = 0; while (i < n) { v.putByte(i, b(i)); i += 1 }
+          case DType.SHORT =>
+            var i = 0
+            while (i < n) {
+              v.putShort(i, (((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)).toShort)
+              i += 1
+            }
+          case DType.CHAR =>
+            var i = 0
+            while (i < n) {
+              v.putInt(i, ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)); i += 1
+            }
+          case DType.INT =>
+            val bb = java.nio.ByteBuffer.wrap(b).asIntBuffer()
+            var i = 0; while (i < n) { v.putInt(i, bb.get(i)); i += 1 }
+          case DType.LONG =>
+            val bb = java.nio.ByteBuffer.wrap(b).asLongBuffer()
+            var i = 0; while (i < n) { v.putLong(i, bb.get(i)); i += 1 }
+          case DType.FLOAT =>
+            val bb = java.nio.ByteBuffer.wrap(b).asFloatBuffer()
+            var i = 0; while (i < n) { v.putFloat(i, bb.get(i)); i += 1 }
+          case DType.DOUBLE =>
+            val bb = java.nio.ByteBuffer.wrap(b).asDoubleBuffer()
+            var i = 0; while (i < n) { v.putDouble(i, bb.get(i)); i += 1 }
+        }
+      }
+      v: org.apache.spark.sql.vectorized.ColumnVector
+    }
+    new ColumnarBatch(vectors, n)
+  }
+
+  override def next(): Boolean = {
+    if (batch != null) { batch.close(); batch = null }
+    if (slabs.hasNext) { batch = buildBatch(slabs.next()); true } else false
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = if (batch != null) { batch.close(); batch = null }
 }
 
 /** Executor-side reader for scan-manifest buckets: (linear, hash) rows. */

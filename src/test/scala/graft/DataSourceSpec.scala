@@ -135,6 +135,9 @@ class DataSourceSpec extends AnyFunSuite {
     // partitions bounded by ~4×parallelism buckets, NOT by chunk count
     assert(df.rdd.getNumPartitions <= 4 * spark.sparkContext.defaultParallelism + 1,
       s"got ${df.rdd.getNumPartitions} partitions")
+    // the scan feeds Spark columnar batches (ColumnarToRow in the plan)
+    assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      df.queryExecution.executedPlan.toString.take(500))
     val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 2200)
     assert(got(0L) == 0L && got(999L) == 999L)
