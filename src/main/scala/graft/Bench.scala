@@ -113,6 +113,12 @@ object ArrayBench {
       val df = reader.exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L)))
       df.write.format("noop").mode("overwrite").save()
     }
+    time("bench_dsv2_read_full") {
+      // same cells via the DSv2 range-partition + columnar path
+      spark.read.format("graft").option("root", root)
+        .option("dataset", "perf").option("variable", "foo").load()
+        .write.format("noop").mode("overwrite").save()
+    }
     time("bench_array_slice_driver") {
       reader.getSlice("foo", Slice(Seq(100L, 100L, 0L), Seq(130L, 130L, 30L)))
     }

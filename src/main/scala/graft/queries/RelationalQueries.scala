@@ -73,6 +73,45 @@ object RelationalQueries {
         .select("kind", "n").orderBy("kind")
     }),
 
+    // multi-level aggregation: ROLLUP over the nation hierarchy —
+    // grouping_id distinguishes subtotal levels (Expand operator; one
+    // shuffle, partial aggregation per grouping set)
+    "q_rel_rollup" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .filter(col("n_nationkey") < 10)
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"),
+          grouping_id(col("n_name"), col("o_orderpriority")).cast("int").as("lvl"))
+        .orderBy(col("lvl"), col("n_name").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // correlated scalar subquery: each customer's order count vs their
+    // nation's average (decorrelates to two aggregations + broadcast join)
+    "q_rel_corr_subquery" -> ((s, dir) => {
+      val s2 = s
+      s2.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("g_customer")
+      s2.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("g_orders")
+      s2.sql(
+        """SELECT c_custkey, n_orders FROM (
+          |  SELECT c.c_custkey,
+          |    (SELECT COUNT(*) FROM g_orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+          |    c.c_nationkey
+          |  FROM g_customer c) t
+          |WHERE n_orders > (
+          |  SELECT AVG(cnt) FROM (
+          |    SELECT COUNT(*) AS cnt, c2.c_nationkey AS nk
+          |    FROM g_customer c2 JOIN g_orders o2 ON o2.o_custkey = c2.c_custkey
+          |    GROUP BY c2.c_custkey, c2.c_nationkey) x
+          |  WHERE x.nk = t.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // distinct + set-style aggregation over a dimension hierarchy join
     "q_rel_region_sales" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
@@ -127,6 +166,29 @@ object RelationalQueries {
         | SELECT 'without_orders' AS kind, count(*) AS n FROM customer
         |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         |) t ORDER BY kind""".stripMargin,
+    "q_rel_rollup" ->
+      """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        | CAST(GROUPING(n_name) * 2 + GROUPING(o_orderpriority) AS INT) AS lvl
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_nationkey < 10
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY lvl, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_rel_corr_subquery" ->
+      """SELECT c_custkey, n_orders FROM (
+        |  SELECT c.c_custkey,
+        |    (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |    c.c_nationkey
+        |  FROM customer c) t
+        |WHERE n_orders > (
+        |  SELECT AVG(cnt) FROM (
+        |    SELECT COUNT(*) AS cnt, c2.c_nationkey AS nk
+        |    FROM customer c2 JOIN orders o2 ON o2.o_custkey = c2.c_custkey
+        |    GROUP BY c2.c_custkey, c2.c_nationkey) x
+        |  WHERE x.nk = t.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_rel_region_sales" ->
       """SELECT r_name,
         | COUNT(DISTINCT o_custkey) AS n_customers,
