@@ -280,6 +280,20 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       coordFilter: Column = lit(true)): DataFrame = {
     val committed = versions(name).map(_._2).filter(_ <= upTo)
     val admissible = committed ++ includeUncommitted.toSeq
+    resolvedOver(name, varName, admissible, coordFilter)
+  }
+
+  /** MVCC resolve restricted to committed versions in (fromExclusive,
+    * toInclusive] — the per-micro-batch delta of the streaming source:
+    * each changed coordinate with its hash as of `toInclusive`. */
+  private[spark] def resolvedIndexBetween(name: String, varName: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame =
+    resolvedOver(name, varName,
+      versions(name).map(_._2).filter(v => v > fromExclusive && v <= toInclusive),
+      lit(true))
+
+  private def resolvedOver(name: String, varName: String,
+      admissible: Seq[Long], coordFilter: Column): DataFrame =
     indexDF(name)
       .filter(col("var") === varName && col("version").isin(admissible: _*))
       .filter(coordFilter)
@@ -287,7 +301,6 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       .agg(
         max_by(col("hash"), struct(col("version"), col("seq"))).as("hash"),
         first(col("coord")).as("coord"))
-  }
 }
 
 object SparkStore {

@@ -83,10 +83,11 @@ private[source] class GraftTable(options: Map[String, String])
     s"graft:${options.getOrElse("dataset", "?")}/${options.getOrElse("variable", "?")}"
   override def schema(): StructType = resolved.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(resolved)
+    new GraftScanBuilder(resolved, o.asScala.toMap)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(!options.contains("version"),
       "graft write: the 'version' option is read-only time travel; " +
@@ -234,7 +235,8 @@ private[source] object GraftCellIngest {
   }
 }
 
-private[source] class GraftScanBuilder(r: Resolved)
+private[source] class GraftScanBuilder(r: Resolved,
+    scanOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private val dims = r.dims
@@ -280,7 +282,8 @@ private[source] class GraftScanBuilder(r: Resolved)
 
   override def build(): Scan = {
     val empty = (0 until dims.size).exists(i => hi(i) <= lo(i))
-    new GraftScan(r, Slice(lo.toVector, hi.toVector.map(math.max(_, 0L))), empty, required)
+    new GraftScan(r, Slice(lo.toVector, hi.toVector.map(math.max(_, 0L))), empty,
+      required, scanOptions)
   }
 }
 
@@ -302,10 +305,14 @@ private[source] final case class GraftRangePartition(
     manifestFiles: Array[String], chunkFiles: Array[String]) extends InputPartition
 
 private[source] class GraftScan(r: Resolved, request: Slice, empty: Boolean,
-    required: StructType) extends Scan with Batch {
+    required: StructType, scanOptions: Map[String, String] = Map.empty)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(r, request, empty, required, scanOptions)
   override def description(): String =
     s"GraftScan ${r.dataset}/${r.variable} request=$request"
 
@@ -583,6 +590,79 @@ private[source] class GraftColumnarReader(part: InputPartition,
   }
   override def get(): ColumnarBatch = batch
   override def close(): Unit = if (batch != null) { batch.close(); batch = null }
+}
+
+private[source] final case class GraftOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Streaming source: `spark.readStream.format("graft")` tails COMMITTED
+  * VERSIONS of a variable. Offsets are version ids; each micro-batch
+  * emits the cells of the chunks CHANGED in the new versions, resolved to
+  * their state as of the batch's end version (chunk-granular deltas:
+  * graft's read-modify-write ingest rewrites whole chunks, so a chunk is
+  * the natural change unit). Pushed-down dim filters narrow the tail to a
+  * window. `startingVersion` option: `earliest` (default — the first
+  * batch carries all existing data), `latest` (only versions committed
+  * after stream start), or a version id.
+  *
+  * The chunk grid is frozen across versions by design (dataset.clj:55-61),
+  * so a long-running tail stays consistent; an extent GROW requires a
+  * stream restart (the pinned metadata carries the extent).
+  *
+  * Pairs with `StreamingIngest.versionedSink` for the write side. */
+private[source] class GraftMicroBatchStream(r: Resolved, request: Slice,
+    empty: Boolean, required: StructType, options: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def latestVersion: Long =
+    r.store.versions(r.dataset).headOption.map(_._2).getOrElse(0L)
+
+  override def initialOffset(): Offset =
+    GraftOffset(options.get("startingversion").orElse(options.get("startingVersion")) match {
+      case Some("latest") => latestVersion
+      case Some("earliest") | None => 0L
+      case Some(v) => v.toLong
+    })
+  override def latestOffset(): Offset = GraftOffset(latestVersion)
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    if (empty || e <= s) return Array.empty
+    val grid = r.meta.chunkGridSlice(r.variable)
+    val envLo = (0 until request.rank)
+      .map(i => Math.floorDiv(request.start(i), grid.step(i)))
+    val envHi = (0 until request.rank)
+      .map(i => Math.floorDiv(request.stop(i) - 1, grid.step(i)))
+    // delta-bounded driver collect: only chunks touched in (s, e]
+    val changed = r.store.resolvedIndexBetween(r.dataset, r.variable, s, e)
+      .select("coord", "hash").collect()
+      .map(row => (row.getSeq[Long](0).toArray, row.getString(1)))
+      .filter { case (c, _) => // clip to the pushed-down window
+        c.indices.forall(i => c(i) >= envLo(i) && c(i) <= envHi(i))
+      }
+    if (changed.isEmpty) return Array.empty
+    val files = {
+      val dir = java.nio.file.Paths.get(r.store.chunksDir)
+      if (!java.nio.file.Files.exists(dir)) Array.empty[String]
+      else java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toArray
+    }
+    val perPartition = math.max(8, changed.length / math.max(1,
+      SparkSession.active.sparkContext.defaultParallelism))
+    changed.grouped(perPartition).map { group =>
+      GraftPointPartition(group.map(_._1), group.map(_._2), files): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(r.meta.toJson, r.variable, request, required.fieldNames)
 }
 
 /** Executor-side reader for scan-manifest buckets: (linear, hash) rows. */

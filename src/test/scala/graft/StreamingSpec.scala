@@ -41,6 +41,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally out.stop()
   }
 
+  test("graft streaming source tails committed versions (chunk-granular deltas)") {
+    import graft.core._
+    import graft.meta.{DatasetMeta, VariableDef}
+    val root = java.nio.file.Files.createTempDirectory("graft-tail").toString
+    val store = new SparkStore(spark, root)
+    store.create("tail")
+    val meta = DatasetMeta(
+      dimensions = Map("h" -> 10L), chunkDimensions = Map("h" -> 4L),
+      variables = Map("n" -> VariableDef("long", Vector("h"), -1.0)))
+    val w1 = store.addVersion("tail", meta)
+    w1.write("n", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(10L)), (1 to 10).map(_.toDouble))))
+    w1.finishVersion()
+    val q = spark.readStream.format("graft").option("root", root)
+      .option("dataset", "tail").option("variable", "n").load()
+      .writeStream.format("memory").queryName("tail_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // startingVersion=earliest (default): first batch = all existing cells
+      assert(spark.table("tail_out").count() == 10)
+      // a new version touching cells [2,4) rewrites chunk 0 → its 4 cells stream
+      val w2 = store.addVersion("tail", meta)
+      w2.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(2L), Seq(4L)), 99.0)))
+      w2.finishVersion()
+      q.processAllAvailable()
+      val rows = spark.table("tail_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == 14, s"10 initial + 4 delta cells, got ${rows.length}")
+      val delta = rows.drop(10).toMap
+      assert(delta == Map(0L -> 1L, 1L -> 2L, 2L -> 99L, 3L -> 99L),
+        s"delta must be chunk 0 resolved at v2: $delta")
+      // no new versions → no new rows
+      q.processAllAvailable()
+      assert(spark.table("tail_out").count() == 14)
+    } finally q.stop()
+  }
+
   test("each micro-batch commits a version; late data lands in a later version") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
