@@ -23,8 +23,13 @@ object Similarity {
 
   private def withNorm(emb: DataFrame): DataFrame = {
     val d = dot(emb) _
+    // persisted: every ANN variant references the normed table from several
+    // plan branches (queries, candidates, Lloyd assignments) — caching
+    // avoids re-scanning the embedding source per branch. The CacheManager
+    // dedups by canonicalized plan, so repeated calls share one entry.
     emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(d(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact top-k cosine neighbors for the `nQueries` lowest vec_ids.
