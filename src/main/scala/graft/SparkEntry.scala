@@ -24,8 +24,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ArrayQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
-  /** DuckDB-equivalent SQL per query; keys absent here (e.g. the
-    * approximate q_pipe_knn_lsh) get the driver's rows-only check. */
+  /** DuckDB-equivalent SQL per query — every query key has an oracle
+    * (including both approximate ANN variants, which are deterministic by
+    * construction and replicated exactly in SQL). */
   def oracleSql: Map[String, String] =
     ArrayQueries.oracleSql ++ RelationalQueries.oracleSql ++ PipelineQueries.oracleSql
 }
