@@ -129,6 +129,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors sharing a random-
+    * hyperplane LSH bucket whose exact cosine ≥ `minCos` become (a, b)
+    * dup candidates. Bucketing keeps the pairwise step per-bucket (never
+    * all-pairs — at 100 TB that's the difference between feasible and
+    * not); the same fixed hyperplanes are replicated in the DuckDB oracle
+    * so the result is hash-checked, honestly including LSH recall. */
+  def cosineNearDupPairs(emb: DataFrame, minCos: Double = 0.9,
+      nBits: Int = 8): DataFrame = {
+    val n = withNorm(emb)
+    val sig = n.withColumn("bucket", lshSignature(nBits))
+    val l = sig.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val r = sig.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot(emb)(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"))
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  /** The fixed-hyperplane `nBits`-bit signature column (shared by lshTopK
+    * and cosineNearDupPairs; replicated exactly in the DuckDB oracles). */
+  private def lshSignature(nBits: Int): Column = {
+    def plane(h: Int): Column =
+      transform(col("v"), (x, j) => x * (pmod(lit(h * 2654435761L) + j * lit(40503L), lit(1024L)).cast("double") / 512.0 - 1.0))
+    concat((0 until nBits).map(h =>
+      when(aggregate(plane(h), lit(0.0), (acc, x) => acc + x) >= 0, lit("1"))
+        .otherwise(lit("0"))): _*)
+  }
+
   /** Random-hyperplane LSH: `nBits`-bit signature from fixed pseudo-random
     * hyperplanes (deterministic, seeded by dimension index — no RNG at
     * runtime). Vectors sharing a signature land in one bucket; top-k then
@@ -137,12 +170,7 @@ object Similarity {
     * tuned by nBits. */
   def lshTopK(emb: DataFrame, k: Int, nQueries: Int, nBits: Int = 8): DataFrame = {
     val n = withNorm(emb)
-    // hyperplane h, component j = a fixed arithmetic hash mapped to (-1, 1)
-    def plane(h: Int): Column =
-      transform(col("v"), (x, j) => x * (pmod(lit(h * 2654435761L) + j * lit(40503L), lit(1024L)).cast("double") / 512.0 - 1.0))
-    val sigBits = (0 until nBits).map(h =>
-      when(aggregate(plane(h), lit(0.0), (acc, x) => acc + x) >= 0, lit("1")).otherwise(lit("0")))
-    val sig = n.withColumn("bucket", concat(sigBits: _*))
+    val sig = n.withColumn("bucket", lshSignature(nBits))
     val q = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val cand = sig.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))

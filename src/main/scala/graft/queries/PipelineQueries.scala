@@ -30,6 +30,9 @@ object PipelineQueries {
     // full DuckDB oracle gate
     "q_pipe_knn_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), k = 5, nQueries = 20)),
     "q_pipe_knn_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir), k = 5, nQueries = 20)),
+    // embedding-cosine near-dup: LSH-bucketed candidates, exact cosine cut
+    "q_pipe_dedup_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), minCos = 0.25)),
     "q_pipe_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langIdExpr(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
@@ -160,6 +163,24 @@ object PipelineQueries {
         | FROM q JOIN s c ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // embedding-cosine near-dup: identical bucket construction to knn_lsh,
+    // exact cosine ≥ 0.25 inside buckets
+    // (the synthetic embeddings are near-orthogonal; 0.25 is the near-dup tail)
+    "q_pipe_dedup_cosine" -> {
+      def planeW(h: Int): String =
+        s"list_transform(v, (x, i) -> CAST((${h * 2654435761L} + (i - 1) * 40503) % 1024 AS DOUBLE) / 512.0 - 1.0)"
+      val bits = (0 until 8).map(h =>
+        s"CASE WHEN list_dot_product(v, ${planeW(h)}) >= 0 THEN '1' ELSE '0' END")
+          .mkString("concat(", ",\n      ", ")")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |s AS (SELECT vec_id, v, nrm, $bits AS bucket FROM n)
+        |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        |FROM s l JOIN s r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |WHERE list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.25
+        |ORDER BY a, b""".stripMargin
     },
 
     // IVF: seeding = 16 lowest-id vectors; ONE Lloyd pass with the
