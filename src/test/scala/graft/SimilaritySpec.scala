@@ -16,7 +16,7 @@ class SimilaritySpec extends AnyFunSuite {
     val lsh = pairs(Similarity.lshTopK(emb, 5, 10))
     assert(exact.size == 50)
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
-    assert(ivfRecall >= 0.5, s"IVF recall too low at nProbe=4/16: $ivfRecall")
+    assert(ivfRecall >= 0.9, s"IVF recall too low at nProbe=4/16: $ivfRecall")
     // probing every list must recover the exact answer (IVF partitions the
     // corpus; the union of all lists is the corpus)
     val ivfAll = pairs(Similarity.ivfTopK(emb, 5, 10, nProbe = 16))
