@@ -79,6 +79,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source resumes from checkpoint: versions committed while " +
+      "the stream is down arrive as the next batch") {
+    import graft.core._
+    import graft.meta.{DatasetMeta, VariableDef}
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cdc-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val store = new SparkStore(spark, root)
+    store.create("cdc")
+    val meta = DatasetMeta(
+      dimensions = Map("h" -> 10L), chunkDimensions = Map("h" -> 4L),
+      variables = Map("n" -> VariableDef("long", Vector("h"), -1.0)))
+    val w1 = store.addVersion("cdc", meta)
+    w1.write("n", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(10L)), (1 to 10).map(_.toDouble))))
+    w1.finishVersion()
+    def start() = spark.readStream.format("graft").option("root", root)
+      .option("dataset", "cdc").option("variable", "n").load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 10)
+    // a version lands while the stream is DOWN
+    val w2 = store.addVersion("cdc", meta)
+    w2.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(8L), Seq(10L)), 55.0)))
+    w2.finishVersion()
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val rows = spark.read.parquet(out).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // delta = chunk 2 = [8,12) clipped to the extent → cells 8, 9
+    assert(rows.length == 12, s"10 + 2-cell tail chunk, got ${rows.length}")
+    val counts = rows.groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(counts((8L, 55L)) == 1 && counts((9L, 55L)) == 1)
+  }
+
   test("each micro-batch commits a version; late data lands in a later version") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
