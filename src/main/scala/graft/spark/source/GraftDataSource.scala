@@ -640,9 +640,23 @@ private[source] class GraftMicroBatchStream(r: Resolved, request: Slice,
       .map(i => Math.floorDiv(request.start(i), grid.step(i)))
     val envHi = (0 until request.rank)
       .map(i => Math.floorDiv(request.stop(i) - 1, grid.step(i)))
-    // delta-bounded driver collect: only chunks touched in (s, e]
-    val changed = r.store.resolvedIndexBetween(r.dataset, r.variable, s, e)
-      .select("coord", "hash").collect()
+    // delta-bounded driver collect: only chunks touched in (s, e]. The
+    // limit guards the one unbounded case — startingVersion=earliest on a
+    // huge variable turns the FIRST batch into a full scan; that backfill
+    // belongs on the batch DSv2 path (manifest-planned, O(buckets)
+    // driver), with the stream started from `latest`.
+    val cap = GraftMicroBatchStream.MaxChunksPerBatch
+    val collected = r.store.resolvedIndexBetween(r.dataset, r.variable, s, e)
+      .select("coord", "hash").limit(cap + 1).collect()
+    // the cap check runs BEFORE the window clip: limit() truncates
+    // arbitrarily, so an over-cap result may have silently dropped
+    // in-window chunks — fail instead of under-delivering
+    if (collected.length > cap)
+      throw new IllegalStateException(
+        s"streaming batch ($s, $e] covers more than $cap chunks — backfill " +
+          "with a batch spark.read.format(\"graft\") (scan-manifest planned) " +
+          "and start the stream with startingVersion=latest")
+    val changed = collected
       .map(row => (row.getSeq[Long](0).toArray, row.getString(1)))
       .filter { case (c, _) => // clip to the pushed-down window
         c.indices.forall(i => c(i) >= envLo(i) && c(i) <= envHi(i))
@@ -663,6 +677,13 @@ private[source] class GraftMicroBatchStream(r: Resolved, request: Slice,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(r.meta.toJson, r.variable, request, required.fieldNames)
+}
+
+private[source] object GraftMicroBatchStream {
+  /** Per-micro-batch chunk budget: bounds the driver-side delta collect
+    * (a normal version's delta is orders of magnitude below this; only a
+    * full-history backfill can exceed it — see planInputPartitions). */
+  val MaxChunksPerBatch: Int = 1 << 20
 }
 
 /** Executor-side reader for scan-manifest buckets: (linear, hash) rows. */
