@@ -58,4 +58,16 @@ object Multimodal {
   def sampleFrames(meta: Dataset[MediaMeta], stride: Long): DataFrame =
     meta.toDF()
       .select(col("doc_id"), explode(sequence(lit(0L), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Aspect-fit resize plan to a `box`×`box` target: output dimensions per
+    * media row, integer-exact (`div`, never float scale factors — the same
+    * arithmetic is replicated in the DuckDB oracle). A real pipeline hands
+    * these to the decoder's scaler; the plan itself is pure codegen
+    * columns. */
+  def resizePlan(meta: Dataset[MediaMeta], box: Long = 224L): DataFrame =
+    meta.toDF()
+      .withColumn("out_w", expr(s"(width * ${box}L) div greatest(greatest(width, height), 1L)"))
+      .withColumn("out_h", expr(s"(height * ${box}L) div greatest(greatest(width, height), 1L)"))
+      // every stride-3 sampled frame count, without materializing the frames
+      .withColumn("n_sampled", expr("(n_frames + 2L) div 3L"))
 }

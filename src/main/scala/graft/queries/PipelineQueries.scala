@@ -48,7 +48,7 @@ object PipelineQueries {
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
     "q_pipe_multimodal" -> ((s, dir) =>
-      Multimodal.extractMeta(docs(s, dir)).toDF().orderBy("doc_id")),
+      Multimodal.resizePlan(Multimodal.extractMeta(docs(s, dir))).orderBy("doc_id")),
     // gap-based sessionization (batch twin of the flatMapGroupsWithState op)
     "q_pipe_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -294,10 +294,15 @@ object PipelineQueries {
         |ORDER BY user_id, session_no""".stripMargin,
 
     "q_pipe_multimodal" ->
-      """SELECT doc_id,
+      """WITH m AS (SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         | CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
         | CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents)
+        |SELECT doc_id, n_bytes, width, height, n_frames,
+        | (width * 224) // greatest(greatest(width, height), 1) AS out_w,
+        | (height * 224) // greatest(greatest(width, height), 1) AS out_h,
+        | (n_frames + 2) // 3 AS n_sampled
+        |FROM m ORDER BY doc_id""".stripMargin)
 }
