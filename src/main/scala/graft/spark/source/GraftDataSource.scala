@@ -304,15 +304,47 @@ private[source] final case class GraftRangePartition(
     lo: Array[Long], counts: Array[Long], // chunk-grid window (per-axis)
     manifestFiles: Array[String], chunkFiles: Array[String]) extends InputPartition
 
-private[source] class GraftScan(r: Resolved, request: Slice, empty: Boolean,
+private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     required: StructType, scanOptions: Map[String, String] = Map.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // runtime filters (e.g. dynamic pruning from a dim-table join) narrow
+  // the request further AFTER planning starts — soundly, to the envelope
+  // of the filter values (a superset of the matching cells; the residual
+  // row-level filter still applies above the scan)
+  @volatile private var request: Slice = request0
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    r.dims.map(d => org.apache.spark.sql.connector.expressions.Expressions.column(d)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val lo = request.start.toArray
+    val hi = request.stop.toArray
+    filters.foreach {
+      case In(attr, values) if r.dims.contains(attr) && values.nonEmpty =>
+        val i = r.dims.indexOf(attr)
+        val vs = values.collect { case n: Number => n.longValue }
+        if (vs.nonEmpty) {
+          lo(i) = math.max(lo(i), vs.min)
+          hi(i) = math.min(hi(i), vs.max + 1)
+        }
+      case EqualTo(attr, v: Number) if r.dims.contains(attr) =>
+        val i = r.dims.indexOf(attr)
+        lo(i) = math.max(lo(i), v.longValue)
+        hi(i) = math.min(hi(i), v.longValue + 1)
+      case _ => // unsupported runtime filter shapes are ignored (sound)
+    }
+    request = Slice(lo.toVector, hi.toVector.map(math.max(_, 0L)))
+  }
+
+  private def isEmpty: Boolean =
+    empty || (0 until request.rank).exists(i => request.stop(i) <= request.start(i))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(r, request, empty, required, scanOptions)
+    new GraftMicroBatchStream(r, request0, empty, required, scanOptions)
   override def description(): String =
     s"GraftScan ${r.dataset}/${r.variable} request=$request"
 
@@ -328,7 +360,7 @@ private[source] class GraftScan(r: Resolved, request: Slice, empty: Boolean,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (empty || request.volume == 0) return Array.empty
+    if (isEmpty) return Array.empty
     val g = grid
     val lo = (0 until request.rank)
       .map(i => Math.floorDiv(request.start(i), g.step(i))).toArray
