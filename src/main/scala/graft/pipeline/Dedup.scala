@@ -201,10 +201,11 @@ object Dedup {
   def successorJaccard(docs: DataFrame, lang: String): DataFrame = {
     val sel = docs.filter(col("lang") === lang).select("doc_id")
     val pairs = successorPairs(sel)
-    // deliberately NOT persisted: caching the full (doc, word) set costs
-    // more than letting each branch recompute with its own pruning
-    // (measured 4.3 s cached vs 2.1 s recomputed at sf0.1)
-    val words = wordSets(docs)
+    // word sets restricted to the language under comparison — pairs are
+    // language-local, so the result is identical and the tokenize +
+    // distinct shuffle shrinks to the subset. Deliberately NOT persisted:
+    // caching the full set measured 2× slower than per-branch recompute.
+    val words = wordSets(docs.filter(col("lang") === lang))
     val wa = words.select(col("doc_id").as("a"), col("word"))
     val wb = words.select(col("doc_id").as("b"), col("word"))
     val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("sz"))
