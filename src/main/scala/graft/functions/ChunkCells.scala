@@ -44,22 +44,31 @@ case class DecodeChunkCells(bytes: Expression, volume: Expression,
 
   override def dataType: DataType = ArrayType(dt.sparkType, containsNull = false)
 
-  /** Runtime kernel, also called from generated code. */
+  /** Runtime kernel, also called from generated code. A decoded buffer
+    * whose length disagrees with the expected chunk volume fails loudly
+    * (a silent prefix-read would mislabel cells). Fill uses the same
+    * bit-pattern test as Slab.empty so −0.0 and NaN fills round-trip. */
   def decode(framed: Array[Byte], vol: Long): ArrayData = {
     val n = vol.toInt
     val raw = if (framed == null) null else FilterChain.decode(framed)
+    if (raw != null && raw.length != n * dt.size)
+      throw new IllegalStateException(
+        s"chunk blob decodes to ${raw.length} bytes but the chunk grid " +
+          s"expects $n × ${dt.size} — corrupt blob or metadata mismatch")
     val bb = if (raw == null) null else java.nio.ByteBuffer.wrap(raw) // big-endian
+    val needsFill =
+      fill != 0.0 || java.lang.Double.doubleToRawLongBits(fill) != 0L
     dt match {
       case DType.BYTE =>
         val out = if (raw != null) raw else {
           val a = new Array[Byte](n)
-          if (fill != 0.0) java.util.Arrays.fill(a, fill.toByte); a
+          if (needsFill) java.util.Arrays.fill(a, fill.toByte); a
         }
         UnsafeArrayData.fromPrimitiveArray(out)
       case DType.SHORT =>
         val out = new Array[Short](n)
         if (bb != null) bb.asShortBuffer().get(out)
-        else if (fill != 0.0) java.util.Arrays.fill(out, fill.toShort)
+        else if (needsFill) java.util.Arrays.fill(out, fill.toShort)
         UnsafeArrayData.fromPrimitiveArray(out)
       case DType.CHAR => // exposed as UTF-16 code unit (IntegerType)
         val out = new Array[Int](n)
@@ -67,27 +76,27 @@ case class DecodeChunkCells(bytes: Expression, volume: Expression,
           val sb = bb.asShortBuffer()
           var i = 0
           while (i < n) { out(i) = sb.get(i) & 0xffff; i += 1 }
-        } else if (fill != 0.0) java.util.Arrays.fill(out, fill.toChar.toInt)
+        } else if (needsFill) java.util.Arrays.fill(out, fill.toChar.toInt)
         UnsafeArrayData.fromPrimitiveArray(out)
       case DType.INT =>
         val out = new Array[Int](n)
         if (bb != null) bb.asIntBuffer().get(out)
-        else if (fill != 0.0) java.util.Arrays.fill(out, fill.toInt)
+        else if (needsFill) java.util.Arrays.fill(out, fill.toInt)
         UnsafeArrayData.fromPrimitiveArray(out)
       case DType.LONG =>
         val out = new Array[Long](n)
         if (bb != null) bb.asLongBuffer().get(out)
-        else if (fill != 0.0) java.util.Arrays.fill(out, fill.toLong)
+        else if (needsFill) java.util.Arrays.fill(out, fill.toLong)
         UnsafeArrayData.fromPrimitiveArray(out)
       case DType.FLOAT =>
         val out = new Array[Float](n)
         if (bb != null) bb.asFloatBuffer().get(out)
-        else if (fill != 0.0 || fill.isNaN) java.util.Arrays.fill(out, fill.toFloat)
+        else if (needsFill) java.util.Arrays.fill(out, fill.toFloat)
         UnsafeArrayData.fromPrimitiveArray(out)
       case DType.DOUBLE =>
         val out = new Array[Double](n)
         if (bb != null) bb.asDoubleBuffer().get(out)
-        else if (fill != 0.0 || fill.isNaN) java.util.Arrays.fill(out, fill)
+        else if (needsFill) java.util.Arrays.fill(out, fill)
         UnsafeArrayData.fromPrimitiveArray(out)
     }
   }

@@ -23,13 +23,14 @@ object Similarity {
 
   private def withNorm(emb: DataFrame): DataFrame = {
     val d = dot(emb) _
-    // persisted: every ANN variant references the normed table from several
-    // plan branches (queries, candidates, Lloyd assignments) — caching
-    // avoids re-scanning the embedding source per branch. The CacheManager
-    // dedups by canonicalized plan, so repeated calls share one entry.
+    // deliberately NOT persisted: the normed table is referenced from
+    // several plan branches, but an internal persist has no unpersist
+    // handle and accumulates one cache entry per distinct source for the
+    // session's lifetime (and measured no win at bench scale). Callers
+    // who reuse one embedding table across many ANN queries should cache
+    // it themselves.
     emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", sqrt(d(col("v"), col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact top-k cosine neighbors for the `nQueries` lowest vec_ids.

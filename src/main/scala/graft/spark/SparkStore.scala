@@ -176,19 +176,14 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
   /** Fresh scan-manifest directory for a DSv2 large-scan planning job —
     * under the store root so executors share it. Best-effort cleanup at
-    * JVM exit; vacuum() also sweeps manifests older than its grace
-    * window (a manifest only lives for one query). */
+    * JVM exit (one shared hook, not one thread per scan); vacuum() also
+    * sweeps manifests older than max(grace, ManifestSweepMinAge) — the
+    * floor protects manifests of still-running long scans. */
   private[graft] def newScanManifestDir(): String = {
     val dir = rootPath.resolve(".scan_manifest")
       .resolve(java.util.UUID.randomUUID().toString)
     Files.createDirectories(dir.getParent)
-    val hook = new Thread(() =>
-      if (Files.exists(dir))
-        scala.util.Using.resource(Files.walk(dir)) {
-          _.iterator().asScala.toSeq.reverse.foreach(p =>
-            try Files.delete(p) catch { case _: java.io.IOException => })
-        })
-    Runtime.getRuntime.addShutdownHook(hook)
+    SparkStore.registerManifestForCleanup(dir)
     dir.toString
   }
 
@@ -217,19 +212,26 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * Safe under concurrent ingest via `graceMs`: writeRows appends blobs
     * BEFORE their index rows, so a vacuum in that window would see the new
     * blobs as unreferenced and drop live data. Chunk parquet files younger
-    * than the grace window are therefore carried over verbatim (their
-    * index rows, if any, may still be in flight); only older files are
-    * compacted against the reference set. Pass graceMs = 0 only when no
-    * ingest can be running. */
+    * than the grace window are never touched; files appended WHILE vacuum
+    * runs are also never touched — compaction adds new part files and then
+    * deletes exactly the old files it read (no directory swap), so a crash
+    * or race at any point leaves at worst duplicate blob rows, which
+    * readers tolerate and the next vacuum compacts. Pass graceMs = 0 only
+    * when no ingest can be running. Concurrent READERS of the specific
+    * old files being deleted can still fail mid-query — schedule vacuum
+    * off-peak. */
   def vacuum(graceMs: Long = SparkStore.VacuumGraceMs): Long = {
     healChunksDir()
-    sweepScanManifests(System.currentTimeMillis() - graceMs)
+    sweepScanManifests(System.currentTimeMillis() -
+      math.max(graceMs, SparkStore.ManifestSweepMinAgeMs))
     if (!Files.exists(Paths.get(chunksDir))) return 0L
     val cutoff = System.currentTimeMillis() - graceMs
-    val allFiles = scala.util.Using.resource(Files.list(Paths.get(chunksDir))) {
-      _.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+    val live = Paths.get(chunksDir)
+    val old = scala.util.Using.resource(Files.list(live)) {
+      _.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
     }
-    val (recent, old) = allFiles.partition(p => Files.getLastModifiedTime(p).toMillis > cutoff)
     if (old.isEmpty) return 0L
     val referenced = listDatasets.map(ds => indexDF(ds).select("hash"))
       .reduceOption(_ union _)
@@ -239,22 +241,25 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       .parquet(old.map(_.toString): _*)
     val before = oldDF.count()
     val keptDir = rootPath.resolve(".chunks_compact")
+    if (Files.exists(keptDir)) // leftover from a crashed vacuum
+      scala.util.Using.resource(Files.walk(keptDir)) {
+        _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
     oldDF.join(referenced, Seq("hash"), "left_semi")
       .dropDuplicates("hash") // compact duplicate rows from racy appends
       .sortWithinPartitions("hash")
       .write.option("compression", "uncompressed").mode("overwrite").parquet(keptDir.toString)
     val after = spark.read.parquet(keptDir.toString).count()
-    // in-grace files ride along untouched (preserve mtime so a later
-    // vacuum sees their true age)
-    recent.foreach(p => Files.copy(p, keptDir.resolve(p.getFileName.toString),
-      java.nio.file.StandardCopyOption.COPY_ATTRIBUTES))
-    // two-rename swap; a crash between the moves is healed on next open
-    // (healChunksDir restores .chunks_old)
-    val live = Paths.get(chunksDir)
-    val oldDir = rootPath.resolve(".chunks_old")
-    Files.move(live, oldDir)
-    Files.move(keptDir, live)
-    scala.util.Using.resource(Files.walk(oldDir)) {
+    // adopt the compacted part files into the live dir (part-file names
+    // carry fresh UUIDs — no collision), then delete exactly the files we
+    // compacted; concurrent appends are untouched throughout
+    scala.util.Using.resource(Files.list(keptDir)) {
+      _.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.move(p, live.resolve(p.getFileName.toString)))
+    }
+    old.foreach(Files.delete)
+    scala.util.Using.resource(Files.walk(keptDir)) {
       _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
     before - after
@@ -307,6 +312,30 @@ object SparkStore {
   /** Default vacuum grace window: chunk files younger than this are never
     * collected (their index rows may still be in flight — see vacuum). */
   val VacuumGraceMs: Long = 15L * 60 * 1000
+
+  /** Scan manifests younger than this survive vacuum regardless of the
+    * grace argument — a manifest is live for its whole query, which can
+    * far outlast an ingest-safety grace window. */
+  val ManifestSweepMinAgeMs: Long = 6L * 60 * 60 * 1000
+
+  // one shared JVM shutdown hook for all scan-manifest dirs (a hook
+  // thread per scan would accumulate in long-lived drivers)
+  private val manifestDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val manifestHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => manifestDirs.forEach { dir =>
+      if (java.nio.file.Files.exists(dir))
+        scala.util.Using.resource(java.nio.file.Files.walk(dir)) {
+          _.iterator().asScala.toSeq.reverse.foreach(p =>
+            try java.nio.file.Files.delete(p)
+            catch { case _: java.io.IOException => })
+        }
+    }))
+  private[spark] def registerManifestForCleanup(dir: java.nio.file.Path): Unit = {
+    manifestHook
+    manifestDirs.add(dir)
+    ()
+  }
 
   private[spark] val indexSchema = StructType(Seq(
     StructField("var", StringType, nullable = false),
@@ -535,30 +564,26 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
             " — refusing to read fill"))).cast("binary"))
         .otherwise(col("bytes")))
 
-    // per-chunk base/shape/stride computed ONCE PER CHUNK as columns (chunk
-    // overhang at the variable edge clipped by least()); the per-cell loop
-    // then only does rank × (div, mod, add) on plain column references —
-    // keeping the generated Generate loop small enough to JIT (a repeated
-    // inline shape expression blew past the 8KB HugeMethodLimit and ran
-    // the whole cell loop in the bytecode interpreter, ~100× slower)
-    val perChunk = (0 until rank).flatMap { i =>
-      val shape = least(lit(varSlice.stop(i)), (col("coord")(i) + 1) * lit(grid.step(i))) -
-        col("coord")(i) * lit(grid.step(i))
-      Seq(shape.as(s"__shape$i"), (col("coord")(i) * lit(grid.step(i))).as(s"__base$i"))
-    }
-    val withShape = guarded.select(col("bytes") +: perChunk: _*)
-    val withStride = (0 until rank).foldLeft(withShape) { (df, i) =>
-      val stride = (i + 1 until rank).map(j => col(s"__shape$j")).foldLeft(lit(1L))(_ * _)
-      df.withColumn(s"__stride$i", stride)
-    }
-    val volume = (0 until rank).map(i => col(s"__shape$i")).foldLeft(lit(1L))(_ * _)
-    val carried = (0 until rank).flatMap(i =>
-      Seq(col(s"__base$i"), col(s"__stride$i"), col(s"__shape$i")))
-    val cells = withStride.select(carried :+
-      posexplode(graft.functions.ChunkFunctions.chunkCells(spark,
-        col("bytes"), volume.cast("long"), lit(dtype.name), lit(fill))): _*)
+    // Blobs ALWAYS hold the full chunk volume — edge chunks include the
+    // overhang, filled (write path: chunkSlice = fromChunkCoordinate,
+    // unclipped). So per-chunk shape/stride/volume are CONSTANTS (the
+    // chunk grid), the per-cell loop is rank × (div, mod, add) on plain
+    // columns (small enough to JIT — a repeated inline shape expression
+    // once blew past the 8KB HugeMethodLimit and ran the Generate loop
+    // interpreted, ~100× slower), and overhang cells fall to the request
+    // filter below (request ⊆ variable extent).
+    val chunkShape = (0 until rank).map(i => grid.step(i))
+    val strides = (0 until rank).map(i => (i + 1 until rank).map(chunkShape).product)
+    val volume = chunkShape.product
+    val perChunk = (0 until rank).map(i =>
+      (col("coord")(i) * lit(grid.step(i))).as(s"__base$i"))
+    val cells = guarded.select(col("bytes") +: perChunk: _*)
+      .select((0 until rank).map(i => col(s"__base$i")) :+
+        posexplode(graft.functions.ChunkFunctions.chunkCells(spark,
+          col("bytes"), lit(volume), lit(dtype.name), lit(fill))): _*)
     val cellCols = (0 until rank).map { i =>
-      s"(__base$i + (CAST(pos AS BIGINT) div __stride$i) % __shape$i) AS `${dims(i)}`"
+      s"(__base$i + (CAST(pos AS BIGINT) div ${strides(i)}L) % ${chunkShape(i)}L)" +
+        s" AS `${dims(i)}`"
     }
     val out = cells.selectExpr((cellCols :+ "col AS value"): _*)
     // clip boundary chunks to the request (interior cells pass trivially)
@@ -703,10 +728,24 @@ final class SparkVersionWriter(store: SparkStore, name: String,
               Slab(dt, chunkSlice, FilterChain.decode(bb))
             case None => Slab.empty(dt, chunkSlice, m.fill(varN))
           }
-          // total order: seq, then fragment origin (seq ties would otherwise
-          // merge in nondeterministic shuffle-fetch order, and a persisted-
-          // partition recompute could hash differently than the stored blob)
-          fs.sortBy(f => (f._3, f._4.mkString(","))).foreach {
+          // total order: seq, then fragment origin, then payload bytes (a
+          // caller CAN ship duplicate coordinates with equal seq — e.g.
+          // the cell-ingest path — and without a full tie-break the merge
+          // would follow nondeterministic shuffle-fetch order, so a
+          // persisted-partition recompute could hash differently than the
+          // stored blob)
+          fs.sortWith { (a, b) =>
+            if (a._3 != b._3) a._3 < b._3
+            else {
+              val so = java.util.Arrays.compare(a._4, b._4)
+              if (so != 0) so < 0
+              else {
+                val eo = java.util.Arrays.compare(a._5, b._5)
+                if (eo != 0) eo < 0
+                else java.util.Arrays.compareUnsigned(a._6, b._6) < 0
+              }
+            }
+          }.foreach {
             case (_, _, _, fStart, fStop, fBytes) =>
               base.mergeFrom(Slab(dt, Slice(fStart.toVector, fStop.toVector), fBytes))
           }

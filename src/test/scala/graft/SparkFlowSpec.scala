@@ -226,6 +226,33 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.valueAt(Seq(0L, 0L)) == 1.0 && got.valueAt(Seq(8L, 9L)) == 2.0)
   }
 
+  test("edge chunks clipped on the TRAILING axis decode correctly (blobs hold " +
+      "the full overhanging chunk; cell arithmetic must use chunk-grid shapes)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    val store = new SparkStore(spark, root)
+    store.create("ds")
+    // dims (4,5) with chunks (4,4): chunk (0,1) spans y∈[4,8) but the
+    // extent stops at 5 — a clipped-shape decode would mislabel its cells
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 4L, "y" -> 5L),
+      chunkDimensions = Map("x" -> 4L, "y" -> 4L),
+      variables = Map("v" -> VariableDef("long", Vector("x", "y"), -1.0)))
+    val w = store.addVersion("ds", meta)
+    w.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(4L, 5L)),
+      (for (x <- 0 until 4; y <- 0 until 5) yield (x * 10 + y).toDouble))))
+    val v1 = w.finishVersion()
+    val got = store.reader("ds").onVersion(v1)
+      .exploded("v", Slice(Seq(0L, 0L), Seq(4L, 5L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == 20)
+    for (x <- 0L until 4L; y <- 0L until 5L)
+      assert(got((x, y)) == x * 10 + y, s"cell ($x,$y)")
+    // the boundary column y=4 is the tell: a prefix-read decode returns
+    // row-0 values here
+    assert(got((3L, 4L)) == 34L)
+  }
+
   test("multi-process token ingest: independent store instances write disjoint " +
       "coords, master commits, union reads back (concurrency.clj:162-243)") {
     // separate SparkStore instances over one root = separate drivers: all
