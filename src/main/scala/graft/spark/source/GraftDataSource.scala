@@ -299,10 +299,33 @@ private[source] final case class GraftPointPartition(
     coords: Array[Array[Long]], hashes: Array[String], // hashes(i) == null → fill chunk
     files: Array[String]) extends InputPartition
 
-private[source] final case class GraftRangePartition(
-    linearFrom: Long, linearTo: Long, // [from, to)
+/** Data chunks of one HASH-RANGE bucket: the wanted blob hashes are
+  * contiguous, so the executor-side fetch is a single tight min/max
+  * row-group range over the hash-sorted chunk files (a linear-coordinate
+  * bucket's hashes would be uniform across the whole SHA space — its
+  * range predicate would prune nothing). Coords derive from the manifest's
+  * linear ids. */
+private[source] final case class GraftDataHashPartition(
     lo: Array[Long], counts: Array[Long], // chunk-grid window (per-axis)
     manifestFiles: Array[String], chunkFiles: Array[String]) extends InputPartition
+
+/** Fill chunks of one linear coordinate range: enumerate [from, to),
+  * skip the linears the manifest lists as having data, emit fill cells. */
+private[source] final case class GraftFillRangePartition(
+    linearFrom: Long, linearTo: Long, // [from, to)
+    lo: Array[Long], counts: Array[Long],
+    manifestFiles: Array[String]) extends InputPartition
+
+private[source] object ScanMath {
+  /** Inverse of the linear chunk id: per-axis chunk coordinate. */
+  def coordOf(linear: Long, lo: Array[Long], counts: Array[Long]): Array[Long] = {
+    val rank = lo.length
+    val c = new Array[Long](rank)
+    var rem = linear; var i = rank - 1
+    while (i >= 0) { c(i) = lo(i) + rem % counts(i); rem /= counts(i); i -= 1 }
+    c
+  }
+}
 
 private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     required: StructType, scanOptions: Map[String, String] = Map.empty)
@@ -392,10 +415,14 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   }
 
   /** Large scans: ONE distributed job resolves the MVCC index and writes a
-    * (linear, hash) scan manifest bucketed by linear chunk range under the
-    * store root (shared storage, so executors can read it); each input
-    * partition owns one bucket. Fill chunks have no manifest row — readers
-    * detect them by absence. */
+    * (linear, hash) scan manifest under the store root (shared storage, so
+    * executors can read it), bucketed TWO ways:
+    *  - data rows by HASH RANGE (first 8 hex chars) — each data partition's
+    *    wanted blobs are hash-contiguous, so its fetch prunes row groups
+    *    with one tight min/max range over the hash-sorted chunk files;
+    *  - data linears by coordinate range — each fill partition enumerates
+    *    its range and emits fill for linears the manifest does NOT list.
+    * Nothing per-chunk materializes on the driver. */
   private def planRange(n: Long, lo: Array[Long],
       counts: Array[Long]): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -406,32 +433,47 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     val loB = lo; val cB = counts
     val coordsDF = spark.range(n).map { linear =>
       val l = linear.toLong
-      val rank = loB.length
-      val c = new Array[Long](rank)
-      var rem = l; var i = rank - 1
-      while (i >= 0) { c(i) = loB(i) + rem % cB(i); rem /= cB(i); i -= 1 }
-      (l, SparkStore.coordKey(c.toIndexedSeq))
+      (l, SparkStore.coordKey(ScanMath.coordOf(l, loB, cB).toIndexedSeq))
     }.toDF("linear", "coordKey")
     val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
       r.meta.versionId.get, envelope).select("coordKey", "hash")
     val dir = r.store.newScanManifestDir()
-    coordsDF.join(resolved, Seq("coordKey")) // inner: data chunks only
-      .select(col("linear"), col("hash"),
-        expr(s"linear div ${chunksPer}L").as("bucket"))
-      .write.partitionBy("bucket").parquet(dir)
-    // one listing, grouped by bucket — O(#files) driver work
-    val bucketFiles: Map[Long, Array[String]] =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+    val joined = coordsDF.join(resolved, Seq("coordKey")) // inner: data chunks only
+      .select("linear", "hash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // repartition ON the bucket column before partitionBy: otherwise every
+      // task opens a parquet writer per dynamic partition it touches
+      // (tasks × buckets writer inits — measured 17 s for an 8400-row
+      // manifest vs ~1 s repartitioned)
+      joined
+        .withColumn("hb", expr(
+          s"(cast(conv(substring(hash, 1, 8), 16, 10) as bigint) * ${nBuckets}L) div 4294967296L"))
+        .repartition(nBuckets, col("hb"))
+        .write.partitionBy("hb").parquet(s"$dir/data")
+      joined
+        .select(col("linear"), expr(s"linear div ${chunksPer}L").as("bucket"))
+        .repartition(nBuckets, col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$dir/fill")
+    } finally joined.unpersist()
+    // one listing per family, grouped by bucket — O(#files) driver work
+    def bucketFiles(sub: String, prefix: String): Map[Long, Array[String]] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, sub)).iterator().asScala
         .filter(_.toString.endsWith(".parquet"))
         .toArray
-        .groupBy(p => p.getParent.getFileName.toString.stripPrefix("bucket=").toLong)
+        .groupBy(p => p.getParent.getFileName.toString.stripPrefix(prefix).toLong)
         .map { case (b, ps) => b -> ps.map(_.toString) }
+    val dataFiles = bucketFiles("data", "hb=")
+    val fillFiles = bucketFiles("fill", "bucket=")
     val files = chunkFiles
-    (0 until nBuckets).map { b =>
-      GraftRangePartition(b * chunksPer, math.min((b + 1) * chunksPer, n),
-        lo, counts, bucketFiles.getOrElse(b.toLong, Array.empty), files)
-        : InputPartition
-    }.toArray
+    val dataParts = dataFiles.toSeq.sortBy(_._1).map { case (_, fs) =>
+      GraftDataHashPartition(lo, counts, fs, files): InputPartition
+    }
+    val fillParts = (0 until nBuckets).map { b =>
+      GraftFillRangePartition(b * chunksPer, math.min((b + 1) * chunksPer, n),
+        lo, counts, fillFiles.getOrElse(b.toLong, Array.empty)): InputPartition
+    }
+    (dataParts ++ fillParts).toArray
   }
 
   private def chunkFiles: Array[String] = {
@@ -469,9 +511,9 @@ private[source] final class ChunkSlabCursor(part: InputPartition,
   val dims: Vector[String] = meta.variables(variable).shape
   private val fill = meta.fill(variable)
 
-  // manifest bucket read ONCE per range partition (null for point partitions)
+  // manifest bucket read ONCE per data partition (null otherwise)
   private val manifest: java.util.HashMap[java.lang.Long, String] = part match {
-    case p: GraftRangePartition => ScanManifestReader.read(p.manifestFiles)
+    case p: GraftDataHashPartition => ScanManifestReader.read(p.manifestFiles)
     case _ => null
   }
 
@@ -479,24 +521,27 @@ private[source] final class ChunkSlabCursor(part: InputPartition,
     part match {
       case p: GraftPointPartition =>
         (p.coords.iterator.zip(p.hashes.iterator), p.files)
-      case p: GraftRangePartition =>
-        val it = Iterator.range(p.linearFrom, p.linearTo).map { linear =>
-          val rank = p.lo.length
-          val c = new Array[Long](rank)
-          var rem = linear; var i = rank - 1
-          while (i >= 0) { c(i) = p.lo(i) + rem % p.counts(i); rem /= p.counts(i); i -= 1 }
-          (c, manifest.get(linear))
+      case p: GraftDataHashPartition =>
+        val it = manifest.entrySet().iterator().asScala.map { e =>
+          (ScanMath.coordOf(e.getKey, p.lo, p.counts), e.getValue)
         }
         (it, p.chunkFiles)
+      case p: GraftFillRangePartition =>
+        val dataLinears = ScanManifestReader.readLinears(p.manifestFiles)
+        val it = Iterator.range(p.linearFrom, p.linearTo)
+          .filterNot(dataLinears.contains)
+          .map(l => (ScanMath.coordOf(l, p.lo, p.counts), null: String))
+        (it, Array.empty[String])
     }
 
   private lazy val bytesByHash: Map[String, Array[Byte]] = part match {
     case p: GraftPointPartition =>
       val wanted = p.hashes.filter(_ != null).toSet
       if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
-    case _: GraftRangePartition =>
+    case _: GraftDataHashPartition =>
       val wanted = manifest.values().asScala.toSet
       if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
+    case _: GraftFillRangePartition => Map.empty
   }
 
   /** Each covering chunk as a slab clipped to the request. */
@@ -734,6 +779,25 @@ private[source] object ScanManifestReader {
         var g = reader.read()
         while (g != null) {
           out.put(g.getLong("linear", 0), g.getString("hash", 0))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out
+  }
+
+  /** Fill-manifest variant: linear ids only. */
+  def readLinears(files: Array[String]): java.util.HashSet[Long] = {
+    val out = new java.util.HashSet[Long]()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.foreach { f =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out.add(g.getLong("linear", 0))
           g = reader.read()
         }
       } finally reader.close()

@@ -132,8 +132,9 @@ class DataSourceSpec extends AnyFunSuite {
     val v1 = w.finishVersion()
     val df = spark.read.format("graft").option("root", store.root)
       .option("dataset", "big").option("variable", "v").load()
-    // partitions bounded by ~4×parallelism buckets, NOT by chunk count
-    assert(df.rdd.getNumPartitions <= 4 * spark.sparkContext.defaultParallelism + 1,
+    // partitions bounded by ~4×parallelism buckets per family (hash-range
+    // data buckets + linear fill buckets), NOT by chunk count
+    assert(df.rdd.getNumPartitions <= 8 * spark.sparkContext.defaultParallelism + 2,
       s"got ${df.rdd.getNumPartitions} partitions")
     // the scan feeds Spark columnar batches (ColumnarToRow in the plan)
     assert(df.queryExecution.executedPlan.toString.contains("ColumnarToRow"),

@@ -29,7 +29,8 @@ class RuntimeFilterSpec extends AnyFunSuite {
   private def plannedChunks(scan: GraftScan): Int =
     scan.planInputPartitions().map {
       case p: GraftPointPartition => p.coords.length
-      case p: GraftRangePartition => (p.linearTo - p.linearFrom).toInt
+      case p: GraftFillRangePartition => (p.linearTo - p.linearFrom).toInt
+      case _ => 0 // data-hash partitions don't carry a chunk count
     }.sum
 
   test("In filter narrows to the value envelope's chunks") {
