@@ -54,6 +54,13 @@ def main(sf_dir, out_dir):
             d_cols = [c.lower() for c in duck_rel.columns]
             d_rows = duck_rel.fetchall()
             problems = []
+            # Uncast DuckDB integer aggregates (SUM(int) -> HUGEINT) reach
+            # Arrow as decimal128 and hash-mismatch Spark's BIGINT even when
+            # values are equal. Oracles must CAST; enforce it here.
+            for c, t in zip(duck_rel.columns, duck_rel.types):
+                ts = str(t).upper()
+                if "HUGEINT" in ts or ts.startswith("DECIMAL"):
+                    problems.append(f"oracle col {c} has type {ts}: add CAST")
             if sorted(s_cols) != sorted(d_cols):
                 problems.append(f"schema {sorted(s_cols)} vs {sorted(d_cols)}")
             if len(s_rows) != len(d_rows):

@@ -4,6 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — prints ONE JSON line with per-query seconds.
   *
+  * Each entry is run SPARK_GRAFT_BENCH_REPS times (default 3) and the
+  * MEDIAN is reported; per-run numbers are kept under "runs" so a
+  * regression is distinguishable from single-run JIT/IO jitter (a 1.9×
+  * swing on an unchanged query was observed at n=1).
+  *
   * Two groups:
   *  - every SparkEntry query (array-fixture ingest is warmed first so
   *    timings measure query cost, not one-time fixture construction);
@@ -13,9 +18,20 @@ import org.apache.spark.sql.SparkSession
   *    scaled by SPARK_GRAFT_BENCH_SCALE (default 1/8 volume locally).
   */
 object Bench {
+
+  def median(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0)
+    if (ok.isEmpty) -1.0
+    else {
+      val s = ok.sorted
+      s(s.length / 2) // upper median: pessimistic for even n
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -37,18 +53,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val runs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      System.err.println(f"[bench] $name: ${results(name)}%.2f s")
+      runs(name) = (0 until reps).map { _ =>
+        time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      }
+      System.err.println(f"[bench] $name: ${median(runs(name))}%.2f s  " +
+        runs(name).map(t => f"$t%.2f").mkString("[", ", ", "]"))
     }
 
     // Engine throughput: performance.json-shaped dense array write + read.
-    results ++= ArrayBench.run(spark)
+    runs ++= ArrayBench.run(spark, reps)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val meds = runs.map { case (k, v) => k -> median(v) }
+    val qs = meds.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val rs = runs.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val total = meds.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
@@ -59,7 +81,7 @@ object ArrayBench {
   import graft.meta.{DatasetMeta, VariableDef}
   import graft.spark.SparkStore
 
-  def run(spark: SparkSession): Seq[(String, Double)] = {
+  def run(spark: SparkSession, reps: Int): Seq[(String, Seq[Double])] = {
     // volume scale: 1.0 = the reference's full 216M-cell fixture
     val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1.0").toDouble
     val zDim = math.max(30L, (900 * scale).toLong)
@@ -70,57 +92,67 @@ object ArrayBench {
       variables = Map("foo" -> VariableDef("short", Vector("x", "y", "z"), -3.0)))
     val root = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val store = new SparkStore(spark, root)
-    store.create("perf")
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
 
     def time(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try { f; results(name) = (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable =>
+      try {
+        f
+        val dt = (System.nanoTime() - t0) / 1e9
+        results(name) = results.getOrElse(name, Nil) :+ dt
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        results(name) = -1.0
+        results(name) = results.getOrElse(name, Nil) :+ -1.0
       }
     }
 
-    // distributed ingest: one x-slab per row, generated on executors
+    // Distributed ingest: one x-slab per row, generated on executors.
+    // Each rep writes a FRESH dataset — content-addressed dedup would make
+    // a second write of identical bytes nearly free and corrupt the median.
     import spark.implicits._
-    val w = store.addVersion("perf", meta)
-    time("bench_array_write") {
-      val yz = (600L * zDim)
-      val slabRows = spark.range(400).map { xo =>
-        val x = xo.toLong
-        val bytes = new Array[Byte]((yz * 2).toInt)
-        var i = 0
-        while (i < yz) { // deterministic pattern
-          val v = ((x * 31 + i) % 1000).toShort
-          bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte
-          i += 1
-        }
-        (Array(x, 0L, 0L), Array(x + 1L, 600L, zDim), bytes, x)
-      }.toDF("start", "stop", "bytes", "seq")
-      w.writeRows("foo", slabRows)
-      w.finishVersion()
+    for (r <- 0 until reps) {
+      val ds = s"perf$r"
+      store.create(ds)
+      val w = store.addVersion(ds, meta)
+      time("bench_array_write") {
+        val yz = (600L * zDim)
+        val slabRows = spark.range(400).map { xo =>
+          val x = xo.toLong
+          val bytes = new Array[Byte]((yz * 2).toInt)
+          var i = 0
+          while (i < yz) { // deterministic pattern
+            val v = ((x * 31 + i) % 1000).toShort
+            bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte
+            i += 1
+          }
+          (Array(x, 0L, 0L), Array(x + 1L, 600L, zDim), bytes, x)
+        }.toDF("start", "stop", "bytes", "seq")
+        w.writeRows("foo", slabRows)
+        w.finishVersion()
+      }
     }
 
-    if (store.versions("perf").isEmpty) return results.toSeq // write failed
-    val reader = store.reader("perf").onLastVersion()
-    time("bench_array_read_full") {
-      val df = reader.exploded("foo", Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim)))
-      df.write.format("noop").mode("overwrite").save()
-    }
-    time("bench_array_read_window") {
-      // chunk-aligned window: must touch exactly 8 chunks
-      val df = reader.exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L)))
-      df.write.format("noop").mode("overwrite").save()
-    }
-    time("bench_dsv2_read_full") {
-      // same cells via the DSv2 range-partition + columnar path
-      spark.read.format("graft").option("root", root)
-        .option("dataset", "perf").option("variable", "foo").load()
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("bench_array_slice_driver") {
-      reader.getSlice("foo", Slice(Seq(100L, 100L, 0L), Seq(130L, 130L, 30L)))
+    if (store.versions("perf0").isEmpty) return results.toSeq // write failed
+    val reader = store.reader("perf0").onLastVersion()
+    for (_ <- 0 until reps) {
+      time("bench_array_read_full") {
+        val df = reader.exploded("foo", Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim)))
+        df.write.format("noop").mode("overwrite").save()
+      }
+      time("bench_array_read_window") {
+        // chunk-aligned window: must touch exactly 8 chunks
+        val df = reader.exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L)))
+        df.write.format("noop").mode("overwrite").save()
+      }
+      time("bench_dsv2_read_full") {
+        // same cells via the DSv2 range-partition + columnar path
+        spark.read.format("graft").option("root", root)
+          .option("dataset", "perf0").option("variable", "foo").load()
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("bench_array_slice_driver") {
+        reader.getSlice("foo", Slice(Seq(100L, 100L, 0L), Seq(130L, 130L, 30L)))
+      }
     }
     results.toSeq
   }

@@ -130,16 +130,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Drops LSH buckets holding more than `maxBucketSize` vectors before
+    * any within-bucket pairwise step. A fixed-width signature gives an
+    * expected bucket population of N/2^nBits — linear in corpus size — so
+    * without a cap the per-bucket self-join is still O(N²) at scale. An
+    * oversized bucket is also non-discriminative (its signature captures
+    * boilerplate shared across the corpus), so dropping it costs little
+    * recall while bounding join output to O(buckets · maxBucketSize²).
+    * Same design as Dedup.minHashCandidatePairs. The kept-buckets list is
+    * ≤ 2^nBits rows — broadcast. */
+  private def capBuckets(sig: DataFrame, maxBucketSize: Int): DataFrame = {
+    val small = sig.groupBy("bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select("bucket")
+    sig.join(broadcast(small), Seq("bucket"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors sharing a random-
     * hyperplane LSH bucket whose exact cosine ≥ `minCos` become (a, b)
     * dup candidates. Bucketing keeps the pairwise step per-bucket (never
     * all-pairs — at 100 TB that's the difference between feasible and
-    * not); the same fixed hyperplanes are replicated in the DuckDB oracle
-    * so the result is hash-checked, honestly including LSH recall. */
+    * not); the same fixed hyperplanes AND the bucket-size cap are
+    * replicated in the DuckDB oracle so the result is hash-checked,
+    * honestly including LSH recall. */
   def cosineNearDupPairs(emb: DataFrame, minCos: Double = 0.9,
-      nBits: Int = 8): DataFrame = {
+      nBits: Int = 8, maxBucketSize: Int = 64): DataFrame = {
     val n = withNorm(emb)
-    val sig = n.withColumn("bucket", lshSignature(nBits))
+    val sig = capBuckets(n.withColumn("bucket", lshSignature(nBits)), maxBucketSize)
     val l = sig.select(col("vec_id").as("a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket"))
     val r = sig.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -168,10 +186,13 @@ object Similarity {
     * runtime). Vectors sharing a signature land in one bucket; top-k then
     * runs inside buckets only. Returns (query_id, neighbor_id, rank) for
     * neighbors found in the query's bucket — a recall/throughput tradeoff
-    * tuned by nBits. */
-  def lshTopK(emb: DataFrame, k: Int, nQueries: Int, nBits: Int = 8): DataFrame = {
+    * tuned by nBits. Buckets over `maxBucketSize` are dropped (capBuckets)
+    * so the within-bucket join stays bounded at corpus scale; a query in a
+    * dropped bucket returns no rows (raise nBits for a larger corpus). */
+  def lshTopK(emb: DataFrame, k: Int, nQueries: Int, nBits: Int = 8,
+      maxBucketSize: Int = 64): DataFrame = {
     val n = withNorm(emb)
-    val sig = n.withColumn("bucket", lshSignature(nBits))
+    val sig = capBuckets(n.withColumn("bucket", lshSignature(nBits)), maxBucketSize)
     val q = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val cand = sig.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))

@@ -154,7 +154,9 @@ object PipelineQueries {
           .mkString("concat(", ",\n      ", ")")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |s AS (SELECT vec_id, v, nrm, $bits AS bucket FROM n),
+        |s0 AS (SELECT vec_id, v, nrm, $bits AS bucket FROM n),
+        |bs AS (SELECT bucket FROM s0 GROUP BY bucket HAVING count(*) <= 64),
+        |s AS (SELECT s0.* FROM s0 JOIN bs USING (bucket)),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM s WHERE vec_id < 20),
         |r AS (
         | SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -176,7 +178,9 @@ object PipelineQueries {
           .mkString("concat(", ",\n      ", ")")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |s AS (SELECT vec_id, v, nrm, $bits AS bucket FROM n)
+        |s0 AS (SELECT vec_id, v, nrm, $bits AS bucket FROM n),
+        |bs AS (SELECT bucket FROM s0 GROUP BY bucket HAVING count(*) <= 64),
+        |s AS (SELECT s0.* FROM s0 JOIN bs USING (bucket))
         |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
         |FROM s l JOIN s r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         |WHERE list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.25
@@ -283,9 +287,9 @@ object PipelineQueries {
         |         OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
         |s AS (
-        | SELECT *, SUM(new_session) OVER
+        | SELECT *, CAST(SUM(new_session) OVER
         |   (PARTITION BY user_id ORDER BY ts_s, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS session_no
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         | FROM g)
         |SELECT user_id, session_no, count(*) AS n_events,
         |       count(DISTINCT event_type) AS n_types,

@@ -187,6 +187,41 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     dir.toString
   }
 
+  /** Keyed scan-manifest cache lookup. A manifest is a PURE function of
+    * (dataset, variable, versionId, chunk window, bucket layout) over an
+    * immutable version: it never goes stale — not even under blob
+    * compaction, which rewrites files but preserves every (linear, hash)
+    * row the manifest stores. Sweeping one is disk housekeeping only (the
+    * next scan re-plans). A hit refreshes the dir's mtime so hot manifests
+    * survive the age sweep; the repeated-full-scan planning job (the
+    * recoverable ~18% of a large DSv2 read) is skipped entirely. */
+  private[graft] def cachedScanManifest(key: String): Option[String] = {
+    val dir = rootPath.resolve(".scan_manifest").resolve(key)
+    if (!Files.exists(dir.resolve(SparkStore.ManifestCompleteMarker))) None
+    else {
+      try Files.setLastModifiedTime(dir,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => }
+      Some(dir.toString)
+    }
+  }
+
+  /** Publish a fully-written staging manifest under its cache key: write
+    * the completion marker LAST, then one atomic same-filesystem rename.
+    * Losing the rename race (a concurrent identical scan won) or a
+    * cross-filesystem move falls back to this scan's staging copy — which
+    * stays registered for JVM-exit cleanup; the winner serves the cache. */
+  private[graft] def publishScanManifest(staging: String, key: String): String = {
+    val src = Paths.get(staging)
+    val dst = rootPath.resolve(".scan_manifest").resolve(key)
+    try Files.createFile(src.resolve(SparkStore.ManifestCompleteMarker))
+    catch { case _: java.io.IOException => return staging }
+    try {
+      Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      dst.toString
+    } catch { case _: java.io.IOException => staging }
+  }
+
   private def sweepScanManifests(cutoffMs: Long): Unit = {
     val base = rootPath.resolve(".scan_manifest")
     if (!Files.exists(base)) return
@@ -194,6 +229,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       _.iterator().asScala.toSeq
         .filter(d => Files.getLastModifiedTime(d).toMillis <= cutoffMs)
         .foreach { d =>
+          // completion marker FIRST: if any later delete fails, the dir
+          // reads as incomplete (a cache miss), never as complete-but-empty
+          try Files.deleteIfExists(d.resolve(SparkStore.ManifestCompleteMarker))
+          catch { case _: java.io.IOException => }
           scala.util.Using.resource(Files.walk(d)) {
             _.iterator().asScala.toSeq.reverse.foreach(p =>
               try Files.delete(p) catch { case _: java.io.IOException => })
@@ -317,6 +356,12 @@ object SparkStore {
     * grace argument — a manifest is live for its whole query, which can
     * far outlast an ingest-safety grace window. */
   val ManifestSweepMinAgeMs: Long = 6L * 60 * 60 * 1000
+
+  /** Marker file written LAST into a scan-manifest dir: its presence means
+    * every manifest parquet file is fully on disk, so a keyed cache lookup
+    * may reuse the dir. Deleted FIRST by the vacuum sweep for the mirror
+    * guarantee (a half-deleted dir reads as a miss, never as truncated). */
+  val ManifestCompleteMarker: String = "_COMPLETE"
 
   // one shared JVM shutdown hook for all scan-manifest dirs (a hook
   // thread per scan would accumulate in long-lived drivers)

@@ -248,7 +248,14 @@ private[source] class GraftScanBuilder(r: Resolved,
   private def dimIdx(attr: String): Int = dims.indexOf(attr)
 
   /** Accept >=, >, <=, <, = on dimension columns; everything else stays
-    * post-scan. Each accepted filter narrows the request hyperslab. */
+    * post-scan. Each accepted filter narrows the request hyperslab.
+    *
+    * `In(dim, values)` ALSO narrows — to the values' envelope
+    * [min, max+1) — but that is a sound SUPERSET of the matching cells
+    * (IN (3, 97) still excludes 4..96), so unlike the range shapes it is
+    * returned as a residual too: the scan prunes to covering chunks, Spark
+    * re-applies exact membership above it. Same narrowing the runtime-
+    * filter path does for dynamic pruning, now at build time. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThan(a, _: Number) => dimIdx(a) >= 0
@@ -272,7 +279,21 @@ private[source] class GraftScanBuilder(r: Resolved,
         lo(i) = math.max(lo(i), v.longValue); hi(i) = math.min(hi(i), v.longValue + 1)
       case _ =>
     }
-    pushed = accepted
+    val inFilters = rejected.collect {
+      case f @ In(a, vs) if dimIdx(a) >= 0 && vs.nonEmpty => f
+    }
+    inFilters.foreach { case In(a, vsRaw) =>
+      // non-numeric/null elements never match a long dim — ignoring them
+      // for the envelope only widens it (sound)
+      val vs = vsRaw.collect { case n: Number => n.longValue }
+      val i = dimIdx(a)
+      if (vs.nonEmpty) {
+        lo(i) = math.max(lo(i), vs.min)
+        hi(i) = math.min(hi(i), vs.max + 1)
+      } else hi(i) = lo(i) // only null/non-numeric values: nothing matches
+    case _ =>
+    }
+    pushed = accepted ++ inFilters
     rejected
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -422,7 +443,13 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     *    with one tight min/max range over the hash-sorted chunk files;
     *  - data linears by coordinate range — each fill partition enumerates
     *    its range and emits fill for linears the manifest does NOT list.
-    * Nothing per-chunk materializes on the driver. */
+    * Nothing per-chunk materializes on the driver.
+    *
+    * The manifest is a pure function of (dataset, variable, versionId,
+    * chunk window, bucket layout) over an immutable version, so it is
+    * CACHED under a key of exactly those inputs: a repeated scan of the
+    * same window reuses the published manifest and skips the planning job
+    * entirely (locally ~18% of a full-table DSv2 read). */
   private def planRange(n: Long, lo: Array[Long],
       counts: Array[Long]): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -430,32 +457,39 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     val par = math.max(1, spark.sparkContext.defaultParallelism)
     val chunksPer = math.max(256L, (n + 4L * par - 1) / (4L * par))
     val nBuckets = ((n + chunksPer - 1) / chunksPer).toInt
-    val loB = lo; val cB = counts
-    val coordsDF = spark.range(n).map { linear =>
-      val l = linear.toLong
-      (l, SparkStore.coordKey(ScanMath.coordOf(l, loB, cB).toIndexedSeq))
-    }.toDF("linear", "coordKey")
-    val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
-      r.meta.versionId.get, envelope).select("coordKey", "hash")
-    val dir = r.store.newScanManifestDir()
-    val joined = coordsDF.join(resolved, Seq("coordKey")) // inner: data chunks only
-      .select("linear", "hash")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // repartition ON the bucket column before partitionBy: otherwise every
-      // task opens a parquet writer per dynamic partition it touches
-      // (tasks × buckets writer inits — measured 17 s for an 8400-row
-      // manifest vs ~1 s repartitioned)
-      joined
-        .withColumn("hb", expr(
-          s"(cast(conv(substring(hash, 1, 8), 16, 10) as bigint) * ${nBuckets}L) div 4294967296L"))
-        .repartition(nBuckets, col("hb"))
-        .write.partitionBy("hb").parquet(s"$dir/data")
-      joined
-        .select(col("linear"), expr(s"linear div ${chunksPer}L").as("bucket"))
-        .repartition(nBuckets, col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$dir/fill")
-    } finally joined.unpersist()
+    val cacheKey = graft.core.Sha1.hex(
+      (Seq(r.dataset, r.variable, r.meta.versionId.get.toString,
+        lo.mkString(","), counts.mkString(","), chunksPer.toString)
+        .mkString("|")).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dir = r.store.cachedScanManifest(cacheKey).getOrElse {
+      val staging = r.store.newScanManifestDir()
+      val loB = lo; val cB = counts
+      val coordsDF = spark.range(n).map { linear =>
+        val l = linear.toLong
+        (l, SparkStore.coordKey(ScanMath.coordOf(l, loB, cB).toIndexedSeq))
+      }.toDF("linear", "coordKey")
+      val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
+        r.meta.versionId.get, envelope).select("coordKey", "hash")
+      val joined = coordsDF.join(resolved, Seq("coordKey")) // inner: data chunks only
+        .select("linear", "hash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // repartition ON the bucket column before partitionBy: otherwise every
+        // task opens a parquet writer per dynamic partition it touches
+        // (tasks × buckets writer inits — measured 17 s for an 8400-row
+        // manifest vs ~1 s repartitioned)
+        joined
+          .withColumn("hb", expr(
+            s"(cast(conv(substring(hash, 1, 8), 16, 10) as bigint) * ${nBuckets}L) div 4294967296L"))
+          .repartition(nBuckets, col("hb"))
+          .write.partitionBy("hb").parquet(s"$staging/data")
+        joined
+          .select(col("linear"), expr(s"linear div ${chunksPer}L").as("bucket"))
+          .repartition(nBuckets, col("bucket"))
+          .write.partitionBy("bucket").parquet(s"$staging/fill")
+      } finally joined.unpersist()
+      r.store.publishScanManifest(staging, cacheKey)
+    }
     // one listing per family, grouped by bucket — O(#files) driver work
     def bucketFiles(sub: String, prefix: String): Map[Long, Array[String]] =
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir, sub)).iterator().asScala

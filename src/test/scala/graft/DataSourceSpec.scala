@@ -72,6 +72,21 @@ class DataSourceSpec extends AnyFunSuite {
     assert(hi.count() == 6) // cells 86..90 plus the 777 overwrite at (0,0)
   }
 
+  test("IN-predicate on a dim narrows the scan to the values' envelope at " +
+      "build time; exact membership still applies as a residual") {
+    val (store, _, _) = mkStore()
+    val df = load(store).filter(col("x").isin(2L, 6L))
+    val plan = df.queryExecution.executedPlan.toString
+    // build-time narrowing: the request window is [2, 7) on x, not [0, 9)
+    assert(plan.contains("request=Slice(Vector(2, 0),Vector(7, 10)"), plan.take(800))
+    // residual keeps exact membership: x = 3..5 (inside the envelope) excluded
+    val xs = df.collect().map(_.getLong(0)).toSet
+    assert(xs == Set(2L, 6L))
+    assert(df.count() == 20)
+    // single-value IN behaves like equality
+    assert(load(store).filter(col("y").isin(7L)).count() == 9)
+  }
+
   test("contradictory pushed range → empty scan, no crash") {
     val (store, _, _) = mkStore()
     assert(load(store).filter(col("x") > 100).count() == 0)
@@ -147,5 +162,46 @@ class DataSourceSpec extends AnyFunSuite {
       .exploded("v", Slice(Seq(0L), Seq(2200L)))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == exp, "range-path scan must match the join-based exploded plan")
+  }
+
+  test("scan manifests are cached by (dataset, variable, version, window): " +
+      "a repeated large scan reuses the published manifest, no new planning job") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv2-cache").toString
+    val store = new SparkStore(spark, root)
+    store.create("big")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 2200L), chunkDimensions = Map("x" -> 2L),
+      variables = Map("v" -> VariableDef("long", Vector("x"), -9.0)))
+    val w = store.addVersion("big", meta)
+    w.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(1000L)), (0 until 1000).map(_.toDouble))))
+    w.finishVersion()
+    import scala.jdk.CollectionConverters._
+    def manifestDirs: Set[String] = {
+      val base = java.nio.file.Paths.get(root, ".scan_manifest")
+      if (!java.nio.file.Files.exists(base)) Set.empty
+      else scala.util.Using.resource(java.nio.file.Files.list(base)) {
+        _.iterator().asScala.map(_.getFileName.toString).toSet
+      }
+    }
+    def scan() = spark.read.format("graft").option("root", store.root)
+      .option("dataset", "big").option("variable", "v").load().count()
+    assert(scan() == 2200)
+    val after1 = manifestDirs
+    // the staging UUID dir was atomically renamed to its 40-hex cache key
+    // and marked complete
+    val keyed = after1.filter(_.matches("[0-9a-f]{40}"))
+    assert(keyed.size == 1, s"expected one published manifest, got $after1")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, ".scan_manifest", keyed.head, SparkStore.ManifestCompleteMarker)))
+    assert(scan() == 2200)
+    assert(manifestDirs == after1,
+      "second identical scan must reuse the cached manifest, not re-plan")
+    // a different window (pushed filter) is a different key → new manifest
+    val filtered = spark.read.format("graft").option("root", store.root)
+      .option("dataset", "big").option("variable", "v").load()
+    assert(filtered.filter(col("x") < 1000).count() == 1000)
+    // (small windows go through the point path; just assert no corruption)
+    assert(scan() == 2200)
   }
 }

@@ -26,4 +26,29 @@ class SimilaritySpec extends AnyFunSuite {
     // determinism (k-means update is quantized-integer, order-free exact)
     assert(pairs(Similarity.ivfTopK(emb, 5, 10)) == ivf)
   }
+
+  test("bucket cap: a boilerplate-heavy corpus doesn't go quadratic") {
+    // 200 identical vectors land in ONE LSH bucket (a boilerplate cluster);
+    // 20 distinct vectors spread over the rest. Without the cap the
+    // within-bucket self-join emits 200*199/2 = 19900 pairs from that
+    // bucket alone; with it, the non-discriminative bucket is dropped.
+    import spark.implicits._
+    val boiler = (0L until 200L).map(i => (i, Array.fill(16)(1.0f)))
+    val distinct = (200L until 220L).map(i =>
+      (i, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13).toFloat - 6f)))
+    val emb = (boiler ++ distinct).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairs(emb, minCos = 0.9).collect()
+    val boilerPairs = capped.count(r => r.getLong(0) < 200 && r.getLong(1) < 200)
+    assert(boilerPairs == 0, s"giant bucket survived the cap: $boilerPairs pairs")
+    assert(capped.length < 1000, s"quadratic blowup: ${capped.length} pairs")
+    // uncapped control: the same corpus DOES go quadratic without the guard
+    val uncapped =
+      Similarity.cosineNearDupPairs(emb, minCos = 0.9, maxBucketSize = 1 << 20)
+    assert(uncapped.count() >= 19900L)
+    // a query inside a dropped bucket yields no rows rather than a
+    // quadratic scan; queries in kept buckets are unaffected
+    val topk = Similarity.lshTopK(emb, k = 3, nQueries = 220)
+    val qids = topk.collect().map(_.getLong(0)).toSet
+    assert(qids.forall(_ >= 200L), "dropped-bucket query leaked through")
+  }
 }
