@@ -153,6 +153,20 @@ object ArrayBench {
       time("bench_array_slice_driver") {
         reader.getSlice("foo", Slice(Seq(100L, 100L, 0L), Seq(130L, 130L, 30L)))
       }
+      time("bench_chunked_agg") {
+        // grid-aligned per-chunk stats via the chunked scan: the reported
+        // KeyGroupedPartitioning elides the groupBy shuffle entirely
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        try {
+          import org.apache.spark.sql.functions.{count, lit, sum}
+          spark.read.format("graft").option("root", root)
+            .option("dataset", "perf0").option("variable", "foo")
+            .option("chunked", "true").load()
+            .groupBy("_chunk_x", "_chunk_y", "_chunk_z")
+            .agg(sum("value"), count(lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
     }
     results.toSeq
   }

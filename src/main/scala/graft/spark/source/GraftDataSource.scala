@@ -48,10 +48,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[source] final case class Resolved(store: SparkStore, meta: DatasetMeta,
-    dataset: String, variable: String) {
+    dataset: String, variable: String, chunked: Boolean = false) {
   def dims: Vector[String] = meta.variables(variable).shape
+  /** `chunked=true` scans additionally expose one `_chunk_<dim>` column per
+    * axis — the chunk-grid coordinate `floorDiv(dim, chunkDim)` — and key
+    * every input partition by it (see GraftScan.outputPartitioning). */
   def schema: StructType = StructType(
-    dims.map(d => StructField(d, LongType, nullable = false)) :+
+    dims.map(d => StructField(d, LongType, nullable = false)) ++
+      (if (chunked) dims.map(d =>
+        StructField(s"_chunk_$d", LongType, nullable = false)) else Nil) :+
       StructField("value", meta.dtype(variable).sparkType, nullable = false))
 }
 
@@ -72,7 +77,8 @@ private[source] object GraftSource {
     val meta = store.metadata(dataset, vid)
     require(meta.variables.contains(variable),
       s"no variable '$variable' in dataset $dataset at version $vid")
-    Resolved(store, meta, dataset, variable)
+    Resolved(store, meta, dataset, variable,
+      chunked = options.get("chunked").exists(_.toBoolean))
   }
 }
 
@@ -320,6 +326,18 @@ private[source] final case class GraftPointPartition(
     coords: Array[Array[Long]], hashes: Array[String], // hashes(i) == null → fill chunk
     files: Array[String]) extends InputPartition
 
+/** `chunked=true` scans: exactly ONE covering chunk per partition, keyed
+  * by its chunk-grid coordinate so the scan can report
+  * KeyGroupedPartitioning — Catalyst then elides shuffles above the scan
+  * for grid-aligned aggregations and chunk-aligned (storage-partitioned)
+  * joins between variables on the same grid. */
+private[source] final case class GraftChunkPartition(coord: Array[Long],
+    hash: String, // null → fill chunk
+    files: Array[String]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(coord.map(Long.box).toArray[Any])
+}
+
 /** Data chunks of one HASH-RANGE bucket: the wanted blob hashes are
   * contiguous, so the executor-side fetch is a single tight min/max
   * row-group range over the hash-sorted chunk files (a linear-coordinate
@@ -350,7 +368,8 @@ private[source] object ScanMath {
 
 private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     required: StructType, scanOptions: Map[String, String] = Map.empty)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   // runtime filters (e.g. dynamic pruning from a dim-table join) narrow
   // the request further AFTER planning starts — soundly, to the envelope
@@ -387,8 +406,10 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!r.chunked, "graft: the 'chunked' option is batch-only")
     new GraftMicroBatchStream(r, request0, empty, required, scanOptions)
+  }
   override def description(): String =
     s"GraftScan ${r.dataset}/${r.variable} request=$request"
 
@@ -405,6 +426,7 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (isEmpty) return Array.empty
+    if (r.chunked) return planChunked()
     val g = grid
     val lo = (0 until request.rank)
       .map(i => Math.floorDiv(request.start(i), g.step(i))).toArray
@@ -414,6 +436,57 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     val n = counts.foldLeft(1L)(_ * _)
     if (n <= SparkPinnedReader.PointLookupThreshold) planPoint()
     else planRange(n, lo, counts)
+  }
+
+  /** Covering-chunk count of the (possibly narrowed) request window. */
+  private def coveringChunks: Long = {
+    val g = grid
+    (0 until request.rank).map { i =>
+      Math.floorDiv(request.stop(i) - 1, g.step(i)) -
+        Math.floorDiv(request.start(i), g.step(i)) + 1
+    }.foldLeft(1L)(_ * _)
+  }
+
+  /** Grid-aligned clustering report (`chunked=true` scans only): the scan
+    * output is keyed by the `_chunk_<dim>` columns, one partition per
+    * covering chunk. With `spark.sql.sources.v2.bucketing.enabled=true`
+    * Catalyst turns this into KeyGroupedPartitioning, so
+    *  - `groupBy(_chunk_*)` (per-chunk stats) and
+    *  - `groupBy(_chunk_*, dims…)` (per-cell ops — sound for free, the
+    *    chunk coords are functions of the dims) and
+    *  - equi-joins between two same-grid variables that include the
+    *    `_chunk_*` keys (storage-partitioned join; additionally needs
+    *    `spark.sql.requireAllClusterKeysForCoPartition=false` when the
+    *    join keys are a superset of the chunk keys)
+    * all run with NO Exchange above the scan (verified in
+    * DataSourceSpec "chunked=true reports KeyGroupedPartitioning"). */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    if (!r.chunked || isEmpty || coveringChunks > GraftScan.ChunkedMaxChunks)
+      new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      r.dims.map(d => org.apache.spark.sql.connector.expressions.Expressions
+        .identity(s"_chunk_$d"): org.apache.spark.sql.connector.expressions.Expression).toArray,
+      coveringChunks.toInt)
+  }
+
+  /** One partition per covering chunk, resolved driver-side (bounded by
+    * ChunkedMaxChunks — grid-aligned mode is for analytics at moderate
+    * chunk counts; beyond it use the default range path). */
+  private def planChunked(): Array[InputPartition] = {
+    val n = coveringChunks
+    require(n <= GraftScan.ChunkedMaxChunks,
+      s"chunked=true scan covers $n chunks > ${GraftScan.ChunkedMaxChunks}; " +
+        "narrow the request or drop the chunked option (default range scan)")
+    val coords = ChunkGrid.toChunkCoordinates(request, grid)
+    val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
+      r.meta.versionId.get, envelope)
+      .select("coordKey", "hash").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    val files = chunkFiles
+    coords.map(c => GraftChunkPartition(c.toArray,
+      resolved.getOrElse(SparkStore.coordKey(c), null), files): InputPartition)
+      .toArray
   }
 
   /** Small windows: resolve the covering coords driver-side (bounded by
@@ -523,6 +596,14 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
       required.fieldNames)
 }
 
+private[source] object GraftScan {
+  /** Upper bound on `chunked=true` partitions: one task + one driver-side
+    * (coord, hash) entry per chunk. 64 Ki chunks ≈ a few MiB of driver
+    * state and a schedulable task count; larger windows must use the
+    * default range path (which plans O(buckets) driver state). */
+  val ChunkedMaxChunks: Long = 1L << 16
+}
+
 private[source] class GraftReaderFactory(metaJson: String, variable: String,
     request: Slice, requiredFields: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -553,6 +634,8 @@ private[source] final class ChunkSlabCursor(part: InputPartition,
 
   private val (pairs: Iterator[(Array[Long], String)], chunkFiles: Array[String]) =
     part match {
+      case p: GraftChunkPartition =>
+        (Iterator.single((p.coord, p.hash)), p.files)
       case p: GraftPointPartition =>
         (p.coords.iterator.zip(p.hashes.iterator), p.files)
       case p: GraftDataHashPartition =>
@@ -569,6 +652,9 @@ private[source] final class ChunkSlabCursor(part: InputPartition,
     }
 
   private lazy val bytesByHash: Map[String, Array[Byte]] = part match {
+    case p: GraftChunkPartition =>
+      if (p.hash == null) Map.empty
+      else ChunkBlobReader.read(chunkFiles, Set(p.hash))
     case p: GraftPointPartition =>
       val wanted = p.hashes.filter(_ != null).toSet
       if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
@@ -578,16 +664,27 @@ private[source] final class ChunkSlabCursor(part: InputPartition,
     case _: GraftFillRangePartition => Map.empty
   }
 
-  /** Each covering chunk as a slab clipped to the request. */
-  def clippedSlabs: Iterator[Slab] = pairs.map { case (coord, hash) =>
+  /** Each covering chunk as (chunk-grid coordinate, slab clipped to the
+    * request). */
+  def clippedSlabs: Iterator[(Array[Long], Slab)] = pairs.map { case (coord, hash) =>
     val chunkSlice = meta.chunkSlice(variable, coord.toVector)
     val slab =
       if (hash == null) Slab.empty(dtype, chunkSlice, fill)
       else Slab(dtype, chunkSlice,
         FilterChain.decode(bytesByHash.getOrElse(hash,
           throw new IllegalStateException(s"missing blob for hash $hash"))))
-    slab.intersectWith(request)
+    (coord, slab.intersectWith(request))
   }
+
+  /** Projection codes for `requiredFields`: dim index ≥ 0, value = −1,
+    * `_chunk_<dim>` = −2 − dimIndex (constant per chunk). */
+  def projectionOf(requiredFields: Array[String]): Array[Int] =
+    requiredFields.map {
+      case "value" => -1
+      case f if f.startsWith("_chunk_") && dims.contains(f.stripPrefix("_chunk_")) =>
+        -2 - dims.indexOf(f.stripPrefix("_chunk_"))
+      case d => dims.indexOf(d)
+    }
 }
 
 private[source] class GraftPartitionReader(part: InputPartition,
@@ -596,20 +693,20 @@ private[source] class GraftPartitionReader(part: InputPartition,
 
   private val cursor = new ChunkSlabCursor(part, metaJson, variable, request)
   private val dtype = cursor.dtype
-  // projection: for each required field, its dim index or -1 for value
-  private val proj: Array[Int] = requiredFields.map {
-    case "value" => -1
-    case d => cursor.dims.indexOf(d)
-  }
+  // projection: dim index, -1 for value, -2-dimIdx for _chunk_<dim>
+  private val proj: Array[Int] = cursor.projectionOf(requiredFields)
 
-  private val cells: Iterator[InternalRow] = cursor.clippedSlabs.flatMap { clipped =>
+  private val cells: Iterator[InternalRow] =
+    cursor.clippedSlabs.flatMap { case (chunkCoord, clipped) =>
       clipped.slice.iter.map { cell =>
         val out = new Array[Any](proj.length)
         var i = 0
         while (i < proj.length) {
+          val p = proj(i)
           out(i) =
-            if (proj(i) >= 0) cell(proj(i))
-            else dtype.getBoxed(clipped.bytes, clipped.offsetOf(cell.toIndexedSeq))
+            if (p >= 0) cell(p)
+            else if (p == -1) dtype.getBoxed(clipped.bytes, clipped.offsetOf(cell.toIndexedSeq))
+            else chunkCoord(-2 - p)
           i += 1
         }
         new GenericInternalRow(out): InternalRow
@@ -636,22 +733,22 @@ private[source] class GraftColumnarReader(part: InputPartition,
 
   private val cursor = new ChunkSlabCursor(part, metaJson, variable, request)
   private val dtype = cursor.dtype
-  private val proj: Array[Int] = requiredFields.map {
-    case "value" => -1
-    case d => cursor.dims.indexOf(d)
-  }
+  private val proj: Array[Int] = cursor.projectionOf(requiredFields)
   private val slabs = cursor.clippedSlabs
   private var batch: ColumnarBatch = _
 
-  private def buildBatch(clipped: Slab): ColumnarBatch = {
+  private def buildBatch(chunkCoord: Array[Long], clipped: Slab): ColumnarBatch = {
     val slice = clipped.slice
     val rank = slice.rank
     val shape = if (rank == 0) Array.empty[Int] else slice.shape.toArray
     val n = slice.volume.toInt
     val vectors = proj.map { p =>
-      val dt = if (p >= 0) LongType else dtype.sparkType
+      val dt = if (p == -1) dtype.sparkType else LongType
       val v = new OnHeapColumnVector(n, dt)
-      if (p >= 0) {
+      if (p <= -2) {
+        // _chunk_<dim>: constant for the whole chunk
+        v.putLongs(0, n, chunkCoord(-2 - p))
+      } else if (p >= 0) {
         // dim column: start + (i div stride) % shape (request slices are step-1)
         var stride = 1L
         var j = rank - 1
@@ -697,7 +794,11 @@ private[source] class GraftColumnarReader(part: InputPartition,
 
   override def next(): Boolean = {
     if (batch != null) { batch.close(); batch = null }
-    if (slabs.hasNext) { batch = buildBatch(slabs.next()); true } else false
+    if (slabs.hasNext) {
+      val (coord, clipped) = slabs.next()
+      batch = buildBatch(coord, clipped)
+      true
+    } else false
   }
   override def get(): ColumnarBatch = batch
   override def close(): Unit = if (batch != null) { batch.close(); batch = null }

@@ -164,6 +164,52 @@ class DataSourceSpec extends AnyFunSuite {
     assert(got == exp, "range-path scan must match the join-based exploded plan")
   }
 
+  test("chunked=true reports KeyGroupedPartitioning: grid-aligned " +
+      "aggregation and same-grid join run with NO Exchange above the scan") {
+    val (store, _, _) = mkStore()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // co-partitioned join with join keys ⊃ partition keys (the chunk keys
+    // plus the dims) needs the all-cluster-keys requirement relaxed
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      def loadChunked() = spark.read.format("graft").option("root", store.root)
+        .option("dataset", "ds").option("variable", "v")
+        .option("chunked", "true").load()
+      val df = loadChunked()
+      assert(df.columns.toSeq == Seq("x", "y", "_chunk_x", "_chunk_y", "value"))
+      // per-chunk aggregation: no shuffle
+      val agg = df.groupBy("_chunk_x", "_chunk_y")
+        .agg(sum("value").as("s"), count(lit(1)).as("n"))
+      val aggRows = agg.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"grid-aligned agg shuffled:\n$aggPlan")
+      // oracle: same aggregation via the default (unchunked) scan + floorDiv
+      val exp = load(store)
+        .groupBy(expr("x div 4").as("cx"), expr("y div 3").as("cy"))
+        .agg(sum("value").as("s"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+      assert(aggRows == exp)
+      assert(aggRows((0L, 0L))._2 == 12L) // full 4×3 chunk
+      assert(aggRows((2L, 3L))._2 == 1L)  // corner overhang chunk 1×1
+      // cell-level grouping including the chunk keys: still no shuffle
+      val cellAgg = df.groupBy("_chunk_x", "_chunk_y", "x", "y").agg(max("value"))
+      assert(!cellAgg.queryExecution.executedPlan.toString.contains("Exchange"))
+      // storage-partitioned join: two scans of the same grid joined on the
+      // chunk keys + dims — neither side shuffles
+      val j = loadChunked().alias("a").join(loadChunked().alias("b"),
+        Seq("_chunk_x", "_chunk_y", "x", "y"))
+        .select(col("x"), col("y"), expr("a.value + b.value").as("v2"))
+      val jPlan = j.queryExecution.executedPlan.toString
+      assert(!jPlan.contains("Exchange"), s"same-grid join shuffled:\n$jPlan")
+      assert(j.count() == 90)
+      assert(j.filter(col("x") === 8 && col("y") === 9).first().getDouble(2) == 180.0)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
   test("scan manifests are cached by (dataset, variable, version, window): " +
       "a repeated large scan reuses the published manifest, no new planning job") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsv2-cache").toString
