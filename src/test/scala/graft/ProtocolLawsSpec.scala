@@ -49,25 +49,71 @@ abstract class BackendLaws(name: String, mkBackend: () => Backend) extends AnyFu
     intercept[IllegalArgumentException] { cs.readChunk("deadbeef") }
     intercept[IllegalArgumentException] { cs.chunkRefs("deadbeef") }
     intercept[IllegalArgumentException] { cs.updateChunkRefs("deadbeef", 1) }
+    // empty-hash taxonomy (chunk_store.clj:206-215, 236-244): reads and
+    // ref queries on "" throw like any other absent hash
+    intercept[IllegalArgumentException] { cs.readChunk("") }
+    intercept[IllegalArgumentException] { cs.chunkRefs("") }
+    intercept[IllegalArgumentException] { cs.updateChunkRefs("", 1) }
   }
 
-  test(s"$name: refcount updates are additive") {
+  test(s"$name: reads are pure — repeated read-chunk/chunk-refs return " +
+      "equal results with no write side effects (chunk_store.clj:185-244)") {
+    val cs = freshConn().chunkStore()
+    val (h, bytes, ref) = (randHash(), randBytes(), 42L)
+    cs.writeChunk(h, ref, bytes)
+    val reads = Seq.fill(3)(cs.readChunk(h))
+    assert(reads.forall(java.util.Arrays.equals(_, bytes)))
+    val refs = Seq.fill(3)(cs.chunkRefs(h))
+    assert(refs.forall(_ == ref))
+  }
+
+  test(s"$name: refcount updates are additive; negative deltas allowed " +
+      "(chunk_store.clj:147-162)") {
     val cs = freshConn().chunkStore()
     val h = randHash()
     cs.writeChunk(h, 0, randBytes())
     val deltas = Seq.fill(20)(rnd.nextInt(100).toLong - 50)
-    deltas.foreach(cs.updateChunkRefs(h, _))
-    assert(cs.chunkRefs(h) == deltas.sum)
+    var expected = 0L
+    deltas.foreach { d =>
+      val before = cs.chunkRefs(h)
+      cs.updateChunkRefs(h, d)
+      assert(cs.chunkRefs(h) - before == d,
+        "each update changes the count by exactly its delta")
+      expected += d
+    }
+    assert(cs.chunkRefs(h) == expected,
+      "shuffled deltas accumulate to their sum")
   }
 
-  test(s"$name: concurrent chunk writes are safe (multi-thread law)") {
+  test(s"$name: concurrent chunk writes are safe and idempotent incl. " +
+      "refcounts (chunk_store.clj:293-317: 3 writers per chunk)") {
     val cs = freshConn().chunkStore()
-    val entries = Seq.fill(64)((randHash(), randBytes()))
-    val threads = entries.grouped(8).map { group =>
-      new Thread(() => group.foreach { case (h, b) => cs.writeChunk(h, 0, b) })
+    val entries = Seq.fill(48)((randHash(), randBytes(), rnd.nextInt(10000).toLong))
+    // three competing writers of the SAME (hash, ref, bytes) tuple each
+    val work = scala.util.Random.shuffle(entries.flatMap(e => Seq(e, e, e)))
+    val threads = work.grouped(work.size / 8 + 1).map { group =>
+      new Thread(() => group.foreach { case (h, b, r) => cs.writeChunk(h, r, b) })
     }.toSeq
     threads.foreach(_.start()); threads.foreach(_.join())
-    entries.foreach { case (h, b) => assert(java.util.Arrays.equals(cs.readChunk(h), b)) }
+    entries.foreach { case (h, b, r) =>
+      assert(java.util.Arrays.equals(cs.readChunk(h), b))
+      assert(cs.chunkRefs(h) == r, "triple concurrent write must not accumulate refs")
+    }
+  }
+
+  test(s"$name: concurrent update-chunk-refs are additive " +
+      "(chunk_store.clj:319-352)") {
+    val cs = freshConn().chunkStore()
+    val hashes = Seq.fill(16)(randHash())
+    hashes.foreach(h => cs.writeChunk(h, 0, randBytes()))
+    val updates = scala.util.Random.shuffle(
+      hashes.flatMap(h => Seq.fill(6)((h, rnd.nextInt(200).toLong - 100))))
+    val expected = updates.groupBy(_._1).map { case (h, us) => h -> us.map(_._2).sum }
+    val threads = updates.grouped(updates.size / 8 + 1).map { group =>
+      new Thread(() => group.foreach { case (h, d) => cs.updateChunkRefs(h, d) })
+    }.toSeq
+    threads.foreach(_.start()); threads.foreach(_.join())
+    expected.foreach { case (h, sum) => assert(cs.chunkRefs(h) == sum) }
   }
 
   test(s"$name: schema laws — create/list/connect/destroy") {
@@ -101,6 +147,31 @@ abstract class BackendLaws(name: String, mkBackend: () => Backend) extends AnyFu
 }
 
 class MemBackendLaws extends BackendLaws("mem", () => new MemBackend)
+
+/** The Spark-native store's refcount contract: every chunk row is written
+  * with ref = −1, exactly the reference production write path's convention
+  * (impl.clj:253-254 "fixme implement ref-counting" / ref-count -1, and
+  * s3.clj write-chunk ignores ref-count). GC is mark-and-sweep vacuum
+  * (exercised in VacuumAndFunctionsSpec), not refcounting — the additive-
+  * refcount laws above bind protocol backends (mem), not this layout. */
+class SparkChunkLayoutLaws extends AnyFunSuite {
+  test("spark store chunk rows always carry ref = -1 (impl.clj:254)") {
+    val spark = SparkTestSession.spark
+    val root = java.nio.file.Files.createTempDirectory("graft-reflaw").toString
+    val store = new graft.spark.SparkStore(spark, root)
+    store.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 8L), chunkDimensions = Map("x" -> 2L),
+      variables = Map("v" -> VariableDef("int", Vector("x"), 0.0)))
+    val w = store.addVersion("ds", meta)
+    w.write("v", Seq(graft.core.Slab.fromDoubles(graft.core.DType.INT,
+      graft.core.Slice(Seq(0L), Seq(8L)), (1 to 8).map(_.toDouble))))
+    w.finishVersion()
+    val refs = spark.read.parquet(store.chunksDir).select("ref")
+      .collect().map(_.getLong(0)).toSet
+    assert(refs == Set(-1L))
+  }
+}
 
 /** Chunk-cache behavior pinned from the reference
   * (src/io/mandoline/impl/cache.clj:77-113, test/impl/cache_test.clj):
