@@ -102,6 +102,21 @@ object ArrayQueries {
         .exploded("qty", Slice(Seq(2L, 1L), Seq(math.min(12L, fx.months), 6L)))
         .orderBy("m", "b")
     }),
+    // chunked DSv2 scan: per-chunk stats keyed by the _chunk_* columns;
+    // the reported KeyGroupedPartitioning makes this aggregation
+    // shuffle-free (v2 bucketing conf left enabled — an optimization
+    // flag only, results are identical without it)
+    "q_arr_chunked" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft").option("root", fx.store.root)
+        .option("dataset", "grid").option("variable", "qty")
+        .option("version", fx.gridV1.toString)
+        .option("chunked", "true").load()
+        .groupBy(col("_chunk_m").as("cm"), col("_chunk_b").as("cb"))
+        .agg(sum("value").as("qty_sum"), count(lit(1)).as("n_cells"))
+        .orderBy("cm", "cb")
+    }),
     // W4/W7: content-addressed dedup — 50 identical chunks → 1 blob
     "q_arr_dedup" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
@@ -171,5 +186,23 @@ object ArrayQueries {
     "q_arr_versions" ->
       "SELECT * FROM (VALUES (CAST(0 AS BIGINT), true), (CAST(1 AS BIGINT), false)) t(ord, has_parent) ORDER BY ord",
     "q_arr_dedup" ->
-      "SELECT CAST(50 AS BIGINT) AS n_chunks, CAST(1 AS BIGINT) AS n_blobs")
+      "SELECT CAST(50 AS BIGINT) AS n_chunks, CAST(1 AS BIGINT) AS n_blobs",
+    "q_arr_chunked" ->
+      """WITH lb AS (
+        | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,
+        |        l_partkey % 8 AS b, l_quantity
+        | FROM lineitem),
+        |mn AS (SELECT min(am) AS m0, max(am) - min(am) + 1 AS nm FROM lb),
+        |g AS (SELECT am - (SELECT m0 FROM mn) AS m, b,
+        |        CAST(sum(l_quantity) AS BIGINT) AS q
+        |      FROM lb GROUP BY 1, 2),
+        |cells AS (
+        | SELECT gm.m AS m, gb.b AS b, COALESCE(g.q, 0) AS v
+        | FROM range(0, 10000) gm(m) CROSS JOIN range(0, 8) gb(b)
+        | LEFT JOIN g ON g.m = gm.m AND g.b = gb.b
+        | WHERE gm.m < (SELECT nm FROM mn))
+        |SELECT m // 4 AS cm, b // 4 AS cb,
+        |       CAST(sum(v) AS BIGINT) AS qty_sum,
+        |       CAST(count(*) AS BIGINT) AS n_cells
+        |FROM cells GROUP BY 1, 2 ORDER BY cm, cb""".stripMargin)
 }

@@ -286,7 +286,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       }
     oldDF.join(referenced, Seq("hash"), "left_semi")
       .dropDuplicates("hash") // compact duplicate rows from racy appends
-      .sortWithinPartitions("hash")
+      // range-partition: compaction leaves the WHOLE swept store as one
+      // disjoint-file generation (see writeRows blob append)
+      .repartitionByRange(col("hash")).sortWithinPartitions("hash")
       .write.option("compression", "uncompressed").mode("overwrite").parquet(keptDir.toString)
     val after = spark.read.parquet(keptDir.toString).count()
     // adopt the compacted part files into the live dir (part-file names
@@ -816,10 +818,15 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         .select("coordKey")
       val newBlobs = merged.join(winners, Seq("coordKey"))
         .select(col("hash"), lit(-1L).as("ref"), col("bytes"))
-      // blobs are already LZ4-framed — skip parquet's recompression; sort
-      // within partitions so row-group min/max stats become tight hash
-      // ranges (point lookups by hash prune row groups)
-      newBlobs.sortWithinPartitions("hash")
+      // blobs are already LZ4-framed — skip parquet's recompression.
+      // RANGE-partition by hash, then sort within partitions: each part
+      // file owns a DISJOINT hash range (footer min/max), so a point
+      // lookup opens one candidate file per ingest generation instead of
+      // every file (file-level pruning in ChunkBlobReader.fileHashRange —
+      // without disjoint files, per-chunk tasks paid an open per file:
+      // measured 277 ms/task on a 2240-chunk grid agg, ~8 ms after).
+      // The extra shuffle moves only NEW deduped blobs of this batch.
+      newBlobs.repartitionByRange(col("hash")).sortWithinPartitions("hash")
         .write.option("compression", "uncompressed")
         .mode("append").parquet(store.chunksDir)
 
