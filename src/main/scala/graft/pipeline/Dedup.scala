@@ -220,4 +220,55 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("uni"))
       .orderBy("a", "b")
   }
+
+  /** Near-dup CLUSTERING: connected components over a candidate-pair list
+    * — the step that turns pairwise dup candidates into dedup groups
+    * (keep `cluster_id`, drop the rest). Iterative min-label propagation:
+    * every round each vertex adopts the smallest label among itself and
+    * its neighbors; converges in graph-diameter rounds, and near-dup
+    * graphs are short-diameter (a dup cluster is near-clique by
+    * construction — its members share LSH buckets). Returns
+    * (doc_id, cluster_id = min doc_id of the component) for every vertex
+    * incident to a pair, deterministic by construction.
+    *
+    * Scale: each round is ONE shuffle of |E| (edges ⋈ labels, min
+    * combine map-side) — no all-pairs step, no driver-side graph. Each
+    * round's label frame is EAGERLY localCheckpoint-ed: the round's plan
+    * references the previous labels twice (directly and via the
+    * neighbor-min), so without lineage truncation the plan tree doubles
+    * per round — exponential planning cost that OOMs the driver around
+    * round 16. Checkpoint blocks are reclaimed by the context cleaner as
+    * rounds are dropped. A pathological input (diameter > maxIter, not a
+    * dup-pair shape) fails loudly rather than looping. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged) {
+      require(it < maxIter,
+        s"duplicateClusters: no convergence after $maxIter rounds — " +
+          "input does not look like a near-dup pair list")
+      val nbrMin = und
+        .join(labels.select(col("id").as("src"), col("lbl").as("srcLbl")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("srcLbl").as("nbrLbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true) // eager: truncates lineage AND materializes
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select("id", "lbl")
+      it += 1
+    }
+    val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+    und.unpersist()
+    out
+  }
 }

@@ -22,6 +22,9 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipe_dedup_exact" -> ((s, dir) => Dedup.exactStats(docs(s, dir))),
     "q_pipe_minhash" -> ((s, dir) => Dedup.minHashCandidatePairs(docs(s, dir), k = 8)),
+    // candidate pairs → dedup groups (connected components, min-label)
+    "q_pipe_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(Dedup.minHashCandidatePairs(docs(s, dir), k = 8))),
     "q_pipe_simhash" -> ((s, dir) => Dedup.simHash16(docs(s, dir).filter(col("doc_id") < 50))),
     "q_pipe_jaccard" -> ((s, dir) => Dedup.successorJaccard(docs(s, dir), "en")),
     "q_pipe_knn" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
@@ -69,17 +72,16 @@ object PipelineQueries {
       | FROM documents, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)
       |)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "q_pipe_dedup_exact" ->
-      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
-        | count(*) - count(DISTINCT text) AS n_dups FROM documents""".stripMargin,
-
-    "q_pipe_minhash" -> ("""WITH words AS (
+  /** MinHash banded-LSH candidate pairs, up to and including a `pairs`
+    * CTE — shared by the q_pipe_minhash oracle (pair listing) and the
+    * q_pipe_dup_clusters oracle (connected components over the pairs).
+    * The caller prepends `WITH ` or `WITH RECURSIVE `. */
+  private val minhashPairsBody = """words AS (
       | SELECT DISTINCT doc_id, w AS word
       | FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
       |      unnest(list_transform(range(1, greatest(length(norm)-4, 1)+1),
       |                            i -> substr(norm, CAST(i AS INT), 5))) t(w)
-      |)""".stripMargin + """,
+      |),
       |sigs AS (
       | SELECT doc_id,
       |  min(substr(md5(word), 1, 8)) AS s0, min(substr(md5(word), 9, 8)) AS s1,
@@ -95,11 +97,33 @@ object PipelineQueries {
       |small AS (
       | SELECT band, key FROM buckets GROUP BY band, key
       | HAVING count(*) <= 32 AND count(*) > 1),
-      |kept AS (SELECT b.* FROM buckets b JOIN small s ON b.band = s.band AND b.key = s.key)
-      |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      |FROM kept l JOIN kept r ON l.band = r.band AND l.key = r.key
-      |WHERE l.doc_id < r.doc_id
-      |ORDER BY a, b""".stripMargin),
+      |kept AS (SELECT b.* FROM buckets b JOIN small s ON b.band = s.band AND b.key = s.key),
+      |pairs AS (
+      | SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      | FROM kept l JOIN kept r ON l.band = r.band AND l.key = r.key
+      | WHERE l.doc_id < r.doc_id)
+      |""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pipe_dedup_exact" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_unique,
+        | count(*) - count(DISTINCT text) AS n_dups FROM documents""".stripMargin,
+
+    "q_pipe_minhash" ->
+      ("WITH " + minhashPairsBody + "SELECT a, b FROM pairs ORDER BY a, b"),
+
+    // connected components by transitive closure + min label — small at
+    // oracle scale; the Spark side uses min-label propagation instead
+    "q_pipe_dup_clusters" ->
+      ("WITH RECURSIVE " + minhashPairsBody + """,
+      |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, r) AS (
+      | SELECT id, id FROM nodes
+      | UNION
+      | SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r)
+      |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
 
     "q_pipe_simhash" -> (wordsCte.replace("FROM documents,", "FROM documents,")
       + """
