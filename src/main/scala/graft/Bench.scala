@@ -53,8 +53,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Dev aid: SPARK_GRAFT_BENCH_ONLY=substr,substr runs a subset (full run when unset).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    def wanted(name: String) = only.forall(_.exists(name.contains))
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1)).foreach { case (name, fn) =>
       runs(name) = (0 until reps).map { _ =>
         time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       }
@@ -63,7 +66,7 @@ object Bench {
     }
 
     // Engine throughput: performance.json-shaped dense array write + read.
-    runs ++= ArrayBench.run(spark, reps)
+    if (only.isEmpty) runs ++= ArrayBench.run(spark, reps)
 
     val meds = runs.map { case (k, v) => k -> median(v) }
     val qs = meds.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -231,39 +231,58 @@ object Dedup {
     * (doc_id, cluster_id = min doc_id of the component) for every vertex
     * incident to a pair, deterministic by construction.
     *
-    * Scale: each round is ONE shuffle of |E| (edges ⋈ labels, min
-    * combine map-side) — no all-pairs step, no driver-side graph. Each
-    * round's label frame is EAGERLY localCheckpoint-ed: the round's plan
-    * references the previous labels twice (directly and via the
-    * neighbor-min), so without lineage truncation the plan tree doubles
-    * per round — exponential planning cost that OOMs the driver around
-    * round 16. Checkpoint blocks are reclaimed by the context cleaner as
-    * rounds are dropped. A pathological input (diameter > maxIter, not a
-    * dup-pair shape) fails loudly rather than looping. */
+    * Scale: each round shuffles only the LABEL frame, O(|V|) (the edge
+    * frame is persisted pre-partitioned by src; the min aggregate combines
+    * map-side) — no all-pairs step, no driver-side graph. Each round's
+    * label frame is EAGERLY localCheckpoint-ed: without lineage truncation
+    * the plan tree grows per round (re-planning cost and recursive
+    * recomputation on failure), and checkpoint blocks are reclaimed by the
+    * context cleaner as rounds are dropped. Convergence is decided by the
+    * monotone sum(lbl) of the freshly checkpointed frame — one cheap
+    * O(|V|) scan, no comparison join. A pathological input (diameter >
+    * maxIter, not a dup-pair shape) fails loudly rather than looping. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val fwd = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Both edge orientations PLUS a self-loop per vertex come from ONE pass
+    // over `pairs` (explode of a four-struct array) — a self-union would
+    // evaluate the upstream candidate-pair plan twice, doubling the most
+    // expensive stage of the whole pipeline for a minhash input. The
+    // self-loops make each round a bare join+groupBy(min): min over
+    // in-neighbors ∪ self IS the propagation step, no join-back to the
+    // previous labels needed. Pre-partitioned by src so only the (small)
+    // label frame shuffles each round.
+    val a = col("a").cast("long")
+    val b = col("b").cast("long")
+    val und = pairs
+      .select(explode(array(
+        struct(a.as("src"), b.as("dst")), struct(b.as("src"), a.as("dst")),
+        struct(a.as("src"), a.as("dst")), struct(b.as("src"), b.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = und.select(col("src").as("id"), col("src").as("lbl")).distinct()
       .localCheckpoint(true)
+    // Labels only ever decrease, so sum(lbl) is strictly monotone until the
+    // fixpoint — an O(|V|) scan of the freshly checkpointed frame decides
+    // convergence with no second comparison join.
+    def lblSum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0))
+    var prevSum = lblSum(labels)
     var converged = false
     var it = 0
     while (!converged) {
       require(it < maxIter,
         s"duplicateClusters: no convergence after $maxIter rounds — " +
           "input does not look like a near-dup pair list")
-      val nbrMin = und
-        .join(labels.select(col("id").as("src"), col("lbl").as("srcLbl")), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min("srcLbl").as("nbrLbl"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nbrLbl"), col("lbl"))).as("lbl"))
+      val next = und
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("lbl"))
         .localCheckpoint(true) // eager: truncates lineage AND materializes
-      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
-      labels = next.select("id", "lbl")
+      val s = lblSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
       it += 1
     }
     val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
