@@ -92,6 +92,68 @@ final case class Slab(dtype: DType, slice: Slice, bytes: Array[Byte]) {
 
   def contentHash: String = Sha1.hex(bytes)
 
+  /** Zone-map statistics over every cell of this slab — computed once at
+    * ingest and stored beside the chunk's index row, so envelope-covered
+    * aggregates and value-predicate chunk skipping never touch the blob.
+    * Integral dtypes (byte/char/short/int/long) carry exact long min/max/
+    * sum; float dtypes carry double min/max over non-NaN cells plus the
+    * NaN count (Spark's aggregate ordering treats NaN as greatest, so
+    * `max = if (nanCnt > 0) NaN else dmax`, and min over non-NaN matches
+    * Spark's min whenever any non-NaN cell exists). IEEE `<`/`>` is used
+    * for float comparisons, so a slab holding both zeros may report either
+    * -0.0 or 0.0 as its min — callers that need bit-exactness must decode. */
+  def stats: SlabStats = {
+    val n = volume.toInt
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    dtype match {
+      case DType.FLOAT | DType.DOUBLE =>
+        var dmin = Double.PositiveInfinity
+        var dmax = Double.NegativeInfinity
+        var nan = 0L
+        var some = false
+        var i = 0
+        while (i < n) {
+          val v = if (dtype == DType.FLOAT) bb.getFloat(i * 4).toDouble else bb.getDouble(i * 8)
+          if (java.lang.Double.isNaN(v)) nan += 1
+          else {
+            if (!some || v < dmin) dmin = v
+            if (!some || v > dmax) dmax = v
+            some = true
+          }
+          i += 1
+        }
+        SlabStats(n, None, None, None,
+          if (some) Some(dmin) else None, if (some) Some(dmax) else None, nan)
+      case _ =>
+        // one megamorphic dispatch per slab, not per cell
+        val read: Int => Long = dtype match {
+          case DType.BYTE => i => bytes(i).toLong
+          case DType.CHAR => i => (bb.getShort(i * 2) & 0xffff).toLong
+          case DType.SHORT => i => bb.getShort(i * 2).toLong
+          case DType.INT => i => bb.getInt(i * 4).toLong
+          case _ => i => bb.getLong(i * 8)
+        }
+        var lmin = Long.MaxValue
+        var lmax = Long.MinValue
+        var lsum = 0L
+        var overflow = false
+        var i = 0
+        while (i < n) {
+          val v = read(i)
+          if (v < lmin) lmin = v
+          if (v > lmax) lmax = v
+          if (!overflow) {
+            try lsum = Math.addExact(lsum, v)
+            catch { case _: ArithmeticException => overflow = true }
+          }
+          i += 1
+        }
+        if (n == 0) SlabStats(0, None, None, None, None, None, 0)
+        else SlabStats(n, Some(lmin), Some(lmax),
+          if (overflow) None else Some(lsum), None, None, 0)
+    }
+  }
+
   override def equals(o: Any): Boolean = o match {
     case s: Slab =>
       s.dtype == dtype && s.slice == slice &&
@@ -101,6 +163,13 @@ final case class Slab(dtype: DType, slice: Slice, bytes: Array[Byte]) {
   override def hashCode: Int =
     31 * (31 * dtype.hashCode + slice.hashCode) + java.util.Arrays.hashCode(bytes)
 }
+
+/** Per-chunk zone-map row: cell count, exact integral min/max/sum (null
+  * for float dtypes), float min/max over non-NaN cells (null for integral
+  * dtypes or all-NaN slabs), and the NaN cell count. */
+final case class SlabStats(cnt: Long,
+    lmin: Option[Long], lmax: Option[Long], lsum: Option[Long],
+    dmin: Option[Double], dmax: Option[Double], nan: Long)
 
 object Slab {
   /** Fill-initialized slab (reference: slab.clj:47-68). */

@@ -117,6 +117,18 @@ object ArrayQueries {
         .agg(sum("value").as("qty_sum"), count(lit(1)).as("n_cells"))
         .orderBy("cm", "cb")
     }),
+    // zone-map aggregate: exact min/max/sum/count answered from per-chunk
+    // index stats (interior chunks: index only; `m`'s unwritten tail: fill
+    // arithmetic; edge chunks: decode+clip) — the 100 TB full-variable
+    // aggregate never touches interior blobs
+    "q_arr_stats" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val rd = fx.store.reader("ev").onVersion(fx.evV1)
+      val full = Slice(Seq(0L), Seq(fx.hours))
+      def tagged(v: String) = rd.statsAggregate(v, full)
+        .select(lit(v).as("varname"), col("vmin"), col("vmax"), col("vsum"), col("vcnt"))
+      tagged("m").unionByName(tagged("n")).orderBy("varname")
+    }),
     // W4/W7: content-addressed dedup — 50 identical chunks → 1 blob
     "q_arr_dedup" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
@@ -187,6 +199,21 @@ object ArrayQueries {
       "SELECT * FROM (VALUES (CAST(0 AS BIGINT), true), (CAST(1 AS BIGINT), false)) t(ord, has_parent) ORDER BY ord",
     "q_arr_dedup" ->
       "SELECT CAST(50 AS BIGINT) AS n_chunks, CAST(1 AS BIGINT) AS n_blobs",
+    "q_arr_stats" -> (cte +
+      """, vn AS (SELECT CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |                     ELSE COALESCE(c.cnt, 0) END AS v
+        |  FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |  WHERE g.h < (SELECT maxh FROM hh)),
+        |vm AS (SELECT CASE WHEN g.h < 10 THEN COALESCE(c.cnt, 0) ELSE -1 END AS v
+        |  FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |  WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT 'm' AS varname, CAST(min(v) AS BIGINT) AS vmin,
+        |       CAST(max(v) AS BIGINT) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
+        |       CAST(count(*) AS BIGINT) AS vcnt FROM vm
+        |UNION ALL
+        |SELECT 'n', CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT),
+        |       CAST(sum(v) AS BIGINT), CAST(count(*) AS BIGINT) FROM vn
+        |ORDER BY varname""".stripMargin),
     "q_arr_chunked" ->
       """WITH lb AS (
         | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,

