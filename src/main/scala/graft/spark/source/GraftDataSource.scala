@@ -243,13 +243,16 @@ private[source] object GraftCellIngest {
 
 private[source] class GraftScanBuilder(r: Resolved,
     scanOptions: Map[String, String] = Map.empty)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val dims = r.dims
   private var lo: Array[Long] = Array.fill(dims.size)(0L)
   private var hi: Array[Long] = dims.map(r.meta.dimensions(_)).toArray // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = r.schema
+  private var valueFilters: Array[Filter] = Array.empty
+  private var aggSpec: Option[GraftAgg.AggSpec] = None
 
   private def dimIdx(attr: String): Int = dims.indexOf(attr)
 
@@ -300,6 +303,10 @@ private[source] class GraftScanBuilder(r: Resolved,
     case _ =>
     }
     pushed = accepted ++ inFilters
+    // residual VALUE predicates: not pushed (Spark re-applies them above
+    // the scan) but recorded for zone-map chunk SKIPPING — partitions whose
+    // stats prove no cell can match are never planned/fetched
+    valueFilters = rejected.filter(StatsPredicate.supported)
     rejected
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -307,10 +314,51 @@ private[source] class GraftScanBuilder(r: Resolved,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** PARTIAL aggregate pushdown: global (no group-by) MIN/MAX/COUNT over
+    * dims or value, SUM over an integral value. Spark only attempts this
+    * when every filter was fully pushed, so agg partials never coexist
+    * with residual value predicates. Float SUM stays un-pushed: a partial
+    * float sum is order-dependent in ANY engine, but refusing keeps the
+    * pushed plan bit-identical to the unpushed one. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (r.chunked || agg.groupByExpressions.nonEmpty) return false
+    val dt = r.meta.dtype(r.variable)
+    val integral = dt != DType.FLOAT && dt != DType.DOUBLE
+    def target(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          val f = nr.fieldNames()(0)
+          if (f == "value") Some(GraftAgg.ValueT)
+          else { val i = dimIdx(f); if (i >= 0) Some(i) else None }
+        case _ => None
+      }
+    val specs = agg.aggregateExpressions.map {
+      case m: Min => target(m.column).map(GraftAgg.FuncSpec(GraftAgg.Min, _))
+      case m: Max => target(m.column).map(GraftAgg.FuncSpec(GraftAgg.Max, _))
+      case c: CountStar => Some(GraftAgg.FuncSpec(GraftAgg.Count, GraftAgg.StarT))
+      case c: Count if !c.isDistinct =>
+        // dense arrays have no null cells: count(col) == count(*)
+        target(c.column).map(_ => GraftAgg.FuncSpec(GraftAgg.Count, GraftAgg.StarT))
+      case s: Sum if !s.isDistinct && integral =>
+        target(s.column).filter(_ == GraftAgg.ValueT)
+          .map(GraftAgg.FuncSpec(GraftAgg.Sum, _))
+      case _ => None
+    }
+    if (specs.exists(_.isEmpty)) return false
+    aggSpec = Some(GraftAgg.AggSpec(specs.map(_.get).toSeq))
+    true
+  }
+
   override def build(): Scan = {
     val empty = (0 until dims.size).exists(i => hi(i) <= lo(i))
     new GraftScan(r, Slice(lo.toVector, hi.toVector.map(math.max(_, 0L))), empty,
-      required, scanOptions)
+      required, scanOptions, aggSpec, valueFilters)
   }
 }
 
@@ -324,7 +372,8 @@ private[source] class GraftScanBuilder(r: Resolved,
   *    O(#partitions) driver memory. */
 private[source] final case class GraftPointPartition(
     coords: Array[Array[Long]], hashes: Array[String], // hashes(i) == null → fill chunk
-    files: Array[String]) extends InputPartition
+    files: Array[String],
+    stats: Array[graft.core.SlabStats] = null) extends InputPartition
 
 /** `chunked=true` scans: exactly ONE covering chunk per partition, keyed
   * by its chunk-grid coordinate so the scan can report
@@ -333,7 +382,8 @@ private[source] final case class GraftPointPartition(
   * joins between variables on the same grid. */
 private[source] final case class GraftChunkPartition(coord: Array[Long],
     hash: String, // null → fill chunk
-    files: Array[String]) extends InputPartition with HasPartitionKey {
+    files: Array[String],
+    stats: graft.core.SlabStats = null) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(coord.map(Long.box).toArray[Any])
 }
@@ -367,7 +417,9 @@ private[source] object ScanMath {
 }
 
 private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
-    required: StructType, scanOptions: Map[String, String] = Map.empty)
+    required: StructType, scanOptions: Map[String, String] = Map.empty,
+    aggSpec: Option[GraftAgg.AggSpec] = None,
+    valueFilters: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
@@ -403,15 +455,34 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   private def isEmpty: Boolean =
     empty || (0 until request.rank).exists(i => request.stop(i) <= request.start(i))
 
-  override def readSchema(): StructType = required
+  /** Pushed-aggregate scans output exactly one column per aggregate, in
+    * spec order (Spark zips them positionally with the rewritten final
+    * aggregate): min/max(value) carry the value dtype, everything else is
+    * BIGINT. */
+  private def aggSchema(spec: GraftAgg.AggSpec): StructType = StructType(
+    spec.funcs.zipWithIndex.map { case (f, i) =>
+      val t = (f.kind, f.target) match {
+        case (GraftAgg.Min | GraftAgg.Max, GraftAgg.ValueT) =>
+          r.meta.dtype(r.variable).sparkType
+        case _ => LongType
+      }
+      StructField(s"agg_$i", t, nullable = true)
+    })
+
+  override def readSchema(): StructType =
+    aggSpec.map(aggSchema).getOrElse(required)
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!r.chunked, "graft: the 'chunked' option is batch-only")
+    require(aggSpec.isEmpty, "graft: aggregate pushdown is batch-only")
     new GraftMicroBatchStream(r, request0, empty, required, scanOptions)
   }
   override def description(): String =
-    s"GraftScan ${r.dataset}/${r.variable} request=$request"
+    s"GraftScan ${r.dataset}/${r.variable} request=$request" +
+      aggSpec.map(s => s" pushedAggregates=${s.funcs.mkString(",")}").getOrElse("") +
+      (if (valueFilters.nonEmpty)
+        s" skipFilters=${valueFilters.mkString(",")}" else "")
 
   private def grid = r.meta.chunkGridSlice(r.variable)
 
@@ -473,38 +544,60 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   /** One partition per covering chunk, resolved driver-side (bounded by
     * ChunkedMaxChunks — grid-aligned mode is for analytics at moderate
     * chunk counts; beyond it use the default range path). */
+  /** (coordKey → (hash, stats)) resolved driver-side — callers are bounded
+    * by PointLookupThreshold / ChunkedMaxChunks. */
+  private def resolveWithStats(): Map[String, (String, SlabStats)] =
+    r.store.resolvedIndexPublic(r.dataset, r.variable,
+      r.meta.versionId.get, envelope)
+      .select("coordKey", "hash", "stats").collect()
+      .map(row => row.getString(0) ->
+        (row.getString(1), GraftScan.rowStats(row, 2))).toMap
+
   private def planChunked(): Array[InputPartition] = {
     val n = coveringChunks
     require(n <= GraftScan.ChunkedMaxChunks,
       s"chunked=true scan covers $n chunks > ${GraftScan.ChunkedMaxChunks}; " +
         "narrow the request or drop the chunked option (default range scan)")
     val coords = ChunkGrid.toChunkCoordinates(request, grid)
-    val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
-      r.meta.versionId.get, envelope)
-      .select("coordKey", "hash").collect()
-      .map(row => row.getString(0) -> row.getString(1)).toMap
+    val resolved = resolveWithStats()
     val files = chunkFiles
-    coords.map(c => GraftChunkPartition(c.toArray,
-      resolved.getOrElse(SparkStore.coordKey(c), null), files): InputPartition)
-      .toArray
+    // NOTE: no zone-map partition skipping here even when valueFilters is
+    // non-empty — chunked scans report KeyGroupedPartitioning, and dropping
+    // partitions would change the reported key set under a co-partitioned
+    // join. Readers still skip blob fetches.
+    coords.map { c =>
+      val (h, st) = resolved.getOrElse(SparkStore.coordKey(c), (null, null))
+      GraftChunkPartition(c.toArray, h, files, st): InputPartition
+    }.toArray
   }
 
   /** Small windows: resolve the covering coords driver-side (bounded by
-    * PointLookupThreshold) and push exact hash lookups to the readers. */
+    * PointLookupThreshold) and push exact hash lookups to the readers.
+    * Residual value predicates skip whole chunks here, at PLANNING time:
+    * a chunk whose zone-map stats (or fill value, for unindexed chunks)
+    * prove no cell can match is never planned — sound because Spark
+    * re-applies the residual filter row-wise above the scan. */
   private def planPoint(): Array[InputPartition] = {
     val coords = ChunkGrid.toChunkCoordinates(request, grid)
-    val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
-      r.meta.versionId.get, envelope)
-      .select("coordKey", "hash").collect()
-      .map(row => row.getString(0) -> row.getString(1)).toMap
+    val resolved = resolveWithStats()
     val files = chunkFiles
-    val perPartition = math.max(1, coords.size / math.max(1,
+    val fill = r.meta.fill(r.variable)
+    val kept =
+      if (valueFilters.isEmpty) coords
+      else coords.filter { c =>
+        resolved.get(SparkStore.coordKey(c)) match {
+          case Some((_, st)) => StatsPredicate.statsSatisfiable(st, valueFilters)
+          case None => StatsPredicate.fillSatisfiable(fill, valueFilters)
+        }
+      }
+    val perPartition = math.max(1, kept.size / math.max(1,
       SparkSession.active.sparkContext.defaultParallelism))
-    coords.grouped(math.max(perPartition, 8)).map { group =>
+    kept.grouped(math.max(perPartition, 8)).map { group =>
       GraftPointPartition(
         group.map(_.toArray).toArray,
-        group.map(c => resolved.getOrElse(SparkStore.coordKey(c), null)).toArray,
-        files)
+        group.map(c => resolved.get(SparkStore.coordKey(c)).map(_._1).orNull).toArray,
+        files,
+        group.map(c => resolved.get(SparkStore.coordKey(c)).map(_._2).orNull).toArray)
     }.toArray
   }
 
@@ -541,10 +634,19 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
         val l = linear.toLong
         (l, SparkStore.coordKey(ScanMath.coordOf(l, loB, cB).toIndexedSeq))
       }.toDF("linear", "coordKey")
+      // stats ride along FLATTENED (parquet-mr Group readers on the
+      // executors read primitive fields; struct access via GroupReadSupport
+      // is clumsier and no cheaper)
       val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
-        r.meta.versionId.get, envelope).select("coordKey", "hash")
+        r.meta.versionId.get, envelope)
+        .select(col("coordKey"), col("hash"),
+          col("stats.cnt").as("scnt"), col("stats.lmin").as("slmin"),
+          col("stats.lmax").as("slmax"), col("stats.lsum").as("slsum"),
+          col("stats.dmin").as("sdmin"), col("stats.dmax").as("sdmax"),
+          col("stats.nan").as("snan"))
       val joined = coordsDF.join(resolved, Seq("coordKey")) // inner: data chunks only
-        .select("linear", "hash")
+        .select("linear", "hash", "scnt", "slmin", "slmax", "slsum",
+          "sdmin", "sdmax", "snan")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // repartition ON the bucket column before partitionBy: otherwise every
@@ -592,8 +694,13 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(r.meta.toJson, r.variable, request,
-      required.fieldNames)
+    aggSpec match {
+      case Some(spec) =>
+        new GraftAggReaderFactory(r.meta.toJson, r.variable, request, spec)
+      case None =>
+        new GraftReaderFactory(r.meta.toJson, r.variable, request,
+          required.fieldNames, valueFilters)
+    }
 }
 
 private[source] object GraftScan {
@@ -602,16 +709,30 @@ private[source] object GraftScan {
     * state and a schedulable task count; larger windows must use the
     * default range path (which plans O(buckets) driver state). */
   val ChunkedMaxChunks: Long = 1L << 16
+
+  /** Decode a nullable stats struct column of a collected Row. */
+  def rowStats(row: org.apache.spark.sql.Row, i: Int): SlabStats =
+    if (row.isNullAt(i)) null
+    else {
+      val st = row.getStruct(i)
+      def optL(j: Int) = if (st.isNullAt(j)) None else Some(st.getLong(j))
+      def optD(j: Int) = if (st.isNullAt(j)) None else Some(st.getDouble(j))
+      SlabStats(st.getLong(0), optL(1), optL(2), optL(3), optD(4), optD(5),
+        if (st.isNullAt(6)) 0L else st.getLong(6))
+    }
 }
 
 private[source] class GraftReaderFactory(metaJson: String, variable: String,
-    request: Slice, requiredFields: Array[String]) extends PartitionReaderFactory {
+    request: Slice, requiredFields: Array[String],
+    valueFilters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p, metaJson, variable, request, requiredFields)
+    new GraftPartitionReader(p, metaJson, variable, request, requiredFields,
+      valueFilters)
   override def supportColumnarReads(p: InputPartition): Boolean = true
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftColumnarReader(p, metaJson, variable, request, requiredFields)
+    new GraftColumnarReader(p, metaJson, variable, request, requiredFields,
+      valueFilters)
 }
 
 /** Shared per-partition cursor: resolves this partition's (coord, hash)
@@ -619,49 +740,66 @@ private[source] class GraftReaderFactory(metaJson: String, variable: String,
   * coords arithmetically and consult their manifest bucket), fetches the
   * wanted blobs, and yields each covering chunk CLIPPED to the request. */
 private[source] final class ChunkSlabCursor(part: InputPartition,
-    metaJson: String, variable: String, request: Slice) {
+    metaJson: String, variable: String, request: Slice,
+    valueFilters: Array[Filter] = Array.empty) {
 
   val meta: DatasetMeta = DatasetMeta.fromJson(metaJson)
   val dtype: DType = meta.dtype(variable)
   val dims: Vector[String] = meta.variables(variable).shape
   private val fill = meta.fill(variable)
 
-  // manifest bucket read ONCE per data partition (null otherwise)
-  private val manifest: java.util.HashMap[java.lang.Long, String] = part match {
-    case p: GraftDataHashPartition => ScanManifestReader.read(p.manifestFiles)
-    case _ => null
-  }
+  private def statsOk(st: SlabStats): Boolean =
+    valueFilters.isEmpty || StatsPredicate.statsSatisfiable(st, valueFilters)
+  private def fillOk: Boolean =
+    valueFilters.isEmpty || StatsPredicate.fillSatisfiable(fill, valueFilters)
 
-  private val (pairs: Iterator[(Array[Long], String)], chunkFiles: Array[String]) =
-    part match {
-      case p: GraftChunkPartition =>
-        (Iterator.single((p.coord, p.hash)), p.files)
-      case p: GraftPointPartition =>
-        (p.coords.iterator.zip(p.hashes.iterator), p.files)
-      case p: GraftDataHashPartition =>
-        val it = manifest.entrySet().iterator().asScala.map { e =>
+  // (coord, hash) per chunk this partition emits, post zone-map skipping:
+  // chunks whose stats (or the fill value) prove no cell can match the
+  // residual value predicates are dropped here, BEFORE any blob fetch —
+  // sound because Spark re-applies those predicates row-wise above the
+  // scan. Materialized once so the blob fetch wants exactly the kept set.
+  private val kept: Array[(Array[Long], String)] = (part match {
+    case p: GraftChunkPartition =>
+      val st = p.stats
+      if (p.hash == null) { if (fillOk) Iterator.single((p.coord, p.hash)) else Iterator.empty }
+      else if (statsOk(st)) Iterator.single((p.coord, p.hash))
+      else Iterator.empty
+    case p: GraftPointPartition =>
+      // point partitions were already stats-skipped at planning; the
+      // per-chunk check here only re-fires for fill chunks (cheap, sound)
+      p.coords.iterator.zip(p.hashes.iterator)
+        .filter { case (_, h) => if (h == null) fillOk else true }
+    case p: GraftDataHashPartition =>
+      if (valueFilters.isEmpty)
+        ScanManifestReader.read(p.manifestFiles).entrySet().iterator().asScala.map { e =>
           (ScanMath.coordOf(e.getKey, p.lo, p.counts), e.getValue)
         }
-        (it, p.chunkFiles)
-      case p: GraftFillRangePartition =>
+      else
+        ScanManifestStatsReader.read(p.manifestFiles).entrySet().iterator().asScala
+          .filter(e => statsOk(e.getValue._2))
+          .map(e => (ScanMath.coordOf(e.getKey, p.lo, p.counts), e.getValue._1))
+    case p: GraftFillRangePartition =>
+      if (!fillOk) Iterator.empty
+      else {
         val dataLinears = ScanManifestReader.readLinears(p.manifestFiles)
-        val it = Iterator.range(p.linearFrom, p.linearTo)
+        Iterator.range(p.linearFrom, p.linearTo)
           .filterNot(dataLinears.contains)
           .map(l => (ScanMath.coordOf(l, p.lo, p.counts), null: String))
-        (it, Array.empty[String])
-    }
+      }
+  }).toArray
 
-  private lazy val bytesByHash: Map[String, Array[Byte]] = part match {
-    case p: GraftChunkPartition =>
-      if (p.hash == null) Map.empty
-      else ChunkBlobReader.read(chunkFiles, Set(p.hash))
-    case p: GraftPointPartition =>
-      val wanted = p.hashes.filter(_ != null).toSet
-      if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
-    case _: GraftDataHashPartition =>
-      val wanted = manifest.values().asScala.toSet
-      if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
-    case _: GraftFillRangePartition => Map.empty
+  private val chunkFiles: Array[String] = part match {
+    case p: GraftChunkPartition => p.files
+    case p: GraftPointPartition => p.files
+    case p: GraftDataHashPartition => p.chunkFiles
+    case _: GraftFillRangePartition => Array.empty
+  }
+
+  private def pairs: Iterator[(Array[Long], String)] = kept.iterator
+
+  private lazy val bytesByHash: Map[String, Array[Byte]] = {
+    val wanted = kept.iterator.map(_._2).filter(_ != null).toSet
+    if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
   }
 
   /** Each covering chunk as (chunk-grid coordinate, slab clipped to the
@@ -689,9 +827,10 @@ private[source] final class ChunkSlabCursor(part: InputPartition,
 
 private[source] class GraftPartitionReader(part: InputPartition,
     metaJson: String, variable: String, request: Slice,
-    requiredFields: Array[String]) extends PartitionReader[InternalRow] {
+    requiredFields: Array[String],
+    valueFilters: Array[Filter] = Array.empty) extends PartitionReader[InternalRow] {
 
-  private val cursor = new ChunkSlabCursor(part, metaJson, variable, request)
+  private val cursor = new ChunkSlabCursor(part, metaJson, variable, request, valueFilters)
   private val dtype = cursor.dtype
   // projection: dim index, -1 for value, -2-dimIdx for _chunk_<dim>
   private val proj: Array[Int] = cursor.projectionOf(requiredFields)
@@ -726,12 +865,13 @@ private[source] class GraftPartitionReader(part: InputPartition,
   * and Spark's ColumnarToRow/codegen consumes the batches directly. */
 private[source] class GraftColumnarReader(part: InputPartition,
     metaJson: String, variable: String, request: Slice,
-    requiredFields: Array[String])
+    requiredFields: Array[String],
+    valueFilters: Array[Filter] = Array.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.ColumnarBatch
 
-  private val cursor = new ChunkSlabCursor(part, metaJson, variable, request)
+  private val cursor = new ChunkSlabCursor(part, metaJson, variable, request, valueFilters)
   private val dtype = cursor.dtype
   private val proj: Array[Int] = cursor.projectionOf(requiredFields)
   private val slabs = cursor.clippedSlabs
@@ -1034,6 +1174,7 @@ private[source] object ChunkBlobReader {
   // shared Configurations — construction parses classpath XML (~10+ ms),
   // far too expensive per read() call. Both are effectively read-only.
   private lazy val scanConf = new org.apache.hadoop.conf.Configuration()
+  private[source] def sharedConf: org.apache.hadoop.conf.Configuration = scanConf
   // harvest mode: the predicate prunes ROW GROUPS only; record-level and
   // page-level (column index) filtering are off, so the row-group scan
   // returns sibling rows for the blob cache
