@@ -66,7 +66,8 @@ object Bench {
     }
 
     // Engine throughput: performance.json-shaped dense array write + read.
-    if (only.isEmpty) runs ++= ArrayBench.run(spark, reps)
+    if (only.forall(_.exists(_.startsWith("bench"))))
+      runs ++= ArrayBench.run(spark, reps)
 
     val meds = runs.map { case (k, v) => k -> median(v) }
     val qs = meds.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -155,6 +156,17 @@ object ArrayBench {
       }
       time("bench_array_slice_driver") {
         reader.getSlice("foo", Slice(Seq(100L, 100L, 0L), Seq(130L, 130L, 30L)))
+      }
+      time("bench_stats_agg") {
+        // full-variable min/max/sum/count: pushed-down partials answered
+        // from zone-map index stats — no interior blob is decoded (compare
+        // bench_array_read_full, which decodes all 216M cells)
+        import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+        val row = spark.read.format("graft").option("root", root)
+          .option("dataset", "perf0").option("variable", "foo").load()
+          .agg(min("value"), max("value"), sum("value"), count(lit(1)))
+          .collect()(0)
+        require(row.getLong(3) == 400L * 600L * zDim, "bad pushed count")
       }
       time("bench_chunked_agg") {
         // grid-aligned per-chunk stats via the chunked scan: the reported
