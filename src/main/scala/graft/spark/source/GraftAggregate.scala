@@ -127,6 +127,11 @@ private[source] object ScanManifestStatsReader {
   }
 }
 
+/** The one partition of an EMPTY pushed-aggregate scan: its reader emits
+  * a single (count=0, min/max/sum=null) row so Spark's bare-SUM merge of
+  * COUNT partials yields 0 rather than NULL. */
+private[source] case object GraftEmptyAggPartition extends InputPartition
+
 private[source] class GraftAggReaderFactory(metaJson: String, variable: String,
     request: Slice, spec: GraftAgg.AggSpec) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -287,6 +292,12 @@ private[source] class GraftAggPartitionReader(part: InputPartition,
   override def next(): Boolean = {
     if (done) return false
     done = true
+    if (part == GraftEmptyAggPartition) {
+      row = new GenericInternalRow(spec.funcs.map { f =>
+        if (f.kind == Count) 0L else null
+      }.toArray[Any])
+      return true
+    }
     if (!run()) return false
     val vals: Array[Any] = spec.funcs.map { f =>
       (f.kind, f.target) match {

@@ -496,7 +496,12 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (isEmpty) return Array.empty
+    // An EMPTY pushed-aggregate scan must still emit ONE partial row:
+    // Spark's partial-pushdown rewrite merges COUNT partials with a bare
+    // SUM (no zero fallback), so zero partitions would turn count(*)=0
+    // into NULL. One synthetic partition emits (0, null, null, …).
+    if (isEmpty) return if (aggSpec.isDefined)
+      Array(GraftEmptyAggPartition: InputPartition) else Array.empty
     if (r.chunked) return planChunked()
     val g = grid
     val lo = (0 until request.rank)

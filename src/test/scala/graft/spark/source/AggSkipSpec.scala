@@ -64,6 +64,19 @@ class AggSkipSpec extends AnyFunSuite {
     assert(r2.getLong(3) == 40L)
   }
 
+  test("empty pushed-agg scan: count is 0 (not NULL), min/max NULL") {
+    val (_, root) = mkLong()
+    val df = loadDs(root).filter(col("x") < 0)
+      .agg(count(lit(1)).as("c"), min("value").as("mn"), max("value").as("mx"))
+    assert(df.queryExecution.executedPlan.toString.contains("pushedAggregates="))
+    val r = df.collect()(0)
+    assert(!r.isNullAt(0) && r.getLong(0) == 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    // parity with a plain (unpushed) empty aggregate
+    val plain = loadDs(root).filter(col("x") < 0).select("value").collect()
+    assert(plain.isEmpty)
+  }
+
   test("float NaN-fill variable: pushed min/max keep Spark NaN semantics") {
     val root = java.nio.file.Files.createTempDirectory("graft-aggf").toString
     val store = new SparkStore(spark, root)
