@@ -244,7 +244,8 @@ private[source] object GraftCellIngest {
 private[source] class GraftScanBuilder(r: Resolved,
     scanOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private val dims = r.dims
   private var lo: Array[Long] = Array.fill(dims.size)(0L)
@@ -253,6 +254,7 @@ private[source] class GraftScanBuilder(r: Resolved,
   private var required: StructType = r.schema
   private var valueFilters: Array[Filter] = Array.empty
   private var aggSpec: Option[GraftAgg.AggSpec] = None
+  private var limit: Option[Int] = None
 
   private def dimIdx(attr: String): Int = dims.indexOf(attr)
 
@@ -355,10 +357,24 @@ private[source] class GraftScanBuilder(r: Resolved,
     true
   }
 
+  /** PARTIAL limit pushdown (`isPartiallyPushed` stays true, so Spark
+    * still applies the global LIMIT): a dense array yields exactly its
+    * clipped cell count per covering chunk, so planning can stop after a
+    * PREFIX of chunks that covers `limit` cells — `LIMIT 20` against a
+    * petabyte variable reads one chunk instead of planning a scan
+    * manifest over millions. Refused under residual value predicates
+    * (matching rows may hide arbitrarily deep) and for chunked scans
+    * (the KeyGroupedPartitioning key set must stay complete). */
+  override def pushLimit(l: Int): Boolean = {
+    if (r.chunked || valueFilters.nonEmpty || l <= 0) return false
+    limit = Some(l)
+    true
+  }
+
   override def build(): Scan = {
     val empty = (0 until dims.size).exists(i => hi(i) <= lo(i))
     new GraftScan(r, Slice(lo.toVector, hi.toVector.map(math.max(_, 0L))), empty,
-      required, scanOptions, aggSpec, valueFilters)
+      required, scanOptions, aggSpec, valueFilters, limit)
   }
 }
 
@@ -419,7 +435,8 @@ private[source] object ScanMath {
 private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     required: StructType, scanOptions: Map[String, String] = Map.empty,
     aggSpec: Option[GraftAgg.AggSpec] = None,
-    valueFilters: Array[Filter] = Array.empty)
+    valueFilters: Array[Filter] = Array.empty,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
@@ -510,6 +527,32 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
       Math.floorDiv(request.stop(i) - 1, g.step(i)) - lo(i) + 1
     }.toArray
     val n = counts.foldLeft(1L)(_ * _)
+    // pushed LIMIT: a chunk-prefix covering `l` cells suffices — dense
+    // arrays yield exactly their clipped cell count per chunk, and Spark
+    // re-applies the global limit above the scan
+    if (limit.isDefined && aggSpec.isEmpty) {
+      val l = limit.get
+      var acc = 0L
+      var k = 0L
+      val maxWalk = math.min(n, SparkPinnedReader.PointLookupThreshold)
+      while (k < maxWalk && acc < l) {
+        val c = ScanMath.coordOf(k, lo, counts)
+        var cells = 1L
+        var i = 0
+        while (i < request.rank) {
+          val c0 = c(i) * g.step(i); val c1 = (c(i) + 1) * g.step(i)
+          cells *= math.max(math.min(c1, request.stop(i)) -
+            math.max(c0, request.start(i)), 0L)
+          i += 1
+        }
+        acc += cells
+        k += 1
+      }
+      if (acc >= l)
+        return planPoint(Some((0L until k).map(j =>
+          ScanMath.coordOf(j, lo, counts).toVector)))
+      // acc < l after the walk cap: fall through to normal planning
+    }
     if (n <= SparkPinnedReader.PointLookupThreshold) planPoint()
     else planRange(n, lo, counts)
   }
@@ -550,13 +593,26 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     * ChunkedMaxChunks — grid-aligned mode is for analytics at moderate
     * chunk counts; beyond it use the default range path). */
   /** (coordKey → (hash, stats)) resolved driver-side — callers are bounded
-    * by PointLookupThreshold / ChunkedMaxChunks. */
-  private def resolveWithStats(): Map[String, (String, SlabStats)] =
+    * by PointLookupThreshold / ChunkedMaxChunks. With an explicit coord
+    * list (limit-pushdown prefix) the index scan is pre-filtered to that
+    * list's bounding box, NOT the whole request envelope — a LIMIT against
+    * a petabyte variable must not collect its full resolved index. */
+  private def resolveWithStats(coordsOpt: Option[Seq[Vector[Long]]] = None)
+      : Map[String, (String, SlabStats)] = {
+    val filt = coordsOpt match {
+      case Some(cs) if cs.nonEmpty =>
+        (0 until request.rank).map { i =>
+          val vs = cs.map(_(i))
+          col("coord")(i).between(vs.min, vs.max)
+        }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
+      case _ => envelope
+    }
     r.store.resolvedIndexPublic(r.dataset, r.variable,
-      r.meta.versionId.get, envelope)
+      r.meta.versionId.get, filt)
       .select("coordKey", "hash", "stats").collect()
       .map(row => row.getString(0) ->
         (row.getString(1), GraftScan.rowStats(row, 2))).toMap
+  }
 
   private def planChunked(): Array[InputPartition] = {
     val n = coveringChunks
@@ -582,9 +638,10 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     * a chunk whose zone-map stats (or fill value, for unindexed chunks)
     * prove no cell can match is never planned — sound because Spark
     * re-applies the residual filter row-wise above the scan. */
-  private def planPoint(): Array[InputPartition] = {
-    val coords = ChunkGrid.toChunkCoordinates(request, grid)
-    val resolved = resolveWithStats()
+  private def planPoint(coordsOpt: Option[Seq[Vector[Long]]] = None)
+      : Array[InputPartition] = {
+    val coords = coordsOpt.getOrElse(ChunkGrid.toChunkCoordinates(request, grid))
+    val resolved = resolveWithStats(coordsOpt)
     val files = chunkFiles
     val fill = r.meta.fill(r.variable)
     val kept =

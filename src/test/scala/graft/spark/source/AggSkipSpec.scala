@@ -159,6 +159,33 @@ class AggSkipSpec extends AnyFunSuite {
     assert(df2.count() == 32)
   }
 
+  test("limit pushdown plans a chunk prefix, not the whole scan") {
+    val (_, root) = mkLong() // 100 cells, chunk 16 → 7 chunks
+    val r = GraftSource.resolve(Map("root" -> root, "dataset" -> "ds", "variable" -> "v"))
+    val b = new GraftScanBuilder(r)
+    assert(b.pushLimit(20))
+    val scan = b.build().asInstanceOf[GraftScan]
+    // 20 cells need ceil(20/16) = 2 chunks
+    assert(plannedChunks(scan) == 2)
+    // results: the limit itself is re-applied by Spark above the scan
+    val rows = loadDs(root).limit(20).collect()
+    assert(rows.length == 20)
+    // windowed + limited: prefix walks the NARROWED request
+    val b2 = new GraftScanBuilder(r)
+    b2.pushFilters(Array(GreaterThanOrEqual("x", 90L))) // 10 cells, 1 chunk
+    assert(b2.pushLimit(5))
+    assert(plannedChunks(b2.build().asInstanceOf[GraftScan]) == 1)
+    val win = loadDs(root).filter(col("x") >= 90).limit(5).collect()
+    assert(win.length == 5 && win.forall(_.getLong(0) >= 90))
+    // under a residual value predicate the limit is refused (rows may hide
+    // arbitrarily deep), results still correct
+    val b3 = new GraftScanBuilder(r)
+    b3.pushFilters(Array(GreaterThanOrEqual("value", 39L)))
+    assert(!b3.pushLimit(5))
+    val vf = loadDs(root).filter(col("value") >= 39).limit(5).collect()
+    assert(vf.length == 2) // cells 39, 40
+  }
+
   test("range path: manifest rows carry stats; value skip works above the " +
     "point threshold") {
     val root = java.nio.file.Files.createTempDirectory("graft-skipR").toString
@@ -175,6 +202,16 @@ class AggSkipSpec extends AnyFunSuite {
     val df = loadDs(root).filter(col("value") >= 16376)
     assert(df.count() == 8)
     assert(df.agg(min("x")).collect()(0).getLong(0) == 16376L)
+    // pushed LIMIT above the point threshold: plans a 1-chunk prefix and
+    // never runs the manifest job (partitions are point, not data-hash)
+    val lim = GraftSource.resolve(
+      Map("root" -> root, "dataset" -> "ds", "variable" -> "v"))
+    val lb = new GraftScanBuilder(lim)
+    assert(lb.pushLimit(5))
+    val parts = lb.build().asInstanceOf[GraftScan].planInputPartitions()
+    assert(parts.forall(_.isInstanceOf[GraftPointPartition]))
+    assert(plannedChunks(lb.build().asInstanceOf[GraftScan]) == 1)
+    assert(loadDs(root).limit(5).collect().length == 5)
     // aggregate over the manifest path: stats partials, no full decode
     val agg = loadDs(root).agg(min("value"), max("value"), sum("value"))
     assert(agg.queryExecution.executedPlan.toString.contains("pushedAggregates="))
