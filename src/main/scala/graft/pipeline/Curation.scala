@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for training-data pipelines:
+  * benchmark decontamination, deterministic stratified sampling,
+  * sequence packing, and vocabulary building.
+  *
+  * Scale design notes (100 TB corpus):
+  *  - decontamination joins the (huge) train gram set against the (small)
+  *    eval gram set — the eval side is a benchmark suite, orders of
+  *    magnitude smaller, so Spark broadcasts it and the train side never
+  *    shuffles;
+  *  - sampling is a pure per-row hash predicate — no shuffle, and
+  *    deterministic across re-runs/retries (a random() sample is neither);
+  *  - packing needs a global prefix sum, computed as a distributed scan
+  *    (per-bucket partial sums + a constant-size offset table) instead of
+  *    a single-task `ORDER BY` window;
+  *  - vocabulary counting is a plain groupBy — map-side partial
+  *    aggregation keeps the shuffle at O(distinct words), not O(tokens).
+  *
+  * All arithmetic is integer-exact and engine-portable; every operator has
+  * a DuckDB oracle computing the identical function.
+  */
+object Curation {
+
+  /** Word 3-gram array over the lowercase alphanumeric tokenization —
+    * empty when the document has fewer than 3 tokens. */
+  private def wordGrams(text: org.apache.spark.sql.Column) = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 3-gram with the held-out eval split (doc_id % 10 == 0 here; in
+    * production the eval side is the benchmark suite). Returns one row per
+    * CONTAMINATED train document: the number of distinct shared grams and
+    * the number of distinct eval documents hit.
+    *
+    * The eval gram set is explicitly broadcast: a benchmark suite is MBs
+    * while the train corpus is TBs, so the contamination check must not
+    * shuffle the train side on the gram key. */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(wordGrams(col("text"))).as("gram"))
+      .distinct()
+    val eval = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+    train.join(broadcast(eval), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_hit_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language sampling rates in 1/1000ths for the stratified sample.
+    * Unlisted languages fall back to [[DefaultRatePerMille]]. */
+  val SampleRates: Map[String, Long] =
+    Map("en" -> 500L, "de" -> 250L, "es" -> 125L, "fr" -> 62L)
+  val DefaultRatePerMille = 100L
+
+  /** Deterministic stratified sample: keep a document when a multiplicative
+    * hash of its id lands under the stratum's rate. Shuffle-free (pure
+    * row-local predicate) and reproducible — rerunning the pipeline, or a
+    * recomputed partition after executor loss, selects the SAME rows,
+    * which a `rand()`-based sample does not guarantee. */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val hash = (col("doc_id").cast("long") * lit(2654435761L)) % 1000L
+    val rate = SampleRates.foldLeft(lit(DefaultRatePerMille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+      .filter(hash < rate)
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing: assign documents (in doc_id order) to fixed-size
+    * token windows — document d goes to window `floor(tokens_before(d) /
+    * seqLen)`, the contiguous packing used to build fixed-length training
+    * batches. Returns per-window stats.
+    *
+    * The prefix sum is computed as a DISTRIBUTED scan: ids are
+    * range-bucketed, each bucket computes its local running sum in
+    * parallel (partition-local window), and bucket offsets come from a
+    * ≤ nBuckets × nBuckets self-join — the classic two-pass prefix sum.
+    * No global `ORDER BY` window (which would sort the corpus in one
+    * task) anywhere. */
+  def packSequences(docs: DataFrame, seqLen: Long = 2048L,
+      nBuckets: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+        .cast("long").as("toks"))
+    val stats = toks.agg(min("doc_id"), max("doc_id")).head()
+    if (stats.isNullAt(0))
+      return spark.emptyDataFrame
+        .select(lit(0L).as("seq_id"), lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
+          lit(0L).as("first_doc"), lit(0L).as("last_doc")).limit(0)
+    val lo = stats.getLong(0); val hi = stats.getLong(1)
+    val span = math.max(hi - lo + 1, 1L)
+    val width = math.max(1L, (span + nBuckets - 1) / nBuckets)
+    // integer-exact bucketing (`div`, not `/` — long `/` promotes to double)
+    val bucketed = toks.withColumn("bucket", expr(s"(doc_id - ${lo}L) div ${width}L"))
+    val win = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = bucketed.withColumn("cum", sum(col("toks")).over(win))
+    // bucket offsets: sum of all LESSER buckets' totals — a windowless
+    // ≤ nBuckets² self-join on a constant-size frame, then broadcast back
+    val btot = bucketed.groupBy("bucket").agg(sum(col("toks")).as("btot"))
+    val offsets = btot.as("x")
+      .join(btot.as("y"), col("y.bucket") < col("x.bucket"), "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(coalesce(sum(col("y.btot")), lit(0L)).as("off"))
+    within.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("before", col("off") + col("cum") - col("toks"))
+      .withColumn("seq_id", expr(s"before div ${seqLen}L"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("seq_id")
+  }
+
+  /** Corpus vocabulary: the k most frequent tokens (frequency counts over
+    * ALL occurrences, not per-document presence), deterministic tie-break
+    * by word. Map-side partial aggregation bounds the shuffle at
+    * O(distinct words). */
+  def topKTokens(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+}

@@ -52,6 +52,11 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "q_pipe_multimodal" -> ((s, dir) =>
       Multimodal.resizePlan(Multimodal.extractMeta(docs(s, dir))).orderBy("doc_id")),
+    // curation: decontamination, deterministic sampling, packing, vocab
+    "q_pipe_decontam" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
+    "q_pipe_sample" -> ((s, dir) => Curation.stratifiedSample(docs(s, dir))),
+    "q_pipe_packing" -> ((s, dir) => Curation.packSequences(docs(s, dir))),
+    "q_pipe_vocab" -> ((s, dir) => Curation.topKTokens(docs(s, dir))),
     // gap-based sessionization (batch twin of the flatMapGroupsWithState op)
     "q_pipe_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -299,6 +304,61 @@ object PipelineQueries {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // decontamination: word 3-gram overlap between the eval split
+    // (doc_id % 10 = 0) and the train split — same grams, same distinct
+    // semantics as Curation.decontaminate
+    "q_pipe_decontam" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+        | FROM documents),
+        |g AS (
+        | SELECT DISTINCT doc_id, g
+        | FROM toks, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(g)),
+        |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0)
+        |SELECT tr.doc_id,
+        |       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_hit_grams,
+        |       CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM tr JOIN ev ON ev.g = tr.g
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    // deterministic stratified sample: multiplicative-hash predicate,
+    // per-language rates in 1/1000ths (Curation.SampleRates)
+    "q_pipe_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+        |            WHEN 'es' THEN 125 WHEN 'fr' THEN 62 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // contiguous sequence packing at 2048 tokens: window = prefix-sum div
+    // (the Spark side computes the prefix sum as a distributed two-pass
+    // scan; values are identical)
+    "q_pipe_packing" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS toks
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, toks,
+        |  CAST(SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks
+        |       AS BIGINT) AS brk
+        | FROM t),
+        |s AS (SELECT doc_id, toks, CAST(brk // 2048 AS BIGINT) AS seq_id FROM c)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // top-100 vocabulary by raw token frequency, tie-break by word
+    "q_pipe_vocab" ->
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents,
+        | unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)
+        |GROUP BY w ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
 
     "q_pipe_sessions" ->
       """WITH e AS (

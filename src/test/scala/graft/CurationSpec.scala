@@ -1,0 +1,88 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curation operators: decontamination, deterministic sampling, sequence
+  * packing (distributed prefix sum), vocabulary. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsDF(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("decontaminate: train doc sharing a 3-gram with an eval doc is " +
+      "flagged with exact gram/doc counts; clean docs are absent") {
+    // doc 10 (eval), doc 11 (train, shares 'alpha beta gamma'), doc 13
+    // (train, disjoint), doc 20 (eval, also shares with 11)
+    val docs = docsDF(Seq(
+      (10L, "alpha beta gamma delta", "en"),
+      (20L, "zz alpha beta gamma yy", "en"),
+      (11L, "alpha beta gamma epsilon", "en"),
+      (13L, "one two three four five", "en")))
+    val got = Curation.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 11's grams: {alpha beta gamma, beta gamma epsilon}; only the
+    // first appears in eval (docs 10 and 20) → 1 gram, 2 eval docs
+    assert(got.toSeq == Seq((11L, 1L, 2L)))
+  }
+
+  test("decontaminate: fewer than 3 tokens yields no grams, no crash") {
+    val docs = docsDF(Seq((10L, "only two", "en"), (11L, "only two", "en")))
+    assert(Curation.decontaminate(docs).count() == 0L)
+  }
+
+  test("stratifiedSample: exact hash-predicate membership, deterministic") {
+    val docs = docsDF((0L until 200L).map(i =>
+      (i, "t", if (i % 2 == 0) "en" else "fr")))
+    val got = Curation.stratifiedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = (0L until 200L).flatMap { i =>
+      val lang = if (i % 2 == 0) "en" else "fr"
+      val rate = Curation.SampleRates(lang)
+      if ((i * 2654435761L) % 1000L < rate) Some((i, lang)) else None
+    }
+    assert(got.toSeq == expected)
+    // en rate (500/1000) must sample more than fr (62/1000)
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang.getOrElse("en", 0) > byLang.getOrElse("fr", 0))
+  }
+
+  test("packSequences: windows partition the corpus in doc_id order with " +
+      "exact prefix-sum boundaries, across bucket edges") {
+    // 10 docs x 5 tokens; seqLen 12 → prefixes 0,5,10,...,45; windows
+    // 0:{0,5,10}, 1:{15,20}, 2:{25,30,35}, 3:{40,45}
+    val docs = docsDF((0L until 10L).map(i => (i, "a b c d e", "en")))
+    val got = Curation.packSequences(docs, seqLen = 12L, nBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 15L, 0L, 2L), (1L, 2L, 10L, 3L, 4L),
+      (2L, 3L, 15L, 5L, 7L), (3L, 2L, 10L, 8L, 9L)))
+    // invariants: every doc packed exactly once, token total preserved
+    assert(got.map(_._2).sum == 10L)
+    assert(got.map(_._3).sum == 50L)
+  }
+
+  test("packSequences: sparse non-contiguous ids and empty input") {
+    val docs = docsDF(Seq((5L, "a b", "en"), (1000L, "c d e", "en"),
+      (999999L, "f", "en")))
+    val got = Curation.packSequences(docs, seqLen = 4L, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // prefixes: 5→0, 1000→2, 999999→5; windows 0:{5,1000}, 1:{999999}
+    assert(got.toSeq == Seq((0L, 2L, 5L), (1L, 1L, 1L)))
+    assert(Curation.packSequences(docsDF(Seq()), 4L).count() == 0L)
+  }
+
+  test("topKTokens: frequency counts with deterministic word tie-break") {
+    val docs = docsDF(Seq(
+      (1L, "b b a a", "en"), (2L, "b c C!", "en")))
+    val got = Curation.topKTokens(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // counts: b=3, a=2, c=2 → top2 = b, then a (tie a/c broken by word)
+    assert(got.toSeq == Seq(("b", 3L), ("a", 2L)))
+  }
+}
