@@ -12,8 +12,11 @@ import graft.queries.{ArrayQueries, PipelineQueries, RelationalQueries}
   *  - the relational operator surface (q_rel_*): scan/filter/join/agg/
   *    window/semi-anti over the testdata;
   *  - training-data pipeline operators (q_pipe_*): exact + MinHash-LSH +
-  *    SimHash + Jaccard dedup, brute-force & LSH ANN, language-ID,
-  *    quality scoring, token counts, fingerprints, multimodal plumbing.
+  *    SimHash + Jaccard dedup, dup clustering, brute-force/LSH/IVF ANN,
+  *    language-ID, quality scoring, token counts, fingerprints,
+  *    multimodal plumbing, sessionization, and curation (benchmark
+  *    decontamination, deterministic stratified sampling, sequence
+  *    packing, vocabulary).
   */
 object SparkEntry {
 

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic cardinality sketch: KMV (k minimum values).
+  *
+  * HyperLogLog-style sketches are engine-specific (register layouts and
+  * bias tables differ), so they can't be oracle-checked across engines.
+  * KMV is the portable alternative: hash every element to a uniform
+  * 32-bit value, keep the k smallest DISTINCT hashes, and estimate
+  * cardinality as `(k-1) / fraction-of-hash-space-covered`. With md5 as
+  * the hash and integer-exact division, two engines produce bit-identical
+  * sketches AND estimates.
+  *
+  * Scale: the per-partition work is a local top-k (Spark's
+  * TakeOrderedAndProject — partial per partition, k-way merge of
+  * k-element lists), so the full element set never shuffles; k is a small
+  * constant (256 here). This is the sketch pattern a 100 TB distinct-count
+  * runs on when an exact countDistinct's shuffle is the bottleneck.
+  */
+object Sketch {
+
+  /** KMV estimate of the number of DISTINCT documents (by raw text).
+    * Returns one row: (k_actual, kth_hv, est_distinct, n_exact) — exact
+    * count included for side-by-side error inspection. When the corpus has
+    * fewer than k distinct hashes the sketch IS the exact count. */
+  def kmvDistinctDocs(docs: DataFrame, k: Int = 64): DataFrame = {
+    // first 8 md5 hex chars = uniform 32-bit hash, integer-exact everywhere
+    val hv = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+    val hashes = docs.select(hv.as("hv")).distinct()
+    val sketch = hashes.orderBy("hv").limit(k)
+      .agg(count(lit(1)).as("k_actual"), max(col("hv")).as("kth_hv"))
+    val exact = docs.agg(countDistinct(col("text")).as("n_exact"))
+    sketch.crossJoin(exact)
+      .select(col("k_actual"), col("kth_hv"),
+        when(col("k_actual") < k, col("k_actual"))
+          .otherwise(expr(s"((k_actual - 1) * 4294967296L) div kth_hv"))
+          .as("est_distinct"),
+        col("n_exact"))
+  }
+}

@@ -57,6 +57,7 @@ object PipelineQueries {
     "q_pipe_sample" -> ((s, dir) => Curation.stratifiedSample(docs(s, dir))),
     "q_pipe_packing" -> ((s, dir) => Curation.packSequences(docs(s, dir))),
     "q_pipe_vocab" -> ((s, dir) => Curation.topKTokens(docs(s, dir))),
+    "q_pipe_distinct_est" -> ((s, dir) => Sketch.kmvDistinctDocs(docs(s, dir))),
     // gap-based sessionization (batch twin of the flatMapGroupsWithState op)
     "q_pipe_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -305,9 +306,9 @@ object PipelineQueries {
         | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // decontamination: word 3-gram overlap between the eval split
-    // (doc_id % 10 = 0) and the train split — same grams, same distinct
-    // semantics as Curation.decontaminate
+    // decontamination: discriminative word 5-gram overlap between the eval
+    // split (doc_id % 10 = 0) and the train split — same grams, same
+    // eval-df ≤ 16 boilerplate cap as Curation.decontaminate
     "q_pipe_decontam" ->
       """WITH toks AS (
         | SELECT doc_id,
@@ -315,9 +316,11 @@ object PipelineQueries {
         | FROM documents),
         |g AS (
         | SELECT DISTINCT doc_id, g
-        | FROM toks, unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
-        |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) u(g)),
-        |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 10 = 0),
+        | FROM toks, unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) u(g)),
+        |ev0 AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 10 = 0),
+        |rare AS (SELECT g FROM ev0 GROUP BY g HAVING count(*) <= 16),
+        |ev AS (SELECT ev0.* FROM ev0 JOIN rare USING (g)),
         |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0)
         |SELECT tr.doc_id,
         |       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_hit_grams,
@@ -352,6 +355,22 @@ object PipelineQueries {
         |       CAST(sum(toks) AS BIGINT) AS n_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM s GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // KMV distinct-count sketch over document texts: k smallest distinct
+    // 32-bit md5 prefixes; integer-exact estimate — bit-identical sketch
+    // in both engines (k = 64, matching Sketch.kmvDistinctDocs)
+    "q_pipe_distinct_est" ->
+      """WITH h AS (
+        | SELECT DISTINCT CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hv
+        | FROM documents),
+        |topk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+        |sk AS (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(hv) AS kth_hv FROM topk),
+        |ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents)
+        |SELECT k_actual, kth_hv,
+        | CASE WHEN k_actual < 64 THEN k_actual
+        |      ELSE (k_actual - 1) * 4294967296 // kth_hv END AS est_distinct,
+        | n_exact
+        |FROM sk, ex""".stripMargin,
 
     // top-100 vocabulary by raw token frequency, tie-break by word
     "q_pipe_vocab" ->

@@ -112,6 +112,42 @@ object RelationalQueries {
           |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // as-of join: each purchase attributed to the user's most recent
+    // prior-or-equal click — union + per-key running-last window (one
+    // shuffle on user_id, no range-join blow-up); see operators.AsOfJoin
+    "q_rel_asof" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000000000L").cast("long").as("ts_s"))
+        .filter(col("user_id") < 50)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts_s", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_s"), col("event_id"),
+          col("event_id").as("click_id"), col("ts_s").as("click_ts"))
+      graft.operators.AsOfJoin
+        .joinAsOf(purchases, clicks, "user_id", "ts_s", "event_id",
+          Seq("click_id", "click_ts"))
+        .filter(col("asof_click_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          col("asof_click_id").as("click_id"),
+          (col("ts_s") - col("asof_click_ts")).as("gap_s"))
+        .orderBy("event_id")
+    }),
+
+    // semi-structured surface: JSON field extraction + per-type aggregates
+    "q_rel_json" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // distinct + set-style aggregation over a dimension hierarchy join
     "q_rel_region_sales" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
@@ -189,6 +225,31 @@ object RelationalQueries {
         |    GROUP BY c2.c_custkey, c2.c_nationkey) x
         |  WHERE x.nk = t.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_rel_asof" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+        | FROM events WHERE user_id < 50 AND event_type IN ('click', 'purchase')),
+        |u AS (
+        | SELECT *, CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+        |        CASE WHEN event_type = 'click' THEN ts_s END AS c_ts
+        | FROM e),
+        |w AS (
+        | SELECT *,
+        |  last_value(c_id IGNORE NULLS) OVER
+        |   (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS click_id,
+        |  last_value(c_ts IGNORE NULLS) OVER
+        |   (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS click_ts
+        | FROM u)
+        |SELECT user_id, event_id, ts_s, click_id, ts_s - click_ts AS gap_s
+        |FROM w WHERE event_type = 'purchase' AND click_id IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q_rel_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_rel_region_sales" ->
       """SELECT r_name,
         | COUNT(DISTINCT o_custkey) AS n_customers,

@@ -14,25 +14,37 @@ class CurationSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text", "lang")
   }
 
-  test("decontaminate: train doc sharing a 3-gram with an eval doc is " +
+  test("decontaminate: train doc sharing a 5-gram with an eval doc is " +
       "flagged with exact gram/doc counts; clean docs are absent") {
-    // doc 10 (eval), doc 11 (train, shares 'alpha beta gamma'), doc 13
-    // (train, disjoint), doc 20 (eval, also shares with 11)
+    // eval docs 10, 20 share 'alpha beta gamma delta epsilon' with train
+    // doc 11; train doc 13 is disjoint
     val docs = docsDF(Seq(
-      (10L, "alpha beta gamma delta", "en"),
-      (20L, "zz alpha beta gamma yy", "en"),
-      (11L, "alpha beta gamma epsilon", "en"),
-      (13L, "one two three four five", "en")))
+      (10L, "alpha beta gamma delta epsilon zeta", "en"),
+      (20L, "zz alpha beta gamma delta epsilon yy", "en"),
+      (11L, "alpha beta gamma delta epsilon omega", "en"),
+      (13L, "one two three four five six seven", "en")))
     val got = Curation.decontaminate(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // doc 11's grams: {alpha beta gamma, beta gamma epsilon}; only the
-    // first appears in eval (docs 10 and 20) → 1 gram, 2 eval docs
+    // doc 11's grams: {alpha…epsilon, beta…omega}; only the first appears
+    // in eval (docs 10 and 20) → 1 gram, 2 eval docs
     assert(got.toSeq == Seq((11L, 1L, 2L)))
   }
 
-  test("decontaminate: fewer than 3 tokens yields no grams, no crash") {
-    val docs = docsDF(Seq((10L, "only two", "en"), (11L, "only two", "en")))
+  test("decontaminate: fewer than 5 tokens yields no grams, no crash") {
+    val docs = docsDF(Seq((10L, "just four tokens here", "en"),
+      (11L, "just four tokens here", "en")))
     assert(Curation.decontaminate(docs).count() == 0L)
+  }
+
+  test("decontaminate: boilerplate grams (eval-df above cap) carry no " +
+      "contamination signal") {
+    // the same 5-gram in 17 eval docs (> cap 16) and one train doc
+    val boiler = "common one two three four"
+    val evals = (1L to 17L).map(i => (i * 10L, s"$boiler tail$i", "en"))
+    val docs = docsDF(evals :+ ((11L, boiler + " end", "en")))
+    assert(Curation.decontaminate(docs, maxEvalDf = 16).count() == 0L)
+    // with a cap of 17 the same input IS flagged
+    assert(Curation.decontaminate(docs, maxEvalDf = 17).count() == 1L)
   }
 
   test("stratifiedSample: exact hash-predicate membership, deterministic") {
