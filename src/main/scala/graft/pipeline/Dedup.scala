@@ -119,6 +119,13 @@ object Dedup {
     * banded LSH quadratic at scale. The cap bounds join output to
     * O(buckets · maxBucketSize²). */
   def minHashCandidatePairs(docs: DataFrame, k: Int = 8,
+      maxBucketSize: Int = 32): DataFrame =
+    minHashCandidatePairsUnordered(docs, k, maxBucketSize).orderBy("a", "b")
+
+  /** minHashCandidatePairs without the final global sort — for consumers
+    * that immediately reshuffle (e.g. duplicateClusters), where the sort
+    * is pure waste. */
+  def minHashCandidatePairsUnordered(docs: DataFrame, k: Int = 8,
       maxBucketSize: Int = 32): DataFrame = {
     require(k == 8, "the fast signature path is fixed at k=8")
     val sigs = minHashSignaturesFast(docs)
@@ -136,7 +143,6 @@ object Dedup {
     l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-      .orderBy("a", "b")
   }
 
   /** 16-bit SimHash from the word set: bit k is set when the majority of
@@ -253,13 +259,22 @@ object Dedup {
     // label frame shuffles each round.
     val a = col("a").cast("long")
     val b = col("b").cast("long")
-    val und = pairs
+    val undAll = pairs
       .select(explode(array(
         struct(a.as("src"), b.as("dst")), struct(b.as("src"), a.as("dst")),
         struct(a.as("src"), a.as("dst")), struct(b.as("src"), b.as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Size-aware round parallelism: each propagation round shuffles the
+    // label frame, and on a small graph 32-partition rounds are pure
+    // scheduling overhead (the rounds are inherently sequential, so the
+    // per-round constant multiplies). ~100k edges per partition, capped
+    // at the session shuffle parallelism for genuinely large graphs.
+    val sess = pairs.sparkSession
+    val shufParts = sess.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = math.max(1, math.min(shufParts, (undAll.count() / 100000L).toInt + 1))
+    val und = undAll.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("src").as("id"), col("src").as("lbl")).distinct()
       .localCheckpoint(true)
@@ -288,6 +303,7 @@ object Dedup {
     val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
     und.unpersist()
+    undAll.unpersist()
     out
   }
 }

@@ -24,7 +24,7 @@ object PipelineQueries {
     "q_pipe_minhash" -> ((s, dir) => Dedup.minHashCandidatePairs(docs(s, dir), k = 8)),
     // candidate pairs → dedup groups (connected components, min-label)
     "q_pipe_dup_clusters" -> ((s, dir) =>
-      Dedup.duplicateClusters(Dedup.minHashCandidatePairs(docs(s, dir), k = 8))),
+      Dedup.duplicateClusters(Dedup.minHashCandidatePairsUnordered(docs(s, dir), k = 8))),
     "q_pipe_simhash" -> ((s, dir) => Dedup.simHash16(docs(s, dir).filter(col("doc_id") < 50))),
     "q_pipe_jaccard" -> ((s, dir) => Dedup.successorJaccard(docs(s, dir), "en")),
     "q_pipe_knn" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
