@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.AsOfJoin
+import graft.pipeline.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the curation operators — the
+  * properties that decide whether these plans survive a 100 TB corpus:
+  * broadcast (never shuffle) the train side of decontamination, and no
+  * unpartitioned window (single-task global sort) anywhere. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsDF(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (i.toLong, s"alpha beta gamma doc $i one two three four five", "en"))
+      .toDF("doc_id", "text", "lang")
+  }
+
+  /** Executed plan nodes incl. inside AQE wrappers (pre-execution the
+    * adaptive plan holds the initial physical plan). */
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    val root = df.queryExecution.executedPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan +: walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan) // stage plans aren't children
+      case _ => p +: p.children.flatMap(walk)
+    }
+    walk(root)
+  }
+
+  test("decontaminate: eval side broadcasts — no sort-merge join, no " +
+      "shuffle of the train gram stream") {
+    val df = Curation.decontaminate(docsDF(60))
+    df.collect() // finalize any adaptive re-planning
+    val ns = nodes(df)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "train-side gram join must be a broadcast hash join")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "train-side gram join must be broadcast, not sort-merge")
+    // the train branch must reach the join shuffle-free: every shuffle in
+    // the plan belongs to the (small) eval branch or the final aggregation
+    // of the (capped) join output — none may carry the raw gram column of
+    // the un-aggregated train stream plus no eval column, which would mean
+    // the full train gram set crossed an exchange before the join
+    val trainShuffles = ns.collect { case s: ShuffleExchangeExec
+      if s.child.schema.fieldNames.contains("gram") &&
+        s.child.schema.fieldNames.contains("doc_id") &&
+        !s.child.schema.fieldNames.exists(_.startsWith("eval")) &&
+        // aggregation exchanges carry count buffers, not raw grams
+        s.child.schema.fieldNames.length == 2 => s
+    }
+    assert(trainShuffles.isEmpty,
+      s"train gram stream crossed an exchange: ${trainShuffles.mkString}")
+  }
+
+  test("packSequences and joinAsOf: every window is key-partitioned — " +
+      "no single-task global sort") {
+    import spark.implicits._
+    val packed = Curation.packSequences(docsDF(100), seqLen = 16L)
+    packed.collect()
+    val pw = nodes(packed).collect { case w: WindowExec => w }
+    assert(pw.nonEmpty && pw.forall(_.partitionSpec.nonEmpty),
+      "packing window must be bucket-partitioned")
+
+    val left = Seq((1L, 10L, 1L)).toDF("k", "ts", "id")
+    val right = Seq((1L, 5L, 2L, 9L)).toDF("k", "ts", "id", "v")
+    val joined = AsOfJoin.joinAsOf(left, right, "k", "ts", "id", Seq("v"))
+    joined.collect()
+    val aw = nodes(joined).collect { case w: WindowExec => w }
+    assert(aw.nonEmpty && aw.forall(_.partitionSpec.nonEmpty),
+      "as-of window must be key-partitioned")
+  }
+}
