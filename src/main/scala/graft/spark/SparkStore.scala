@@ -610,6 +610,23 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
+    // Committed versions ride the DSv2 scan: the request envelope pushes
+    // down as dim predicates (build-time chunk pruning), blobs are fetched
+    // from hash-sorted files by the readers (no shuffle of chunk bytes,
+    // per-JVM blob cache), batches emit COLUMNAR, and repeated scans of
+    // the same immutable version reuse the cached scan manifest. Same
+    // rows as the join path below (pinned by DataSourceSpec full-scan
+    // parity); the join path remains for uncommitted/in-flight versions.
+    if (meta.versionId.exists(v => store.versions(name).exists(_._2 == v))) {
+      val dimNames = meta.variables(varName).shape
+      val base = spark.read.format("graft")
+        .option("root", store.root).option("dataset", name)
+        .option("variable", varName).option("version", vid.toString)
+        .load()
+      return dimNames.zipWithIndex.foldLeft(base) { case (df, (d, i)) =>
+        df.filter(col(d) >= request.start(i) && col(d) < request.stop(i))
+      }
+    }
     val dtype = meta.dtype(varName)
     val fill = meta.fill(varName)
     val dims = meta.variables(varName).shape

@@ -872,7 +872,9 @@ private[source] final class ChunkSlabCursor(part: InputPartition,
       if (hash == null) Slab.empty(dtype, chunkSlice, fill)
       else Slab(dtype, chunkSlice,
         FilterChain.decode(bytesByHash.getOrElse(hash,
-          throw new IllegalStateException(s"missing blob for hash $hash"))))
+          throw new IllegalStateException(s"chunk ${coord.mkString(",")} " +
+            s"resolved to blob $hash but the blob is missing from the chunk " +
+            "store (GC'd or lost?) — refusing to read fill"))))
     (coord, slab.intersectWith(request))
   }
 
