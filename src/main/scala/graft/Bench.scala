@@ -114,10 +114,13 @@ object ArrayBench {
     // Each rep writes a FRESH dataset — content-addressed dedup would make
     // a second write of identical bytes nearly free and corrupt the median.
     import spark.implicits._
-    def writePerf(ds: String, zD: Long): Unit = {
+    // create/addVersion stay OUTSIDE the timed body (pre-change scope —
+    // keeps write medians comparable across rounds)
+    def prepare(ds: String, zD: Long): graft.spark.SparkVersionWriter = {
       store.create(ds)
-      val m = meta.copy(dimensions = dims.updated("z", zD))
-      val w = store.addVersion(ds, m)
+      store.addVersion(ds, meta.copy(dimensions = dims.updated("z", zD)))
+    }
+    def writePerf(w: graft.spark.SparkVersionWriter, zD: Long): Unit = {
       val yz = (600L * zD)
       val slabRows = spark.range(400).map { xo =>
         val x = xo.toLong
@@ -133,16 +136,19 @@ object ArrayBench {
       w.writeRows("foo", slabRows)
       w.finishVersion()
     }
-    // Untimed warmup at ~1/15 volume: first-write reps otherwise measure
-    // JIT compilation of the shred/hash/compress/parquet path, not
-    // steady-state throughput (observed 10 s cold vs 4 s warm for the
-    // SAME full write).
-    writePerf("warm", 60L)
+    // Untimed small-volume warmup (never larger than the timed shape):
+    // first-write reps otherwise measure JIT compilation of the
+    // shred/hash/compress/parquet path, not steady-state throughput
+    // (observed 10 s cold vs 4 s warm for the SAME full write).
+    val warmZ = math.min(zDim, 60L)
+    writePerf(prepare("warm", warmZ), warmZ)
     // The write medians still swing ~3× run-to-run (page-cache flush
     // stalls on ~400 MB of fresh blobs per rep land on random reps);
     // median-of-5 keeps one stall from becoming the recorded number.
-    for (r <- 0 until math.max(reps, 5))
-      time("bench_array_write") { writePerf(s"perf$r", zDim) }
+    for (r <- 0 until math.max(reps, 5)) {
+      val w = prepare(s"perf$r", zDim)
+      time("bench_array_write") { writePerf(w, zDim) }
+    }
 
     if (store.versions("perf0").isEmpty) return results.toSeq // write failed
     val reader = store.reader("perf0").onLastVersion()

@@ -26,26 +26,32 @@ object AsOfJoin {
   /** Left rows gain `carried` columns from the as-of-matched right row
     * (null when no prior right row exists). `left`/`right` must share the
     * `key`, `ts`, `tieCol` column names; `carried` names columns of
-    * `right` to bring over (renamed `asof_<name>`). */
+    * `right` to bring over (renamed `asof_<name>`).
+    *
+    * All carried columns travel in ONE struct through a single running
+    * `last(ignoreNulls)` — independent per-column windows would skip over
+    * a matched right row's legitimately-null field to an OLDER row's
+    * value, stitching together a row that never existed. */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       tieCol: String, carried: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val rStructType = org.apache.spark.sql.types.StructType(
+      carried.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
       col(key) +: col(ts) +: col(tieCol) +: lit(1).as("_is_left") +:
-        leftCols.filterNot(Set(key, ts, tieCol)).map(col) ++:
-        carried.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+        leftCols.filterNot(Set(key, ts, tieCol)).map(col) :+
+        lit(null).cast(rStructType).as("_r"): _*)
     val r = right.select(
       col(key) +: col(ts) +: col(tieCol) +: lit(0).as("_is_left") +:
         leftCols.filterNot(Set(key, ts, tieCol)).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        carried.map(c => col(c).as(s"_r_$c")): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carried.map(c => col(c).as(c)): _*).as("_r"): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carriedCols = carried.map(c =>
-      last(col(s"_r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
     l.unionByName(r)
-      .select(col("*") +: carriedCols: _*)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_is_left") === 1)
-      .select(leftCols.map(col) ++ carried.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        carried.map(c => col("_asof").getField(c).as(s"asof_$c")): _*)
   }
 }

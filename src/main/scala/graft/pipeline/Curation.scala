@@ -86,13 +86,17 @@ object Curation {
     Map("en" -> 500L, "de" -> 250L, "es" -> 125L, "fr" -> 62L)
   val DefaultRatePerMille = 100L
 
-  /** Deterministic stratified sample: keep a document when a multiplicative
-    * hash of its id lands under the stratum's rate. Shuffle-free (pure
-    * row-local predicate) and reproducible — rerunning the pipeline, or a
-    * recomputed partition after executor loss, selects the SAME rows,
-    * which a `rand()`-based sample does not guarantee. */
+  /** Deterministic stratified sample: keep a document when a hash of its
+    * id lands under the stratum's rate. Shuffle-free (pure row-local
+    * predicate) and reproducible — rerunning the pipeline, or a recomputed
+    * partition after executor loss, selects the SAME rows, which a
+    * `rand()`-based sample does not guarantee. The hash is a 32-bit md5
+    * prefix of the decimal id — engine-portable and overflow-free for any
+    * id (a multiplicative `id * 2654435761` wraps Long past id ≈ 3.5e9,
+    * i.e. exactly at corpus scale). */
   def stratifiedSample(docs: DataFrame): DataFrame = {
-    val hash = (col("doc_id").cast("long") * lit(2654435761L)) % 1000L
+    val hash = conv(substring(md5(col("doc_id").cast("long").cast("string")),
+      1, 8), 16, 10).cast("long") % 1000L
     val rate = SampleRates.foldLeft(lit(DefaultRatePerMille)) {
       case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
     }
@@ -115,10 +119,9 @@ object Curation {
   def packSequences(docs: DataFrame, seqLen: Long = 2048L,
       nBuckets: Int = 256): DataFrame = {
     val spark = docs.sparkSession
-    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
-        .cast("long").as("toks"))
-    val stats = toks.agg(min("doc_id"), max("doc_id")).head()
+    // id bounds need no tokenization — scan doc_id alone (column-pruned)
+    val stats = docs.agg(min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head()
     if (stats.isNullAt(0))
       return spark.emptyDataFrame
         .select(lit(0L).as("seq_id"), lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
@@ -126,8 +129,16 @@ object Curation {
     val lo = stats.getLong(0); val hi = stats.getLong(1)
     val span = math.max(hi - lo + 1, 1L)
     val width = math.max(1L, (span + nBuckets - 1) / nBuckets)
-    // integer-exact bucketing (`div`, not `/` — long `/` promotes to double)
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+        .cast("long").as("toks"))
+    // integer-exact bucketing (`div`, not `/` — long `/` promotes to double).
+    // Eagerly checkpointed: the frame is consumed by BOTH the running-sum
+    // branch and the bucket-totals branch — without materialization the
+    // full-corpus tokenization runs twice. Three long columns, so the
+    // checkpoint is tiny relative to the text it replaces.
     val bucketed = toks.withColumn("bucket", expr(s"(doc_id - ${lo}L) div ${width}L"))
+      .localCheckpoint(true)
     val win = Window.partitionBy("bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = bucketed.withColumn("cum", sum(col("toks")).over(win))

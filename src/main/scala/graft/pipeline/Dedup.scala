@@ -278,6 +278,9 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = und.select(col("src").as("id"), col("src").as("lbl")).distinct()
       .localCheckpoint(true)
+    // the label init materialized `und`; the pre-repartition copy is now
+    // dead weight — release it before the (memory-hungry) rounds
+    undAll.unpersist()
     // Labels only ever decrease, so sum(lbl) is strictly monotone until the
     // fixpoint — an O(|V|) scan of the freshly checkpointed frame decides
     // convergence with no second comparison join.
@@ -303,7 +306,6 @@ object Dedup {
     val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
     und.unpersist()
-    undAll.unpersist()
     out
   }
 }

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * Scale: the per-partition work is a local top-k (Spark's
   * TakeOrderedAndProject — partial per partition, k-way merge of
   * k-element lists), so the full element set never shuffles; k is a small
-  * constant (256 here). This is the sketch pattern a 100 TB distinct-count
-  * runs on when an exact countDistinct's shuffle is the bottleneck.
+  * constant (64 here; relative error ~ 1/sqrt(k) ≈ 12%). This is the
+  * sketch pattern a 100 TB distinct-count runs on when an exact
+  * countDistinct's shuffle is the bottleneck.
   */
 object Sketch {
 
@@ -26,9 +27,12 @@ object Sketch {
     * count included for side-by-side error inspection. When the corpus has
     * fewer than k distinct hashes the sketch IS the exact count. */
   def kmvDistinctDocs(docs: DataFrame, k: Int = 64): DataFrame = {
-    // first 8 md5 hex chars = uniform 32-bit hash, integer-exact everywhere
+    // first 8 md5 hex chars = uniform 32-bit hash, integer-exact everywhere.
+    // NULL texts are excluded explicitly: Spark sorts nulls FIRST ascending
+    // (a null hv would enter the top-k) while DuckDB sorts them LAST —
+    // and a null is not a document either way.
     val hv = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
-    val hashes = docs.select(hv.as("hv")).distinct()
+    val hashes = docs.filter(col("text").isNotNull).select(hv.as("hv")).distinct()
     val sketch = hashes.orderBy("hv").limit(k)
       .agg(count(lit(1)).as("k_actual"), max(col("hv")).as("kth_hv"))
     val exact = docs.agg(countDistinct(col("text")).as("n_exact"))

@@ -328,11 +328,12 @@ object PipelineQueries {
         |FROM tr JOIN ev ON ev.g = tr.g
         |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
 
-    // deterministic stratified sample: multiplicative-hash predicate,
-    // per-language rates in 1/1000ths (Curation.SampleRates)
+    // deterministic stratified sample: 32-bit md5-prefix hash predicate
+    // (overflow-free at any id), per-language rates in 1/1000ths
+    // (Curation.SampleRates)
     "q_pipe_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 <
         |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
         |            WHEN 'es' THEN 125 WHEN 'fr' THEN 62 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
@@ -362,7 +363,7 @@ object PipelineQueries {
     "q_pipe_distinct_est" ->
       """WITH h AS (
         | SELECT DISTINCT CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS hv
-        | FROM documents),
+        | FROM documents WHERE text IS NOT NULL),
         |topk AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
         |sk AS (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(hv) AS kth_hv FROM topk),
         |ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents)

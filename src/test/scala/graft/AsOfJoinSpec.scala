@@ -28,6 +28,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       (10L, "p1", 888L), (11L, "p2", 777L), (12L, "p3", -1L), (13L, "p4", -1L)))
   }
 
+  test("joinAsOf: null carried field in the MATCHED right row stays null — " +
+      "no stale carry from an older right row") {
+    import spark.implicits._
+    val left = Seq((1L, 30L, 3L)).toDF("k", "ts", "id")
+    val right = Seq(
+      (1L, 10L, 1L, Some(7L), Some(100L)),
+      (1L, 20L, 2L, None: Option[Long], Some(200L)) // the as-of match
+    ).toDF("k", "ts", "id", "p1", "p2")
+    val got = AsOfJoin.joinAsOf(left, right, "k", "ts", "id", Seq("p1", "p2"))
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(3), "p1 must be the matched row's null, not 7")
+    assert(got(0).getLong(4) == 200L)
+  }
+
   test("joinAsOf: tie at identical ts — right tie id above left's is NOT " +
       "matched (lexicographic (ts, tie) <= predicate)") {
     import spark.implicits._

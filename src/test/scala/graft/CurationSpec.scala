@@ -52,10 +52,15 @@ class CurationSpec extends AnyFunSuite {
       (i, "t", if (i % 2 == 0) "en" else "fr")))
     val got = Curation.stratifiedSample(docs).collect()
       .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long): Long = {
+      val d = md.digest(i.toString.getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % 1000L
+    }
     val expected = (0L until 200L).flatMap { i =>
       val lang = if (i % 2 == 0) "en" else "fr"
-      val rate = Curation.SampleRates(lang)
-      if ((i * 2654435761L) % 1000L < rate) Some((i, lang)) else None
+      if (h(i) < Curation.SampleRates(lang)) Some((i, lang)) else None
     }
     assert(got.toSeq == expected)
     // en rate (500/1000) must sample more than fr (62/1000)
