@@ -356,6 +356,16 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 }
 
 object SparkStore {
+  /** Every .parquet file under `dir` (empty when absent). Resource-safe:
+    * `Files.walk` streams hold open directory handles until closed — the
+    * one shared listing for scan planning and the streaming source. */
+  def parquetFilesUnder(dir: Path): Array[Path] = {
+    if (!Files.exists(dir)) Array.empty
+    else scala.util.Using.resource(Files.walk(dir)) {
+      _.iterator().asScala.filter(_.toString.endsWith(".parquet")).toArray
+    }
+  }
+
   /** Default vacuum grace window: chunk files younger than this are never
     * collected (their index rows may still be in flight — see vacuum). */
   val VacuumGraceMs: Long = 15L * 60 * 1000

@@ -46,9 +46,24 @@ private[source] object GraftAgg {
   * semantics: NaN is greater than any non-NaN value and equal to itself. */
 private[source] object StatsPredicate {
 
-  /** Chunk-level view of the stats: [lo, hi] over non-NaN cells (doubles
-    * exact for integral stats too — pruning only, never results), plus
-    * whether any NaN cell exists. */
+  /** Long→double bounds for pruning: exact below 2^53; above it the
+    * conversion ROUNDS (to nearest), so the bound is widened by one ulp in
+    * the safe direction — a rounded-down upper bound would prune a chunk
+    * whose true max still matches a `> c` filter (silent missing rows).
+    * Widening only costs pruning aggressiveness, never correctness. */
+  private val Exact = 1L << 53
+  private def loD(v: Long): Double = {
+    val d = v.toDouble
+    if (v >= -Exact && v <= Exact) d else Math.nextDown(d)
+  }
+  private def hiD(v: Long): Double = {
+    val d = v.toDouble
+    if (v >= -Exact && v <= Exact) d else Math.nextUp(d)
+  }
+
+  /** Chunk-level view of the stats: [lo, hi] over non-NaN cells (integral
+    * stats widened to bracketing doubles — pruning only, never results),
+    * plus whether any NaN cell exists. */
   def satisfiable(lo: Double, hi: Double, hasReal: Boolean, hasNaN: Boolean,
       filters: Array[Filter]): Boolean =
     filters.forall {
@@ -67,7 +82,7 @@ private[source] object StatsPredicate {
   def statsSatisfiable(st: SlabStats, filters: Array[Filter]): Boolean =
     if (st == null) true
     else if (st.lmin.isDefined)
-      satisfiable(st.lmin.get.toDouble, st.lmax.get.toDouble,
+      satisfiable(loD(st.lmin.get), hiD(st.lmax.get),
         hasReal = true, hasNaN = false, filters)
     else
       satisfiable(st.dmin.getOrElse(0.0), st.dmax.getOrElse(0.0),
@@ -191,8 +206,12 @@ private[source] class GraftAggPartitionReader(part: InputPartition,
     if (st.lmin.isDefined) {
       if (st.lmin.get < lmin) lmin = st.lmin.get
       if (st.lmax.get > lmax) lmax = st.lmax.get
-      lsum += st.lsum.getOrElse(
-        throw new IllegalStateException("sum-from-stats needs a defined lsum"))
+      // lsum is only consumed when a SUM was pushed — a min/max-only
+      // aggregate must not demand it (lsum is None after ingest-time
+      // overflow; the needsSum path re-sums such chunks from the blob)
+      if (spec.needsSum)
+        lsum += st.lsum.getOrElse(
+          throw new IllegalStateException("sum-from-stats needs a defined lsum"))
     } else {
       st.dmin.foreach { v => sawReal = true; if (v < dmin) dmin = v }
       st.dmax.foreach { v => if (v > dmax) dmax = v }

@@ -44,7 +44,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftTable(properties.asScala.toMap)
+    // Spark hands getTable the ORIGINAL-case option map (unlike
+    // inferSchema's CaseInsensitiveStringMap) — normalize, or a user's
+    // `.option("Version", …)` would silently read the LATEST version here
+    // after inferSchema resolved the pinned one
+    new GraftTable(properties.asScala.toMap.map {
+      case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v)
+    })
 }
 
 private[source] final case class Resolved(store: SparkStore, meta: DatasetMeta,
@@ -149,8 +155,19 @@ private[source] object GraftCellIngest {
     require(missing.isEmpty,
       s"graft write: input is missing column(s) ${missing.mkString(", ")} — " +
         s"expected (${(dims :+ "value").mkString(", ")})")
-    val cells = data.select(
-      dims.map(d => col(d).cast("long")) :+ col("value").cast(dtype.sparkType): _*)
+    // a dense array has no representation for null cells or coordinates —
+    // reject them with the offending column named, instead of an opaque
+    // unboxing NPE deep inside an executor task
+    val guardedCols = (dims :+ "value").map { c =>
+      val tpe = if (c == "value") dtype.sparkType else LongType
+      val cast = col(c).cast(tpe)
+      org.apache.spark.sql.functions.when(cast.isNull,
+        org.apache.spark.sql.functions.raise_error(org.apache.spark.sql.functions.lit(
+          s"graft write: null in column '$c' — dense arrays cannot hold null " +
+            (if (c == "value") "cells" else "coordinates"))).cast(tpe))
+        .otherwise(cast).as(c)
+    }
+    val cells = data.select(guardedCols: _*)
     val sorted = if (rank == 0) cells else cells.sortWithinPartitions(dims.map(col): _*)
     val dtName = dtype.name
     val es = dtype.size
@@ -241,6 +258,14 @@ private[source] object GraftCellIngest {
   }
 }
 
+private[source] object GraftScanBuilder {
+  /** Saturating `v + 1` for exclusive upper bounds: `v + 1` on
+    * Long.MaxValue wraps to MinValue and flips a tautological `<=` into
+    * an empty scan (or drops rows from an IN envelope). Coordinates are
+    * always < Long.MaxValue, so saturation only widens — sound. */
+  def incSat(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+}
+
 private[source] class GraftScanBuilder(r: Resolved,
     scanOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
@@ -278,16 +303,17 @@ private[source] class GraftScanBuilder(r: Resolved,
     }
     accepted.foreach {
       case GreaterThan(a, v: Number) =>
-        val i = dimIdx(a); lo(i) = math.max(lo(i), v.longValue + 1)
+        val i = dimIdx(a); lo(i) = math.max(lo(i), GraftScanBuilder.incSat(v.longValue))
       case GreaterThanOrEqual(a, v: Number) =>
         val i = dimIdx(a); lo(i) = math.max(lo(i), v.longValue)
       case LessThan(a, v: Number) =>
         val i = dimIdx(a); hi(i) = math.min(hi(i), v.longValue)
       case LessThanOrEqual(a, v: Number) =>
-        val i = dimIdx(a); hi(i) = math.min(hi(i), v.longValue + 1)
+        val i = dimIdx(a); hi(i) = math.min(hi(i), GraftScanBuilder.incSat(v.longValue))
       case EqualTo(a, v: Number) =>
         val i = dimIdx(a)
-        lo(i) = math.max(lo(i), v.longValue); hi(i) = math.min(hi(i), v.longValue + 1)
+        lo(i) = math.max(lo(i), v.longValue)
+        hi(i) = math.min(hi(i), GraftScanBuilder.incSat(v.longValue))
       case _ =>
     }
     val inFilters = rejected.collect {
@@ -300,7 +326,7 @@ private[source] class GraftScanBuilder(r: Resolved,
       val i = dimIdx(a)
       if (vs.nonEmpty) {
         lo(i) = math.max(lo(i), vs.min)
-        hi(i) = math.min(hi(i), vs.max + 1)
+        hi(i) = math.min(hi(i), GraftScanBuilder.incSat(vs.max))
       } else hi(i) = lo(i) // only null/non-numeric values: nothing matches
     case _ =>
     }
@@ -447,9 +473,16 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   @volatile private var request: Slice = request0
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    r.dims.map(d => org.apache.spark.sql.connector.expressions.Expressions.column(d)).toArray
+    // chunked scans report KeyGroupedPartitioning; runtime filtering that
+    // shrank the partition set would violate Spark's preserved-partitioning
+    // invariant (SparkException at execution) — advertise no filterable
+    // attributes there, so DPP never fires on them
+    if (r.chunked) Array.empty
+    else r.dims.map(d =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(d)).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
+    if (r.chunked) return
     val lo = request.start.toArray
     val hi = request.stop.toArray
     filters.foreach {
@@ -458,12 +491,12 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
         val vs = values.collect { case n: Number => n.longValue }
         if (vs.nonEmpty) {
           lo(i) = math.max(lo(i), vs.min)
-          hi(i) = math.min(hi(i), vs.max + 1)
+          hi(i) = math.min(hi(i), GraftScanBuilder.incSat(vs.max))
         }
       case EqualTo(attr, v: Number) if r.dims.contains(attr) =>
         val i = r.dims.indexOf(attr)
         lo(i) = math.max(lo(i), v.longValue)
-        hi(i) = math.min(hi(i), v.longValue + 1)
+        hi(i) = math.min(hi(i), GraftScanBuilder.incSat(v.longValue))
       case _ => // unsupported runtime filter shapes are ignored (sound)
     }
     request = Slice(lo.toVector, hi.toVector.map(math.max(_, 0L)))
@@ -644,22 +677,24 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     val resolved = resolveWithStats(coordsOpt)
     val files = chunkFiles
     val fill = r.meta.fill(r.variable)
-    val kept =
-      if (valueFilters.isEmpty) coords
-      else coords.filter { c =>
-        resolved.get(SparkStore.coordKey(c)) match {
+    // one coordKey build + map lookup per coord, entry reused for the
+    // skip filter and both partition arrays
+    val kept = coords
+      .map(c => (c, resolved.get(SparkStore.coordKey(c))))
+      .filter { case (_, entry) =>
+        valueFilters.isEmpty || (entry match {
           case Some((_, st)) => StatsPredicate.statsSatisfiable(st, valueFilters)
           case None => StatsPredicate.fillSatisfiable(fill, valueFilters)
-        }
+        })
       }
     val perPartition = math.max(1, kept.size / math.max(1,
       SparkSession.active.sparkContext.defaultParallelism))
     kept.grouped(math.max(perPartition, 8)).map { group =>
       GraftPointPartition(
-        group.map(_.toArray).toArray,
-        group.map(c => resolved.get(SparkStore.coordKey(c)).map(_._1).orNull).toArray,
+        group.map(_._1.toArray).toArray,
+        group.map(_._2.map(_._1).orNull).toArray,
         files,
-        group.map(c => resolved.get(SparkStore.coordKey(c)).map(_._2).orNull).toArray)
+        group.map(_._2.map(_._2).orNull).toArray)
     }.toArray
   }
 
@@ -729,9 +764,7 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     }
     // one listing per family, grouped by bucket — O(#files) driver work
     def bucketFiles(sub: String, prefix: String): Map[Long, Array[String]] =
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, sub)).iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .toArray
+      SparkStore.parquetFilesUnder(java.nio.file.Paths.get(dir, sub))
         .groupBy(p => p.getParent.getFileName.toString.stripPrefix(prefix).toLong)
         .map { case (b, ps) => b -> ps.map(_.toString) }
     val dataFiles = bucketFiles("data", "hb=")
@@ -747,13 +780,9 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     (dataParts ++ fillParts).toArray
   }
 
-  private def chunkFiles: Array[String] = {
-    val dir = java.nio.file.Paths.get(r.store.chunksDir)
-    if (!java.nio.file.Files.exists(dir)) Array.empty
-    else java.nio.file.Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet"))
-      .map(_.toString).toArray
-  }
+  private def chunkFiles: Array[String] =
+    SparkStore.parquetFilesUnder(java.nio.file.Paths.get(r.store.chunksDir))
+      .map(_.toString)
 
   override def createReaderFactory(): PartitionReaderFactory =
     aggSpec match {
@@ -1037,7 +1066,8 @@ private[source] class GraftMicroBatchStream(r: Resolved, request: Slice,
     r.store.versions(r.dataset).headOption.map(_._2).getOrElse(0L)
 
   override def initialOffset(): Offset =
-    GraftOffset(options.get("startingversion").orElse(options.get("startingVersion")) match {
+    // scanOptions keys come from a CaseInsensitiveStringMap — lowercase only
+    GraftOffset(options.get("startingversion") match {
       case Some("latest") => latestVersion
       case Some("earliest") | None => 0L
       case Some(v) => v.toLong
@@ -1078,12 +1108,9 @@ private[source] class GraftMicroBatchStream(r: Resolved, request: Slice,
         c.indices.forall(i => c(i) >= envLo(i) && c(i) <= envHi(i))
       }
     if (changed.isEmpty) return Array.empty
-    val files = {
-      val dir = java.nio.file.Paths.get(r.store.chunksDir)
-      if (!java.nio.file.Files.exists(dir)) Array.empty[String]
-      else java.nio.file.Files.walk(dir).iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).map(_.toString).toArray
-    }
+    val files = SparkStore
+      .parquetFilesUnder(java.nio.file.Paths.get(r.store.chunksDir))
+      .map(_.toString)
     val perPartition = math.max(8, changed.length / math.max(1,
       SparkSession.active.sparkContext.defaultParallelism))
     changed.grouped(perPartition).map { group =>
