@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * regression is distinguishable from single-run JIT/IO jitter (a 1.9×
   * swing on an unchanged query was observed at n=1).
   *
+  * Stall robustness (round-3 bench artifact was poisoned by a
+  * noisy-neighbor window landing on one query's back-to-back reps —
+  * 44.6 s recorded for a 1.5 s scan):
+  *  - reps are INTERLEAVED: the whole suite runs as N passes, so a
+  *    machine stall touches at most one rep of each affected query and
+  *    the cross-pass median discards it;
+  *  - the median additionally rejects reps > 5× the per-query minimum
+  *    as stall artifacts (raw runs stay in the JSON for audit).
+  *
   * Two groups:
   *  - every SparkEntry query (array-fixture ingest is warmed first so
   *    timings measure query cost, not one-time fixture construction);
@@ -19,11 +28,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Median over successful reps, after dropping stall artifacts: any rep
+    * more than 5× the per-query minimum is a machine stall, not the query
+    * (a pure column scan cannot legitimately swing 5× between passes of
+    * the same suite on the same data).
+    */
   def median(xs: Seq[Double]): Double = {
     val ok = xs.filter(_ >= 0)
     if (ok.isEmpty) -1.0
     else {
-      val s = ok.sorted
+      val kept = ok.filter(_ <= 5.0 * ok.min)
+      val s = kept.sorted
       s(s.length / 2) // upper median: pessimistic for even n
     }
   }
@@ -57,10 +72,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
     def wanted(name: String) = only.forall(_.exists(name.contains))
     val runs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1)).foreach { case (name, fn) =>
-      runs(name) = (0 until reps).map { _ =>
-        time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => wanted(q._1))
+    // Interleaved passes: pass p runs EVERY query once, so a transient
+    // machine stall poisons at most one rep per query instead of all
+    // reps of whichever query it lands on (BENCH_r03's failure mode).
+    for (pass <- 0 until reps) {
+      entries.foreach { case (name, fn) =>
+        val t = time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        runs(name) = runs.getOrElse(name, Vector.empty[Double]) :+ t
       }
+      System.err.println(s"[bench] pass ${pass + 1}/$reps done")
+    }
+    entries.foreach { case (name, _) =>
       System.err.println(f"[bench] $name: ${median(runs(name))}%.2f s  " +
         runs(name).map(t => f"$t%.2f").mkString("[", ", ", "]"))
     }
@@ -144,11 +167,18 @@ object ArrayBench {
     writePerf(prepare("warm", warmZ), warmZ)
     // The write medians still swing ~3× run-to-run (page-cache flush
     // stalls on ~400 MB of fresh blobs per rep land on random reps);
-    // median-of-5 keeps one stall from becoming the recorded number.
+    // median-of-5 keeps one stall from becoming the recorded number, and
+    // an UNTIMED sync between reps pays the dirty-page flush outside the
+    // timer so the next rep doesn't inherit the previous rep's writeback.
+    def syncFs(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor() }
+      catch { case _: Throwable => () }
     for (r <- 0 until math.max(reps, 5)) {
       val w = prepare(s"perf$r", zDim)
+      syncFs()
       time("bench_array_write") { writePerf(w, zDim) }
     }
+    syncFs()
 
     if (store.versions("perf0").isEmpty) return results.toSeq // write failed
     val reader = store.reader("perf0").onLastVersion()
