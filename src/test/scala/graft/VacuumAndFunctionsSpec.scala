@@ -67,6 +67,28 @@ class VacuumAndFunctionsSpec extends AnyFunSuite {
       r.exploded("v", Slice(Seq(0L), Seq(4L))).collect()
     }
     assert(ex.getMessage.contains("refusing to read fill"), ex.getMessage)
+    // streamChunks carries the same guard (executor-side requireBlob)
+    val ex2 = intercept[Exception] {
+      r.streamChunks("v", Slice(Seq(0L), Seq(4L))).collect()
+    }
+    assert(ex2.getMessage.contains("refusing to read fill"), ex2.getMessage)
+  }
+
+  test("writeRows rejects slab seq outside the 20-bit per-call space") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    val store = new SparkStore(spark, root)
+    store.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 4L), chunkDimensions = Map("x" -> 2L),
+      variables = Map("v" -> VariableDef("int", Vector("x"), 0.0)))
+    val w = store.addVersion("ds", meta)
+    val bad = Seq((Array(0L), Array(2L), Array.fill[Byte](8)(0), 1L << 20))
+      .toDF("start", "stop", "bytes", "seq")
+    val e = intercept[Exception] { w.writeRows("v", bad) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("2^20")), msgs(e).mkString(" | "))
   }
 
   test("getSlice refuses requests above the driver cell budget") {
