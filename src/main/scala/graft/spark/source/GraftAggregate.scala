@@ -32,7 +32,13 @@ private[source] object GraftAgg {
   val ValueT: Int = -1; val StarT: Int = -2
 
   final case class FuncSpec(kind: Int, target: Int) extends Serializable
-  final case class AggSpec(funcs: Seq[FuncSpec]) extends Serializable {
+  /** `groupDims` non-empty = GROUPED pushdown (chunked scans only): the
+    * grouping keys are `_chunk_<dim>` columns (dim indices, in the query's
+    * groupBy order). Each input partition is exactly one chunk there, so
+    * one keyed partial row per partition IS the per-chunk group — interior
+    * chunks answer from zone-map stats with zero blob decode. */
+  final case class AggSpec(funcs: Seq[FuncSpec],
+      groupDims: Seq[Int] = Nil) extends Serializable {
     def needsValue: Boolean = funcs.exists(f =>
       f.target == ValueT && f.kind != Count)
     def needsSum: Boolean = funcs.exists(f => f.kind == Sum && f.target == ValueT)
@@ -153,7 +159,10 @@ private[source] class GraftAggReaderFactory(metaJson: String, variable: String,
     new GraftAggPartitionReader(p, metaJson, variable, request, spec)
 }
 
-/** One partial-aggregate row per input partition. */
+/** Aggregate rows per input partition: ONE partial row in global mode;
+  * in GROUPED mode (group keys = `_chunk_*` columns) one row PER CHUNK —
+  * chunks are whole groups, so partitions pack many chunks and the rows
+  * are final (complete pushdown) or subset-key partials. */
 private[source] class GraftAggPartitionReader(part: InputPartition,
     metaJson: String, variable: String, request: Slice, spec: GraftAgg.AggSpec)
     extends PartitionReader[InternalRow] {
@@ -166,17 +175,81 @@ private[source] class GraftAggPartitionReader(part: InputPartition,
   private val rank = request.rank
   private val isFloat = dtype == DType.FLOAT || dtype == DType.DOUBLE
 
-  // ---- accumulators ----
-  private var cells = 0L
-  private var lmin = Long.MaxValue
-  private var lmax = Long.MinValue
-  private var lsum = 0L // wrapping, like Spark's non-ANSI sum(long)
-  private var dmin = Double.PositiveInfinity
-  private var dmax = Double.NegativeInfinity
-  private var sawReal = false
-  private var sawNaN = false
-  private val dimMin = Array.fill(rank)(Long.MaxValue)
-  private val dimMax = Array.fill(rank)(Long.MinValue)
+  /** Accumulator for one output row: the whole partition (global mode) or
+    * one chunk (grouped mode). */
+  private final class Acc {
+    var cells = 0L
+    var lmin = Long.MaxValue
+    var lmax = Long.MinValue
+    var lsum = 0L // wrapping, like Spark's non-ANSI sum(long)
+    var dmin = Double.PositiveInfinity
+    var dmax = Double.NegativeInfinity
+    var sawReal = false
+    var sawNaN = false
+    val dimMin = Array.fill(rank)(Long.MaxValue)
+    val dimMax = Array.fill(rank)(Long.MinValue)
+
+    def accumGeometry(s: Array[Long], e: Array[Long], n: Long): Unit = {
+      cells += n
+      var i = 0
+      while (i < rank) {
+        if (s(i) < dimMin(i)) dimMin(i) = s(i)
+        if (e(i) - 1 > dimMax(i)) dimMax(i) = e(i) - 1
+        i += 1
+      }
+    }
+
+    def accumValueStats(st: SlabStats): Unit = {
+      if (st.lmin.isDefined) {
+        if (st.lmin.get < lmin) lmin = st.lmin.get
+        if (st.lmax.get > lmax) lmax = st.lmax.get
+        // lsum is only consumed when a SUM was pushed — a min/max-only
+        // aggregate must not demand it (lsum is None after ingest-time
+        // overflow; the needsSum path re-sums such chunks from the blob)
+        if (spec.needsSum)
+          lsum += st.lsum.getOrElse(
+            throw new IllegalStateException("sum-from-stats needs a defined lsum"))
+      } else {
+        st.dmin.foreach { v => sawReal = true; if (v < dmin) dmin = v }
+        st.dmax.foreach { v => if (v > dmax) dmax = v }
+        if (st.nan > 0) sawNaN = true
+      }
+    }
+
+    def accumFill(n: Long): Unit =
+      if (isFloat) {
+        if (fill.isNaN) sawNaN = true
+        else { sawReal = true; if (fill < dmin) dmin = fill; if (fill > dmax) dmax = fill }
+      } else {
+        val fl = fill.toLong
+        if (fl < lmin) lmin = fl
+        if (fl > lmax) lmax = fl
+        lsum += fl * n // wrapping, like Spark
+      }
+
+    def row(groupCoord: Array[Long]): InternalRow = {
+      val groupVals: Array[Any] =
+        if (groupCoord == null) Array.empty
+        else spec.groupDims.map(i => groupCoord(i): Any).toArray
+      val vals: Array[Any] = groupVals ++ spec.funcs.map { f =>
+        (f.kind, f.target) match {
+          case (Count, _) => cells
+          case (Min, i) if i >= 0 => dimMin(i)
+          case (Max, i) if i >= 0 => dimMax(i)
+          case (Sum, ValueT) => lsum
+          case (Min, ValueT) if !isFloat => typedValue(lmin)
+          case (Max, ValueT) if !isFloat => typedValue(lmax)
+          case (Min, ValueT) =>
+            typedValue(if (sawReal) dmin else Double.NaN)
+          case (Max, ValueT) =>
+            typedValue(if (sawNaN) Double.NaN else if (sawReal) dmax
+            else Double.NaN)
+          case other => throw new IllegalStateException(s"bad agg spec $other")
+        }
+      }.toArray
+      new GenericInternalRow(vals)
+    }
+  }
 
   private def clipOf(coord: Array[Long]): (Array[Long], Array[Long], Long, Boolean) = {
     val s = new Array[Long](rank); val e = new Array[Long](rank)
@@ -191,44 +264,6 @@ private[source] class GraftAggPartitionReader(part: InputPartition,
     }
     (s, e, n, interior)
   }
-
-  private def accumGeometry(s: Array[Long], e: Array[Long], n: Long): Unit = {
-    cells += n
-    var i = 0
-    while (i < rank) {
-      if (s(i) < dimMin(i)) dimMin(i) = s(i)
-      if (e(i) - 1 > dimMax(i)) dimMax(i) = e(i) - 1
-      i += 1
-    }
-  }
-
-  private def accumValueStats(st: SlabStats): Unit = {
-    if (st.lmin.isDefined) {
-      if (st.lmin.get < lmin) lmin = st.lmin.get
-      if (st.lmax.get > lmax) lmax = st.lmax.get
-      // lsum is only consumed when a SUM was pushed — a min/max-only
-      // aggregate must not demand it (lsum is None after ingest-time
-      // overflow; the needsSum path re-sums such chunks from the blob)
-      if (spec.needsSum)
-        lsum += st.lsum.getOrElse(
-          throw new IllegalStateException("sum-from-stats needs a defined lsum"))
-    } else {
-      st.dmin.foreach { v => sawReal = true; if (v < dmin) dmin = v }
-      st.dmax.foreach { v => if (v > dmax) dmax = v }
-      if (st.nan > 0) sawNaN = true
-    }
-  }
-
-  private def accumFill(n: Long): Unit =
-    if (isFloat) {
-      if (fill.isNaN) sawNaN = true
-      else { sawReal = true; if (fill < dmin) dmin = fill; if (fill > dmax) dmax = fill }
-    } else {
-      val fl = fill.toLong
-      if (fl < lmin) lmin = fl
-      if (fl > lmax) lmax = fl
-      lsum += fl * n // wrapping, like Spark
-    }
 
   /** Wrapped cell sum of a slab — Spark's non-ANSI sum(long) wraps, so a
     * chunk whose exact stats sum overflowed (lsum null) is re-summed with
@@ -247,96 +282,102 @@ private[source] class GraftAggPartitionReader(part: InputPartition,
     s
   }
 
-  private def run(): Boolean = {
-    // (coord, hash, stats) triples per partition shape
-    val (triples, files) = part match {
-      case p: GraftChunkPartition =>
-        (Iterator.single((p.coord, p.hash, p.stats)), p.files)
-      case p: GraftPointPartition =>
-        val st = if (p.stats == null) Array.fill[SlabStats](p.coords.length)(null)
-          else p.stats
-        (p.coords.iterator.zip(p.hashes.iterator).zip(st.iterator)
-          .map { case ((c, h), s) => (c, h, s) }, p.files)
-      case p: GraftDataHashPartition =>
-        val m = ScanManifestStatsReader.read(p.manifestFiles)
-        (m.entrySet().iterator().asScala.map { e =>
-          (ScanMath.coordOf(e.getKey, p.lo, p.counts), e.getValue._1, e.getValue._2)
-        }, p.chunkFiles)
-      case p: GraftFillRangePartition =>
-        val dataLinears = ScanManifestReader.readLinears(p.manifestFiles)
-        (Iterator.range(p.linearFrom, p.linearTo)
-          .filterNot(dataLinears.contains)
-          .map(l => (ScanMath.coordOf(l, p.lo, p.counts), null: String, null: SlabStats)),
-          Array.empty[String])
-    }
-
-    // chunks whose value-partials need the blob: boundary, stats-less, or
-    // stats-sum overflow when a SUM was pushed
-    val decode = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], String)]
-    var any = false
-    triples.foreach { case (coord, hash, st) =>
-      val (s, e, n, interior) = clipOf(coord)
-      if (n > 0) {
-        any = true
-        accumGeometry(s, e, n)
-        if (spec.needsValue) {
-          if (hash == null) accumFill(n)
-          else if (st != null && interior &&
-            !(spec.needsSum && !isFloat && st.lsum.isEmpty)) accumValueStats(st)
-          else decode += ((coord, hash))
-        }
-      }
-    }
-
-    if (decode.nonEmpty) {
-      val bytes = ChunkBlobReader.read(files, decode.map(_._2).toSet)
-      decode.foreach { case (coord, hash) =>
-        val framed = bytes.getOrElse(hash,
-          throw new IllegalStateException(s"missing blob for hash $hash"))
-        val chunkSlice = meta.chunkSlice(variable, coord.toVector)
-        val clipped = Slab(dtype, chunkSlice, FilterChain.decode(framed))
-          .intersectWith(request)
-        val st = clipped.stats
-        if (spec.needsSum && !isFloat && st.lsum.isEmpty)
-          accumValueStats(st.copy(lsum = Some(wrappedSum(clipped))))
-        else accumValueStats(st)
-      }
-    }
-    any
+  /** (coord, hash, stats) triples + chunk files for this partition. */
+  private def triples
+      : (Iterator[(Array[Long], String, SlabStats)], Array[String]) = part match {
+    case p: GraftChunkPartition =>
+      (Iterator.single((p.coord, p.hash, p.stats)), p.files)
+    case p: GraftPointPartition =>
+      val st = if (p.stats == null) Array.fill[SlabStats](p.coords.length)(null)
+        else p.stats
+      (p.coords.iterator.zip(p.hashes.iterator).zip(st.iterator)
+        .map { case ((c, h), s) => (c, h, s) }, p.files)
+    case p: GraftDataHashPartition =>
+      val m = ScanManifestStatsReader.read(p.manifestFiles)
+      (m.entrySet().iterator().asScala.map { e =>
+        (ScanMath.coordOf(e.getKey, p.lo, p.counts), e.getValue._1, e.getValue._2)
+      }, p.chunkFiles)
+    case p: GraftFillRangePartition =>
+      val dataLinears = ScanManifestReader.readLinears(p.manifestFiles)
+      (Iterator.range(p.linearFrom, p.linearTo)
+        .filterNot(dataLinears.contains)
+        .map(l => (ScanMath.coordOf(l, p.lo, p.counts), null: String, null: SlabStats)),
+        Array.empty[String])
+    case other => throw new IllegalStateException(s"unexpected partition $other")
   }
 
-  private var row: InternalRow = _
-  private var done = false
+  private def decodeInto(
+      pending: Seq[(Array[Long], String, Acc)], files: Array[String]): Unit = {
+    if (pending.isEmpty) return
+    val bytes = ChunkBlobReader.read(files, pending.map(_._2).toSet)
+    pending.foreach { case (coord, hash, acc) =>
+      val framed = bytes.getOrElse(hash,
+        throw new IllegalStateException(s"missing blob for hash $hash"))
+      val chunkSlice = meta.chunkSlice(variable, coord.toVector)
+      val clipped = Slab(dtype, chunkSlice, FilterChain.decode(framed))
+        .intersectWith(request)
+      val st = clipped.stats
+      if (spec.needsSum && !isFloat && st.lsum.isEmpty)
+        acc.accumValueStats(st.copy(lsum = Some(wrappedSum(clipped))))
+      else acc.accumValueStats(st)
+    }
+  }
 
-  override def next(): Boolean = {
-    if (done) return false
-    done = true
-    if (part == GraftEmptyAggPartition) {
-      row = new GenericInternalRow(spec.funcs.map { f =>
+  /** Route one chunk's value partials into `acc`, or defer to `decode`. */
+  private def accumChunk(coord: Array[Long], hash: String, st: SlabStats,
+      n: Long, interior: Boolean, acc: Acc,
+      decode: scala.collection.mutable.ArrayBuffer[(Array[Long], String, Acc)]): Unit =
+    if (spec.needsValue) {
+      if (hash == null) acc.accumFill(n)
+      else if (st != null && interior &&
+        !(spec.needsSum && !isFloat && st.lsum.isEmpty)) acc.accumValueStats(st)
+      else decode += ((coord, hash, acc))
+    }
+
+  private lazy val rows: Iterator[InternalRow] = {
+    if (part == GraftEmptyAggPartition)
+      Iterator.single(new GenericInternalRow(spec.funcs.map { f =>
         if (f.kind == Count) 0L else null
-      }.toArray[Any])
-      return true
-    }
-    if (!run()) return false
-    val vals: Array[Any] = spec.funcs.map { f =>
-      (f.kind, f.target) match {
-        case (Count, _) => cells
-        case (Min, i) if i >= 0 => dimMin(i)
-        case (Max, i) if i >= 0 => dimMax(i)
-        case (Sum, ValueT) => lsum
-        case (Min, ValueT) if !isFloat => typedValue(lmin)
-        case (Max, ValueT) if !isFloat => typedValue(lmax)
-        case (Min, ValueT) =>
-          typedValue(if (sawReal) dmin else Double.NaN)
-        case (Max, ValueT) =>
-          typedValue(if (sawNaN) Double.NaN else if (sawReal) dmax
-          else Double.NaN)
-        case other => throw new IllegalStateException(s"bad agg spec $other")
+      }.toArray[Any]))
+    else {
+      val (ts, files) = triples
+      val decode =
+        scala.collection.mutable.ArrayBuffer.empty[(Array[Long], String, Acc)]
+      if (spec.groupDims.isEmpty) {
+        val acc = new Acc
+        var any = false
+        ts.foreach { case (coord, hash, st) =>
+          val (s, e, n, interior) = clipOf(coord)
+          if (n > 0) {
+            any = true
+            acc.accumGeometry(s, e, n)
+            accumChunk(coord, hash, st, n, interior, acc, decode)
+          }
+        }
+        decodeInto(decode.toSeq, files)
+        if (any) Iterator.single(acc.row(null)) else Iterator.empty
+      } else {
+        // grouped: each chunk is its own group → one row per chunk, blob
+        // decodes still batched across the partition
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Acc)]
+        ts.foreach { case (coord, hash, st) =>
+          val (s, e, n, interior) = clipOf(coord)
+          if (n > 0) {
+            val acc = new Acc
+            acc.accumGeometry(s, e, n)
+            accumChunk(coord, hash, st, n, interior, acc, decode)
+            out += ((coord, acc))
+          }
+        }
+        decodeInto(decode.toSeq, files)
+        out.iterator.map { case (coord, acc) => acc.row(coord) }
       }
-    }.toArray
-    row = new GenericInternalRow(vals)
-    true
+    }
   }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
 
   private def typedValue(v: Long): Any = dtype match {
     case DType.BYTE => v.toByte
@@ -347,6 +388,6 @@ private[source] class GraftAggPartitionReader(part: InputPartition,
   private def typedValue(v: Double): Any =
     if (dtype == DType.FLOAT) v.toFloat else v
 
-  override def get(): InternalRow = row
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }

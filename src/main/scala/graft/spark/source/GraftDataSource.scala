@@ -342,20 +342,44 @@ private[source] class GraftScanBuilder(r: Resolved,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** PARTIAL aggregate pushdown: global (no group-by) MIN/MAX/COUNT over
-    * dims or value, SUM over an integral value. Spark only attempts this
-    * when every filter was fully pushed, so agg partials never coexist
-    * with residual value predicates. Float SUM stays un-pushed: a partial
-    * float sum is order-dependent in ANY engine, but refusing keeps the
-    * pushed plan bit-identical to the unpushed one. */
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+  /** PARTIAL aggregate pushdown: MIN/MAX/COUNT over dims or value, SUM
+    * over an integral value. Two shapes:
+    *  - global (no group-by), default scans: each partition emits one
+    *    partial row merged by Spark's final aggregate;
+    *  - grouped BY the `_chunk_*` columns, `chunked=true` scans: each
+    *    partition is exactly one chunk, so it emits one KEYED partial row
+    *    — per-chunk zone-map stats already ARE the groupBy(_chunk_*)
+    *    answer, and interior chunks decode no blob. Combined with the
+    *    scan's KeyGroupedPartitioning the final merge needs no Exchange.
+    * Spark only attempts agg pushdown when every filter was fully pushed,
+    * so agg partials never coexist with residual value predicates. Float
+    * SUM stays un-pushed: a partial float sum is order-dependent in ANY
+    * engine, but refusing keeps the pushed plan bit-identical to the
+    * unpushed one. */
+  /** Parse a V2 Aggregation into our spec, or None if any piece is
+    * unsupported. Grouping keys must be `_chunk_<dim>` references (any
+    * order, any subset — per-chunk partials merge correctly under a
+    * subset key). */
+  private def parseAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[GraftAgg.AggSpec] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (r.chunked || agg.groupByExpressions.nonEmpty) return false
+    val groupDims: Seq[Int] =
+      if (agg.groupByExpressions.isEmpty) {
+        if (r.chunked) return None // keyed partitioning needs the keys in the output
+        Nil
+      } else {
+        if (!r.chunked) return None
+        val idx = agg.groupByExpressions.toSeq.map {
+          case nr: NamedReference if nr.fieldNames.length == 1 &&
+              nr.fieldNames()(0).startsWith("_chunk_") =>
+            dimIdx(nr.fieldNames()(0).stripPrefix("_chunk_"))
+          case _ => -1
+        }
+        if (idx.exists(_ < 0)) return None
+        idx
+      }
     val dt = r.meta.dtype(r.variable)
     val integral = dt != DType.FLOAT && dt != DType.DOUBLE
     def target(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
@@ -378,10 +402,29 @@ private[source] class GraftScanBuilder(r: Resolved,
           .map(GraftAgg.FuncSpec(GraftAgg.Sum, _))
       case _ => None
     }
-    if (specs.exists(_.isEmpty)) return false
-    aggSpec = Some(GraftAgg.AggSpec(specs.map(_.get).toSeq))
-    true
+    if (specs.exists(_.isEmpty)) return None
+    Some(GraftAgg.AggSpec(specs.map(_.get).toSeq, groupDims))
   }
+
+  /** COMPLETE pushdown only when the group keys cover ALL chunk dims: a
+    * `chunked=true` scan plans exactly one partition per chunk, so each
+    * full-key group lives entirely in one partition and its "partial" row
+    * already IS the final answer — Spark drops the final aggregate (and
+    * with it the Exchange the partial rewrite would need, because the
+    * rewrite's fresh output attrs never resolve the reported
+    * KeyGroupedPartitioning). A SUBSET key spans chunks, so it must stay
+    * partial and merge. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    parseAggregation(agg).exists(s =>
+      s.groupDims.nonEmpty && s.groupDims.toSet == dims.indices.toSet)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    parseAggregation(agg) match {
+      case Some(s) => aggSpec = Some(s); true
+      case None => false
+    }
 
   /** PARTIAL limit pushdown (`isPartiallyPushed` stays true, so Spark
     * still applies the global LIMIT): a dense array yields exactly its
@@ -505,11 +548,15 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   private def isEmpty: Boolean =
     empty || (0 until request.rank).exists(i => request.stop(i) <= request.start(i))
 
-  /** Pushed-aggregate scans output exactly one column per aggregate, in
-    * spec order (Spark zips them positionally with the rewritten final
-    * aggregate): min/max(value) carry the value dtype, everything else is
-    * BIGINT. */
+  /** Pushed-aggregate scans output the GROUP columns first (grouped
+    * pushdown only — named `_chunk_<dim>` so the reported
+    * KeyGroupedPartitioning expressions still resolve against the scan
+    * output), then exactly one column per aggregate, in spec order (Spark
+    * zips both positionally with the rewritten final aggregate):
+    * min/max(value) carry the value dtype, everything else is BIGINT. */
   private def aggSchema(spec: GraftAgg.AggSpec): StructType = StructType(
+    spec.groupDims.map(i =>
+      StructField(s"_chunk_${r.dims(i)}", LongType, nullable = false)) ++
     spec.funcs.zipWithIndex.map { case (f, i) =>
       val t = (f.kind, f.target) match {
         case (GraftAgg.Min | GraftAgg.Max, GraftAgg.ValueT) =>
@@ -530,7 +577,10 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   }
   override def description(): String =
     s"GraftScan ${r.dataset}/${r.variable} request=$request" +
-      aggSpec.map(s => s" pushedAggregates=${s.funcs.mkString(",")}").getOrElse("") +
+      aggSpec.map(s => s" pushedAggregates=${s.funcs.mkString(",")}" +
+        (if (s.groupDims.nonEmpty)
+          s" groupedBy=${s.groupDims.map(i => s"_chunk_${r.dims(i)}").mkString(",")}"
+        else "")).getOrElse("") +
       (if (valueFilters.nonEmpty)
         s" skipFilters=${valueFilters.mkString(",")}" else "")
 
@@ -550,9 +600,13 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     // Spark's partial-pushdown rewrite merges COUNT partials with a bare
     // SUM (no zero fallback), so zero partitions would turn count(*)=0
     // into NULL. One synthetic partition emits (0, null, null, …).
-    if (isEmpty) return if (aggSpec.isDefined)
+    // GROUPED pushdown is the opposite: zero partitions = zero groups is
+    // exactly right (a synthetic row would invent a null-keyed group).
+    if (isEmpty) return if (aggSpec.exists(_.groupDims.isEmpty))
       Array(GraftEmptyAggPartition: InputPartition) else Array.empty
-    if (r.chunked) return planChunked()
+    if (r.chunked)
+      return if (aggSpec.exists(_.groupDims.nonEmpty)) planGroupedAgg()
+        else planChunked()
     val g = grid
     val lo = (0 until request.rank)
       .map(i => Math.floorDiv(request.start(i), g.step(i))).toArray
@@ -614,7 +668,13 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     * DataSourceSpec "chunked=true reports KeyGroupedPartitioning"). */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
-    if (!r.chunked || isEmpty || coveringChunks > GraftScan.ChunkedMaxChunks)
+    // grouped agg pushdown packs chunks into point partitions
+    // (planGroupedAgg) — one partition is no longer one key, so no
+    // KeyGroupedPartitioning is reported (and none is needed: complete
+    // pushdown has no merge above the scan; subset-key partials shuffle
+    // one tiny row per chunk)
+    if (!r.chunked || isEmpty || aggSpec.isDefined ||
+        coveringChunks > GraftScan.ChunkedMaxChunks)
       new UnknownPartitioning(0)
     else new KeyGroupedPartitioning(
       r.dims.map(d => org.apache.spark.sql.connector.expressions.Expressions
@@ -645,6 +705,34 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
       .select("coordKey", "hash", "stats").collect()
       .map(row => row.getString(0) ->
         (row.getString(1), GraftScan.rowStats(row, 2))).toMap
+  }
+
+  /** Grouped aggregate pushdown: each chunk is one whole GROUP (keys are
+    * the `_chunk_*` columns), so the one-task-per-chunk layout planChunked
+    * needs for KeyGroupedPartitioning would pay thousands of task
+    * launches for rows that are mostly zone-map arithmetic. Pack many
+    * chunks per partition instead — the reader emits one (already final
+    * or subset-partial) row per chunk, and no partitioning is reported
+    * (nothing above the scan needs it: complete pushdown has no merge;
+    * subset keys shuffle tiny keyed partials). */
+  private def planGroupedAgg(): Array[InputPartition] = {
+    val n = coveringChunks
+    require(n <= GraftScan.ChunkedMaxChunks,
+      s"chunked=true scan covers $n chunks > ${GraftScan.ChunkedMaxChunks}; " +
+        "narrow the request or drop the chunked option (default range scan)")
+    val coords = ChunkGrid.toChunkCoordinates(request, grid)
+    val resolved = resolveWithStats()
+    val files = chunkFiles
+    val perPartition = math.max(8, coords.size / math.max(1,
+      SparkSession.active.sparkContext.defaultParallelism * 2))
+    coords.grouped(perPartition).map { group =>
+      val entries = group.map(c => resolved.get(SparkStore.coordKey(c)))
+      GraftPointPartition(
+        group.map(_.toArray).toArray,
+        entries.map(_.map(_._1).orNull).toArray,
+        files,
+        entries.map(_.map(_._2).orNull).toArray): InputPartition
+    }.toArray
   }
 
   private def planChunked(): Array[InputPartition] = {
