@@ -490,6 +490,65 @@ private[source] final case class GraftFillRangePartition(
     lo: Array[Long], counts: Array[Long],
     manifestFiles: Array[String]) extends InputPartition
 
+/** Driver-side chunk-file scoping: each InputPartition ships only the
+  * chunk part files whose footer hash range can hold one of ITS wanted
+  * hashes (fill partitions ship none). At the target scale the chunks dir
+  * holds millions of part files — a full listing embedded in every task
+  * is O(tasks × files) serialized scheduler traffic. Blobs are written
+  * hash-SORTED into range-DISJOINT part files per ingest generation
+  * (SparkVersionWriter.writeRows), so the overlap test keeps ~1/nth of
+  * the files per hash bucket. Footer (min, max) ranges come from the same
+  * per-JVM cache the executors use (`ChunkBlobReader.fileHashRange` —
+  * part files are write-once, entries never go stale), so re-plans are
+  * directory-listing-only. */
+private[source] object ChunkFileScope {
+  /** (file, minHash, maxHash) for every chunk part file under the store. */
+  def ranged(store: SparkStore): Array[(String, String, String)] =
+    SparkStore.parquetFilesUnder(java.nio.file.Paths.get(store.chunksDir)).map { p =>
+      val f = p.toString
+      val (mn, mx) = ChunkBlobReader.fileHashRange(f, ChunkBlobReader.sharedConf)
+      (f, mn, mx)
+    }
+
+  /** Files whose range can hold at least one of `hashes` (null entries —
+    * fill chunks — want no file). */
+  def filesFor(ranged: Array[(String, String, String)],
+      hashes: Iterator[String]): Array[String] = {
+    val hs = hashes.filter(_ != null).toArray.sorted
+    if (hs.isEmpty) Array.empty
+    else ranged.collect { case (f, mn, mx) if {
+      val i = lowerBound(hs, mn); i < hs.length && hs(i) <= mx
+    } => f }
+  }
+
+  /** Full-hash string span of manifest hash bucket `b` of `nBuckets`.
+    * The manifest assigns `hb = (hash32 × nBuckets) div 2³²` over the
+    * first 8 hex chars, so bucket b holds hash32 ∈
+    * [⌈b·2³²/n⌉, ⌈(b+1)·2³²/n⌉ − 1]; endpoints widen to 40-char bounds
+    * (prefix as lower bound, prefix + 32×'f' as upper). */
+  def bucketSpan(b: Long, nBuckets: Int): (String, String) = {
+    val lo = (b * 4294967296L + nBuckets - 1) / nBuckets
+    val hi = math.min(((b + 1) * 4294967296L + nBuckets - 1) / nBuckets - 1,
+      0xFFFFFFFFL)
+    (f"$lo%08x", f"$hi%08x" + "f" * 32)
+  }
+
+  /** Files overlapping a [wLo, wHi] full-hash span. */
+  def filesForSpan(ranged: Array[(String, String, String)],
+      wLo: String, wHi: String): Array[String] =
+    ranged.collect { case (f, mn, mx) if mx >= wLo && mn <= wHi => f }
+
+  /** First index with hs(i) >= key, else hs.length. */
+  private def lowerBound(hs: Array[String], key: String): Int = {
+    var lo = 0; var hi = hs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (hs(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}
+
 private[source] object ScanMath {
   /** Inverse of the linear chunk id: per-axis chunk coordinate. */
   def coordOf(linear: Long, lo: Array[Long], counts: Array[Long]): Array[Long] = {
@@ -722,15 +781,16 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
         "narrow the request or drop the chunked option (default range scan)")
     val coords = ChunkGrid.toChunkCoordinates(request, grid)
     val resolved = resolveWithStats()
-    val files = chunkFiles
+    val ranged = ChunkFileScope.ranged(r.store)
     val perPartition = math.max(8, coords.size / math.max(1,
       SparkSession.active.sparkContext.defaultParallelism * 2))
     coords.grouped(perPartition).map { group =>
       val entries = group.map(c => resolved.get(SparkStore.coordKey(c)))
+      val hashes = entries.map(_.map(_._1).orNull).toArray
       GraftPointPartition(
         group.map(_.toArray).toArray,
-        entries.map(_.map(_._1).orNull).toArray,
-        files,
+        hashes,
+        ChunkFileScope.filesFor(ranged, hashes.iterator),
         entries.map(_.map(_._2).orNull).toArray): InputPartition
     }.toArray
   }
@@ -742,14 +802,15 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
         "narrow the request or drop the chunked option (default range scan)")
     val coords = ChunkGrid.toChunkCoordinates(request, grid)
     val resolved = resolveWithStats()
-    val files = chunkFiles
+    val ranged = ChunkFileScope.ranged(r.store)
     // NOTE: no zone-map partition skipping here even when valueFilters is
     // non-empty — chunked scans report KeyGroupedPartitioning, and dropping
     // partitions would change the reported key set under a co-partitioned
     // join. Readers still skip blob fetches.
     coords.map { c =>
       val (h, st) = resolved.getOrElse(SparkStore.coordKey(c), (null, null))
-      GraftChunkPartition(c.toArray, h, files, st): InputPartition
+      GraftChunkPartition(c.toArray, h,
+        ChunkFileScope.filesFor(ranged, Iterator.single(h)), st): InputPartition
     }.toArray
   }
 
@@ -763,7 +824,7 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
       : Array[InputPartition] = {
     val coords = coordsOpt.getOrElse(ChunkGrid.toChunkCoordinates(request, grid))
     val resolved = resolveWithStats(coordsOpt)
-    val files = chunkFiles
+    val ranged = ChunkFileScope.ranged(r.store)
     val fill = r.meta.fill(r.variable)
     // one coordKey build + map lookup per coord, entry reused for the
     // skip filter and both partition arrays
@@ -778,10 +839,11 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     val perPartition = math.max(1, kept.size / math.max(1,
       SparkSession.active.sparkContext.defaultParallelism))
     kept.grouped(math.max(perPartition, 8)).map { group =>
+      val hashes = group.map(_._2.map(_._1).orNull).toArray
       GraftPointPartition(
         group.map(_._1.toArray).toArray,
-        group.map(_._2.map(_._1).orNull).toArray,
-        files,
+        hashes,
+        ChunkFileScope.filesFor(ranged, hashes.iterator),
         group.map(_._2.map(_._2).orNull).toArray)
     }.toArray
   }
@@ -857,9 +919,14 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
         .map { case (b, ps) => b -> ps.map(_.toString) }
     val dataFiles = bucketFiles("data", "hb=")
     val fillFiles = bucketFiles("fill", "bucket=")
-    val files = chunkFiles
-    val dataParts = dataFiles.toSeq.sortBy(_._1).map { case (_, fs) =>
-      GraftDataHashPartition(lo, counts, fs, files): InputPartition
+    val ranged = ChunkFileScope.ranged(r.store)
+    // each hash bucket's wanted blobs sit in a contiguous hash span, so
+    // its partition carries only the part files overlapping that span
+    // (~files/nBuckets each, vs the full listing in every task)
+    val dataParts = dataFiles.toSeq.sortBy(_._1).map { case (b, fs) =>
+      val (wLo, wHi) = ChunkFileScope.bucketSpan(b, nBuckets)
+      GraftDataHashPartition(lo, counts, fs,
+        ChunkFileScope.filesForSpan(ranged, wLo, wHi)): InputPartition
     }
     val fillParts = (0 until nBuckets).map { b =>
       GraftFillRangePartition(b * chunksPer, math.min((b + 1) * chunksPer, n),
@@ -867,10 +934,6 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     }
     (dataParts ++ fillParts).toArray
   }
-
-  private def chunkFiles: Array[String] =
-    SparkStore.parquetFilesUnder(java.nio.file.Paths.get(r.store.chunksDir))
-      .map(_.toString)
 
   override def createReaderFactory(): PartitionReaderFactory =
     aggSpec match {
@@ -1196,13 +1259,12 @@ private[source] class GraftMicroBatchStream(r: Resolved, request: Slice,
         c.indices.forall(i => c(i) >= envLo(i) && c(i) <= envHi(i))
       }
     if (changed.isEmpty) return Array.empty
-    val files = SparkStore
-      .parquetFilesUnder(java.nio.file.Paths.get(r.store.chunksDir))
-      .map(_.toString)
+    val ranged = ChunkFileScope.ranged(r.store)
     val perPartition = math.max(8, changed.length / math.max(1,
       SparkSession.active.sparkContext.defaultParallelism))
     changed.grouped(perPartition).map { group =>
-      GraftPointPartition(group.map(_._1), group.map(_._2), files): InputPartition
+      GraftPointPartition(group.map(_._1), group.map(_._2),
+        ChunkFileScope.filesFor(ranged, group.iterator.map(_._2))): InputPartition
     }.toArray
   }
 
@@ -1298,7 +1360,7 @@ private[source] object ChunkBlobReader {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private val FullRange = ("", "\uFFFF")
 
-  private def fileHashRange(f: String,
+  private[source] def fileHashRange(f: String,
       conf: org.apache.hadoop.conf.Configuration): (String, String) = {
     val hit = rangeCache.get(f)
     if (hit != null) return hit
