@@ -147,17 +147,36 @@ object Similarity {
     sig.join(broadcast(small), Seq("bucket"))
   }
 
+  /** Signature width for a corpus of `n` vectors: the smallest b ≥ 8 with
+    * expected bucket population `floor(n / 2^b) ≤ maxBucketSize`, i.e.
+    * bitLength(n / (maxBucketSize+1)); capped at 24 (16M buckets). A FIXED
+    * width cannot survive corpus growth: expected population is N/2^bits —
+    * linear in N — so once N ≳ bucketCap·2^bits EVERY bucket overflows the
+    * cap and is dropped, silently returning near-empty results. Derived
+    * from a cheap count instead, and mirrored bit-exactly in the DuckDB
+    * oracles (integer arithmetic only — `bin()` string length, no
+    * float-log edge cases at powers of two). */
+  def autoBits(n: Long, maxBucketSize: Int): Int = {
+    val q = n / (maxBucketSize + 1L)
+    math.min(24, math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(q)))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors sharing a random-
     * hyperplane LSH bucket whose exact cosine ≥ `minCos` become (a, b)
     * dup candidates. Bucketing keeps the pairwise step per-bucket (never
     * all-pairs — at 100 TB that's the difference between feasible and
     * not); the same fixed hyperplanes AND the bucket-size cap are
     * replicated in the DuckDB oracle so the result is hash-checked,
-    * honestly including LSH recall. */
+    * honestly including LSH recall.
+    *
+    * `nBits <= 0` (the default) derives the signature width from the
+    * corpus count (`autoBits`) so buckets stay ≈ `maxBucketSize` at any
+    * scale; pass an explicit width only to pin a tested configuration. */
   def cosineNearDupPairs(emb: DataFrame, minCos: Double = 0.9,
-      nBits: Int = 8, maxBucketSize: Int = 64): DataFrame = {
+      nBits: Int = 0, maxBucketSize: Int = 64): DataFrame = {
+    val bits = if (nBits > 0) nBits else autoBits(emb.count(), maxBucketSize)
     val n = withNorm(emb)
-    val sig = capBuckets(n.withColumn("bucket", lshSignature(nBits)), maxBucketSize)
+    val sig = capBuckets(n.withColumn("bucket", lshSignature(bits)), maxBucketSize)
     val l = sig.select(col("vec_id").as("a"), col("v").as("va"),
       col("nrm").as("na"), col("bucket"))
     val r = sig.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -172,10 +191,28 @@ object Similarity {
   }
 
   /** The fixed-hyperplane `nBits`-bit signature column (shared by lshTopK
-    * and cosineNearDupPairs; replicated exactly in the DuckDB oracles). */
+    * and cosineNearDupPairs; replicated exactly in the DuckDB oracles).
+    *
+    * Weights come from a two-round multiplicative-xorshift mixer of the
+    * (plane, dim) index — the planes must look mutually independent: a
+    * plain linear-congruential weight pattern makes every plane a cyclic
+    * translate of the same sawtooth (measured pairwise plane |cos| up to
+    * 0.82), which correlates the signature bits and collapses most of the
+    * corpus onto a few giant buckets that the size cap then drops. With
+    * the mixer, max plane |cos| ≈ 0.3 on 64 dims and bucket sizes track
+    * the Poisson expectation. Every step is exact in 64-bit signed ints
+    * (k0 < 2^21 → k0·2654435761 < 2^53; x2 < 2^32 → x2·49979693 < 2^58)
+    * so DuckDB's BIGINT arithmetic reproduces it bit-for-bit. */
   private def lshSignature(nBits: Int): Column = {
     def plane(h: Int): Column =
-      transform(col("v"), (x, j) => x * (pmod(lit(h * 2654435761L) + j * lit(40503L), lit(1024L)).cast("double") / 512.0 - 1.0))
+      transform(col("v"), (x, j) => {
+        val k0 = lit(h * 40503L) + j + lit(1L)
+        val x1 = pmod(k0 * lit(2654435761L), lit(4294967296L))
+        val x2 = x1.bitwiseXOR(shiftright(x1, 16))
+        val x3 = pmod(x2 * lit(49979693L), lit(4294967296L))
+        val x4 = x3.bitwiseXOR(shiftright(x3, 16))
+        x * (shiftright(x4, 22).cast("double") / 512.0 - 1.0)
+      })
     concat((0 until nBits).map(h =>
       when(aggregate(plane(h), lit(0.0), (acc, x) => acc + x) >= 0, lit("1"))
         .otherwise(lit("0"))): _*)
@@ -187,12 +224,17 @@ object Similarity {
     * runs inside buckets only. Returns (query_id, neighbor_id, rank) for
     * neighbors found in the query's bucket — a recall/throughput tradeoff
     * tuned by nBits. Buckets over `maxBucketSize` are dropped (capBuckets)
-    * so the within-bucket join stays bounded at corpus scale; a query in a
-    * dropped bucket returns no rows (raise nBits for a larger corpus). */
-  def lshTopK(emb: DataFrame, k: Int, nQueries: Int, nBits: Int = 8,
+    * so the within-bucket join stays bounded at corpus scale.
+    *
+    * `nBits <= 0` (the default) derives the signature width from the
+    * corpus count (`autoBits`), keeping expected bucket population under
+    * the cap at any scale — a fixed width would drop EVERY bucket once
+    * N ≳ cap·2^bits. Pass an explicit width only to pin a configuration. */
+  def lshTopK(emb: DataFrame, k: Int, nQueries: Int, nBits: Int = 0,
       maxBucketSize: Int = 64): DataFrame = {
+    val bits = if (nBits > 0) nBits else autoBits(emb.count(), maxBucketSize)
     val n = withNorm(emb)
-    val sig = capBuckets(n.withColumn("bucket", lshSignature(nBits)), maxBucketSize)
+    val sig = capBuckets(n.withColumn("bucket", lshSignature(bits)), maxBucketSize)
     val q = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
     val cand = sig.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))

