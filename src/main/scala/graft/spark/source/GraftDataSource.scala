@@ -2,7 +2,7 @@ package graft.spark.source
 
 import graft.core._
 import graft.filters.FilterChain
-import graft.meta.DatasetMeta
+import graft.meta.{DatasetMeta, VariableDef}
 import graft.spark.{SparkPinnedReader, SparkStore}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -54,7 +54,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[source] final case class Resolved(store: SparkStore, meta: DatasetMeta,
-    dataset: String, variable: String, chunked: Boolean = false) {
+    dataset: String, variable: String, chunked: Boolean = false,
+    create: Boolean = false) { // meta is a PROPOSED definition, not committed
   def dims: Vector[String] = meta.variables(variable).shape
   /** `chunked=true` scans additionally expose one `_chunk_<dim>` column per
     * axis — the chunk-grid coordinate `floorDiv(dim, chunkDim)` — and key
@@ -74,6 +75,19 @@ private[source] object GraftSource {
     val store = new SparkStore(spark, req("root"))
     val dataset = req("dataset")
     val variable = req("variable")
+    val chunked = options.get("chunked").exists(_.toBoolean)
+    val create = options.get("create").exists(_.toBoolean)
+    val committed =
+      store.datasetExists(dataset) && store.versions(dataset).nonEmpty
+    if (create && !committed) {
+      // fresh dataset: the definition comes from the options and is
+      // validated by the same Meta matrix a programmatic create runs
+      val meta = metaFromOptions(options, variable)
+      DatasetMeta.validate(meta)
+      require(meta.variables.contains(variable),
+        s"graft write: the supplied metadata defines no variable '$variable'")
+      return Resolved(store, meta, dataset, variable, chunked, create = true)
+    }
     val vid = options.get("version").map(_.toLong)
       .getOrElse {
         val vs = store.versions(dataset)
@@ -83,9 +97,45 @@ private[source] object GraftSource {
     val meta = store.metadata(dataset, vid)
     require(meta.variables.contains(variable),
       s"no variable '$variable' in dataset $dataset at version $vid")
-    Resolved(store, meta, dataset, variable,
-      chunked = options.get("chunked").exists(_.toBoolean))
+    if (create && definitionOptions.exists(options.contains))
+      // create-if-absent against an EXISTING dataset: the supplied
+      // definition must agree on the frozen attributes (chunk grid, var
+      // type/shape/fill) — silently ignoring a conflicting definition
+      // would let two writers disagree about what the variable IS
+      DatasetMeta.inherit(metaFromOptions(options, variable), meta)
+    Resolved(store, meta, dataset, variable, chunked)
   }
+
+  private val definitionOptions = Seq("metadata", "dims")
+
+  /** Dataset definition from write options — either `metadata` (the
+    * reference's dataset JSON, verbatim) or the convenience triple form
+    * `dims` = "name:extent:chunkExtent,…" with `type` (default double) and
+    * `fill` (default NaN). */
+  private[source] def metaFromOptions(options: Map[String, String],
+      variable: String): DatasetMeta =
+    options.get("metadata") match {
+      case Some(json) => DatasetMeta.fromJson(json)
+      case None =>
+        val dims = options.getOrElse("dims", throw new IllegalArgumentException(
+          "graft write with create=true against a fresh dataset needs a " +
+            "definition: either .option(\"metadata\", <dataset JSON>) or " +
+            ".option(\"dims\", \"name:extent:chunkExtent,…\") " +
+            "[+ .option(\"type\", …), .option(\"fill\", …)]"))
+        val triples = dims.split(',').toVector.map { part =>
+          part.split(':') match {
+            case Array(n, e, c) => (n.trim, e.trim.toLong, c.trim.toLong)
+            case _ => throw new IllegalArgumentException(
+              s"graft write: bad dims entry '$part' — want name:extent:chunkExtent")
+          }
+        }
+        val fill = options.get("fill").map(_.toDouble).getOrElse(Double.NaN)
+        DatasetMeta(
+          dimensions = triples.map(t => t._1 -> t._2).toMap,
+          chunkDimensions = triples.map(t => t._1 -> t._3).toMap,
+          variables = Map(variable -> VariableDef(
+            options.getOrElse("type", "double"), triples.map(_._1), fill)))
+    }
 }
 
 private[source] class GraftTable(options: Map[String, String])
@@ -249,9 +299,20 @@ private[source] object GraftCellIngest {
         }
       }
     }.toDF("start", "stop", "bytes", "seq")
-    val vs = r.store.versions(r.dataset)
-    require(vs.nonEmpty, s"dataset ${r.dataset} has no committed versions")
-    val w = r.store.addVersion(r.dataset, r.store.metadata(r.dataset, vs.head._2))
+    val w =
+      if (r.create &&
+          (!r.store.datasetExists(r.dataset) || r.store.versions(r.dataset).isEmpty)) {
+        // create-if-absent: dataset + v1 in one shot from the proposed
+        // definition (already Meta-matrix-validated at resolve; addVersion
+        // re-validates). finishVersion's parent CAS still rejects a racing
+        // concurrent first commit.
+        if (!r.store.datasetExists(r.dataset)) r.store.create(r.dataset)
+        r.store.addVersion(r.dataset, r.meta)
+      } else {
+        val vs = r.store.versions(r.dataset)
+        require(vs.nonEmpty, s"dataset ${r.dataset} has no committed versions")
+        r.store.addVersion(r.dataset, r.store.metadata(r.dataset, vs.head._2))
+      }
     w.writeRows(variable, slabRows)
     w.finishVersion()
     ()

@@ -132,6 +132,69 @@ class DataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("create=true: df.write to a fresh dataset creates it + v1 in one shot") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv2-create").toString
+    import spark.implicits._
+    val cells = (for { x <- 0L to 3L; y <- 0L to 2L }
+      yield (x, y, (x * 10 + y).toDouble)).toDF("x", "y", "value")
+    // convenience form: dims triples + type + fill
+    cells.write.format("graft").option("root", root)
+      .option("dataset", "fresh").option("variable", "v")
+      .option("create", "true").option("dims", "x:6:4,y:5:3")
+      .option("type", "double").option("fill", "-1.0").mode("append").save()
+    val store = new SparkStore(spark, root)
+    assert(store.versions("fresh").size == 1)
+    val got = spark.read.format("graft").option("root", root)
+      .option("dataset", "fresh").option("variable", "v").load().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 30 && got((3L, 2L)) == 32.0 && got((5L, 4L)) == -1.0)
+    // idempotent create: a second create=true write APPENDS a version
+    cells.write.format("graft").option("root", root)
+      .option("dataset", "fresh").option("variable", "v")
+      .option("create", "true").option("dims", "x:6:4,y:5:3")
+      .option("fill", "-1.0").mode("append").save()
+    assert(store.versions("fresh").size == 2)
+    // ... but a CONFLICTING definition against the existing dataset fails
+    val conflict = intercept[Exception] {
+      cells.write.format("graft").option("root", root)
+        .option("dataset", "fresh").option("variable", "v")
+        .option("create", "true").option("dims", "x:6:2,y:5:3")
+        .option("fill", "-1.0").mode("append").save()
+    }
+    assert(conflict.getMessage.contains("chunk-dimensions"), conflict.getMessage)
+    // metadata JSON form, with the invalid-metadata matrix still enforced
+    cells.write.format("graft").option("root", root)
+      .option("dataset", "fresh2").option("variable", "w")
+      .option("create", "true")
+      .option("metadata",
+        """{"dimensions":{"x":6,"y":5},"chunk-dimensions":{"x":4,"y":3},
+          |"variables":{"w":{"type":"double","shape":["x","y"],"fill-value":-1}}}""".stripMargin)
+      .mode("append").save()
+    assert(new SparkStore(spark, root).versions("fresh2").size == 1)
+    val invalid = intercept[Exception] {
+      cells.write.format("graft").option("root", root)
+        .option("dataset", "fresh3").option("variable", "w")
+        .option("create", "true")
+        .option("metadata", // NaN fill on an int variable: matrix-rejected
+          """{"dimensions":{"x":6},"chunk-dimensions":{"x":4},
+            |"variables":{"w":{"type":"int","shape":["x"]}}}""".stripMargin)
+        .mode("append").save()
+    }
+    assert(invalid.getMessage.contains("fill values are invalid"), invalid.getMessage)
+    // fresh dataset without create: still the old loud failure
+    intercept[Exception] {
+      cells.write.format("graft").option("root", root)
+        .option("dataset", "nope").option("variable", "v").mode("append").save()
+    }
+    // create without any definition: actionable error
+    val nodef = intercept[Exception] {
+      cells.write.format("graft").option("root", root)
+        .option("dataset", "fresh4").option("variable", "v")
+        .option("create", "true").mode("append").save()
+    }
+    assert(nodef.getMessage.contains("dims"), nodef.getMessage)
+  }
+
   test("full-variable scan above the point threshold plans coordinate ranges: " +
       "O(buckets) driver state, manifest resolved distributedly, parity with exploded") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsv2-full").toString
