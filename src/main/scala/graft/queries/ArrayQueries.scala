@@ -136,6 +136,20 @@ object ArrayQueries {
         .filter(col("var") === "d")
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("hash")).as("n_blobs"))
+    }),
+    // the SQL front door: the same 2-D slice as q_arr_2d, but routed
+    // through the GraftCatalog plugin — `SELECT … FROM <cat>.grid.qty
+    // VERSION AS OF <v>` with dim-filter pushdown intact. The catalog
+    // name is derived from the store root (catalog instances are cached
+    // per session once referenced; a fresh root needs a fresh name).
+    "q_arr_sql" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      s.sql(s"""SELECT m, b, value FROM $cat.grid.qty VERSION AS OF ${fx.gridV1}
+        WHERE m >= 2 AND m < 12 AND b >= 1 AND b < 6 ORDER BY m, b""")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -231,5 +245,23 @@ object ArrayQueries {
         |SELECT m // 4 AS cm, b // 4 AS cb,
         |       CAST(sum(v) AS BIGINT) AS qty_sum,
         |       CAST(count(*) AS BIGINT) AS n_cells
-        |FROM cells GROUP BY 1, 2 ORDER BY cm, cb""".stripMargin)
+        |FROM cells GROUP BY 1, 2 ORDER BY cm, cb""".stripMargin,
+    // identical ground truth to q_arr_2d — the Spark side differs only in
+    // ROUTE (SQL catalog + VERSION AS OF instead of the reader API)
+    "q_arr_sql" ->
+      """WITH lb AS (
+        | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,
+        |        l_partkey % 8 AS b, l_quantity
+        | FROM lineitem),
+        |mn AS (SELECT min(am) AS m0, max(am) - min(am) + 1 AS nm FROM lb),
+        |g AS (SELECT am - (SELECT m0 FROM mn) AS m, b,
+        |        CAST(sum(l_quantity) AS BIGINT) AS q
+        |      FROM lb GROUP BY 1, 2)
+        |SELECT gm.m AS m, gb.b AS b, COALESCE(g.q, 0) AS value
+        |FROM range(0, 10000) gm(m)
+        |CROSS JOIN range(0, 8) gb(b)
+        |LEFT JOIN g ON g.m = gm.m AND g.b = gb.b
+        |WHERE gm.m >= 2 AND gm.m < least(12, (SELECT nm FROM mn))
+        |  AND gb.b >= 1 AND gb.b < 6
+        |ORDER BY m, b""".stripMargin)
 }

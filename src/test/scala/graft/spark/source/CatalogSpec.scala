@@ -1,0 +1,131 @@
+package graft.spark.source
+
+import graft.SparkTestSession
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.SparkStore
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL front door: `GraftCatalog` plugs a graft store into Spark's
+  * catalog so datasets/variables are namespaces/tables — DDL, INSERT,
+  * SELECT with pushdown, and VERSION AS OF time travel, all through the
+  * existing DSv2 table. */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Register a catalog over a fresh store root. Catalog instances are
+    * cached per session once referenced, so each test uses its own name. */
+  private def mkCatalog(cat: String): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    root
+  }
+
+  test("DDL + INSERT + SELECT round trip, pushdown intact") {
+    val root = mkCatalog("cat")
+    spark.sql("CREATE NAMESPACE cat.climate")
+    spark.sql("""CREATE TABLE cat.climate.temp (x BIGINT, y BIGINT, value DOUBLE)
+      TBLPROPERTIES ('dims' = 'x:8:4,y:6:3', 'fill' = '-9')""")
+    // catalog listings
+    assert(spark.sql("SHOW NAMESPACES IN cat").collect().map(_.getString(0))
+      .contains("climate"))
+    assert(spark.sql("SHOW TABLES IN cat.climate").collect()
+      .map(_.getString(1)).contains("temp"))
+    // INSERT commits a version through the V1Write bridge
+    spark.sql("""INSERT INTO cat.climate.temp
+      SELECT x, y, CAST(x * 10 + y AS DOUBLE)
+      FROM (SELECT explode(sequence(0L, 7L)) x) CROSS JOIN
+           (SELECT explode(sequence(0L, 5L)) y)""")
+    val store = new SparkStore(spark, root)
+    assert(store.versions("climate").size == 2) // empty DDL v1 + insert v2
+    // SELECT through the catalog, with dim pushdown
+    val df = spark.sql("SELECT x, y, value FROM cat.climate.temp WHERE x >= 6")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftScan"), plan.take(800))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 12 && got((7L, 5L)) == 75.0 && got((6L, 0L)) == 60.0)
+    // full scan sees fill value only where never written (nothing here)
+    assert(spark.sql("SELECT count(*) FROM cat.climate.temp").head.getLong(0) == 48L)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF time travel through SQL") {
+    val root = mkCatalog("catt")
+    val store = new SparkStore(spark, root)
+    store.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 6L), chunkDimensions = Map("x" -> 3L),
+      variables = Map("v" -> VariableDef("double", Vector("x"), -1.0)))
+    val w1 = store.addVersion("ds", meta)
+    w1.write("v", Seq(Slab.fromDoubles(DType.DOUBLE,
+      Slice(Seq(0L), Seq(6L)), (0 until 6).map(_.toDouble))))
+    val v1 = w1.finishVersion()
+    val w2 = store.addVersion("ds", store.metadata("ds", v1))
+    w2.write("v", Seq(Slab.fromDoubles(DType.DOUBLE,
+      Slice(Seq(0L), Seq(6L)), (0 until 6).map(i => i * 100.0))))
+    w2.finishVersion()
+    val latest = spark.sql("SELECT sum(value) FROM catt.ds.v").head.getDouble(0)
+    assert(latest == 1500.0)
+    val pinned = spark.sql(s"SELECT sum(value) FROM catt.ds.v VERSION AS OF $v1")
+      .head.getDouble(0)
+    assert(pinned == 15.0)
+    // a timestamp far in the future resolves to the latest version
+    val byTs = spark.sql(
+      "SELECT sum(value) FROM catt.ds.v TIMESTAMP AS OF '2999-01-01'")
+      .head.getDouble(0)
+    assert(byTs == 1500.0)
+  }
+
+  test("CTAS derives the value type; second variable joins the dataset") {
+    val root = mkCatalog("catc")
+    spark.sql("CREATE NAMESPACE catc.d2")
+    spark.sql("""CREATE TABLE catc.d2.a
+      TBLPROPERTIES ('dims' = 'x:10:5', 'fill' = '0') AS
+      SELECT x, CAST(x * 2 AS BIGINT) AS value
+      FROM (SELECT explode(sequence(0L, 9L)) AS x)""")
+    val store = new SparkStore(spark, root)
+    assert(store.metadata("d2", store.versions("d2").head._2)
+      .variables("a").typeName == "long")
+    assert(spark.sql("SELECT sum(value) FROM catc.d2.a").head.getLong(0) == 90L)
+    // a second variable on the same grid: new version carries BOTH
+    spark.sql("""CREATE TABLE catc.d2.b (x BIGINT, value DOUBLE)
+      TBLPROPERTIES ('dims' = 'x:10:5', 'fill' = 'NaN')""")
+    val m = store.metadata("d2", store.versions("d2").head._2)
+    assert(m.variables.keySet == Set("a", "b"))
+    // variable 'a' still reads back after b's DDL version
+    assert(spark.sql("SELECT sum(value) FROM catc.d2.a").head.getLong(0) == 90L)
+    // conflicting chunking for a shared dim is rejected
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE catc.d2.c (x BIGINT, value DOUBLE)
+        TBLPROPERTIES ('dims' = 'x:10:2')""")
+    }
+    assert(e.getMessage.contains("chunk-dimension"), e.getMessage)
+  }
+
+  test("errors: missing table, duplicate create, drop semantics") {
+    mkCatalog("cate")
+    spark.sql("CREATE NAMESPACE cate.e1")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM cate.e1.missing")
+    }
+    spark.sql("""CREATE TABLE cate.e1.v (x BIGINT, value DOUBLE)
+      TBLPROPERTIES ('dims' = 'x:4:2')""")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""CREATE TABLE cate.e1.v (x BIGINT, value DOUBLE)
+        TBLPROPERTIES ('dims' = 'x:4:2')""")
+    }
+    // sole variable: DROP TABLE destroys the dataset
+    spark.sql("DROP TABLE cate.e1.v")
+    assert(spark.sql("SHOW NAMESPACES IN cate").collect()
+      .forall(_.getString(0) != "e1"))
+    // multi-variable dataset refuses single-table drop
+    spark.sql("CREATE NAMESPACE cate.e2")
+    spark.sql("CREATE TABLE cate.e2.a (x BIGINT, value DOUBLE) TBLPROPERTIES ('dims' = 'x:4:2')")
+    spark.sql("CREATE TABLE cate.e2.b (x BIGINT, value DOUBLE) TBLPROPERTIES ('dims' = 'x:4:2')")
+    val e = intercept[Exception] { spark.sql("DROP TABLE cate.e2.a") }
+    assert(e.getMessage.contains("DROP NAMESPACE"), e.getMessage)
+    spark.sql("DROP NAMESPACE cate.e2 CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN cate").collect()
+      .forall(_.getString(0) != "e2"))
+  }
+}
