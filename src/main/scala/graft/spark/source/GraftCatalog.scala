@@ -185,14 +185,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "graft: variable definitions are frozen across versions; " +
         "create a new variable or dataset instead")
 
+  /** DROP TABLE appends a version whose metadata OMITS the variable — a
+    * graft version is a complete dataset definition, so this is ordinary
+    * MVCC: readers of older versions (time travel) still see it, the
+    * latest does not, and its blobs stay live exactly as long as some
+    * version references them (vacuum's refcount handles the rest). This
+    * also makes CTAS rollback sound: a failed CTAS write drops the
+    * just-created empty variable instead of wedging it forever. */
   override def dropTable(ident: Identifier): Boolean =
     latestMeta(dsOf(ident)) match {
       case Some(m) if m.variables.contains(ident.name) =>
-        if (m.variables.size > 1) throw new UnsupportedOperationException(
-          s"graft: dataset ${dsOf(ident)} holds ${m.variables.size} variables; " +
-            "versions are immutable, so a single variable cannot be dropped — " +
-            s"DROP NAMESPACE ${name()}.${dsOf(ident)} destroys the whole dataset")
-        store.destroy(dsOf(ident))
+        val w = store.addVersion(dsOf(ident), m.copy(
+          variables = m.variables - ident.name,
+          versionId = None, parent = None))
+        w.finishVersion()
         true
       case _ => false
     }

@@ -97,16 +97,43 @@ private[source] object GraftSource {
     val meta = store.metadata(dataset, vid)
     require(meta.variables.contains(variable),
       s"no variable '$variable' in dataset $dataset at version $vid")
-    if (create && definitionOptions.exists(options.contains))
-      // create-if-absent against an EXISTING dataset: the supplied
-      // definition must agree on the frozen attributes (chunk grid, var
-      // type/shape/fill) — silently ignoring a conflicting definition
-      // would let two writers disagree about what the variable IS
-      DatasetMeta.inherit(metaFromOptions(options, variable), meta)
+    if (create) attestDefinition(options, variable, meta)
     Resolved(store, meta, dataset, variable, chunked)
   }
 
-  private val definitionOptions = Seq("metadata", "dims")
+  /** create-if-absent against an EXISTING dataset: every definition
+    * option the caller actually SUPPLIED must agree with the committed
+    * definition — silently ignoring a conflicting definition would let
+    * two writers disagree about what the variable IS. Omitted options are
+    * not attested (so an idempotent retry that passes only `dims` isn't
+    * rejected over the defaulted type/fill). */
+  private[source] def attestDefinition(options: Map[String, String],
+      variable: String, committed: DatasetMeta): Unit = {
+    options.get("metadata").foreach(json =>
+      DatasetMeta.inherit(DatasetMeta.fromJson(json), committed))
+    options.get("dims").foreach { _ =>
+      val m = metaFromOptions(options - "metadata", variable)
+      m.dimensions.foreach { case (k, ext) =>
+        committed.dimensions.get(k).foreach(p => require(p == ext,
+          s"graft write: dimension '$k' is $p in the dataset, supplied as $ext")) }
+      m.chunkDimensions.foreach { case (k, c) =>
+        committed.chunkDimensions.get(k).foreach(p => require(p == c,
+          s"graft write: chunk-dimension '$k' is $p in the dataset, supplied as $c")) }
+      committed.variables.get(variable).foreach { cv =>
+        require(cv.shape == m.variables(variable).shape,
+          s"graft write: variable '$variable' has shape ${cv.shape.mkString(",")}, " +
+            s"supplied ${m.variables(variable).shape.mkString(",")}")
+      }
+    }
+    committed.variables.get(variable).foreach { cv =>
+      options.get("type").foreach(t => require(t == cv.typeName,
+        s"graft write: variable '$variable' is ${cv.typeName}, supplied as $t"))
+      options.get("fill").foreach(f =>
+        require(DatasetMeta.nanEq(f.toDouble, cv.fillValue),
+          s"graft write: variable '$variable' has fill ${cv.fillValue}, " +
+            s"supplied as $f"))
+    }
+  }
 
   /** Dataset definition from write options — either `metadata` (the
     * reference's dataset JSON, verbatim) or the convenience triple form
@@ -300,14 +327,29 @@ private[source] object GraftCellIngest {
       }
     }.toDF("start", "stop", "bytes", "seq")
     val w =
-      if (r.create &&
-          (!r.store.datasetExists(r.dataset) || r.store.versions(r.dataset).isEmpty)) {
+      if (r.create) {
         // create-if-absent: dataset + v1 in one shot from the proposed
         // definition (already Meta-matrix-validated at resolve; addVersion
-        // re-validates). finishVersion's parent CAS still rejects a racing
-        // concurrent first commit.
-        if (!r.store.datasetExists(r.dataset)) r.store.create(r.dataset)
-        r.store.addVersion(r.dataset, r.meta)
+        // re-validates). Race-safe: losing the create() race to a
+        // concurrent first writer is benign, and if a first version
+        // COMMITTED between resolve and here, the proposed definition is
+        // re-attested against it — this writer's cell bytes were encoded
+        // with the proposed dtype/extent, so a silent fall-through onto a
+        // conflicting definition would commit garbage. The parent CAS in
+        // finishVersion still rejects same-definition commit races.
+        if (!r.store.datasetExists(r.dataset))
+          try r.store.create(r.dataset)
+          catch { case _: IllegalStateException => () } // lost the race
+        r.store.versions(r.dataset).headOption match {
+          case None => r.store.addVersion(r.dataset, r.meta)
+          case Some((_, vid)) =>
+            val latest = r.store.metadata(r.dataset, vid)
+            DatasetMeta.inherit(r.meta, latest) // frozen attrs must agree
+            require(r.meta.dimensions == latest.dimensions,
+              s"graft write: dataset ${r.dataset} was committed concurrently " +
+                s"with extent ${latest.dimensions} != proposed ${r.meta.dimensions}")
+            r.store.addVersion(r.dataset, latest)
+        }
       } else {
         val vs = r.store.versions(r.dataset)
         require(vs.nonEmpty, s"dataset ${r.dataset} has no committed versions")
@@ -563,13 +605,40 @@ private[source] final case class GraftFillRangePartition(
   * part files are write-once, entries never go stale), so re-plans are
   * directory-listing-only. */
 private[source] object ChunkFileScope {
-  /** (file, minHash, maxHash) for every chunk part file under the store. */
-  def ranged(store: SparkStore): Array[(String, String, String)] =
-    SparkStore.parquetFilesUnder(java.nio.file.Paths.get(store.chunksDir)).map { p =>
+  /** (file, minHash, maxHash) for every chunk part file under the store.
+    * First call per JVM pays one footer read per file — in PARALLEL (the
+    * reads are independent and I/O-bound; a serial loop over a large
+    * store would stall the driver for the whole listing); later calls hit
+    * the per-JVM range cache and are list-only. */
+  def ranged(store: SparkStore): Array[(String, String, String)] = {
+    val files = SparkStore.parquetFilesUnder(
+      java.nio.file.Paths.get(store.chunksDir))
+    java.util.Arrays.stream(files).parallel().map { p =>
       val f = p.toString
       val (mn, mx) = ChunkBlobReader.fileHashRange(f, ChunkBlobReader.sharedConf)
       (f, mn, mx)
+    }.toArray(n => new Array[(String, String, String)](n))
+  }
+
+  /** Per-hash file lists for a BATCH of hashes: one pass over the files,
+    * each assigned to the sorted hashes inside its range — O(files × log
+    * hashes + assignments), vs. calling `filesFor` once per hash
+    * (O(hashes × files): quadratic-ish at tens of thousands of chunks
+    * over millions of files). Only hashes with ≥1 candidate file appear. */
+  def filesByHash(ranged: Array[(String, String, String)],
+      hashes: Iterator[String]): scala.collection.Map[String, Array[String]] = {
+    val hs = hashes.filter(_ != null).toArray.distinct.sorted
+    val acc = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    ranged.foreach { case (f, mn, mx) =>
+      var i = lowerBound(hs, mn)
+      while (i < hs.length && hs(i) <= mx) {
+        acc.getOrElseUpdate(hs(i), scala.collection.mutable.ArrayBuffer.empty) += f
+        i += 1
+      }
     }
+    acc.map { case (h, fs) => h -> fs.toArray }
+  }
 
   /** Files whose range can hold at least one of `hashes` (null entries —
     * fill chunks — want no file). */
@@ -863,7 +932,10 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
         "narrow the request or drop the chunked option (default range scan)")
     val coords = ChunkGrid.toChunkCoordinates(request, grid)
     val resolved = resolveWithStats()
-    val ranged = ChunkFileScope.ranged(r.store)
+    // one pass over the file ranges for ALL chunk hashes — per-chunk
+    // filesFor calls would cost O(chunks × files) at plan time
+    val byHash = ChunkFileScope.filesByHash(ChunkFileScope.ranged(r.store),
+      resolved.valuesIterator.map(_._1))
     // NOTE: no zone-map partition skipping here even when valueFilters is
     // non-empty — chunked scans report KeyGroupedPartitioning, and dropping
     // partitions would change the reported key set under a co-partitioned
@@ -871,7 +943,8 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     coords.map { c =>
       val (h, st) = resolved.getOrElse(SparkStore.coordKey(c), (null, null))
       GraftChunkPartition(c.toArray, h,
-        ChunkFileScope.filesFor(ranged, Iterator.single(h)), st): InputPartition
+        if (h == null) Array.empty[String] else byHash.getOrElse(h, Array.empty),
+        st): InputPartition
     }.toArray
   }
 

@@ -154,6 +154,13 @@ class DataSourceSpec extends AnyFunSuite {
       .option("create", "true").option("dims", "x:6:4,y:5:3")
       .option("fill", "-1.0").mode("append").save()
     assert(store.versions("fresh").size == 2)
+    // ... and a retry that omits type/fill entirely is NOT a conflict
+    // (only options actually supplied are attested)
+    cells.write.format("graft").option("root", root)
+      .option("dataset", "fresh").option("variable", "v")
+      .option("create", "true").option("dims", "x:6:4,y:5:3")
+      .mode("append").save()
+    assert(store.versions("fresh").size == 3)
     // ... but a CONFLICTING definition against the existing dataset fails
     val conflict = intercept[Exception] {
       cells.write.format("graft").option("root", root)
@@ -161,7 +168,13 @@ class DataSourceSpec extends AnyFunSuite {
         .option("create", "true").option("dims", "x:6:2,y:5:3")
         .option("fill", "-1.0").mode("append").save()
     }
-    assert(conflict.getMessage.contains("chunk-dimensions"), conflict.getMessage)
+    assert(conflict.getMessage.contains("chunk-dimension"), conflict.getMessage)
+    val fillConflict = intercept[Exception] {
+      cells.write.format("graft").option("root", root)
+        .option("dataset", "fresh").option("variable", "v")
+        .option("create", "true").option("fill", "7.5").mode("append").save()
+    }
+    assert(fillConflict.getMessage.contains("has fill"), fillConflict.getMessage)
     // metadata JSON form, with the invalid-metadata matrix still enforced
     cells.write.format("graft").option("root", root)
       .option("dataset", "fresh2").option("variable", "w")

@@ -114,16 +114,23 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("""CREATE TABLE cate.e1.v (x BIGINT, value DOUBLE)
         TBLPROPERTIES ('dims' = 'x:4:2')""")
     }
-    // sole variable: DROP TABLE destroys the dataset
+    // DROP TABLE appends a version WITHOUT the variable: the table is gone
+    // from the latest state, the namespace (dataset) and history remain
     spark.sql("DROP TABLE cate.e1.v")
+    assert(spark.sql("SHOW TABLES IN cate.e1").collect().isEmpty)
     assert(spark.sql("SHOW NAMESPACES IN cate").collect()
-      .forall(_.getString(0) != "e1"))
-    // multi-variable dataset refuses single-table drop
+      .exists(_.getString(0) == "e1"))
+    // multi-variable dataset: dropping one leaves the other readable
     spark.sql("CREATE NAMESPACE cate.e2")
     spark.sql("CREATE TABLE cate.e2.a (x BIGINT, value DOUBLE) TBLPROPERTIES ('dims' = 'x:4:2')")
     spark.sql("CREATE TABLE cate.e2.b (x BIGINT, value DOUBLE) TBLPROPERTIES ('dims' = 'x:4:2')")
-    val e = intercept[Exception] { spark.sql("DROP TABLE cate.e2.a") }
-    assert(e.getMessage.contains("DROP NAMESPACE"), e.getMessage)
+    spark.sql("INSERT INTO cate.e2.b SELECT explode(sequence(0L, 3L)), CAST(1 AS DOUBLE)")
+    spark.sql("DROP TABLE cate.e2.a")
+    assert(spark.sql("SHOW TABLES IN cate.e2").collect().map(_.getString(1)).toSeq == Seq("b"))
+    assert(spark.sql("SELECT sum(value) FROM cate.e2.b").head.getDouble(0) == 4.0)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM cate.e2.a")
+    }
     spark.sql("DROP NAMESPACE cate.e2 CASCADE")
     assert(spark.sql("SHOW NAMESPACES IN cate").collect()
       .forall(_.getString(0) != "e2"))
