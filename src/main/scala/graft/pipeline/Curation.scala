@@ -167,4 +167,41 @@ object Curation {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(k)
+
+  /** Best-of-group selection: the top-k documents per (lang, source) by
+    * length — the shape of "keep the N highest-quality docs per domain"
+    * curation passes. One shuffle on the group key, per-group window (no
+    * global sort); deterministic tie-break by doc_id. */
+  def topDocsPerGroup(docs: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("lang", "source", "rank")
+  }
+
+  /** Exact per-group quantiles by RANK SELECTION (type-1 / discrete): the
+    * p-quantile is the element at row ⌈p·n⌉ of the group's sort — pure
+    * integer/comparison arithmetic, so Spark and DuckDB agree bit-for-bit
+    * (an interpolating quantile mixes libm-shaped float math into the
+    * result; an approximate sketch isn't oracle-checkable at all).
+    *
+    * Scale shape: one shuffle on the group key + partition-local sort.
+    * For a SINGLE giant group this would need range-partitioned selection
+    * instead (the packing operator's two-pass prefix-sum trick); grouped
+    * corpus stats have group-bounded partitions, which is the case here. */
+  def exactQuantiles(docs: DataFrame,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val ranked = docs.select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rnk", row_number().over(
+        byLang.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+    ranked
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("rnk") === ceil(col("p") * col("n")))
+      .select(col("lang"), col("p"), col("n_chars").as("q"))
+      .orderBy("lang", "p")
+  }
 }

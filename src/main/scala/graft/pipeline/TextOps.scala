@@ -68,4 +68,47 @@ object TextOps {
     * whitespace-collapsed lowercase alphanumeric rendering. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Top-k terms per document by TF-IDF. The idf factor uses 1/df
+    * DIRECTLY (monotone in the usual ln(N/df) for a fixed corpus, so the
+    * ranking is identical) — a transcendental ln is libm-dependent and
+    * not bit-portable across engines, while a single IEEE division of two
+    * small integers is exactly rounded everywhere, which keeps the score
+    * column hash-checkable against the DuckDB oracle.
+    *
+    * Scale shape: tf is a map-side-combinable groupBy(doc, term); df is a
+    * groupBy(term) over the distinct (doc, term) pairs (shuffle O(vocab));
+    * the final top-k is a per-document window — no global sort. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Token bigrams of one document (adjacent-token pairs, space-joined):
+    * the n-gram LM-count building block. Empty/one-token docs yield an
+    * empty array. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    transform(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      (x, i) => concat(x, lit(" "), element_at(t, i + 2)))
+  }
+
+  /** Corpus-wide top-k bigram counts: explode + groupBy — map-side
+    * partial aggregation bounds the shuffle at O(distinct bigrams), the
+    * canonical distributed n-gram-count shape. Deterministic tie-break by
+    * the bigram text. */
+  def topKBigrams(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(bigrams(col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(k)
 }

@@ -88,6 +88,15 @@ object PipelineQueries {
     "q_pipe_packing" -> ((s, dir) => Curation.packSequences(docs(s, dir))),
     "q_pipe_vocab" -> ((s, dir) => Curation.topKTokens(docs(s, dir))),
     "q_pipe_distinct_est" -> ((s, dir) => Sketch.kmvDistinctDocs(docs(s, dir))),
+    // TF-IDF term ranking (1/df idf — exactly-rounded division, no libm)
+    "q_pipe_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(docs(s, dir).filter(col("doc_id") < 100))),
+    // n-gram LM counts: corpus-wide top bigrams
+    "q_pipe_bigrams" -> ((s, dir) => TextOps.topKBigrams(docs(s, dir))),
+    // best-of-group curation: top docs per (lang, source) by length
+    "q_pipe_topdocs" -> ((s, dir) => Curation.topDocsPerGroup(docs(s, dir))),
+    // exact per-language length quantiles by rank selection
+    "q_pipe_quantiles" -> ((s, dir) => Curation.exactQuantiles(docs(s, dir))),
     // gap-based sessionization (batch twin of the flatMapGroupsWithState op)
     "q_pipe_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -399,6 +408,56 @@ object PipelineQueries {
         |FROM documents,
         | unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)
         |GROUP BY w ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    // same tokenization as vocab; idf as a single exactly-rounded division
+    "q_pipe_tfidf" ->
+      """WITH toks AS (
+        | SELECT doc_id, w AS term
+        | FROM documents,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)
+        | WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, tf.term) AS rank
+        | FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // bigrams: DuckDB 1-based list lambda index pairs l[i] with l[i+1]
+    "q_pipe_bigrams" ->
+      """WITH toks AS (
+        | SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        | FROM documents)
+        |SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks,
+        | unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1])) t(bg)
+        |GROUP BY bg ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
+
+    "q_pipe_topdocs" ->
+      """WITH r AS (
+        | SELECT lang, source, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY lang, source
+        |          ORDER BY n_chars DESC, doc_id) AS rank
+        | FROM documents)
+        |SELECT lang, source, doc_id, n_chars, rank FROM r WHERE rank <= 3
+        |ORDER BY lang, source, rank""".stripMargin,
+
+    // type-1 (discrete) quantile: the element at row ceil(p*n) of the
+    // per-group sort — integer-exact, no interpolation float math
+    "q_pipe_quantiles" ->
+      """WITH r AS (
+        | SELECT lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents)
+        |SELECT lang, CAST(p AS DOUBLE) AS p, n_chars AS q
+        |FROM r, unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) t(p)
+        |WHERE rnk = CAST(ceil(p * n) AS BIGINT)
+        |ORDER BY lang, p""".stripMargin,
 
     "q_pipe_sessions" ->
       """WITH e AS (

@@ -102,4 +102,55 @@ class CurationSpec extends AnyFunSuite {
     // counts: b=3, a=2, c=2 → top2 = b, then a (tie a/c broken by word)
     assert(got.toSeq == Seq(("b", 3L), ("a", 2L)))
   }
+
+  test("bigrams: empty and one-token docs yield no pairs; pairs are adjacent") {
+    import spark.implicits._
+    val df = Seq((0L, "alpha beta gamma"), (1L, "solo"), (2L, ""), (3L, "x. y!"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.pipeline.TextOps.bigrams(col("text")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(got(0L) == List("alpha beta", "beta gamma"))
+    assert(got(1L) == Nil && got(2L) == Nil)
+    assert(got(3L) == List("x y")) // punctuation-split tokens still pair
+  }
+
+  test("tfidf: rare terms outrank common ones; k caps per doc; ties by term") {
+    import spark.implicits._
+    // 'shared' in all 3 docs (df=3), 'rare' only in doc 0 (df=1)
+    val df = Seq((0L, "shared rare shared"), (1L, "shared common"),
+      (2L, "shared common")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.tfidfTopTerms(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(5)))
+    // doc 0: rare (tf=1/df=1 → 1.0) beats shared (tf=2/df=3 → 0.67)
+    assert(got.take(2).toSeq == Seq((0L, "rare", 1), (0L, "shared", 2)))
+    assert(got.count(_._1 == 0L) == 2) // k cap
+    // docs 1,2: common (1/2) beats shared (1/3)
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq == Seq("common", "shared"))
+  }
+
+  test("topDocsPerGroup: per-group cap and doc_id tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "en", "s0", 10L), (1L, "en", "s0", 10L), (2L, "en", "s0", 5L),
+      (3L, "en", "s0", 1L), (4L, "de", "s0", 7L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = Curation.topDocsPerGroup(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(4)))
+    assert(got.toSeq == Seq(("de", 4L, 1),
+      ("en", 0L, 1), ("en", 1L, 2), ("en", 2L, 3))) // tie 10/10 → doc_id order
+  }
+
+  test("exactQuantiles: rank selection incl. single-element groups") {
+    import spark.implicits._
+    val df = ((1L to 10L).map(i => (i, "en", i * 100L)) :+ ((99L, "de", 42L)))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = Curation.exactQuantiles(df).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // en: n=10 → ceil(.5*10)=5 → 500; ceil(.9*10)=9 → 900; ceil(.99*10)=10 → 1000
+    // de: n=1 → all three quantiles are the single element
+    assert(got.toSeq == Seq(
+      ("de", 0.5, 42L), ("de", 0.9, 42L), ("de", 0.99, 42L),
+      ("en", 0.5, 500L), ("en", 0.9, 900L), ("en", 0.99, 1000L)))
+  }
 }
