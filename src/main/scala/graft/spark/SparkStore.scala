@@ -296,16 +296,87 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // adopt the compacted part files into the live dir (part-file names
     // carry fresh UUIDs — no collision), then delete exactly the files we
     // compacted; concurrent appends are untouched throughout
-    scala.util.Using.resource(Files.list(keptDir)) {
+    val adopted = scala.util.Using.resource(Files.list(keptDir)) {
       _.iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".parquet"))
-        .foreach(p => Files.move(p, live.resolve(p.getFileName.toString)))
+        .map { p =>
+          val dst = live.resolve(p.getFileName.toString)
+          Files.move(p, dst)
+          dst
+        }
     }
     old.foreach(Files.delete)
     scala.util.Using.resource(Files.walk(keptDir)) {
       _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+    // every chunk file at or before the cutoff is gone now: their
+    // sidecars are fully stale — sweep them, and record the compacted
+    // generation's ranges
+    sweepRangeSidecars(cutoff)
+    writeChunkRangeSidecar(adopted)
     before - after
+  }
+
+  // ---- chunk-file hash-range sidecars ----
+
+  private def rangesDir: Path = Paths.get(chunksDir).resolve(".ranges")
+
+  /** Record (part file → footer hash range) for an ingest generation's
+    * NEW chunk files, so scan planning never opens parquet footers: at
+    * the 100 TB target the chunks dir holds millions of part files, and
+    * a first-plan footer sweep is O(files) serialized driver I/O. One
+    * TSV per ingest (own file — no writer contention); entries for files
+    * later deleted by vacuum are simply never consulted (planning
+    * intersects with the live listing). The ingest itself reads only ITS
+    * new files' footers (a few dozen). */
+  private[spark] def writeChunkRangeSidecar(files: Seq[Path]): Unit = {
+    if (files.isEmpty) return
+    Files.createDirectories(rangesDir)
+    val conf = graft.spark.source.ChunkBlobReader.sharedConf
+    val lines = files.map { p =>
+      val (mn, mx) =
+        graft.spark.source.ChunkBlobReader.fileHashRange(p.toString, conf)
+      s"${p.getFileName}\t$mn\t$mx"
+    }
+    val id = java.util.UUID.randomUUID.toString
+    val tmp = rangesDir.resolve(s".$id.tmp")
+    Files.writeString(tmp, lines.mkString("\n"))
+    Files.move(tmp, rangesDir.resolve(s"$id.tsv"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Seed the per-JVM footer-range cache from the sidecars; each sidecar
+    * file parses once per JVM (they are write-once). */
+  private[spark] def loadChunkRangeSidecars(): Unit = {
+    if (!Files.exists(rangesDir)) return
+    val dir = Paths.get(chunksDir)
+    scala.util.Using.resource(Files.list(rangesDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".tsv"))
+        .foreach { p =>
+          if (SparkStore.loadedSidecars.putIfAbsent(p.toString,
+              java.lang.Boolean.TRUE) == null)
+            Files.readAllLines(p).asScala.foreach { line =>
+              line.split('\t') match {
+                case Array(f, mn, mx) => graft.spark.source.ChunkBlobReader
+                  .seedRange(dir.resolve(f).toString, mn, mx)
+                case _ => // tolerate malformed lines: footer fallback
+              }
+            }
+        }
+    }
+  }
+
+  /** Drop sidecars whose files were all deleted by a vacuum sweep (every
+    * chunk file at or before `cutoff` is gone afterwards, so sidecars
+    * that old are fully stale). */
+  private def sweepRangeSidecars(cutoff: Long): Unit = {
+    if (!Files.exists(rangesDir)) return
+    scala.util.Using.resource(Files.list(rangesDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".tsv") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .toSeq.foreach(Files.delete)
+    }
   }
 
   /** MVCC index resolution: for each coordinate of `varName`, the hash of
@@ -356,6 +427,11 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 }
 
 object SparkStore {
+  /** Sidecar files already parsed into the per-JVM range cache (sidecars
+    * are write-once, so one parse per JVM suffices). */
+  private[spark] val loadedSidecars =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Every .parquet file under `dir` (empty when absent). Resource-safe:
     * `Files.walk` streams hold open directory handles until closed — the
     * one shared listing for scan planning and the streaming source. */
@@ -983,9 +1059,17 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       // without disjoint files, per-chunk tasks paid an open per file:
       // measured 277 ms/task on a 2240-chunk grid agg, ~8 ms after).
       // The extra shuffle moves only NEW deduped blobs of this batch.
+      val chunksPath = java.nio.file.Paths.get(store.chunksDir)
+      val preExisting = SparkStore.parquetFilesUnder(chunksPath)
+        .map(_.getFileName.toString).toSet
       newBlobs.repartitionByRange(col("hash")).sortWithinPartitions("hash")
         .write.option("compression", "uncompressed")
         .mode("append").parquet(store.chunksDir)
+      // record this generation's (file → hash range) sidecar so scan
+      // planning never has to open footers (a concurrent writer's files
+      // may land in the diff too — redundant entries are harmless)
+      store.writeChunkRangeSidecar(SparkStore.parquetFilesUnder(chunksPath)
+        .filterNot(p => preExisting.contains(p.getFileName.toString)).toSeq)
 
       // 5. index append, hive-partitioned by (var, version) so the MVCC
       //    resolve prunes whole files by version instead of filtering rows

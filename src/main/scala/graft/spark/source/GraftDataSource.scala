@@ -606,11 +606,15 @@ private[source] final case class GraftFillRangePartition(
   * directory-listing-only. */
 private[source] object ChunkFileScope {
   /** (file, minHash, maxHash) for every chunk part file under the store.
-    * First call per JVM pays one footer read per file — in PARALLEL (the
-    * reads are independent and I/O-bound; a serial loop over a large
-    * store would stall the driver for the whole listing); later calls hit
-    * the per-JVM range cache and are list-only. */
+    * Ranges come from the ingest-time sidecars (see
+    * SparkStore.writeChunkRangeSidecar) seeded into the per-JVM cache —
+    * planning opens NO parquet footers for sidecar-covered files, so a
+    * first plan on a million-file store is a directory listing plus small
+    * TSV reads, not O(files) footer I/O. Files a sidecar doesn't cover
+    * (pre-sidecar stores) fall back to a PARALLEL footer sweep, cached
+    * thereafter. */
   def ranged(store: SparkStore): Array[(String, String, String)] = {
+    store.loadChunkRangeSidecars()
     val files = SparkStore.parquetFilesUnder(
       java.nio.file.Paths.get(store.chunksDir))
     java.util.Arrays.stream(files).parallel().map { p =>
@@ -1463,7 +1467,7 @@ private[source] object ScanManifestReader {
   * StackOverflowError in the recursive predicate visitors); large sets
   * fall back to one min/max range predicate with exact membership checked
   * against the in-memory wanted set. */
-private[source] object ChunkBlobReader {
+private[spark] object ChunkBlobReader {
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
   import org.apache.parquet.hadoop.ParquetReader
@@ -1494,7 +1498,15 @@ private[source] object ChunkBlobReader {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private val FullRange = ("", "\uFFFF")
 
-  private[source] def fileHashRange(f: String,
+  /** Seed the range cache from a sidecar entry (ingest-time recorded
+    * ranges \u2014 see SparkStore.writeChunkRangeSidecar): planning then never
+    * opens the file's footer. putIfAbsent keeps an already-read footer
+    * authoritative. */
+  private[spark] def seedRange(f: String, mn: String, mx: String): Unit = {
+    rangeCache.putIfAbsent(f, (mn, mx)); ()
+  }
+
+  private[spark] def fileHashRange(f: String,
       conf: org.apache.hadoop.conf.Configuration): (String, String) = {
     val hit = rangeCache.get(f)
     if (hit != null) return hit
@@ -1549,7 +1561,7 @@ private[source] object ChunkBlobReader {
   // shared Configurations — construction parses classpath XML (~10+ ms),
   // far too expensive per read() call. Both are effectively read-only.
   private lazy val scanConf = new org.apache.hadoop.conf.Configuration()
-  private[source] def sharedConf: org.apache.hadoop.conf.Configuration = scanConf
+  private[spark] def sharedConf: org.apache.hadoop.conf.Configuration = scanConf
   // harvest mode: the predicate prunes ROW GROUPS only; record-level and
   // page-level (column index) filtering are off, so the row-group scan
   // returns sibling rows for the blob cache

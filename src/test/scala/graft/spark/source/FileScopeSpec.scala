@@ -101,6 +101,55 @@ class FileScopeSpec extends AnyFunSuite {
     assert(df.count() == 64L * 4)
   }
 
+  test("ingest writes hash-range sidecars; they agree with the footers " +
+      "and pre-seed the cache so planning needs no footer reads") {
+    val (root, store) = mk(8)
+    val rangesDir = java.nio.file.Paths.get(store.chunksDir).resolve(".ranges")
+    assert(java.nio.file.Files.exists(rangesDir), "no sidecar dir after ingest")
+    val sidecars = scala.util.Using.resource(
+      java.nio.file.Files.list(rangesDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".tsv")).toSeq
+    }
+    assert(sidecars.size == 2, s"one sidecar per ingest generation: $sidecars")
+    // every live chunk file is covered, and the recorded range matches
+    // the footer exactly
+    val entries = sidecars.flatMap(p =>
+      java.nio.file.Files.readAllLines(p).toArray.map(_.toString.split('\t')))
+      .map(a => a(0) -> (a(1), a(2))).toMap
+    val files = SparkStore.parquetFilesUnder(
+      java.nio.file.Paths.get(store.chunksDir))
+    assert(files.nonEmpty &&
+      files.forall(f => entries.contains(f.getFileName.toString)))
+    files.foreach { f =>
+      assert(ChunkBlobReader.fileHashRange(f.toString,
+        ChunkBlobReader.sharedConf) == entries(f.getFileName.toString))
+    }
+    // seeding pre-empts the footer read entirely: a seeded path that is
+    // not even a parquet file resolves from the cache
+    ChunkBlobReader.seedRange("/nonexistent/seeded.parquet", "aaa", "bbb")
+    assert(ChunkBlobReader.fileHashRange("/nonexistent/seeded.parquet",
+      ChunkBlobReader.sharedConf) == (("aaa", "bbb")))
+    // vacuum sweeps stale sidecars and records the compacted generation
+    store.vacuum(graceMs = 0L)
+    val after = scala.util.Using.resource(
+      java.nio.file.Files.list(rangesDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".tsv")).toSeq
+    }
+    assert(after.size == 1, s"expected one post-compaction sidecar: $after")
+    val afterFiles = SparkStore.parquetFilesUnder(
+      java.nio.file.Paths.get(store.chunksDir))
+    val afterEntries = after.flatMap(p =>
+      java.nio.file.Files.readAllLines(p).toArray.map(_.toString.split('\t')))
+      .map(a => a(0)).toSet
+    assert(afterFiles.forall(f => afterEntries.contains(f.getFileName.toString)))
+    // reads still correct after compaction with sidecar-seeded planning
+    val df = spark.read.format("graft").option("root", root)
+      .option("dataset", "ds").option("variable", "v").load()
+    assert(df.count() == 8L * 4)
+  }
+
   test("bucketSpan endpoints match the manifest's hb assignment") {
     val nBuckets = 7
     for (b <- 0L until nBuckets) {
