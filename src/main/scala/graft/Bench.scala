@@ -228,6 +228,31 @@ object ArrayBench {
             .write.format("noop").mode("overwrite").save()
         } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       }
+      time("bench_spj_join") {
+        // storage-partitioned join: two chunked scans of the same grid
+        // joined on (_chunk_*, dims) — the reported KeyGroupedPartitioning
+        // co-locates matching chunks, so NO Exchange moves either side
+        // (plan shape pinned by DataSourceSpec). Window = a chunk-aligned
+        // quarter (54M cells/side); the full 216M×216M self-join measures
+        // ~13 s on this box, still exchange-free — per-chunk SMJ CPU, not
+        // shuffle, is the cost.
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        try {
+          import org.apache.spark.sql.functions.col
+          def side = spark.read.format("graft").option("root", root)
+            .option("dataset", "perf0").option("variable", "foo")
+            .option("chunked", "true").load()
+            .filter(col("x") < 90) // chunk-aligned (30-wide x-chunks)
+          side.alias("a").join(side.alias("b"),
+            Seq("_chunk_x", "_chunk_y", "_chunk_z", "x", "y", "z"))
+            .select(col("a.value") + col("b.value"))
+            .write.format("noop").mode("overwrite").save()
+        } finally {
+          spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+          spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        }
+      }
     }
     results.toSeq
   }
