@@ -310,11 +310,59 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
     // every chunk file at or before the cutoff is gone now: their
-    // sidecars are fully stale — sweep them, and record the compacted
-    // generation's ranges
+    // sidecars are fully stale — sweep them (and crashed-ingest staging
+    // leftovers), and record the compacted generation's ranges
     sweepRangeSidecars(cutoff)
+    sweepChunkStaging(cutoff)
     writeChunkRangeSidecar(adopted)
     before - after
+  }
+
+  // ---- chunk ingest staging ----
+
+  /** Fresh staging dir for one ingest generation's blob append (adopted
+    * by `adoptChunkFiles`; orphans from crashed ingests are swept by
+    * vacuum). Lives beside — not inside — the chunks dir, so readers
+    * never see half-written part files. */
+  private[spark] def newChunkStagingDir(): Path =
+    rootPath.resolve(s".chunks_ingest_${java.util.UUID.randomUUID}")
+
+  /** Move a staged generation's part files into the live chunks dir and
+    * return their new paths; removes the staging dir. A crash mid-adopt
+    * leaves some files adopted (orphan blobs until their index rows land
+    * — same exposure as a direct append) and the staging leftovers for
+    * vacuum's sweep. */
+  private[spark] def adoptChunkFiles(staging: Path): Seq[Path] = {
+    val live = Paths.get(chunksDir)
+    Files.createDirectories(live)
+    val adopted = scala.util.Using.resource(Files.list(staging)) {
+      _.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val dst = live.resolve(p.getFileName.toString)
+          Files.move(p, dst)
+          dst
+        }
+    }
+    scala.util.Using.resource(Files.walk(staging)) {
+      _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    adopted
+  }
+
+  /** Remove staging dirs of crashed ingests, by age. */
+  private def sweepChunkStaging(cutoff: Long): Unit = {
+    if (!Files.exists(rootPath)) return
+    scala.util.Using.resource(Files.list(rootPath)) { s =>
+      s.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith(".chunks_ingest_") &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .foreach { dir =>
+          scala.util.Using.resource(Files.walk(dir)) {
+            _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          }
+        }
+    }
   }
 
   // ---- chunk-file hash-range sidecars ----
@@ -333,11 +381,16 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     if (files.isEmpty) return
     Files.createDirectories(rangesDir)
     val conf = graft.spark.source.ChunkBlobReader.sharedConf
-    val lines = files.map { p =>
+    // a file whose footer yields no usable range (unreadable, still being
+    // written) gets NO entry — recording the unbounded fallback range
+    // would permanently pin the file as a candidate for every hash and
+    // silently defeat the pruning (readers just fall back to its footer)
+    val lines = files.flatMap { p =>
       val (mn, mx) =
         graft.spark.source.ChunkBlobReader.fileHashRange(p.toString, conf)
-      s"${p.getFileName}\t$mn\t$mx"
+      if (mn.isEmpty) None else Some(s"${p.getFileName}\t$mn\t$mx")
     }
+    if (lines.isEmpty) return
     val id = java.util.UUID.randomUUID.toString
     val tmp = rangesDir.resolve(s".$id.tmp")
     Files.writeString(tmp, lines.mkString("\n"))
@@ -345,36 +398,47 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   }
 
   /** Seed the per-JVM footer-range cache from the sidecars; each sidecar
-    * file parses once per JVM (they are write-once). */
+    * file parses once per JVM (they are write-once). A sidecar deleted by
+    * a concurrent vacuum sweep mid-read is skipped, NOT fatal (its files
+    * are gone too — and any still-live file simply falls back to its
+    * footer); a sidecar is only marked loaded after a successful parse. */
   private[spark] def loadChunkRangeSidecars(): Unit = {
     if (!Files.exists(rangesDir)) return
     val dir = Paths.get(chunksDir)
-    scala.util.Using.resource(Files.list(rangesDir)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".tsv"))
-        .foreach { p =>
-          if (SparkStore.loadedSidecars.putIfAbsent(p.toString,
-              java.lang.Boolean.TRUE) == null)
-            Files.readAllLines(p).asScala.foreach { line =>
-              line.split('\t') match {
-                case Array(f, mn, mx) => graft.spark.source.ChunkBlobReader
-                  .seedRange(dir.resolve(f).toString, mn, mx)
-                case _ => // tolerate malformed lines: footer fallback
-              }
+    val sidecars =
+      try scala.util.Using.resource(Files.list(rangesDir)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".tsv")).toSeq
+      } catch { case _: java.io.IOException => return }
+    sidecars.foreach { p =>
+      if (!SparkStore.loadedSidecars.containsKey(p.toString)) {
+        try {
+          Files.readAllLines(p).asScala.foreach { line =>
+            line.split('\t') match {
+              case Array(f, mn, mx) => graft.spark.source.ChunkBlobReader
+                .seedRange(dir.resolve(f).toString, mn, mx)
+              case _ => // tolerate malformed lines: footer fallback
             }
-        }
+          }
+          SparkStore.loadedSidecars.put(p.toString, java.lang.Boolean.TRUE)
+        } catch { case _: java.io.IOException => () } // swept mid-read: retry next plan
+      }
     }
   }
 
   /** Drop sidecars whose files were all deleted by a vacuum sweep (every
     * chunk file at or before `cutoff` is gone afterwards, so sidecars
-    * that old are fully stale). */
+    * that old are fully stale), plus any orphaned .tmp from a crashed
+    * sidecar write. */
   private def sweepRangeSidecars(cutoff: Long): Unit = {
     if (!Files.exists(rangesDir)) return
     scala.util.Using.resource(Files.list(rangesDir)) { s =>
       s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".tsv") &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .filter { p =>
+          val n = p.getFileName.toString
+          (n.endsWith(".tsv") || n.endsWith(".tmp")) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff
+        }
         .toSeq.foreach(Files.delete)
     }
   }
@@ -1059,17 +1123,19 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       // without disjoint files, per-chunk tasks paid an open per file:
       // measured 277 ms/task on a 2240-chunk grid agg, ~8 ms after).
       // The extra shuffle moves only NEW deduped blobs of this batch.
-      val chunksPath = java.nio.file.Paths.get(store.chunksDir)
-      val preExisting = SparkStore.parquetFilesUnder(chunksPath)
-        .map(_.getFileName.toString).toSet
+      // The batch lands in a STAGING dir and its part files are adopted
+      // into the live chunks dir — the exact new-file list then comes
+      // from one O(new files) listing (diffing the live dir would cost
+      // two full walks per ingest at millions of part files, and could
+      // capture a concurrent writer's in-flight _temporary files), and
+      // this generation's (file → hash range) sidecar means scan planning
+      // never has to open footers. Same adopt pattern as vacuum's
+      // compaction; part-file names carry fresh UUIDs, so no collision.
+      val staging = store.newChunkStagingDir()
       newBlobs.repartitionByRange(col("hash")).sortWithinPartitions("hash")
         .write.option("compression", "uncompressed")
-        .mode("append").parquet(store.chunksDir)
-      // record this generation's (file → hash range) sidecar so scan
-      // planning never has to open footers (a concurrent writer's files
-      // may land in the diff too — redundant entries are harmless)
-      store.writeChunkRangeSidecar(SparkStore.parquetFilesUnder(chunksPath)
-        .filterNot(p => preExisting.contains(p.getFileName.toString)).toSeq)
+        .parquet(staging.toString)
+      store.writeChunkRangeSidecar(store.adoptChunkFiles(staging))
 
       // 5. index append, hive-partitioned by (var, version) so the MVCC
       //    resolve prunes whole files by version instead of filtering rows
