@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * frame-sample run as typed mapPartitions stages (one decoder
   * instantiation per partition — the batch shape a real codec needs).
   *
-  * The decode step itself is STUBBED with a deterministic fake (this
-  * container ships no image/audio codecs); the Spark-side contract —
-  * schema, binary transport, partition-wise batching, typed output — is
-  * real and tested.
+  * The decode step is REAL for the codec-free formats — PPM (P6) and BMP
+  * headers parse with pure JVM code, including body-length validation —
+  * and falls back to a deterministic STUB for codec-bound formats
+  * (JPEG/PNG/WAV/MP4: this container ships no codecs, so those stay
+  * honestly fake). The Spark-side contract — schema, binary transport,
+  * partition-wise batching, typed output — is the same either way.
   */
 object Multimodal {
 
@@ -24,12 +26,12 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 
-  /** Stub decoder: a real implementation would parse the container header
-    * (JPEG/PNG/WAV/MP4). The fake derives deterministic dimensions from
-    * the payload length so oracles can check the plumbing end to end. */
   trait MediaDecoder extends Serializable {
     def decode(payload: Array[Byte]): (Long, Long, Long) // (width, height, nFrames)
   }
+
+  /** Deterministic fake for codec-bound formats: derives dimensions from
+    * the payload length so oracles can check the plumbing end to end. */
   object StubDecoder extends MediaDecoder {
     def decode(p: Array[Byte]): (Long, Long, Long) = {
       val n = p.length.toLong
@@ -37,11 +39,69 @@ object Multimodal {
     }
   }
 
-  /** Binary-transport + partition-batched metadata extraction. */
-  def extractMeta(docs: DataFrame, decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] = {
-    val spark = docs.sparkSession
+  /** Real header decoder for the codec-free formats, dispatched on magic
+    * bytes: PPM "P6" (ASCII header incl. '#' comments, raster-length
+    * validated) and BMP "BM" (little-endian dims at offsets 18/22).
+    * Anything else falls back to the stub. Malformed media of a
+    * RECOGNIZED format fails loudly — a pipeline should quarantine it,
+    * not ingest garbage dimensions. */
+  object HeaderDecoder extends MediaDecoder {
+    def decode(p: Array[Byte]): (Long, Long, Long) =
+      if (p.length >= 2 && p(0) == 'P'.toByte && p(1) == '6'.toByte) decodePpm(p)
+      else if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) decodeBmp(p)
+      else StubDecoder.decode(p)
+
+    /** P6: "P6" <ws> width <ws> height <ws> maxval <one ws> raster. */
+    private def decodePpm(p: Array[Byte]): (Long, Long, Long) = {
+      var i = 2
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed PPM: $msg")
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < p.length) {
+          if (p(i) == '#'.toByte) { // header comment runs to end of line
+            while (i < p.length && p(i) != '\n'.toByte) i += 1
+          } else if (p(i).toChar.isWhitespace) i += 1
+          else go = false
+        }
+      }
+      def int(): Long = {
+        skipWs()
+        val s = i
+        while (i < p.length && p(i) >= '0'.toByte && p(i) <= '9'.toByte) i += 1
+        if (i == s) fail(s"expected integer at offset $s")
+        new String(p, s, i - s, java.nio.charset.StandardCharsets.US_ASCII).toLong
+      }
+      val w = int(); val h = int(); val maxval = int()
+      if (w <= 0 || h <= 0) fail(s"dimensions ${w}x$h")
+      if (maxval <= 0 || maxval > 65535) fail(s"maxval $maxval")
+      i += 1 // exactly one whitespace separates maxval from the raster
+      val bytesPerPixel = if (maxval > 255) 6L else 3L
+      if (p.length - i != w * h * bytesPerPixel)
+        fail(s"raster is ${p.length - i} bytes, want ${w * h * bytesPerPixel} for ${w}x$h")
+      (w, h, 1L)
+    }
+
+    /** BMP: little-endian int32 width/height at offsets 18/22 (top-down
+      * images store a negative height). */
+    private def decodeBmp(p: Array[Byte]): (Long, Long, Long) = {
+      val bb = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = bb.getInt(18).toLong
+      val h = math.abs(bb.getInt(22).toLong)
+      if (w <= 0 || h == 0)
+        throw new IllegalArgumentException(s"malformed BMP: ${w}x$h")
+      (w, h, 1L)
+    }
+  }
+
+  /** Binary-transport + partition-batched metadata extraction over a
+    * (doc_id, payload: binary) frame. */
+  def extractMetaBinary(media: DataFrame,
+      decoder: MediaDecoder = HeaderDecoder): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+    media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // decoder state initialized once per partition (real codecs are
@@ -53,6 +113,12 @@ object Multimodal {
         }
       }
   }
+
+  /** Convenience: treat a document's text bytes as the payload. */
+  def extractMeta(docs: DataFrame,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] =
+    extractMetaBinary(docs.select(col("doc_id"),
+      col("text").cast("binary").as("payload")), decoder)
 
   /** Deterministic frame sampling: every `stride`-th frame index. */
   def sampleFrames(meta: Dataset[MediaMeta], stride: Long): DataFrame =

@@ -80,8 +80,22 @@ object PipelineQueries {
     "q_pipe_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
-    "q_pipe_multimodal" -> ((s, dir) =>
-      Multimodal.resizePlan(Multimodal.extractMeta(docs(s, dir))).orderBy("doc_id")),
+    // REAL decode path: deterministic PPM (P6) payloads are constructed
+    // from each doc's n_chars (header + exact-length raster) and the
+    // HeaderDecoder genuinely parses them — dimensions come out of the
+    // header bytes, validated against the raster length, not out of a
+    // length-derived fake. The oracle rebuilds the same header string to
+    // compute n_bytes.
+    "q_pipe_multimodal" -> ((s, dir) => {
+      val w = col("n_chars") % 64 + 1
+      val h = (col("n_chars") * 7) % 48 + 1
+      val header = concat(lit("P6\n"), w.cast("string"), lit(" "),
+        h.cast("string"), lit("\n255\n"))
+      val media = docs(s, dir).select(col("doc_id"),
+        concat(header.cast("binary"),
+          repeat(lit("x"), (w * h * 3).cast("int")).cast("binary")).as("payload"))
+      Multimodal.resizePlan(Multimodal.extractMetaBinary(media)).orderBy("doc_id")
+    }),
     // curation: decontamination, deterministic sampling, packing, vocab
     "q_pipe_decontam" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
     "q_pipe_sample" -> ((s, dir) => Curation.stratifiedSample(docs(s, dir))),
@@ -480,16 +494,22 @@ object PipelineQueries {
         |FROM s GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
 
+    // mirrors the PPM construction: width/height from n_chars, n_bytes =
+    // header length (digit counts vary!) + 3-byte raster
     "q_pipe_multimodal" ->
       """WITH m AS (SELECT doc_id,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
-        | CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-        | CAST(octet_length(encode(text)) % 10 + 1 AS BIGINT) AS n_frames
-        |FROM documents)
+        | CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+        | CAST((n_chars * 7) % 48 + 1 AS BIGINT) AS height,
+        | CAST(1 AS BIGINT) AS n_frames
+        |FROM documents),
+        |b AS (SELECT *,
+        | CAST(length(concat('P6', chr(10), CAST(width AS VARCHAR), ' ',
+        |   CAST(height AS VARCHAR), chr(10), '255', chr(10)))
+        |   + width * height * 3 AS BIGINT) AS n_bytes
+        |FROM m)
         |SELECT doc_id, n_bytes, width, height, n_frames,
         | (width * 224) // greatest(greatest(width, height), 1) AS out_w,
         | (height * 224) // greatest(greatest(width, height), 1) AS out_h,
         | (n_frames + 2) // 3 AS n_sampled
-        |FROM m ORDER BY doc_id""".stripMargin)
+        |FROM b ORDER BY doc_id""".stripMargin)
 }
