@@ -111,6 +111,10 @@ object PipelineQueries {
     "q_pipe_topdocs" -> ((s, dir) => Curation.topDocsPerGroup(docs(s, dir))),
     // exact per-language length quantiles by rank selection
     "q_pipe_quantiles" -> ((s, dir) => Curation.exactQuantiles(docs(s, dir))),
+    // skewed-key aggregation via two-stage salting (hot keys spread over
+    // salt sub-groups; the merge sees `salts` rows per key, not the corpus)
+    "q_pipe_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedDocStats(docs(s, dir))),
     // gap-based sessionization (batch twin of the flatMapGroupsWithState op)
     "q_pipe_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -459,6 +463,14 @@ object PipelineQueries {
         | FROM documents)
         |SELECT lang, source, doc_id, n_chars, rank FROM r WHERE rank <= 3
         |ORDER BY lang, source, rank""".stripMargin,
+
+    // the salted two-stage aggregation must equal the direct GROUP BY
+    "q_pipe_salted" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // type-1 (discrete) quantile: the element at row ceil(p*n) of the
     // per-group sort — integer-exact, no interpolation float math
