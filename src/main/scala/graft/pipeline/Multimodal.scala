@@ -47,8 +47,11 @@ object Multimodal {
     * not ingest garbage dimensions. */
   object HeaderDecoder extends MediaDecoder {
     def decode(p: Array[Byte]): (Long, Long, Long) =
+      // recognition is by the 2-byte magic alone, so a TRUNCATED file of
+      // a recognized format fails loudly inside its parser instead of
+      // silently falling through to the stub's fake dimensions
       if (p.length >= 2 && p(0) == 'P'.toByte && p(1) == '6'.toByte) decodePpm(p)
-      else if (p.length >= 26 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) decodeBmp(p)
+      else if (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) decodeBmp(p)
       else StubDecoder.decode(p)
 
     /** P6: "P6" <ws> width <ws> height <ws> maxval <one ws> raster. */
@@ -75,22 +78,46 @@ object Multimodal {
       val w = int(); val h = int(); val maxval = int()
       if (w <= 0 || h <= 0) fail(s"dimensions ${w}x$h")
       if (maxval <= 0 || maxval > 65535) fail(s"maxval $maxval")
-      i += 1 // exactly one whitespace separates maxval from the raster
+      // exactly ONE whitespace byte separates maxval from the raster —
+      // anything else means the raster offset is wrong, so fail
+      if (i >= p.length || !p(i).toChar.isWhitespace)
+        fail(s"expected a whitespace raster separator at offset $i")
+      i += 1
       val bytesPerPixel = if (maxval > 255) 6L else 3L
       if (p.length - i != w * h * bytesPerPixel)
         fail(s"raster is ${p.length - i} bytes, want ${w * h * bytesPerPixel} for ${w}x$h")
       (w, h, 1L)
     }
 
-    /** BMP: little-endian int32 width/height at offsets 18/22 (top-down
-      * images store a negative height). */
+    /** BMP: dims live in the DIB header after the 14-byte file header,
+      * and WHERE depends on the DIB type (its leading int32 size):
+      * BITMAPCOREHEADER (12) stores uint16 dims at 18/20; the
+      * BITMAPINFOHEADER family (40/52/56/64/108/124) stores int32 dims at
+      * 18/22 (top-down images use a negative height). Reading 18/22
+      * unconditionally would return garbage for core-header files.
+      * The payload must at least reach the declared pixel-data offset —
+      * raster LENGTH is not checked (row padding and RLE compression make
+      * it header-dependent), unlike PPM's exact check. */
     private def decodeBmp(p: Array[Byte]): (Long, Long, Long) = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed BMP: $msg")
+      if (p.length < 26) fail(s"truncated header (${p.length} bytes)")
       val bb = java.nio.ByteBuffer.wrap(p)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val w = bb.getInt(18).toLong
-      val h = math.abs(bb.getInt(22).toLong)
-      if (w <= 0 || h == 0)
-        throw new IllegalArgumentException(s"malformed BMP: ${w}x$h")
+      val dibSize = bb.getInt(14)
+      val (w, h) = dibSize match {
+        case 12 =>
+          ((bb.getShort(18) & 0xffff).toLong, (bb.getShort(20) & 0xffff).toLong)
+        case 40 | 52 | 56 | 64 | 108 | 124 =>
+          if (p.length < 14 + dibSize) fail(s"truncated DIB ($dibSize declared)")
+          (bb.getInt(18).toLong, math.abs(bb.getInt(22).toLong))
+        case other => fail(s"unsupported DIB header size $other")
+      }
+      if (w <= 0 || h == 0) fail(s"dimensions ${w}x$h")
+      val dataOffset = bb.getInt(10).toLong
+      if (dataOffset > 0 && p.length < dataOffset)
+        fail(s"payload (${p.length} bytes) ends before the declared " +
+          s"pixel-data offset $dataOffset")
       (w, h, 1L)
     }
   }

@@ -296,19 +296,8 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // adopt the compacted part files into the live dir (part-file names
     // carry fresh UUIDs — no collision), then delete exactly the files we
     // compacted; concurrent appends are untouched throughout
-    val adopted = scala.util.Using.resource(Files.list(keptDir)) {
-      _.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map { p =>
-          val dst = live.resolve(p.getFileName.toString)
-          Files.move(p, dst)
-          dst
-        }
-    }
+    val adopted = adoptChunkFiles(keptDir)
     old.foreach(Files.delete)
-    scala.util.Using.resource(Files.walk(keptDir)) {
-      _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
     // every chunk file at or before the cutoff is gone now: their
     // sidecars are fully stale — sweep them (and crashed-ingest staging
     // leftovers), and record the compacted generation's ranges
@@ -350,17 +339,32 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     adopted
   }
 
-  /** Remove staging dirs of crashed ingests, by age. */
+  /** Remove staging dirs of CRASHED ingests. Crash detection must not
+    * mistake a long-running live ingest for a dead one: the dir's
+    * top-level mtime is set at job start while tasks keep writing
+    * underneath (an ingest can legitimately outlive the vacuum grace
+    * window at scale), so a dir is swept only when the NEWEST mtime in
+    * its whole tree is older than both the cutoff and the same quiet
+    * floor scan manifests get (a live job keeps touching files; a
+    * crashed one goes silent). */
   private def sweepChunkStaging(cutoff: Long): Unit = {
     if (!Files.exists(rootPath)) return
+    val quiet = math.min(cutoff,
+      System.currentTimeMillis() - SparkStore.ManifestSweepMinAgeMs)
     scala.util.Using.resource(Files.list(rootPath)) { s =>
       s.iterator().asScala.toSeq
-        .filter(p => p.getFileName.toString.startsWith(".chunks_ingest_") &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .filter(_.getFileName.toString.startsWith(".chunks_ingest_"))
         .foreach { dir =>
-          scala.util.Using.resource(Files.walk(dir)) {
-            _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          }
+          val newest =
+            try scala.util.Using.resource(Files.walk(dir)) {
+              _.iterator().asScala
+                .map(p => Files.getLastModifiedTime(p).toMillis)
+                .foldLeft(0L)(math.max)
+            } catch { case _: java.io.IOException => Long.MaxValue } // racing adopt
+          if (newest <= quiet)
+            try scala.util.Using.resource(Files.walk(dir)) {
+              _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            } catch { case _: java.io.IOException => () }
         }
     }
   }
@@ -411,7 +415,11 @@ final class SparkStore(val spark: SparkSession, val root: String) {
           .filter(_.getFileName.toString.endsWith(".tsv")).toSeq
       } catch { case _: java.io.IOException => return }
     sidecars.foreach { p =>
-      if (!SparkStore.loadedSidecars.containsKey(p.toString)) {
+      // claim atomically (concurrent planners would otherwise all parse
+      // every sidecar on a fresh JVM); roll the claim back on IO failure
+      // so a transient error retries next plan
+      if (SparkStore.loadedSidecars.putIfAbsent(p.toString,
+          java.lang.Boolean.TRUE) == null) {
         try {
           Files.readAllLines(p).asScala.foreach { line =>
             line.split('\t') match {
@@ -420,8 +428,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
               case _ => // tolerate malformed lines: footer fallback
             }
           }
-          SparkStore.loadedSidecars.put(p.toString, java.lang.Boolean.TRUE)
-        } catch { case _: java.io.IOException => () } // swept mid-read: retry next plan
+        } catch { case _: java.io.IOException =>
+          SparkStore.loadedSidecars.remove(p.toString); ()
+        }
       }
     }
   }

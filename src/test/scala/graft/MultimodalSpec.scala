@@ -32,19 +32,44 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       HeaderDecoder.decode("P6\nnope\n".getBytes("US-ASCII"))
     }
+    // a non-whitespace byte where the raster separator belongs: the
+    // raster offset would be wrong, so this must fail, not shift by one
+    val sep = intercept[IllegalArgumentException] {
+      HeaderDecoder.decode("P6\n2 2\n255X".getBytes("US-ASCII") ++
+        Array.fill[Byte](12)(0))
+    }
+    assert(sep.getMessage.contains("separator"), sep.getMessage)
   }
 
-  test("BMP: little-endian dims at 18/22; negative height = top-down") {
-    def bmp(w: Int, h: Int): Array[Byte] = {
-      val b = java.nio.ByteBuffer.allocate(54)
+  test("BMP: DIB-typed dims, truncation and unknown headers fail loudly") {
+    def bmp(w: Int, h: Int, dib: Int = 40): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       b.put('B'.toByte).put('M'.toByte)
-      b.putInt(18, w); b.putInt(22, h)
+      b.putInt(14, dib)
+      if (dib == 12) { b.putShort(18, w.toShort); b.putShort(20, h.toShort) }
+      else { b.putInt(18, w); b.putInt(22, h) }
       b.array()
     }
     assert(HeaderDecoder.decode(bmp(640, 480)) == ((640L, 480L, 1L)))
     assert(HeaderDecoder.decode(bmp(100, -50)) == ((100L, 50L, 1L)))
+    // BITMAPCOREHEADER: uint16 dims at 18/20 — NOT int32 at 18/22
+    assert(HeaderDecoder.decode(bmp(320, 200, dib = 12)) == ((320L, 200L, 1L)))
     intercept[IllegalArgumentException] { HeaderDecoder.decode(bmp(0, 7)) }
+    // truncated 'BM' payload: recognized format, loud failure (no stub)
+    intercept[IllegalArgumentException] {
+      HeaderDecoder.decode("BM truncated".getBytes("US-ASCII"))
+    }
+    // unknown DIB header type: refuse rather than guess offsets
+    intercept[IllegalArgumentException] {
+      HeaderDecoder.decode(bmp(10, 10, dib = 16))
+    }
+    // payload ending before the declared pixel-data offset
+    val short = bmp(4, 4)
+    java.nio.ByteBuffer.wrap(short).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, 1000)
+    val off = intercept[IllegalArgumentException] { HeaderDecoder.decode(short) }
+    assert(off.getMessage.contains("offset"), off.getMessage)
   }
 
   test("unknown magic falls back to the deterministic stub") {
