@@ -70,44 +70,13 @@ object Similarity {
     import spark.implicits._
     val n = withNorm(emb)
     val d = dot(emb) _
-    // Centroids are COLLECTED per Lloyd iteration (K ≈ √N rows of dim
-    // doubles — driver-trivial at any scale, the standard k-means shape):
-    // a lazy centroid subplan would be re-evaluated by every downstream
-    // crossJoin, multiplying full scans of the embedding table per
-    // iteration. Values are bit-identical either way (the quantized
-    // update is order-free exact), so the DuckDB oracle is unaffected.
-    def centsDF(local: Array[(Long, Array[Double])]): DataFrame =
-      broadcast(local.toIndexedSeq.toDF("cent_id", "cv")
-        // cn recomputed with the same codegen dot — identical op order
-        .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
-    // assign every vector to its nearest centroid (rank 1 by cosine)
-    def assign(cents: DataFrame): DataFrame = {
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cent_id").asc)
-      n.crossJoin(cents)
-        .withColumn("csim", d(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .withColumn("crk", row_number().over(wAssign))
-        .filter(col("crk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-    }
-    // Lloyd update: order-free exact integer sums per (centroid, dim),
-    // one double division at the end — bit-identical on any engine
-    def refine(assigned: DataFrame): Array[(Long, Array[Double])] =
-      assigned.select(col("cent_id"), posexplode(col("v")).as(Seq("j", "x")))
-        .groupBy("cent_id", "j")
-        .agg(sum(round(col("x") * 1024).cast("long")).as("s"), count(lit(1)).as("cnt"))
-        .groupBy("cent_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("j"),
-            (col("s") / (lit(1024.0) * col("cnt"))).as("value")))),
-          _.getField("value")).as("cv"))
-        .as[(Long, Array[Double])].collect().sortBy(_._1)
     var centsLocal = n.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("v"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-    for (_ <- 0 until lloydIters) centsLocal = refine(assign(centsDF(centsLocal)))
-    val cents = centsDF(centsLocal)
-    val assigned = assign(cents)
+    for (_ <- 0 until lloydIters)
+      centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
+    val cents = ivfCentsDF(emb, centsLocal)
+    val assigned = ivfAssign(n, cents, d)
     // queries probe their nProbe nearest centroids
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cent_id").asc)
@@ -119,6 +88,107 @@ object Similarity {
       .filter(col("prk") <= nProbe)
       .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
     // search only within the probed lists
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", d(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Centroids as a broadcast frame. Centroids are COLLECTED per Lloyd
+    * iteration (K ≈ √N rows of dim doubles — driver-trivial at any
+    * scale, the standard k-means shape): a lazy centroid subplan would
+    * be re-evaluated by every downstream crossJoin, multiplying full
+    * scans of the embedding table per iteration. Values are
+    * bit-identical either way (the quantized update is order-free
+    * exact), so the DuckDB oracle is unaffected. `cn` is recomputed with
+    * the same codegen dot — identical op order. */
+  private def ivfCentsDF(emb: DataFrame,
+      local: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = dot(emb) _
+    broadcast(local.toIndexedSeq.toDF("cent_id", "cv")
+      .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
+  }
+
+  /** Assign every vector to its nearest centroid (rank 1 by cosine). */
+  private def ivfAssign(n: DataFrame, cents: DataFrame,
+      d: (Column, Column) => Column): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    n.crossJoin(cents)
+      .withColumn("csim", d(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+  }
+
+  /** Lloyd update: order-free exact integer sums per (centroid, dim),
+    * one double division at the end — bit-identical on any engine. */
+  private def ivfRefine(n: DataFrame, cents: DataFrame): Array[(Long, Array[Double])] = {
+    val spark = n.sparkSession
+    import spark.implicits._
+    ivfAssign(n, cents, dot(n) _)
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy("cent_id", "j")
+      .agg(sum(round(col("x") * 1024).cast("long")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("cent_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"),
+          (col("s") / (lit(1024.0) * col("cnt"))).as("value")))),
+        _.getField("value")).as("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+  }
+
+  /** Persistent IVF index: `build` runs the Lloyd refinement ONCE and
+    * writes centroids + per-vector assignment lists as parquet; `query`
+    * probes a built index without touching the raw corpus again. At
+    * corpus scale the index build is the expensive pass (assignment =
+    * broadcast join against K ≈ √N centroids over all N vectors) and
+    * queries are the hot path — recomputing the index per query batch,
+    * as a one-shot `ivfTopK` does, would re-scan the corpus every time.
+    * The arithmetic is identical to `ivfTopK` (quantized-integer Lloyd,
+    * codegen dot products), so a built index answers bit-identically. */
+  def ivfBuild(emb: DataFrame, path: String,
+      nCentroids: Int = 16, lloydIters: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = withNorm(emb)
+    var centsLocal = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    for (_ <- 0 until lloydIters)
+      centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
+    val cents = ivfCentsDF(emb, centsLocal)
+    cents.select("cent_id", "cv").write.parquet(s"$path/centroids")
+    ivfAssign(n, cents, dot(emb) _)
+      .write.parquet(s"$path/assignments")
+  }
+
+  /** Top-k cosine neighbors from a BUILT index for the `nQueries`
+    * lowest vec_ids of `emb` (the query vectors themselves are the only
+    * thing read from `emb`; candidates come from the index). */
+  def ivfQuery(emb: DataFrame, path: String, k: Int, nQueries: Int,
+      nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val d = dot(emb) _
+    val cents = broadcast(spark.read.parquet(s"$path/centroids")
+      .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
+    val assigned = spark.read.parquet(s"$path/assignments")
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = withNorm(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(cents)
+      .withColumn("csim", d(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cent_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))

@@ -52,6 +52,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qids.forall(_ >= 200L), "dropped-bucket query leaked through")
   }
 
+  test("persistent IVF index answers bit-identically to the one-shot path") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16, lloydIters = 1)
+    // centroids + assignments persisted; querying reads the INDEX, not
+    // the corpus (only the query vectors come from emb)
+    val fromIndex = Similarity.ivfQuery(emb, path, k = 5, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val oneShot = Similarity.ivfTopK(emb, k = 5, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(fromIndex == oneShot)
+    assert(fromIndex.nonEmpty)
+    // a second query batch reuses the same build (different nQueries)
+    val second = Similarity.ivfQuery(emb, path, k = 3, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(second == Similarity.ivfTopK(emb, k = 3, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+  }
+
   test("autoBits: smallest width keeping expected buckets under the cap") {
     // floor(n / 2^b) <= cap at the returned b, but not at b-1 (above floor)
     for ((n, want) <- Seq(0L -> 8, 1000L -> 8, 16384L -> 8, 16640L -> 9,
