@@ -150,6 +150,34 @@ class FileScopeSpec extends AnyFunSuite {
     assert(df.count() == 8L * 4)
   }
 
+  test("vacuum never sweeps a LIVE ingest's staging dir; silent old ones go") {
+    import java.nio.file.{Files => F, Paths => P}
+    import java.nio.file.attribute.FileTime
+    val (root, store) = mk(8)
+    def mkStaging(name: String, ageMs: Long): java.nio.file.Path = {
+      val dir = P.get(root).resolve(name)
+      F.createDirectories(dir)
+      val f = dir.resolve("part-0.parquet")
+      F.writeString(f, "x")
+      val t = FileTime.fromMillis(System.currentTimeMillis() - ageMs)
+      F.setLastModifiedTime(f, t); F.setLastModifiedTime(dir, t)
+      dir
+    }
+    // a LIVE long-running ingest: dir mtime old (job setup), inner file
+    // fresh (tasks still writing) — must survive any grace setting
+    val live = mkStaging(".chunks_ingest_live", ageMs = 48L * 3600 * 1000)
+    F.setLastModifiedTime(live.resolve("part-0.parquet"),
+      FileTime.fromMillis(System.currentTimeMillis()))
+    // a crashed ingest: silent for far longer than the quiet floor
+    val dead = mkStaging(".chunks_ingest_dead", ageMs = 48L * 3600 * 1000)
+    // a recent crash: silent but younger than the quiet floor — retained
+    val recent = mkStaging(".chunks_ingest_recent", ageMs = 60L * 1000)
+    store.vacuum(graceMs = 0L)
+    assert(java.nio.file.Files.exists(live), "live ingest staging was swept")
+    assert(!java.nio.file.Files.exists(dead), "silent old staging survived")
+    assert(java.nio.file.Files.exists(recent), "young staging swept too early")
+  }
+
   test("bucketSpan endpoints match the manifest's hb assignment") {
     val nBuckets = 7
     for (b <- 0L until nBuckets) {
