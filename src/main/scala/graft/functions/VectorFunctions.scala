@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the ANN hot path: sequential-fold dot
   * product over two double arrays, with `doGenCode` so it stays inside
@@ -62,6 +63,101 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native Catalyst expression for the LSH bucketing hot path: the whole
+  * `nBits`-bit random-hyperplane signature in ONE pass over the vector.
+  *
+  * The higher-order-function formulation (`concat` of `nBits` ×
+  * `aggregate(transform(v, …))` columns) materializes `nBits`
+  * intermediate arrays PER ROW and interprets the weight lambda per
+  * element; this expression runs the plane loops inline on the
+  * ArrayData, allocating only the output bytes. The hyperplane weights
+  * are the same two-round multiplicative-xorshift mixer as the DuckDB
+  * oracles, CACHED in a per-instance table (they depend only on
+  * (plane, dim index)), and the per-plane accumulation is strictly
+  * left-to-right from 0.0 — bit-identical to the HOF fold it replaces,
+  * so oracle hashes are unchanged. */
+case class LshSignature(child: Expression, nBitsExpr: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = nBitsExpr
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+        nBitsExpr.foldable && nBitsExpr.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_sig expects (array<double>, literal int), got " +
+        s"(${child.dataType.simpleString}, ${nBitsExpr.dataType.simpleString})")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_lsh_sig"
+
+  @transient private lazy val nBits: Int =
+    nBitsExpr.eval(null).asInstanceOf[Number].intValue
+
+  // weight table grown to the widest vector seen by this instance —
+  // weights are a pure function of (h, j), laid out [h * dim + j].
+  // Plan instances are deserialized per task (single-threaded), but the
+  // grow is synchronized for the shared driver-side instance.
+  @transient private var wt: Array[Double] = _
+  @transient private var wtDim: Int = 0
+
+  private def weights(dim: Int): Array[Double] = {
+    if (wtDim >= dim) return wt
+    synchronized {
+      if (wtDim < dim) {
+        val t = new Array[Double](nBits * dim)
+        var h = 0
+        while (h < nBits) {
+          var j = 0
+          while (j < dim) {
+            val k0 = h * 40503L + j + 1L
+            val x1 = (k0 * 2654435761L) & 0xffffffffL
+            val x2 = x1 ^ (x1 >>> 16)
+            val x3 = (x2 * 49979693L) & 0xffffffffL
+            val x4 = x3 ^ (x3 >>> 16)
+            t(h * dim + j) = (x4 >>> 22).toDouble / 512.0 - 1.0
+            j += 1
+          }
+          h += 1
+        }
+        wt = t
+        wtDim = dim
+      }
+    }
+    wt
+  }
+
+  /** Runtime kernel, also called from generated code. */
+  def signature(a: ArrayData): UTF8String = {
+    val dim = a.numElements()
+    val w = weights(dim)
+    val out = new Array[Byte](nBits)
+    var h = 0
+    while (h < nBits) {
+      var acc = 0.0
+      val base = h * dim
+      var j = 0
+      while (j < dim) { acc += a.getDouble(j) * w(base + j); j += 1 }
+      out(h) = if (acc >= 0) '1'.toByte else '0'.toByte
+      h += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    signature(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshSig", this, classOf[LshSignature].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.signature($a);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, nBitsExpr = r)
+}
+
 object VectorFunctions {
   private val registered = java.util.Collections.synchronizedSet(
     new java.util.HashSet[String]())
@@ -71,11 +167,19 @@ object VectorFunctions {
     if (registered.add(spark.sessionState.toString)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_lsh_sig", exprs => LshSignature(exprs(0), exprs(1)), "built-in")
     }
 
   /** Codegen'd sequential dot product of two Array[Double] columns. */
   def dotProduct(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function("graft_dot", a, b)
+  }
+
+  /** Codegen'd one-pass LSH signature of an Array[Double] column. */
+  def lshSignature(spark: SparkSession, v: Column, nBits: Int): Column = {
+    register(spark)
+    call_function("graft_lsh_sig", v, org.apache.spark.sql.functions.lit(nBits))
   }
 }

@@ -272,21 +272,17 @@ object Similarity {
     * the mixer, max plane |cos| ≈ 0.3 on 64 dims and bucket sizes track
     * the Poisson expectation. Every step is exact in 64-bit signed ints
     * (k0 < 2^21 → k0·2654435761 < 2^53; x2 < 2^32 → x2·49979693 < 2^58)
-    * so DuckDB's BIGINT arithmetic reproduces it bit-for-bit. */
-  private def lshSignature(nBits: Int): Column = {
-    def plane(h: Int): Column =
-      transform(col("v"), (x, j) => {
-        val k0 = lit(h * 40503L) + j + lit(1L)
-        val x1 = pmod(k0 * lit(2654435761L), lit(4294967296L))
-        val x2 = x1.bitwiseXOR(shiftright(x1, 16))
-        val x3 = pmod(x2 * lit(49979693L), lit(4294967296L))
-        val x4 = x3.bitwiseXOR(shiftright(x3, 16))
-        x * (shiftright(x4, 22).cast("double") / 512.0 - 1.0)
-      })
-    concat((0 until nBits).map(h =>
-      when(aggregate(plane(h), lit(0.0), (acc, x) => acc + x) >= 0, lit("1"))
-        .otherwise(lit("0"))): _*)
-  }
+    * so DuckDB's BIGINT arithmetic reproduces it bit-for-bit.
+    *
+    * Computed by the native `graft_lsh_sig` expression: the HOF
+    * formulation (`concat` of nBits × `aggregate(transform(…))`)
+    * materialized nBits intermediate arrays per row and interpreted the
+    * weight mixer per element; the native kernel runs all planes in one
+    * pass over the ArrayData with a cached weight table, inside
+    * whole-stage codegen, with identical left-to-right float adds. */
+  private def lshSignature(nBits: Int): Column =
+    graft.functions.VectorFunctions.lshSignature(
+      org.apache.spark.sql.SparkSession.active, col("v"), nBits)
 
   /** Random-hyperplane LSH: `nBits`-bit signature from fixed pseudo-random
     * hyperplanes (deterministic, seeded by dimension index — no RNG at

@@ -73,6 +73,32 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
   }
 
+  test("native graft_lsh_sig matches the higher-order-function formula bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (pmod(hash(col("id"), j).cast("long"), lit(2048L)).cast("double")
+          / 1024.0 - 1.0)).as("v"))
+    // the HOF reference: same mixer, per-plane aggregate folds
+    def plane(h: Int): Column =
+      transform(col("v"), (x, j) => {
+        val k0 = lit(h * 40503L) + j + lit(1L)
+        val x1 = pmod(k0 * lit(2654435761L), lit(4294967296L))
+        val x2 = x1.bitwiseXOR(shiftright(x1, 16))
+        val x3 = pmod(x2 * lit(49979693L), lit(4294967296L))
+        val x4 = x3.bitwiseXOR(shiftright(x3, 16))
+        x * (shiftright(x4, 22).cast("double") / 512.0 - 1.0)
+      })
+    val hof = concat((0 until 10).map(h =>
+      when(aggregate(plane(h), lit(0.0), (acc, x) => acc + x) >= 0, lit("1"))
+        .otherwise(lit("0"))): _*)
+    val native = graft.functions.VectorFunctions.lshSignature(spark, col("v"), 10)
+    val diff = emb.select(hof.as("a"), native.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L, s"$diff of 2000 signatures differ")
+  }
+
   test("autoBits: smallest width keeping expected buckets under the cap") {
     // floor(n / 2^b) <= cap at the returned b, but not at b-1 (above floor)
     for ((n, want) <- Seq(0L -> 8, 1000L -> 8, 16384L -> 8, 16640L -> 9,
