@@ -121,13 +121,18 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   /** V3 finish-version: atomic manifest write after re-checking the parent
     * is still latest (reference: src/io/mandoline.clj:292-310). */
   private[spark] def commitVersion(name: String, meta: DatasetMeta): Long = {
-    val latest = versions(name).headOption.map(_._2)
+    val vs = versions(name)
+    val latest = vs.headOption.map(_._2)
     if (latest != meta.parent)
       throw new IllegalStateException(
         s"version ${meta.versionId.get} has parent ${meta.parent.getOrElse("none")}, " +
           s"but the latest version is ${latest.getOrElse("none")}")
     val vid = meta.versionId.get
-    val withTs = stampTimestamp(meta, System.currentTimeMillis())
+    // commit timestamps are STRICTLY monotonic per dataset (like version
+    // ids): two commits in one millisecond would otherwise make
+    // onTimestamp resolution ambiguous between them
+    val withTs = stampTimestamp(meta,
+      math.max(System.currentTimeMillis(), vs.headOption.map(_._1 + 1).getOrElse(0L)))
     val tmp = versionsDir(name).resolve(s".$vid.json.tmp")
     Files.writeString(tmp, withTs.toJson)
     Files.move(tmp, versionsDir(name).resolve(s"$vid.json"),

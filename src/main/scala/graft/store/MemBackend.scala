@@ -51,7 +51,14 @@ final class MemConnection(backend: MemBackend, val dataset: String, ds: MemDatas
   def chunkStore(): ChunkStore = new MemChunkStore(backend)
 
   def writeVersion(meta: DatasetMeta): Unit =
-    ds.versions.put(meta.versionId.get, (System.currentTimeMillis(), meta.toJson))
+    // commit timestamps are STRICTLY monotonic per dataset (like version
+    // ids, DatasetMeta.newVersion): two commits in one millisecond would
+    // otherwise make onTimestamp resolution ambiguous between them
+    ds.synchronized {
+      val prev = ds.versions.values.iterator.map(_._1).foldLeft(0L)(math.max)
+      ds.versions.put(meta.versionId.get,
+        (math.max(System.currentTimeMillis(), prev + 1), meta.toJson))
+    }
 
   def metadata(versionId: Long): DatasetMeta =
     DatasetMeta.fromJson(ds.versions(versionId)._2)
