@@ -98,10 +98,13 @@ case class LshSignature(child: Expression, nBitsExpr: Expression)
 
   // weight table grown to the widest vector seen by this instance —
   // weights are a pure function of (h, j), laid out [h * dim + j].
-  // Plan instances are deserialized per task (single-threaded), but the
-  // grow is synchronized for the shared driver-side instance.
-  @transient private var wt: Array[Double] = _
-  @transient private var wtDim: Int = 0
+  // Plan instances are deserialized per task (single-threaded), but a
+  // driver-side instance can be shared: the grow is synchronized and the
+  // fields are volatile (wt is written BEFORE wtDim, so the unsynchronized
+  // fast path reading wtDim first always sees a fully published table —
+  // classic double-checked publication).
+  @transient @volatile private var wt: Array[Double] = _
+  @transient @volatile private var wtDim: Int = 0
 
   private def weights(dim: Int): Array[Double] = {
     if (wtDim >= dim) return wt
