@@ -97,19 +97,23 @@ case class LshSignature(child: Expression, nBitsExpr: Expression)
     nBitsExpr.eval(null).asInstanceOf[Number].intValue
 
   // weight table grown to the widest vector seen by this instance —
-  // weights are a pure function of (h, j), laid out [h * dim + j].
-  // Plan instances are deserialized per task (single-threaded), but a
-  // driver-side instance can be shared: the grow is synchronized and the
-  // fields are volatile (wt is written BEFORE wtDim, so the unsynchronized
-  // fast path reading wtDim first always sees a fully published table —
-  // classic double-checked publication).
-  @transient @volatile private var wt: Array[Double] = _
-  @transient @volatile private var wtDim: Int = 0
+  // weights are a pure function of (h, j), laid out [h * table.dim + j].
+  // The table and its stride travel together in one immutable holder
+  // published through a single volatile reference, so a reader always
+  // sees a (stride, entries) pair that agree: after the table grows for
+  // a wider vector, narrower vectors index with the WIDER stride and
+  // still read the pure mixer(h, j) values (entries for j < dim are
+  // stride-independent).
+  private final class WeightTable(val dim: Int, val w: Array[Double])
+  @transient @volatile private var wt: WeightTable = _
 
-  private def weights(dim: Int): Array[Double] = {
-    if (wtDim >= dim) return wt
+  private def weights(dim: Int): WeightTable = {
+    val cur = wt
+    if (cur != null && cur.dim >= dim) return cur
     synchronized {
-      if (wtDim < dim) {
+      val cur2 = wt
+      if (cur2 != null && cur2.dim >= dim) cur2
+      else {
         val t = new Array[Double](nBits * dim)
         var h = 0
         while (h < nBits) {
@@ -125,22 +129,24 @@ case class LshSignature(child: Expression, nBitsExpr: Expression)
           }
           h += 1
         }
-        wt = t
-        wtDim = dim
+        val grown = new WeightTable(dim, t)
+        wt = grown
+        grown
       }
     }
-    wt
   }
 
   /** Runtime kernel, also called from generated code. */
   def signature(a: ArrayData): UTF8String = {
     val dim = a.numElements()
-    val w = weights(dim)
+    val tbl = weights(dim)
+    val w = tbl.w
+    val stride = tbl.dim
     val out = new Array[Byte](nBits)
     var h = 0
     while (h < nBits) {
       var acc = 0.0
-      val base = h * dim
+      val base = h * stride
       var j = 0
       while (j < dim) { acc += a.getDouble(j) * w(base + j); j += 1 }
       out(h) = if (acc >= 0) '1'.toByte else '0'.toByte

@@ -120,25 +120,30 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
   /** V3 finish-version: atomic manifest write after re-checking the parent
     * is still latest (reference: src/io/mandoline.clj:292-310). */
-  private[spark] def commitVersion(name: String, meta: DatasetMeta): Long = {
-    val vs = versions(name)
-    val latest = vs.headOption.map(_._2)
-    if (latest != meta.parent)
-      throw new IllegalStateException(
-        s"version ${meta.versionId.get} has parent ${meta.parent.getOrElse("none")}, " +
-          s"but the latest version is ${latest.getOrElse("none")}")
-    val vid = meta.versionId.get
-    // commit timestamps are STRICTLY monotonic per dataset (like version
-    // ids): two commits in one millisecond would otherwise make
-    // onTimestamp resolution ambiguous between them
-    val withTs = stampTimestamp(meta,
-      math.max(System.currentTimeMillis(), vs.headOption.map(_._1 + 1).getOrElse(0L)))
-    val tmp = versionsDir(name).resolve(s".$vid.json.tmp")
-    Files.writeString(tmp, withTs.toJson)
-    Files.move(tmp, versionsDir(name).resolve(s"$vid.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    vid
-  }
+  private[spark] def commitVersion(name: String, meta: DatasetMeta): Long =
+    // the read-latest / parent-check / stamp / move sequence is atomic per
+    // dataset within this JVM (see SparkStore.commitLock); without it two
+    // committers can both see the same latest and stamp duplicate
+    // "strictly monotonic" timestamps
+    SparkStore.commitLock(root, name).synchronized {
+      val vs = versions(name)
+      val latest = vs.headOption.map(_._2)
+      if (latest != meta.parent)
+        throw new IllegalStateException(
+          s"version ${meta.versionId.get} has parent ${meta.parent.getOrElse("none")}, " +
+            s"but the latest version is ${latest.getOrElse("none")}")
+      val vid = meta.versionId.get
+      // commit timestamps are STRICTLY monotonic per dataset (like version
+      // ids): two commits in one millisecond would otherwise make
+      // onTimestamp resolution ambiguous between them
+      val withTs = stampTimestamp(meta,
+        math.max(System.currentTimeMillis(), vs.headOption.map(_._1 + 1).getOrElse(0L)))
+      val tmp = versionsDir(name).resolve(s".$vid.json.tmp")
+      Files.writeString(tmp, withTs.toJson)
+      Files.move(tmp, versionsDir(name).resolve(s"$vid.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+      vid
+    }
 
   // ---- physical tables ----
 
@@ -505,6 +510,20 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 }
 
 object SparkStore {
+  /** Per-(root, dataset) commit locks: commitVersion's read-latest /
+    * parent-check / timestamp-stamp / manifest-move sequence must be
+    * atomic, or two concurrent committers can both pass the parent check
+    * and stamp the same "strictly monotonic" timestamp. MemBackend gets
+    * this from `ds.synchronized`; the file store serializes here. This is
+    * an intra-JVM guarantee only — cross-process committers on a shared
+    * filesystem still race (same caveat as the reference's non-DynamoDB
+    * backends); the ATOMIC_MOVE keeps manifests internally consistent
+    * even then. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
+  private[spark] def commitLock(root: String, name: String): Object =
+    commitLocks.computeIfAbsent((root, name), _ => new Object)
+
   /** Sidecar files already parsed into the per-JVM range cache (sidecars
     * are write-once, so one parse per JVM suffices). */
   private[spark] val loadedSidecars =

@@ -90,6 +90,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `VERSION AS OF <id>` time travel. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!version.matches("\\d+"))
+      throw new IllegalArgumentException(
+        s"graft: VERSION AS OF on ${ident.toString} must be a numeric " +
+          s"version id, got '$version'")
     new GraftTable(tableOptions(ident, "version" -> version))
   }
 
@@ -180,10 +184,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(tableOptions(ident))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft: variable definitions are frozen across versions; " +
-        "create a new variable or dataset instead")
+  /** `ALTER TABLE … SET TBLPROPERTIES ('dims' = 'x:20[,y:7]')` — dimension
+    * grow/shrink through SQL (reference behaviors:
+    * src/io/mandoline/test/grow.clj:56-71, shrink.clj:55-70). Appends a
+    * version whose metadata carries the new extents: all variables carry
+    * forward, chunks inside the surviving extent are structurally shared,
+    * newly exposed regions read fill, and time travel still sees the old
+    * shape. Chunk extents are frozen — they define the content-addressed
+    * chunk grid, so changing them would orphan every existing blob.
+    * Any other table change is rejected (variable definitions are
+    * immutable across versions). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val ds = dsOf(ident)
+    val parent = latestMeta(ds).get
+    val updated = changes.foldLeft(parent) {
+      case (m, sp: TableChange.SetProperty) if sp.property == "dims" =>
+        val entries = sp.value.split(',').toVector.map { part =>
+          part.split(':') match {
+            case Array(n, e) => (n.trim, e.trim.toLong, None)
+            case Array(n, e, c) => (n.trim, e.trim.toLong, Some(c.trim.toLong))
+            case _ => throw new IllegalArgumentException(
+              s"graft: bad dims entry '$part' — want name:extent[:chunkExtent]")
+          }
+        }
+        entries.foreach { case (n, e, c) =>
+          require(m.dimensions.contains(n),
+            s"graft: ALTER dims names unknown dimension '$n' of dataset $ds " +
+              s"(have ${m.dimensions.keys.toSeq.sorted.mkString(", ")})")
+          require(e > 0, s"graft: dimension '$n' extent must be positive, got $e")
+          c.foreach(cc => require(cc == m.chunkDimensions(n),
+            s"graft: chunk extent of '$n' is frozen at ${m.chunkDimensions(n)} " +
+              s"(it defines the chunk grid); got $cc"))
+        }
+        m.copy(dimensions = m.dimensions ++ entries.map(t => t._1 -> t._2))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft: unsupported ALTER (${other.getClass.getSimpleName}) — only " +
+          "SET TBLPROPERTIES ('dims' = 'name:extent,…') for dimension " +
+          "grow/shrink is supported; variable definitions are frozen")
+    }
+    val w = store.addVersion(ds, updated.copy(versionId = None, parent = None))
+    w.finishVersion()
+    loadTable(ident)
+  }
 
   /** DROP TABLE appends a version whose metadata OMITS the variable — a
     * graft version is a complete dataset definition, so this is ordinary

@@ -99,6 +99,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff == 0L, s"$diff of 2000 signatures differ")
   }
 
+  test("graft_lsh_sig: mixed-dimension input through one instance is order-independent") {
+    // Regression: the cached weight table is laid out with the stride of the
+    // widest vector seen; a narrower vector arriving AFTER a wider one must
+    // still read the pure mixer(h, j) weights — signatures may not depend on
+    // row observation order.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def vec(dim: Int, seed: Int): GenericArrayData = {
+      val r = new scala.util.Random(seed)
+      new GenericArrayData(Array.fill(dim)(r.nextDouble() * 2 - 1))
+    }
+    def freshSig(a: GenericArrayData): String =
+      graft.functions.LshSignature(Literal(1), Literal(16))
+        .signature(a).toString
+    val wideFirst = graft.functions.LshSignature(Literal(1), Literal(16))
+    for (seed <- 0 until 20) {
+      val wide = vec(96, 1000 + seed)
+      val narrow = vec(17, 2000 + seed)
+      assert(wideFirst.signature(wide).toString == freshSig(wide))
+      // narrow AFTER wide: the grown (stride-96) table must still be right
+      assert(wideFirst.signature(narrow).toString == freshSig(narrow),
+        s"narrow-after-wide signature diverged (seed $seed)")
+    }
+  }
+
   test("autoBits: smallest width keeping expected buckets under the cap") {
     // floor(n / 2^b) <= cap at the returned b, but not at b-1 (above floor)
     for ((n, want) <- Seq(0L -> 8, 1000L -> 8, 16384L -> 8, 16640L -> 9,

@@ -102,6 +102,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("chunk-dimension"), e.getMessage)
   }
 
+  test("ALTER TABLE dims: grow exposes fill, shrink clips, time travel keeps the old shape") {
+    mkCatalog("cata")
+    spark.sql("CREATE NAMESPACE cata.d")
+    spark.sql("""CREATE TABLE cata.d.v (x BIGINT, value DOUBLE)
+      TBLPROPERTIES ('dims' = 'x:6:3', 'fill' = '-1')""")
+    spark.sql("INSERT INTO cata.d.v SELECT explode(sequence(0L, 5L)), CAST(2 AS DOUBLE)")
+    // grow x 6 → 9: existing cells shared, new region reads fill
+    spark.sql("ALTER TABLE cata.d.v SET TBLPROPERTIES ('dims' = 'x:9')")
+    val grown = spark.sql("SELECT count(*) AS n, sum(value) AS s FROM cata.d.v").head
+    assert(grown.getLong(0) == 9L && grown.getDouble(1) == 2.0 * 6 - 3.0)
+    // shrink x 9 → 4: reads clip to the new extent
+    spark.sql("ALTER TABLE cata.d.v SET TBLPROPERTIES ('dims' = 'x:4:3')")
+    assert(spark.sql("SELECT count(*) FROM cata.d.v").head.getLong(0) == 4L)
+    // frozen chunk extent and unknown dimension are rejected
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE cata.d.v SET TBLPROPERTIES ('dims' = 'x:4:2')") }
+    assert(e1.getMessage.contains("frozen"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE cata.d.v SET TBLPROPERTIES ('dims' = 'y:4')") }
+    assert(e2.getMessage.contains("unknown dimension"), e2.getMessage)
+    // time travel still reads the pre-shrink shape
+    val sstore = new SparkStore(spark,
+      spark.conf.get("spark.sql.catalog.cata.root"))
+    val vids = sstore.versions("d").map(_._2)
+    val preShrink = vids(1) // [shrink, grow, insert, ddl] reverse-chron
+    assert(spark.sql(
+      s"SELECT count(*) FROM cata.d.v VERSION AS OF $preShrink")
+      .head.getLong(0) == 9L)
+    // non-numeric version id gets a descriptive error, not NumberFormatException
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM cata.d.v VERSION AS OF 'abc'").collect() }
+    assert(e3.getMessage.contains("numeric version id"), e3.getMessage)
+  }
+
   test("errors: missing table, duplicate create, drop semantics") {
     mkCatalog("cate")
     spark.sql("CREATE NAMESPACE cate.e1")
