@@ -64,16 +64,28 @@ object Curation {
     * join output. The eval branch reads only eval documents (the split
     * predicate pushes to the scan) and computes its df-filter with one
     * gram-partitioned window over that small side. */
-  def decontaminate(docs: DataFrame, maxEvalDf: Int = 16): DataFrame = {
+  def decontaminate(docs: DataFrame, maxEvalDf: Int): DataFrame =
+    decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0), maxEvalDf)
+
+  /** Oracle wrapper: the eval split is the doc_id % 10 == 0 slice of the
+    * one `documents` table (a self-contained, hash-checkable shape). */
+  def decontaminate(docs: DataFrame): DataFrame = decontaminate(docs, 16)
+
+  /** The real API: flag `train` documents sharing discriminative grams
+    * with a CALLER-SUPPLIED `eval` corpus (both (doc_id, text)-shaped) —
+    * in production the eval side is the benchmark suite, not a slice of
+    * the training corpus. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      maxEvalDf: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val eval = wordGrams(docs.filter(col("doc_id") % 10 === 0))
+    val evalGrams = wordGrams(eval)
       .withColumnRenamed("doc_id", "eval_id").distinct()
       // distinct (eval_id, gram) rows → per-gram count == eval document freq
       .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("df") <= maxEvalDf)
       .select("eval_id", "gram")
-    val train = wordGrams(docs.filter(col("doc_id") % 10 =!= 0))
-    train.join(broadcast(eval), Seq("gram"))
+    wordGrams(train).join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_hit_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))

@@ -57,6 +57,13 @@ object Similarity {
     * K ≈ √N centroids and the search touches N·nProbe/K candidates
     * instead of N.
     *
+    * `nCentroids <= 0` (the default) derives K ≈ √N from the corpus count
+    * (`autoCentroids`) — the list-scan cost balance N·nProbe/K vs the
+    * broadcast of K centroids is minimized near √N, and a FIXED K cannot
+    * survive corpus growth (at N = 10⁹ with K = 16, every probe scans
+    * ~60M vectors). Pass an explicit K only to pin a tested configuration
+    * (the oracle queries pin 16).
+    *
     * The Lloyd update is DETERMINISTIC and engine-portable: centroid
     * components are Σ round(x·1024) (integer sums — exact in ANY
     * aggregation order, unlike float sums) divided once by 1024·count.
@@ -65,12 +72,13 @@ object Similarity {
     * quantization (≈2⁻¹⁰ grid) is far below any realistic inter-centroid
     * distance, so it costs nothing in recall. */
   def ivfTopK(emb: DataFrame, k: Int, nQueries: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
+      nCentroids: Int = 0, nProbe: Int = 4, lloydIters: Int = 1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val kC = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
     val n = withNorm(emb)
     val d = dot(emb) _
-    var centsLocal = n.filter(col("vec_id") < nCentroids)
+    var centsLocal = n.filter(col("vec_id") < kC)
       .select(col("vec_id").as("cent_id"), col("v"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     for (_ <- 0 until lloydIters)
@@ -145,6 +153,25 @@ object Similarity {
       .as[(Long, Array[Double])].collect().sortBy(_._1)
   }
 
+  /** K for a corpus of `n` vectors: ⌈√n⌉ clamped to [16, 65536]. √N
+    * balances the probe scan (N·nProbe/K candidates) against the
+    * centroid broadcast (K rows) — the textbook IVF sizing. The ceiling
+    * keeps the centroid table broadcast-small even at N = 4×10⁹
+    * (65536 × dim doubles ≈ 32 MB at dim 64). Java's `Math.sqrt` is
+    * IEEE exactly-rounded, so the derived K is engine-independent. */
+  def autoCentroids(n: Long): Int =
+    math.min(65536L, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Corpus fingerprint for index staleness binding: (row count,
+    * order-free XOR of per-row xxhash64(vec_id, embedding)). One pruned
+    * scan with map-side partial aggregation — no shuffle — and sensitive
+    * to added, removed, AND mutated vectors. */
+  private def corpusFingerprint(emb: DataFrame): (Long, Long) = {
+    val r = emb.agg(count(lit(1)),
+      expr("bit_xor(xxhash64(vec_id, embedding))")).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** Persistent IVF index: `build` runs the Lloyd refinement ONCE and
     * writes centroids + per-vector assignment lists as parquet; `query`
     * probes a built index without touching the raw corpus again. At
@@ -153,13 +180,23 @@ object Similarity {
     * queries are the hot path — recomputing the index per query batch,
     * as a one-shot `ivfTopK` does, would re-scan the corpus every time.
     * The arithmetic is identical to `ivfTopK` (quantized-integer Lloyd,
-    * codegen dot products), so a built index answers bit-identically. */
+    * codegen dot products), so a built index answers bit-identically.
+    *
+    * The index records WHICH corpus it was built from — a `meta` table
+    * carrying the corpus fingerprint — and `ivfQuery` re-checks it by
+    * default, failing loudly when the corpus has advanced. In a
+    * versioned store every read is version-pinned (reference:
+    * src/io/mandoline/impl.clj:53-75); an unpinned ANN index silently
+    * answering for a corpus n versions ahead would be the one unpinned
+    * read in the system. `nCentroids <= 0` derives K ≈ √N
+    * (`autoCentroids`). */
   def ivfBuild(emb: DataFrame, path: String,
-      nCentroids: Int = 16, lloydIters: Int = 1): Unit = {
+      nCentroids: Int = 0, lloydIters: Int = 1): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val kC = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
     val n = withNorm(emb)
-    var centsLocal = n.filter(col("vec_id") < nCentroids)
+    var centsLocal = n.filter(col("vec_id") < kC)
       .select(col("vec_id").as("cent_id"), col("v"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     for (_ <- 0 until lloydIters)
@@ -168,15 +205,41 @@ object Similarity {
     cents.select("cent_id", "cv").write.parquet(s"$path/centroids")
     ivfAssign(n, cents, dot(emb) _)
       .write.parquet(s"$path/assignments")
+    val (cnt, h) = corpusFingerprint(emb)
+    Seq((cnt, h, kC, lloydIters))
+      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters")
+      .coalesce(1).write.parquet(s"$path/meta")
   }
 
   /** Top-k cosine neighbors from a BUILT index for the `nQueries`
     * lowest vec_ids of `emb` (the query vectors themselves are the only
-    * thing read from `emb`; candidates come from the index). */
+    * thing read from `emb`; candidates come from the index).
+    *
+    * `verifyCorpus` (default ON) re-fingerprints `emb` and fails loudly
+    * when it differs from the corpus the index was built on — serving
+    * stale neighbors for an advanced corpus is a correctness bug, not a
+    * recall tradeoff. The check is one no-shuffle scan of
+    * (vec_id, embedding); a serving deployment that pins its corpus can
+    * verify once per batch and pass `verifyCorpus = false` on the rest. */
   def ivfQuery(emb: DataFrame, path: String, k: Int, nQueries: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, verifyCorpus: Boolean = true): DataFrame = {
     val spark = emb.sparkSession
     val d = dot(emb) _
+    if (verifyCorpus) {
+      val meta =
+        try spark.read.parquet(s"$path/meta").head
+        catch { case e: Exception => throw new IllegalStateException(
+          s"graft: IVF index at $path has no meta table — built by a " +
+            "pre-fingerprint version? Rebuild with ivfBuild, or pass " +
+            "verifyCorpus = false to serve it unchecked", e) }
+      val (cnt, h) = corpusFingerprint(emb)
+      val (wCnt, wH) = (meta.getAs[Long]("corpus_count"), meta.getAs[Long]("corpus_hash"))
+      if (cnt != wCnt || h != wH) throw new IllegalStateException(
+        s"graft: IVF index at $path is STALE — built from a corpus with " +
+          s"(count, hash) = ($wCnt, $wH), queried with ($cnt, $h). " +
+          "Rebuild with ivfBuild (or pass verifyCorpus = false to " +
+          "knowingly serve stale neighbors)")
+    }
     val cents = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
     val assigned = spark.read.parquet(s"$path/assignments")

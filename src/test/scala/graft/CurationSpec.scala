@@ -30,6 +30,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((11L, 1L, 2L)))
   }
 
+  test("decontaminate: caller-supplied eval corpus (the production shape)") {
+    // eval is a SEPARATE table — ids may even collide with train ids
+    val train = docsDF(Seq(
+      (1L, "alpha beta gamma delta epsilon omega", "en"),
+      (2L, "one two three four five six", "en")))
+    val eval = docsDF(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en"),
+      (7L, "pp alpha beta gamma delta epsilon qq", "en")))
+    val got = Curation.decontaminate(train, eval).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 2L)))
+    // the split wrapper is the same function over a % 10 partition
+    val docs = docsDF(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en"),
+      (11L, "alpha beta gamma delta epsilon omega", "en")))
+    assert(Curation.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((11L, 1L, 1L)))
+  }
+
   test("decontaminate: fewer than 5 tokens yields no grams, no crash") {
     val docs = docsDF(Seq((10L, "just four tokens here", "en"),
       (11L, "just four tokens here", "en")))

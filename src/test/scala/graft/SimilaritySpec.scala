@@ -62,15 +62,55 @@ class SimilaritySpec extends AnyFunSuite {
     // the corpus (only the query vectors come from emb)
     val fromIndex = Similarity.ivfQuery(emb, path, k = 5, nQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    val oneShot = Similarity.ivfTopK(emb, k = 5, nQueries = 20)
+    val oneShot = Similarity.ivfTopK(emb, k = 5, nQueries = 20, nCentroids = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(fromIndex == oneShot)
     assert(fromIndex.nonEmpty)
     // a second query batch reuses the same build (different nQueries)
     val second = Similarity.ivfQuery(emb, path, k = 3, nQueries = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
-    assert(second == Similarity.ivfTopK(emb, k = 3, nQueries = 5)
+    assert(second == Similarity.ivfTopK(emb, k = 3, nQueries = 5, nCentroids = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq)
+  }
+
+  test("persistent IVF index is version-bound: an advanced corpus fails loudly") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-stale").toString
+    Similarity.ivfBuild(emb, path)
+    // same corpus: verified query answers
+    assert(Similarity.ivfQuery(emb, path, k = 3, nQueries = 5).count() > 0)
+    // corpus advanced (a vector appended): the index must refuse to serve
+    val advanced = emb.unionByName(emb.limit(1)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfQuery(advanced, path, k = 3, nQueries = 5).count() }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    // a MUTATED vector (same ids, different content) is also caught
+    val mutated = emb.withColumn("embedding",
+      transform(col("embedding"), x => x + 1.0f))
+    val e2 = intercept[IllegalStateException] {
+      Similarity.ivfQuery(mutated, path, k = 3, nQueries = 5).count() }
+    assert(e2.getMessage.contains("STALE"), e2.getMessage)
+    // explicit opt-out serves unchecked
+    assert(Similarity.ivfQuery(advanced, path, k = 3, nQueries = 5,
+      verifyCorpus = false).count() > 0)
+    // pre-fingerprint index (no meta dir) gets a descriptive error
+    val legacy = java.nio.file.Files.createTempDirectory("graft-ivf-legacy")
+    java.nio.file.Files.move(java.nio.file.Paths.get(path, "centroids"),
+      legacy.resolve("centroids"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(path, "assignments"),
+      legacy.resolve("assignments"))
+    val e3 = intercept[IllegalStateException] {
+      Similarity.ivfQuery(emb, legacy.toString, k = 3, nQueries = 5).count() }
+    assert(e3.getMessage.contains("no meta"), e3.getMessage)
+  }
+
+  test("autoCentroids: K ≈ √N, clamped") {
+    for ((n, want) <- Seq(0L -> 16, 100L -> 16, 256L -> 16, 400L -> 20,
+        1000000L -> 1000, 1000001L -> 1001, (1L << 40) -> 65536))
+      assert(graft.pipeline.Similarity.autoCentroids(n) == want, s"autoCentroids($n)")
   }
 
   test("native graft_lsh_sig matches the higher-order-function formula bit-for-bit") {
