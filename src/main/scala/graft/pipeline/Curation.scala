@@ -117,6 +117,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Target mixture weights in 1/1000ths of a copy per language: 1000
+    * keeps a doc exactly once, 2300 emits 2 copies plus a third for 30%
+    * of docs, 700 keeps 70%. Unlisted languages fall back to
+    * [[DefaultMixPerMille]]. */
+  val MixWeights: Map[String, Long] =
+    Map("en" -> 700L, "de" -> 1000L, "es" -> 1500L, "fr" -> 2300L, "zh" -> 2000L)
+  val DefaultMixPerMille = 500L
+
+  /** Deterministic corpus mixing (the "data mixture" step of a training
+    * pipeline): re-weight strata by emitting ⌊w/1000⌋ copies of every
+    * document plus one more when an id hash lands under w mod 1000 —
+    * up-sampling (w > 1000) and down-sampling (w < 1000) in one
+    * operator. Returns one row per EMITTED COPY (doc_id, lang, copy).
+    *
+    * Shuffle-free and reproducible: the copy count is a pure row-local
+    * function of (doc_id, lang) — same md5-prefix hash as
+    * [[stratifiedSample]], overflow-free for any id — so a recomputed
+    * partition after executor loss emits the SAME copies. At 100 TB the
+    * explode multiplies only row COUNT downstream; no data moves to
+    * produce the mixture. */
+  def mixCorpus(docs: DataFrame, weights: Map[String, Long] = MixWeights,
+      defaultPerMille: Long = DefaultMixPerMille): DataFrame = {
+    val hash = conv(substring(md5(col("doc_id").cast("long").cast("string")),
+      1, 8), 16, 10).cast("long") % 1000L
+    val w = weights.foldLeft(lit(defaultPerMille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    // ⌊w/1000⌋ is exact through the double divide (w is human-scale)
+    val copies = floor(w.cast("double") / 1000.0).cast("long") +
+      when(hash < w % 1000L, 1L).otherwise(0L)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** Sequence packing: assign documents (in doc_id order) to fixed-size
     * token windows — document d goes to window `floor(tokens_before(d) /
     * seqLen)`, the contiguous packing used to build fixed-length training

@@ -128,11 +128,7 @@ object Dedup {
   def minHashCandidatePairsUnordered(docs: DataFrame, k: Int = 8,
       maxBucketSize: Int = 32): DataFrame = {
     require(k == 8, "the fast signature path is fixed at k=8")
-    val sigs = minHashSignaturesFast(docs)
-    val bands = (0 until k / 2).map(b =>
-      struct(lit(b).as("band"), concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("key")))
-    val buckets = sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val buckets = bandBuckets(docs)
     val small = buckets.groupBy("band", "key")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
@@ -143,6 +139,60 @@ object Dedup {
     l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
+  }
+
+  /** (doc_id, band, key) LSH band buckets: the 8-component fast MinHash
+    * signature split into 4 bands of 2 components each. Shared by the
+    * batch self-join (minHashCandidatePairs) and the incremental probe
+    * (dedupeNewBatch). */
+  private def bandBuckets(docs: DataFrame): DataFrame = {
+    val sigs = minHashSignaturesFast(docs)
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"), concat(col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")).as("key")))
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Incremental dedup: flag documents of a NEW batch that duplicate an
+    * EXISTING corpus — the per-crawl ingestion shape. A naive approach
+    * re-deduplicates corpus ∪ batch from scratch (corpus × corpus work
+    * on every increment); here the corpus is only FINGERPRINTED and
+    * BUCKETED, and all pairwise work is batch-sided:
+    *
+    *  - exact: the batch's normalization fingerprints left-join the
+    *    corpus's distinct fingerprint set (at scale: a join against the
+    *    persisted fingerprint index, built once per corpus);
+    *  - near: the batch's LSH band buckets probe the corpus's buckets —
+    *    batch × corpus only, never corpus × corpus — with the corpus
+    *    side capped at `maxBucketSize` per bucket (an oversized corpus
+    *    bucket is boilerplate, and the cap bounds probe output to
+    *    O(batch bands · maxBucketSize)).
+    *
+    * Returns one row per batch document: (doc_id, is_exact_dup ∈ {0,1},
+    * n_near_corpus = distinct corpus docs sharing ≥ 1 band bucket). */
+  def dedupeNewBatch(corpus: DataFrame, batch: DataFrame,
+      maxBucketSize: Int = 32): DataFrame = {
+    val corpusFp = corpus
+      .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      .withColumn("hit", lit(1L))
+    val exact = batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("is_exact_dup"))
+    val cb = bandBuckets(corpus)
+    val capped = cb.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize).select("band", "key")
+    val corpusKept = cb.join(capped, Seq("band", "key"))
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
+    val near = bandBuckets(batch)
+      .join(corpusKept, Seq("band", "key"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("corpus_id")).as("n_near_corpus"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_near_corpus"), lit(0L)).as("n_near_corpus"))
+      .orderBy("doc_id")
   }
 
   /** 16-bit SimHash from the word set: bit k is set when the majority of

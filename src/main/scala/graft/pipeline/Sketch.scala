@@ -43,4 +43,43 @@ object Sketch {
           .as("est_distinct"),
         col("n_exact"))
   }
+
+  /** One-pass histogram quantiles: per-group fixed-width-bin counts, the
+    * quantile estimate is the LOWER BOUND of the first bin whose
+    * cumulative count reaches ⌈q‰·n/1000⌉. Error is bounded by
+    * `binWidth` — choose it from the domain, not the data.
+    *
+    * This is the sketch answer to the exact-quantile scale caveat
+    * (Curation.exactQuantiles documents it): exact rank selection
+    * shuffles every row on the group key, and one giant group sorts in
+    * one task. Here the shuffle is O(groups × occupied bins) after
+    * map-side combine — a 100 TB column with 1000 bins reduces to
+    * thousands of rows — and the cumulative window runs over ≤ bins rows
+    * per group. Everything is integer arithmetic plus one exactly-
+    * rounded division/multiplication, so estimates hash-match the DuckDB
+    * oracle. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+      binWidth: Double, qPerMille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binned = df
+      .select(col(groupCol).as("grp"),
+        floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = binned
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("grp").orderBy("bin")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grp")))
+    // ⌈q·n/1000⌉ = (q·n + 999) div 1000 — integer-exact in BIGINT range
+    val qs = qPerMille.toDF("q_permille")
+    cum.join(broadcast(qs),
+        col("cum") >= floor((col("q_permille") * col("n") + 999L)
+          .cast("double") / 1000.0).cast("long"))
+      .groupBy("grp", "q_permille")
+      .agg(min("bin").as("bin"), max("n").as("n"))
+      .select(col("grp").as(groupCol), col("q_permille"),
+        (col("bin").cast("double") * binWidth).as("est"), col("n"))
+      .orderBy(groupCol, "q_permille")
+  }
 }

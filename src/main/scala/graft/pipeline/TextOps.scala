@@ -93,6 +93,45 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Intra-document repetition signals (the Gopher-rule family for
+    * filtering machine-generated/spammy text): duplicate-token fraction,
+    * duplicate-3-gram fraction, and the most frequent token's share.
+    *
+    * Scale shape: the duplicate fractions are row-local array arithmetic
+    * (`array_distinct` is a linear hash pass; the 3-grams index into a
+    * MATERIALIZED token-array column — inlining the tokenizer into the
+    * lambda would re-split per position, the measured O(n²) pitfall).
+    * The top-token share deliberately does NOT scan distinct terms per
+    * row (O(distinct·tokens) per document): it rides one map-side-
+    * combinable groupBy(doc, term) + max — shuffle O(distinct (doc,
+    * term) pairs). All divisions are single exactly-rounded IEEE ops, so
+    * the fractions hash-match the DuckDB oracle. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val tri = transform(slice(toks, lit(1), greatest(size(toks) - 2, lit(0))),
+      (x, i) => concat_ws(" ", x, element_at(toks, i + 2), element_at(toks, i + 3)))
+    val local = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        greatest(size(toks) - 2, lit(0)).cast("long").as("n_tri"),
+        size(array_distinct(tri)).cast("long").as("n_tri_distinct"))
+    val top = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max("cnt").as("top_cnt"))
+    local.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4).as("dup_token_frac"),
+        round((col("n_tri") - col("n_tri_distinct")).cast("double") /
+          greatest(col("n_tri"), lit(1L)).cast("double"), 4).as("dup_3gram_frac"),
+        round(coalesce(col("top_cnt"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4).as("top_token_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Adjacent-token pairs (space-joined) of an ALREADY-TOKENIZED array
     * column: the n-gram LM-count building block. Empty/one-token arrays
     * yield an empty array. Takes the token ARRAY, not the raw text — the

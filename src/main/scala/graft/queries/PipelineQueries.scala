@@ -121,6 +121,22 @@ object PipelineQueries {
     // curation: decontamination, deterministic sampling, packing, vocab
     "q_pipe_decontam" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
     "q_pipe_sample" -> ((s, dir) => Curation.stratifiedSample(docs(s, dir))),
+    // intra-document repetition signals (the Gopher-rule filter family)
+    "q_pipe_repetition" -> ((s, dir) => TextOps.repetitionStats(docs(s, dir))),
+    // deterministic corpus mixing: per-language up/down-sampling
+    "q_pipe_mix" -> ((s, dir) => Curation.mixCorpus(docs(s, dir))),
+    // one-pass histogram quantiles (the sketch answer to exactQuantiles'
+    // single-giant-group caveat)
+    "q_pipe_hist_quantiles" -> ((s, dir) =>
+      Sketch.histogramQuantiles(s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_extendedprice", "l_returnflag", binWidth = 100.0)),
+    // incremental dedup: the doc_id % 5 == 0 slice arrives as a new
+    // batch, deduped against the already-ingested remainder
+    "q_pipe_dedup_incr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupeNewBatch(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
     "q_pipe_packing" -> ((s, dir) => Curation.packSequences(docs(s, dir))),
     "q_pipe_vocab" -> ((s, dir) => Curation.topKTokens(docs(s, dir))),
     "q_pipe_distinct_est" -> ((s, dir) => Sketch.kmvDistinctDocs(docs(s, dir))),
@@ -413,6 +429,103 @@ object PipelineQueries {
         |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
         |            WHEN 'es' THEN 125 WHEN 'fr' THEN 62 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    // intra-document repetition: same tokenizer as langid/quality; the
+    // 3-grams index into the token list (1-based in DuckDB)
+    "q_pipe_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        | FROM documents),
+        |u AS (SELECT doc_id, toks,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+        | FROM t),
+        |v AS (SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(greatest(n_tokens - 2, 0) AS BIGINT) AS n_tri,
+        |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_tri_distinct
+        | FROM u),
+        |top AS (SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |  SELECT doc_id, term, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2)
+        | GROUP BY doc_id)
+        |SELECT v.doc_id, n_tokens,
+        | round(CAST(n_tokens - n_distinct AS DOUBLE) / greatest(n_tokens, 1), 4) AS dup_token_frac,
+        | round(CAST(n_tri - n_tri_distinct AS DOUBLE) / greatest(n_tri, 1), 4) AS dup_3gram_frac,
+        | round(CAST(coalesce(top_cnt, 0) AS DOUBLE) / greatest(n_tokens, 1), 4) AS top_token_frac
+        |FROM v LEFT JOIN top ON v.doc_id = top.doc_id
+        |ORDER BY v.doc_id""".stripMargin,
+
+    // corpus mixing: same md5-prefix hash as q_pipe_sample; copies =
+    // floor(w/1000) + (hash < w mod 1000)
+    "q_pipe_mix" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CASE lang WHEN 'en' THEN 700 WHEN 'de' THEN 1000 WHEN 'es' THEN 1500
+        |            WHEN 'fr' THEN 2300 WHEN 'zh' THEN 2000 ELSE 500 END AS w,
+        |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS h
+        | FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |  w // 1000 + CASE WHEN h < w % 1000 THEN 1 ELSE 0 END AS n_copies
+        | FROM d)
+        |SELECT doc_id, lang, CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy
+        |FROM c WHERE n_copies > 0
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    // histogram quantiles: estimate = lower bound of the first bin whose
+    // cumulative count reaches ceil(q . n / 1000), integer arithmetic
+    "q_pipe_hist_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS grp,
+        |  CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin, count(*) AS cnt
+        | FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT grp, bin, cnt,
+        |  sum(cnt) OVER (PARTITION BY grp ORDER BY bin) AS cum,
+        |  sum(cnt) OVER (PARTITION BY grp) AS n FROM b),
+        |q AS (SELECT unnest([500, 900, 990]) AS q_permille),
+        |h AS (SELECT grp, q_permille, min(bin) AS bin, max(n) AS n
+        | FROM c, q WHERE cum >= (q_permille * n + 999) // 1000
+        | GROUP BY 1, 2)
+        |SELECT grp AS l_returnflag, CAST(q_permille AS INT) AS q_permille,
+        | CAST(bin AS DOUBLE) * 100.0 AS est, CAST(n AS BIGINT) AS n
+        |FROM h ORDER BY l_returnflag, q_permille""".stripMargin,
+
+    // incremental dedup: batch = doc_id % 5 = 0, corpus = the rest; same
+    // shingle/signature/band machinery as q_pipe_minhash, but the
+    // pairwise step only probes batch bands against capped corpus bands
+    "q_pipe_dedup_incr" ->
+      """WITH norm AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
+        |words AS (SELECT DISTINCT doc_id, w AS word FROM norm,
+        |  unnest(list_transform(range(1, greatest(length(norm)-4, 1)+1),
+        |                        i -> substr(norm, CAST(i AS INT), 5))) t(w)),
+        |sigs AS (SELECT doc_id,
+        |  min(substr(md5(word), 1, 8)) AS s0, min(substr(md5(word), 9, 8)) AS s1,
+        |  min(substr(md5(word), 17, 8)) AS s2, min(substr(md5(word), 25, 8)) AS s3,
+        |  min(substr(md5('x' || word), 1, 8)) AS s4, min(substr(md5('x' || word), 9, 8)) AS s5,
+        |  min(substr(md5('x' || word), 17, 8)) AS s6, min(substr(md5('x' || word), 25, 8)) AS s7
+        | FROM words GROUP BY doc_id),
+        |buckets AS (
+        | SELECT doc_id, 0 AS band, s0 || s1 AS key FROM sigs
+        | UNION ALL SELECT doc_id, 1, s2 || s3 FROM sigs
+        | UNION ALL SELECT doc_id, 2, s4 || s5 FROM sigs
+        | UNION ALL SELECT doc_id, 3, s6 || s7 FROM sigs),
+        |cbk AS (SELECT * FROM buckets WHERE doc_id % 5 <> 0),
+        |cap AS (SELECT band, key FROM cbk GROUP BY band, key HAVING count(*) <= 32),
+        |ckept AS (SELECT cbk.* FROM cbk JOIN cap USING (band, key)),
+        |bbk AS (SELECT * FROM buckets WHERE doc_id % 5 = 0),
+        |near AS (SELECT bbk.doc_id, count(DISTINCT ckept.doc_id) AS n_near_corpus
+        | FROM bbk JOIN ckept ON bbk.band = ckept.band AND bbk.key = ckept.key
+        | GROUP BY bbk.doc_id),
+        |fp AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM documents),
+        |cfp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 5 <> 0),
+        |ex AS (SELECT f.doc_id,
+        |  CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS is_exact_dup
+        | FROM fp f LEFT JOIN cfp c USING (fp) WHERE f.doc_id % 5 = 0)
+        |SELECT ex.doc_id, CAST(is_exact_dup AS BIGINT) AS is_exact_dup,
+        | CAST(coalesce(n_near_corpus, 0) AS BIGINT) AS n_near_corpus
+        |FROM ex LEFT JOIN near ON ex.doc_id = near.doc_id
+        |ORDER BY ex.doc_id""".stripMargin,
 
     // contiguous sequence packing at 2048 tokens: window = prefix-sum div
     // (the Spark side computes the prefix sum as a distributed two-pass
