@@ -223,30 +223,34 @@ object Similarity {
     * verify once per batch and pass `verifyCorpus = false` on the rest. */
   def ivfQuery(emb: DataFrame, path: String, k: Int, nQueries: Int,
       nProbe: Int = 4, verifyCorpus: Boolean = true): DataFrame = {
-    val spark = emb.sparkSession
-    val d = dot(emb) _
-    if (verifyCorpus) {
-      val meta =
-        try spark.read.parquet(s"$path/meta").head
-        catch { case e: Exception => throw new IllegalStateException(
-          s"graft: IVF index at $path has no meta table — built by a " +
-            "pre-fingerprint version? Rebuild with ivfBuild, or pass " +
-            "verifyCorpus = false to serve it unchecked", e) }
-      val (cnt, h) = corpusFingerprint(emb)
-      val (wCnt, wH) = (meta.getAs[Long]("corpus_count"), meta.getAs[Long]("corpus_hash"))
-      if (cnt != wCnt || h != wH) throw new IllegalStateException(
-        s"graft: IVF index at $path is STALE — built from a corpus with " +
-          s"(count, hash) = ($wCnt, $wH), queried with ($cnt, $h). " +
-          "Rebuild with ivfBuild (or pass verifyCorpus = false to " +
-          "knowingly serve stale neighbors)")
-    }
+    if (verifyCorpus) attestCorpus(emb, path)
+    ivfQueryVectors(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      path, k, nProbe, excludeSelf = true)
+  }
+
+  /** Top-k cosine neighbors from a BUILT index for ARBITRARY query
+    * vectors — the real serving signature: `queries` is
+    * (query_id, embedding), entirely external to the indexed corpus
+    * (an online query batch, another table, a user request). With
+    * `excludeSelf` a neighbor whose id equals the query id is dropped
+    * (used by the corpus-self-query wrapper above). No staleness check
+    * here: external queries carry no corpus to attest — pin the corpus
+    * via [[ivfQuery]] or call [[attestCorpus]] explicitly. */
+  def ivfQueryVectors(queries: DataFrame, path: String, k: Int,
+      nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    val d = dot(queries) _
     val cents = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
     val assigned = spark.read.parquet(s"$path/assignments")
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cent_id").asc)
-    val probes = withNorm(emb).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = queries
+      .select(col("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .withColumn("qn", sqrt(d(col("qv"), col("qv"))))
       .crossJoin(cents)
       .withColumn("csim", d(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("prk", row_number().over(wProbe))
@@ -255,12 +259,31 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     probes.join(assigned.withColumnRenamed("vec_id", "neighbor_id"), Seq("cent_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", d(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** Fail loudly when `emb` is not the corpus the index at `path` was
+    * built from (see ivfBuild's staleness rationale). */
+  def attestCorpus(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val meta =
+      try spark.read.parquet(s"$path/meta").head
+      catch { case e: Exception => throw new IllegalStateException(
+        s"graft: IVF index at $path has no meta table — built by a " +
+          "pre-fingerprint version? Rebuild with ivfBuild, or pass " +
+          "verifyCorpus = false to serve it unchecked", e) }
+    val (cnt, h) = corpusFingerprint(emb)
+    val (wCnt, wH) = (meta.getAs[Long]("corpus_count"), meta.getAs[Long]("corpus_hash"))
+    if (cnt != wCnt || h != wH) throw new IllegalStateException(
+      s"graft: IVF index at $path is STALE — built from a corpus with " +
+        s"(count, hash) = ($wCnt, $wH), queried with ($cnt, $h). " +
+        "Rebuild with ivfBuild (or pass verifyCorpus = false to " +
+        "knowingly serve stale neighbors)")
   }
 
   /** Drops LSH buckets holding more than `maxBucketSize` vectors before
