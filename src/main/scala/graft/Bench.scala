@@ -90,6 +90,28 @@ object Bench {
         runs(name).map(t => f"$t%.2f").mkString("[", ", ", "]"))
     }
 
+    // ANN serving path, measured separately: the index build is the
+    // expensive once-per-corpus pass (Lloyd + assignment over all N
+    // vectors); queries against the prebuilt index never re-scan the
+    // corpus. ivf_query should land ≪ q_pipe_knn_ivf (which rebuilds
+    // per run). verifyCorpus=false in the timed body: the fingerprint
+    // attestation is a once-per-batch pinning cost, not per-query — the
+    // build entry already includes computing the fingerprint.
+    if (wanted("bench_ivf_build") || wanted("bench_ivf_query")) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val idx = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
+      runs("bench_ivf_build") = Seq(time {
+        graft.pipeline.Similarity.ivfBuild(emb, idx, nCentroids = 16) })
+      for (_ <- 0 until reps)
+        runs("bench_ivf_query") =
+          runs.getOrElse("bench_ivf_query", Vector.empty[Double]) :+ time {
+            graft.pipeline.Similarity
+              .ivfQuery(emb, idx, k = 5, nQueries = 20, verifyCorpus = false)
+              .write.format("noop").mode("overwrite").save() }
+      System.err.println(f"[bench] bench_ivf_build: ${median(runs("bench_ivf_build"))}%.2f s" +
+        f"  bench_ivf_query: ${median(runs("bench_ivf_query"))}%.2f s")
+    }
+
     // Engine throughput: performance.json-shaped dense array write + read.
     if (only.forall(_.exists(_.startsWith("bench"))))
       runs ++= ArrayBench.run(spark, reps)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -75,26 +75,39 @@ case class DotProduct(left: Expression, right: Expression)
   * oracles, CACHED in a per-instance table (they depend only on
   * (plane, dim index)), and the per-plane accumulation is strictly
   * left-to-right from 0.0 — bit-identical to the HOF fold it replaces,
-  * so oracle hashes are unchanged. */
-case class LshSignature(child: Expression, nBitsExpr: Expression)
-    extends BinaryExpression {
-  override def left: Expression = child
-  override def right: Expression = nBitsExpr
+  * so oracle hashes are unchanged.
+  *
+  * `offsetExpr` shifts the plane index: plane h of this signature uses
+  * mixer row `offset + h`. Independent LSH tables (OR-amplification:
+  * union candidates over r reseeded tables) use offsets 0, 24, 48, … so
+  * no two tables share a hyperplane at any trim width ≤ 24. The mixer
+  * input (offset+h)·40503 + j + 1 stays < 2^23 for offset ≤ 96 and
+  * dim ≤ 2^15, so every product below remains exact in signed 64-bit —
+  * DuckDB BIGINT arithmetic reproduces it bit-for-bit. */
+case class LshSignature(child: Expression, nBitsExpr: Expression,
+    offsetExpr: Expression) extends TernaryExpression {
+  override def first: Expression = child
+  override def second: Expression = nBitsExpr
+  override def third: Expression = offsetExpr
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[ArrayType] &&
         child.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
-        nBitsExpr.foldable && nBitsExpr.dataType == IntegerType)
+        nBitsExpr.foldable && nBitsExpr.dataType == IntegerType &&
+        offsetExpr.foldable && offsetExpr.dataType == IntegerType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_lsh_sig expects (array<double>, literal int), got " +
-        s"(${child.dataType.simpleString}, ${nBitsExpr.dataType.simpleString})")
+      s"graft_lsh_sig expects (array<double>, literal int nBits" +
+        s"[, literal int planeOffset]), got (${child.dataType.simpleString}, " +
+        s"${nBitsExpr.dataType.simpleString}, ${offsetExpr.dataType.simpleString})")
 
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_lsh_sig"
 
   @transient private lazy val nBits: Int =
     nBitsExpr.eval(null).asInstanceOf[Number].intValue
+  @transient private lazy val planeOffset: Int =
+    offsetExpr.eval(null).asInstanceOf[Number].intValue
 
   // weight table grown to the widest vector seen by this instance —
   // weights are a pure function of (h, j), laid out [h * table.dim + j].
@@ -119,7 +132,7 @@ case class LshSignature(child: Expression, nBitsExpr: Expression)
         while (h < nBits) {
           var j = 0
           while (j < dim) {
-            val k0 = h * 40503L + j + 1L
+            val k0 = (planeOffset + h) * 40503L + j + 1L
             val x1 = (k0 * 2654435761L) & 0xffffffffL
             val x2 = x1 ^ (x1 >>> 16)
             val x3 = (x2 * 49979693L) & 0xffffffffL
@@ -155,16 +168,17 @@ case class LshSignature(child: Expression, nBitsExpr: Expression)
     UTF8String.fromBytes(out)
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
     signature(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lshSig", this, classOf[LshSignature].getName)
-    nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $ref.signature($a);")
+    nullSafeCodeGen(ctx, ev, (a, _, _) => s"${ev.value} = $ref.signature($a);")
   }
 
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(child = l, nBitsExpr = r)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(child = f, nBitsExpr = s, offsetExpr = t)
 }
 
 object VectorFunctions {
@@ -177,7 +191,9 @@ object VectorFunctions {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_lsh_sig", exprs => LshSignature(exprs(0), exprs(1)), "built-in")
+        "graft_lsh_sig", exprs => LshSignature(exprs(0), exprs(1),
+          if (exprs.length > 2) exprs(2)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0)), "built-in")
     }
 
   /** Codegen'd sequential dot product of two Array[Double] columns. */
@@ -186,9 +202,13 @@ object VectorFunctions {
     call_function("graft_dot", a, b)
   }
 
-  /** Codegen'd one-pass LSH signature of an Array[Double] column. */
-  def lshSignature(spark: SparkSession, v: Column, nBits: Int): Column = {
+  /** Codegen'd one-pass LSH signature of an Array[Double] column.
+    * `planeOffset` selects the hyperplane set — independent tables for
+    * OR-amplified LSH use offsets 0, 24, 48, … */
+  def lshSignature(spark: SparkSession, v: Column, nBits: Int,
+      planeOffset: Int = 0): Column = {
     register(spark)
-    call_function("graft_lsh_sig", v, org.apache.spark.sql.functions.lit(nBits))
+    call_function("graft_lsh_sig", v, org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(planeOffset))
   }
 }

@@ -294,13 +294,31 @@ object Similarity {
     * boilerplate shared across the corpus), so dropping it costs little
     * recall while bounding join output to O(buckets · maxBucketSize²).
     * Same design as Dedup.minHashCandidatePairs. The kept-buckets list is
-    * ≤ 2^nBits rows — broadcast. */
+    * ≤ nTables · 2^nBits rows — broadcast. Caps apply per (table, bucket):
+    * one table's boilerplate bucket overflowing must not drop another
+    * table's discriminative one. */
   private def capBuckets(sig: DataFrame, maxBucketSize: Int): DataFrame = {
-    val small = sig.groupBy("bucket")
+    val small = sig.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)
-      .select("bucket")
-    sig.join(broadcast(small), Seq("bucket"))
+      .select("tbl", "bucket")
+    sig.join(broadcast(small), Seq("tbl", "bucket"))
+  }
+
+  /** (vec_id, v, nrm, tbl, bucket) for `nTables` independent LSH tables
+    * in ONE pass over the corpus: the per-table signatures ride a
+    * posexplode'd array column (table t = plane offset 24·t, so tables
+    * never share a hyperplane), then per-(table, bucket) capping. This is
+    * OR-amplification: a 0.9-cos pair missed by one table's bucketing
+    * gets nTables independent shots, at nTables× the bucket-join cost —
+    * the standard recall/throughput dial for production near-dup runs. */
+  private def tableSignatures(n: DataFrame, bits: Int, nTables: Int,
+      maxBucketSize: Int): DataFrame = {
+    val sigs = array((0 until nTables).map(t => lshSignature(bits, 24 * t)): _*)
+    capBuckets(
+      n.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(sigs).as(Seq("tbl", "bucket"))),
+      maxBucketSize)
   }
 
   /** Signature width for a corpus of `n` vectors: the smallest b ≥ 8 with
@@ -327,22 +345,33 @@ object Similarity {
     *
     * `nBits <= 0` (the default) derives the signature width from the
     * corpus count (`autoBits`) so buckets stay ≈ `maxBucketSize` at any
-    * scale; pass an explicit width only to pin a tested configuration. */
+    * scale; pass an explicit width only to pin a tested configuration.
+    *
+    * `nTables` independent hyperplane tables (OR-amplification) give a
+    * near-dup pair `nTables` independent shots at sharing a bucket — a
+    * single table gives a 0.9-cos pair one roll of the (1−θ/π)^nBits
+    * dice. Candidates are unioned and deduped before the exact-cosine
+    * cut, per-table caps still apply. */
   def cosineNearDupPairs(emb: DataFrame, minCos: Double = 0.9,
-      nBits: Int = 0, maxBucketSize: Int = 64): DataFrame = {
+      nBits: Int = 0, maxBucketSize: Int = 64, nTables: Int = 2): DataFrame = {
     val bits = if (nBits > 0) nBits else autoBits(emb.count(), maxBucketSize)
     val n = withNorm(emb)
-    val sig = capBuckets(n.withColumn("bucket", lshSignature(bits)), maxBucketSize)
-    val l = sig.select(col("vec_id").as("a"), col("v").as("va"),
-      col("nrm").as("na"), col("bucket"))
-    val r = sig.select(col("vec_id").as("b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
-    l.join(r, Seq("bucket"))
+    val sig = tableSignatures(n, bits, nTables, maxBucketSize)
+    // candidate id-pairs first, distinct over tables, THEN one exact
+    // cosine per pair — a pair surfacing in several tables costs one dot
+    // product, not nTables
+    val cand = sig.select(col("tbl"), col("bucket"), col("vec_id").as("a"))
+      .join(sig.select(col("tbl"), col("bucket"), col("vec_id").as("b")),
+        Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    cand
+      .join(n.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), Seq("a"))
+      .join(n.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), Seq("b"))
       .withColumn("cos", dot(emb)(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"))
-      .distinct()
       .orderBy("a", "b")
   }
 
@@ -366,9 +395,9 @@ object Similarity {
     * weight mixer per element; the native kernel runs all planes in one
     * pass over the ArrayData with a cached weight table, inside
     * whole-stage codegen, with identical left-to-right float adds. */
-  private def lshSignature(nBits: Int): Column =
+  private def lshSignature(nBits: Int, planeOffset: Int = 0): Column =
     graft.functions.VectorFunctions.lshSignature(
-      org.apache.spark.sql.SparkSession.active, col("v"), nBits)
+      org.apache.spark.sql.SparkSession.active, col("v"), nBits, planeOffset)
 
   /** Random-hyperplane LSH: `nBits`-bit signature from fixed pseudo-random
     * hyperplanes (deterministic, seeded by dimension index — no RNG at
@@ -381,19 +410,29 @@ object Similarity {
     * `nBits <= 0` (the default) derives the signature width from the
     * corpus count (`autoBits`), keeping expected bucket population under
     * the cap at any scale — a fixed width would drop EVERY bucket once
-    * N ≳ cap·2^bits. Pass an explicit width only to pin a configuration. */
+    * N ≳ cap·2^bits. Pass an explicit width only to pin a configuration.
+    * `nTables` reseeded hyperplane tables union their candidates
+    * (OR-amplification — see cosineNearDupPairs) before the top-k. */
   def lshTopK(emb: DataFrame, k: Int, nQueries: Int, nBits: Int = 0,
-      maxBucketSize: Int = 64): DataFrame = {
+      maxBucketSize: Int = 64, nTables: Int = 2): DataFrame = {
     val bits = if (nBits > 0) nBits else autoBits(emb.count(), maxBucketSize)
     val n = withNorm(emb)
-    val sig = capBuckets(n.withColumn("bucket", lshSignature(bits)), maxBucketSize)
+    val sig = tableSignatures(n, bits, nTables, maxBucketSize)
     val q = sig.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-    val cand = sig.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = sig.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+    // distinct candidate ids over tables, then one exact sim per candidate
+    val pairs = q.join(cand, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    q.join(cand, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    pairs
+      .join(n.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn")),
+        Seq("query_id"))
+      .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        Seq("neighbor_id"))
       .withColumn("sim", dot(emb)(col("qv"), col("v")) / (col("qn") * col("nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -150,6 +150,39 @@ object ArrayQueries {
       s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
       s.sql(s"""SELECT m, b, value FROM $cat.grid.qty VERSION AS OF ${fx.gridV1}
         WHERE m >= 2 AND m < 12 AND b >= 1 AND b < 6 ORDER BY m, b""")
+    }),
+    // SQL schema evolution end-to-end (reference grow semantics,
+    // src/io/mandoline/test/grow.clj:56-71, through the catalog): create +
+    // ingest a counts variable via pure SQL, grow its dimension with
+    // ALTER TABLE, then read BOTH eras in one result — the latest version
+    // sees retained data plus fill in the newly exposed region, and
+    // VERSION AS OF the pre-grow version still reads the old shape.
+    // Fixture work happens once per JVM (guarded); re-runs only read.
+    "q_arr_sql_evolve" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val h = fx.hours
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      if (!fx.store.datasetExists("sqlev")) {
+        import s.implicits._
+        ArrayFixtures.hourCounts(s, dir).toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }
+          .toDF("h", "value").createOrReplaceTempView("sqlev_src")
+        s.sql(s"""CREATE TABLE $cat.sqlev.e (h BIGINT, value BIGINT)
+          TBLPROPERTIES ('dims' = 'h:$h:64', 'fill' = '-1')""")
+        s.sql(s"INSERT INTO $cat.sqlev.e SELECT h, value FROM sqlev_src")
+        s.sql(s"ALTER TABLE $cat.sqlev.e SET TBLPROPERTIES ('dims' = 'h:${h + 20}')")
+      }
+      // versions reverse-chron: [alter, insert, create-ddl]
+      val preGrow = fx.store.versions("sqlev")(1)._2
+      s.sql(s"""
+        SELECT 'pre' AS era, h, value FROM $cat.sqlev.e VERSION AS OF $preGrow
+          WHERE h >= ${h - 5}
+        UNION ALL
+        SELECT 'post' AS era, h, value FROM $cat.sqlev.e WHERE h >= ${h - 5}
+        ORDER BY era, h""")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -263,5 +296,17 @@ object ArrayQueries {
         |LEFT JOIN g ON g.m = gm.m AND g.b = gb.b
         |WHERE gm.m >= 2 AND gm.m < least(12, (SELECT nm FROM mn))
         |  AND gb.b >= 1 AND gb.b < 6
-        |ORDER BY m, b""".stripMargin)
+        |ORDER BY m, b""".stripMargin,
+    // both eras of the SQL-evolved variable: pre-grow = counts on the old
+    // extent's tail; post-grow = the same tail plus 20 fill cells
+    "q_arr_sql_evolve" -> (cte +
+      """SELECT 'pre' AS era, g.h AS h, COALESCE(c.cnt, 0) AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h >= (SELECT maxh - 5 FROM hh) AND g.h < (SELECT maxh FROM hh)
+        |UNION ALL
+        |SELECT 'post' AS era, g.h AS h,
+        | CASE WHEN g.h < (SELECT maxh FROM hh) THEN COALESCE(c.cnt, 0) ELSE -1 END AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h >= (SELECT maxh - 5 FROM hh) AND g.h < (SELECT maxh + 20 FROM hh)
+        |ORDER BY era, h""".stripMargin))
 }

@@ -43,9 +43,12 @@ object PipelineQueries {
     * bin() string length, pure integer arithmetic, so Spark and DuckDB
     * agree at every corpus size including exact powers of two (float log2
     * would not). */
-  private val lshBucketCtes: String = {
-    def planeW(h: Int): String = {
-      val t1 = s"(((${h * 40503L} + i) * 2654435761) % 4294967296)"
+  private def lshBucketCtes(nTables: Int): String = {
+    // plane p of table t is mixer row 24·t + h (same plane spacing as
+    // LshSignature's planeOffset = 24·t — tables never share a plane at
+    // any trim width ≤ 24)
+    def planeW(p: Int): String = {
+      val t1 = s"(((${p * 40503L} + i) * 2654435761) % 4294967296)"
       val t2 = s"xor($t1, $t1 >> 16)"
       val t3 = s"(($t2 * 49979693) % 4294967296)"
       val t4 = s"xor($t3, $t3 >> 16)"
@@ -53,13 +56,17 @@ object PipelineQueries {
       // list_dot_product(v, weights) does the multiply
       s"list_transform(v, (x, i) -> CAST(($t4 >> 22) AS DOUBLE) / 512.0 - 1.0)"
     }
-    val bits24 = (0 until 24).map(h =>
-      s"CASE WHEN list_dot_product(v, ${planeW(h)}) >= 0 THEN '1' ELSE '0' END")
+    def bits24(tbl: Int): String = (0 until 24).map(h =>
+      s"CASE WHEN list_dot_product(v, ${planeW(24 * tbl + h)}) >= 0 THEN '1' ELSE '0' END")
         .mkString("concat(", ",\n      ", ")")
+    val perTable = (0 until nTables).map(t =>
+      s"""SELECT vec_id, v, nrm, $t AS tbl,
+         |  substr(${bits24(t)}, 1, (SELECT nbits FROM nb)) AS bucket FROM n""".stripMargin)
+      .mkString("\n UNION ALL\n")
     s"""nb AS (SELECT LEAST(24, GREATEST(8,
       |  length(ltrim(bin(CAST(count(*) // 65 AS BIGINT)), '0')))) AS nbits FROM n),
-      |s0 AS (SELECT vec_id, v, nrm,
-      |  substr($bits24, 1, (SELECT nbits FROM nb)) AS bucket FROM n),""".stripMargin
+      |s0 AS (
+      |$perTable),""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,37 +282,50 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
-    // LSH: same fixed hyperplanes (h·2654435761 + j·40503 mod 1024, j
-    // 0-based; DuckDB lambda index i is 1-based → i−1), same sequential
-    // mul-then-add dot products as graft_dot.
+    // LSH: same fixed hyperplanes (two-round xorshift mixer of the plane/
+    // dim index, j 0-based; DuckDB lambda index i is 1-based → i−1), same
+    // sequential mul-then-add dot products as graft_dot; TWO reseeded
+    // tables (OR-amplification), candidates deduped before the exact sim.
     "q_pipe_knn_lsh" -> {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |$lshBucketCtes
-        |bs AS (SELECT bucket FROM s0 GROUP BY bucket HAVING count(*) <= 64),
-        |s AS (SELECT s0.* FROM s0 JOIN bs USING (bucket)),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket FROM s WHERE vec_id < 20),
+        |${lshBucketCtes(2)}
+        |bs AS (SELECT tbl, bucket FROM s0 GROUP BY tbl, bucket HAVING count(*) <= 64),
+        |s AS (SELECT s0.* FROM s0 JOIN bs USING (tbl, bucket)),
+        |q AS (SELECT vec_id AS query_id, tbl, bucket FROM s WHERE vec_id < 20),
+        |cand AS (
+        | SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        | FROM q JOIN s c ON c.tbl = q.tbl AND c.bucket = q.bucket
+        |  AND c.vec_id <> q.query_id),
         |r AS (
-        | SELECT q.query_id, c.vec_id AS neighbor_id,
-        |   row_number() OVER (PARTITION BY q.query_id
-        |     ORDER BY list_dot_product(q.qv, c.v) / (q.qn * c.nrm) DESC, c.vec_id) AS rank
-        | FROM q JOIN s c ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+        | SELECT cand.query_id, cand.neighbor_id,
+        |   row_number() OVER (PARTITION BY cand.query_id
+        |     ORDER BY list_dot_product(qv.v, cv.v) / (qv.nrm * cv.nrm) DESC,
+        |       cand.neighbor_id) AS rank
+        | FROM cand JOIN n qv ON qv.vec_id = cand.query_id
+        |           JOIN n cv ON cv.vec_id = cand.neighbor_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin
     },
 
-    // embedding-cosine near-dup: identical bucket construction to knn_lsh,
-    // exact cosine ≥ 0.25 inside buckets
+    // embedding-cosine near-dup: identical bucket construction to knn_lsh
+    // (two reseeded tables, per-table caps), candidates deduped, exact
+    // cosine ≥ 0.25 per distinct pair
     // (the synthetic embeddings are near-orthogonal; 0.25 is the near-dup tail)
     "q_pipe_dedup_cosine" -> {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |$lshBucketCtes
-        |bs AS (SELECT bucket FROM s0 GROUP BY bucket HAVING count(*) <= 64),
-        |s AS (SELECT s0.* FROM s0 JOIN bs USING (bucket))
-        |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-        |FROM s l JOIN s r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-        |WHERE list_dot_product(l.v, r.v) / (l.nrm * r.nrm) >= 0.25
+        |${lshBucketCtes(2)}
+        |bs AS (SELECT tbl, bucket FROM s0 GROUP BY tbl, bucket HAVING count(*) <= 64),
+        |s AS (SELECT s0.* FROM s0 JOIN bs USING (tbl, bucket)),
+        |cand AS (
+        | SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        | FROM s l JOIN s r ON l.tbl = r.tbl AND l.bucket = r.bucket
+        |  AND l.vec_id < r.vec_id)
+        |SELECT a, b FROM cand
+        |JOIN n la ON la.vec_id = cand.a
+        |JOIN n lb ON lb.vec_id = cand.b
+        |WHERE list_dot_product(la.v, lb.v) / (la.nrm * lb.nrm) >= 0.25
         |ORDER BY a, b""".stripMargin
     },
 

@@ -283,7 +283,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
     }
-    if (old.isEmpty) return 0L
+    if (old.isEmpty) { compactRangeSidecars(); return 0L }
     val referenced = listDatasets.map(ds => indexDF(ds).select("hash"))
       .reduceOption(_ union _)
       .getOrElse(spark.emptyDataFrame.withColumn("hash", lit("")).select("hash"))
@@ -314,6 +314,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     sweepRangeSidecars(cutoff)
     sweepChunkStaging(cutoff)
     writeChunkRangeSidecar(adopted)
+    compactRangeSidecars()
     before - after
   }
 
@@ -443,6 +444,50 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         }
       }
     }
+  }
+
+  /** Merge the per-generation sidecar TSVs into ONE manifest (vacuum
+    * time). Every ingest appends its own sidecar file, so between
+    * vacuums the count grows one-per-generation and the first plan on
+    * the store pays one read per file; after compaction
+    * `loadChunkRangeSidecars` reads O(1) files and driver-side listing
+    * state stays bounded no matter how many generations accumulated.
+    * Entries whose chunk file no longer exists (deleted by the blob
+    * sweep) are dropped; duplicates from a crashed earlier merge dedupe
+    * by filename. Concurrency-safe: only the files listed HERE are
+    * merged and deleted — a sidecar written by a live ingest after the
+    * listing is untouched, and a reader that listed an input before the
+    * deletion just skips it (its files fall back to footer reads once,
+    * then the merged manifest covers them). */
+  private def compactRangeSidecars(): Unit = {
+    if (!Files.exists(rangesDir)) return
+    val inputs =
+      try scala.util.Using.resource(Files.list(rangesDir)) { s =>
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".tsv")).toSeq
+      } catch { case _: java.io.IOException => return }
+    if (inputs.size <= 1) return
+    val dir = Paths.get(chunksDir)
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    inputs.foreach { p =>
+      try Files.readAllLines(p).asScala.foreach { line =>
+        line.split('\t') match {
+          case Array(f, _, _) if Files.exists(dir.resolve(f)) => merged(f) = line
+          case _ => // dead or malformed entry: drop
+        }
+      } catch { case _: java.io.IOException => () } // racing sweep: its files are gone too
+    }
+    if (merged.nonEmpty) {
+      val id = java.util.UUID.randomUUID.toString
+      val tmp = rangesDir.resolve(s".$id.tmp")
+      Files.writeString(tmp, merged.values.mkString("\n"))
+      Files.move(tmp, rangesDir.resolve(s"$id.tsv"), StandardCopyOption.ATOMIC_MOVE)
+    }
+    // delete exactly the merged inputs (a crash above leaves them in
+    // place — the next compaction retries; a crash below leaves
+    // duplicates the next merge dedupes)
+    inputs.foreach(p =>
+      try Files.delete(p) catch { case _: java.io.IOException => () })
   }
 
   /** Drop sidecars whose files were all deleted by a vacuum sweep (every

@@ -171,9 +171,9 @@ class SimilaritySpec extends AnyFunSuite {
       new GenericArrayData(Array.fill(dim)(r.nextDouble() * 2 - 1))
     }
     def freshSig(a: GenericArrayData): String =
-      graft.functions.LshSignature(Literal(1), Literal(16))
+      graft.functions.LshSignature(Literal(1), Literal(16), Literal(0))
         .signature(a).toString
-    val wideFirst = graft.functions.LshSignature(Literal(1), Literal(16))
+    val wideFirst = graft.functions.LshSignature(Literal(1), Literal(16), Literal(0))
     for (seed <- 0 until 20) {
       val wide = vec(96, 1000 + seed)
       val narrow = vec(17, 2000 + seed)
@@ -218,5 +218,86 @@ class SimilaritySpec extends AnyFunSuite {
     assert(autoQ > fixedQ)
     val dups = Similarity.cosineNearDupPairs(emb, minCos = 0.99)
     assert(dups.count() >= 0L) // bounded pairwise step completes
+  }
+
+  test("multi-table LSH recall strictly beats a single table on a 50k corpus") {
+    // 50k random background vectors + 5 planted near-duplicates (cos ≈
+    // 0.95) for each of 20 queries. One auto-width table gives a 0.95-cos
+    // pair ONE (1−θ/π)^nBits shot at sharing a bucket; r tables give r
+    // independent shots (OR-amplification). Ground truth = brute force:
+    // the planted copies dominate every query's top-5 (background cosines
+    // are near 0), so recall measures exactly how many planted pairs the
+    // bucketing caught. Data and hyperplanes are deterministic — the
+    // recalls are pinned reproducible numbers, not flaky samples.
+    import org.apache.spark.sql.functions._
+    val base = spark.range(50000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        (pmod(hash(col("id"), j).cast("long"), lit(2048L)).cast("double")
+          / 1024.0 - 1.0).cast("float")).as("embedding"))
+    // planted near-dups of queries 0..19: copy q = id/5, add hash noise
+    // at ~1/3 the component scale → cos ≈ 0.95
+    val planted = spark.range(100).select(
+      (col("id") + 100000L).as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        // copy of query id/5 (INTEGER division — hash input must be the
+        // same long the base row hashed) + ~1/3-scale hash noise
+        ((pmod(hash(floor(col("id") / 5).cast("long"), j).cast("long"),
+          lit(2048L)).cast("double") / 1024.0 - 1.0)
+          + (pmod(hash(col("id"), j, lit(7)).cast("long"), lit(2048L)).cast("double")
+            / 1024.0 - 1.0) * 0.33).cast("float")).as("embedding"))
+    val emb = base.unionByName(planted)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, k = 5, nQueries = 20))
+    assert(truth.size == 100)
+    // every query's top-5 should be its planted copies (cos 0.95 vs ~0)
+    assert(truth.count(_._2 >= 100000L) >= 95, "planted dups not dominant")
+    def recall(nTables: Int): Double =
+      (truth intersect pairs(
+        Similarity.lshTopK(emb, k = 5, nQueries = 20, nTables = nTables)))
+        .size.toDouble / truth.size
+    val r1 = recall(1)
+    val r2 = recall(2)
+    val r4 = recall(4)
+    assert(r1 > 0.05, s"single-table recall degenerate: $r1")
+    assert(r2 > r1, s"2 tables must strictly beat 1: $r2 vs $r1")
+    assert(r4 > r2, s"4 tables must strictly beat 2: $r4 vs $r2")
+  }
+
+  test("derived width past the 8-bit floor: 1M vectors, bounded buckets, non-empty answers") {
+    // sf0.1's 5k-vector corpus floors autoBits at 8; here the derived
+    // width's interesting branch actually runs: 1M vectors → 14 bits
+    // (expected population 1e6/2^14 ≈ 61 ≤ cap=64). Asserts the
+    // population tracks that expectation (bounded buckets, most of the
+    // corpus surviving the cap) and the end-to-end query still answers.
+    import org.apache.spark.sql.functions._
+    val n = 1000000L
+    val bits = Similarity.autoBits(n, 64)
+    assert(bits == 14 && bits > 8, s"derived width $bits")
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), j =>
+        (pmod(hash(col("id"), j).cast("long"), lit(2048L)).cast("double")
+          / 1024.0 - 1.0).cast("float")).as("embedding"))
+    val v = emb.select(transform(col("embedding"), _.cast("double")).as("v"))
+    val sizes = v.select(graft.functions.VectorFunctions
+        .lshSignature(spark, col("v"), bits).as("bucket"))
+      .groupBy("bucket").count()
+    val row = sizes.agg(
+      max("count").as("max_sz"),
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("count") <= 64, col("count")).otherwise(lit(0))).as("survivors"))
+      .head
+    val (maxSz, nBuckets, survivors) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    // populated buckets ≈ min(2^14, distinct signatures); population is
+    // Poisson-ish around 61 — a degenerate width would concentrate the
+    // corpus in a few giant buckets
+    assert(nBuckets > 4000, s"only $nBuckets buckets at $bits bits")
+    assert(maxSz < 50000, s"giant bucket at derived width: $maxSz")
+    assert(survivors > n / 10,
+      s"cap drops almost everything at the derived width: $survivors of $n")
+    // end-to-end at the derived width (both tables ride the same kernel)
+    val got = Similarity.lshTopK(emb, k = 3, nQueries = 10).collect()
+    assert(got.nonEmpty, "derived-width LSH returned nothing on 1M vectors")
   }
 }

@@ -150,6 +150,51 @@ class FileScopeSpec extends AnyFunSuite {
     assert(df.count() == 8L * 4)
   }
 
+  test("sidecar compaction bounds driver state: many young generations merge to ONE manifest") {
+    // Between blob sweeps, every ingest appends its own sidecar TSV —
+    // O(generations) files the first plan must read. Vacuum merges them
+    // into one manifest EVEN WHEN no blob is old enough to compact
+    // (default grace, seconds-old files), so driver-side listing state
+    // stays bounded as generations accumulate.
+    val (root, store) = mk(8) // two generations from the fixture
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      for (g <- 0 until 4) { // four more single-chunk generations
+        val w = store.addVersion("ds",
+          store.metadata("ds", store.versions("ds").head._2))
+        w.write("v", Seq(Slab.fromDoubles(DType.LONG,
+          Slice(Seq(0L), Seq(4L)), Seq(100.0 + g, 1.0, 2.0, 3.0))))
+        w.finishVersion()
+      }
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val rangesDir = java.nio.file.Paths.get(store.chunksDir).resolve(".ranges")
+    def tsvs() = scala.util.Using.resource(
+      java.nio.file.Files.list(rangesDir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".tsv")).toSeq
+    }
+    assert(tsvs().size == 6, s"one sidecar per generation before vacuum: ${tsvs()}")
+    // default grace: every blob is seconds old — nothing is swept, only
+    // the sidecars compact
+    val filesBefore = SparkStore.parquetFilesUnder(
+      java.nio.file.Paths.get(store.chunksDir)).map(_.getFileName.toString).toSet
+    assert(store.vacuum() == 0L)
+    val after = tsvs()
+    assert(after.size == 1, s"expected ONE merged manifest: $after")
+    assert(SparkStore.parquetFilesUnder(java.nio.file.Paths.get(store.chunksDir))
+      .map(_.getFileName.toString).toSet == filesBefore, "vacuum touched young blobs")
+    // the manifest still covers every live file
+    val entries = java.nio.file.Files.readAllLines(after.head).toArray
+      .map(_.toString.split('\t')(0)).toSet
+    assert(filesBefore.subsetOf(entries), "merged manifest lost coverage")
+    // and reads stay correct (latest generation wins at x=0)
+    val df = spark.read.format("graft").option("root", root)
+      .option("dataset", "ds").option("variable", "v").load()
+    assert(df.count() == 8L * 4)
+    assert(df.filter(org.apache.spark.sql.functions.col("x") === 0L)
+      .head.getAs[Long]("value") == 103L)
+  }
+
   test("vacuum never sweeps a LIVE ingest's staging dir; silent old ones go") {
     import java.nio.file.{Files => F, Paths => P}
     import java.nio.file.attribute.FileTime
