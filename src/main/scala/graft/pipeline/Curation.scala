@@ -231,6 +231,21 @@ object Curation {
       .orderBy("lang", "source", "rank")
   }
 
+  /** Deterministic fixed-SIZE sample per group (hash reservoir): the k
+    * docs with the smallest md5(doc_id) per group. stratifiedSample
+    * draws a fixed RATE; audits and eval-set construction need a fixed
+    * COUNT per stratum, stable under re-runs and row order (a true
+    * reservoir sample is neither). One shuffle on the group key,
+    * per-group window, hash tie-break by doc_id. */
+  def reservoirPerGroup(docs: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("lang", "rk")
+  }
+
   /** Exact per-group quantiles by RANK SELECTION (type-1 / discrete): the
     * p-quantile is the element at row ⌈p·n⌉ of the group's sort — pure
     * integer/comparison arithmetic, so Spark and DuckDB agree bit-for-bit

@@ -195,6 +195,45 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Sub-document (chunk-level) exact dedup: each document is segmented
+    * into fixed `windowTokens`-token windows (non-overlapping, partial
+    * tail kept — the standard chunking when the corpus has no natural
+    * paragraph breaks), every window is md5-fingerprinted, and a window
+    * is a duplicate iff the same fingerprint occurred EARLIER in corpus
+    * order (an earlier doc, or earlier in the same doc) — the keep-first
+    * rule of paragraph-dedup pipelines (C4/RefinedWeb shape). Returns
+    * per-doc (n_windows, n_dup_windows) for downstream filtering or
+    * window dropping.
+    *
+    * Scale shape: windows shuffle ONCE on their fingerprint with
+    * map-side-combinable min; the first-occurrence key is an encoded
+    * long (doc_id · 2^20 + window index), so no struct comparisons and
+    * the oracle mirrors it with plain integer arithmetic. Everything
+    * else is row-local array math. */
+  def windowDedup(docs: DataFrame, windowTokens: Int = 20): DataFrame = {
+    require(windowTokens > 0)
+    val w = windowTokens
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val wins = toks
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(ceil(size(col("t")).cast("double") / w)
+            .cast("int") - 1, lit(0))),
+          i => array_join(slice(col("t"), i * w + 1, lit(w)), " ")))
+          .as(Seq("w_idx", "w_text")))
+      .filter(col("w_text") =!= "") // empty doc → one empty window: drop
+      .select(col("doc_id"), col("w_idx"),
+        (col("doc_id") * 1048576L + col("w_idx")).as("ord"),
+        md5(col("w_text")).as("whash"))
+    val first = wins.groupBy("whash").agg(min(col("ord")).as("first_ord"))
+    wins.join(first, Seq("whash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("ord") > col("first_ord"), 1L).otherwise(0L))
+          .as("n_dup_windows"))
+      .orderBy("doc_id")
+  }
+
   /** 16-bit SimHash from the word set: bit k is set when the majority of
     * words have the high bit of hex digit k of md5(word) set
     * (hex digit ≥ '8'). Returned as a 16-char '0'/'1' string. */

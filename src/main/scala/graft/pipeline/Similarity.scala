@@ -50,6 +50,42 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Int8-quantized brute-force top-k: each vector is quantized to
+    * integer components round(x · 127/max|x|) ∈ [−127, 127] — the
+    * standard 4×-memory-reduction serving format (int8 vs float32) —
+    * and similarity runs on the quantized vectors. At 100 TB the
+    * quantized corpus fits 4× more vectors per executor and the integer
+    * dot products stay exact (|Σ qᵢ·qᵢ'| ≤ 127²·dim ≪ 2^53, so the
+    * double-typed arithmetic below is integer-exact in ANY engine —
+    * which also makes the ranking hash-checkable against DuckDB,
+    * unlike float32 cosine re-rank). A degenerate all-zero vector gets
+    * sim −2 (below any cosine) instead of NaN, deterministically last.
+    * Output: (query_id, neighbor_id, rank) like bruteForceTopK; ranks
+    * differ from the float path only where quantization reorders
+    * near-ties — that gap IS the quantization error being measured. */
+  def quantizedTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val d = dot(emb) _
+    val q8 = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => when(col("ma") === 0.0, 0.0).otherwise(round(x * (lit(127.0) / col("ma"))))))
+      .withColumn("qn", sqrt(d(col("qv"), col("qv"))))
+      .select("vec_id", "qv", "qn")
+    val q = q8.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("a"), col("qn").as("an"))
+    val cand = q8.select(col("vec_id").as("neighbor_id"), col("qv"), col("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", when(col("an") * col("qn") === 0.0, lit(-2.0))
+        .otherwise(d(col("a"), col("qv")) / (col("an") * col("qn"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest of K
     * coarse centroids; queries probe only the `nProbe` nearest centroid
     * lists. Seeding is the K lowest-id vectors, refined by `lloydIters`
@@ -206,8 +242,8 @@ object Similarity {
     ivfAssign(n, cents, dot(emb) _)
       .write.parquet(s"$path/assignments")
     val (cnt, h) = corpusFingerprint(emb)
-    Seq((cnt, h, kC, lloydIters))
-      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters")
+    Seq((cnt, h, kC, lloydIters, Seq("assignments")))
+      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters", "gens")
       .coalesce(1).write.parquet(s"$path/meta")
   }
 
@@ -244,7 +280,7 @@ object Similarity {
     val d = dot(queries) _
     val cents = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
-    val assigned = spark.read.parquet(s"$path/assignments")
+    val assigned = spark.read.parquet(assignmentDirs(spark, path): _*)
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cent_id").asc)
     val probes = queries
@@ -265,6 +301,76 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** Incremental index growth: assign a NEW batch of vectors to the
+    * EXISTING centroids and append them to the index's inverted lists,
+    * updating the corpus fingerprint so `ivfQuery(corpus ∪ batch)`
+    * attests cleanly. This is the standard IVF append tradeoff: the
+    * coarse quantizer (centroids) stays frozen — cheap (one broadcast
+    * assignment pass over the batch only, no corpus re-scan, no Lloyd) —
+    * and recall decays only as the corpus DRIFTS away from the centroid
+    * distribution; rebuild with `ivfBuild` when the appended fraction
+    * gets large. The fingerprint update is exact, not approximate: the
+    * corpus hash is an order-free XOR of per-row hashes, so
+    * fp(corpus ∪ batch) = (count + batchCount, hash ⊻ batchHash) without
+    * touching the base corpus.
+    *
+    * `base` must be the corpus the index currently covers (attested
+    * against the stored fingerprint — appending onto the wrong index
+    * version is exactly the silent-staleness bug the binding exists to
+    * stop); `batch` must carry NEW vec_ids. */
+  def ivfAppend(base: DataFrame, batch: DataFrame, path: String): Unit = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    attestCorpus(base, path)
+    val meta = spark.read.parquet(s"$path/meta").head
+    val d = dot(batch) _
+    val cents = broadcast(spark.read.parquet(s"$path/centroids")
+      .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
+    // the batch's inverted-list rows land in a FRESH generation dir that
+    // only becomes visible when the meta swap below commits it: a crash
+    // at any earlier point leaves an orphan dir readers never consult
+    // and an unchanged fingerprint — fail-closed, retry-safe (no
+    // duplicate assignment rows, ever)
+    val gen = s"assignments_${java.util.UUID.randomUUID}"
+    ivfAssign(withNorm(batch), cents, d).write.parquet(s"$path/$gen")
+    val (bCnt, bH) = corpusFingerprint(batch)
+    val gens = assignmentGens(meta) :+ gen
+    val newMeta = Seq((meta.getAs[Long]("corpus_count") + bCnt,
+      meta.getAs[Long]("corpus_hash") ^ bH,
+      meta.getAs[Int]("n_centroids"), meta.getAs[Int]("lloyd_iters"), gens))
+      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters", "gens")
+    val tmp = java.nio.file.Paths.get(path, ".meta_new")
+    newMeta.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val metaDir = java.nio.file.Paths.get(path, "meta")
+    val bak = java.nio.file.Paths.get(path, ".meta_old")
+    deleteTree(bak)
+    java.nio.file.Files.move(metaDir, bak)
+    java.nio.file.Files.move(tmp, metaDir)
+    deleteTree(bak)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      }
+
+  /** The meta row's committed assignment generations ("assignments" for
+    * a pre-append or legacy index). */
+  private def assignmentGens(meta: org.apache.spark.sql.Row): Seq[String] =
+    if (meta.schema.fieldNames.contains("gens"))
+      meta.getAs[scala.collection.Seq[String]]("gens").toSeq
+    else Seq("assignments")
+
+  private def assignmentDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val gens =
+      try assignmentGens(spark.read.parquet(s"$path/meta").head)
+      catch { case _: Exception => Seq("assignments") } // legacy: no meta
+    gens.map(g => s"$path/$g")
   }
 
   /** Fail loudly when `emb` is not the corpus the index at `path` was

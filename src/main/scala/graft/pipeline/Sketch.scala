@@ -82,4 +82,16 @@ object Sketch {
         (col("bin").cast("double") * binWidth).as("est"), col("n"))
       .orderBy(groupCol, "q_permille")
   }
+
+  /** Term-frequency spectrum (count-of-counts): how many distinct terms
+    * occur exactly `cnt` times — the Zipf/Good-Turing diagnostic a
+    * corpus-quality pass reads before choosing vocabulary and rare-word
+    * thresholds (a healthy natural corpus has a hapax-heavy power-law
+    * tail; machine-generated text does not). Two map-side-combinable
+    * aggregations: shuffle O(vocab) then O(distinct counts). */
+  def termFrequencySpectrum(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("n_terms"))
+      .orderBy("cnt").limit(k)
 }

@@ -157,4 +157,66 @@ object TextOps {
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(k)
+
+  // PII patterns: conservative, valid in BOTH Java regex (Spark) and RE2
+  // (DuckDB) so the oracle mirrors the scrub exactly. No lookarounds, no
+  // backrefs.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrubbing for training corpora: redact emails, phone numbers,
+    * and IPv4 addresses with typed placeholders, and count what was
+    * removed (the counts drive per-source PII-rate monitoring). Pure
+    * codegen'd column expressions — three regexp passes per row, no
+    * shuffle, linear at any corpus size. Redaction order matters
+    * (an email's host looks nothing like an IP under these patterns,
+    * but fixing the order makes the output deterministic by
+    * construction); counts are taken on the ORIGINAL text. The scrubbed
+    * text is returned as an md5 fingerprint alongside its length — at
+    * 100 TB the scrubbed corpus is a written artifact, not a query
+    * result, and the fingerprint makes the transform hash-checkable. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        Ipv4Re, "<IP>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      length(scrubbed).cast("long").as("scrubbed_len"),
+      md5(scrubbed).as("scrubbed_fp"))
+  }
+
+  /** Inverted-index posting lists: for the `k` most frequent terms
+    * (document frequency, term tie-break), the first `maxPostings`
+    * doc_ids containing the term plus the full df. Scale shape: the
+    * distinct (doc, term) pairs shuffle ONCE on term; the per-term rank
+    * rides a SPILLABLE window sort (a stopword-frequency term is one
+    * slow sorted partition, never an OOM), and the collect buffer is
+    * bounded at maxPostings by ranking BEFORE collecting (collect_list
+    * skips the nulls the `when` leaves for rank > maxPostings — an
+    * uncapped collect_list would hold a stopword's entire posting list
+    * in one aggregation buffer). */
+  def postingLists(docs: DataFrame, k: Int = 50,
+      maxPostings: Int = 8): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val byTerm = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("doc_id")
+    words
+      .withColumn("rk", row_number().over(byTerm))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(when(col("rk") <= maxPostings, col("doc_id"))))
+          .as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
 }

@@ -144,9 +144,32 @@ object PipelineQueries {
       Dedup.dedupeNewBatch(
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
     }),
+    // sub-document (token-window) exact dedup with the keep-first rule
+    "q_pipe_window_dedup" -> ((s, dir) => Dedup.windowDedup(docs(s, dir))),
+    // PII scrubbing: the corpus text carries no PII, so deterministic
+    // email/phone/IP payloads are appended per doc (same construction in
+    // the oracle) and the scrub redacts + counts them
+    "q_pipe_pii" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"), concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".1")).as("text"))
+      TextOps.scrubPii(withPii).orderBy("doc_id")
+    }),
+    // int8-quantized ANN (the 4x-memory serving format), integer-exact
+    "q_pipe_knn_q8" -> ((s, dir) =>
+      Similarity.quantizedTopK(emb(s, dir), k = 5, nQueries = 10)),
+    // inverted-index posting lists: top-50 terms by df, first 8 postings
+    "q_pipe_postings" -> ((s, dir) => TextOps.postingLists(docs(s, dir))),
+    // fixed-count deterministic per-group sample (hash reservoir)
+    "q_pipe_reservoir" -> ((s, dir) => Curation.reservoirPerGroup(docs(s, dir))),
     "q_pipe_packing" -> ((s, dir) => Curation.packSequences(docs(s, dir))),
     "q_pipe_vocab" -> ((s, dir) => Curation.topKTokens(docs(s, dir))),
     "q_pipe_distinct_est" -> ((s, dir) => Sketch.kmvDistinctDocs(docs(s, dir))),
+    // Zipf diagnostic: count-of-counts over the term frequencies
+    "q_pipe_freq_spectrum" -> ((s, dir) => Sketch.termFrequencySpectrum(docs(s, dir))),
     // TF-IDF term ranking (1/df idf — exactly-rounded division, no libm)
     "q_pipe_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(docs(s, dir).filter(col("doc_id") < 100))),
@@ -547,6 +570,88 @@ object PipelineQueries {
         |FROM ex LEFT JOIN near ON ex.doc_id = near.doc_id
         |ORDER BY ex.doc_id""".stripMargin,
 
+    // token-window dedup: same tokenizer, 20-token non-overlapping
+    // windows (partial tail kept), keep-first by encoded (doc, window)
+    // order — DuckDB list slice is 1-based inclusive [a:b]
+    "q_pipe_window_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, i - 1 AS w_idx,
+        |   array_to_string(toks[(i-1)*20+1 : (i-1)*20+20], ' ') AS w_text
+        | FROM t, unnest(range(1,
+        |   greatest(CAST(ceil(len(toks)/20.0) AS BIGINT), 1) + 1)) u(i)),
+        |wf AS (SELECT doc_id, w_idx, doc_id * 1048576 + w_idx AS ord,
+        |  md5(w_text) AS whash FROM w WHERE w_text <> ''),
+        |f AS (SELECT whash, min(ord) AS first_ord FROM wf GROUP BY whash)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN ord > first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |FROM wf JOIN f USING (whash)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PII scrub: same constructed payloads, same three regexes (valid in
+    // both Java regex and RE2), same redaction order; counts on the
+    // original text
+    "q_pipe_pii" -> {
+      val (em, ph, ip) = (TextOps.EmailRe, TextOps.PhoneRe, TextOps.Ipv4Re)
+      s"""WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@example.com or call +1-555-'
+        |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |   || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+        | FROM documents),
+        |s AS (SELECT doc_id, t,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '$em', '<EMAIL>', 'g'),
+        |    '$ph', '<PHONE>', 'g'),
+        |    '$ip', '<IP>', 'g') AS scr
+        | FROM p)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+        | CAST(length(scr) AS BIGINT) AS scrubbed_len,
+        | md5(scr) AS scrubbed_fp
+        |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // int8 quantization: one rounded division (127/max|x|), one rounded
+    // multiply, round() — every scalar op IEEE-exact; integer dot
+    // products exact in doubles (<= 127^2 * dim << 2^53)
+    "q_pipe_knn_q8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |z AS (SELECT vec_id, list_transform(v,
+        |  x -> CASE WHEN ma = 0 THEN 0.0 ELSE round(x * (127.0 / ma)) END) AS qv FROM q),
+        |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM z),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |   CASE WHEN a.qn * b.qn = 0 THEN -2.0
+        |        ELSE list_dot_product(a.qv, b.qv) / (a.qn * b.qn) END AS sim
+        | FROM n a, n b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        | FROM p)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // posting lists: top-50 terms by (df DESC, term), first 8 doc_ids
+    "q_pipe_postings" ->
+      """WITH words AS (SELECT DISTINCT doc_id, w AS term FROM documents,
+        | unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w))
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        | list_slice(list(doc_id ORDER BY doc_id), 1, 8) AS postings
+        |FROM words GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin,
+
+    // hash reservoir: k smallest md5(doc_id) per lang
+    "q_pipe_reservoir" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        | FROM documents)
+        |SELECT lang, doc_id, rk FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
     // contiguous sequence packing at 2048 tokens: window = prefix-sum div
     // (the Spark side computes the prefix sum as a distributed two-pass
     // scan; values are identical)
@@ -581,6 +686,16 @@ object PipelineQueries {
         |      ELSE (k_actual - 1) * 4294967296 // kth_hv END AS est_distinct,
         | n_exact
         |FROM sk, ex""".stripMargin,
+
+    // count-of-counts over term frequencies, ascending cnt
+    "q_pipe_freq_spectrum" ->
+      """WITH tc AS (
+        | SELECT w AS term, count(*) AS cnt
+        | FROM documents,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)
+        | GROUP BY w)
+        |SELECT cnt, CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tc GROUP BY cnt ORDER BY cnt LIMIT 50""".stripMargin,
 
     // top-100 vocabulary by raw token frequency, tie-break by word
     "q_pipe_vocab" ->

@@ -93,4 +93,85 @@ class PipelineOpsSpec extends AnyFunSuite {
     // every batch doc gets exactly one row, even when nothing matches
     assert(got.keySet == Set(10L, 11L, 12L))
   }
+
+  test("windowDedup: keep-first rule over non-overlapping token windows") {
+    // windows of 3 tokens: doc 1 = [a b c][d e f]; doc 2 repeats doc 1's
+    // first window then a novel tail (partial window kept); doc 3 repeats
+    // a window WITHIN itself; doc 4 empty
+    val docs = docsDF(Seq(
+      (1L, "a b c d e f", "en"),
+      (2L, "a b c x y", "en"),
+      (3L, "p q r p q r", "en"),
+      (4L, "", "en")))
+    val got = Dedup.windowDedup(docs, windowTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 0L)))           // first occurrences
+    assert(got(2L) == ((2L, 1L)))           // [a b c] seen in doc 1; [x y] novel
+    assert(got(3L) == ((2L, 1L)))           // second [p q r] dups the first
+    assert(!got.contains(4L))               // empty doc: no windows
+  }
+
+  test("scrubPii: redacts emails/phones/IPs with exact counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@test.org and x@y.io call +49-123-4567 from 192.168.0.1 ok"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextOps.scrubPii(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 1L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+    // the redacted rendering is exact (check via recomputing the scrub)
+    val scrubbed = df.filter(col("doc_id") === 1L).select(
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextOps.EmailRe, "<EMAIL>"), TextOps.PhoneRe, "<PHONE>"),
+        TextOps.Ipv4Re, "<IP>")).head.getString(0)
+    assert(scrubbed == "mail <EMAIL> and <EMAIL> call <PHONE> from <IP> ok")
+    assert(TextOps.scrubPii(df).filter(col("doc_id") === 1L)
+      .head.getAs[Long]("scrubbed_len") == scrubbed.length.toLong)
+  }
+
+  test("quantizedTopK: identical vectors rank first; zero vector never NaNs") {
+    import graft.pipeline.Similarity
+    import spark.implicits._
+    // vec 0 and vec 10 identical; vec 1 is all-zero (degenerate); the rest
+    // pseudo-random
+    val emb = (0L until 20L).map { i =>
+      val base: Array[Float] =
+        if (i == 10L) Array.tabulate(8)(j => ((0 * 31 + j * 7) % 13).toFloat - 6f)
+        else if (i == 1L) Array.fill(8)(0f)
+        else Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat - 6f)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.quantizedTopK(emb, k = 3, nQueries = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // query 0's rank-1 neighbor is its identical copy (cos exactly 1)
+    assert(got.contains((0L, 10L, 1)))
+    // the zero-vector query answers (sim −2 everywhere, no NaN ordering):
+    // k neighbors with deterministic id tie-break
+    val q1 = got.filter(_._1 == 1L).map(_._2).toSeq
+    assert(q1 == Seq(0L, 2L, 3L), s"zero-vector neighbors: $q1")
+  }
+
+  test("postingLists: df counts full, postings capped at first-k doc ids") {
+    val docs = docsDF(
+      (0L until 10L).map(i => (i, "common alpha", "en")) ++
+        Seq((20L, "rare beta", "en")))
+    val got = TextOps.postingLists(docs, k = 10, maxPostings = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(got("common") == ((10L, Seq(0L, 1L, 2L))))  // df=10, first 3 kept
+    assert(got("alpha")._1 == 10L)
+    assert(got("rare") == ((1L, Seq(20L))))
+  }
+
+  test("reservoirPerGroup: fixed count per group, deterministic") {
+    val docs = docsDF((0L until 300L).map(i =>
+      (i, s"d $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr")))
+    val a = Curation.reservoirPerGroup(docs, k = 7).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(a.groupBy(_._1).forall(_._2.length == 7), "exactly k per group")
+    // stable under re-run and under a different row order
+    val b = Curation.reservoirPerGroup(docs.orderBy(col("doc_id").desc), k = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(a.toSeq == b.toSeq)
+  }
 }

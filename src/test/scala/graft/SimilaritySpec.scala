@@ -127,6 +127,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfQuery(emb, path, k = 3, nQueries = 5).count() > 0)
   }
 
+  test("ivfAppend: index grows with a new batch, fail-closed, no corpus re-scan") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16)
+    // the batch: copies of vectors 0..9 under fresh ids
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    // appending onto anything but the index's current corpus fails loudly
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfAppend(batch, batch, path) }
+    assert(e.getMessage.contains("STALE"), e.getMessage)
+    Similarity.ivfAppend(emb, batch, path)
+    // the grown corpus attests cleanly; the base alone is now stale
+    // (fingerprints ride (vec_id, embedding) only — drop the extra label)
+    val full = emb.select("vec_id", "embedding").unionByName(batch)
+    assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 3).count() > 0)
+    intercept[IllegalStateException] {
+      Similarity.ivfQuery(emb, path, k = 1, nQueries = 3).count() }
+    // the appended generation is actually served: each original vector's
+    // rank-2 neighbor (after itself) is its appended copy (cos exactly 1,
+    // id tie-break puts the original first)
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfQueryVectors(q, path, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    for (i <- 0L until 3L) {
+      assert(got((i, 1)) == i, s"rank-1 of $i should be itself")
+      assert(got((i, 2)) == i + 900000L, s"rank-2 of $i should be its appended copy")
+    }
+  }
+
   test("autoCentroids: K ≈ √N, clamped") {
     for ((n, want) <- Seq(0L -> 16, 100L -> 16, 256L -> 16, 400L -> 20,
         1000000L -> 1000, 1000001L -> 1001, (1L << 40) -> 65536))
