@@ -50,6 +50,45 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** k-NN label classification: each query vector's label is the
+    * majority vote among its k nearest labeled neighbors (self excluded),
+    * tie-break by smallest label — the classic embedding-space
+    * classifier used to audit label quality and propagate labels onto
+    * unlabeled data. Rides bruteForceTopK's broadcast plan; the vote is
+    * one small groupBy over nQueries·k rows. Output: (query_id,
+    * pred_label, votes). */
+  def knnClassify(emb: DataFrame, k: Int = 5, nQueries: Int): DataFrame = {
+    val nb = bruteForceTopK(emb, k, nQueries)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    nb.join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
+  /** Per-label mean embedding (class centroids) with the same order-free
+    * quantized-integer summation as the Lloyd update: Σ round(x·1024)
+    * per (label, dim) is exact in ANY aggregation order, one division at
+    * the end — bit-reproducible across engines and partitionings, where
+    * a float mean is neither. The map-side partial aggregation bounds
+    * the shuffle at O(labels · dim) regardless of corpus size. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+        posexplode(transform(col("embedding"), _.cast("double"))).as(Seq("j", "x")))
+      .groupBy("label", "j")
+      .agg(sum(round(col("x") * 1024).cast("long")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"),
+          (col("s") / (lit(1024.0) * col("cnt"))).as("value")))),
+        _.getField("value")).as("centroid"),
+        max(col("cnt")).as("n_vectors"))
+      .orderBy("label")
+
   /** Int8-quantized brute-force top-k: each vector is quantized to
     * integer components round(x · 127/max|x|) ∈ [−127, 127] — the
     * standard 4×-memory-reduction serving format (int8 vs float32) —
@@ -242,8 +281,9 @@ object Similarity {
     ivfAssign(n, cents, dot(emb) _)
       .write.parquet(s"$path/assignments")
     val (cnt, h) = corpusFingerprint(emb)
-    Seq((cnt, h, kC, lloydIters, Seq("assignments")))
-      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters", "gens")
+    Seq((cnt, h, kC, lloydIters, Seq("assignments"), -1L))
+      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters",
+        "gens", "last_batch")
       .coalesce(1).write.parquet(s"$path/meta")
   }
 
@@ -321,26 +361,48 @@ object Similarity {
     * version is exactly the silent-staleness bug the binding exists to
     * stop); `batch` must carry NEW vec_ids. */
   def ivfAppend(base: DataFrame, batch: DataFrame, path: String): Unit = {
-    val spark = base.sparkSession
-    import spark.implicits._
     attestCorpus(base, path)
+    appendUnattested(batch, path, batchId = None)
+  }
+
+  /** Streaming variant of [[ivfAppend]] with exactly-once semantics: the
+    * committed `batchId` is recorded in the meta swap, so a Structured
+    * Streaming foreachBatch RE-DELIVERY of an already-committed batch is
+    * skipped (returns false). No base-corpus attestation — in the
+    * streaming scenario the index is maintained by a single pipeline and
+    * the meta fingerprint is its incrementally-true corpus identity;
+    * external readers still attest the full corpus via [[ivfQuery]].
+    * See [[graft.streaming.StreamingAnn]] for the sink wrapper. */
+  def ivfAppendBatch(batch: DataFrame, path: String, batchId: Long): Boolean =
+    appendUnattested(batch, path, Some(batchId))
+
+  /** Shared append core: the batch's inverted-list rows land in a FRESH
+    * generation dir that only becomes visible when the meta swap commits
+    * it — a crash at any earlier point leaves an orphan dir readers
+    * never consult and an unchanged fingerprint (fail-closed,
+    * retry-safe: no duplicate assignment rows, ever). */
+  private def appendUnattested(batch: DataFrame, path: String,
+      batchId: Option[Long]): Boolean = {
+    val spark = batch.sparkSession
+    import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").head
+    val lastBatch =
+      if (meta.schema.fieldNames.contains("last_batch"))
+        meta.getAs[Long]("last_batch") else -1L
+    if (batchId.exists(_ <= lastBatch)) return false // re-delivery: skip
     val d = dot(batch) _
     val cents = broadcast(spark.read.parquet(s"$path/centroids")
       .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
-    // the batch's inverted-list rows land in a FRESH generation dir that
-    // only becomes visible when the meta swap below commits it: a crash
-    // at any earlier point leaves an orphan dir readers never consult
-    // and an unchanged fingerprint — fail-closed, retry-safe (no
-    // duplicate assignment rows, ever)
     val gen = s"assignments_${java.util.UUID.randomUUID}"
     ivfAssign(withNorm(batch), cents, d).write.parquet(s"$path/$gen")
     val (bCnt, bH) = corpusFingerprint(batch)
     val gens = assignmentGens(meta) :+ gen
     val newMeta = Seq((meta.getAs[Long]("corpus_count") + bCnt,
       meta.getAs[Long]("corpus_hash") ^ bH,
-      meta.getAs[Int]("n_centroids"), meta.getAs[Int]("lloyd_iters"), gens))
-      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters", "gens")
+      meta.getAs[Int]("n_centroids"), meta.getAs[Int]("lloyd_iters"), gens,
+      batchId.getOrElse(lastBatch)))
+      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters",
+        "gens", "last_batch")
     val tmp = java.nio.file.Paths.get(path, ".meta_new")
     newMeta.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val metaDir = java.nio.file.Paths.get(path, "meta")
@@ -349,6 +411,7 @@ object Similarity {
     java.nio.file.Files.move(metaDir, bak)
     java.nio.file.Files.move(tmp, metaDir)
     deleteTree(bak)
+    true
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
@@ -527,11 +590,14 @@ object Similarity {
     val q = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val cand = sig.select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
-    // distinct candidate ids over tables, then one exact sim per candidate
-    val pairs = q.join(cand, Seq("tbl", "bucket"))
+    // distinct candidate ids over tables, then one exact sim per
+    // candidate. The pair set is nQueries-bounded (≤ nQueries · nTables
+    // · cap rows) — BROADCAST it so the corpus-side vector joins below
+    // probe a hash map instead of shuffling all N vectors on vec_id.
+    val pairs = broadcast(q.join(cand, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-      .distinct()
+      .distinct())
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     pairs

@@ -161,6 +161,12 @@ object PipelineQueries {
     // int8-quantized ANN (the 4x-memory serving format), integer-exact
     "q_pipe_knn_q8" -> ((s, dir) =>
       Similarity.quantizedTopK(emb(s, dir), k = 5, nQueries = 10)),
+    // k-NN majority-vote label classification over the embeddings
+    "q_pipe_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(emb(s, dir), k = 5, nQueries = 20)),
+    // per-label mean embeddings (order-free quantized-integer sums)
+    "q_pipe_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(emb(s, dir))),
     // inverted-index posting lists: top-50 terms by df, first 8 postings
     "q_pipe_postings" -> ((s, dir) => TextOps.postingLists(docs(s, dir))),
     // fixed-count deterministic per-group sample (hash reservoir)
@@ -634,6 +640,39 @@ object PipelineQueries {
         | FROM p)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // k-NN classification: exact top-5 neighbors (same plan as
+    // q_pipe_knn at nQueries=20), majority vote with smallest-label
+    // tie-break
+    "q_pipe_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |        list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS sim
+        |      FROM n q, n t WHERE q.vec_id < 20 AND t.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p),
+        |nb AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),
+        |v AS (SELECT nb.query_id, emb.label, CAST(count(*) AS BIGINT) AS votes
+        |      FROM nb JOIN embeddings emb ON emb.vec_id = nb.neighbor_id
+        |      GROUP BY 1, 2),
+        |w AS (SELECT query_id, label, votes,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+        |      FROM v)
+        |SELECT query_id, label AS pred_label, votes FROM w WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
+
+    // per-label centroids: identical quantized-integer mean as the IVF
+    // Lloyd update (order-free exact)
+    "q_pipe_label_centroids" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s1 AS (SELECT label, j, sum(CAST(round(x * 1024) AS BIGINT)) AS s, count(*) AS cnt
+        |       FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM e)
+        |       GROUP BY 1, 2)
+        |SELECT label, list(s / (1024.0 * cnt) ORDER BY j) AS centroid,
+        |       CAST(max(cnt) AS BIGINT) AS n_vectors
+        |FROM s1 GROUP BY label ORDER BY label""".stripMargin,
 
     // posting lists: top-50 terms by (df DESC, term), first 8 doc_ids
     "q_pipe_postings" ->
