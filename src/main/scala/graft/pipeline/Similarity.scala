@@ -281,10 +281,25 @@ object Similarity {
     ivfAssign(n, cents, dot(emb) _)
       .write.parquet(s"$path/assignments")
     val (cnt, h) = corpusFingerprint(emb)
-    Seq((cnt, h, kC, lloydIters, Seq("assignments"), -1L))
+    Seq((cnt, h, kC, lloydIters, Seq("assignments"), -1L, cnt))
       .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters",
-        "gens", "last_batch")
+        "gens", "last_batch", "base_count")
       .coalesce(1).write.parquet(s"$path/meta")
+  }
+
+  /** Fraction of the index's corpus appended SINCE the centroids were
+    * trained (0 right after ivfBuild). Appends keep the coarse quantizer
+    * frozen, so recall decays as this grows — poll it to schedule the
+    * periodic rebuild (a common policy rebuilds past ~0.3–0.5). */
+  def appendedFraction(spark: org.apache.spark.sql.SparkSession,
+      path: String): Double = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    val cnt = meta.getAs[Long]("corpus_count")
+    val base =
+      if (meta.schema.fieldNames.contains("base_count"))
+        meta.getAs[Long]("base_count")
+      else cnt // legacy index: appends untracked, report 0
+    if (cnt == 0) 0.0 else (cnt - base).toDouble / cnt
   }
 
   /** Top-k cosine neighbors from a BUILT index for the `nQueries`
@@ -397,12 +412,16 @@ object Similarity {
     ivfAssign(withNorm(batch), cents, d).write.parquet(s"$path/$gen")
     val (bCnt, bH) = corpusFingerprint(batch)
     val gens = assignmentGens(meta) :+ gen
+    val baseCnt =
+      if (meta.schema.fieldNames.contains("base_count"))
+        meta.getAs[Long]("base_count")
+      else meta.getAs[Long]("corpus_count")
     val newMeta = Seq((meta.getAs[Long]("corpus_count") + bCnt,
       meta.getAs[Long]("corpus_hash") ^ bH,
       meta.getAs[Int]("n_centroids"), meta.getAs[Int]("lloyd_iters"), gens,
-      batchId.getOrElse(lastBatch)))
+      batchId.getOrElse(lastBatch), baseCnt))
       .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters",
-        "gens", "last_batch")
+        "gens", "last_batch", "base_count")
     val tmp = java.nio.file.Paths.get(path, ".meta_new")
     newMeta.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val metaDir = java.nio.file.Paths.get(path, "meta")

@@ -158,6 +158,10 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got((i, 1)) == i, s"rank-1 of $i should be itself")
       assert(got((i, 2)) == i + 900000L, s"rank-2 of $i should be its appended copy")
     }
+    // drift accounting: appended fraction = batch / (base + batch)
+    val baseN = emb.count()
+    val want = 10.0 / (baseN + 10)
+    assert(math.abs(Similarity.appendedFraction(spark, path) - want) < 1e-12)
   }
 
   test("autoCentroids: K ≈ √N, clamped") {
