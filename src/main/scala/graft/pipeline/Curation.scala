@@ -208,6 +208,29 @@ object Curation {
       .orderBy("seq_id")
   }
 
+  /** The canonical curation chain COMPOSED end-to-end: quality gate →
+    * exact dedup (keep-first by doc_id) → deterministic stratified
+    * sample → sequence packing. Every stage is the production operator
+    * defined above — gating the composition as ONE oracle query keeps
+    * the inter-stage contracts (column shapes, ordering assumptions,
+    * determinism under recompute) continuously checked, which per-stage
+    * gates alone do not. Scale shape is the union of the parts: one
+    * fingerprint shuffle (dedup), row-local predicates (gate + sample),
+    * and the two-pass distributed prefix sum (packing). */
+  def curatePipeline(docs: DataFrame, minTokens: Long = 20L,
+      minQuality: Double = 0.3): DataFrame = {
+    val q = docs.select(Seq(col("doc_id").cast("long").as("doc_id"),
+        col("lang"), col("text")) ++ TextOps.qualityColumns(col("text")): _*)
+      .filter(col("n_tokens") >= minTokens && col("quality") >= minQuality)
+    val fp = q.withColumn("fp", TextOps.fingerprint(col("text")))
+    val deduped = fp.join(
+      fp.groupBy("fp").agg(min("doc_id").as("doc_id")),
+      Seq("fp", "doc_id"), "left_semi")
+    val sampled = deduped.join(
+      stratifiedSample(deduped).select("doc_id"), Seq("doc_id"), "left_semi")
+    packSequences(sampled)
+  }
+
   /** Corpus vocabulary: the k most frequent tokens (frequency counts over
     * ALL occurrences, not per-document presence), deterministic tie-break
     * by word. Map-side partial aggregation bounds the shuffle at

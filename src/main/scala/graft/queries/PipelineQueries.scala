@@ -172,6 +172,9 @@ object PipelineQueries {
     // fixed-count deterministic per-group sample (hash reservoir)
     "q_pipe_reservoir" -> ((s, dir) => Curation.reservoirPerGroup(docs(s, dir))),
     "q_pipe_packing" -> ((s, dir) => Curation.packSequences(docs(s, dir))),
+    // the full curation chain composed end-to-end (gate → dedup →
+    // sample → pack), one oracle over the whole composition
+    "q_pipe_e2e" -> ((s, dir) => Curation.curatePipeline(docs(s, dir))),
     "q_pipe_vocab" -> ((s, dir) => Curation.topKTokens(docs(s, dir))),
     "q_pipe_distinct_est" -> ((s, dir) => Sketch.kmvDistinctDocs(docs(s, dir))),
     // Zipf diagnostic: count-of-counts over the term frequencies
@@ -704,6 +707,45 @@ object PipelineQueries {
         |  CAST(SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks
         |       AS BIGINT) AS brk
         | FROM t),
+        |s AS (SELECT doc_id, toks, CAST(brk // 2048 AS BIGINT) AS seq_id FROM c)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM s GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // the composed pipeline: quality gate (same formula as
+    // q_pipe_quality) → keep-first fingerprint dedup → stratified-sample
+    // predicate (same rates as q_pipe_sample) → 2048-token packing (same
+    // prefix sum as q_pipe_packing), chained as CTEs
+    "q_pipe_e2e" ->
+      s"""WITH u0 AS (SELECT doc_id, lang, text,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct
+        | FROM documents),
+        |u AS (SELECT doc_id, lang, text, n_chars, punct,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(toks, x -> x IN (${sqlList(TextOps.StopEn)}))) AS BIGINT) AS stops
+        | FROM u0),
+        |qg AS (SELECT doc_id, lang, text FROM u
+        | WHERE n_tokens >= 20 AND
+        |  round(CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.5
+        |    + CAST(stops AS DOUBLE) / greatest(n_tokens, 1) * 0.3
+        |    + (1.0 - CAST(punct AS DOUBLE) / n_chars) * 0.2, 4) >= 0.3),
+        |fpc AS (SELECT doc_id, lang, text,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp FROM qg),
+        |dd AS (SELECT f.* FROM fpc f
+        | JOIN (SELECT fp, min(doc_id) AS doc_id FROM fpc GROUP BY fp) k
+        |   ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        |sm AS (SELECT doc_id, text FROM dd
+        | WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 <
+        |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+        |            WHEN 'es' THEN 125 WHEN 'fr' THEN 62 ELSE 100 END),
+        |t AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS toks FROM sm),
+        |c AS (SELECT doc_id, toks,
+        |  CAST(SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - toks
+        |       AS BIGINT) AS brk FROM t),
         |s AS (SELECT doc_id, toks, CAST(brk // 2048 AS BIGINT) AS seq_id FROM c)
         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(toks) AS BIGINT) AS n_tokens,

@@ -173,4 +173,27 @@ class CurationSpec extends AnyFunSuite {
       ("de", 0.5, 42L), ("de", 0.9, 42L), ("de", 0.99, 42L),
       ("en", 0.5, 500L), ("en", 0.9, 900L), ("en", 0.99, 1000L)))
   }
+
+  test("curatePipeline: gate drops short docs, dedup drops copies, output deterministic") {
+    import spark.implicits._
+    // stop-heavy base keeps quality well above the gate; ≥20 tokens
+    val base = "the and of to in is that it was for a"
+    def text(i: Long) = s"$base $base unique$i words here"
+    val docs = ((0L until 100L).map(i => (i, text(i), "en")) ++ Seq(
+      (200L, text(3), "en"),        // exact dup of doc 3 → dedup drops it
+      (201L, "too short", "en")))   // 2 tokens → quality gate drops it
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.curatePipeline(docs).collect()
+    assert(out.nonEmpty)
+    // neither the dup (keep-first keeps doc 3) nor the gated doc can
+    // appear in any packed window's id range
+    assert(out.map(_.getLong(4)).max <= 199L, "dropped doc leaked into packing")
+    // windows partition the survivors: disjoint, orderly, counts add up
+    val seqIds = out.map(_.getLong(0)).toSeq
+    assert(seqIds == seqIds.sorted && seqIds.distinct == seqIds)
+    assert(out.map(_.getLong(1)).sum <= 100L)
+    // deterministic under re-run and row order
+    val again = Curation.curatePipeline(docs.orderBy(col("doc_id").desc)).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
