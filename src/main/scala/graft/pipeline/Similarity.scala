@@ -433,6 +433,40 @@ object Similarity {
     true
   }
 
+  /** Remove assignment generations a crashed append left ORPHANED —
+    * dirs whose write finished (or died) but whose meta swap never
+    * committed them into `gens`. Concurrency-safe the same way the
+    * store's staging sweep is: a dir is deleted only when it is absent
+    * from the committed meta AND its newest tree mtime is older than
+    * `graceMs` (an in-flight append keeps writing; a dead one goes
+    * silent). Returns the number of dirs removed. */
+  def ivfVacuum(path: String, graceMs: Long = 3600000L): Int = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val live =
+      try assignmentGens(spark.read.parquet(s"$path/meta").head).toSet
+      catch { case _: Exception => return 0 } // no committed meta: touch nothing
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
+    import scala.jdk.CollectionConverters._
+    val orphans = scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("assignments_") &&
+          !live(p.getFileName.toString))
+        .filter { p =>
+          val newest =
+            try scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+              _.iterator().asScala
+                .map(q => java.nio.file.Files.getLastModifiedTime(q).toMillis)
+                .foldLeft(0L)(math.max)
+            } catch { case _: java.io.IOException => Long.MaxValue }
+          newest <= cutoff
+        }.toSeq
+    }
+    orphans.foreach(deleteTree)
+    orphans.size
+  }
+
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p))
       scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>

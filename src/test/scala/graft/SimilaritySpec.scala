@@ -162,6 +162,26 @@ class SimilaritySpec extends AnyFunSuite {
     val baseN = emb.count()
     val want = 10.0 / (baseN + 10)
     assert(math.abs(Similarity.appendedFraction(spark, path) - want) < 1e-12)
+    // orphan-generation vacuum: a dir a crashed append never committed
+    // is swept once silent past the grace window; committed gens and
+    // young dirs survive
+    val orphan = java.nio.file.Paths.get(path, "assignments_orphan_dead")
+    java.nio.file.Files.createDirectories(orphan)
+    val f = orphan.resolve("part-0.parquet")
+    java.nio.file.Files.writeString(f, "x")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(f, old)
+    java.nio.file.Files.setLastModifiedTime(orphan, old)
+    val young = java.nio.file.Paths.get(path, "assignments_orphan_live")
+    java.nio.file.Files.createDirectories(young)
+    java.nio.file.Files.writeString(young.resolve("part-0.parquet"), "x")
+    assert(Similarity.ivfVacuum(path) == 1)
+    assert(!java.nio.file.Files.exists(orphan), "dead orphan survived")
+    assert(java.nio.file.Files.exists(young), "young dir swept")
+    // committed generations untouched: the index still serves everything
+    val got2 = Similarity.ivfQueryVectors(q, path, k = 2).collect()
+    assert(got2.length == got.size, "vacuum broke the committed index")
   }
 
   test("autoCentroids: K ≈ √N, clamped") {
