@@ -225,8 +225,14 @@ object Dedup {
       .select(col("doc_id"), col("w_idx"),
         (col("doc_id") * 1048576L + col("w_idx")).as("ord"),
         md5(col("w_text")).as("whash"))
-    val first = wins.groupBy("whash").agg(min(col("ord")).as("first_ord"))
-    wins.join(first, Seq("whash"))
+    // first-occurrence via a window MIN over the fingerprint — one
+    // shuffle on whash and one corpus scan, where a groupBy + self-join
+    // formulation scans the windows twice and shuffles three times
+    // (plan-audited). Partition sizes = duplicates per fingerprint:
+    // bounded by the dup multiplicity, never by the corpus.
+    val firstW = org.apache.spark.sql.expressions.Window.partitionBy("whash")
+    wins
+      .withColumn("first_ord", min(col("ord")).over(firstW))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("ord") > col("first_ord"), 1L).otherwise(0L))

@@ -537,10 +537,15 @@ object Similarity {
   private def tableSignatures(n: DataFrame, bits: Int, nTables: Int,
       maxBucketSize: Int): DataFrame = {
     val sigs = array((0 until nTables).map(t => lshSignature(bits, 24 * t)): _*)
+    // ids + buckets only — vectors rejoin AFTER candidate dedup, so the
+    // bucket shuffle moves ~30 bytes/row, not dim doubles. The frame
+    // feeds both sides of the candidate self-join: localCheckpoint
+    // (lazy) materializes the signature pass ONCE instead of re-scanning
+    // and re-hashing the corpus per consumer (plan-audited: 6 → 3
+    // corpus scans for lshTopK).
     capBuckets(
-      n.select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(sigs).as(Seq("tbl", "bucket"))),
-      maxBucketSize)
+      n.select(col("vec_id"), posexplode(sigs).as(Seq("tbl", "bucket"))),
+      maxBucketSize).localCheckpoint(false)
   }
 
   /** Signature width for a corpus of `n` vectors: the smallest b ≥ 8 with
