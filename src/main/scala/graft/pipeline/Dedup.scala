@@ -211,20 +211,8 @@ object Dedup {
     * the oracle mirrors it with plain integer arithmetic. Everything
     * else is row-local array math. */
   def windowDedup(docs: DataFrame, windowTokens: Int = 20): DataFrame = {
-    require(windowTokens > 0)
-    val w = windowTokens
-    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-    val wins = toks
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), greatest(ceil(size(col("t")).cast("double") / w)
-            .cast("int") - 1, lit(0))),
-          i => array_join(slice(col("t"), i * w + 1, lit(w)), " ")))
-          .as(Seq("w_idx", "w_text")))
-      .filter(col("w_text") =!= "") // empty doc → one empty window: drop
-      .select(col("doc_id"), col("w_idx"),
-        (col("doc_id") * 1048576L + col("w_idx")).as("ord"),
-        md5(col("w_text")).as("whash"))
+    val wins = tokenWindows(docs, windowTokens)
+      .select(col("doc_id"), col("w_idx"), col("ord"), col("whash"))
     // first-occurrence via a window MIN over the fingerprint — one
     // shuffle on whash and one corpus scan, where a groupBy + self-join
     // formulation scans the windows twice and shuffles three times
@@ -237,6 +225,49 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("ord") > col("first_ord"), 1L).otherwise(0L))
           .as("n_dup_windows"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, w_idx, w_text, ord, whash) token windows shared by
+    * windowDedup and windowCleanedDocs: non-overlapping
+    * `windowTokens`-token segments (partial tail kept), md5 fingerprint,
+    * corpus order encoded as doc_id · 2^20 + w_idx. */
+  private def tokenWindows(docs: DataFrame, windowTokens: Int): DataFrame = {
+    require(windowTokens > 0)
+    val w = windowTokens
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(ceil(size(col("t")).cast("double") / w)
+            .cast("int") - 1, lit(0))),
+          i => array_join(slice(col("t"), i * w + 1, lit(w)), " ")))
+          .as(Seq("w_idx", "w_text")))
+      .filter(col("w_text") =!= "") // empty doc → one empty window: drop
+      .select(col("doc_id"), col("w_idx"), col("w_text"),
+        (col("doc_id") * 1048576L + col("w_idx")).as("ord"),
+        md5(col("w_text")).as("whash"))
+  }
+
+  /** The CLEANED corpus windowDedup implies: duplicate windows removed
+    * (keep-first rule), survivors reassembled in document order. A doc
+    * whose every window was seen before disappears entirely — the
+    * cleaned corpus drops fully-duplicate documents. Returned as
+    * (doc_id, n_kept_windows, n_kept_tokens, cleaned_fp) with the
+    * reassembled text fingerprinted rather than materialized — at
+    * corpus scale the cleaned text is a written artifact, and the md5
+    * keeps the reassembly hash-checkable. Same single fingerprint
+    * shuffle as windowDedup plus the per-doc regroup. */
+  def windowCleanedDocs(docs: DataFrame, windowTokens: Int = 20): DataFrame = {
+    val firstW = org.apache.spark.sql.expressions.Window.partitionBy("whash")
+    tokenWindows(docs, windowTokens)
+      .withColumn("first_ord", min(col("ord")).over(firstW))
+      .filter(col("ord") === col("first_ord"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept_windows"),
+        sum(size(split(col("w_text"), " "))).cast("long").as("n_kept_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("w_idx"), col("w_text")))),
+          _.getField("w_text")), " ")).as("cleaned_fp"))
       .orderBy("doc_id")
   }
 

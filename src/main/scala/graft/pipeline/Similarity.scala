@@ -89,6 +89,29 @@ object Similarity {
         max(col("cnt")).as("n_vectors"))
       .orderBy("label")
 
+  /** Label-outlier detection (mislabel candidates): per label, the k
+    * vectors with the LOWEST cosine to their own label centroid — the
+    * standard embedding-space audit that surfaces mislabeled or
+    * out-of-distribution rows before training. Centroids come from
+    * [[labelCentroids]] (order-free quantized-integer means, so the
+    * whole result is bit-reproducible) and are BROADCAST
+    * (O(labels · dim)); the cosine is row-local; the only shuffle is
+    * the per-label bottom-k window. */
+  def labelOutliers(emb: DataFrame, k: Int = 3): DataFrame = {
+    val d = dot(emb) _
+    val cents = broadcast(labelCentroids(emb).select(col("label"), col("centroid")))
+    val w = Window.partitionBy("label").orderBy(col("cos").asc, col("vec_id"))
+    emb.select(col("vec_id"), col("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .join(cents, Seq("label"))
+      .withColumn("cos", d(col("v"), col("centroid"))
+        / (sqrt(d(col("v"), col("v"))) * sqrt(d(col("centroid"), col("centroid")))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("label", "vec_id", "cos", "rk")
+      .orderBy("label", "rk")
+  }
+
   /** Int8-quantized brute-force top-k: each vector is quantized to
     * integer components round(x · 127/max|x|) ∈ [−127, 127] — the
     * standard 4×-memory-reduction serving format (int8 vs float32) —

@@ -146,6 +146,11 @@ object PipelineQueries {
     }),
     // sub-document (token-window) exact dedup with the keep-first rule
     "q_pipe_window_dedup" -> ((s, dir) => Dedup.windowDedup(docs(s, dir))),
+    // the cleaned corpus that dedup implies: dup windows removed,
+    // survivors reassembled (fingerprinted) per doc
+    "q_pipe_window_clean" -> ((s, dir) => Dedup.windowCleanedDocs(docs(s, dir))),
+    // mislabel candidates: bottom-k cosine to own label centroid
+    "q_pipe_label_outliers" -> ((s, dir) => Similarity.labelOutliers(emb(s, dir))),
     // PII scrubbing: the corpus text carries no PII, so deterministic
     // email/phone/IP payloads are appended per doc (same construction in
     // the oracle) and the scrub redacts + counts them
@@ -598,6 +603,44 @@ object PipelineQueries {
         | CAST(sum(CASE WHEN ord > first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
         |FROM wf JOIN f USING (whash)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // cleaned corpus: same windows/keep-first rule; survivors re-joined
+    // in window order and fingerprinted
+    "q_pipe_window_clean" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, i - 1 AS w_idx,
+        |   array_to_string(toks[(i-1)*20+1 : (i-1)*20+20], ' ') AS w_text
+        | FROM t, unnest(range(1,
+        |   greatest(CAST(ceil(len(toks)/20.0) AS BIGINT), 1) + 1)) u(i)),
+        |wf AS (SELECT doc_id, w_idx, w_text, doc_id * 1048576 + w_idx AS ord,
+        |  md5(w_text) AS whash FROM w WHERE w_text <> ''),
+        |f AS (SELECT whash, min(ord) AS first_ord FROM wf GROUP BY whash),
+        |kept AS (SELECT wf.* FROM wf JOIN f USING (whash) WHERE ord = first_ord)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_windows,
+        | CAST(sum(len(string_split(w_text, ' '))) AS BIGINT) AS n_kept_tokens,
+        | md5(string_agg(w_text, ' ' ORDER BY w_idx)) AS cleaned_fp
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // label outliers: same quantized-integer centroids as
+    // q_pipe_label_centroids, bottom-k cosine per label
+    "q_pipe_label_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s1 AS (SELECT label, j, sum(CAST(round(x * 1024) AS BIGINT)) AS s, count(*) AS cnt
+        |       FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM e)
+        |       GROUP BY 1, 2),
+        |c AS (SELECT label, list(s / (1024.0 * cnt) ORDER BY j) AS centroid
+        |      FROM s1 GROUP BY label),
+        |x AS (SELECT e.vec_id, e.label,
+        |   list_dot_product(e.v, c.centroid)
+        |     / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+        | FROM e JOIN c USING (label)),
+        |r AS (SELECT label, vec_id, cos,
+        |   row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rk FROM x)
+        |SELECT label, vec_id, cos, rk FROM r WHERE rk <= 3
+        |ORDER BY label, rk""".stripMargin,
 
     // PII scrub: same constructed payloads, same three regexes (valid in
     // both Java regex and RE2), same redaction order; counts on the

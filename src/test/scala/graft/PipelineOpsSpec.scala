@@ -111,6 +111,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains(4L))               // empty doc: no windows
   }
 
+  test("windowCleanedDocs: dup windows removed, reassembly fingerprinted, fully-dup docs vanish") {
+    val docs = docsDF(Seq(
+      (1L, "a b c d e f", "en"),   // [a b c][d e f] — all first occurrences
+      (2L, "a b c x y", "en"),     // [a b c] dups doc 1 → only [x y] kept
+      (5L, "a b c", "en")))        // every window a dup → doc disappears
+    val got = Dedup.windowCleanedDocs(docs, windowTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 6L)
+    assert(got(2L) == ((1L, 2L,
+      java.security.MessageDigest.getInstance("MD5").digest("x y".getBytes)
+        .map("%02x".format(_)).mkString)))
+    assert(!got.contains(5L), "fully-duplicate doc survived cleaning")
+  }
+
+  test("labelOutliers: the vector farthest from its label centroid ranks first") {
+    import graft.pipeline.Similarity
+    import spark.implicits._
+    // label 0: four near-identical vectors + one pointing the other way;
+    // label 1: a clean cluster
+    val emb = (Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0.01f, 0f, 0f), 0),
+      (2L, Array(1f, 0f, 0.01f, 0f), 0),
+      (3L, Array(1f, 0.02f, 0f, 0f), 0),
+      (4L, Array(-1f, 0f, 0f, 0f), 0),   // the planted mislabel
+      (10L, Array(0f, 1f, 0f, 0f), 1),
+      (11L, Array(0f, 1f, 0.01f, 0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelOutliers(emb, k = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    assert(got.contains((0, 4L, 1)), s"planted outlier not ranked first: ${got.toSeq}")
+    assert(got.length == 2) // one bottom-1 row per label
+  }
+
   test("scrubPii: redacts emails/phones/IPs with exact counts") {
     import spark.implicits._
     val df = Seq(
