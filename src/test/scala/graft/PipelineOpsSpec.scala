@@ -111,6 +111,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains(4L))               // empty doc: no windows
   }
 
+  test("windowDedup matches a serial reference implementation on random corpora") {
+    // small vocab forces plenty of genuine window collisions
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val corpus = (0L until 30L).map { i =>
+        (i, Seq.fill(rnd.nextInt(50))(vocab(rnd.nextInt(vocab.size))).mkString(" "), "en")
+      }
+      val w = 4
+      // serial truth: first occurrence in (doc, idx) order wins
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = corpus.flatMap { case (id, text, _) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val wins = toks.grouped(w).map(_.mkString(" ")).toSeq
+        if (wins.isEmpty) None
+        else Some(id -> ((wins.size.toLong,
+          wins.count { s => val dup = seen(s); seen += s; dup }.toLong)))
+      }.toMap
+      val got = Dedup.windowDedup(docsDF(corpus), windowTokens = w).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("windowCleanedDocs: dup windows removed, reassembly fingerprinted, fully-dup docs vanish") {
     val docs = docsDF(Seq(
       (1L, "a b c d e f", "en"),   // [a b c][d e f] — all first occurrences
