@@ -310,6 +310,24 @@ object Similarity {
       .coalesce(1).write.parquet(s"$path/meta")
   }
 
+  /** Full in-place rebuild: train fresh centroids on the CURRENT corpus
+    * (folding every appended generation back into the quantizer —
+    * appendedFraction resets to 0) and swap the new index in. The swap
+    * is two directory renames, so a reader racing it can fail one query
+    * and retry; a zero-downtime serving deployment builds to a NEW path
+    * and flips its serving pointer instead. */
+  def ivfRebuild(emb: DataFrame, path: String,
+      nCentroids: Int = 0, lloydIters: Int = 1): Unit = {
+    val tmp = path + s".rebuild_${java.util.UUID.randomUUID}"
+    ivfBuild(emb, tmp, nCentroids, lloydIters)
+    val p = java.nio.file.Paths.get(path)
+    val old = java.nio.file.Paths.get(path + ".old")
+    deleteTree(old)
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.move(p, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    deleteTree(old)
+  }
+
   /** Fraction of the index's corpus appended SINCE the centroids were
     * trained (0 right after ivfBuild). Appends keep the coarse quantizer
     * frozen, so recall decays as this grows — poll it to schedule the

@@ -182,6 +182,13 @@ class SimilaritySpec extends AnyFunSuite {
     // committed generations untouched: the index still serves everything
     val got2 = Similarity.ivfQueryVectors(q, path, k = 2).collect()
     assert(got2.length == got.size, "vacuum broke the committed index")
+    // full rebuild folds the appended generations into fresh centroids:
+    // drift resets to 0, the grown corpus still attests, queries answer
+    Similarity.ivfRebuild(full, path, nCentroids = 16)
+    assert(Similarity.appendedFraction(spark, path) == 0.0)
+    assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 3).count() > 0)
+    intercept[IllegalStateException] {
+      Similarity.ivfQuery(emb, path, k = 1, nQueries = 3).count() }
   }
 
   test("autoCentroids: K ≈ √N, clamped") {
