@@ -169,11 +169,24 @@ object PipelineQueries {
     // k-NN majority-vote label classification over the embeddings
     "q_pipe_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(emb(s, dir), k = 5, nQueries = 20)),
-    // per-label mean embeddings (order-free quantized-integer sums)
+    // per-label mean embeddings (order-free quantized-integer sums).
+    // Gate contract: scalar columns only — the driver's pandas checker
+    // cannot sort array columns, so the array-shaped operator output is
+    // exploded to (label, j, value, n_vectors) rows here; the public
+    // API (Similarity.labelCentroids) keeps the centroid arrays.
     "q_pipe_label_centroids" -> ((s, dir) =>
-      Similarity.labelCentroids(emb(s, dir))),
-    // inverted-index posting lists: top-50 terms by df, first 8 postings
-    "q_pipe_postings" -> ((s, dir) => TextOps.postingLists(docs(s, dir))),
+      Similarity.labelCentroids(emb(s, dir))
+        .select(col("label"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("j", "value")))
+        .orderBy("label", "j")),
+    // inverted-index posting lists: top-50 terms by df, first 8
+    // postings — exploded to (term, df, pos, doc_id) rows for the
+    // scalar-only gate contract (the list-shaped operator is the API).
+    "q_pipe_postings" -> ((s, dir) =>
+      TextOps.postingLists(docs(s, dir))
+        .select(col("term"), col("df"),
+          posexplode(col("postings")).as(Seq("pos", "doc_id")))
+        .orderBy(col("df").desc, col("term"), col("pos"))),
     // fixed-count deterministic per-group sample (hash reservoir)
     "q_pipe_reservoir" -> ((s, dir) => Curation.reservoirPerGroup(docs(s, dir))),
     "q_pipe_packing" -> ((s, dir) => Curation.packSequences(docs(s, dir))),
@@ -710,23 +723,28 @@ object PipelineQueries {
         |ORDER BY query_id""".stripMargin,
 
     // per-label centroids: identical quantized-integer mean as the IVF
-    // Lloyd update (order-free exact)
+    // Lloyd update (order-free exact); scalar rows (label, j, value,
+    // n_vectors) — j 0-based to match Spark's posexplode
     "q_pipe_label_centroids" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s1 AS (SELECT label, j, sum(CAST(round(x * 1024) AS BIGINT)) AS s, count(*) AS cnt
         |       FROM (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM e)
         |       GROUP BY 1, 2)
-        |SELECT label, list(s / (1024.0 * cnt) ORDER BY j) AS centroid,
-        |       CAST(max(cnt) AS BIGINT) AS n_vectors
-        |FROM s1 GROUP BY label ORDER BY label""".stripMargin,
+        |SELECT label, j - 1 AS j, s / (1024.0 * cnt) AS value,
+        |       CAST(cnt AS BIGINT) AS n_vectors
+        |FROM s1 ORDER BY label, j""".stripMargin,
 
-    // posting lists: top-50 terms by (df DESC, term), first 8 doc_ids
+    // posting lists: top-50 terms by (df DESC, term), first 8 doc_ids;
+    // scalar rows (term, df, pos, doc_id) — pos 0-based
     "q_pipe_postings" ->
       """WITH words AS (SELECT DISTINCT doc_id, w AS term FROM documents,
-        | unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w))
-        |SELECT term, CAST(count(*) AS BIGINT) AS df,
-        | list_slice(list(doc_id ORDER BY doc_id), 1, 8) AS postings
-        |FROM words GROUP BY term ORDER BY df DESC, term LIMIT 50""".stripMargin,
+        | unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)),
+        |top AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |   list_slice(list(doc_id ORDER BY doc_id), 1, 8) AS postings
+        | FROM words GROUP BY term ORDER BY df DESC, term LIMIT 50)
+        |SELECT term, df, generate_subscripts(postings, 1) - 1 AS pos,
+        |       unnest(postings) AS doc_id
+        |FROM top ORDER BY df DESC, term, pos""".stripMargin,
 
     // hash reservoir: k smallest md5(doc_id) per lang
     "q_pipe_reservoir" ->
