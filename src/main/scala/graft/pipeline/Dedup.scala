@@ -231,10 +231,26 @@ object Dedup {
   /** (doc_id, w_idx, w_text, ord, whash) token windows shared by
     * windowDedup and windowCleanedDocs: non-overlapping
     * `windowTokens`-token segments (partial tail kept), md5 fingerprint,
-    * corpus order encoded as doc_id · 2^20 + w_idx. */
+    * corpus order encoded as doc_id · 2^20 + w_idx.
+    *
+    * The packed-long encoding silently corrupts keep-first semantics
+    * when a document exceeds 2^20 windows (~21M tokens at the default
+    * width) or |doc_id| ≥ 2^43 (Long overflow in the multiply), so both
+    * bounds are enforced ROW-LOCALLY with `raise_error` — a violation
+    * fails the job loudly instead of deduping against a wrapped
+    * ordering. The encoding (vs a struct min) is kept because the
+    * oracle mirrors it with plain integer arithmetic. */
   private def tokenWindows(docs: DataFrame, windowTokens: Int): DataFrame = {
     require(windowTokens > 0)
     val w = windowTokens
+    val ord = when(col("w_idx") >= OrdWindowCap ||
+        abs(col("doc_id")) >= OrdDocIdCap,
+      raise_error(concat(
+        lit("graft: windowDedup ord encoding out of range (needs "),
+        lit(s"w_idx < $OrdWindowCap and |doc_id| < $OrdDocIdCap): doc_id="),
+        col("doc_id").cast("string"), lit(" w_idx="),
+        col("w_idx").cast("string"))).cast("long"))
+      .otherwise(col("doc_id") * OrdWindowCap + col("w_idx"))
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         posexplode(transform(
@@ -244,9 +260,12 @@ object Dedup {
           .as(Seq("w_idx", "w_text")))
       .filter(col("w_text") =!= "") // empty doc → one empty window: drop
       .select(col("doc_id"), col("w_idx"), col("w_text"),
-        (col("doc_id") * 1048576L + col("w_idx")).as("ord"),
-        md5(col("w_text")).as("whash"))
+        ord.as("ord"), md5(col("w_text")).as("whash"))
   }
+
+  /** ord = doc_id · 2^20 + w_idx field widths (see tokenWindows). */
+  private val OrdWindowCap = 1L << 20
+  private val OrdDocIdCap = 1L << 43
 
   /** The CLEANED corpus windowDedup implies: duplicate windows removed
     * (keep-first rule), survivors reassembled in document order. A doc

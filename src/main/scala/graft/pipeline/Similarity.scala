@@ -1,8 +1,10 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Approximate-nearest-neighbor operators over an embedding column
   * (`Array[Float]`).
@@ -270,6 +272,176 @@ object Similarity {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Caller-supplied identity of a VERSIONED corpus: the (dataset URI,
+    * version id) pair the embeddings were read from — e.g. a graft
+    * dataset version. An index built or appended with a pin attests in
+    * O(1) ([[attestVersion]]: two equality checks against the meta
+    * sidecar, no Spark job, no corpus scan), where the fingerprint path
+    * re-hashes the whole corpus per attested batch. The ANN analog of
+    * the reference's version-pinned reads
+    * (src/io/mandoline/impl.clj:53-75). An UNPINNED write clears the
+    * pin, so a recorded version can never outlive the corpus state it
+    * named. */
+  final case class CorpusId(uri: String, versionId: Long)
+
+  /** The committed index meta. Persisted twice with identical content:
+    * a one-row parquet table at `<gen>/meta` (spark-inspectable, the
+    * pre-round-6 read path) and a `<gen>/meta.props` java-properties
+    * sidecar whose atomic-rename replace is both the commit point for
+    * appends and the zero-Spark-job read path for O(1) attestation. */
+  private final case class IvfMeta(
+      corpusCount: Long, corpusHash: Long, nCentroids: Int, lloydIters: Int,
+      gens: Seq[String], lastBatch: Long, baseCount: Long,
+      corpusUri: Option[String], corpusVersion: Long)
+
+  /** Resolve the serving generation of the index at `path`: the
+    * `CURRENT` pointer file names the live generation dir (flipped
+    * atomically by [[ivfRebuild]]); no pointer = the root IS the
+    * generation (the original single-dir layout, still what [[ivfBuild]]
+    * produces). Resolve ONCE per operation so centroids, lists, and
+    * meta always come from the same generation. */
+  private def servingDir(path: String): String = {
+    val cur = Paths.get(path, "CURRENT")
+    if (Files.exists(cur))
+      s"$path/${new String(Files.readAllBytes(cur),
+        java.nio.charset.StandardCharsets.UTF_8).trim}"
+    else path
+  }
+
+  /** Read the committed meta of generation dir `dir`, distinguishing
+    * the three states the old catch-all conflated: (a) committed meta
+    * present → Some (the props sidecar preferred — no Spark job; the
+    * parquet mirror for pre-sidecar indexes); (b) genuinely absent
+    * (legacy pre-meta index, or a dir that never committed) → None;
+    * (c) transiently absent mid-meta-swap → bounded retry, then a loud
+    * failure. IO errors and corrupt meta PROPAGATE — a transient read
+    * failure must never silently demote the index to its base
+    * generation (that is exactly the staleness the fingerprint binding
+    * exists to prevent). */
+  private def readMeta(spark: SparkSession, dir: String): Option[IvfMeta] = {
+    var tries = 0
+    while (tries <= 100) {
+      val props = Paths.get(dir, "meta.props")
+      if (Files.exists(props)) {
+        val p = new java.util.Properties()
+        scala.util.Using.resource(Files.newInputStream(props))(p.load)
+        return Some(IvfMeta(
+          p.getProperty("corpus_count").toLong,
+          p.getProperty("corpus_hash").toLong,
+          p.getProperty("n_centroids").toInt,
+          p.getProperty("lloyd_iters").toInt,
+          p.getProperty("gens").split(',').toSeq.filter(_.nonEmpty),
+          p.getProperty("last_batch").toLong,
+          p.getProperty("base_count").toLong,
+          Option(p.getProperty("corpus_uri")),
+          p.getProperty("corpus_version", "-1").toLong))
+      }
+      val metaDir = Paths.get(dir, "meta")
+      if (Files.exists(metaDir)) {
+        try return Some(parseMetaRow(spark.read.parquet(s"$dir/meta").head))
+        catch { case _: org.apache.spark.sql.AnalysisException
+            if !Files.exists(metaDir) => () } // raced a swap: retry below
+      } else if (!Files.exists(Paths.get(dir, ".meta_old")) &&
+          !Files.exists(Paths.get(dir, ".meta_new")))
+        return None // genuinely meta-less: legacy index or fresh dir
+      tries += 1
+      Thread.sleep(20)
+    }
+    throw new IllegalStateException(
+      s"graft: IVF index at $dir stuck mid-meta-swap (meta absent with " +
+        ".meta_old/.meta_new present for >2 s) — a writer crashed between " +
+        "renames; restore meta from .meta_old or rebuild with ivfBuild")
+  }
+
+  private def parseMetaRow(row: org.apache.spark.sql.Row): IvfMeta = {
+    val f = row.schema.fieldNames.toSet
+    val cnt = row.getAs[Long]("corpus_count")
+    IvfMeta(cnt, row.getAs[Long]("corpus_hash"),
+      row.getAs[Int]("n_centroids"), row.getAs[Int]("lloyd_iters"),
+      if (f("gens")) row.getAs[scala.collection.Seq[String]]("gens").toSeq
+      else Seq("assignments"),
+      if (f("last_batch")) row.getAs[Long]("last_batch") else -1L,
+      if (f("base_count")) row.getAs[Long]("base_count") else cnt,
+      if (f("corpus_uri")) Option(row.getAs[String]("corpus_uri")) else None,
+      if (f("corpus_version")) row.getAs[Long]("corpus_version") else -1L)
+  }
+
+  private def metaDF(spark: SparkSession, m: IvfMeta): DataFrame = {
+    import spark.implicits._
+    Seq((m.corpusCount, m.corpusHash, m.nCentroids, m.lloydIters,
+      m.gens, m.lastBatch, m.baseCount, m.corpusUri.orNull, m.corpusVersion))
+      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters",
+        "gens", "last_batch", "base_count", "corpus_uri", "corpus_version")
+  }
+
+  /** Atomic-replace of the props sidecar — the reader-visible commit. */
+  private def writeProps(m: IvfMeta, dir: String): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("corpus_count", m.corpusCount.toString)
+    p.setProperty("corpus_hash", m.corpusHash.toString)
+    p.setProperty("n_centroids", m.nCentroids.toString)
+    p.setProperty("lloyd_iters", m.lloydIters.toString)
+    p.setProperty("gens", m.gens.mkString(","))
+    p.setProperty("last_batch", m.lastBatch.toString)
+    p.setProperty("base_count", m.baseCount.toString)
+    p.setProperty("corpus_version", m.corpusVersion.toString)
+    m.corpusUri.foreach(p.setProperty("corpus_uri", _))
+    val tmp = Paths.get(dir, ".meta.props.tmp")
+    scala.util.Using.resource(Files.newOutputStream(tmp))(p.store(_, null))
+    Files.move(tmp, Paths.get(dir, "meta.props"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Fresh-dir meta write (no readers yet: plain writes suffice). */
+  private def writeMeta(spark: SparkSession, m: IvfMeta, dir: String): Unit = {
+    metaDF(spark, m).coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeProps(m, dir)
+  }
+
+  /** Commit an updated meta into a LIVE generation dir: the parquet
+    * mirror goes through the `.meta_new`/`.meta_old` rename dance (a
+    * crash at any prefix leaves the previous committed parquet
+    * readable), then the props sidecar's atomic replace publishes the
+    * new state to readers ([[readMeta]] prefers the sidecar). */
+  private def commitMeta(spark: SparkSession, m: IvfMeta, dir: String): Unit = {
+    val tmp = Paths.get(dir, ".meta_new")
+    metaDF(spark, m).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val metaDir = Paths.get(dir, "meta")
+    val bak = Paths.get(dir, ".meta_old")
+    deleteTree(bak)
+    if (Files.exists(metaDir)) Files.move(metaDir, bak)
+    Files.move(tmp, metaDir)
+    deleteTree(bak)
+    writeProps(m, dir)
+  }
+
+  /** Serialize index writes (appends, rebuilds) with a root-level lock
+    * file: two concurrent read-modify-write meta updates would lose one
+    * writer's generation and XOR contribution (lost update), and an
+    * append racing a rebuild would commit into the generation the flip
+    * is about to supersede. Single-process scope matches the local-FS
+    * index layout; a crashed writer's lock is stolen after `staleMs`. */
+  private def withWriteLock[A](path: String, staleMs: Long = 3600000L)(
+      body: => A): A = {
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    val lock = root.resolve(".write.lock")
+    try {
+      if (Files.exists(lock) && Files.getLastModifiedTime(lock).toMillis
+          < System.currentTimeMillis() - staleMs)
+        Files.deleteIfExists(lock)
+    } catch { case _: java.io.IOException => () }
+    try Files.createFile(lock)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException(
+        s"graft: another ivfAppend/ivfRebuild holds $path/.write.lock — " +
+          "index writes are single-writer (lost-update protection); retry " +
+          "after it commits (a crashed writer's lock is stolen after " +
+          s"${staleMs / 1000} s)")
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
   /** Persistent IVF index: `build` runs the Lloyd refinement ONCE and
     * writes centroids + per-vector assignment lists as parquet; `query`
     * probes a built index without touching the raw corpus again. At
@@ -288,8 +460,16 @@ object Similarity {
     * answering for a corpus n versions ahead would be the one unpinned
     * read in the system. `nCentroids <= 0` derives K ≈ √N
     * (`autoCentroids`). */
-  def ivfBuild(emb: DataFrame, path: String,
-      nCentroids: Int = 0, lloydIters: Int = 1): Unit = {
+  def ivfBuild(emb: DataFrame, path: String, nCentroids: Int = 0,
+      lloydIters: Int = 1, corpus: Option[CorpusId] = None): Unit = {
+    require(!Files.exists(Paths.get(path, "CURRENT")),
+      s"graft: $path is a pointer-layout index (rebuilt at least once); " +
+        "ivfBuild would write a generation no reader resolves — use ivfRebuild")
+    buildAt(emb, path, nCentroids, lloydIters, corpus, lastBatch = -1L)
+  }
+
+  private def buildAt(emb: DataFrame, dir: String, nCentroids: Int,
+      lloydIters: Int, corpus: Option[CorpusId], lastBatch: Long): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val kC = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
@@ -300,47 +480,54 @@ object Similarity {
     for (_ <- 0 until lloydIters)
       centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
     val cents = ivfCentsDF(emb, centsLocal)
-    cents.select("cent_id", "cv").write.parquet(s"$path/centroids")
+    cents.select("cent_id", "cv").write.parquet(s"$dir/centroids")
     ivfAssign(n, cents, dot(emb) _)
-      .write.parquet(s"$path/assignments")
+      .write.parquet(s"$dir/assignments")
     val (cnt, h) = corpusFingerprint(emb)
-    Seq((cnt, h, kC, lloydIters, Seq("assignments"), -1L, cnt))
-      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters",
-        "gens", "last_batch", "base_count")
-      .coalesce(1).write.parquet(s"$path/meta")
+    writeMeta(spark, IvfMeta(cnt, h, kC, lloydIters, Seq("assignments"),
+      lastBatch, cnt, corpus.map(_.uri),
+      corpus.map(_.versionId).getOrElse(-1L)), dir)
   }
 
-  /** Full in-place rebuild: train fresh centroids on the CURRENT corpus
-    * (folding every appended generation back into the quantizer —
-    * appendedFraction resets to 0) and swap the new index in. The swap
-    * is two directory renames, so a reader racing it can fail one query
-    * and retry; a zero-downtime serving deployment builds to a NEW path
-    * and flips its serving pointer instead. */
-  def ivfRebuild(emb: DataFrame, path: String,
-      nCentroids: Int = 0, lloydIters: Int = 1): Unit = {
-    val tmp = path + s".rebuild_${java.util.UUID.randomUUID}"
-    ivfBuild(emb, tmp, nCentroids, lloydIters)
-    val p = java.nio.file.Paths.get(path)
-    val old = java.nio.file.Paths.get(path + ".old")
-    deleteTree(old)
-    if (java.nio.file.Files.exists(p)) java.nio.file.Files.move(p, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
-    deleteTree(old)
-  }
+  /** Zero-downtime full rebuild: train fresh centroids on the CURRENT
+    * corpus (folding every appended generation back into the quantizer —
+    * appendedFraction resets to 0) in a NEW generation directory, then
+    * flip the `CURRENT` pointer file to it with ONE atomic rename. A
+    * racing reader resolves either the old generation or the new one,
+    * never a half-moved directory; superseded generations are left in
+    * place for [[ivfVacuum]]'s grace-guarded sweep, so a reader mid-scan
+    * of the old generation finishes cleanly.
+    *
+    * Holds the index write lock for its whole duration, so an append
+    * cannot commit into the about-to-be-superseded generation and be
+    * silently discarded by the flip; the streaming exactly-once
+    * watermark (`last_batch`) is carried forward into the rebuilt meta,
+    * so a Structured Streaming re-delivery of an already-folded batch
+    * is still skipped after the rebuild. */
+  def ivfRebuild(emb: DataFrame, path: String, nCentroids: Int = 0,
+      lloydIters: Int = 1, corpus: Option[CorpusId] = None): Unit =
+    withWriteLock(path) {
+      val spark = emb.sparkSession
+      val prevLastBatch =
+        readMeta(spark, servingDir(path)).map(_.lastBatch).getOrElse(-1L)
+      val gen = s"gen_${java.util.UUID.randomUUID}"
+      buildAt(emb, s"$path/$gen", nCentroids, lloydIters, corpus, prevLastBatch)
+      val tmp = Paths.get(path, s".CURRENT_$gen")
+      Files.write(tmp, gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, Paths.get(path, "CURRENT"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
 
   /** Fraction of the index's corpus appended SINCE the centroids were
     * trained (0 right after ivfBuild). Appends keep the coarse quantizer
     * frozen, so recall decays as this grows — poll it to schedule the
     * periodic rebuild (a common policy rebuilds past ~0.3–0.5). */
-  def appendedFraction(spark: org.apache.spark.sql.SparkSession,
-      path: String): Double = {
-    val meta = spark.read.parquet(s"$path/meta").head
-    val cnt = meta.getAs[Long]("corpus_count")
-    val base =
-      if (meta.schema.fieldNames.contains("base_count"))
-        meta.getAs[Long]("base_count")
-      else cnt // legacy index: appends untracked, report 0
-    if (cnt == 0) 0.0 else (cnt - base).toDouble / cnt
+  def appendedFraction(spark: SparkSession, path: String): Double = {
+    val m = readMeta(spark, servingDir(path)).getOrElse(
+      throw new IllegalStateException(
+        s"graft: IVF index at $path has no meta — nothing to poll"))
+    if (m.corpusCount == 0) 0.0
+    else (m.corpusCount - m.baseCount).toDouble / m.corpusCount
   }
 
   /** Top-k cosine neighbors from a BUILT index for the `nQueries`
@@ -373,10 +560,11 @@ object Similarity {
   def ivfQueryVectors(queries: DataFrame, path: String, k: Int,
       nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
+    val sd = servingDir(path) // one resolve: centroids + lists + meta cohere
     val d = dot(queries) _
-    val cents = broadcast(spark.read.parquet(s"$path/centroids")
+    val cents = broadcast(spark.read.parquet(s"$sd/centroids")
       .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
-    val assigned = spark.read.parquet(assignmentDirs(spark, path): _*)
+    val assigned = spark.read.parquet(assignmentDirs(spark, sd): _*)
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("csim").desc, col("cent_id").asc)
     val probes = queries
@@ -418,7 +606,18 @@ object Similarity {
     * stop); `batch` must carry NEW vec_ids. */
   def ivfAppend(base: DataFrame, batch: DataFrame, path: String): Unit = {
     attestCorpus(base, path)
-    appendUnattested(batch, path, batchId = None)
+    appendUnattested(batch, path, batchId = None, newCorpus = None); ()
+  }
+
+  /** [[ivfAppend]] for a version-pinned index: attest the current pin
+    * in O(1) against `from` (no corpus scan — see [[attestVersion]]),
+    * append the batch, and advance the pin to `to`, the identity of the
+    * corpus WITH the batch applied. The whole call touches only the
+    * batch and the meta sidecar. */
+  def ivfAppendPinned(batch: DataFrame, path: String,
+      from: CorpusId, to: CorpusId): Unit = {
+    attestVersion(batch.sparkSession, path, from)
+    appendUnattested(batch, path, batchId = None, newCorpus = Some(to)); ()
   }
 
   /** Streaming variant of [[ivfAppend]] with exactly-once semantics: the
@@ -430,49 +629,45 @@ object Similarity {
     * external readers still attest the full corpus via [[ivfQuery]].
     * See [[graft.streaming.StreamingAnn]] for the sink wrapper. */
   def ivfAppendBatch(batch: DataFrame, path: String, batchId: Long): Boolean =
-    appendUnattested(batch, path, Some(batchId))
+    appendUnattested(batch, path, Some(batchId), newCorpus = None)
 
   /** Shared append core: the batch's inverted-list rows land in a FRESH
-    * generation dir that only becomes visible when the meta swap commits
-    * it — a crash at any earlier point leaves an orphan dir readers
-    * never consult and an unchanged fingerprint (fail-closed,
-    * retry-safe: no duplicate assignment rows, ever). */
+    * generation dir that only becomes visible when the meta commit
+    * publishes it — a crash at any earlier point leaves an orphan dir
+    * readers never consult and an unchanged fingerprint (fail-closed,
+    * retry-safe: no duplicate assignment rows, ever). Runs under the
+    * index write lock: the meta read-modify-write would otherwise lose
+    * one of two concurrent appends' generations (and its XOR
+    * contribution), and an append racing [[ivfRebuild]] would commit
+    * into the superseded generation. An UNPINNED append clears any
+    * recorded corpus pin — the pin's version no longer describes the
+    * grown corpus. */
   private def appendUnattested(batch: DataFrame, path: String,
-      batchId: Option[Long]): Boolean = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head
-    val lastBatch =
-      if (meta.schema.fieldNames.contains("last_batch"))
-        meta.getAs[Long]("last_batch") else -1L
-    if (batchId.exists(_ <= lastBatch)) return false // re-delivery: skip
-    val d = dot(batch) _
-    val cents = broadcast(spark.read.parquet(s"$path/centroids")
-      .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
-    val gen = s"assignments_${java.util.UUID.randomUUID}"
-    ivfAssign(withNorm(batch), cents, d).write.parquet(s"$path/$gen")
-    val (bCnt, bH) = corpusFingerprint(batch)
-    val gens = assignmentGens(meta) :+ gen
-    val baseCnt =
-      if (meta.schema.fieldNames.contains("base_count"))
-        meta.getAs[Long]("base_count")
-      else meta.getAs[Long]("corpus_count")
-    val newMeta = Seq((meta.getAs[Long]("corpus_count") + bCnt,
-      meta.getAs[Long]("corpus_hash") ^ bH,
-      meta.getAs[Int]("n_centroids"), meta.getAs[Int]("lloyd_iters"), gens,
-      batchId.getOrElse(lastBatch), baseCnt))
-      .toDF("corpus_count", "corpus_hash", "n_centroids", "lloyd_iters",
-        "gens", "last_batch", "base_count")
-    val tmp = java.nio.file.Paths.get(path, ".meta_new")
-    newMeta.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val metaDir = java.nio.file.Paths.get(path, "meta")
-    val bak = java.nio.file.Paths.get(path, ".meta_old")
-    deleteTree(bak)
-    java.nio.file.Files.move(metaDir, bak)
-    java.nio.file.Files.move(tmp, metaDir)
-    deleteTree(bak)
-    true
-  }
+      batchId: Option[Long], newCorpus: Option[CorpusId]): Boolean =
+    withWriteLock(path) {
+      val spark = batch.sparkSession
+      val sd = servingDir(path)
+      val meta = readMeta(spark, sd).getOrElse(throw new IllegalStateException(
+        s"graft: IVF index at $path has no meta — append needs an " +
+          "ivfBuild-built index"))
+      if (batchId.exists(_ <= meta.lastBatch)) false // re-delivery: skip
+      else {
+        val d = dot(batch) _
+        val cents = broadcast(spark.read.parquet(s"$sd/centroids")
+          .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
+        val gen = s"assignments_${java.util.UUID.randomUUID}"
+        ivfAssign(withNorm(batch), cents, d).write.parquet(s"$sd/$gen")
+        val (bCnt, bH) = corpusFingerprint(batch)
+        commitMeta(spark, meta.copy(
+          corpusCount = meta.corpusCount + bCnt,
+          corpusHash = meta.corpusHash ^ bH,
+          gens = meta.gens :+ gen,
+          lastBatch = batchId.getOrElse(meta.lastBatch),
+          corpusUri = newCorpus.map(_.uri),
+          corpusVersion = newCorpus.map(_.versionId).getOrElse(-1L)), sd)
+        true
+      }
+    }
 
   /** Remove assignment generations a crashed append left ORPHANED —
     * dirs whose write finished (or died) but whose meta swap never
@@ -483,29 +678,57 @@ object Similarity {
     * silent). Returns the number of dirs removed. */
   def ivfVacuum(path: String, graceMs: Long = 3600000L): Int = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val live =
-      try assignmentGens(spark.read.parquet(s"$path/meta").head).toSet
-      catch { case _: Exception => return 0 } // no committed meta: touch nothing
-    val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(root)) return 0
+    if (!Files.exists(Paths.get(path))) return 0
+    val sd = servingDir(path)
+    // IO errors / corrupt meta PROPAGATE (a transient failure must abort
+    // the sweep, not masquerade as "no meta"); only a genuinely
+    // never-committed index returns None → touch nothing.
+    val meta = readMeta(spark, sd) match {
+      case Some(m) => m
+      case None => return 0
+    }
+    val live = meta.gens.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     import scala.jdk.CollectionConverters._
-    val orphans = scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
+    def silentSince(p: Path): Boolean = {
+      val newest =
+        try scala.util.Using.resource(Files.walk(p)) {
+          _.iterator().asScala
+            .map(q => Files.getLastModifiedTime(q).toMillis)
+            .foldLeft(0L)(math.max)
+        } catch { case _: java.io.IOException => Long.MaxValue }
+      newest <= cutoff
+    }
+    // 1) orphan assignment generations inside the serving dir — writes
+    //    that finished (or died) but whose meta commit never landed
+    val orphans = scala.util.Using.resource(Files.list(Paths.get(sd))) { s =>
       s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("assignments_") &&
           !live(p.getFileName.toString))
-        .filter { p =>
-          val newest =
-            try scala.util.Using.resource(java.nio.file.Files.walk(p)) {
-              _.iterator().asScala
-                .map(q => java.nio.file.Files.getLastModifiedTime(q).toMillis)
-                .foldLeft(0L)(math.max)
-            } catch { case _: java.io.IOException => Long.MaxValue }
-          newest <= cutoff
-        }.toSeq
+        .filter(silentSince).toSeq
     }
-    orphans.foreach(deleteTree)
-    orphans.size
+    // 2) superseded index generations at the root (pointer layout):
+    //    gen_ dirs the CURRENT pointer no longer names, plus the legacy
+    //    root-layout leftovers (centroids/meta/assignments*) once a
+    //    pointer exists — grace-guarded like the orphans, so a reader
+    //    that resolved the old generation finishes its scan
+    val superseded =
+      if (sd == path) Seq.empty
+      else {
+        val curName = Paths.get(sd).getFileName.toString
+        scala.util.Using.resource(Files.list(Paths.get(path))) { s =>
+          s.iterator().asScala
+            .filter { p =>
+              val n = p.getFileName.toString
+              (n.startsWith("gen_") && n != curName) ||
+                n == "centroids" || n == "meta" || n == "meta.props" ||
+                n.startsWith("assignments")
+            }
+            .filter(silentSince).toSeq
+        }
+      }
+    (orphans ++ superseded).foreach(deleteTree)
+    orphans.size + superseded.size
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
@@ -515,38 +738,64 @@ object Similarity {
         s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
       }
 
-  /** The meta row's committed assignment generations ("assignments" for
-    * a pre-append or legacy index). */
-  private def assignmentGens(meta: org.apache.spark.sql.Row): Seq[String] =
-    if (meta.schema.fieldNames.contains("gens"))
-      meta.getAs[scala.collection.Seq[String]]("gens").toSeq
-    else Seq("assignments")
-
-  private def assignmentDirs(spark: org.apache.spark.sql.SparkSession,
-      path: String): Seq[String] = {
-    val gens =
-      try assignmentGens(spark.read.parquet(s"$path/meta").head)
-      catch { case _: Exception => Seq("assignments") } // legacy: no meta
-    gens.map(g => s"$path/$g")
-  }
+  /** The committed assignment dirs of an already-resolved serving dir.
+    * None-meta (legacy pre-meta index) falls back to the single
+    * "assignments" dir; transient failures propagate (see readMeta) —
+    * silently demoting a grown index to its base generation is the
+    * staleness bug the binding exists to prevent. */
+  private def assignmentDirs(spark: SparkSession, sd: String): Seq[String] =
+    readMeta(spark, sd).map(_.gens).getOrElse(Seq("assignments"))
+      .map(g => s"$sd/$g")
 
   /** Fail loudly when `emb` is not the corpus the index at `path` was
     * built from (see ivfBuild's staleness rationale). */
   def attestCorpus(emb: DataFrame, path: String): Unit = {
     val spark = emb.sparkSession
-    val meta =
-      try spark.read.parquet(s"$path/meta").head
-      catch { case e: Exception => throw new IllegalStateException(
+    val meta = readMeta(spark, servingDir(path)).getOrElse(
+      throw new IllegalStateException(
         s"graft: IVF index at $path has no meta table — built by a " +
           "pre-fingerprint version? Rebuild with ivfBuild, or pass " +
-          "verifyCorpus = false to serve it unchecked", e) }
+          "verifyCorpus = false to serve it unchecked"))
     val (cnt, h) = corpusFingerprint(emb)
-    val (wCnt, wH) = (meta.getAs[Long]("corpus_count"), meta.getAs[Long]("corpus_hash"))
-    if (cnt != wCnt || h != wH) throw new IllegalStateException(
-      s"graft: IVF index at $path is STALE — built from a corpus with " +
-        s"(count, hash) = ($wCnt, $wH), queried with ($cnt, $h). " +
-        "Rebuild with ivfBuild (or pass verifyCorpus = false to " +
-        "knowingly serve stale neighbors)")
+    if (cnt != meta.corpusCount || h != meta.corpusHash)
+      throw new IllegalStateException(
+        s"graft: IVF index at $path is STALE — built from a corpus with " +
+          s"(count, hash) = (${meta.corpusCount}, ${meta.corpusHash}), " +
+          s"queried with ($cnt, $h). Rebuild with ivfBuild (or pass " +
+          "verifyCorpus = false to knowingly serve stale neighbors)")
+  }
+
+  /** O(1) attestation for a version-pinned index: two equality checks
+    * against the pin recorded at build/append time — no Spark job, no
+    * corpus scan. Throws when the index carries no pin (built/last
+    * appended without a [[CorpusId]]) or when the pin names a different
+    * corpus state than `corpus`. */
+  def attestVersion(spark: SparkSession, path: String, corpus: CorpusId): Unit = {
+    val meta = readMeta(spark, servingDir(path)).getOrElse(
+      throw new IllegalStateException(
+        s"graft: IVF index at $path has no meta — nothing to attest"))
+    meta.corpusUri match {
+      case None => throw new IllegalStateException(
+        s"graft: IVF index at $path carries no corpus pin — built or last " +
+          "appended without a CorpusId; attest with attestCorpus (fingerprint " +
+          "scan), or rebuild/append with the pin to enable O(1) attestation")
+      case Some(uri) if uri != corpus.uri ||
+          meta.corpusVersion != corpus.versionId =>
+        throw new IllegalStateException(
+          s"graft: IVF index at $path is STALE — pinned to ($uri, " +
+            s"v${meta.corpusVersion}), attested with (${corpus.uri}, " +
+            s"v${corpus.versionId}); rebuild or append to advance the pin")
+      case _ => ()
+    }
+  }
+
+  /** [[ivfQueryVectors]] plus O(1) staleness attestation for a
+    * version-pinned index — the serving signature for versioned corpora
+    * (the unpinned path pays a corpus re-scan per attested batch). */
+  def ivfQueryPinned(queries: DataFrame, path: String, corpus: CorpusId,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    attestVersion(queries.sparkSession, path, corpus)
+    ivfQueryVectors(queries, path, k, nProbe)
   }
 
   /** Drops LSH buckets holding more than `maxBucketSize` vectors before

@@ -111,6 +111,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains(4L))               // empty doc: no windows
   }
 
+  test("windowDedup: ord encoding overflow fails loudly, not silently") {
+    // |doc_id| >= 2^43 would overflow doc_id · 2^20 + w_idx and wrap the
+    // keep-first ordering — the guard must fail the job, not dedup
+    // against a corrupted order
+    val docs = docsDF(Seq((1L << 43, "a b c", "en")))
+    val e = intercept[Exception] {
+      Dedup.windowDedup(docs, windowTokens = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("ord encoding out of range")),
+      s"wrong failure: $e")
+    // in-range ids are untouched by the guard
+    val ok = Dedup.windowDedup(
+      docsDF(Seq((OrdDocIdCapMinus1, "a b c", "en"))), windowTokens = 3)
+    assert(ok.collect().length == 1)
+  }
+  private val OrdDocIdCapMinus1 = (1L << 43) - 1
+
   test("windowDedup matches a serial reference implementation on random corpora") {
     // small vocab forces plenty of genuine window collisions
     for (seed <- 0 until 5) {

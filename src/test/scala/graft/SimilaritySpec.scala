@@ -364,4 +364,135 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.lshTopK(emb, k = 3, nQueries = 10).collect()
     assert(got.nonEmpty, "derived-width LSH returned nothing on 1M vectors")
   }
+
+  test("version-pinned index: O(1) attestation without touching the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Similarity.CorpusId
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-pin").toString
+    val uri = "graft://unit/embeddings"
+    Similarity.ivfBuild(emb, path, nCentroids = 16,
+      corpus = Some(CorpusId(uri, 1L)))
+    Similarity.attestVersion(spark, path, CorpusId(uri, 1L)) // matches
+    // a different version or dataset fails loudly
+    assert(intercept[IllegalStateException] {
+      Similarity.attestVersion(spark, path, CorpusId(uri, 2L))
+    }.getMessage.contains("STALE"))
+    assert(intercept[IllegalStateException] {
+      Similarity.attestVersion(spark, path, CorpusId("graft://other/e", 1L))
+    }.getMessage.contains("STALE"))
+    // provably corpus-scan-free: a dir holding ONLY the props sidecar —
+    // no parquet, no centroids, nothing a Spark job could read — attests
+    val bare = java.nio.file.Files.createTempDirectory("graft-pin-bare")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path, "meta.props"),
+      bare.resolve("meta.props"))
+    Similarity.attestVersion(spark, bare.toString, CorpusId(uri, 1L))
+    // belt-and-braces: a job counter observes ZERO Spark jobs during it
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.attestVersion(spark, path, CorpusId(uri, 1L))
+      Thread.sleep(300) // listener bus is async; give a job time to surface
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get == 0, s"attestVersion launched ${jobs.get} Spark job(s)")
+    // the pinned serving path answers
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(Similarity.ivfQueryPinned(q, path, CorpusId(uri, 1L), k = 1)
+      .count() > 0)
+    // pinned append advances the pin; the old pin is now stale
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    Similarity.ivfAppendPinned(batch, path, CorpusId(uri, 1L), CorpusId(uri, 2L))
+    Similarity.attestVersion(spark, path, CorpusId(uri, 2L))
+    assert(intercept[IllegalStateException] {
+      Similarity.attestVersion(spark, path, CorpusId(uri, 1L))
+    }.getMessage.contains("STALE"))
+    // an UNPINNED append clears the pin (its version no longer describes
+    // the grown corpus) — attestation by version now refuses
+    val full = emb.select("vec_id", "embedding").unionByName(batch)
+    val batch2 = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 600000L).as("vec_id"), col("embedding"))
+    Similarity.ivfAppend(full, batch2, path)
+    assert(intercept[IllegalStateException] {
+      Similarity.attestVersion(spark, path, CorpusId(uri, 2L))
+    }.getMessage.contains("no corpus pin"))
+  }
+
+  test("ivfRebuild: zero-downtime pointer flip; queries never fail; watermark carried") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-flip").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16)
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    assert(Similarity.ivfAppendBatch(batch, path, batchId = 7L))
+    val full = emb.select("vec_id", "embedding").unionByName(batch)
+    // hammer the index from another thread across the rebuild window —
+    // the atomic CURRENT flip means no query ever sees a half-state
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get) {
+        try { if (Similarity.ivfQueryVectors(q, path, k = 1).count() == 0) () }
+        catch { case t: Throwable => err.set(t); stop.set(true) }
+      }
+    })
+    reader.start()
+    try Similarity.ivfRebuild(full, path, nCentroids = 16)
+    finally { Thread.sleep(200); stop.set(true); reader.join(30000) }
+    assert(err.get == null, s"query failed during rebuild: ${err.get}")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "CURRENT")))
+    // the rebuild folded the append: drift reset, grown corpus attests
+    assert(Similarity.appendedFraction(spark, path) == 0.0)
+    assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 3).count() > 0)
+    // the exactly-once watermark survived: a re-delivered already-folded
+    // batch is STILL skipped after the rebuild…
+    assert(!Similarity.ivfAppendBatch(batch, path, batchId = 7L),
+      "re-delivered batch was re-appended after rebuild")
+    // …while a genuinely new batch lands
+    val batch2 = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 910000L).as("vec_id"), col("embedding"))
+    assert(Similarity.ivfAppendBatch(batch2, path, batchId = 8L))
+    // ivfBuild refuses to write a generation nobody would resolve
+    assert(intercept[IllegalArgumentException] {
+      Similarity.ivfBuild(full, path)
+    }.getMessage.contains("ivfRebuild"))
+    // vacuum past the grace window sweeps the superseded root-layout
+    // dirs; the pointer generation keeps serving everything
+    assert(Similarity.ivfVacuum(path, graceMs = -5000) >= 3)
+    val got = Similarity.ivfQueryVectors(q, path, k = 2)
+    assert(got.count() > 0, "vacuum broke the serving generation")
+  }
+
+  test("index write lock: a held lock refuses writers; a stale lock is stolen") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-lock").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16)
+    val lock = java.nio.file.Paths.get(path, ".write.lock")
+    java.nio.file.Files.createFile(lock)
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+    assert(intercept[IllegalStateException] {
+      Similarity.ivfAppend(emb, batch, path)
+    }.getMessage.contains("single-writer"))
+    // a lock older than the stale window belongs to a crashed writer:
+    // the next append steals it and commits
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 3600 * 1000))
+    Similarity.ivfAppend(emb, batch, path)
+    val full = emb.select("vec_id", "embedding").unionByName(batch)
+    assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 2).count() > 0)
+    assert(!java.nio.file.Files.exists(lock), "lock not released after append")
+  }
 }
