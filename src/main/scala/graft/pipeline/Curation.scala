@@ -167,7 +167,7 @@ object Curation {
     * No global `ORDER BY` window (which would sort the corpus in one
     * task) anywhere. */
   def packSequences(docs: DataFrame, seqLen: Long = 2048L,
-      nBuckets: Int = 256): DataFrame = {
+      nBuckets: Int = 256, tokensCol: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     // id bounds need no tokenization — scan doc_id alone (column-pruned)
     val stats = docs.agg(min(col("doc_id").cast("long")),
@@ -179,9 +179,17 @@ object Curation {
     val lo = stats.getLong(0); val hi = stats.getLong(1)
     val span = math.max(hi - lo + 1, 1L)
     val width = math.max(1L, (span + nBuckets - 1) / nBuckets)
-    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
-        .cast("long").as("toks"))
+    // `tokensCol` lets a caller that ALREADY tokenized (e.g. a quality
+    // gate's n_tokens) thread the count through instead of paying a
+    // second full-corpus tokenization — the alnum-run count here and
+    // TextOps.qualityColumns' n_tokens are the same number.
+    val toks = tokensCol match {
+      case Some(c) => docs.select(col("doc_id").cast("long").as("doc_id"),
+        col(c).cast("long").as("toks"))
+      case None => docs.select(col("doc_id").cast("long").as("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+          .cast("long").as("toks"))
+    }
     // integer-exact bucketing (`div`, not `/` — long `/` promotes to double).
     // Eagerly checkpointed: the frame is consumed by BOTH the running-sum
     // branch and the bucket-totals branch — without materialization the
@@ -228,7 +236,9 @@ object Curation {
       Seq("fp", "doc_id"), "left_semi")
     val sampled = deduped.join(
       stratifiedSample(deduped).select("doc_id"), Seq("doc_id"), "left_semi")
-    packSequences(sampled)
+    // the gate stage already tokenized — reuse its n_tokens so the
+    // corpus is tokenized ONCE across the whole chain
+    packSequences(sampled, tokensCol = Some("n_tokens"))
   }
 
   /** Corpus vocabulary: the k most frequent tokens (frequency counts over

@@ -125,6 +125,15 @@ object PipelineQueries {
           repeat(lit("x"), (w * h * 3).cast("int")).cast("binary")).as("payload"))
       Multimodal.resizePlan(Multimodal.extractMetaBinary(media)).orderBy("doc_id")
     }),
+    // REAL codec roundtrip: genuine PNG payloads (JDK ImageIO encoder,
+    // deterministic dims from doc_id) decoded back through the JDK
+    // ImageIO reader — the oracle recomputes the dims arithmetically.
+    // n_bytes (encoder-dependent) deliberately excluded from the gate.
+    "q_pipe_multimodal_img" -> ((s, dir) =>
+      Multimodal.extractMetaBinary(Multimodal.syntheticPngs(docs(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")),
     // curation: decontamination, deterministic sampling, packing, vocab
     "q_pipe_decontam" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
     "q_pipe_sample" -> ((s, dir) => Curation.stratifiedSample(docs(s, dir))),
@@ -942,5 +951,14 @@ object PipelineQueries {
         | (width * 224) // greatest(greatest(width, height), 1) AS out_w,
         | (height * 224) // greatest(greatest(width, height), 1) AS out_h,
         | (n_frames + 2) // 3 AS n_sampled
-        |FROM b ORDER BY doc_id""".stripMargin)
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // PNG encode→decode roundtrip: the Spark side runs real ImageIO
+    // codecs; the oracle recomputes the deterministic dimensions
+    "q_pipe_multimodal_img" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+        | CAST(1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -85,4 +85,64 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((1L, 8L, 2L, 1L), (2L, 3L, 3L, 1L)))
     assert(got(0).n_bytes == ppm(8, 2).length.toLong)
   }
+
+  private def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("PNG/JPEG/GIF: real JDK ImageIO roundtrip, corrupt payloads fail loudly") {
+    assert(HeaderDecoder.decode(encode("png", 17, 9)) == ((17L, 9L, 1L)))
+    assert(HeaderDecoder.decode(encode("jpg", 5, 23)) == ((5L, 23L, 1L)))
+    assert(HeaderDecoder.decode(encode("gif", 4, 6)) == ((4L, 6L, 1L)))
+    // a recognized magic with a mangled body must fail, not fall back
+    // to stub dimensions
+    val corrupt = encode("png", 17, 9)
+    java.util.Arrays.fill(corrupt, 16, corrupt.length, 0x5a.toByte)
+    val e = intercept[IllegalArgumentException] { HeaderDecoder.decode(corrupt) }
+    assert(e.getMessage.contains("malformed PNG"), e.getMessage)
+    // truncation right after the magic likewise
+    val trunc = java.util.Arrays.copyOf(encode("png", 3, 3), 10)
+    val e2 = intercept[IllegalArgumentException] { HeaderDecoder.decode(trunc) }
+    assert(e2.getMessage.contains("malformed PNG"), e2.getMessage)
+  }
+
+  private def wav(rate: Int, channels: Int, blockAlign: Int,
+      dataBytes: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    bb.array()
+  }
+
+  test("WAV: rate/channels/frames from the RIFF walk; malformed fails loudly") {
+    // 8000 Hz stereo 16-bit: blockAlign 4; 64 data bytes = 16 frames
+    assert(HeaderDecoder.decode(wav(8000, 2, 4, 64)) == ((8000L, 2L, 16L)))
+    // missing data chunk
+    val noData = java.util.Arrays.copyOf(wav(8000, 2, 4, 64), 36)
+    val e = intercept[IllegalArgumentException] { HeaderDecoder.decode(noData) }
+    assert(e.getMessage.contains("malformed WAV"), e.getMessage)
+    // fmt chunk truncated mid-header
+    val shortFmt = java.util.Arrays.copyOf(wav(8000, 2, 4, 64), 20)
+    val e2 = intercept[IllegalArgumentException] { HeaderDecoder.decode(shortFmt) }
+    assert(e2.getMessage.contains("malformed WAV"), e2.getMessage)
+  }
+
+  test("syntheticPngs → extractMetaBinary: distributed encode→decode roundtrip") {
+    import spark.implicits._
+    val docs = Seq((0L, "a"), (63L, "b"), (64L, "c"), (100L, "d"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.extractMetaBinary(Multimodal.syntheticPngs(docs))
+      .collect().map(m => m.doc_id -> ((m.width, m.height))).toMap
+    assert(got == Map(0L -> ((1L, 1L)), 63L -> ((64L, 16L)),
+      64L -> ((1L, 17L)), 100L -> ((37L, 5L))))
+  }
 }
