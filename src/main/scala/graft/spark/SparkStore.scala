@@ -507,6 +507,31 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** True iff the variable could have ANY index entries visible to a
+    * writer whose parent is `parent` and whose in-flight version is `vid`
+    * — i.e. a hive partition dir `var=<varName>/version=<v>` exists with
+    * v ≤ parent or v == vid. A plain driver-side listing (no Spark job):
+    * the write path uses it to skip the whole base-chunk machinery
+    * (touched-coordinate scan + index resolve + semi-join + blob fetch)
+    * on a first write, which at bulk-ingest scale is one full pass over
+    * the input saved. Conservative: any listing error counts as "has
+    * data" and the caller falls back to the full read-modify-write path. */
+  private[graft] def hasIndexData(name: String, varName: String,
+      parent: Option[Long], vid: Long): Boolean = {
+    val varDir = Paths.get(indexDir(name)).resolve(s"var=$varName")
+    if (!Files.exists(varDir)) return false
+    try scala.util.Using.resource(Files.list(varDir)) { s =>
+      s.iterator().asScala.exists { p =>
+        p.getFileName.toString match {
+          case v if v.startsWith("version=") =>
+            v.stripPrefix("version=").toLongOption
+              .exists(ver => parent.exists(ver <= _) || ver == vid)
+          case _ => false
+        }
+      }
+    } catch { case _: java.io.IOException => true }
+  }
+
   /** MVCC index resolution: for each coordinate of `varName`, the hash of
     * the greatest (version, seq) among versions that are committed-and-≤
     * `upTo`, plus (optionally) the in-flight version itself
@@ -1103,28 +1128,38 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         }
       }
 
-    // touched chunk coordinates, computed WITHOUT shuffling slab bytes —
-    // base-chunk loading below is restricted to these (writing one slab
-    // to a petabyte variable must not load the whole variable's chunks)
-    val touched = slabRows.select("start", "stop").as[(Array[Long], Array[Long])]
-      .flatMap { case (start, stop) =>
-        val m = DatasetMeta.fromJson(metaJson)
-        ChunkGrid.toChunkCoordinates(Slice(start.toVector, stop.toVector),
-          m.chunkGridSlice(varN)).iterator.map(SparkStore.coordKey)
-      }.distinct().toDF("coordKey")
-
     // 2. base chunks: current in-flight version's own entries (read-modify-
     //    write across write() calls) ∪ committed ancestry ≤ parent
-    //    (reference: impl.clj:232-250), semi-joined to the touched coords
-    val baseIdx = store.resolvedIndex(name, varN,
-      upTo = meta.parent.getOrElse(Long.MinValue), includeUncommitted = Some(vid))
-      .join(touched, Seq("coordKey"), "left_semi")
-      .select("coordKey", "hash")
-    val baseChunks = baseIdx
-      .join(store.chunksDF.select("hash", "bytes"), Seq("hash"))
-      .select(col("coordKey"), col("bytes").as("baseBytes"))
-      .dropDuplicates("coordKey") // tolerate duplicate blob rows (racy dedup)
-      .as[(String, Array[Byte])]
+    //    (reference: impl.clj:232-250), semi-joined to the coordinates the
+    //    slabs actually touch. FIRST-WRITE FAST PATH: when the variable
+    //    provably has no index data (no admissible version partition on
+    //    disk — every initial bulk ingest), skip the touched-coordinate
+    //    scan (a second full pass over slabRows), the MVCC resolve, and
+    //    the semi-join + blob join entirely; the cogroup below then sees
+    //    an empty base side and folds fragments onto fill.
+    val baseChunks: Dataset[(String, Array[Byte])] =
+      if (!store.hasIndexData(name, varN, meta.parent, vid))
+        spark.emptyDataset[(String, Array[Byte])]
+      else {
+        // touched chunk coordinates, computed WITHOUT shuffling slab bytes —
+        // base-chunk loading is restricted to these (writing one slab to a
+        // petabyte variable must not load the whole variable's chunks)
+        val touched = slabRows.select("start", "stop").as[(Array[Long], Array[Long])]
+          .flatMap { case (start, stop) =>
+            val m = DatasetMeta.fromJson(metaJson)
+            ChunkGrid.toChunkCoordinates(Slice(start.toVector, stop.toVector),
+              m.chunkGridSlice(varN)).iterator.map(SparkStore.coordKey)
+          }.distinct().toDF("coordKey")
+        val baseIdx = store.resolvedIndex(name, varN,
+          upTo = meta.parent.getOrElse(Long.MinValue), includeUncommitted = Some(vid))
+          .join(touched, Seq("coordKey"), "left_semi")
+          .select("coordKey", "hash")
+        baseIdx
+          .join(store.chunksDF.select("hash", "bytes"), Seq("hash"))
+          .select(col("coordKey"), col("bytes").as("baseBytes"))
+          .dropDuplicates("coordKey") // tolerate duplicate blob rows (racy dedup)
+          .as[(String, Array[Byte])]
+      }
 
     // 3. ONE shuffle: cogroup fragments with base chunks by coordinate;
     //    each coordinate owned by exactly one task → fold in seq order

@@ -199,6 +199,30 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.valueAt(Seq(3L, 2L)) == 1.0) // first write retained
   }
 
+  test("first-write fast path: hasIndexData flips exactly when base data appears") {
+    val store = freshStore()
+    store.create("ds")
+    val w1 = store.addVersion("ds", meta2d)
+    val vid1 = w1.meta.versionId.get
+    // fresh variable: no admissible index partition → fast path eligible
+    assert(!store.hasIndexData("ds", "v", w1.meta.parent, vid1))
+    w1.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(4L, 3L)), 1.0)))
+    // same writer's own in-flight partition now exists → RMW path required
+    assert(store.hasIndexData("ds", "v", w1.meta.parent, vid1))
+    val v1 = w1.finishVersion()
+    // a child version sees the committed parent partition
+    val w2 = store.addVersion("ds", w1.meta)
+    assert(store.hasIndexData("ds", "v", Some(v1), w2.meta.versionId.get))
+    // an unrelated variable name still has no data
+    assert(!store.hasIndexData("ds", "nope", Some(v1), w2.meta.versionId.get))
+    // end-to-end: child's partial overwrite must still merge onto the base
+    w2.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(1L, 1L)), 2.0)))
+    w2.finishVersion()
+    val got = store.reader("ds").onLastVersion().getSlice("v", Slice(Seq(0L, 0L), Seq(4L, 3L)))
+    assert(got.valueAt(Seq(0L, 0L)) == 2.0)
+    assert(got.valueAt(Seq(3L, 2L)) == 1.0)
+  }
+
   test("content dedup across chunks and versions (impl_test.clj:17-39 analog)") {
     val store = freshStore()
     store.create("ds")
