@@ -9,13 +9,15 @@ import org.apache.spark.sql.types._
   * frame-sample run as typed mapPartitions stages (one decoder
   * instantiation per partition — the batch shape a real codec needs).
   *
-  * The decode step is REAL for every format the bare JDK can read:
-  * PPM (P6) and BMP headers parse with pure JVM code (body-length
-  * validated), PNG/JPEG/GIF route through `javax.imageio` (the readers
-  * ship in every JDK 17 — headless-safe, no external codec), and WAV
-  * dims come from a RIFF chunk walk. Only video (MP4 etc.) remains a
-  * deterministic STUB — the one genuinely codec-bound family in this
-  * container. The Spark-side contract — schema, binary transport,
+  * The decode step is REAL for every format whose metadata the bare
+  * JDK can reach: PPM (P6) and BMP headers parse with pure JVM code
+  * (body-length validated), PNG/JPEG/GIF route through `javax.imageio`
+  * (the readers ship in every JDK 17 — headless-safe, no external
+  * codec), WAV dims come from a RIFF chunk walk, and MP4/ISO-BMFF
+  * dims + frame counts come from a big-endian box walk
+  * (moov/trak/tkhd + stts — header metadata needs no codec). Only
+  * UNRECOGNIZED payloads fall back to a clearly-marked deterministic
+  * stub. The Spark-side contract — schema, binary transport,
   * partition-wise batching, typed output — is the same either way.
   */
 object Multimodal {
@@ -44,8 +46,9 @@ object Multimodal {
   /** Real decoder dispatched on magic bytes: PPM "P6" (ASCII header
     * incl. '#' comments, raster-length validated) and BMP "BM" parse
     * with pure JVM code; PNG/JPEG/GIF decode through `javax.imageio`
-    * (JDK-bundled readers, headless-safe); WAV walks the RIFF chunks.
-    * Anything else (video, unknown blobs) falls back to the stub.
+    * (JDK-bundled readers, headless-safe); WAV walks the RIFF chunks;
+    * MP4/ISO-BMFF walks the box tree for tkhd dims + stts frame count.
+    * Anything else (unknown blobs) falls back to the stub.
     * Malformed media of a RECOGNIZED format fails loudly — a pipeline
     * should quarantine it, not ingest garbage dimensions. */
   object HeaderDecoder extends MediaDecoder {
@@ -63,7 +66,78 @@ object Multimodal {
         p(2) == 'F'.toByte && p(3) == '8'.toByte) decodeImageIo(p, "GIF")
       else if (p.length >= 12 && ascii(p, 0, 4) == "RIFF" &&
         ascii(p, 8, 4) == "WAVE") decodeWav(p)
+      else if (p.length >= 12 && ascii(p, 4, 4) == "ftyp") decodeMp4(p)
       else StubDecoder.decode(p)
+
+    /** MP4/ISO-BMFF: a pure big-endian box walk — no codec needed for
+      * header metadata. Width/height come from the first trak whose
+      * `tkhd` carries nonzero 16.16 fixed-point dimensions (the video
+      * track; audio traks store 0×0), and n_frames is the sum of that
+      * trak's `stts` (decoding-time-to-sample) entry counts at
+      * moov/trak/mdia/minf/stbl/stts. Box sizes are validated against
+      * the enclosing container BEFORE advancing, so a corrupt size can
+      * neither overrun the payload nor stall the walk. */
+    private def decodeMp4(p: Array[Byte]): (Long, Long, Long) = {
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"malformed MP4: $msg")
+      def u32(off: Int): Long =
+        ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+          ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+      /** Direct children of container bytes [start, end): (type, bodyStart,
+        * bodyEnd). Handles size==0 ("to end of container") and size==1
+        * (64-bit largesize) per ISO/IEC 14496-12 §4.2. */
+      def children(start: Int, end: Int): Vector[(String, Int, Int)] = {
+        val out = Vector.newBuilder[(String, Int, Int)]
+        var off = start
+        while (off < end) {
+          if (off + 8 > end) fail(s"truncated box header at $off")
+          val typ = ascii(p, off + 4, 4)
+          var hdr = 8L
+          var sz = u32(off)
+          if (sz == 0L) sz = (end - off).toLong // last box: extends to end
+          else if (sz == 1L) {
+            if (off + 16 > end) fail(s"truncated largesize box at $off")
+            sz = (u32(off + 8) << 32) | u32(off + 12); hdr = 16L
+          }
+          if (sz < hdr || sz > end - off)
+            fail(s"box '$typ' at $off: size $sz overruns its container")
+          out += ((typ, off + hdr.toInt, off + sz.toInt))
+          off += sz.toInt // sz ≥ 8: the walk always advances
+        }
+        out.result()
+      }
+      def child(kids: Vector[(String, Int, Int)], typ: String) =
+        kids.find(_._1 == typ)
+      val moov = child(children(0, p.length), "moov")
+        .getOrElse(fail("no moov box"))
+      val traks = children(moov._2, moov._3).filter(_._1 == "trak")
+      if (traks.isEmpty) fail("moov contains no trak")
+      val video = traks.iterator.flatMap { case (_, ts, te) =>
+        val kids = children(ts, te)
+        val (_, hs, he) = child(kids, "tkhd").getOrElse(fail("trak without tkhd"))
+        if (he - hs < 4) fail("truncated tkhd")
+        val dimOff = hs + (if ((p(hs) & 0xff) == 1) 88 else 76) // v1 vs v0 layout
+        if (he - dimOff < 8) fail("truncated tkhd (no width/height)")
+        val w = u32(dimOff) >> 16 // 16.16 fixed-point integer part
+        val h = u32(dimOff + 4) >> 16
+        if (w > 0 && h > 0) Some((kids, w, h)) else None
+      }.nextOption().getOrElse(fail("no video trak (nonzero tkhd dims)"))
+      val (kids, w, h) = video
+      val stts = (for {
+        mdia <- child(kids, "mdia")
+        minf <- child(children(mdia._2, mdia._3), "minf")
+        stbl <- child(children(minf._2, minf._3), "stbl")
+        st <- child(children(stbl._2, stbl._3), "stts")
+      } yield st).getOrElse(fail("video trak without stts"))
+      val (_, ss, se) = stts
+      if (se - ss < 8) fail("truncated stts")
+      val n = u32(ss + 4)
+      if (8L + n * 8L > se - ss) fail(s"stts entry count $n overruns the box")
+      var frames = 0L
+      var i = 0
+      while (i < n) { frames += u32(ss + 8 + i * 8); i += 1 }
+      (w, h, frames)
+    }
 
     private def ascii(p: Array[Byte], off: Int, len: Int): String =
       new String(p, off, len, java.nio.charset.StandardCharsets.US_ASCII)
@@ -106,8 +180,12 @@ object Multimodal {
           rate = bb.getInt(off + 12).toLong & 0xffffffffL
           blockAlign = (bb.getShort(off + 20) & 0xffff).toLong
         } else if (id == "data") dataLen = sz
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-        if (sz < 0 || off < 0) fail("chunk size overflow")
+        // validate BEFORE advancing: sz is an attacker-controlled u32; a
+        // value like 0xFFFFFFF8 advanced via .toInt (= -8, padding 0)
+        // would make off += 0 and hang the executor task forever
+        if (sz > p.length.toLong - off - 8)
+          fail(s"truncated or oversized chunk at $off (size $sz)")
+        off += (8L + sz + (sz & 1L)).toInt // chunks are word-aligned
       }
       if (rate <= 0 || channels <= 0 || blockAlign <= 0)
         fail("no usable fmt chunk (rate/channels/block-align)")
@@ -191,6 +269,61 @@ object Multimodal {
     * An oracle checks the encode→decode roundtrip by recomputing the
     * dimensions arithmetically — the payload itself (CRCs, zlib
     * streams) never crosses engines. */
+  /** Deterministic minimal-box MP4s (ftyp + moov with an audio-shaped
+    * zero-dim trak FOLLOWED by the video trak, so track selection is
+    * exercised), built in partition batches like [[syntheticPngs]].
+    * Dims/frames derive arithmetically from doc_id so an oracle can
+    * recompute them without parsing. */
+  def syntheticMp4s(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        (id, buildMp4((id % 128 + 16).toInt, (id * 3 % 96 + 16).toInt,
+          (id % 24 + 1).toInt))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** One minimal ISO-BMFF file: the exact box set decodeMp4 needs. */
+  private[graft] def buildMp4(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val n = 8 + body.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(n) // big-endian by default
+      bb.putInt(n).put(typ.getBytes("US-ASCII"))
+      body.foreach(bb.put)
+      bb.array()
+    }
+    def tkhd(width: Int, height: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0)                 // version 0 + flags
+      b.putInt(0).putInt(0)       // creation, modification
+      b.putInt(1).putInt(0)       // track id, reserved
+      b.putInt(0)                 // duration
+      b.putLong(0L)               // reserved
+      b.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/vol/res
+      b.putInt(0x00010000).putInt(0).putInt(0)          // unity matrix
+      b.putInt(0).putInt(0x00010000).putInt(0)
+      b.putInt(0).putInt(0).putInt(0x40000000)
+      b.putInt(width << 16).putInt(height << 16)        // 16.16 fixed-point
+      box("tkhd", b.array())
+    }
+    // two stts entries when frames > 1 so entry summation is exercised
+    val sttsBody = {
+      val e = if (frames > 1) Seq((1, 500), (frames - 1, 500))
+        else Seq((frames, 500))
+      val b = java.nio.ByteBuffer.allocate(8 + e.size * 8)
+      b.putInt(0).putInt(e.size)
+      e.foreach { case (c, d) => b.putInt(c).putInt(d) }
+      b.array()
+    }
+    val videoTrak = box("trak", tkhd(w, h),
+      box("mdia", box("minf", box("stbl", box("stts", sttsBody)))))
+    val audioTrak = box("trak", tkhd(0, 0)) // non-video: 0×0 dims, no stbl
+    box("ftyp", "isom".getBytes("US-ASCII"), Array[Byte](0, 0, 0, 0)) ++
+      box("moov", audioTrak, videoTrak)
+  }
+
   def syntheticPngs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -134,6 +134,15 @@ object PipelineQueries {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
         .orderBy("doc_id")),
+    // REAL container parse: minimal-box MP4s (ftyp + moov/trak/tkhd +
+    // stts, built in partition batches) walked back through the
+    // ISO-BMFF box parser — dims from tkhd 16.16 fixed point, frame
+    // count summed over stts entries. Oracle recomputes arithmetically.
+    "q_pipe_multimodal_video" -> ((s, dir) =>
+      Multimodal.extractMetaBinary(Multimodal.syntheticMp4s(docs(s, dir)))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")),
     // curation: decontamination, deterministic sampling, packing, vocab
     "q_pipe_decontam" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
     "q_pipe_sample" -> ((s, dir) => Curation.stratifiedSample(docs(s, dir))),
@@ -960,5 +969,14 @@ object PipelineQueries {
         | CAST(doc_id % 64 + 1 AS BIGINT) AS width,
         | CAST(doc_id % 48 + 1 AS BIGINT) AS height,
         | CAST(1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // MP4 box-walk roundtrip: the Spark side parses real ISO-BMFF boxes;
+    // the oracle recomputes the deterministic builder arithmetic
+    "q_pipe_multimodal_video" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 128 + 16 AS BIGINT) AS width,
+        | CAST((doc_id * 3) % 96 + 16 AS BIGINT) AS height,
+        | CAST(doc_id % 24 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.pipeline.Multimodal
 import graft.pipeline.Multimodal.HeaderDecoder
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The real header decoder: PPM/BMP parse with pure JVM code (no codec);
@@ -134,6 +135,61 @@ class MultimodalSpec extends AnyFunSuite {
     val shortFmt = java.util.Arrays.copyOf(wav(8000, 2, 4, 64), 20)
     val e2 = intercept[IllegalArgumentException] { HeaderDecoder.decode(shortFmt) }
     assert(e2.getMessage.contains("malformed WAV"), e2.getMessage)
+    // adversarial chunk size 0xFFFFFFF8: advanced via .toInt this is -8
+    // (word-aligned to 0), i.e. an infinite loop — must fail loudly and
+    // promptly instead of hanging the executor task
+    val spin = wav(8000, 2, 4, 64)
+    val bb = java.nio.ByteBuffer.wrap(spin).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0xFFFFFFF8) // fmt chunk size
+    val e3 = intercept[IllegalArgumentException] { HeaderDecoder.decode(spin) }
+    assert(e3.getMessage.contains("oversized chunk"), e3.getMessage)
+    // same for the odd variant whose padding byte also nets zero advance
+    bb.putInt(16, 0xFFFFFFF9)
+    val e4 = intercept[IllegalArgumentException] { HeaderDecoder.decode(spin) }
+    assert(e4.getMessage.contains("oversized chunk"), e4.getMessage)
+  }
+
+  test("MP4: tkhd dims + stts frame sum from the box walk; corrupt boxes fail loudly") {
+    import graft.pipeline.Multimodal
+    // multi-entry stts summed; audio (0×0) trak skipped
+    assert(HeaderDecoder.decode(Multimodal.buildMp4(640, 360, 24)) ==
+      ((640L, 360L, 24L)))
+    assert(HeaderDecoder.decode(Multimodal.buildMp4(16, 16, 1)) ==
+      ((16L, 16L, 1L)))
+    val good = Multimodal.buildMp4(320, 240, 7)
+    val bb = java.nio.ByteBuffer.wrap(good) // big-endian
+    // ftyp-but-no-moov fails (recognition by magic, then loud parse)
+    val noMoov = java.util.Arrays.copyOf(good, 16)
+    val e1 = intercept[IllegalArgumentException] { HeaderDecoder.decode(noMoov) }
+    assert(e1.getMessage.contains("no moov"), e1.getMessage)
+    // a box size that overruns its container fails instead of reading OOB
+    val overrun = good.clone()
+    java.nio.ByteBuffer.wrap(overrun).putInt(16, Int.MaxValue) // moov size
+    val e2 = intercept[IllegalArgumentException] { HeaderDecoder.decode(overrun) }
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
+    // a size below the header length (a non-advancing walk) fails too
+    val tiny = good.clone()
+    java.nio.ByteBuffer.wrap(tiny).putInt(16, 4)
+    val e3 = intercept[IllegalArgumentException] { HeaderDecoder.decode(tiny) }
+    assert(e3.getMessage.contains("overruns"), e3.getMessage)
+    // truncated mid-moov: the trak's child walk hits a torn box header
+    val torn = java.util.Arrays.copyOf(good, good.length - 6)
+    intercept[IllegalArgumentException] { HeaderDecoder.decode(torn) }
+    bb.rewind() // silence unused warning paths; buffer not needed further
+  }
+
+  test("syntheticMp4s → extractMetaBinary: distributed build→parse roundtrip") {
+    import spark.implicits._
+    import graft.pipeline.Multimodal
+    val docs = spark.range(0, 40).select(col("id").as("doc_id"))
+    val out = Multimodal.extractMetaBinary(Multimodal.syntheticMp4s(docs))
+      .collect().sortBy(_.doc_id)
+    assert(out.length == 40)
+    out.foreach { m =>
+      assert(m.width == m.doc_id % 128 + 16)
+      assert(m.height == m.doc_id * 3 % 96 + 16)
+      assert(m.n_frames == m.doc_id % 24 + 1)
+    }
   }
 
   test("syntheticPngs → extractMetaBinary: distributed encode→decode roundtrip") {
