@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Approximate-nearest-neighbor operators over an embedding column
   * (`Array[Float]`).
@@ -284,6 +283,23 @@ object Similarity {
     * named. */
   final case class CorpusId(uri: String, versionId: Long)
 
+  /** The [[CorpusId]] of a graft version-pinned reader — the reader
+    * already knows both its dataset URI and its pinned versionId, so a
+    * version-pinned ANN index over a versioned corpus never needs a
+    * hand-assembled identity. */
+  def corpusIdOf(reader: graft.spark.SparkPinnedReader): CorpusId = {
+    val (uri, v) = reader.pinnedIdentity
+    CorpusId(uri, v)
+  }
+
+  /** [[ivfBuild]] pinned to the graft dataset version `reader` is on:
+    * subsequent [[attestVersion]]/[[ivfQueryPinned]]/[[ivfAppendPinned]]
+    * calls attest in O(1) against this pin (zero Spark jobs). */
+  def ivfBuildPinned(emb: DataFrame, path: String,
+      reader: graft.spark.SparkPinnedReader, nCentroids: Int = 0,
+      lloydIters: Int = 1): Unit =
+    ivfBuild(emb, path, nCentroids, lloydIters, Some(corpusIdOf(reader)))
+
   /** The committed index meta. Persisted twice with identical content:
     * a one-row parquet table at `<gen>/meta` (spark-inspectable, the
     * pre-round-6 read path) and a `<gen>/meta.props` java-properties
@@ -301,10 +317,8 @@ object Similarity {
     * produces). Resolve ONCE per operation so centroids, lists, and
     * meta always come from the same generation. */
   private def servingDir(path: String): String = {
-    val cur = Paths.get(path, "CURRENT")
-    if (Files.exists(cur))
-      s"$path/${new String(Files.readAllBytes(cur),
-        java.nio.charset.StandardCharsets.UTF_8).trim}"
+    val cur = s"$path/CURRENT"
+    if (IndexFs.exists(cur)) s"$path/${IndexFs.readString(cur).trim}"
     else path
   }
 
@@ -321,10 +335,10 @@ object Similarity {
   private def readMeta(spark: SparkSession, dir: String): Option[IvfMeta] = {
     var tries = 0
     while (tries <= 100) {
-      val props = Paths.get(dir, "meta.props")
-      if (Files.exists(props)) {
+      val props = s"$dir/meta.props"
+      if (IndexFs.exists(props)) {
         val p = new java.util.Properties()
-        scala.util.Using.resource(Files.newInputStream(props))(p.load)
+        p.load(new java.io.ByteArrayInputStream(IndexFs.readBytes(props)))
         return Some(IvfMeta(
           p.getProperty("corpus_count").toLong,
           p.getProperty("corpus_hash").toLong,
@@ -336,13 +350,13 @@ object Similarity {
           Option(p.getProperty("corpus_uri")),
           p.getProperty("corpus_version", "-1").toLong))
       }
-      val metaDir = Paths.get(dir, "meta")
-      if (Files.exists(metaDir)) {
-        try return Some(parseMetaRow(spark.read.parquet(s"$dir/meta").head))
+      val metaDir = s"$dir/meta"
+      if (IndexFs.exists(metaDir)) {
+        try return Some(parseMetaRow(spark.read.parquet(metaDir).head))
         catch { case _: org.apache.spark.sql.AnalysisException
-            if !Files.exists(metaDir) => () } // raced a swap: retry below
-      } else if (!Files.exists(Paths.get(dir, ".meta_old")) &&
-          !Files.exists(Paths.get(dir, ".meta_new")))
+            if !IndexFs.exists(metaDir) => () } // raced a swap: retry below
+      } else if (!IndexFs.exists(s"$dir/.meta_old") &&
+          !IndexFs.exists(s"$dir/.meta_new"))
         return None // genuinely meta-less: legacy index or fresh dir
       tries += 1
       Thread.sleep(20)
@@ -386,10 +400,9 @@ object Similarity {
     p.setProperty("base_count", m.baseCount.toString)
     p.setProperty("corpus_version", m.corpusVersion.toString)
     m.corpusUri.foreach(p.setProperty("corpus_uri", _))
-    val tmp = Paths.get(dir, ".meta.props.tmp")
-    scala.util.Using.resource(Files.newOutputStream(tmp))(p.store(_, null))
-    Files.move(tmp, Paths.get(dir, "meta.props"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val bos = new java.io.ByteArrayOutputStream()
+    p.store(bos, null)
+    IndexFs.replace(s"$dir/meta.props", bos.toByteArray)
   }
 
   /** Fresh-dir meta write (no readers yet: plain writes suffice). */
@@ -404,14 +417,14 @@ object Similarity {
     * readable), then the props sidecar's atomic replace publishes the
     * new state to readers ([[readMeta]] prefers the sidecar). */
   private def commitMeta(spark: SparkSession, m: IvfMeta, dir: String): Unit = {
-    val tmp = Paths.get(dir, ".meta_new")
-    metaDF(spark, m).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val metaDir = Paths.get(dir, "meta")
-    val bak = Paths.get(dir, ".meta_old")
-    deleteTree(bak)
-    if (Files.exists(metaDir)) Files.move(metaDir, bak)
-    Files.move(tmp, metaDir)
-    deleteTree(bak)
+    val tmp = s"$dir/.meta_new"
+    metaDF(spark, m).coalesce(1).write.mode("overwrite").parquet(tmp)
+    val metaDir = s"$dir/meta"
+    val bak = s"$dir/.meta_old"
+    IndexFs.deleteTree(bak)
+    if (IndexFs.exists(metaDir)) IndexFs.rename(metaDir, bak)
+    IndexFs.rename(tmp, metaDir)
+    IndexFs.deleteTree(bak)
     writeProps(m, dir)
   }
 
@@ -419,27 +432,40 @@ object Similarity {
     * file: two concurrent read-modify-write meta updates would lose one
     * writer's generation and XOR contribution (lost update), and an
     * append racing a rebuild would commit into the generation the flip
-    * is about to supersede. Single-process scope matches the local-FS
-    * index layout; a crashed writer's lock is stolen after `staleMs`. */
+    * is about to supersede. Cross-process via the Hadoop FS
+    * create-no-overwrite lease (an atomic conditional create on HDFS
+    * and modern object stores). A crashed writer's lock is stolen after
+    * `staleMs` — which therefore is a HARD upper bound on how long one
+    * append/rebuild may run; raise it for huge rebuilds. The steal path
+    * (delete stale, re-create) is two steps, so after creating the lock
+    * each writer reads its unique token back — of N racing stealers
+    * exactly one sees its own token and proceeds; the rest throw. */
   private def withWriteLock[A](path: String, staleMs: Long = 3600000L)(
       body: => A): A = {
-    val root = Paths.get(path)
-    Files.createDirectories(root)
-    val lock = root.resolve(".write.lock")
+    IndexFs.mkdirs(path)
+    val lock = s"$path/.write.lock"
+    val token = java.util.UUID.randomUUID.toString
     try {
-      if (Files.exists(lock) && Files.getLastModifiedTime(lock).toMillis
-          < System.currentTimeMillis() - staleMs)
-        Files.deleteIfExists(lock)
+      if (IndexFs.exists(lock) &&
+          IndexFs.mtime(lock) < System.currentTimeMillis() - staleMs)
+        IndexFs.delete(lock)
     } catch { case _: java.io.IOException => () }
-    try Files.createFile(lock)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
+    if (!IndexFs.createExclusive(lock, token))
       throw new IllegalStateException(
         s"graft: another ivfAppend/ivfRebuild holds $path/.write.lock — " +
           "index writes are single-writer (lost-update protection); retry " +
           "after it commits (a crashed writer's lock is stolen after " +
           s"${staleMs / 1000} s)")
-    }
-    try body finally Files.deleteIfExists(lock)
+    val owned =
+      try IndexFs.readString(lock).trim == token
+      catch { case _: java.io.IOException => false }
+    if (!owned)
+      throw new IllegalStateException(
+        s"graft: lost a stale-lock steal race on $path/.write.lock — " +
+          "another writer re-created the lock between this writer's " +
+          "delete and create; retry after it commits")
+    try body
+    finally { try IndexFs.delete(lock) catch { case _: java.io.IOException => () } }
   }
 
   /** Persistent IVF index: `build` runs the Lloyd refinement ONCE and
@@ -462,7 +488,7 @@ object Similarity {
     * (`autoCentroids`). */
   def ivfBuild(emb: DataFrame, path: String, nCentroids: Int = 0,
       lloydIters: Int = 1, corpus: Option[CorpusId] = None): Unit = {
-    require(!Files.exists(Paths.get(path, "CURRENT")),
+    require(!IndexFs.exists(s"$path/CURRENT"),
       s"graft: $path is a pointer-layout index (rebuilt at least once); " +
         "ivfBuild would write a generation no reader resolves — use ivfRebuild")
     buildAt(emb, path, nCentroids, lloydIters, corpus, lastBatch = -1L)
@@ -512,10 +538,8 @@ object Similarity {
         readMeta(spark, servingDir(path)).map(_.lastBatch).getOrElse(-1L)
       val gen = s"gen_${java.util.UUID.randomUUID}"
       buildAt(emb, s"$path/$gen", nCentroids, lloydIters, corpus, prevLastBatch)
-      val tmp = Paths.get(path, s".CURRENT_$gen")
-      Files.write(tmp, gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      Files.move(tmp, Paths.get(path, "CURRENT"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      IndexFs.replace(s"$path/CURRENT",
+        gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
 
   /** Fraction of the index's corpus appended SINCE the centroids were
@@ -605,8 +629,8 @@ object Similarity {
     * version is exactly the silent-staleness bug the binding exists to
     * stop); `batch` must carry NEW vec_ids. */
   def ivfAppend(base: DataFrame, batch: DataFrame, path: String): Unit = {
-    attestCorpus(base, path)
-    appendUnattested(batch, path, batchId = None, newCorpus = None); ()
+    appendUnattested(batch, path, batchId = None, newCorpus = None,
+      attest = _ => attestCorpus(base, path)); ()
   }
 
   /** [[ivfAppend]] for a version-pinned index: attest the current pin
@@ -616,8 +640,8 @@ object Similarity {
     * batch and the meta sidecar. */
   def ivfAppendPinned(batch: DataFrame, path: String,
       from: CorpusId, to: CorpusId): Unit = {
-    attestVersion(batch.sparkSession, path, from)
-    appendUnattested(batch, path, batchId = None, newCorpus = Some(to)); ()
+    appendUnattested(batch, path, batchId = None, newCorpus = Some(to),
+      attest = s => attestVersion(s, path, from)); ()
   }
 
   /** Streaming variant of [[ivfAppend]] with exactly-once semantics: the
@@ -641,11 +665,19 @@ object Similarity {
     * contribution), and an append racing [[ivfRebuild]] would commit
     * into the superseded generation. An UNPINNED append clears any
     * recorded corpus pin — the pin's version no longer describes the
-    * grown corpus. */
+    * grown corpus.
+    *
+    * `attest` runs INSIDE the write lock, before the meta read — an
+    * attestation taken before lock acquisition could be invalidated by
+    * a concurrent writer advancing the pin or growing the corpus
+    * between attest and commit (TOCTOU), and the append would then
+    * stamp `to` over a base that no longer matches `from`. */
   private def appendUnattested(batch: DataFrame, path: String,
-      batchId: Option[Long], newCorpus: Option[CorpusId]): Boolean =
+      batchId: Option[Long], newCorpus: Option[CorpusId],
+      attest: SparkSession => Unit = _ => ()): Boolean =
     withWriteLock(path) {
       val spark = batch.sparkSession
+      attest(spark)
       val sd = servingDir(path)
       val meta = readMeta(spark, sd).getOrElse(throw new IllegalStateException(
         s"graft: IVF index at $path has no meta — append needs an " +
@@ -678,7 +710,7 @@ object Similarity {
     * silent). Returns the number of dirs removed. */
   def ivfVacuum(path: String, graceMs: Long = 3600000L): Int = {
     val spark = org.apache.spark.sql.SparkSession.active
-    if (!Files.exists(Paths.get(path))) return 0
+    if (!IndexFs.exists(path)) return 0
     val sd = servingDir(path)
     // IO errors / corrupt meta PROPAGATE (a transient failure must abort
     // the sweep, not masquerade as "no meta"); only a genuinely
@@ -689,24 +721,13 @@ object Similarity {
     }
     val live = meta.gens.toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    import scala.jdk.CollectionConverters._
-    def silentSince(p: Path): Boolean = {
-      val newest =
-        try scala.util.Using.resource(Files.walk(p)) {
-          _.iterator().asScala
-            .map(q => Files.getLastModifiedTime(q).toMillis)
-            .foldLeft(0L)(math.max)
-        } catch { case _: java.io.IOException => Long.MaxValue }
-      newest <= cutoff
-    }
+    def silentSince(p: String): Boolean = IndexFs.newestMtime(p) <= cutoff
     // 1) orphan assignment generations inside the serving dir — writes
     //    that finished (or died) but whose meta commit never landed
-    val orphans = scala.util.Using.resource(Files.list(Paths.get(sd))) { s =>
-      s.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("assignments_") &&
-          !live(p.getFileName.toString))
-        .filter(silentSince).toSeq
-    }
+    val orphans = IndexFs.list(sd)
+      .collect { case (n, _) if n.startsWith("assignments_") && !live(n) =>
+        s"$sd/$n" }
+      .filter(silentSince)
     // 2) superseded index generations at the root (pointer layout):
     //    gen_ dirs the CURRENT pointer no longer names, plus the legacy
     //    root-layout leftovers (centroids/meta/assignments*) once a
@@ -715,28 +736,18 @@ object Similarity {
     val superseded =
       if (sd == path) Seq.empty
       else {
-        val curName = Paths.get(sd).getFileName.toString
-        scala.util.Using.resource(Files.list(Paths.get(path))) { s =>
-          s.iterator().asScala
-            .filter { p =>
-              val n = p.getFileName.toString
-              (n.startsWith("gen_") && n != curName) ||
+        val curName = sd.substring(sd.lastIndexOf('/') + 1)
+        IndexFs.list(path)
+          .collect { case (n, _)
+              if (n.startsWith("gen_") && n != curName) ||
                 n == "centroids" || n == "meta" || n == "meta.props" ||
-                n.startsWith("assignments")
-            }
-            .filter(silentSince).toSeq
-        }
+                n.startsWith("assignments") =>
+            s"$path/$n" }
+          .filter(silentSince)
       }
-    (orphans ++ superseded).foreach(deleteTree)
+    (orphans ++ superseded).foreach(IndexFs.deleteTree)
     orphans.size + superseded.size
   }
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p))
-      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-      }
 
   /** The committed assignment dirs of an already-resolved serving dir.
     * None-meta (legacy pre-meta index) falls back to the single

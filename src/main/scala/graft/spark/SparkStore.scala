@@ -736,6 +736,18 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
 
   private def vid = meta.versionId.get
 
+  /** Stable identity of this pinned read: (dataset URI, versionId) —
+    * exactly the pair a version-pinned ANN index records
+    * (`Similarity.CorpusId`), so downstream indexes can derive their
+    * corpus pin from the reader instead of hand-assembling it
+    * (reference version-pinned read rule: io/mandoline/impl.clj:53-75). */
+  def pinnedIdentity: (String, Long) = {
+    require(meta.versionId.isDefined,
+      s"reader of $name is not pinned to a version — call onVersion/" +
+        "onLastVersion/onTimestamp first")
+    (s"${store.root}/$name", vid)
+  }
+
   /** (coordKey, coord) of every chunk covering `request` — generated
     * distributedly from the chunk-grid arithmetic (the pruned "physical
     * plan", reference: io/mandoline.clj:250-256 + chunk.clj:11-25). */

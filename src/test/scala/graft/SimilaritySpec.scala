@@ -473,6 +473,77 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.count() > 0, "vacuum broke the serving generation")
   }
 
+  test("IVF lifecycle on an explicit file:/// Hadoop path (FS-API sidecars)") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Similarity.CorpusId
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the scheme forces every sidecar operation (CURRENT pointer,
+    // meta.props commit, write lock, vacuum listings) through the Hadoop
+    // FileSystem API — the code path an HDFS/object-store index runs
+    val path = "file://" +
+      java.nio.file.Files.createTempDirectory("graft-ivf-hfs").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16,
+      corpus = Some(CorpusId("graft://hfs/e", 1L)))
+    Similarity.attestVersion(spark, path, CorpusId("graft://hfs/e", 1L))
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    Similarity.ivfAppendPinned(batch, path,
+      CorpusId("graft://hfs/e", 1L), CorpusId("graft://hfs/e", 2L))
+    Similarity.attestVersion(spark, path, CorpusId("graft://hfs/e", 2L))
+    val full = emb.select("vec_id", "embedding").unionByName(batch)
+    Similarity.ivfRebuild(full, path, nCentroids = 16,
+      corpus = Some(CorpusId("graft://hfs/e", 2L)))
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(Similarity.ivfQueryPinned(q, path,
+      CorpusId("graft://hfs/e", 2L), k = 1).count() > 0)
+    // vacuum sweeps the superseded root layout through the FS API too
+    assert(Similarity.ivfVacuum(path, graceMs = -5000) >= 1)
+    assert(Similarity.ivfQueryVectors(q, path, k = 1).count() > 0)
+  }
+
+  test("corpusIdOf: the ANN pin derives from a graft pinned reader; O(1) attest") {
+    import org.apache.spark.sql.functions._
+    import graft.core._
+    import graft.meta.{DatasetMeta, VariableDef}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = new graft.spark.SparkStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-cid").toString)
+    store.create("corpus")
+    val m = DatasetMeta(
+      dimensions = Map("x" -> 4L),
+      chunkDimensions = Map("x" -> 4L),
+      variables = Map("v" -> VariableDef("double", Vector("x"), -1.0)))
+    val w = store.addVersion("corpus", m)
+    w.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L), Seq(4L)), 1.0)))
+    w.finishVersion()
+    val reader = store.reader("corpus").onLastVersion()
+    val path = java.nio.file.Files.createTempDirectory("graft-cid-ivf").toString
+    Similarity.ivfBuildPinned(emb, path, reader, nCentroids = 16)
+    // attest via the derived identity, with zero Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.attestVersion(spark, path, Similarity.corpusIdOf(reader))
+      Thread.sleep(300) // listener bus is async
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get == 0, s"attest via reader identity ran ${jobs.get} job(s)")
+    // a reader pinned to a DIFFERENT version attests stale
+    val w2 = store.addVersion("corpus", reader.meta)
+    w2.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L), Seq(1L)), 2.0)))
+    w2.finishVersion()
+    val reader2 = store.reader("corpus").onLastVersion()
+    assert(intercept[IllegalStateException] {
+      Similarity.attestVersion(spark, path, Similarity.corpusIdOf(reader2))
+    }.getMessage.contains("STALE"))
+  }
+
   test("index write lock: a held lock refuses writers; a stale lock is stolen") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
