@@ -181,14 +181,16 @@ object Curation {
     val width = math.max(1L, (span + nBuckets - 1) / nBuckets)
     // `tokensCol` lets a caller that ALREADY tokenized (e.g. a quality
     // gate's n_tokens) thread the count through instead of paying a
-    // second full-corpus tokenization — the alnum-run count here and
-    // TextOps.qualityColumns' n_tokens are the same number.
+    // second full-corpus tokenization. Both paths count the SAME
+    // tokenizer ([[TextOps.tokens]]): a different default (e.g. an
+    // un-lowercased alnum regexp) diverges on Unicode where lowercasing
+    // changes alnum runs, so chained and standalone packing would bin
+    // documents differently on the same corpus.
     val toks = tokensCol match {
       case Some(c) => docs.select(col("doc_id").cast("long").as("doc_id"),
         col(c).cast("long").as("toks"))
       case None => docs.select(col("doc_id").cast("long").as("doc_id"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
-          .cast("long").as("toks"))
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"))
     }
     // integer-exact bucketing (`div`, not `/` — long `/` promotes to double).
     // Eagerly checkpointed: the frame is consumed by BOTH the running-sum

@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
   * each cross-checked against a DuckDB oracle computing the identical
   * deterministic function (md5-string minhashing, integer Jaccard,
   * pure-arithmetic quality scores).
+  *
+  * == Gate convention: SCALAR COLUMNS ONLY ==
+  * Every `queries` entry must emit scalar (non-array, non-struct)
+  * columns. The driver's comparator hashes DuckDB and Spark cell values
+  * after a column-name sort, and array cells do not hash identically
+  * across the two engines (element order inside a DuckDB LIST aggregate
+  * is nondeterministic, and the textual renderings differ) — an
+  * array-valued gate can flap from red to green run-to-run. Operators
+  * whose PUBLIC API returns arrays (per-label centroids, posting lists,
+  * token vectors, ...) keep the array shape in the pipeline API and
+  * reshape for the gate only: `posexplode` the array into
+  * (ord, value) rows, mirrored by `unnest`/`generate_subscripts` on the
+  * oracle side. This convention is what took round 6 to 67/67 — future
+  * array-valued operators must follow it.
   */
 object PipelineQueries {
 
@@ -779,7 +793,8 @@ object PipelineQueries {
     "q_pipe_packing" ->
       """WITH t AS (
         | SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS toks
+        |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> x <> '')) AS BIGINT) AS toks
         | FROM documents),
         |c AS (
         | SELECT doc_id, toks,
