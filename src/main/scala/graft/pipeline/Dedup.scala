@@ -290,6 +290,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-substring statistics: per document, how many of its
+    * sampled character k-grams occur elsewhere in the corpus (another
+    * doc, or another offset of the same doc) — the scalable stand-in for
+    * suffix-array exact-substring dedup (the "repeated ≥50-char span"
+    * criterion of substring-level corpus dedup), which token-window
+    * dedup ([[windowDedup]]) cannot see because its non-overlapping
+    * windows miss duplicates at arbitrary offsets.
+    *
+    * Sampling is CONTENT-keyed, not offset-strided: every char offset
+    * yields a k-gram, and a k-gram is kept iff the last hex digit of
+    * its md5 falls below 16/p — identical copies of a substring are
+    * therefore sampled identically at ANY offsets (an offset-stride
+    * grid only matches copies aligned mod stride). A shared span of
+    * length L ≥ k contains L−k+1 k-grams of which ~1/p are sampled, so
+    * detection probability ≈ 1−(1−1/p)^(L−k+1) — near-certain for the
+    * ≥2k spans substring dedup targets at the default p.
+    *
+    * Scale shape: the explode streams O(chars) candidate k-grams
+    * through codegen but SHUFFLES only the 1/p sample, grouped
+    * map-side-combinably on (gram, doc); corpus-wide counts ride one
+    * window over the gram partition (partition size = a gram's dup
+    * multiplicity, never the corpus). md5 as the sampler/fingerprint
+    * keeps the op engine-portable (the oracle computes the identical
+    * sample); a production variant would swap in xxhash64 for cheaper
+    * hashing with the same shape.
+    *
+    * `p` must divide 16 (the sampler keeps 16/p of the hex alphabet);
+    * p=1 disables sampling (every k-gram counted — exact, for tests and
+    * small corpora). */
+  def substringDupStats(docs: DataFrame, k: Int = 40, p: Int = 8): DataFrame = {
+    require(k > 0, "k-gram length must be positive")
+    require(p > 0 && 16 % p == 0, s"p must divide 16 (got $p)")
+    val keepDigits = "0123456789abcdef".take(16 / p).map(_.toString)
+    val ids = docs.select(col("doc_id").cast("long").as("doc_id"))
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - (k - 1)),
+          i => col("text").substr(i, lit(k)))).as("gram"))
+      .filter(substring(md5(col("gram")), 32, 1).isin(keepDigits: _*))
+    val perGramDoc = grams.groupBy("gram", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
+    val corpusW = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val stats = perGramDoc
+      .withColumn("tot", sum(col("cnt")).over(corpusW))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("tot") > 1, col("cnt")).otherwise(0L)).as("dup_grams"))
+    ids.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac", round(col("dup_grams").cast("double") /
+        greatest(col("n_grams"), lit(1L)).cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   /** 16-bit SimHash from the word set: bit k is set when the majority of
     * words have the high bit of hex digit k of md5(word) set
     * (hex digit ≥ '8'). Returned as a 16-char '0'/'1' string. */

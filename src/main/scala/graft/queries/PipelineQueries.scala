@@ -181,6 +181,9 @@ object PipelineQueries {
     // the cleaned corpus that dedup implies: dup windows removed,
     // survivors reassembled (fingerprinted) per doc
     "q_pipe_window_clean" -> ((s, dir) => Dedup.windowCleanedDocs(docs(s, dir))),
+    // duplicated-substring spans: content-sampled char k-grams occurring
+    // more than once corpus-wide (the suffix-array-dedup approximation)
+    "q_pipe_dup_spans" -> ((s, dir) => Dedup.substringDupStats(docs(s, dir))),
     // mislabel candidates: bottom-k cosine to own label centroid
     "q_pipe_label_outliers" -> ((s, dir) => Similarity.labelOutliers(emb(s, dir))),
     // PII scrubbing: the corpus text carries no PII, so deterministic
@@ -668,6 +671,29 @@ object PipelineQueries {
         | CAST(sum(len(string_split(w_text, ' '))) AS BIGINT) AS n_kept_tokens,
         | md5(string_agg(w_text, ' ' ORDER BY w_idx)) AS cleaned_fp
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // duplicated substrings: every char 40-gram, kept iff md5's last hex
+    // digit ∈ {0,1} (the identical 1/8 content sample as the Spark
+    // side), counted corpus-wide; a doc's dup_grams are its sampled
+    // grams seen more than once anywhere
+    "q_pipe_dup_spans" ->
+      """WITH g AS (
+        | SELECT doc_id, substr(text, CAST(i AS INT), 40) AS gram
+        | FROM documents, unnest(range(1, length(text) - 39 + 1)) u(i)
+        | WHERE length(text) >= 40),
+        |gs AS (SELECT doc_id, gram FROM g
+        |       WHERE substr(md5(gram), 32, 1) IN ('0', '1')),
+        |pg AS (SELECT gram, doc_id, count(*) AS cnt FROM gs GROUP BY 1, 2),
+        |tg AS (SELECT gram, sum(cnt) AS tot FROM pg GROUP BY 1),
+        |s AS (SELECT doc_id, sum(cnt) AS n_grams,
+        |       sum(CASE WHEN tot > 1 THEN cnt ELSE 0 END) AS dup_grams
+        |      FROM pg JOIN tg USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+        | CAST(coalesce(s.dup_grams, 0) AS BIGINT) AS dup_grams,
+        | round(CAST(coalesce(s.dup_grams, 0) AS DOUBLE)
+        |       / greatest(coalesce(s.n_grams, 0), 1), 4) AS dup_frac
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // label outliers: same quantized-integer centroids as
     // q_pipe_label_centroids, bottom-k cosine per label

@@ -111,6 +111,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains(4L))               // empty doc: no windows
   }
 
+  test("substringDupStats: offset-shifted shared spans are caught; unique text is not") {
+    // docs 1 and 2 share a 30-char span at DIFFERENT offsets (2 and 9 —
+    // not congruent mod any stride > 1): content-keyed sampling must
+    // still match them. doc 3 is unique; doc 4 shorter than k.
+    val shared = "the quick brown fox jumps over"    // 30 chars
+    val docs = docsDF(Seq(
+      (1L, s"xy${shared}zzzzqqqq", "en"),
+      (2L, s"abcdefghi${shared}kk", "en"),
+      (3L, "completely original content with no repeats anywhere at all", "en"),
+      (4L, "tiny", "en")))
+    // p=1: no sampling, every k-gram counted — exact semantics
+    val got = Dedup.substringDupStats(docs, k = 20, p = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // shared span of length 30 holds 11 20-grams, identical in both docs
+    assert(got(1L)._2 >= 11L, s"doc 1 missed the shared span: ${got(1L)}")
+    assert(got(2L)._2 >= 11L, s"doc 2 missed the shared span: ${got(2L)}")
+    assert(got(3L)._2 == 0L, s"unique doc flagged: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L)), "short doc must report zero grams")
+    // every doc reports, n_grams = len - k + 1 for long docs
+    assert(got(1L)._1 == docs.collect().find(_.getLong(0) == 1L).get
+      .getString(1).length - 19L)
+    // sampled run (p=8) only counts sampled grams, and dup ⊆ total
+    val s8 = Dedup.substringDupStats(docs, k = 20, p = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(s8(1L)._1 <= got(1L)._1 && s8(1L)._2 <= s8(1L)._1)
+  }
+
   test("windowDedup: ord encoding overflow fails loudly, not silently") {
     // |doc_id| >= 2^43 would overflow doc_id · 2^20 + w_idx and wrap the
     // keep-first ordering — the guard must fail the job, not dedup
