@@ -149,6 +149,90 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Product-quantization (PQ) ANN: every vector is compressed to `m`
+    * sub-space codes (one of `ksub` centroids per sub-space — 4 bits at
+    * the default ksub=16), and queries rank candidates by ADC
+    * (asymmetric distance computation): the query precomputes an
+    * m × ksub table of exact sub-space L2 distances, and a candidate's
+    * approximate distance is m table lookups — no decompression. This
+    * is the memory side of the 100 TB ANN story that int8 quantization
+    * ([[quantizedTopK]]) only starts: at m=8/ksub=16 a 64-dim float32
+    * corpus compresses 64× (4 bits/subvector vs 32 bytes), so a
+    * 10⁹-vector corpus's codes fit in executor memory where the raw
+    * vectors never would; composes with IVF probing (the candidate set
+    * shrinks to the probed lists, the codes shrink each candidate).
+    *
+    * Deterministic and engine-portable by the same constructions as
+    * [[ivfTopK]]: codebooks seed from the `ksub` lowest vec_ids and
+    * refine with the quantized-integer Lloyd update (order-free exact);
+    * sub-space L2 is composed from three sequential-fold dot products
+    * in fixed association ((a·a − 2·a·b) + b·b); the ADC sum folds the
+    * m lookups left-to-right — so the DuckDB oracle reproduces every
+    * rank bit-for-bit. Output: (query_id, neighbor_id, rank). */
+  def pqTopK(emb: DataFrame, k: Int, nQueries: Int, m: Int = 8,
+      ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = dot(emb) _
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    def l2(a: Column, b: Column): Column =
+      d(a, a) - lit(2.0) * d(a, b) + d(b, b)
+    // (vec_id, s, sv): the m sub-vectors of every embedding
+    val sub = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("s", "sv")))
+    // codebooks: seeded from the ksub lowest vec_ids' sub-vectors,
+    // refined by quantized-integer Lloyd passes; collected per pass
+    // (m · ksub · dsub doubles — driver-trivial) and broadcast
+    var cb: DataFrame = broadcast(sub.filter(col("vec_id") < ksub)
+      .select(col("s"), col("vec_id").cast("int").as("cent_id"), col("sv").as("cv")))
+    val wArg = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    for (_ <- 0 until lloydIters) {
+      val refined = sub.join(cb, Seq("s"))
+        .withColumn("d2", l2(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(wArg)).filter(col("rk") === 1)
+        .select(col("s"), col("cent_id"), posexplode(col("sv")).as(Seq("j", "x")))
+        .groupBy("s", "cent_id", "j")
+        .agg(sum(round(col("x") * 1024).cast("long")).as("ssum"),
+          count(lit(1)).as("cnt"))
+        .groupBy("s", "cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("j"),
+            (col("ssum") / (lit(1024.0) * col("cnt"))).as("value")))),
+          _.getField("value")).as("cv"))
+        .as[(Int, Int, Array[Double])].collect().sortBy(t => (t._1, t._2))
+      cb = broadcast(refined.toIndexedSeq.toDF("s", "cent_id", "cv"))
+    }
+    // encode: each vector's nearest codebook centroid per sub-space
+    val codes = sub.join(cb, Seq("s"))
+      .withColumn("d2", l2(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(wArg)).filter(col("rk") === 1)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("cent_id")))),
+        _.getField("cent_id")).as("codes"))
+    // per-query ADC table: sub-space L2 to EVERY centroid, flattened in
+    // (s, cent_id) order so a lookup is tbl[s·ksub + code + 1]
+    val qtab = sub.filter(col("vec_id") < nQueries).join(cb, Seq("s"))
+      .withColumn("d2", l2(col("sv"), col("cv")))
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("cent_id"),
+          col("d2").as("value")))), _.getField("value")).as("tbl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    broadcast(qtab).join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("tbl"),
+          (s * ksub + element_at(col("codes"), s + 1) + 1).cast("int"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest of K
     * coarse centroids; queries probe only the `nProbe` nearest centroid
     * lists. Seeding is the K lowest-id vectors, refined by `lloydIters`

@@ -106,6 +106,10 @@ object PipelineQueries {
     // so it shares that oracle
     "q_pipe_knn_ivf_serve" -> ((s, dir) =>
       Similarity.ivfQuery(emb(s, dir), ivfIndexFor(s, dir), k = 5, nQueries = 20)),
+    // product-quantization ADC ranking (m=8 × ksub=16 codebooks, one
+    // quantized-integer Lloyd pass — deterministic, oracle-mirrored)
+    "q_pipe_knn_pq" -> ((s, dir) =>
+      Similarity.pqTopK(emb(s, dir), k = 5, nQueries = 10)),
     // embedding-cosine near-dup: LSH-bucketed candidates, exact cosine cut
     "q_pipe_dedup_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), minCos = 0.25)),
@@ -364,6 +368,55 @@ object PipelineQueries {
         |r AS (SELECT query_id, neighbor_id,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM p)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // product quantization: same seeds (sub-vectors of the 16 lowest
+    // vec_ids), same quantized-integer Lloyd update, same fixed-
+    // association sub-space L2 ((a·a − 2·a·b) + b·b of sequential dots),
+    // same left-fold ADC sum (list_reduce with a prepended 0.0 mirrors
+    // Spark's aggregate(…, 0.0, +))
+    "q_pipe_knn_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+        |        FROM e, unnest(range(0, 8)) t(s)),
+        |seed AS (SELECT s, CAST(vec_id AS INT) AS cent_id, sv AS cv
+        |         FROM sub WHERE vec_id < 16),
+        |a0 AS (SELECT sub.vec_id, sub.s, seed.cent_id,
+        |        (list_dot_product(sv, sv) - 2.0*list_dot_product(sv, cv))
+        |          + list_dot_product(cv, cv) AS d2
+        |       FROM sub JOIN seed ON sub.s = seed.s),
+        |a1 AS (SELECT vec_id, s, cent_id,
+        |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rk
+        |       FROM a0),
+        |asg AS (SELECT vec_id, s, cent_id FROM a1 WHERE rk = 1),
+        |ux AS (SELECT asg.s, asg.cent_id, unnest(sub.sv) AS x,
+        |        generate_subscripts(sub.sv, 1) AS j
+        |       FROM asg JOIN sub ON asg.vec_id = sub.vec_id AND asg.s = sub.s),
+        |u AS (SELECT s, cent_id, j, sum(CAST(round(x*1024) AS BIGINT)) AS ssum,
+        |       count(*) AS cnt
+        |      FROM ux GROUP BY 1, 2, 3),
+        |cb AS (SELECT s, cent_id, list(ssum/(1024.0*cnt) ORDER BY j) AS cv
+        |       FROM u GROUP BY 1, 2),
+        |e0 AS (SELECT sub.vec_id, sub.s, cb.cent_id,
+        |        (list_dot_product(sv, sv) - 2.0*list_dot_product(sv, cv))
+        |          + list_dot_product(cv, cv) AS d2
+        |       FROM sub JOIN cb ON sub.s = cb.s),
+        |e1 AS (SELECT vec_id, s, cent_id,
+        |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rk
+        |       FROM e0),
+        |codes AS (SELECT vec_id, list(cent_id ORDER BY s) AS codes
+        |          FROM e1 WHERE rk = 1 GROUP BY vec_id),
+        |qt AS (SELECT vec_id AS query_id, list(d2 ORDER BY s, cent_id) AS tbl
+        |       FROM e0 WHERE vec_id < 10 GROUP BY vec_id),
+        |adc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(0, 8), s -> tbl[s*16 + codes[s+1] + 1])),
+        |           (acc, x) -> acc + x) AS dist
+        |        FROM qt q, codes c WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |      FROM adc)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 

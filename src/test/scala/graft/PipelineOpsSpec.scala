@@ -256,6 +256,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q1 == Seq(0L, 2L, 3L), s"zero-vector neighbors: $q1")
   }
 
+  test("pqTopK: an exact duplicate shares codes and ranks first; ranks deterministic") {
+    import graft.pipeline.Similarity
+    import spark.implicits._
+    // vec 0 and vec 10 identical (same sub-vectors → same codes → the
+    // minimal ADC distance among all candidates); the rest pseudo-random
+    val emb = (0L until 20L).map { i =>
+      val src = if (i == 10L) 0L else i
+      (i, Array.tabulate(8)(j => ((src * 31 + j * 7) % 13).toFloat - 6f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(emb, k = 3, nQueries = 2, m = 4, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((0L, 10L, 1)), s"duplicate not rank 1: ${got.toSeq}")
+    // k rows per query, ranks dense 1..k
+    for (q <- Seq(0L, 1L))
+      assert(got.filter(_._1 == q).map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    // deterministic under recompute
+    val again = Similarity.pqTopK(emb, k = 3, nQueries = 2, m = 4, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("postingLists: df counts full, postings capped at first-k doc ids") {
     val docs = docsDF(
       (0L until 10L).map(i => (i, "common alpha", "en")) ++
