@@ -171,30 +171,50 @@ object Similarity {
     * rank bit-for-bit. Output: (query_id, neighbor_id, rank). */
   def pqTopK(emb: DataFrame, k: Int, nQueries: Int, m: Int = 8,
       ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val d = dot(emb) _
+    val (sub, _) = pqSubvectors(emb, m)
+    val cb = pqCodebook(emb, sub, ksub, lloydIters)
+    val codes = pqEncode(emb, sub, cb)
+    val qtab = pqQueryTable(emb, sub, cb, nQueries)
+    pqAdcRank(broadcast(qtab).join(
+        codes.withColumnRenamed("vec_id", "neighbor_id"),
+        col("query_id") =!= col("neighbor_id")), k, m, ksub)
+  }
+
+  /** (vec_id, s, sv) sub-vector frame + dsub. */
+  private def pqSubvectors(emb: DataFrame, m: Int): (DataFrame, Int) = {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
-    def l2(a: Column, b: Column): Column =
-      d(a, a) - lit(2.0) * d(a, b) + d(b, b)
-    // (vec_id, s, sv): the m sub-vectors of every embedding
     val sub = emb
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("s", "sv")))
-    // codebooks: seeded from the ksub lowest vec_ids' sub-vectors,
-    // refined by quantized-integer Lloyd passes; collected per pass
-    // (m · ksub · dsub doubles — driver-trivial) and broadcast
+    (sub, dsub)
+  }
+
+  /** Sub-space L2 in fixed association — (a·a − 2·a·b) + b·b of
+    * sequential-fold dots, mirrored verbatim by the oracle. */
+  private def pqL2(emb: DataFrame)(a: Column, b: Column): Column = {
+    val d = dot(emb) _
+    d(a, a) - lit(2.0) * d(a, b) + d(b, b)
+  }
+
+  private val pqArgminW = Window.partitionBy("vec_id", "s")
+    .orderBy(col("d2").asc, col("cent_id").asc)
+
+  /** Codebooks (s, cent_id, cv), broadcast: seeded from the ksub lowest
+    * vec_ids' sub-vectors, refined by quantized-integer Lloyd passes;
+    * collected per pass (m · ksub · dsub doubles — driver-trivial). */
+  private def pqCodebook(emb: DataFrame, sub: DataFrame, ksub: Int,
+      lloydIters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     var cb: DataFrame = broadcast(sub.filter(col("vec_id") < ksub)
       .select(col("s"), col("vec_id").cast("int").as("cent_id"), col("sv").as("cv")))
-    val wArg = Window.partitionBy("vec_id", "s")
-      .orderBy(col("d2").asc, col("cent_id").asc)
     for (_ <- 0 until lloydIters) {
       val refined = sub.join(cb, Seq("s"))
-        .withColumn("d2", l2(col("sv"), col("cv")))
-        .withColumn("rk", row_number().over(wArg)).filter(col("rk") === 1)
+        .withColumn("d2", pqL2(emb)(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(pqArgminW)).filter(col("rk") === 1)
         .select(col("s"), col("cent_id"), posexplode(col("sv")).as(Seq("j", "x")))
         .groupBy("s", "cent_id", "j")
         .agg(sum(round(col("x") * 1024).cast("long")).as("ssum"),
@@ -204,26 +224,53 @@ object Similarity {
             (col("ssum") / (lit(1024.0) * col("cnt"))).as("value")))),
           _.getField("value")).as("cv"))
         .as[(Int, Int, Array[Double])].collect().sortBy(t => (t._1, t._2))
+      // fail-closed on an emptied cluster: the ADC table flattening
+      // (tbl[s·ksub + code + 1]) needs a constant per-sub-space stride,
+      // and silently dropping a centroid would shift every later
+      // sub-space's lookups
+      val perS = refined.groupBy(_._1).view.mapValues(_.size).toMap
+      require(perS.values.forall(_ == ksub),
+        s"graft: a PQ Lloyd pass emptied a cluster (per-sub-space centroid " +
+          s"counts $perS, expected $ksub) — use a larger corpus, smaller " +
+          "ksub, or lloydIters = 0")
       cb = broadcast(refined.toIndexedSeq.toDF("s", "cent_id", "cv"))
     }
-    // encode: each vector's nearest codebook centroid per sub-space
-    val codes = sub.join(cb, Seq("s"))
-      .withColumn("d2", l2(col("sv"), col("cv")))
-      .withColumn("rk", row_number().over(wArg)).filter(col("rk") === 1)
+    cb
+  }
+
+  /** (vec_id, codes): each vector's nearest codebook centroid per
+    * sub-space, in sub-space order. */
+  private def pqEncode(emb: DataFrame, sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(cb, Seq("s"))
+      .withColumn("d2", pqL2(emb)(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(pqArgminW)).filter(col("rk") === 1)
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("s"), col("cent_id")))),
         _.getField("cent_id")).as("codes"))
-    // per-query ADC table: sub-space L2 to EVERY centroid, flattened in
-    // (s, cent_id) order so a lookup is tbl[s·ksub + code + 1]
-    val qtab = sub.filter(col("vec_id") < nQueries).join(cb, Seq("s"))
-      .withColumn("d2", l2(col("sv"), col("cv")))
+
+  /** (query_id, tbl): per-query ADC table — sub-space L2 to EVERY
+    * centroid, flattened in (s, cent_id) order so a lookup is
+    * tbl[s·ksub + code + 1]. */
+  private def pqQueryTable(emb: DataFrame, sub: DataFrame, cb: DataFrame,
+      nQueries: Int): DataFrame =
+    pqQueryTableOf(emb, sub.filter(col("vec_id") < nQueries), cb)
+
+  /** [[pqQueryTable]] over an arbitrary (vec_id, s, sv) sub-vector
+    * frame (external serving queries included). */
+  private def pqQueryTableOf(emb: DataFrame, sub: DataFrame,
+      cb: DataFrame): DataFrame =
+    sub.join(cb, Seq("s"))
+      .withColumn("d2", pqL2(emb)(col("sv"), col("cv")))
       .groupBy(col("vec_id").as("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("cent_id"),
           col("d2").as("value")))), _.getField("value")).as("tbl"))
+
+  /** Rank candidate pairs carrying (query_id, tbl, neighbor_id, codes)
+    * by the left-fold ADC sum; emit (query_id, neighbor_id, rank). */
+  private def pqAdcRank(pairs: DataFrame, k: Int, m: Int, ksub: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
-    broadcast(qtab).join(codes.withColumnRenamed("vec_id", "neighbor_id"),
-        col("query_id") =!= col("neighbor_id"))
+    pairs
       .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
         (acc, s) => acc + element_at(col("tbl"),
           (s * ksub + element_at(col("codes"), s + 1) + 1).cast("int"))))
@@ -231,6 +278,57 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ: the composed serving shape for corpora where even the
+    * probed lists are too large to rank with raw vectors — IVF's coarse
+    * quantizer shrinks the CANDIDATE SET to the `nProbe` probed lists
+    * (N·nProbe/K candidates instead of N), PQ shrinks each CANDIDATE to
+    * m 4-bit codes ranked by ADC table lookups. At 10⁹ vectors ×
+    * 64 dims, raw float32 probing touches ~250 GB of vectors per full
+    * sweep; IVF-PQ serves the same traffic from ~4 GB of codes. The
+    * coarse assignment/probing is bit-identical to [[ivfTopK]] and the
+    * codebooks/codes/ADC bit-identical to [[pqTopK]], so the composed
+    * oracle reproduces every rank. Output: (query_id, neighbor_id,
+    * rank) — ranks are PQ-approximate within the probed lists. */
+  def ivfPqTopK(emb: DataFrame, k: Int, nQueries: Int, nCentroids: Int = 0,
+      nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      lloydIters: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val d = dot(emb) _
+    val kC = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
+    val n = withNorm(emb)
+    // coarse quantizer — identical construction to ivfTopK
+    var centsLocal = n.filter(col("vec_id") < kC)
+      .select(col("vec_id").as("cent_id"), col("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    for (_ <- 0 until lloydIters)
+      centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
+    val cents = ivfCentsDF(emb, centsLocal)
+    val assigned = ivfAssign(n, cents, d)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", d(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("cent_id"))
+    // PQ model — identical construction to pqTopK
+    val (sub, _) = pqSubvectors(emb, m)
+    val cb = pqCodebook(emb, sub, ksub, lloydIters)
+    val codes = pqEncode(emb, sub, cb)
+    val qtab = pqQueryTable(emb, sub, cb, nQueries)
+    // candidates = probed lists only; rank by ADC over their codes
+    val pairs = probes
+      .join(assigned, Seq("cent_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(qtab), Seq("query_id"))
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    pqAdcRank(pairs, k, m, ksub)
   }
 
   /** IVF (inverted-file) ANN: vectors are assigned to their nearest of K
@@ -571,15 +669,18 @@ object Similarity {
     * read in the system. `nCentroids <= 0` derives K ≈ √N
     * (`autoCentroids`). */
   def ivfBuild(emb: DataFrame, path: String, nCentroids: Int = 0,
-      lloydIters: Int = 1, corpus: Option[CorpusId] = None): Unit = {
+      lloydIters: Int = 1, corpus: Option[CorpusId] = None,
+      pqM: Int = 0, pqKsub: Int = 16): Unit = {
     require(!IndexFs.exists(s"$path/CURRENT"),
       s"graft: $path is a pointer-layout index (rebuilt at least once); " +
         "ivfBuild would write a generation no reader resolves — use ivfRebuild")
-    buildAt(emb, path, nCentroids, lloydIters, corpus, lastBatch = -1L)
+    buildAt(emb, path, nCentroids, lloydIters, corpus, lastBatch = -1L,
+      pqM = pqM, pqKsub = pqKsub)
   }
 
   private def buildAt(emb: DataFrame, dir: String, nCentroids: Int,
-      lloydIters: Int, corpus: Option[CorpusId], lastBatch: Long): Unit = {
+      lloydIters: Int, corpus: Option[CorpusId], lastBatch: Long,
+      pqM: Int = 0, pqKsub: Int = 16): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val kC = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
@@ -591,8 +692,20 @@ object Similarity {
       centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
     val cents = ivfCentsDF(emb, centsLocal)
     cents.select("cent_id", "cv").write.parquet(s"$dir/centroids")
-    ivfAssign(n, cents, dot(emb) _)
-      .write.parquet(s"$dir/assignments")
+    val assignedRaw = ivfAssign(n, cents, dot(emb) _)
+    // pqM > 0: PQ-enabled layout — the codebook persists next to the
+    // centroids and every assignment row carries the vector's codes, so
+    // the ADC serving path needs no extra join and appends can encode
+    // against the frozen codebook
+    val assigned =
+      if (pqM <= 0) assignedRaw
+      else {
+        val (sub, _) = pqSubvectors(emb, pqM)
+        val cb = pqCodebook(emb, sub, pqKsub, lloydIters)
+        cb.select("s", "cent_id", "cv").write.parquet(s"$dir/codebook")
+        assignedRaw.join(pqEncode(emb, sub, cb), Seq("vec_id"))
+      }
+    assigned.write.parquet(s"$dir/assignments")
     val (cnt, h) = corpusFingerprint(emb)
     writeMeta(spark, IvfMeta(cnt, h, kC, lloydIters, Seq("assignments"),
       lastBatch, cnt, corpus.map(_.uri),
@@ -615,13 +728,15 @@ object Similarity {
     * so a Structured Streaming re-delivery of an already-folded batch
     * is still skipped after the rebuild. */
   def ivfRebuild(emb: DataFrame, path: String, nCentroids: Int = 0,
-      lloydIters: Int = 1, corpus: Option[CorpusId] = None): Unit =
+      lloydIters: Int = 1, corpus: Option[CorpusId] = None,
+      pqM: Int = 0, pqKsub: Int = 16): Unit =
     withWriteLock(path) {
       val spark = emb.sparkSession
       val prevLastBatch =
         readMeta(spark, servingDir(path)).map(_.lastBatch).getOrElse(-1L)
       val gen = s"gen_${java.util.UUID.randomUUID}"
-      buildAt(emb, s"$path/$gen", nCentroids, lloydIters, corpus, prevLastBatch)
+      buildAt(emb, s"$path/$gen", nCentroids, lloydIters, corpus, prevLastBatch,
+        pqM = pqM, pqKsub = pqKsub)
       IndexFs.replace(s"$path/CURRENT",
         gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -693,6 +808,72 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank")
       .orderBy("query_id", "rank")
+  }
+
+  /** [[ivfQuery]]'s ADC twin for a PQ-enabled index: attest, then rank
+    * the corpus's own `nQueries` lowest vec_ids by PQ codes. Serving a
+    * pinned deployment passes `verifyCorpus = false` after its
+    * once-per-batch attest, like [[ivfQuery]]. */
+  def ivfPqQuery(emb: DataFrame, path: String, k: Int, nQueries: Int,
+      nProbe: Int = 4, verifyCorpus: Boolean = true): DataFrame = {
+    if (verifyCorpus) attestCorpus(emb, path)
+    ivfPqQueryVectors(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      path, k, nProbe, excludeSelf = true)
+  }
+
+  /** ADC serving from a PQ-enabled BUILT index ([[ivfBuild]] with
+    * `pqM > 0`): candidates come from the probed inverted lists and are
+    * ranked by their STORED codes against the query's ADC table — the
+    * raw corpus vectors are never read, which is the point: the probed
+    * lists of a 10⁹-vector corpus are served from the 4-bit codes
+    * (~64× smaller than float32) while recall follows the codebook
+    * resolution. Bit-identical to [[ivfPqTopK]] on the same corpus and
+    * parameters (the oracle identity q_pipe_knn_ivfpq_serve pins).
+    * Fails loudly on an index built without PQ. */
+  def ivfPqQueryVectors(queries: DataFrame, path: String, k: Int,
+      nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    val sd = servingDir(path) // one resolve: centroids/codebook/lists cohere
+    require(IndexFs.exists(s"$sd/codebook"),
+      s"graft: index at $path has no PQ codebook — build it with " +
+        "ivfBuild(..., pqM > 0) (or rebuild), or serve exactly with ivfQueryVectors")
+    val d = dot(queries) _
+    val cents = broadcast(spark.read.parquet(s"$sd/centroids")
+      .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
+    val cb = broadcast(spark.read.parquet(s"$sd/codebook"))
+    val (m, ksub) = {
+      val r = cb.agg(max(col("s")), count(lit(1))).head
+      val mm = r.getInt(0) + 1
+      require(r.getLong(1) % mm == 0,
+        s"graft: PQ codebook at $sd is ragged (${r.getLong(1)} rows over $mm sub-spaces)")
+      (mm, (r.getLong(1) / mm).toInt)
+    }
+    val assigned = spark.read.parquet(assignmentDirs(spark, sd): _*)
+    require(assigned.columns.contains("codes"),
+      s"graft: an assignment generation at $sd has no codes column — the " +
+        "index mixes PQ and non-PQ generations; rebuild with pqM > 0")
+    val qn = queries
+      .select(col("query_id"), transform(col("embedding"), _.cast("double")).as("qv"))
+      .withColumn("qnrm", sqrt(d(col("qv"), col("qv"))))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val probes = qn.crossJoin(cents)
+      .withColumn("csim", d(col("qv"), col("cv")) / (col("qnrm") * col("cn")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select(col("query_id"), col("cent_id"))
+    // per-query ADC tables from the STORED codebook
+    val (qsub, _) = pqSubvectors(
+      queries.select(col("query_id").as("vec_id"), col("embedding")), m)
+    val qtab = pqQueryTableOf(queries, qsub, cb)
+    val pairs = probes
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("cent_id"),
+        col("codes")), Seq("cent_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .join(broadcast(qtab), Seq("query_id"))
+    pqAdcRank(pairs, k, m, ksub)
   }
 
   /** Incremental index growth: assign a NEW batch of vectors to the
@@ -772,7 +953,21 @@ object Similarity {
         val cents = broadcast(spark.read.parquet(s"$sd/centroids")
           .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
         val gen = s"assignments_${java.util.UUID.randomUUID}"
-        ivfAssign(withNorm(batch), cents, d).write.parquet(s"$sd/$gen")
+        val rows = ivfAssign(withNorm(batch), cents, d)
+        // PQ-enabled index: encode the batch against the FROZEN codebook
+        // (same tradeoff as the frozen coarse centroids — no retrain, one
+        // broadcast argmin pass; drift is the rebuild trigger), so every
+        // assignment generation keeps the codes column the ADC serving
+        // path requires
+        val out =
+          if (!IndexFs.exists(s"$sd/codebook")) rows
+          else {
+            val cb = broadcast(spark.read.parquet(s"$sd/codebook"))
+            val m = cb.agg(max(col("s"))).head.getInt(0) + 1
+            val (sub, _) = pqSubvectors(batch, m)
+            rows.join(pqEncode(batch, sub, cb), Seq("vec_id"))
+          }
+        out.write.parquet(s"$sd/$gen")
         val (bCnt, bH) = corpusFingerprint(batch)
         commitMeta(spark, meta.copy(
           corpusCount = meta.corpusCount + bCnt,

@@ -43,6 +43,18 @@ object PipelineQueries {
       path
     })
 
+  /** PQ-enabled twin of [[ivfIndexFor]] (separate layout: codebook +
+    * codes-carrying assignments; parameters pinned to the
+    * q_pipe_knn_ivfpq oracle). */
+  private val ivfPqIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexFor(s: SparkSession, dir: String): String =
+    ivfPqIndexes.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+      Similarity.ivfBuild(emb(s, d), path, nCentroids = 16, pqM = 8, pqKsub = 16)
+      path
+    })
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
@@ -110,6 +122,16 @@ object PipelineQueries {
     // quantized-integer Lloyd pass — deterministic, oracle-mirrored)
     "q_pipe_knn_pq" -> ((s, dir) =>
       Similarity.pqTopK(emb(s, dir), k = 5, nQueries = 10)),
+    // IVF-PQ: probed lists shrink the candidate set, PQ codes shrink
+    // each candidate — the composed serving shape; coarse stage
+    // bit-identical to knn_ivf, PQ stage to knn_pq
+    "q_pipe_knn_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), k = 5, nQueries = 10, nCentroids = 16)),
+    // the PERSISTENT PQ serving path: codebook + stored codes, ADC only
+    // — bit-identical to the one-shot, shares its oracle
+    "q_pipe_knn_ivfpq_serve" -> ((s, dir) =>
+      Similarity.ivfPqQuery(emb(s, dir), ivfPqIndexFor(s, dir), k = 5,
+        nQueries = 10)),
     // embedding-cosine near-dup: LSH-bucketed candidates, exact cosine cut
     "q_pipe_dedup_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), minCos = 0.25)),
@@ -301,12 +323,15 @@ object PipelineQueries {
       | WHERE l.doc_id < r.doc_id)
       |""".stripMargin
 
-  /** The persistent-index serving path (q_pipe_knn_ivf_serve) answers
-    * bit-identically to the one-shot IVF — same centroids, same
-    * probe/rank arithmetic — so it is hash-checked against the SAME
-    * oracle SQL as q_pipe_knn_ivf. */
+  /** The persistent-index serving paths (q_pipe_knn_ivf_serve,
+    * q_pipe_knn_ivfpq_serve) answer bit-identically to their one-shot
+    * twins — same centroids/codebooks, same probe/rank arithmetic, the
+    * codes merely read from parquet instead of recomputed — so each is
+    * hash-checked against the SAME oracle SQL as its one-shot. */
   lazy val oracleSql: Map[String, String] =
-    oracleSqlBase + ("q_pipe_knn_ivf_serve" -> oracleSqlBase("q_pipe_knn_ivf"))
+    oracleSqlBase +
+      ("q_pipe_knn_ivf_serve" -> oracleSqlBase("q_pipe_knn_ivf")) +
+      ("q_pipe_knn_ivfpq_serve" -> oracleSqlBase("q_pipe_knn_ivfpq"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_pipe_dedup_exact" ->
@@ -414,6 +439,83 @@ object PipelineQueries {
         |           list_transform(range(0, 8), s -> tbl[s*16 + codes[s+1] + 1])),
         |           (acc, x) -> acc + x) AS dist
         |        FROM qt q, codes c WHERE c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |       row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+        |      FROM adc)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ: the knn_ivf CTEs (coarse centroids, assignment, probes)
+    // composed with the knn_pq CTEs (codebooks, codes, ADC tables) —
+    // candidates come from the probed lists, ranks from the left-fold
+    // ADC sum over their codes
+    "q_pipe_knn_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |a1 AS (
+        | SELECT vec_id, v, cent_id FROM (
+        |  SELECT n.vec_id, n.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS crk
+        |  FROM n, c0 c) WHERE crk = 1),
+        |s1 AS (
+        | SELECT cent_id, j, sum(CAST(round(x * 1024) AS BIGINT)) AS s, count(*) AS cnt
+        | FROM (SELECT cent_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM a1)
+        | GROUP BY cent_id, j),
+        |c1 AS (SELECT cent_id, list(s / (1024.0 * cnt) ORDER BY j) AS cv FROM s1 GROUP BY cent_id),
+        |c1n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1),
+        |a2 AS (
+        | SELECT vec_id AS neighbor_id, cent_id FROM (
+        |  SELECT n.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS crk
+        |  FROM n, c1n c) WHERE crk = 1),
+        |p AS (
+        | SELECT query_id, cent_id FROM (
+        |  SELECT n.vec_id AS query_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS prk
+        |  FROM n, c1n c WHERE n.vec_id < 10) WHERE prk <= 4),
+        |sub AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+        |        FROM e, unnest(range(0, 8)) t(s)),
+        |seed AS (SELECT s, CAST(vec_id AS INT) AS cent_id, sv AS cv
+        |         FROM sub WHERE vec_id < 16),
+        |pa0 AS (SELECT sub.vec_id, sub.s, seed.cent_id,
+        |        (list_dot_product(sv, sv) - 2.0*list_dot_product(sv, cv))
+        |          + list_dot_product(cv, cv) AS d2
+        |       FROM sub JOIN seed ON sub.s = seed.s),
+        |pa1 AS (SELECT vec_id, s, cent_id,
+        |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rk
+        |       FROM pa0),
+        |pasg AS (SELECT vec_id, s, cent_id FROM pa1 WHERE rk = 1),
+        |pux AS (SELECT pasg.s, pasg.cent_id, unnest(sub.sv) AS x,
+        |        generate_subscripts(sub.sv, 1) AS j
+        |       FROM pasg JOIN sub ON pasg.vec_id = sub.vec_id AND pasg.s = sub.s),
+        |pu AS (SELECT s, cent_id, j, sum(CAST(round(x*1024) AS BIGINT)) AS ssum,
+        |       count(*) AS cnt
+        |      FROM pux GROUP BY 1, 2, 3),
+        |pcb AS (SELECT s, cent_id, list(ssum/(1024.0*cnt) ORDER BY j) AS cv
+        |       FROM pu GROUP BY 1, 2),
+        |pe0 AS (SELECT sub.vec_id, sub.s, pcb.cent_id,
+        |        (list_dot_product(sv, sv) - 2.0*list_dot_product(sv, cv))
+        |          + list_dot_product(cv, cv) AS d2
+        |       FROM sub JOIN pcb ON sub.s = pcb.s),
+        |pe1 AS (SELECT vec_id, s, cent_id,
+        |        row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rk
+        |       FROM pe0),
+        |pcodes AS (SELECT vec_id, list(cent_id ORDER BY s) AS codes
+        |          FROM pe1 WHERE rk = 1 GROUP BY vec_id),
+        |pqt AS (SELECT vec_id AS query_id, list(d2 ORDER BY s, cent_id) AS tbl
+        |       FROM pe0 WHERE vec_id < 10 GROUP BY vec_id),
+        |adc AS (SELECT p.query_id, a.neighbor_id,
+        |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |           list_transform(range(0, 8), s -> tbl[s*16 + codes[s+1] + 1])),
+        |           (acc, x) -> acc + x) AS dist
+        |        FROM p JOIN a2 a ON a.cent_id = p.cent_id
+        |          AND a.neighbor_id <> p.query_id
+        |        JOIN pqt ON pqt.query_id = p.query_id
+        |        JOIN pcodes c ON c.vec_id = a.neighbor_id),
         |r AS (SELECT query_id, neighbor_id,
         |       row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
         |      FROM adc)

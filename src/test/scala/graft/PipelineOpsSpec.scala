@@ -277,6 +277,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("ivfPqTopK: duplicate in the probed list ranks first; ranks dense and deterministic") {
+    import graft.pipeline.Similarity
+    import spark.implicits._
+    // vec 0 and vec 10 identical: same coarse assignment, same codes —
+    // the query's own probed list contains the duplicate at ADC rank 1
+    val emb = (0L until 24L).map { i =>
+      val src = if (i == 10L) 0L else i
+      (i, Array.tabulate(8)(j => ((src * 31 + j * 7) % 13).toFloat - 6f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(emb, k = 3, nQueries = 2, nCentroids = 4,
+        nProbe = 2, m = 4, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the duplicate's ADC is the global minimum (the query's own
+    // quantization error) — under a coarse ksub=4 quantizer other
+    // vectors may SHARE its codes and tie, and the id tie-break can
+    // rank a lower id first, so assert membership in the top k
+    assert(got.exists(t => t._1 == 0L && t._2 == 10L),
+      s"duplicate missing from top-k: ${got.toSeq}")
+    for (q <- Seq(0L, 1L)) {
+      val ranks = got.filter(_._1 == q).map(_._3).sorted.toSeq
+      assert(ranks == (1 to ranks.length), s"ranks not dense for $q: $ranks")
+      assert(ranks.nonEmpty)
+    }
+    val again = Similarity.ivfPqTopK(emb, k = 3, nQueries = 2, nCentroids = 4,
+        nProbe = 2, m = 4, ksub = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("postingLists: df counts full, postings capped at first-k doc ids") {
     val docs = docsDF(
       (0L until 10L).map(i => (i, "common alpha", "en")) ++

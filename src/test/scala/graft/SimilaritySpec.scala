@@ -544,6 +544,36 @@ class SimilaritySpec extends AnyFunSuite {
     }.getMessage.contains("STALE"))
   }
 
+  test("IVF-PQ persistent lifecycle: serve ≡ one-shot; appends carry codes; non-PQ index refuses ADC") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16, pqM = 8, pqKsub = 16)
+    // the serving path answers bit-identically to the one-shot compose
+    val serve = Similarity.ivfPqQuery(emb, path, k = 3, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val oneshot = Similarity.ivfPqTopK(emb, k = 3, nQueries = 5, nCentroids = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(serve == oneshot, s"serve/one-shot diverged:\n$serve\n$oneshot")
+    // an appended batch is encoded against the frozen codebook and served
+    val batch = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    Similarity.ivfAppend(emb.select("vec_id", "embedding"), batch, path)
+    val q0 = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfPqQueryVectors(q0, path, k = 5, excludeSelf = true)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got.contains(900000L),
+      s"appended exact duplicate missing from ADC top-k: $got")
+    // a PQ query against a non-PQ index fails loudly, not approximately
+    val plain = java.nio.file.Files.createTempDirectory("graft-plain").toString
+    Similarity.ivfBuild(emb, plain, nCentroids = 16)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqQuery(emb, plain, k = 3, nQueries = 2)
+    }
+    assert(e.getMessage.contains("no PQ codebook"), e.getMessage)
+  }
+
   test("index write lock: a held lock refuses writers; a stale lock is stolen") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
