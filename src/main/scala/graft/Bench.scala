@@ -59,8 +59,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm up: fixture ingest + parquet footer caches, excluded from timings.
-    graft.queries.ArrayFixtures.get(spark, sfDir)
+    // Warm up: fixture ingest + parquet footer caches, excluded from
+    // timings. MUST NOT abort the run — a broken fixture voids only the
+    // q_arr entries (each then records -1.0 via its own try/catch), not
+    // the whole round's record (BENCH_r07 lost every number to an
+    // uncaught warm-up failure here).
+    try graft.queries.ArrayFixtures.get(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] array-fixture warm-up failed " +
+        s"(q_arr entries will record -1.0): ${e.getMessage}")
+    }
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime()

@@ -40,13 +40,12 @@ object ArrayFixtures {
 
   /** Per-hour event counts relative to the first hour in the table —
     * the shared ground truth with the DuckDB oracle
-    * (`floor(epoch(ts)/3600) - min(...)`). The events table stores
-    * TIMESTAMP(NANOS), which vanilla Spark parquet rejects — read the
-    * raw nanos as long and floor-divide (identical to epoch()/3600). */
+    * (`floor(epoch(ts)/3600) - min(...)`). `ts`'s physical type varies
+    * across testdata regenerations (nanos-INT64 vs micros-TIMESTAMP_NTZ);
+    * EventTime derives epoch seconds from whichever is present. */
   def hourCounts(spark: SparkSession, sfDir: String): Array[Long] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .select(floor(col("ts").cast("long") / 3600000000000L).cast("long").as("ah"))
+    val ev = EventTime.eventsWithSeconds(spark, sfDir)
+      .select(floor(col("ts_s") / 3600L).cast("long").as("ah"))
     val rows = ev.groupBy("ah").count().collect()
     val minH = rows.map(_.getLong(0)).min
     val maxH = rows.map(_.getLong(0)).max

@@ -273,13 +273,9 @@ object PipelineQueries {
       graft.operators.Skew.saltedDocStats(docs(s, dir))),
     // gap-based sessionization (batch twin of the flatMapGroupsWithState op)
     "q_pipe_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = EventTime.eventsWithSeconds(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          // exact integer ns→s: long `/` promotes to double (exact only to
-          // 2^53 < 1.7e18 ns), which can floor a boundary event into the
-          // wrong second. `div` is integer division, ns-exact.
-          expr("ts div 1000000000L").cast("long").as("ts_s"))
+          col("ts_s"))
         .filter(col("user_id") < 50)
       graft.streaming.Sessionize.sessionsBatch(ev, gapSeconds = 1800L)
     }))

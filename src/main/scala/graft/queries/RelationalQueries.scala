@@ -116,10 +116,9 @@ object RelationalQueries {
     // prior-or-equal click — union + per-key running-last window (one
     // shuffle on user_id, no range-join blow-up); see operators.AsOfJoin
     "q_rel_asof" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = EventTime.eventsWithSeconds(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("ts div 1000000000L").cast("long").as("ts_s"))
+          col("ts_s"))
         .filter(col("user_id") < 50)
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("user_id", "ts_s", "event_id")
@@ -138,8 +137,7 @@ object RelationalQueries {
 
     // semi-structured surface: JSON field extraction + per-type aggregates
     "q_rel_json" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
+      EventTime.readEvents(s, dir)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
