@@ -31,7 +31,8 @@ object ArrayFixtures {
   final case class Handles(store: SparkStore, hours: Long,
       evV1: Long, evV2: Long, growV1: Long, growV2: Long,
       shrinkV1: Long, shrinkV2: Long,
-      months: Long, gridV1: Long)
+      months: Long, gridV1: Long,
+      regrowV1: Long, regrowV2: Long, regrowV3: Long)
 
   private val cache = TrieMap.empty[String, Handles]
 
@@ -116,6 +117,25 @@ object ArrayFixtures {
     val sw2 = store.addVersion("evshrink", sMeta.copy(dimensions = Map("h" -> (h - 16))))
     val shrinkV2 = sw2.finishVersion()
 
+    // ---- dataset evregrow: grow THEN shrink in ONE lineage (Q-REGROW,
+    //      the grow.clj:56-71 + shrink.clj:55-70 composition) ----
+    //   v1: counts on [0,h), dims h
+    //   v2: dims h+24, writes 555 on [h, h+8) of the newly exposed region
+    //   v3: dims h−16 — v2's new-region write now out of bounds, invisible
+    store.create("evregrow")
+    val rMeta = DatasetMeta(
+      dimensions = Map("h" -> h),
+      chunkDimensions = Map("h" -> 64L),
+      variables = Map("r" -> VariableDef("long", Vector("h"), -1.0)))
+    val rw1 = store.addVersion("evregrow", rMeta)
+    rw1.write("r", Seq(countsSlab(DType.LONG, h)))
+    val regrowV1 = rw1.finishVersion()
+    val rw2 = store.addVersion("evregrow", rMeta.copy(dimensions = Map("h" -> (h + 24))))
+    rw2.write("r", Seq(Slab.empty(DType.LONG, Slice(Seq(h), Seq(h + 8)), 555.0)))
+    val regrowV2 = rw2.finishVersion()
+    val rw3 = store.addVersion("evregrow", rMeta.copy(dimensions = Map("h" -> (h - 16))))
+    val regrowV3 = rw3.finishVersion()
+
     // ---- dataset grid: 2-D revenue[shipMonth × partBucket] from lineitem
     //      (FIXTURES.md F8 shape) ----
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -155,6 +175,7 @@ object ArrayFixtures {
     dw.write("d", Seq(Slab.empty(DType.SHORT, Slice(Seq(0L), Seq(100L)), 5.0)))
     dw.finishVersion()
 
-    Handles(store, h, evV1, evV2, growV1, growV2, shrinkV1, shrinkV2, months, gridV1)
+    Handles(store, h, evV1, evV2, growV1, growV2, shrinkV1, shrinkV2,
+      months, gridV1, regrowV1, regrowV2, regrowV3)
   }
 }

@@ -71,6 +71,23 @@ object ArrayQueries {
         .withColumn("old_extent_rejected", lit(oldExtentRejected))
         .orderBy("h")
     }),
+    // grow THEN shrink in one lineage, all three eras in one result:
+    // v1 = original counts; v2 = grown extent with a write into the new
+    // region plus fill beyond it; v3 = shrunk extent where v2's
+    // new-region write is out of bounds and invisible (the grow.clj +
+    // shrink.clj composition the reference only exercises separately)
+    "q_arr_regrow" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val h = fx.hours
+      val rdr = fx.store.reader("evregrow")
+      def era(tag: String, v: Long, lo: Long, hi: Long) =
+        rdr.onVersion(v).exploded("r", Slice(Seq(lo), Seq(hi)))
+          .select(lit(tag).as("era"), col("h"), col("value"))
+      era("v1", fx.regrowV1, h - 5, h)
+        .unionByName(era("v2", fx.regrowV2, h - 5, h + 24))
+        .unionByName(era("v3", fx.regrowV3, h - 36, h - 16))
+        .orderBy("era", "h")
+    }),
     // 0-d scalar variable
     "q_arr_scalar" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
@@ -221,6 +238,22 @@ object ArrayQueries {
       """SELECT g.h AS h, COALESCE(c.cnt, 0) AS value, true AS old_extent_rejected
         |""".stripMargin + grid +
       " WHERE g.h >= (SELECT maxh - 36 FROM hh) AND g.h < (SELECT maxh - 16 FROM hh) ORDER BY h"),
+    "q_arr_regrow" -> (cte +
+      """SELECT 'v1' AS era, g.h AS h, COALESCE(c.cnt, 0) AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h >= (SELECT maxh - 5 FROM hh) AND g.h < (SELECT maxh FROM hh)
+        |UNION ALL
+        |SELECT 'v2' AS era, g.h AS h,
+        | CASE WHEN g.h < (SELECT maxh FROM hh) THEN COALESCE(c.cnt, 0)
+        |      WHEN g.h < (SELECT maxh + 8 FROM hh) THEN 555
+        |      ELSE -1 END AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h >= (SELECT maxh - 5 FROM hh) AND g.h < (SELECT maxh + 24 FROM hh)
+        |UNION ALL
+        |SELECT 'v3' AS era, g.h AS h, COALESCE(c.cnt, 0) AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h >= (SELECT maxh - 36 FROM hh) AND g.h < (SELECT maxh - 16 FROM hh)
+        |ORDER BY era, h""".stripMargin),
     "q_arr_scalar" -> "SELECT count(*) AS value FROM events",
     "q_arr_2d" ->
       """WITH lb AS (

@@ -278,6 +278,16 @@ object PipelineQueries {
           col("ts_s"))
         .filter(col("user_id") < 50)
       graft.streaming.Sessionize.sessionsBatch(ev, gapSeconds = 1800L)
+    }),
+    // the STREAMING sessionizer replayed over deterministic micro-batches
+    // (state carries across batches; sentinel flush closes open sessions)
+    // — gated against the SAME oracle as the relational twin above
+    "q_pipe_sessions_stream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      graft.streaming.Sessionize
+        .sessionsStreamReplay(ev, gapSeconds = 1800L, nBatches = 3)
     }))
 
   /** Shared word-set CTE for the oracle side. */
@@ -327,7 +337,10 @@ object PipelineQueries {
   lazy val oracleSql: Map[String, String] =
     oracleSqlBase +
       ("q_pipe_knn_ivf_serve" -> oracleSqlBase("q_pipe_knn_ivf")) +
-      ("q_pipe_knn_ivfpq_serve" -> oracleSqlBase("q_pipe_knn_ivfpq"))
+      ("q_pipe_knn_ivfpq_serve" -> oracleSqlBase("q_pipe_knn_ivfpq")) +
+      // streaming replay answers identically to the relational twin —
+      // same gap definition, same grouping — so it shares the oracle
+      ("q_pipe_sessions_stream" -> oracleSqlBase("q_pipe_sessions"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_pipe_dedup_exact" ->

@@ -55,6 +55,68 @@ object Sessionize {
       }
   }
 
+  /** Deterministic micro-batch REPLAY of the streaming path, producing the
+    * batch twin's exact output schema so one DuckDB oracle gates both.
+    *
+    * The bounded input (caller caps it — the gate uses user_id < 50) is
+    * split into `nBatches` contiguous event-time slices and fed through a
+    * MemoryStream into the real `flatMapGroupsWithState` operator, state
+    * carrying across batches. A final per-user sentinel batch at
+    * max(ts)+2·gap closes every open session (the sentinel's own
+    * singleton session stays open in state and is never emitted). Closed
+    * sessions are then renumbered per user by start time — session starts
+    * are strictly increasing within a user, so this matches the batch
+    * twin's running new-session sum exactly.
+    *
+    * Driver-side collect is inherent to a replay harness (MemoryStream
+    * feeds from local data); this is a correctness gate, not a scale path
+    * — the scale path is `sessions` on a real source.
+    */
+  def sessionsStreamReplay(events: DataFrame, gapSeconds: Long,
+      nBatches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val rows = events.select("user_id", "ts_s", "event_type")
+      .collect()
+      .map(r => Event(r.getLong(0),
+        new java.sql.Timestamp(r.getLong(1) * 1000L), r.getString(2)))
+      .sortBy(_.ts.getTime)
+    require(rows.nonEmpty, "sessionsStreamReplay: empty input")
+    val maxT = rows.last.ts.getTime
+    val sentinels = rows.map(_.user_id).distinct.map(u =>
+      Event(u, new java.sql.Timestamp(maxT + 2 * gapSeconds * 1000L), "_flush"))
+
+    val input = MemoryStream[Event]
+    val name = "sessions_replay_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = sessions(input.toDS(), gapMs = gapSeconds * 1000L)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      val per = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(per).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      input.addData(sentinels.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val byStart = Window.partitionBy("user_id").orderBy("start_ms")
+    val out = spark.table(name)
+      .withColumn("session_no", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_no"),
+        col("n_events"), col("n_types").cast("long").as("n_types"),
+        (col("duration_ms") / 1000L).cast("long").as("duration_s"))
+      .orderBy("user_id", "session_no")
+    // materialize before dropping the backing memory-sink table
+    val frozen = spark.createDataFrame(
+      spark.sparkContext.parallelize(out.collect().toIndexedSeq), out.schema)
+    spark.catalog.dropTempView(name)
+    frozen.orderBy("user_id", "session_no")
+  }
+
   /** Batch variant — identical session definition expressed relationally
     * (window lag → gap flag → running session id), DuckDB-oracle-checkable.
     * Input columns: user_id, event_id, event_type, ts_s (epoch seconds). */
