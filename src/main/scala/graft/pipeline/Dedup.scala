@@ -449,7 +449,15 @@ object Dedup {
     * monotone sum(lbl) of the freshly checkpointed frame — one cheap
     * O(|V|) scan, no comparison join. A pathological input (diameter >
     * maxIter, not a dup-pair shape) fails loudly rather than looping. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter)._1
+
+  /** As `duplicateClusters`, additionally returning the number of
+    * propagation rounds run — observable convergence for skew probes
+    * (a giant component must cost O(log diameter)-ish rounds, each
+    * shuffling only the O(|V|) label frame, never a ballooning one). */
+  def duplicateClustersWithRounds(pairs: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     // Both edge orientations PLUS a self-loop per vertex come from ONE pass
     // over `pairs` (explode of a four-struct array) — a self-union would
@@ -508,6 +516,6 @@ object Dedup {
     val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
     und.unpersist()
-    out
+    (out, it)
   }
 }

@@ -42,6 +42,38 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got == (0L to 16L).map(_ -> 0L).toMap)
   }
 
+  test("skew probe: one giant component holding 30% of vertices stays " +
+      "cheap — bounded rounds, no ballooning partition") {
+    import spark.implicits._
+    // 3000 vertices; vertices [0,900) form ONE near-dup cluster shaped the
+    // way bucket-capped LSH emits it (pairs within capped buckets → many
+    // small stars sharing members, here: chained hubs every 30 vertices),
+    // NOT a quadratic clique. Remaining vertices: isolated pairs.
+    val giant = (1 until 900).map(i => ((i / 30) * 30L, i.toLong))
+      .filter { case (a, b) => a != b } ++
+      (30 until 900 by 30).map(h => (h.toLong - 30L, h.toLong))
+    val rest = (1000L until 3000L by 2L).map(i => (i, i + 1))
+    val pairs = (giant ++ rest).toDF("a", "b")
+    val (out, rounds) = Dedup.duplicateClustersWithRounds(pairs)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // correctness: the whole giant component labels to min id 0
+    assert(got.filter(_._1 < 900L).forall(_._2 == 0L))
+    assert(got.count(_._1 < 900L) == 900)
+    assert(got.filter(_._1 >= 1000L).forall { case (id, l) => l == (id / 2) * 2 })
+    // convergence: hub-chain diameter ~60 hops hub-to-hub, but min-label
+    // propagation collapses a hub's 30-star in one round and walks the
+    // hub chain once — the bound that matters is rounds ≪ |V|, and in
+    // absolute terms a small constant-ish count, NOT thousands
+    assert(rounds <= 35, s"giant component took $rounds propagation rounds")
+    // skew: no partition of the per-round label frame balloons — labels
+    // are keyed by vertex id, so the giant cluster spreads uniformly;
+    // the heaviest partition must stay within a small factor of the mean
+    val labelParts = out.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    val mean = labelParts.sum.toDouble / labelParts.count(_ > 0).max(1)
+    assert(labelParts.max <= math.max(64.0, 4.0 * mean),
+      s"label partition skew: max=${labelParts.max} mean=$mean")
+  }
+
   test("duplicateClusters: non-converging guard trips at maxIter") {
     import spark.implicits._
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
