@@ -288,7 +288,25 @@ object PipelineQueries {
         .filter(col("user_id") < 50)
       graft.streaming.Sessionize
         .sessionsStreamReplay(ev, gapSeconds = 1800L, nBatches = 3)
-    }))
+    }),
+    // the watermarked window aggregate replayed over deterministic
+    // micro-batches: per-(hour, event_type) counts/bytes, append-mode
+    // emission flushed by sentinel watermark advancement
+    "q_pipe_window_stats_stream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("ts_s"), col("event_type").as("lang"),
+          col("props").as("text"))
+      graft.streaming.WindowedStats
+        .perWindowReplay(ev, windowSeconds = 3600L, horizonSeconds = 600L)
+    }),
+    // streaming exact dedup replayed: horizon covers the corpus spread so
+    // within-watermark dedup must equal global dedup — one row per
+    // distinct fingerprint
+    "q_pipe_dedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.byFingerprintReplay(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          col("text")))))
 
   /** Shared word-set CTE for the oracle side. */
   private val wordsCte =
@@ -340,7 +358,22 @@ object PipelineQueries {
       ("q_pipe_knn_ivfpq_serve" -> oracleSqlBase("q_pipe_knn_ivfpq")) +
       // streaming replay answers identically to the relational twin —
       // same gap definition, same grouping — so it shares the oracle
-      ("q_pipe_sessions_stream" -> oracleSqlBase("q_pipe_sessions"))
+      ("q_pipe_sessions_stream" -> oracleSqlBase("q_pipe_sessions")) +
+      ("q_pipe_window_stats_stream" ->
+        """WITH e AS (
+          | SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
+          |        event_type, props
+          | FROM events WHERE user_id < 50)
+          |SELECT (ts_s // 3600) * 3600 AS window_start_s,
+          |       (ts_s // 3600) * 3600 + 3600 AS window_end_s,
+          |       event_type AS lang, count(*) AS n_docs,
+          |       CAST(sum(length(props)) AS BIGINT) AS n_chars
+          |FROM e GROUP BY 1, 2, 3
+          |ORDER BY window_start_s, lang""".stripMargin) +
+      ("q_pipe_dedup_stream" ->
+        """SELECT DISTINCT
+          | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          |FROM documents ORDER BY fp""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_pipe_dedup_exact" ->

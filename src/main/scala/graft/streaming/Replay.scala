@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Deterministic micro-batch replay harness: feeds a bounded, pre-sorted
+  * event list through a real Structured Streaming query (MemoryStream →
+  * the operator under test → memory sink) in contiguous slices, then
+  * returns the sink contents as a frozen batch DataFrame.
+  *
+  * This is the correctness-gate twin of a production stream: state
+  * carries across batches, watermarks advance exactly as they would live
+  * (batch N's emissions use the watermark from batch N−1), and the DuckDB
+  * oracle checks the collected output. Driver-side data is inherent to
+  * MemoryStream and the caller caps the input — the scale path is the
+  * same operator over readStream sources.
+  */
+private[streaming] object Replay {
+
+  /** Run `build` over `rows` split into `nBatches` contiguous slices,
+    * followed by one extra batch per element of `tailBatches` (sentinels
+    * that advance the watermark / flush state; feed each as its own
+    * micro-batch — append-mode emission lags the watermark by one batch).
+    * Returns the memory-sink table, materialized and detached. */
+  def run[T: Encoder](spark: SparkSession, rows: Seq[T], nBatches: Int,
+      tailBatches: Seq[Seq[T]] = Seq.empty)(
+      build: Dataset[T] => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    require(rows.nonEmpty, "Replay.run: empty input")
+    val input = MemoryStream[T]
+    val name = "replay_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = build(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val per = math.max(1, (rows.length + nBatches - 1) / nBatches)
+      rows.grouped(per).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      tailBatches.foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val out = spark.table(name)
+    val frozen = spark.createDataFrame(
+      spark.sparkContext.parallelize(out.collect().toIndexedSeq), out.schema)
+    spark.catalog.dropTempView(name)
+    frozen
+  }
+}

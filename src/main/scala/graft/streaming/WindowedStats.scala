@@ -31,4 +31,36 @@ object WindowedStats {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("lang"), col("n_docs"), col("n_chars"))
+
+  final case class WEvent(ts: java.sql.Timestamp, lang: String, text: String)
+
+  /** Deterministic micro-batch replay of `perWindow` for the oracle gate:
+    * the bounded input (ts_s: epoch seconds, lang, text) is fed in
+    * event-time order through the real watermarked window aggregate; two
+    * sentinel batches past max(ts)+horizon+window advance the watermark
+    * and flush every real window out of append-mode state (the sentinels'
+    * own window stays open and is never emitted). Window bounds come back
+    * as epoch seconds — timestamp-free for stable cross-engine hashing. */
+  def perWindowReplay(events: DataFrame, windowSeconds: Long,
+      horizonSeconds: Long, nBatches: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events.select("ts_s", "lang", "text").collect()
+      .map(r => WEvent(new java.sql.Timestamp(r.getLong(0) * 1000L),
+        r.getString(1), r.getString(2)))
+      .sortBy(_.ts.getTime)
+    val flushT = new java.sql.Timestamp(rows.last.ts.getTime +
+      (horizonSeconds + 2 * windowSeconds) * 1000L)
+    val sentinel = WEvent(flushT, "_flush", "")
+    val out = Replay.run(spark, rows.toIndexedSeq, nBatches,
+      tailBatches = Seq(Seq(sentinel), Seq(sentinel))) { ds =>
+      perWindow(ds.toDF(), s"$windowSeconds seconds", s"$horizonSeconds seconds")
+    }
+    out.filter(col("lang") =!= "_flush")
+      .select(
+        expr("unix_micros(window_start) div 1000000").cast("long").as("window_start_s"),
+        expr("unix_micros(window_end) div 1000000").cast("long").as("window_end_s"),
+        col("lang"), col("n_docs"), col("n_chars"))
+      .orderBy("window_start_s", "lang")
+  }
 }
