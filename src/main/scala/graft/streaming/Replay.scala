@@ -29,9 +29,18 @@ private[streaming] object Replay {
     require(rows.nonEmpty, "Replay.run: empty input")
     val input = MemoryStream[T]
     val name = "replay_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = build(input.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // Stateful streaming cost here is dominated by one state-store
+    // instance per shuffle partition per micro-batch; the replay input is
+    // bounded, so run the stream narrow (the partition count is captured
+    // into the query's offset metadata at start, then restored — batch
+    // queries on the session are unaffected).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try build(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       val per = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(per).foreach { b =>

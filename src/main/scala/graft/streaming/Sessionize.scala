@@ -74,11 +74,9 @@ object Sessionize {
     */
   def sessionsStreamReplay(events: DataFrame, gapSeconds: Long,
       nBatches: Int = 3): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val rows = events.select("user_id", "ts_s", "event_type")
       .collect()
@@ -90,31 +88,17 @@ object Sessionize {
     val sentinels = rows.map(_.user_id).distinct.map(u =>
       Event(u, new java.sql.Timestamp(maxT + 2 * gapSeconds * 1000L), "_flush"))
 
-    val input = MemoryStream[Event]
-    val name = "sessions_replay_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = sessions(input.toDS(), gapMs = gapSeconds * 1000L)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
-    try {
-      val per = math.max(1, (rows.length + nBatches - 1) / nBatches)
-      rows.grouped(per).foreach { b =>
-        input.addData(b.toIndexedSeq); q.processAllAvailable()
-      }
-      input.addData(sentinels.toIndexedSeq); q.processAllAvailable()
-    } finally q.stop()
-
+    val sunk = Replay.run(spark, rows.toIndexedSeq, nBatches,
+      tailBatches = Seq(sentinels.toIndexedSeq)) { ds =>
+      sessions(ds, gapMs = gapSeconds * 1000L).toDF()
+    }
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
-    val out = spark.table(name)
+    sunk
       .withColumn("session_no", row_number().over(byStart).cast("long"))
       .select(col("user_id"), col("session_no"),
         col("n_events"), col("n_types").cast("long").as("n_types"),
         (col("duration_ms") / 1000L).cast("long").as("duration_s"))
       .orderBy("user_id", "session_no")
-    // materialize before dropping the backing memory-sink table
-    val frozen = spark.createDataFrame(
-      spark.sparkContext.parallelize(out.collect().toIndexedSeq), out.schema)
-    spark.catalog.dropTempView(name)
-    frozen.orderBy("user_id", "session_no")
   }
 
   /** Batch variant — identical session definition expressed relationally
