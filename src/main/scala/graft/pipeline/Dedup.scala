@@ -503,9 +503,22 @@ object Dedup {
       require(it < maxIter,
         s"duplicateClusters: no convergence after $maxIter rounds — " +
           "input does not look like a near-dup pair list")
-      val next = und
+      val prop = und
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("lbl").as("lbl"))
+      // Pointer jumping (path halving): follow my label's label. One more
+      // O(|V|) self-join per round turns chain-shaped components from
+      // O(diameter) rounds into O(log diameter) — a corpus of sliding-
+      // window near-dups (adjacent shards sharing shingles) builds long
+      // paths, which plain propagation cannot afford at 100 TB. Every
+      // lbl is a component-member vertex id and every vertex appears in
+      // `prop` (self-loops), so the join is total; left+coalesce guards
+      // the invariant anyway. Labels still only decrease → the monotone
+      // sum convergence test is unchanged.
+      val next = prop.as("x")
+        .join(prop.as("y"), col("x.lbl") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.lbl"), col("x.lbl")).as("lbl"))
         .localCheckpoint(true) // eager: truncates lineage AND materializes
       val s = lblSum(next)
       converged = s == prevSum

@@ -42,6 +42,18 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got == (0L to 16L).map(_ -> 0L).toMap)
   }
 
+  test("pointer jumping: a 512-edge chain converges in O(log diameter) " +
+      "rounds, not O(diameter)") {
+    import spark.implicits._
+    // plain min-label propagation would need ~513 rounds (beyond the
+    // default maxIter=50 guard); path halving must land in ~log2(512)+c
+    val pairs = (0L until 512L).map(i => (i, i + 1)).toDF("a", "b")
+    val (out, rounds) = Dedup.duplicateClustersWithRounds(pairs)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 512L).map(_ -> 0L).toMap)
+    assert(rounds <= 20, s"512-chain took $rounds rounds")
+  }
+
   test("skew probe: one giant component holding 30% of vertices stays " +
       "cheap — bounded rounds, no ballooning partition") {
     import spark.implicits._
@@ -60,11 +72,10 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.filter(_._1 < 900L).forall(_._2 == 0L))
     assert(got.count(_._1 < 900L) == 900)
     assert(got.filter(_._1 >= 1000L).forall { case (id, l) => l == (id / 2) * 2 })
-    // convergence: hub-chain diameter ~60 hops hub-to-hub, but min-label
-    // propagation collapses a hub's 30-star in one round and walks the
-    // hub chain once — the bound that matters is rounds ≪ |V|, and in
-    // absolute terms a small constant-ish count, NOT thousands
-    assert(rounds <= 35, s"giant component took $rounds propagation rounds")
+    // convergence: ~30 hub-to-hub hops of diameter, but path halving
+    // walks it in O(log) — the bound that matters is rounds ≪ |V|, and
+    // in absolute terms a small count, NOT thousands
+    assert(rounds <= 15, s"giant component took $rounds propagation rounds")
     // skew: no partition of the per-round label frame balloons — labels
     // are keyed by vertex id, so the giant cluster spreads uniformly;
     // the heaviest partition must stay within a small factor of the mean
