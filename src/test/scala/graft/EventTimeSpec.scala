@@ -49,6 +49,28 @@ class EventTimeSpec extends AnyFunSuite {
     assert(out.head.getLong(0) == epochS)
   }
 
+  test("legacy TIMESTAMP(NANOS) parquet: readEvents falls back to the " +
+      "nanosAsLong conf and secondsCol truncates exactly") {
+    // pinned fixture written by pyarrow with version=2.6 ns timestamps —
+    // the physical type the driver's generator shipped in rounds ≤ 6
+    val dir = "src/test/resources/events_nanos"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      val ev = EventTime.eventsWithSeconds(spark, dir)
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType) // nanos surfaced as raw long
+      val got = ev.orderBy("event_id").select("ts_s")
+        .collect().map(_.getLong(0)).toSeq
+      // row 3 is base + 0.999999999s: .890123456 + that crosses the
+      // second boundary → epochS+1; sub-second parts truncate
+      assert(got == Seq(epochS, 0L, epochS + 1))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
   test("eventsWithSeconds reads the driver's current events.parquet") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$sfDir/events.parquet").exists())
