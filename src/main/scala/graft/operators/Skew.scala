@@ -34,4 +34,39 @@ object Skew {
       .agg(sum("pc").as("n_docs"), sum("ps").as("sum_chars"),
         min("pmin").as("min_chars"), max("pmax").as("max_chars"))
       .orderBy("lang")
+
+  /** Skew-safe top-k per group: two-stage SALTED window ranking,
+    * row-identical to the direct per-group window (Curation
+    * .topDocsPerGroup) for any total order.
+    *
+    * A plain `row_number().over(partitionBy(group))` sends EVERY row of a
+    * hot group through one window partition — the aggregation-salting
+    * problem again, but for ranking, where map-side combine never helps.
+    * Stage 1 ranks within (group, salt) — a hot group's rows spread over
+    * `salts` window partitions — and keeps each salt's top k, because a
+    * row outside its own salt's top k cannot be in the group's top k.
+    * Stage 2 re-ranks the ≤ k·salts survivors per group: the heaviest
+    * partition anywhere in the plan holds max(|group|/salts, k·salts)
+    * rows, never |group|. The order must be TOTAL (tie-broken) for the
+    * two stages to be deterministic — same requirement the direct window
+    * already has for reproducibility.
+    *
+    * Emits (lang, source, doc_id, n_chars, rank) exactly like
+    * topDocsPerGroup, ordered by (lang, source, rank). */
+  def saltedTopDocsPerGroup(docs: DataFrame, k: Int = 3,
+      salts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col("n_chars").desc, col("doc_id").asc)
+    val w1 = Window.partitionBy(col("lang"), col("source"), col("_salt"))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col("lang"), col("source")).orderBy(order: _*)
+    docs.select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("_salt", pmod(col("doc_id"), lit(salts.toLong)))
+      .withColumn("_srk", row_number().over(w1))
+      .filter(col("_srk") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select("lang", "source", "doc_id", "n_chars", "rank")
+      .orderBy("lang", "source", "rank")
+  }
 }

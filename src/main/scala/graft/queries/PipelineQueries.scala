@@ -265,6 +265,11 @@ object PipelineQueries {
     "q_pipe_bigrams" -> ((s, dir) => TextOps.topKBigrams(docs(s, dir))),
     // best-of-group curation: top docs per (lang, source) by length
     "q_pipe_topdocs" -> ((s, dir) => Curation.topDocsPerGroup(docs(s, dir))),
+    // skew-safe twin: two-stage salted window ranking, row-identical to
+    // the direct window (shares its oracle) — hot groups never put all
+    // their rows through one window partition
+    "q_pipe_topdocs_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedTopDocsPerGroup(docs(s, dir))),
     // exact per-language length quantiles by rank selection
     "q_pipe_quantiles" -> ((s, dir) => Curation.exactQuantiles(docs(s, dir))),
     // skewed-key aggregation via two-stage salting (hot keys spread over
@@ -373,7 +378,10 @@ object PipelineQueries {
       ("q_pipe_dedup_stream" ->
         """SELECT DISTINCT
           | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-          |FROM documents ORDER BY fp""".stripMargin)
+          |FROM documents ORDER BY fp""".stripMargin) +
+      // the salted two-stage ranking is row-identical to the direct
+      // window, so it shares q_pipe_topdocs' oracle
+      ("q_pipe_topdocs_salted" -> oracleSqlBase("q_pipe_topdocs"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_pipe_dedup_exact" ->

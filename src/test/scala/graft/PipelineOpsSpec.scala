@@ -317,6 +317,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got("rare") == ((1L, Seq(20L))))
   }
 
+  test("saltedTopDocsPerGroup ≡ direct window top-k on a skewed corpus") {
+    import spark.implicits._
+    // one hot (lang, source) group with 90% of the rows, plus small ones;
+    // n_chars collides heavily so the doc_id tie-break is load-bearing
+    val rows = (0L until 1000L).map { i =>
+      val (lang, src) = if (i < 900) ("en", "web") else ("de", "book" + i % 3)
+      (i, lang, src, (i % 7) * 10 + 5)
+    }
+    val docs = rows.toDF("doc_id", "lang", "source", "n_chars")
+    val direct = Curation.topDocsPerGroup(docs, k = 3).collect().toSeq
+    val salted = graft.operators.Skew.saltedTopDocsPerGroup(docs, k = 3)
+      .collect().toSeq
+    assert(salted == direct)
+    // and with k spanning the salt boundary (k > per-salt survivors)
+    val d5 = Curation.topDocsPerGroup(docs, k = 5).collect().toSeq
+    val s5 = graft.operators.Skew.saltedTopDocsPerGroup(docs, k = 5, salts = 4)
+      .collect().toSeq
+    assert(s5 == d5)
+  }
+
   test("reservoirPerGroup: fixed count per group, deterministic") {
     val docs = docsDF((0L until 300L).map(i =>
       (i, s"d $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr")))
