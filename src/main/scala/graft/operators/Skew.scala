@@ -36,8 +36,7 @@ object Skew {
       .orderBy("lang")
 
   /** Skew-safe top-k per group: two-stage SALTED window ranking,
-    * row-identical to the direct per-group window (Curation
-    * .topDocsPerGroup) for any total order.
+    * row-identical to the direct per-group window for any TOTAL order.
     *
     * A plain `row_number().over(partitionBy(group))` sends EVERY row of a
     * hot group through one window partition — the aggregation-salting
@@ -48,25 +47,47 @@ object Skew {
     * Stage 2 re-ranks the ≤ k·salts survivors per group: the heaviest
     * partition anywhere in the plan holds max(|group|/salts, k·salts)
     * rows, never |group|. The order must be TOTAL (tie-broken) for the
-    * two stages to be deterministic — same requirement the direct window
-    * already has for reproducibility.
+    * two stages to be deterministic — the same requirement the direct
+    * window already has for reproducibility.
     *
-    * Emits (lang, source, doc_id, n_chars, rank) exactly like
-    * topDocsPerGroup, ordered by (lang, source, rank). */
-  def saltedTopDocsPerGroup(docs: DataFrame, k: Int = 3,
-      salts: Int = 16): DataFrame = {
+    * `rankCol` is appended (row_number, 1-based) after `df`'s columns. */
+  def saltedTopK(df: DataFrame, groupCols: Seq[String],
+      order: Seq[org.apache.spark.sql.Column], k: Int, salts: Int,
+      saltOn: org.apache.spark.sql.Column,
+      rankCol: String = "rank"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val order = Seq(col("n_chars").desc, col("doc_id").asc)
-    val w1 = Window.partitionBy(col("lang"), col("source"), col("_salt"))
-      .orderBy(order: _*)
-    val w2 = Window.partitionBy(col("lang"), col("source")).orderBy(order: _*)
-    docs.select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("_salt", pmod(col("doc_id"), lit(salts.toLong)))
+    val grp = groupCols.map(col)
+    val w1 = Window.partitionBy(grp :+ col("_salt"): _*).orderBy(order: _*)
+    val w2 = Window.partitionBy(grp: _*).orderBy(order: _*)
+    df.withColumn("_salt", pmod(saltOn, lit(salts.toLong)))
       .withColumn("_srk", row_number().over(w1))
       .filter(col("_srk") <= k)
-      .withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select("lang", "source", "doc_id", "n_chars", "rank")
-      .orderBy("lang", "source", "rank")
+      .withColumn(rankCol, row_number().over(w2))
+      .filter(col(rankCol) <= k)
+      .drop("_salt", "_srk")
   }
+
+  /** Skew-safe twin of `Curation.topDocsPerGroup` — identical output:
+    * (lang, source, doc_id, n_chars, rank) by (lang, source, rank). */
+  def saltedTopDocsPerGroup(docs: DataFrame, k: Int = 3,
+      salts: Int = 16): DataFrame =
+    saltedTopK(
+      docs.select(col("lang"), col("source"), col("doc_id"), col("n_chars")),
+      groupCols = Seq("lang", "source"),
+      order = Seq(col("n_chars").desc, col("doc_id").asc),
+      k = k, salts = salts, saltOn = col("doc_id"))
+      .orderBy("lang", "source", "rank")
+
+  /** Skew-safe twin of `Curation.reservoirPerGroup` — the k smallest
+    * md5(doc_id) per lang, identical output: (lang, doc_id, rk). A
+    * fixed-count-per-stratum sample is exactly the shape that hits one
+    * hot window partition per dominant language at corpus scale. */
+  def saltedReservoirPerGroup(docs: DataFrame, k: Int = 5,
+      salts: Int = 16): DataFrame =
+    saltedTopK(
+      docs.select(col("lang"), col("doc_id")),
+      groupCols = Seq("lang"),
+      order = Seq(md5(col("doc_id").cast("string")).asc, col("doc_id").asc),
+      k = k, salts = salts, saltOn = col("doc_id"), rankCol = "rk")
+      .orderBy("lang", "rk")
 }

@@ -250,6 +250,9 @@ object PipelineQueries {
         .orderBy(col("df").desc, col("term"), col("pos"))),
     // fixed-count deterministic per-group sample (hash reservoir)
     "q_pipe_reservoir" -> ((s, dir) => Curation.reservoirPerGroup(docs(s, dir))),
+    // skew-safe twin of the per-stratum reservoir (shares its oracle)
+    "q_pipe_reservoir_salted" -> ((s, dir) =>
+      graft.operators.Skew.saltedReservoirPerGroup(docs(s, dir))),
     "q_pipe_packing" -> ((s, dir) => Curation.packSequences(docs(s, dir))),
     // the full curation chain composed end-to-end (gate → dedup →
     // sample → pack), one oracle over the whole composition
@@ -379,9 +382,10 @@ object PipelineQueries {
         """SELECT DISTINCT
           | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
           |FROM documents ORDER BY fp""".stripMargin) +
-      // the salted two-stage ranking is row-identical to the direct
-      // window, so it shares q_pipe_topdocs' oracle
-      ("q_pipe_topdocs_salted" -> oracleSqlBase("q_pipe_topdocs"))
+      // the salted two-stage rankings are row-identical to the direct
+      // windows, so they share their twins' oracles
+      ("q_pipe_topdocs_salted" -> oracleSqlBase("q_pipe_topdocs")) +
+      ("q_pipe_reservoir_salted" -> oracleSqlBase("q_pipe_reservoir"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_pipe_dedup_exact" ->

@@ -335,6 +335,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     val s5 = graft.operators.Skew.saltedTopDocsPerGroup(docs, k = 5, salts = 4)
       .collect().toSeq
     assert(s5 == d5)
+    // reservoir twin: same k-smallest-hash sample, salted
+    val docs2 = rows.map { case (i, l, s, _) => (i, s"d $i", l) }
+      .toDF("doc_id", "text", "lang")
+    val dr = Curation.reservoirPerGroup(docs2, k = 7).collect().toSeq
+    val sr = graft.operators.Skew.saltedReservoirPerGroup(docs2, k = 7)
+      .collect().toSeq
+    assert(sr == dr)
   }
 
   test("reservoirPerGroup: fixed count per group, deterministic") {
