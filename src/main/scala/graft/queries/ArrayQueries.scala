@@ -11,6 +11,47 @@ import org.apache.spark.sql.functions._
   */
 object ArrayQueries {
 
+  /** Self-contained mark-and-sweep fixture (no testdata dependency):
+    * dataset `keep` = 7 on [0,20), dataset `drop` = 9 on [0,20) (distinct
+    * content → distinct blobs), then destroy(`drop`) + vacuum(grace 0).
+    * Memoized per JVM; `reclaimed` is the vacuum's removed-blob count. */
+  private object VacuumFixture {
+    final case class H(store: graft.spark.SparkStore, reclaimed: Long)
+    private val cache =
+      new java.util.concurrent.atomic.AtomicReference[H](null)
+    def get(s: SparkSession): H = {
+      val cur = cache.get()
+      if (cur != null) cur
+      else synchronized {
+        val again = cache.get()
+        if (again != null) again
+        else {
+          import graft.core._
+          import graft.meta.{DatasetMeta, VariableDef}
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_vacuum_fixture").toString
+          val store = new graft.spark.SparkStore(s, root)
+          val meta = DatasetMeta(
+            dimensions = Map("h" -> 20L),
+            chunkDimensions = Map("h" -> 8L),
+            variables = Map("v" -> VariableDef("long", Vector("h"), -1.0)))
+          def ingest(ds: String, fill: Double): Unit = {
+            store.create(ds)
+            val w = store.addVersion(ds, meta)
+            w.write("v", Seq(Slab.empty(DType.LONG,
+              Slice(Seq(0L), Seq(20L)), fill)))
+            w.finishVersion(); ()
+          }
+          ingest("keep", 7.0)
+          ingest("drop", 9.0)
+          store.destroy("drop")
+          val h = H(store, store.vacuum(graceMs = 0L))
+          cache.set(h); h
+        }
+      }
+    }
+  }
+
   /** Shared oracle CTE: per-hour counts re-origined to the first hour —
     * the exact ground truth the fixture slabs were built from. */
   private val cte =
@@ -87,6 +128,17 @@ object ArrayQueries {
         .unionByName(era("v2", fx.regrowV2, h - 5, h + 24))
         .unionByName(era("v3", fx.regrowV3, h - 36, h - 16))
         .orderBy("era", "h")
+    }),
+    // V8 + mark-and-sweep space reclamation (the repo's substitute for
+    // the reference's designed-out refcounting, README 'Deliberate
+    // deltas'): destroying a dataset makes its blobs unreferenced, vacuum
+    // physically removes them, and the surviving dataset reads intact
+    "q_arr_vacuum" -> ((s, dir) => {
+      val fx = VacuumFixture.get(s)
+      fx.store.reader("keep").onLastVersion()
+        .exploded("v", Slice(Seq(0L), Seq(20L)))
+        .withColumn("reclaimed", lit(fx.reclaimed > 0L))
+        .orderBy("h")
     }),
     // 0-d scalar variable
     "q_arr_scalar" -> ((s, dir) => {
@@ -254,6 +306,9 @@ object ArrayQueries {
         |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
         |WHERE g.h >= (SELECT maxh - 36 FROM hh) AND g.h < (SELECT maxh - 16 FROM hh)
         |ORDER BY era, h""".stripMargin),
+    "q_arr_vacuum" ->
+      """SELECT g.h AS h, CAST(7 AS BIGINT) AS value, true AS reclaimed
+        |FROM range(0, 20) g(h) ORDER BY h""".stripMargin,
     "q_arr_scalar" -> "SELECT count(*) AS value FROM events",
     "q_arr_2d" ->
       """WITH lb AS (
