@@ -195,6 +195,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Persist the corpus side of [[dedupeNewBatch]] once, so continuous
+    * ingest probes an INDEX instead of re-fingerprinting and re-bucketing
+    * the whole corpus every batch (the IVF build/serve split, for dedup):
+    *   `fps/`      distinct normalization fingerprints
+    *   `buckets/`  (band, key, corpus_id, bsz) — bsz precomputed per
+    *               bucket so serve-time capping is a filter, not a
+    *               corpus-wide re-count.
+    * At 100 TB the index is a fraction of corpus bytes (two narrow
+    * columns + 4 band rows per doc) and is written corpus-parallel. */
+  def dedupIndexBuild(corpus: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/fps")
+    bandBuckets(corpus)
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .select(col("band"), col("key"), col("doc_id").as("corpus_id"),
+        col("bsz"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** [[dedupeNewBatch]] served from a [[dedupIndexBuild]] index —
+    * bit-identical output (same fingerprints, same band buckets, same
+    * cap rule), the corpus is never touched. */
+  def dedupeNewBatchServe(batch: DataFrame, indexPath: String,
+      maxBucketSize: Int = 32): DataFrame = {
+    val spark = batch.sparkSession
+    val corpusFp = spark.read.parquet(s"$indexPath/fps")
+      .withColumn("hit", lit(1L))
+    val exact = batch
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("is_exact_dup"))
+    val corpusKept = spark.read.parquet(s"$indexPath/buckets")
+      .filter(col("bsz") <= maxBucketSize)
+      .select("band", "key", "corpus_id")
+    val near = bandBuckets(batch)
+      .join(corpusKept, Seq("band", "key"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("corpus_id")).as("n_near_corpus"))
+    exact.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_near_corpus"), lit(0L)).as("n_near_corpus"))
+      .orderBy("doc_id")
+  }
+
   /** Sub-document (chunk-level) exact dedup: each document is segmented
     * into fixed `windowTokens`-token windows (non-overlapping, partial
     * tail kept — the standard chunking when the corpus has no natural

@@ -43,6 +43,17 @@ object PipelineQueries {
       path
     })
 
+  /** Persistent dedup index over the q_pipe_dedup_incr corpus slice
+    * (doc_id % 5 != 0), built once per sfDir. */
+  private val dedupIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupIndexFor(s: SparkSession, dir: String): String =
+    dedupIndexes.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+      Dedup.dedupIndexBuild(docs(s, d).filter(col("doc_id") % 5 =!= 0), path)
+      path
+    })
+
   /** PQ-enabled twin of [[ivfIndexFor]] (separate layout: codebook +
     * codes-carrying assignments; parameters pinned to the
     * q_pipe_knn_ivfpq oracle). */
@@ -201,6 +212,14 @@ object PipelineQueries {
       val d = docs(s, dir)
       Dedup.dedupeNewBatch(
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
+    // the PERSISTENT-index serving path: corpus fingerprints + band
+    // buckets built once (memoized), the batch probes the index and the
+    // corpus is never re-read — bit-identical, shares the oracle
+    "q_pipe_dedup_incr_serve" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupeNewBatchServe(
+        d.filter(col("doc_id") % 5 === 0), dedupIndexFor(s, dir))
     }),
     // sub-document (token-window) exact dedup with the keep-first rule
     "q_pipe_window_dedup" -> ((s, dir) => Dedup.windowDedup(docs(s, dir))),
@@ -385,7 +404,9 @@ object PipelineQueries {
       // the salted two-stage rankings are row-identical to the direct
       // windows, so they share their twins' oracles
       ("q_pipe_topdocs_salted" -> oracleSqlBase("q_pipe_topdocs")) +
-      ("q_pipe_reservoir_salted" -> oracleSqlBase("q_pipe_reservoir"))
+      ("q_pipe_reservoir_salted" -> oracleSqlBase("q_pipe_reservoir")) +
+      // index-served incremental dedup is bit-identical to the one-shot
+      ("q_pipe_dedup_incr_serve" -> oracleSqlBase("q_pipe_dedup_incr"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_pipe_dedup_exact" ->

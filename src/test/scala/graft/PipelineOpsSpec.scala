@@ -344,6 +344,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sr == dr)
   }
 
+  test("dedupeNewBatchServe ≡ dedupeNewBatch from a persisted index") {
+    val mk = (i: Long, t: String) => (i, t, "en")
+    val corpus = docsDF((0L until 40L).map(i => mk(i, s"corpus text $i")) :+
+      mk(40L, "shared exact text") :+ mk(41L, "alpha beta gamma delta"))
+    val batch = docsDF(Seq(
+      mk(100L, "shared exact text"),           // exact dup
+      mk(101L, "alpha beta gamma delta zeta"), // near (shares shingles)
+      mk(102L, "completely novel content")))
+    val direct = Dedup.dedupeNewBatch(corpus, batch).collect().toSeq
+    val idx = java.nio.file.Files.createTempDirectory("dedup-idx").toString
+    Dedup.dedupIndexBuild(corpus, idx)
+    val served = Dedup.dedupeNewBatchServe(batch, idx).collect().toSeq
+    assert(served == direct)
+    assert(direct.exists(r => r.getLong(0) == 100L && r.getLong(1) == 1L))
+  }
+
   test("reservoirPerGroup: fixed count per group, deterministic") {
     val docs = docsDF((0L until 300L).map(i =>
       (i, s"d $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr")))
