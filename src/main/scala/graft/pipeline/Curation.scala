@@ -218,6 +218,35 @@ object Curation {
       .orderBy("seq_id")
   }
 
+  /** Deterministic corpus shuffle: the globally-randomized training
+    * order (position = rank of md5(doc_id) over the whole corpus),
+    * computed WITHOUT a global single-partition sort.
+    *
+    * `row_number() OVER (ORDER BY hash)` funnels the corpus through one
+    * window partition; instead the hash's first byte buckets rows into
+    * 256 hash-uniform groups (heaviest partition ≈ corpus/256 regardless
+    * of data skew — the bucket is derived from the hash itself), ranks
+    * within each bucket, and adds the lesser-buckets offset from a
+    * constant-size (≤ 256²) self-join broadcast back — the same two-pass
+    * prefix shape as sequence packing. Deterministic under re-runs,
+    * retries, and input order: every quantity is a pure function of
+    * doc_id. Output: (doc_id, pos), pos ∈ [0, N). */
+  def deterministicShuffle(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id").cast("long").as("doc_id"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val win = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    val within = hashed.withColumn("rk", row_number().over(win).cast("long"))
+    val btot = hashed.groupBy("bucket").agg(count(lit(1)).as("btot"))
+    val offsets = btot.as("x")
+      .join(btot.as("y"), col("y.bucket") < col("x.bucket"), "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(coalesce(sum(col("y.btot")), lit(0L)).as("off"))
+    within.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), (col("off") + col("rk") - 1L).as("pos"))
+      .orderBy("doc_id")
+  }
+
   /** The canonical curation chain COMPOSED end-to-end: quality gate →
     * exact dedup (keep-first by doc_id) → deterministic stratified
     * sample → sequence packing. Every stage is the production operator

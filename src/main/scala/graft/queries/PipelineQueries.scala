@@ -221,6 +221,10 @@ object PipelineQueries {
       Dedup.dedupeNewBatchServe(
         d.filter(col("doc_id") % 5 === 0), dedupIndexFor(s, dir))
     }),
+    // deterministic corpus shuffle: global training order by md5 rank,
+    // two-pass bucket prefix — no single-partition sort
+    "q_pipe_shuffle" -> ((s, dir) =>
+      Curation.deterministicShuffle(docs(s, dir))),
     // sub-document (token-window) exact dedup with the keep-first rule
     "q_pipe_window_dedup" -> ((s, dir) => Dedup.windowDedup(docs(s, dir))),
     // the cleaned corpus that dedup implies: dup windows removed,
@@ -406,7 +410,12 @@ object PipelineQueries {
       ("q_pipe_topdocs_salted" -> oracleSqlBase("q_pipe_topdocs")) +
       ("q_pipe_reservoir_salted" -> oracleSqlBase("q_pipe_reservoir")) +
       // index-served incremental dedup is bit-identical to the one-shot
-      ("q_pipe_dedup_incr_serve" -> oracleSqlBase("q_pipe_dedup_incr"))
+      ("q_pipe_dedup_incr_serve" -> oracleSqlBase("q_pipe_dedup_incr")) +
+      ("q_pipe_shuffle" ->
+        """SELECT doc_id,
+          | row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          |   - 1 AS pos
+          |FROM documents ORDER BY doc_id""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_pipe_dedup_exact" ->

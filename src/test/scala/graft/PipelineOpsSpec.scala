@@ -344,6 +344,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sr == dr)
   }
 
+  test("deterministicShuffle: exact permutation of [0,N), stable, " +
+      "matches the single-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = docsDF((0L until 300L).map(i => (i, s"t $i", "en")))
+    val got = Curation.deterministicShuffle(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._2).sorted.toSeq == (0L until 300L))
+    // equals the windowed definition (fine at test scale)
+    val ref = docs.select(col("doc_id"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+        .cast("long") - 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall { case (id, p) => ref(id) == p })
+  }
+
   test("dedupeNewBatchServe ≡ dedupeNewBatch from a persisted index") {
     val mk = (i: Long, t: String) => (i, t, "en")
     val corpus = docsDF((0L until 40L).map(i => mk(i, s"corpus text $i")) :+
