@@ -62,7 +62,58 @@ object ArrayQueries {
 
   private def grid = "FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h"
 
+  /** Streaming-ingest fixture: the events table replayed through
+    * `StreamingIngest.hourlyCounts → versionedSink` in three event-time
+    * micro-batches — each batch's delta commits as one immutable version
+    * (update mode: a boundary hour spanning batches is re-emitted with
+    * its cumulative count and the newer version wins in the MVCC
+    * overlay). Memoized per sfDir; `nVersions` is the committed count. */
+  private object StreamIngestFixture {
+    final case class H(store: graft.spark.SparkStore, hours: Long, nVersions: Int)
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, H]()
+    final case class TsRow(ts: java.sql.Timestamp)
+    def get(s: SparkSession, dir: String): H =
+      cache.computeIfAbsent(dir, { d =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val secs = EventTime.eventsWithSeconds(s, d)
+          .select("ts_s").collect().map(_.getLong(0)).sorted
+        val h0 = secs.head / 3600L
+        val hours = secs.last / 3600L - h0 + 1
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stream_ingest").toString
+        val store = new graft.spark.SparkStore(s, root)
+        val input = MemoryStream[TsRow]
+        // generous watermark: the replay must never drop state mid-run
+        val q = graft.streaming.StreamingIngest.versionedSink(
+          store, "evstream", h0, hours)(
+          graft.streaming.StreamingIngest.hourlyCounts(
+            input.toDS().toDF(), watermark = "9600 hours"))
+        try {
+          val per = math.max(1, (secs.length + 2) / 3)
+          secs.grouped(per).foreach { b =>
+            input.addData(b.toIndexedSeq.map(t =>
+              TsRow(new java.sql.Timestamp(t * 1000L))))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        H(store, hours, store.versions("evstream").size)
+      })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // streaming ingest end-to-end: micro-batch deltas → committed
+    // versions → MVCC overlay; latest read ≡ the batch per-hour counts
+    // (never-written zero-count hours stay at fill −1)
+    "q_arr_stream_ingest" -> ((s, dir) => {
+      val fx = StreamIngestFixture.get(s, dir)
+      fx.store.reader("evstream").onLastVersion()
+        .exploded("n", Slice(Seq(0L), Seq(fx.hours)))
+        .withColumn("multi_version", lit(fx.nVersions >= 2))
+        .orderBy("h")
+    }),
     // R1-R6 + S1-S9 + W1-W8 + V2/V3 + P1/P2: hyperslab read at v2
     "q_arr_slice" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
@@ -309,6 +360,12 @@ object ArrayQueries {
     "q_arr_vacuum" ->
       """SELECT g.h AS h, CAST(7 AS BIGINT) AS value, true AS reclaimed
         |FROM range(0, 20) g(h) ORDER BY h""".stripMargin,
+    // streaming ingest: cumulative per-hour counts at the latest version;
+    // zero-event hours were never written → fill −1
+    "q_arr_stream_ingest" -> (cte +
+      """SELECT g.h AS h, COALESCE(c.cnt, -1) AS value, true AS multi_version
+        |""".stripMargin + grid +
+      " WHERE g.h < (SELECT maxh FROM hh) ORDER BY h"),
     "q_arr_scalar" -> "SELECT count(*) AS value FROM events",
     "q_arr_2d" ->
       """WITH lb AS (
