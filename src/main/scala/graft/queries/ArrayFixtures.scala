@@ -85,6 +85,11 @@ object ArrayFixtures {
     w1.write("f", Seq(countsSlab(DType.FLOAT, 5L)))
     val evV1 = w1.finishVersion()
 
+    // guarantee v1/v2 commit at DISTINCT milliseconds: the SQL
+    // `TIMESTAMP AS OF <v1-commit>` gate resolves "newest version at or
+    // before" and same-ms commits would make that resolution ambiguous
+    Thread.sleep(2)
+
     val w2 = store.addVersion("ev", evMeta)
     w2.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(25L), Seq(35L)), 777.0)))
     val evV2 = w2.finishVersion()

@@ -271,6 +271,20 @@ object ArrayQueries {
       s.sql(s"""SELECT m, b, value FROM $cat.grid.qty VERSION AS OF ${fx.gridV1}
         WHERE m >= 2 AND m < 12 AND b >= 1 AND b < 6 ORDER BY m, b""")
     }),
+    // V5 through the SQL front door: `TIMESTAMP AS OF` the v1 commit
+    // instant resolves to the newest version at-or-before it — same
+    // [20,40) window and era as q_arr_timetravel, routed via the catalog
+    "q_arr_sql_timetravel" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      val v1ts = fx.store.versions("ev").find(_._2 == fx.evV1).get._1
+      val iso = java.time.Instant.ofEpochMilli(v1ts).toString
+      s.sql(s"""SELECT h, value FROM $cat.ev.n TIMESTAMP AS OF '$iso'
+        WHERE h >= 20 AND h < 40 ORDER BY h""")
+    }),
     // SQL schema evolution end-to-end (reference grow semantics,
     // src/io/mandoline/test/grow.clj:56-71, through the catalog): create +
     // ingest a counts variable via pure SQL, grow its dimension with
@@ -322,6 +336,13 @@ object ArrayQueries {
         | CASE WHEN g.h < 10 THEN COALESCE(c.cnt, 0) ELSE -1 END AS value
         |""".stripMargin + grid + " WHERE g.h >= 0 AND g.h < 30 ORDER BY h"),
     "q_arr_timetravel" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |""".stripMargin + grid + " WHERE g.h >= 20 AND g.h < 40 ORDER BY h"),
+    // identical ground truth to q_arr_timetravel — only the ROUTE differs
+    // (SQL catalog TIMESTAMP AS OF vs the reader API's onVersion)
+    "q_arr_sql_timetravel" -> (cte +
       """SELECT g.h AS h,
         | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
         |      ELSE COALESCE(c.cnt, 0) END AS value
