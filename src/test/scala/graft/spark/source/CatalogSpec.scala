@@ -74,6 +74,12 @@ class CatalogSpec extends AnyFunSuite {
       "SELECT sum(value) FROM catt.ds.v TIMESTAMP AS OF '2999-01-01'")
       .head.getDouble(0)
     assert(byTs == 1500.0)
+    // a timestamp BEFORE the first commit fails loudly, not empty-silently
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM catt.ds.v TIMESTAMP AS OF '1970-01-02'").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("no version"),
+      s"unexpected: ${e.getMessage}")
   }
 
   test("CTAS derives the value type; second variable joins the dataset") {
