@@ -195,6 +195,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Materialize the near-dup-CLEANED corpus: candidate pairs → connected
+    * components → keep exactly one representative (the min doc_id, i.e.
+    * the cluster label) per cluster plus every unclustered doc. The
+    * sibling of `duplicateClusters` that answers "which docs survive"
+    * instead of "who groups with whom" — the last step a dedup pipeline
+    * actually ships.
+    *
+    * Scale shape: inherits the pair/cluster costs; the apply step itself
+    * is one anti-join on doc_id against the O(#duplicate-docs) loser
+    * frame — no text moves. */
+  def dedupApply(docs: DataFrame, maxBucketSize: Int = 32): DataFrame = {
+    val clusters = duplicateClusters(
+      minHashCandidatePairsUnordered(docs, k = 8, maxBucketSize))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Persist the corpus side of [[dedupeNewBatch]] once, so continuous
     * ingest probes an INDEX instead of re-fingerprinting and re-bucketing
     * the whole corpus every batch (the IVF build/serve split, for dedup):

@@ -112,6 +112,9 @@ object PipelineQueries {
     // candidate pairs → dedup groups (connected components, min-label)
     "q_pipe_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(Dedup.minHashCandidatePairsUnordered(docs(s, dir), k = 8))),
+    // the cleaned corpus those clusters imply: one representative per
+    // near-dup cluster survives, everything unclustered survives
+    "q_pipe_dedup_apply" -> ((s, dir) => Dedup.dedupApply(docs(s, dir))),
     "q_pipe_simhash" -> ((s, dir) => Dedup.simHash16(docs(s, dir).filter(col("doc_id") < 50))),
     "q_pipe_jaccard" -> ((s, dir) => Dedup.successorJaccard(docs(s, dir), "en")),
     "q_pipe_knn" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
@@ -437,6 +440,20 @@ object PipelineQueries {
       | SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r)
       |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    // same component machinery, inverted: emit the SURVIVORS
+    "q_pipe_dedup_apply" ->
+      ("WITH RECURSIVE " + minhashPairsBody + """,
+      |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM e),
+      |reach(id, r) AS (
+      | SELECT id, id FROM nodes
+      | UNION
+      | SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+      |cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id != cluster_id)
+      |ORDER BY doc_id""".stripMargin),
 
     "q_pipe_simhash" -> (wordsCte.replace("FROM documents,", "FROM documents,")
       + """
