@@ -334,6 +334,18 @@ object PipelineQueries {
       graft.streaming.WindowedStats
         .perWindowReplay(ev, windowSeconds = 3600L, horizonSeconds = 600L)
     }),
+    // watermarked STREAM-STREAM interval join replayed: click→purchase
+    // attribution, inner join with event-time range condition — matches
+    // emit when the pair completes, join state is watermark-bounded
+    "q_pipe_join_stream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 200 &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_s"))
+      graft.streaming.StreamJoin
+        .clickAttributionReplay(ev, lookbackSeconds = 7200L, nBatches = 3)
+    }),
     // streaming exact dedup replayed: horizon covers the corpus spread so
     // within-watermark dedup must equal global dedup — one row per
     // distinct fingerprint
@@ -404,6 +416,18 @@ object PipelineQueries {
           |       CAST(sum(length(props)) AS BIGINT) AS n_chars
           |FROM e GROUP BY 1, 2, 3
           |ORDER BY window_start_s, lang""".stripMargin) +
+      ("q_pipe_join_stream" ->
+        """WITH e AS (
+          | SELECT user_id, event_id, event_type,
+          |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+          | FROM events
+          | WHERE user_id < 200 AND event_type IN ('click', 'purchase'))
+          |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+          |       p.ts_s - c.ts_s AS gap_s
+          |FROM e p JOIN e c ON p.user_id = c.user_id
+          | AND p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND c.ts_s >= p.ts_s - 7200 AND c.ts_s <= p.ts_s
+          |ORDER BY purchase_id, click_id""".stripMargin) +
       ("q_pipe_dedup_stream" ->
         """SELECT DISTINCT
           | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp

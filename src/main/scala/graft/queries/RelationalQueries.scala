@@ -146,6 +146,49 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // interval (range) join via banded equi-join — the scale-safe shape
+    // for a range predicate (see operators.RangeJoin: 2× bounded right
+    // replication + shuffled equi-join, never BroadcastNestedLoopJoin)
+    "q_rel_range" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_s"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts_s")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts_s"))
+      graft.operators.RangeJoin
+        .intervalJoin(purchases, clicks, "ts_s", "ts_s",
+          lookbackSeconds = 7200L, keys = Seq("user_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("ts_s") - col("r_ts_s")).as("min_gap_s"),
+          max(col("ts_s") - col("r_ts_s")).as("max_gap_s"))
+        .orderBy("event_id")
+    }),
+
+    // pivot (cross-tab): order-priority counts per nation as columns —
+    // fixed value list so the plan is a single groupBy (no extra
+    // distinct-values job) and the output schema is static
+    "q_rel_pivot" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("1-URGENT", "p1_urgent")
+        .withColumnRenamed("2-HIGH", "p2_high")
+        .withColumnRenamed("3-MEDIUM", "p3_medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "p4_notspec")
+        .withColumnRenamed("5-LOW", "p5_low")
+        .orderBy("n_name")
+    }),
+
     // distinct + set-style aggregation over a dimension hierarchy join
     "q_rel_region_sales" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
@@ -242,6 +285,30 @@ object RelationalQueries {
         |SELECT user_id, event_id, ts_s, click_id, ts_s - click_ts AS gap_s
         |FROM w WHERE event_type = 'purchase' AND click_id IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "q_rel_range" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+        | FROM events WHERE user_id < 200),
+        |p AS (SELECT user_id, event_id, ts_s FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts_s AS c_ts FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, count(*) AS n_clicks,
+        |       min(p.ts_s - c.c_ts) AS min_gap_s,
+        |       max(p.ts_s - c.c_ts) AS max_gap_s
+        |FROM p JOIN c ON p.user_id = c.user_id
+        | AND c.c_ts >= p.ts_s - 7200 AND c.c_ts <= p.ts_s
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q_rel_pivot" ->
+      """SELECT n_name,
+        | count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+        | count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+        | count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+        | count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_notspec,
+        | count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_rel_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream interval join: click→purchase attribution
+  * where each purchase pairs with every click by the same user in the
+  * preceding `lookback` window.
+  *
+  * This is the Structured-Streaming twin of
+  * [[graft.operators.RangeJoin]]: the same interval predicate, but
+  * evaluated incrementally — both sides buffer in watermark-bounded join
+  * state, matches emit as soon as both rows have arrived, and the
+  * event-time range conjunct lets Spark evict state once the watermark
+  * passes a row's last possible match. State is O(events within the
+  * watermark horizon per side), not O(stream), which is what makes the
+  * operator viable on an unbounded 100 TB/day event feed.
+  */
+object StreamJoin {
+
+  final case class Ev(user_id: Long, event_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+
+  /** The streaming join itself (works on a real `readStream` source too —
+    * the replay gate feeds it a MemoryStream). Clicks carry a watermark
+    * of 2·lookback (a click must outlive every purchase it could serve,
+    * plus reorder slack); purchases carry lookback.
+    */
+  def clickAttribution(events: Dataset[Ev], lookbackSeconds: Long): DataFrame = {
+    val base = events.toDF()
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$lookbackSeconds seconds")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"${2 * lookbackSeconds} seconds")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
+  }
+
+  /** Deterministic micro-batch replay of the streaming join over bounded
+    * input (caller caps it; the gate uses user_id < 200). Events feed in
+    * event-time order across `nBatches` contiguous slices; inner-join
+    * matches emit in whatever batch completes the pair, so no sentinel
+    * flush is needed. Gated against the plain SQL interval join.
+    */
+  def clickAttributionReplay(events: DataFrame, lookbackSeconds: Long,
+      nBatches: Int = 3): DataFrame = {
+    val spark: SparkSession = events.sparkSession
+    import spark.implicits._
+    val rows = events.select("user_id", "event_id", "event_type", "ts_s")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
+        new java.sql.Timestamp(r.getLong(3) * 1000L)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val sunk = Replay.run(spark, rows.toIndexedSeq, nBatches) { ds =>
+      clickAttribution(ds, lookbackSeconds)
+    }
+    sunk.orderBy("purchase_id", "click_id")
+  }
+}
