@@ -388,6 +388,42 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** SemDeDup-style semantic near-dup pairs: cluster the corpus with the
+    * same deterministic quantized-Lloyd centroids as IVF, then compare
+    * vectors ONLY within their cluster — candidate generation by cluster
+    * membership instead of LSH buckets (the two trade recall/cost
+    * differently: clusters catch "same topic, different wording",
+    * LSH catches near-identical vectors regardless of cluster edges).
+    *
+    * Scale shape: the pairwise stage is an equi-join on cent_id, so work
+    * is partitioned by cluster and total cost is Σ|cluster|² — with
+    * K ≈ √N clusters that is O(N^1.5) worst-case and embarrassingly
+    * parallel; a pathological giant cluster would be sub-sharded the
+    * same way Dedup caps LSH buckets.
+    */
+  def semanticNearDupPairs(emb: DataFrame, nCentroids: Int = 16,
+      tau: Double = 0.2, lloydIters: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val n = withNorm(emb)
+    val d = dot(emb) _
+    var centsLocal = n.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    for (_ <- 0 until lloydIters)
+      centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
+    val assigned = ivfAssign(n, ivfCentsDF(emb, centsLocal), d)
+    val b = assigned.select(col("cent_id"), col("vec_id").as("dup_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    assigned.join(b, Seq("cent_id"))
+      .filter(col("vec_id") < col("dup_id"))
+      .withColumn("cos", d(col("v"), col("bv")) / (col("nrm") * col("bn")))
+      .filter(col("cos") >= tau)
+      .select(col("cent_id"), col("vec_id").as("keep_id"), col("dup_id"),
+        round(col("cos"), 4).as("cos_r"))
+      .orderBy("keep_id", "dup_id")
+  }
+
   /** Centroids as a broadcast frame. Centroids are COLLECTED per Lloyd
     * iteration (K ≈ √N rows of dim doubles — driver-trivial at any
     * scale, the standard k-means shape): a lazy centroid subplan would

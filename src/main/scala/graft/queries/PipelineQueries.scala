@@ -149,6 +149,16 @@ object PipelineQueries {
     // embedding-cosine near-dup: LSH-bucketed candidates, exact cosine cut
     "q_pipe_dedup_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), minCos = 0.25)),
+    // SemDeDup-style near-dup: candidates by CLUSTER membership (same
+    // quantized-Lloyd centroids as IVF, K pinned to 16) instead of LSH
+    // buckets; exact cosine cut within each cluster
+    "q_pipe_semdedup" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(emb(s, dir), nCentroids = 16,
+        tau = 0.25)),
+    // non-parquet source/sink surface: JSONL + CSV write→read round trip
+    // with explicit schemas; per-format stats must equal parquet truth
+    "q_pipe_formats" -> ((s, dir) =>
+      graft.sources.TextFormats.roundTripStats(s, dir)),
     "q_pipe_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langIdExpr(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
@@ -732,6 +742,50 @@ object PipelineQueries {
         | FROM p JOIN a2 a ON a.cent_id = p.cent_id AND a.neighbor_id <> p.query_id)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // same centroid pipeline as q_pipe_knn_ivf through the refined
+    // assignment (a2), then within-cluster pairwise cosine >= tau
+    "q_pipe_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |a1 AS (
+        | SELECT vec_id, v, cent_id FROM (
+        |  SELECT n.vec_id, n.v, c.cent_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS crk
+        |  FROM n, c0 c) WHERE crk = 1),
+        |s1 AS (
+        | SELECT cent_id, j, sum(CAST(round(x * 1024) AS BIGINT)) AS s, count(*) AS cnt
+        | FROM (SELECT cent_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM a1)
+        | GROUP BY cent_id, j),
+        |c1 AS (SELECT cent_id, list(s / (1024.0 * cnt) ORDER BY j) AS cv FROM s1 GROUP BY cent_id),
+        |c1n AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM c1),
+        |a2 AS (
+        | SELECT vec_id, v, nrm, cent_id FROM (
+        |  SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |      ORDER BY list_dot_product(n.v, c.cv) / (n.nrm * c.cn) DESC, c.cent_id) AS crk
+        |  FROM n, c1n c) WHERE crk = 1),
+        |p AS (
+        | SELECT a.cent_id, a.vec_id AS keep_id, b.vec_id AS dup_id,
+        |   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+        | FROM a2 a JOIN a2 b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
+        |SELECT cent_id, keep_id, dup_id, round(cos, 4) AS cos_r
+        |FROM p WHERE cos >= 0.25 ORDER BY keep_id, dup_id""".stripMargin,
+
+    // both format rows must equal the parquet-derived truth
+    "q_pipe_formats" ->
+      """WITH t AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_text_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+        | FROM documents)
+        |SELECT 'csv' AS fmt, * FROM t
+        |UNION ALL SELECT 'jsonl' AS fmt, * FROM t
+        |ORDER BY fmt""".stripMargin,
 
     "q_pipe_langid" -> {
       def hits(words: Seq[String]) =
