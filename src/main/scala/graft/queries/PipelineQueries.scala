@@ -315,6 +315,21 @@ object PipelineQueries {
     // salt sub-groups; the merge sees `salts` rows per key, not the corpus)
     "q_pipe_salted" -> ((s, dir) =>
       graft.operators.Skew.saltedDocStats(docs(s, dir))),
+    // rolling event-time RANGE-frame aggregates: per event, count + exact
+    // decimal sum over the same user's trailing hour
+    "q_pipe_rolling" -> ((s, dir) =>
+      graft.operators.TimeSeries.rollingStats(
+        EventTime.eventsWithSeconds(s, dir)
+          .filter(col("user_id") < 40)
+          .select("user_id", "event_id", "ts_s", "value"),
+        windowSeconds = 3600L)),
+    // hourly resample + forward gap-fill: a row for EVERY hour in each
+    // user's active span, silent hours carrying the last sum forward
+    "q_pipe_gapfill" -> ((s, dir) =>
+      graft.operators.TimeSeries.resampleHourlyForwardFill(
+        EventTime.eventsWithSeconds(s, dir)
+          .filter(col("user_id") < 20)
+          .select("user_id", "ts_s", "value"))),
     // gap-based sessionization (batch twin of the flatMapGroupsWithState op)
     "q_pipe_sessions" -> ((s, dir) => {
       val ev = EventTime.eventsWithSeconds(s, dir)
@@ -773,6 +788,44 @@ object PipelineQueries {
         | FROM a2 a JOIN a2 b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
         |SELECT cent_id, keep_id, dup_id, round(cos, 4) AS cos_r
         |FROM p WHERE cos >= 0.25 ORDER BY keep_id, dup_id""".stripMargin,
+
+    "q_pipe_rolling" ->
+      """WITH e AS (
+        | SELECT user_id, event_id,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s, value
+        | FROM events WHERE user_id < 40)
+        |SELECT user_id, event_id, ts_s,
+        | count(*) OVER w AS n_win,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_value_win
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_pipe_gapfill" ->
+      """WITH e AS (
+        | SELECT user_id,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s, value
+        | FROM events WHERE user_id < 20),
+        |hourly AS (
+        | SELECT user_id, (ts_s // 3600) * 3600 AS hour_s,
+        |        count(*) AS n_events,
+        |        sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        | FROM e GROUP BY 1, 2),
+        |grid AS (
+        | SELECT user_id, unnest(range(h0, h1 + 1, 3600)) AS hour_s
+        | FROM (SELECT user_id, min(hour_s) AS h0, max(hour_s) AS h1
+        |       FROM hourly GROUP BY user_id)),
+        |j AS (
+        | SELECT g.user_id, g.hour_s,
+        |        coalesce(h.n_events, 0) AS n_events, h.sum_value
+        | FROM grid g LEFT JOIN hourly h
+        |   ON g.user_id = h.user_id AND g.hour_s = h.hour_s)
+        |SELECT user_id, hour_s, CAST(n_events AS BIGINT) AS n_events,
+        | CAST(last_value(sum_value IGNORE NULLS) OVER
+        |   (PARTITION BY user_id ORDER BY hour_s ROWS UNBOUNDED PRECEDING)
+        |   AS DOUBLE) AS filled_sum
+        |FROM j ORDER BY user_id, hour_s""".stripMargin,
 
     // both format rows must equal the parquet-derived truth
     "q_pipe_formats" ->

@@ -78,4 +78,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(aw.nonEmpty && aw.forall(_.partitionSpec.nonEmpty),
       "as-of window must be key-partitioned")
   }
+
+  test("intervalJoin: banded range join plans as an equi-join — never " +
+      "BroadcastNestedLoopJoin/CartesianProduct") {
+    import spark.implicits._
+    val l = (0 until 500).map(i => (i.toLong % 7, i.toLong, i.toLong * 13 % 1000))
+      .toDF("k", "lid", "lts")
+    val r = (0 until 500).map(i => (i.toLong % 7, 1000L + i, i.toLong * 17 % 1000))
+      .toDF("k", "rid", "rts")
+    val joined = graft.operators.RangeJoin.intervalJoin(l, r, "lts", "rts",
+      100L, Seq("k"))
+    joined.collect()
+    val ns = nodes(joined)
+    val bad = ns.filter(p =>
+      p.getClass.getSimpleName.contains("BroadcastNestedLoopJoin") ||
+        p.getClass.getSimpleName.contains("CartesianProduct"))
+    assert(bad.isEmpty, s"range join fell back to ${bad.map(_.nodeName)}")
+    assert(ns.exists(p => p.isInstanceOf[BroadcastHashJoinExec] ||
+      p.isInstanceOf[SortMergeJoinExec] ||
+      p.getClass.getSimpleName.contains("ShuffledHashJoin")),
+      "range join must plan as an equi-join on (bucket, keys)")
+  }
 }
