@@ -203,6 +203,29 @@ object TextOps {
     * skips the nulls the `when` leaves for rank > maxPostings — an
     * uncapped collect_list would hold a stopword's entire posting list
     * in one aggregation buffer). */
+  /** First-occurrence n-gram novelty: for each document, the fraction of
+    * its DISTINCT character 5-gram shingles whose earliest occurrence in
+    * the corpus (min doc_id) is this document. Low novelty = the doc is
+    * mostly assembled from text seen earlier in the corpus order — a
+    * dedup-adjacent curation signal that catches template/boilerplate
+    * accretion pairwise dedup misses.
+    *
+    * Scale shape: one shuffle to dedupe (doc, gram), one map-side-
+    * combining min per gram; the join back to the per-doc grams reuses
+    * the gram partitioning (both sides keyed on the gram). The percent
+    * is integer arithmetic — engine-portable exact. */
+  def noveltyStats(docs: DataFrame): DataFrame = {
+    val g = Dedup.shingleSets(docs).distinct()
+    val f = g.groupBy("word").agg(min("doc_id").as("first_doc"))
+    g.join(f, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_pct", expr("100 * n_novel div n_grams"))
+      .orderBy("doc_id")
+  }
+
   def postingLists(docs: DataFrame, k: Int = 50,
       maxPostings: Int = 8): DataFrame = {
     val words = docs

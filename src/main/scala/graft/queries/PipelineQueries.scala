@@ -315,6 +315,9 @@ object PipelineQueries {
     // salt sub-groups; the merge sees `salts` rows per key, not the corpus)
     "q_pipe_salted" -> ((s, dir) =>
       graft.operators.Skew.saltedDocStats(docs(s, dir))),
+    // first-occurrence shingle novelty per doc (dedup-adjacent curation
+    // signal: low novelty = assembled from earlier-seen text)
+    "q_pipe_novelty" -> ((s, dir) => TextOps.noveltyStats(docs(s, dir))),
     // rolling event-time RANGE-frame aggregates: per event, count + exact
     // decimal sum over the same user's trailing hour
     "q_pipe_rolling" -> ((s, dir) =>
@@ -788,6 +791,19 @@ object PipelineQueries {
         | FROM a2 a JOIN a2 b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
         |SELECT cent_id, keep_id, dup_id, round(cos, 4) AS cos_r
         |FROM p WHERE cos >= 0.25 ORDER BY keep_id, dup_id""".stripMargin,
+
+    "q_pipe_novelty" ->
+      """WITH g AS (
+        | SELECT DISTINCT doc_id, w AS gram
+        | FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents),
+        |      unnest(list_transform(range(1, greatest(length(norm)-4, 1)+1),
+        |                            i -> substr(norm, CAST(i AS INT), 5))) t(w)),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        | CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS BIGINT) AS n_novel,
+        | (100 * count(*) FILTER (WHERE f.first_doc = g.doc_id)) // count(*) AS novelty_pct
+        |FROM g JOIN f ON g.gram = f.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     "q_pipe_rolling" ->
       """WITH e AS (
