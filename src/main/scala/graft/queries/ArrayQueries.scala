@@ -68,6 +68,54 @@ object ArrayQueries {
     * (update mode: a boundary hour spanning batches is re-emitted with
     * its cumulative count and the newer version wins in the MVCC
     * overlay). Memoized per sfDir; `nVersions` is the committed count. */
+  /** compact → expireHistory → vacuum triad, exercised end-to-end once
+    * per JVM: v1 = 2h on [0,48), v2 replaces one whole chunk with 3h+1 on
+    * [16,32), checkpoint, expire the pre-checkpoint history, vacuum. The
+    * latest read must equal the pre-compaction overlay; `expired` pins
+    * that BOTH old versions' manifests+index partitions are gone, and
+    * `reclaimed` that v1's overwritten chunk blob was physically GC'd. */
+  private object CompactFixture {
+    final case class H(store: graft.spark.SparkStore,
+        expired: Boolean, reclaimed: Boolean)
+    private val cache =
+      new java.util.concurrent.atomic.AtomicReference[H](null)
+    def get(s: SparkSession): H = {
+      val cur = cache.get()
+      if (cur != null) cur
+      else synchronized {
+        val again = cache.get()
+        if (again != null) again
+        else {
+          import graft.core._
+          import graft.meta.{DatasetMeta, VariableDef}
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_compact_fixture").toString
+          val store = new graft.spark.SparkStore(s, root)
+          store.create("cds")
+          val meta = DatasetMeta(
+            dimensions = Map("h" -> 48L),
+            chunkDimensions = Map("h" -> 16L),
+            variables = Map("n" -> VariableDef("long", Vector("h"), -1.0)))
+          val w1 = store.addVersion("cds", meta)
+          w1.write("n", Seq(Slab.fromDoubles(DType.LONG,
+            Slice(Seq(0L), Seq(48L)), (0 until 48).map(h => 2.0 * h))))
+          w1.finishVersion()
+          Thread.sleep(2)
+          val w2 = store.addVersion("cds", meta)
+          w2.write("n", Seq(Slab.fromDoubles(DType.LONG,
+            Slice(Seq(16L), Seq(32L)), (16 until 32).map(h => 3.0 * h + 1))))
+          w2.finishVersion()
+          store.compact("cds")
+          val nExpired = store.expireHistory("cds")
+          val reclaimed = store.vacuum(graceMs = 0L)
+          val h = H(store, nExpired == 2L, reclaimed >= 1L)
+          cache.set(h)
+          h
+        }
+      }
+    }
+  }
+
   private object StreamIngestFixture {
     final case class H(store: graft.spark.SparkStore, hours: Long, nVersions: Int)
     private val cache =
@@ -184,6 +232,16 @@ object ArrayQueries {
     // the reference's designed-out refcounting, README 'Deliberate
     // deltas'): destroying a dataset makes its blobs unreferenced, vacuum
     // physically removes them, and the surviving dataset reads intact
+    // compact/expire/vacuum: latest read from the checkpoint alone equals
+    // the pre-compaction MVCC overlay (Q-COMPACT)
+    "q_arr_compact" -> ((s, dir) => {
+      val fx = CompactFixture.get(s)
+      fx.store.reader("cds").onLastVersion()
+        .exploded("n", Slice(Seq(0L), Seq(48L)))
+        .withColumn("expired", lit(fx.expired))
+        .withColumn("reclaimed", lit(fx.reclaimed))
+        .orderBy("h")
+    }),
     "q_arr_vacuum" -> ((s, dir) => {
       val fx = VacuumFixture.get(s)
       fx.store.reader("keep").onLastVersion()
@@ -381,6 +439,12 @@ object ArrayQueries {
     "q_arr_vacuum" ->
       """SELECT g.h AS h, CAST(7 AS BIGINT) AS value, true AS reclaimed
         |FROM range(0, 20) g(h) ORDER BY h""".stripMargin,
+    "q_arr_compact" ->
+      """SELECT g.h AS h,
+        | CAST(CASE WHEN g.h >= 16 AND g.h < 32 THEN 3*g.h + 1
+        |           ELSE 2*g.h END AS BIGINT) AS value,
+        | true AS expired, true AS reclaimed
+        |FROM range(0, 48) g(h) ORDER BY h""".stripMargin,
     // streaming ingest: cumulative per-hour counts at the latest version;
     // zero-event hours were never written → fill −1
     "q_arr_stream_ingest" -> (cte +

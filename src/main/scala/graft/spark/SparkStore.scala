@@ -318,6 +318,97 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     before - after
   }
 
+  /** OPTIMIZE / checkpoint (beyond the reference, whose resolve always
+    * scans the full version ancestry): materialize the MVCC-resolved
+    * index of the latest committed version as a NEW version marked as a
+    * checkpoint. No chunk blobs move — the checkpoint's index rows
+    * reference the existing content-addressed blobs — and the write is
+    * one distributed pass per variable (the same resolve a read plans,
+    * appended under the new `(var, version=W)` partition).
+    *
+    * Resolution at or after the checkpoint then admits ONLY versions ≥ W
+    * (see resolvedIndex): read planning cost becomes O(changes since the
+    * last compact) instead of O(total version history) — what keeps a
+    * long-lived, frequently-updated dataset readable after 10⁴ commits.
+    * Time travel below W still resolves over the pre-checkpoint history;
+    * the streaming version-tail source skips W (nothing changed in it).
+    * Commit is the same atomic manifest move as any version: a crashed
+    * compact leaves only an invisible uncommitted partition. */
+  def compact(name: String): Long =
+    SparkStore.commitLock(root, name).synchronized {
+      val vs = versions(name)
+      require(vs.nonEmpty, s"compact($name): no committed versions")
+      val latest = vs.head._2
+      val latestMeta = metadata(name, latest)
+      val w = addVersion(name,
+        latestMeta.copy(versionId = None, parent = None, extra = None))
+      val vid = w.meta.versionId.get
+      latestMeta.variables.keys.toSeq.sorted.foreach { varN =>
+        if (hasIndexData(name, varN, Some(latest), vid))
+          resolvedIndex(name, varN, upTo = latest)
+            .select(lit(varN).as("var"), lit(vid).as("version"),
+              lit(0L).as("seq"), col("coordKey"), col("coord"), col("hash"),
+              col("stats"))
+            .write.partitionBy("var", "version").mode("append")
+            .parquet(indexDir(name))
+      }
+      commitVersion(name, SparkStore.markCheckpoint(w.meta))
+    }
+
+  /** Retention: physically drop the index partitions AND version
+    * manifests of every version strictly below the dataset's newest
+    * checkpoint. The checkpoint's index alone answers every read at or
+    * after it, so the expired partitions are dead weight for current
+    * readers; blobs referenced ONLY by expired versions lose their last
+    * index reference and the next `vacuum` reclaims them — the
+    * compact → expireHistory → vacuum triad is the full storage-
+    * maintenance cycle. Time travel to an expired version throws the
+    * explicit "no committed version" error (never a silently-partial
+    * read: the manifest is gone, not just the rows). Returns the number
+    * of versions expired. */
+  def expireHistory(name: String): Long =
+    SparkStore.commitLock(root, name).synchronized {
+      val cp = latestCheckpointUpTo(name, Long.MaxValue).getOrElse(
+        throw new IllegalStateException(
+          s"expireHistory($name): no checkpoint — run compact first"))
+      val expired = versions(name).map(_._2).filter(_ < cp).toSet
+      val idx = Paths.get(indexDir(name))
+      if (Files.exists(idx))
+        scala.util.Using.resource(Files.list(idx)) { vars =>
+          vars.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("var=")).toSeq
+        }.foreach { vd =>
+          scala.util.Using.resource(Files.list(vd)) { parts =>
+            parts.iterator().asScala.filter { p =>
+              p.getFileName.toString.stripPrefix("version=").toLongOption
+                .exists(expired.contains)
+            }.toSeq
+          }.foreach { pdir =>
+            scala.util.Using.resource(Files.walk(pdir)) {
+              _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+            }
+          }
+        }
+      expired.foreach(v =>
+        Files.deleteIfExists(versionsDir(name).resolve(s"$v.json")))
+      expired.size.toLong
+    }
+
+  /** Greatest committed checkpoint version ≤ `upTo`, if any. */
+  private def latestCheckpointUpTo(name: String, upTo: Long): Option[Long] = {
+    val dir = versionsDir(name)
+    if (!Files.exists(dir)) return None
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .flatMap { p =>
+          val m = DatasetMeta.fromJson(Files.readString(p))
+          m.versionId.filter(v =>
+            v <= upTo && SparkStore.isCheckpoint(m)).iterator
+        }.maxOption
+    }
+  }
+
   // ---- chunk ingest staging ----
 
   /** Fresh staging dir for one ingest generation's blob append (adopted
@@ -551,7 +642,12 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       includeUncommitted: Option[Long] = None,
       coordFilter: Column = lit(true)): DataFrame = {
     val committed = versions(name).map(_._2).filter(_ <= upTo)
-    val admissible = committed ++ includeUncommitted.toSeq
+    // a checkpoint's index alone answers its point in time: admit only
+    // versions at or after the newest checkpoint ≤ upTo, so resolve cost
+    // is O(changes since last compact), not O(version history)
+    val floor = latestCheckpointUpTo(name, upTo)
+    val admissible = committed.filter(v => floor.forall(v >= _)) ++
+      includeUncommitted.toSeq
     resolvedOver(name, varName, admissible, coordFilter)
   }
 
@@ -561,7 +657,11 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   private[spark] def resolvedIndexBetween(name: String, varName: String,
       fromExclusive: Long, toInclusive: Long): DataFrame =
     resolvedOver(name, varName,
-      versions(name).map(_._2).filter(v => v > fromExclusive && v <= toInclusive),
+      versions(name).map(_._2).filter(v => v > fromExclusive && v <= toInclusive)
+        // a checkpoint changes no chunk values — emitting its rows would
+        // make the streaming tail re-deliver the whole dataset as a
+        // spurious delta
+        .filterNot(v => SparkStore.isCheckpoint(metadata(name, v))),
       lit(true))
 
   private def resolvedOver(name: String, varName: String,
@@ -682,6 +782,20 @@ object SparkStore {
     m.extra.flatMap { e =>
       """"graft-committed-at":(\d+)""".r.findFirstMatchIn(e).map(_.group(1).toLong)
     }.getOrElse(0L)
+
+  /** Checkpoint marker (see SparkStore.compact) — rides in the manifest's
+    * extra JSON like the commit timestamp. */
+  private[spark] def markCheckpoint(m: DatasetMeta): DatasetMeta = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.extra
+      .map(e => mapper.readTree(e).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(mapper.createObjectNode())
+    node.put("graft-checkpoint", true)
+    m.copy(extra = Some(mapper.writeValueAsString(node)))
+  }
+
+  private[spark] def isCheckpoint(m: DatasetMeta): Boolean =
+    m.extra.exists(""""graft-checkpoint":true""".r.findFirstIn(_).isDefined)
 }
 
 /** Time-travel reader over a Spark store (V5,

@@ -1,0 +1,109 @@
+package graft.spark
+
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** compact → expireHistory → vacuum: the storage-maintenance triad.
+  * Checkpoint answers latest reads alone, streaming tail skips it, time
+  * travel below it survives until history is expired, and expiry makes
+  * overwritten blobs vacuum-reclaimable. */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def freshStore(): SparkStore = new SparkStore(spark,
+    java.nio.file.Files.createTempDirectory("graft-compact").toString)
+
+  private def meta1d = DatasetMeta(
+    dimensions = Map("h" -> 48L),
+    chunkDimensions = Map("h" -> 16L),
+    variables = Map("n" -> VariableDef("long", Vector("h"), -1.0)))
+
+  /** v1: n[h] = 2h on [0,48); v2: n[h] = 3h+1 on [16,32) (one full chunk
+    * replaced). Returns (store, v1, v2). */
+  private def buildTwoVersions(): (SparkStore, Long, Long) = {
+    val store = freshStore()
+    store.create("ds")
+    val w1 = store.addVersion("ds", meta1d)
+    w1.write("n", Seq(Slab.fromDoubles(DType.LONG, Slice(Seq(0L), Seq(48L)),
+      (0 until 48).map(h => (2.0 * h)))))
+    val v1 = w1.finishVersion()
+    Thread.sleep(2)
+    val w2 = store.addVersion("ds", meta1d)
+    w2.write("n", Seq(Slab.fromDoubles(DType.LONG, Slice(Seq(16L), Seq(32L)),
+      (16 until 32).map(h => (3.0 * h + 1)))))
+    (store, v1, w2.finishVersion())
+  }
+
+  private def values(store: SparkStore, vid: Long): Map[Long, Long] =
+    store.reader("ds").onVersion(vid)
+      .exploded("n", Slice(Seq(0L), Seq(48L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def expected(compacted: Boolean): Map[Long, Long] =
+    (0L until 48L).map(h =>
+      h -> (if (h >= 16 && h < 32) 3 * h + 1 else 2 * h)).toMap
+
+  test("compact: checkpoint read ≡ pre-compact read; old versions still " +
+      "travel; streaming tail skips the checkpoint; new writes win") {
+    val (store, v1, v2) = buildTwoVersions()
+    val before = values(store, v2)
+    val w = store.compact("ds")
+    assert(w > v2)
+    assert(values(store, w) == before)
+    assert(values(store, w) == expected(true))
+    // time travel below the checkpoint still resolves the old history
+    assert(values(store, v1) == (0L until 48L).map(h => h -> 2 * h).toMap)
+    // version-tail delta for the checkpoint commit is EMPTY
+    assert(store.resolvedIndexBetween("ds", "n", v2, w).count() == 0)
+    // and the checkpoint's own index alone answers the latest read:
+    // admissible versions at upTo=w are exactly {w} — the scan's
+    // partition pruning must select only version=w files (inputFiles is
+    // pre-pruning, so inspect the FileSourceScan's selected partitions)
+    val scanned = store.resolvedIndexPublic("ds", "n", w,
+      org.apache.spark.sql.functions.lit(true))
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+      }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"version=$w")),
+      s"post-checkpoint resolve must scan only version=$w: $scanned")
+
+    // a write AFTER the checkpoint wins over checkpoint rows
+    Thread.sleep(2)
+    val w3 = store.addVersion("ds", meta1d)
+    w3.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(8L)), 7.0)))
+    val v3 = w3.finishVersion()
+    val after = values(store, v3)
+    assert((0L until 8L).forall(after(_) == 7L))
+    assert(after(20L) == 61L && after(40L) == 80L)
+  }
+
+  test("expireHistory + vacuum: latest read intact, expired version gone " +
+      "explicitly, overwritten blob reclaimed") {
+    val (store, v1, v2) = buildTwoVersions()
+    store.compact("ds")
+    val statsBefore = store.getStats("ds")
+    val expired = store.expireHistory("ds")
+    assert(expired == 2L, s"expected v1+v2 expired, got $expired")
+    assert(values(store, store.versions("ds").head._2) == expected(true))
+    // travel to an expired version throws the explicit missing-version
+    // error, never a silently-partial read
+    val e = intercept[Exception](values(store, v1))
+    assert(e.getMessage.contains("no committed version"))
+    // v1's [16,32) chunk (values 32..62) is referenced ONLY by expired
+    // index rows now — vacuum (zero grace) reclaims at least one blob
+    val reclaimed = store.vacuum(graceMs = 0L)
+    assert(reclaimed >= 1L, s"expected >=1 reclaimed blob, got $reclaimed")
+    assert(values(store, store.versions("ds").head._2) == expected(true))
+  }
+
+  test("compact on a dataset with no committed versions refuses; " +
+      "expireHistory without a checkpoint refuses") {
+    val store = freshStore()
+    store.create("empty")
+    intercept[IllegalArgumentException](store.compact("empty"))
+    val (store2, _, _) = buildTwoVersions()
+    intercept[IllegalStateException](store2.expireHistory("ds"))
+  }
+}
