@@ -155,10 +155,14 @@ object PipelineQueries {
     "q_pipe_semdedup" -> ((s, dir) =>
       Similarity.semanticNearDupPairs(emb(s, dir), nCentroids = 16,
         tau = 0.25)),
-    // non-parquet source/sink surface: JSONL + CSV write→read round trip
-    // with explicit schemas; per-format stats must equal parquet truth
+    // non-parquet source/sink surface: JSONL + CSV + ORC write→read round
+    // trip with explicit schemas; per-format stats must equal parquet truth
     "q_pipe_formats" -> ((s, dir) =>
       graft.sources.TextFormats.roundTripStats(s, dir)),
+    // binary-file corpus ingest: one PPM file per doc written by the
+    // executors, read back via the binaryFile source, header-decoded
+    "q_pipe_binfiles" -> ((s, dir) =>
+      graft.sources.BinaryFiles.ingestStats(s, dir)),
     "q_pipe_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.langIdExpr(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
@@ -362,6 +366,14 @@ object PipelineQueries {
       graft.streaming.WindowedStats
         .perWindowReplay(ev, windowSeconds = 3600L, horizonSeconds = 600L)
     }),
+    // UPDATE-mode streaming aggregation replayed: unwatermarked per-key
+    // counts re-emitted as they refresh; the update log reduces to its
+    // final row per key (max of the monotone count)
+    "q_pipe_hourly_stream" -> ((s, dir) =>
+      graft.streaming.UpdateModeStats.hourlyCountsReplay(
+        EventTime.eventsWithSeconds(s, dir)
+          .filter(col("user_id") < 50)
+          .select("user_id", "event_id", "event_type", "ts_s"))),
     // watermarked STREAM-STREAM interval join replayed: click→purchase
     // attribution, inner join with event-time range condition — matches
     // emit when the pair completes, join state is watermark-bounded
@@ -444,6 +456,13 @@ object PipelineQueries {
           |       CAST(sum(length(props)) AS BIGINT) AS n_chars
           |FROM e GROUP BY 1, 2, 3
           |ORDER BY window_start_s, lang""".stripMargin) +
+      ("q_pipe_hourly_stream" ->
+        """WITH e AS (
+          | SELECT event_type,
+          |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+          | FROM events WHERE user_id < 50)
+          |SELECT (ts_s // 3600) * 3600 AS hour_s, event_type, count(*) AS n
+          |FROM e GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin) +
       ("q_pipe_join_stream" ->
         """WITH e AS (
           | SELECT user_id, event_id, event_type,
@@ -843,6 +862,18 @@ object PipelineQueries {
         |   AS DOUBLE) AS filled_sum
         |FROM j ORDER BY user_id, hour_s""".stripMargin,
 
+    "q_pipe_binfiles" ->
+      """WITH m AS (SELECT doc_id,
+        | CAST(n_chars % 64 + 1 AS BIGINT) AS width,
+        | CAST((n_chars * 7) % 48 + 1 AS BIGINT) AS height
+        |FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        | CAST(length(concat('P6', chr(10), CAST(width AS VARCHAR), ' ',
+        |   CAST(height AS VARCHAR), chr(10), '255', chr(10)))
+        |   + width * height * 3 AS BIGINT) AS n_bytes,
+        | width, height
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // both format rows must equal the parquet-derived truth
     "q_pipe_formats" ->
       """WITH t AS (
@@ -854,6 +885,7 @@ object PipelineQueries {
         | FROM documents)
         |SELECT 'csv' AS fmt, * FROM t
         |UNION ALL SELECT 'jsonl' AS fmt, * FROM t
+        |UNION ALL SELECT 'orc' AS fmt, * FROM t
         |ORDER BY fmt""".stripMargin,
 
     "q_pipe_langid" -> {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-format source/sink surface: the documents corpus written out as
-  * JSONL and CSV and read back with an EXPLICIT schema (schema inference
+  * JSONL, CSV, and ORC and read back with an EXPLICIT schema (schema inference
   * is a full extra pass over the data — never pay it at 100 TB), proving
   * the non-parquet ingest paths preserve content byte-for-byte.
   *
@@ -24,6 +24,7 @@ object TextFormats {
       val docs = spark.read.parquet(s"$d/documents.parquet")
       docs.write.mode("overwrite").json(s"$base/jsonl")
       docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      docs.write.mode("overwrite").orc(s"$base/orc")
       base
     })
 
@@ -39,6 +40,7 @@ object TextFormats {
     val jsonl = spark.read.schema(docSchema).json(s"$base/jsonl")
     val csv = spark.read.schema(docSchema).option("header", "true")
       .csv(s"$base/csv")
+    val orc = spark.read.schema(docSchema).orc(s"$base/orc")
     def stats(df: DataFrame, fmt: String): DataFrame =
       df.agg(
         count(lit(1)).as("n_docs"),
@@ -48,6 +50,7 @@ object TextFormats {
         sum(col("doc_id")).as("sum_doc_id"))
         .withColumn("fmt", lit(fmt))
     stats(csv, "csv").unionByName(stats(jsonl, "jsonl"))
+      .unionByName(stats(orc, "orc"))
       .select("fmt", "n_docs", "n_text_chars", "sum_n_chars", "n_langs",
         "sum_doc_id")
       .orderBy("fmt")

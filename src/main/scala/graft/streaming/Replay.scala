@@ -23,7 +23,7 @@ private[streaming] object Replay {
     * micro-batch — append-mode emission lags the watermark by one batch).
     * Returns the memory-sink table, materialized and detached. */
   def run[T: Encoder](spark: SparkSession, rows: Seq[T], nBatches: Int,
-      tailBatches: Seq[Seq[T]] = Seq.empty)(
+      tailBatches: Seq[Seq[T]] = Seq.empty, outputMode: String = "append")(
       build: Dataset[T] => DataFrame): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     require(rows.nonEmpty, "Replay.run: empty input")
@@ -39,7 +39,7 @@ private[streaming] object Replay {
     val q =
       try build(input.toDS())
         .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+        .outputMode(outputMode).start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       val per = math.max(1, (rows.length + nBatches - 1) / nBatches)

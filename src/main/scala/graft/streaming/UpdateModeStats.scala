@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** UPDATE-mode streaming aggregation: unwatermarked per-key counts that
+  * re-emit a key's refreshed row each micro-batch it changes in — the
+  * dashboard/serving shape (append mode can't emit an unwatermarked
+  * aggregate at all; update mode is the surface Spark provides for it).
+  *
+  * The replay gate freezes the update stream deterministically: a
+  * memory-sink update log carries every intermediate emission, and for a
+  * MONOTONE aggregate (a count of non-negative arrivals) the final value
+  * per key is simply the max over its emissions — no reliance on sink
+  * row order.
+  */
+object UpdateModeStats {
+
+  final case class KV(hour_s: Long, event_type: String)
+
+  /** The streaming aggregation itself: counts + exact value sums per
+    * (hour bucket, event_type). State is O(distinct keys); at 100 TB/day
+    * you'd bound it with a watermark — the gate input is bounded, and
+    * leaving the watermark off is exactly what exercises update mode. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour_s", expr("(ts_s div 3600) * 3600"))
+      .groupBy("hour_s", "event_type")
+      .agg(count(lit(1)).as("n"))
+
+  /** Deterministic replay: feed in `nBatches` event-time slices, then
+    * reduce the update log to its per-key final row (max of the monotone
+    * count). Gated against the plain batch GROUP BY. */
+  def hourlyCountsReplay(events: DataFrame, nBatches: Int = 3): DataFrame = {
+    val spark: SparkSession = events.sparkSession
+    import spark.implicits._
+    val rows = events.select("user_id", "event_id", "event_type", "ts_s")
+      .collect()
+      .map(r => StreamJoin.Ev(r.getLong(0), r.getLong(1), r.getString(2),
+        new java.sql.Timestamp(r.getLong(3) * 1000L)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val sunk = Replay.run(spark, rows.toIndexedSeq, nBatches,
+      outputMode = "update") { ds =>
+      hourlyCounts(ds.toDF()
+        .withColumn("ts_s", unix_timestamp(col("ts"))))
+    }
+    sunk.groupBy("hour_s", "event_type")
+      .agg(max(col("n")).as("n"))
+      .orderBy("hour_s", "event_type")
+  }
+}
