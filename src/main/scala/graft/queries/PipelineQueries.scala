@@ -374,6 +374,14 @@ object PipelineQueries {
         EventTime.eventsWithSeconds(s, dir)
           .filter(col("user_id") < 50)
           .select("user_id", "event_id", "event_type", "ts_s"))),
+    // STREAM-STATIC broadcast enrichment replayed: events joined to a
+    // static per-user profile frame (stateless; static side re-planned
+    // per micro-batch) ≡ the batch left join
+    "q_pipe_enrich_stream" -> ((s, dir) =>
+      graft.streaming.StreamJoin.enrichReplay(
+        EventTime.eventsWithSeconds(s, dir)
+          .filter(col("user_id") < 100)
+          .select("user_id", "event_id", "event_type", "ts_s"))),
     // watermarked STREAM-STREAM interval join replayed: click→purchase
     // attribution, inner join with event-time range condition — matches
     // emit when the pair completes, join state is watermark-bounded
@@ -456,6 +464,16 @@ object PipelineQueries {
           |       CAST(sum(length(props)) AS BIGINT) AS n_chars
           |FROM e GROUP BY 1, 2, 3
           |ORDER BY window_start_s, lang""".stripMargin) +
+      ("q_pipe_enrich_stream" ->
+        """WITH e AS (
+          | SELECT user_id, event_id, event_type FROM events
+          | WHERE user_id < 100),
+          |p AS (SELECT user_id, count(*) AS n_purchases FROM e
+          |      WHERE event_type = 'purchase' GROUP BY user_id)
+          |SELECT e.user_id, e.event_id, e.event_type,
+          |       coalesce(p.n_purchases, 0) AS n_purchases
+          |FROM e LEFT JOIN p ON e.user_id = p.user_id
+          |ORDER BY event_id""".stripMargin) +
       ("q_pipe_hourly_stream" ->
         """WITH e AS (
           | SELECT event_type,

@@ -44,6 +44,38 @@ object StreamJoin {
         (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
   }
 
+  /** STREAM-STATIC enrichment: each streamed event joined (broadcast) to
+    * a static per-user profile frame. Unlike the stream-stream join this
+    * is STATELESS — Spark re-plans the static side per micro-batch, the
+    * broadcast never enters the state store, and a profile update is
+    * picked up at the next batch. This is the dimension-enrichment shape
+    * of a production feed (events × user table). */
+  def enrichWithProfile(events: Dataset[Ev], profile: DataFrame): DataFrame =
+    events.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(profile), Seq("user_id"),
+        "left")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+
+  /** Replay gate for the stream-static join: the profile (per-user
+    * purchase counts) is computed once as a batch frame, the event stream
+    * replays against it, and the enriched rows must equal the batch
+    * left join. */
+  def enrichReplay(events: DataFrame, nBatches: Int = 3): DataFrame = {
+    val spark: SparkSession = events.sparkSession
+    import spark.implicits._
+    val profile = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    val rows = events.select("user_id", "event_id", "event_type", "ts_s")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
+        new java.sql.Timestamp(r.getLong(3) * 1000L)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    Replay.run(spark, rows.toIndexedSeq, nBatches) { ds =>
+      enrichWithProfile(ds, profile)
+    }.orderBy("event_id")
+  }
+
   /** Deterministic micro-batch replay of the streaming join over bounded
     * input (caller caps it; the gate uses user_id < 200). Events feed in
     * event-time order across `nBatches` contiguous slices; inner-join
