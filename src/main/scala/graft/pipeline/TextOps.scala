@@ -210,19 +210,23 @@ object TextOps {
     * dedup-adjacent curation signal that catches template/boilerplate
     * accretion pairwise dedup misses.
     *
-    * Scale shape: one shuffle to dedupe (doc, gram), one map-side-
-    * combining min per gram; the join back to the per-doc grams reuses
-    * the gram partitioning (both sides keyed on the gram). The percent
-    * is integer arithmetic — engine-portable exact. */
+    * Scale shape: NO join back on the gram key (grams are wide strings —
+    * re-shuffling every (doc, gram) row against the min table was the
+    * whole cost of the first implementation, 18.5 s → 3 s at sf0.1).
+    * Instead, two independent aggregations of the deduped gram stream:
+    * per-doc totals, and gram→min-doc REGROUPED BY THE WINNING DOC —
+    * n_novel(d) is simply how many grams d won. Only doc_id-keyed rows
+    * cross the final (tiny) join. The percent is integer arithmetic —
+    * engine-portable exact. */
   def noveltyStats(docs: DataFrame): DataFrame = {
     val g = Dedup.shingleSets(docs).distinct()
-    val f = g.groupBy("word").agg(min("doc_id").as("first_doc"))
-    g.join(f, "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    val totals = g.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy("word").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .withColumn("novelty_pct", expr("100 * n_novel div n_grams"))
+      .select("doc_id", "n_grams", "n_novel", "novelty_pct")
       .orderBy("doc_id")
   }
 
