@@ -77,7 +77,14 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   // ---- versions (V2-V6) ----
 
   /** Committed versions, reverse-chronological (V4). */
-  def versions(name: String): Seq[(Long, Long)] = { // (timestamp, versionId)
+  def versions(name: String): Seq[(Long, Long)] = // (timestamp, versionId)
+    versionManifests(name).map { case (ts, vid, _) => (ts, vid) }
+
+  /** One manifest-listing pass: (timestamp, versionId, meta) newest
+    * first. Committed-version resolution needs both the ordering and the
+    * checkpoint marker — a separate listing per question would double
+    * the manifest parsing on every read-planning call. */
+  private def versionManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
     val dir = versionsDir(name)
     if (!Files.exists(dir)) throw new IllegalArgumentException(
       s"""dataset with name "$name" does not exist.""")
@@ -86,10 +93,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         .filter(_.getFileName.toString.endsWith(".json"))
         .map { p =>
           val m = DatasetMeta.fromJson(Files.readString(p))
-          val ts = extractTimestamp(m)
-          (ts, m.versionId.get)
+          (extractTimestamp(m), m.versionId.get, m)
         }.toSeq
-    }.sortBy { case (ts, vid) => (ts, vid) }.reverse
+    }.sortBy { case (ts, vid, _) => (ts, vid) }.reverse
   }
 
   def metadata(name: String, versionId: Long): DatasetMeta = {
@@ -395,19 +401,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     }
 
   /** Greatest committed checkpoint version ≤ `upTo`, if any. */
-  private def latestCheckpointUpTo(name: String, upTo: Long): Option[Long] = {
-    val dir = versionsDir(name)
-    if (!Files.exists(dir)) return None
-    scala.util.Using.resource(Files.list(dir)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json"))
-        .flatMap { p =>
-          val m = DatasetMeta.fromJson(Files.readString(p))
-          m.versionId.filter(v =>
-            v <= upTo && SparkStore.isCheckpoint(m)).iterator
-        }.maxOption
-    }
-  }
+  private def latestCheckpointUpTo(name: String, upTo: Long): Option[Long] =
+    versionManifests(name).collect {
+      case (_, vid, m) if vid <= upTo && SparkStore.isCheckpoint(m) => vid
+    }.maxOption
 
   // ---- chunk ingest staging ----
 
@@ -641,11 +638,14 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   private[spark] def resolvedIndex(name: String, varName: String, upTo: Long,
       includeUncommitted: Option[Long] = None,
       coordFilter: Column = lit(true)): DataFrame = {
-    val committed = versions(name).map(_._2).filter(_ <= upTo)
+    val manifests = versionManifests(name)
+    val committed = manifests.map(_._2).filter(_ <= upTo)
     // a checkpoint's index alone answers its point in time: admit only
     // versions at or after the newest checkpoint ≤ upTo, so resolve cost
     // is O(changes since last compact), not O(version history)
-    val floor = latestCheckpointUpTo(name, upTo)
+    val floor = manifests.collect {
+      case (_, vid, m) if vid <= upTo && SparkStore.isCheckpoint(m) => vid
+    }.maxOption
     val admissible = committed.filter(v => floor.forall(v >= _)) ++
       includeUncommitted.toSeq
     resolvedOver(name, varName, admissible, coordFilter)
@@ -657,11 +657,13 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   private[spark] def resolvedIndexBetween(name: String, varName: String,
       fromExclusive: Long, toInclusive: Long): DataFrame =
     resolvedOver(name, varName,
-      versions(name).map(_._2).filter(v => v > fromExclusive && v <= toInclusive)
+      versionManifests(name).collect {
         // a checkpoint changes no chunk values — emitting its rows would
         // make the streaming tail re-deliver the whole dataset as a
         // spurious delta
-        .filterNot(v => SparkStore.isCheckpoint(metadata(name, v))),
+        case (_, vid, m) if vid > fromExclusive && vid <= toInclusive &&
+          !SparkStore.isCheckpoint(m) => vid
+      },
       lit(true))
 
   private def resolvedOver(name: String, varName: String,
