@@ -78,6 +78,27 @@ object Skew {
       k = k, salts = salts, saltOn = col("doc_id"))
       .orderBy("lang", "source", "rank")
 
+  /** Skew-safe equi-join for a HOT-KEY left side: the left's join key is
+    * salted (deterministically, by `saltOn`), the ENTIRE right side is
+    * replicated once per salt, and the join runs on (key, salt) — a hot
+    * left key's rows land on `salts` reducers instead of one. Result is
+    * row-identical to `left.join(right, keys)` (inner).
+    *
+    * This is the mitigation for the case AQE's skew-join split does NOT
+    * cover: a build/probe side too large to broadcast, with left-key
+    * frequencies so skewed that one post-shuffle partition still owns a
+    * hot key after AQE splitting (AQE splits by partition size of the
+    * LEFT; the matching right partition must then be replicated anyway —
+    * this operator makes that replication explicit, bounded (`salts`×
+    * |right|), and deterministic at plan time). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltOn: org.apache.spark.sql.Column, salts: Int = 8): DataFrame = {
+    val l = left.withColumn("_salt", pmod(hash(saltOn), lit(salts)))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, keys :+ "_salt").drop("_salt")
+  }
+
   /** Skew-safe twin of `Curation.reservoirPerGroup` — the k smallest
     * md5(doc_id) per lang, identical output: (lang, doc_id, rk). A
     * fixed-count-per-stratum sample is exactly the shape that hits one

@@ -319,6 +319,20 @@ object PipelineQueries {
     // salt sub-groups; the merge sees `salts` rows per key, not the corpus)
     "q_pipe_salted" -> ((s, dir) =>
       graft.operators.Skew.saltedDocStats(docs(s, dir))),
+    // skew-safe equi-join: left key salted, right replicated salts× —
+    // row-identical to the plain inner join (one hot user's events no
+    // longer land on a single reducer)
+    "q_pipe_salted_join" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 100)
+        .select("user_id", "event_id", "event_type")
+      val profile = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+      graft.operators.Skew
+        .saltedJoin(ev, profile, Seq("user_id"), saltOn = col("event_id"))
+        .select("user_id", "event_id", "n_purchases")
+        .orderBy("event_id")
+    }),
     // first-occurrence shingle novelty per doc (dedup-adjacent curation
     // signal: low novelty = assembled from earlier-seen text)
     "q_pipe_novelty" -> ((s, dir) => TextOps.noveltyStats(docs(s, dir))),
@@ -464,6 +478,15 @@ object PipelineQueries {
           |       CAST(sum(length(props)) AS BIGINT) AS n_chars
           |FROM e GROUP BY 1, 2, 3
           |ORDER BY window_start_s, lang""".stripMargin) +
+      ("q_pipe_salted_join" ->
+        """WITH e AS (
+          | SELECT user_id, event_id, event_type FROM events
+          | WHERE user_id < 100),
+          |p AS (SELECT user_id, count(*) AS n_purchases FROM e
+          |      WHERE event_type = 'purchase' GROUP BY user_id)
+          |SELECT e.user_id, e.event_id, p.n_purchases
+          |FROM e JOIN p ON e.user_id = p.user_id
+          |ORDER BY event_id""".stripMargin) +
       ("q_pipe_enrich_stream" ->
         """WITH e AS (
           | SELECT user_id, event_id, event_type FROM events

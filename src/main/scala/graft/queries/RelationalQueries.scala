@@ -189,6 +189,19 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // unpivot (melt): the pivot gate's cross-tab melted back to long form
+    // — (n_name, priority, n) rows ≡ the direct groupBy, proving the
+    // pivot⇄unpivot pair is lossless
+    "q_rel_unpivot" -> ((s, dir) => {
+      val wide = queries("q_rel_pivot")(s, dir)
+      wide.unpivot(
+        Array(col("n_name")),
+        Array(col("p1_urgent"), col("p2_high"), col("p3_medium"),
+          col("p4_notspec"), col("p5_low")),
+        "priority", "n_orders")
+        .orderBy("n_name", "priority")
+    }),
+
     // distinct + set-style aggregation over a dimension hierarchy join
     "q_rel_region_sales" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
@@ -309,6 +322,24 @@ object RelationalQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_rel_unpivot" ->
+      """WITH base AS (
+        | SELECT n_name, o_orderpriority FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey),
+        |cnt AS (SELECT n_name, o_orderpriority, count(*) AS n
+        |        FROM base GROUP BY 1, 2),
+        |pr AS (SELECT * FROM (VALUES
+        |  ('1-URGENT', 'p1_urgent'), ('2-HIGH', 'p2_high'),
+        |  ('3-MEDIUM', 'p3_medium'), ('4-NOT SPECIFIED', 'p4_notspec'),
+        |  ('5-LOW', 'p5_low')) t(op, priority)),
+        |grid AS (SELECT b.n_name, pr.op, pr.priority
+        |         FROM (SELECT DISTINCT n_name FROM base) b, pr)
+        |SELECT g.n_name, g.priority,
+        |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+        |FROM grid g LEFT JOIN cnt c
+        |  ON g.n_name = c.n_name AND g.op = c.o_orderpriority
+        |ORDER BY g.n_name, g.priority""".stripMargin,
     "q_rel_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
