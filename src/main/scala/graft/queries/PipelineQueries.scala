@@ -333,6 +333,9 @@ object PipelineQueries {
         .select("user_id", "event_id", "n_purchases")
         .orderBy("event_id")
     }),
+    // BPE tokenizer training: the first 3 merge rules learned from the
+    // corpus (one distributed frequency pass + vocab-level greedy merges)
+    "q_pipe_bpe" -> ((s, dir) => TextOps.bpeMerges(docs(s, dir), nMerges = 3)),
     // first-occurrence shingle novelty per doc (dedup-adjacent curation
     // signal: low novelty = assembled from earlier-seen text)
     "q_pipe_novelty" -> ((s, dir) => TextOps.noveltyStats(docs(s, dir))),
@@ -851,6 +854,52 @@ object PipelineQueries {
         | FROM a2 a JOIN a2 b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id)
         |SELECT cent_id, keep_id, dup_id, round(cos, 4) AS cos_r
         |FROM p WHERE cos >= 0.25 ORDER BY keep_id, dup_id""".stripMargin,
+
+    // BPE oracle: unrolled per-merge blocks — weighted pair counts, best
+    // pair by (cnt DESC, a, b), then the greedy left-to-right merge as
+    // gaps-and-islands (consecutive match positions form runs; odd
+    // positions within a run merge, the symbol after a kept merge drops)
+    "q_pipe_bpe" -> {
+      def iter(i: Int): String = {
+        val prev = s"s${i - 1}"
+        s"""p$i AS (
+           | SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |  SELECT freq, syms[j] AS a, syms[j+1] AS b
+           |  FROM $prev, unnest(range(1, len(syms))) t(j))
+           | GROUP BY a, b),
+           |best$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+           |m$i AS (
+           | SELECT word, freq, j, syms[j] AS sym, syms[j+1] AS symnext,
+           |  (j < len(syms) AND syms[j] = (SELECT a FROM best$i)
+           |    AND syms[j+1] = (SELECT b FROM best$i)) AS mtch
+           | FROM $prev, unnest(range(1, len(syms)+1)) t(j)),
+           |mm$i AS (SELECT word, j, row_number() OVER (PARTITION BY word ORDER BY j) AS rn
+           |         FROM m$i WHERE mtch),
+           |keep$i AS (SELECT word, j FROM (
+           |  SELECT word, j, row_number() OVER (PARTITION BY word, j - rn ORDER BY j) AS rin
+           |  FROM mm$i) t WHERE rin % 2 = 1),
+           |s$i AS (
+           | SELECT m.word AS word, any_value(m.freq) AS freq,
+           |  list(CASE WHEN kj.j IS NOT NULL THEN m.sym || m.symnext ELSE m.sym END ORDER BY m.j) AS syms
+           | FROM m$i m
+           | LEFT JOIN keep$i kj ON kj.word = m.word AND kj.j = m.j
+           | LEFT JOIN keep$i kp ON kp.word = m.word AND kp.j = m.j - 1
+           | WHERE kp.j IS NULL
+           | GROUP BY m.word)""".stripMargin
+      }
+      """WITH toks AS (
+        | SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        | FROM documents),
+        |vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+        |s0 AS (SELECT word, freq,
+        |  list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)) AS syms
+        | FROM vocab),
+        |""".stripMargin + (1 to 3).map(iter).mkString(",\n") + """
+        |SELECT * FROM (
+        | SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM best1
+        | UNION ALL SELECT 2, a, b, a || b, cnt FROM best2
+        | UNION ALL SELECT 3, a, b, a || b, cnt FROM best3) t ORDER BY step""".stripMargin
+    },
 
     "q_pipe_novelty" ->
       """WITH g AS (

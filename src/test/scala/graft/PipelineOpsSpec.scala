@@ -387,4 +387,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("bpeMerges: greedy left-to-right non-overlapping merges, weighted " +
+      "pair counts, lexicographic ties") {
+    import spark.implicits._
+    // "aaaa"×2 + "ab": step 1 (a,a) weight 3·2=6 merges GREEDILY to
+    // [aa,aa] (overlap "aaa" must not produce a second merge at pos 2);
+    // step 2 (aa,aa)=2; step 3 only (a,b)=1 remains
+    val docs = Seq((0L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val got = graft.pipeline.TextOps.bpeMerges(docs, nMerges = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", "a", "aa", 6L),
+      (2L, "aa", "aa", "aaaa", 2L),
+      (3L, "a", "b", "ab", 1L)))
+  }
 }
