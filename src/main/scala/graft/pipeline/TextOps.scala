@@ -252,17 +252,6 @@ object TextOps {
       .as[(String, Long)].collect().toSeq
       .map { case (w, f) => (f, w.map(_.toString)) }
 
-    def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.result()
-    }
-
     val merges = (1 to nMerges).flatMap { step =>
       val counts = vocab.flatMap { case (f, syms) =>
         syms.iterator.zip(syms.iterator.drop(1)).map(p => p -> f)
@@ -277,6 +266,47 @@ object TextOps {
     spark.createDataFrame(merges)
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy("step")
+  }
+
+  /** Apply learned BPE merges to the corpus: every token of every doc
+    * encoded with the `nMerges`-rule vocabulary, aggregated to per-lang
+    * compression stats. The vocabulary's (word → symbol count) table is
+    * tiny and BROADCAST; the corpus-scale stage is one exploded join —
+    * exactly how a trained tokenizer is applied to a 100 TB corpus
+    * (encode rides a broadcast of the merge table, data never moves). */
+  def bpeEncodeStats(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = bpeMerges(docs, nMerges)
+      .select("lhs", "rhs").as[(String, String)].collect()
+    val vocabSyms = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .distinct().as[String].collect()
+      .map { w =>
+        var syms: Seq[String] = w.map(_.toString)
+        merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+        (w, syms.length.toLong)
+      }.toIndexedSeq
+    docs
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(vocabSyms.toDF("word", "n_syms")), Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("n_syms")).as("n_symbols"),
+        sum(length(col("word"))).as("n_chars"))
+      .orderBy("lang")
+  }
+
+  /** One greedy left-to-right non-overlapping BPE merge pass. */
+  private def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
   }
 
   def postingLists(docs: DataFrame, k: Int = 50,

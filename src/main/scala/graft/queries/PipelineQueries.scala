@@ -69,6 +69,49 @@ object PipelineQueries {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
+  /** Shared BPE oracle CTE chain: token frequencies → char symbols (s0)
+    * → three unrolled merge iterations (s1..s3, best1..best3). Each
+    * iteration: weighted adjacent-pair counts, best pair by (cnt DESC,
+    * lexicographic), greedy left-to-right non-overlapping merge via
+    * gaps-and-islands over the match positions. */
+  private lazy val bpeCtes: String = {
+    def iter(i: Int): String = {
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         | SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, syms[j] AS a, syms[j+1] AS b
+         |  FROM $prev, unnest(range(1, len(syms))) t(j))
+         | GROUP BY a, b),
+         |best$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |m$i AS (
+         | SELECT word, freq, j, syms[j] AS sym, syms[j+1] AS symnext,
+         |  (j < len(syms) AND syms[j] = (SELECT a FROM best$i)
+         |    AND syms[j+1] = (SELECT b FROM best$i)) AS mtch
+         | FROM $prev, unnest(range(1, len(syms)+1)) t(j)),
+         |mm$i AS (SELECT word, j, row_number() OVER (PARTITION BY word ORDER BY j) AS rn
+         |         FROM m$i WHERE mtch),
+         |keep$i AS (SELECT word, j FROM (
+         |  SELECT word, j, row_number() OVER (PARTITION BY word, j - rn ORDER BY j) AS rin
+         |  FROM mm$i) t WHERE rin % 2 = 1),
+         |s$i AS (
+         | SELECT m.word AS word, any_value(m.freq) AS freq,
+         |  list(CASE WHEN kj.j IS NOT NULL THEN m.sym || m.symnext ELSE m.sym END ORDER BY m.j) AS syms
+         | FROM m$i m
+         | LEFT JOIN keep$i kj ON kj.word = m.word AND kj.j = m.j
+         | LEFT JOIN keep$i kp ON kp.word = m.word AND kp.j = m.j - 1
+         | WHERE kp.j IS NULL
+         | GROUP BY m.word)""".stripMargin
+    }
+    """WITH toks AS (
+      | SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+      | FROM documents),
+      |vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+      |s0 AS (SELECT word, freq,
+      |  list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)) AS syms
+      | FROM vocab),
+      |""".stripMargin + (1 to 3).map(iter).mkString(",\n")
+  }
+
   /** Shared LSH bucket CTEs for the two LSH oracles (knn_lsh,
     * dedup_cosine): the same two-round multiplicative-xorshift hyperplane
     * weights as `Similarity.lshSignature` (j 0-based; DuckDB lambda index
@@ -336,6 +379,10 @@ object PipelineQueries {
     // BPE tokenizer training: the first 3 merge rules learned from the
     // corpus (one distributed frequency pass + vocab-level greedy merges)
     "q_pipe_bpe" -> ((s, dir) => TextOps.bpeMerges(docs(s, dir), nMerges = 3)),
+    // the trained vocab APPLIED to the corpus: broadcast merge table,
+    // per-lang compression stats
+    "q_pipe_bpe_apply" -> ((s, dir) =>
+      TextOps.bpeEncodeStats(docs(s, dir), nMerges = 3)),
     // first-occurrence shingle novelty per doc (dedup-adjacent curation
     // signal: low novelty = assembled from earlier-seen text)
     "q_pipe_novelty" -> ((s, dir) => TextOps.noveltyStats(docs(s, dir))),
@@ -859,47 +906,25 @@ object PipelineQueries {
     // pair by (cnt DESC, a, b), then the greedy left-to-right merge as
     // gaps-and-islands (consecutive match positions form runs; odd
     // positions within a run merge, the symbol after a kept merge drops)
-    "q_pipe_bpe" -> {
-      def iter(i: Int): String = {
-        val prev = s"s${i - 1}"
-        s"""p$i AS (
-           | SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-           |  SELECT freq, syms[j] AS a, syms[j+1] AS b
-           |  FROM $prev, unnest(range(1, len(syms))) t(j))
-           | GROUP BY a, b),
-           |best$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-           |m$i AS (
-           | SELECT word, freq, j, syms[j] AS sym, syms[j+1] AS symnext,
-           |  (j < len(syms) AND syms[j] = (SELECT a FROM best$i)
-           |    AND syms[j+1] = (SELECT b FROM best$i)) AS mtch
-           | FROM $prev, unnest(range(1, len(syms)+1)) t(j)),
-           |mm$i AS (SELECT word, j, row_number() OVER (PARTITION BY word ORDER BY j) AS rn
-           |         FROM m$i WHERE mtch),
-           |keep$i AS (SELECT word, j FROM (
-           |  SELECT word, j, row_number() OVER (PARTITION BY word, j - rn ORDER BY j) AS rin
-           |  FROM mm$i) t WHERE rin % 2 = 1),
-           |s$i AS (
-           | SELECT m.word AS word, any_value(m.freq) AS freq,
-           |  list(CASE WHEN kj.j IS NOT NULL THEN m.sym || m.symnext ELSE m.sym END ORDER BY m.j) AS syms
-           | FROM m$i m
-           | LEFT JOIN keep$i kj ON kj.word = m.word AND kj.j = m.j
-           | LEFT JOIN keep$i kp ON kp.word = m.word AND kp.j = m.j - 1
-           | WHERE kp.j IS NULL
-           | GROUP BY m.word)""".stripMargin
-      }
-      """WITH toks AS (
-        | SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
-        | FROM documents),
-        |vocab AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
-        |s0 AS (SELECT word, freq,
-        |  list_transform(range(1, length(word)+1), i -> substr(word, CAST(i AS INT), 1)) AS syms
-        | FROM vocab),
-        |""".stripMargin + (1 to 3).map(iter).mkString(",\n") + """
+    "q_pipe_bpe" -> (bpeCtes +
+      """
         |SELECT * FROM (
         | SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count FROM best1
         | UNION ALL SELECT 2, a, b, a || b, cnt FROM best2
-        | UNION ALL SELECT 3, a, b, a || b, cnt FROM best3) t ORDER BY step""".stripMargin
-    },
+        | UNION ALL SELECT 3, a, b, a || b, cnt FROM best3) t ORDER BY step""".stripMargin),
+
+    // applying the learned vocab: corpus tokens joined to each word's
+    // post-merge symbol count (the s3 table), per-lang compression stats
+    "q_pipe_bpe_apply" -> (bpeCtes +
+      """,
+        |tk AS (
+        | SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+        | FROM documents)
+        |SELECT tk.lang, count(*) AS n_tokens,
+        | CAST(sum(len(s3.syms)) AS BIGINT) AS n_symbols,
+        | CAST(sum(length(tk.word)) AS BIGINT) AS n_chars
+        |FROM tk JOIN s3 ON tk.word = s3.word
+        |GROUP BY tk.lang ORDER BY tk.lang""".stripMargin),
 
     "q_pipe_novelty" ->
       """WITH g AS (
