@@ -40,7 +40,8 @@ import scala.jdk.CollectionConverters._
   * All reads/writes route through the existing DSv2 `GraftTable`, so SQL
   * gets the same pushdown, pruning, columnar decode, and V1Write ingest
   * as the options API. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var store: SparkStore = _
@@ -68,6 +69,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def tableOptions(ident: Identifier, extra: (String, String)*): Map[String, String] =
     (Map("root" -> store.root, "dataset" -> dsOf(ident),
       "variable" -> ident.name) ++ extra)
+
+  // ---- procedures (CALL graft.system.<name>(...)) ----
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val inSystem = ident.namespace.isEmpty ||
+      (ident.namespace.length == 1 && ident.namespace()(0) == "system")
+    if (!inSystem || !MaintenanceProcedure.Names.contains(ident.name))
+      throw new RuntimeException(
+        s"graft: unknown procedure $ident — available: " +
+          MaintenanceProcedure.Names.map(n => s"$catalogName.system.$n")
+            .mkString(", "))
+    new MaintenanceProcedure(store, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      MaintenanceProcedure.Names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ---- tables ----
 

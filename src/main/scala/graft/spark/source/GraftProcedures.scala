@@ -1,0 +1,68 @@
+package graft.spark.source
+
+import graft.spark.SparkStore
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** SQL maintenance surface (Spark 4 `ProcedureCatalog`):
+  *
+  * {{{
+  * CALL graft.system.compact('climate')         -- checkpoint version id
+  * CALL graft.system.expire_history('climate')  -- versions expired
+  * CALL graft.system.vacuum()                   -- blobs reclaimed
+  * }}}
+  *
+  * Each returns one `(value BIGINT)` row via a LocalScan — the full
+  * compact → expire_history → vacuum maintenance cycle runnable from
+  * pure SQL, like the porcelain on SparkStore it delegates to.
+  */
+private[source] final class MaintenanceProcedure(store: SparkStore,
+    procName: String) extends UnboundProcedure {
+
+  override def name: String = procName
+
+  override def description: String = procName match {
+    case "compact" =>
+      "materialize the MVCC-resolved index as a checkpoint version"
+    case "expire_history" =>
+      "drop index partitions + manifests below the newest checkpoint"
+    case _ => "mark-and-sweep GC of unreferenced chunk blobs"
+  }
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new BoundProcedure {
+      override def name: String = procName
+      override def description: String = MaintenanceProcedure.this.description
+      override def parameters: Array[ProcedureParameter] =
+        if (procName == "vacuum")
+          Array(ProcedureParameter.in("grace_ms", LongType)
+            .defaultValue(SparkStore.VacuumGraceMs.toString)
+            .comment("age a blob must reach before it is sweepable")
+            .build())
+        else Array(ProcedureParameter.in("dataset", StringType).build())
+      // side-effecting by definition — never cache/reuse a result
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val result: Long = procName match {
+          case "compact" => store.compact(input.getUTF8String(0).toString)
+          case "expire_history" =>
+            store.expireHistory(input.getUTF8String(0).toString)
+          case _ => store.vacuum(graceMs = input.getLong(0))
+        }
+        java.util.List.of[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] =
+            Array(new GenericInternalRow(Array[Any](result)))
+          override def readSchema(): StructType =
+            StructType(Seq(StructField("value", LongType, nullable = false)))
+          override def description(): String = s"graft $procName result"
+        }).iterator()
+      }
+    }
+}
+
+private[source] object MaintenanceProcedure {
+  val Names: Seq[String] = Seq("compact", "expire_history", "vacuum")
+}

@@ -175,4 +175,34 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW NAMESPACES IN cate").collect()
       .forall(_.getString(0) != "e2"))
   }
+
+  test("CALL procedures: compact / expire_history / vacuum through SQL") {
+    val root = mkCatalog("catp")
+    val store = new SparkStore(spark, root)
+    store.create("m")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 8L), chunkDimensions = Map("x" -> 4L),
+      variables = Map("v" -> VariableDef("long", Vector("x"), -1.0)))
+    val w1 = store.addVersion("m", meta)
+    w1.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(8L)), (0 until 8).map(_.toDouble))))
+    w1.finishVersion()
+    Thread.sleep(2)
+    val w2 = store.addVersion("m", meta)
+    w2.write("v", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(4L)), 9.0)))
+    w2.finishVersion()
+
+    val cp = spark.sql("CALL catp.system.compact('m')").head.getLong(0)
+    assert(store.versions("m").head._2 == cp)
+    assert(spark.sql("CALL catp.system.expire_history('m')").head.getLong(0) == 2L)
+    assert(spark.sql("CALL catp.system.vacuum(0)").head.getLong(0) >= 1L)
+    // default grace (15 min) keeps everything fresh
+    assert(spark.sql("CALL catp.system.vacuum()").head.getLong(0) == 0L)
+    // post-maintenance read intact, through SQL
+    val got = spark.sql("SELECT x, value FROM catp.m.v ORDER BY x").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 4L).forall(got(_) == 9L) && got(7L) == 7L)
+    // unknown procedure fails loudly
+    intercept[Exception](spark.sql("CALL catp.system.nope()"))
+  }
 }
