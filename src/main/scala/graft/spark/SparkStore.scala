@@ -655,16 +655,39 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * toInclusive] — the per-micro-batch delta of the streaming source:
     * each changed coordinate with its hash as of `toInclusive`. */
   private[spark] def resolvedIndexBetween(name: String, varName: String,
-      fromExclusive: Long, toInclusive: Long): DataFrame =
-    resolvedOver(name, varName,
-      versionManifests(name).collect {
-        // a checkpoint changes no chunk values — emitting its rows would
-        // make the streaming tail re-deliver the whole dataset as a
-        // spurious delta
-        case (_, vid, m) if vid > fromExclusive && vid <= toInclusive &&
-          !SparkStore.isCheckpoint(m) => vid
-      },
-      lit(true))
+      fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val manifests = versionManifests(name)
+    val byId = manifests.map { case (_, vid, m) => vid -> m }.toMap
+    // A checkpoint changes no chunk values, so emitting its rows would
+    // normally re-deliver the whole dataset as a spurious delta — EXCEPT
+    // when expireHistory has dropped versions the tailer never saw: then
+    // the checkpoint is the only carrier of their changes and MUST be
+    // emitted (silently skipping it would lose data). "Needed" is
+    // detected by walking the checkpoint's parent chain down to the
+    // tailer's offset: a missing link means expired history.
+    val admissible = manifests.collect {
+      case (_, vid, m) if vid > fromExclusive && vid <= toInclusive &&
+        (!SparkStore.isCheckpoint(m) ||
+          !chainIntactBelow(m, fromExclusive, byId)) => vid
+    }
+    resolvedOver(name, varName, admissible, lit(true))
+  }
+
+  /** True iff every ancestor of `m` newer than `from` is still present —
+    * i.e. each change a checkpoint summarizes is individually listed (a
+    * nested present checkpoint link is fine: either its own chain is
+    * intact, or it is itself emitted). */
+  private def chainIntactBelow(m: DatasetMeta, from: Long,
+      byId: Map[Long, DatasetMeta]): Boolean = {
+    var cur = m.parent
+    while (cur.exists(_ > from)) {
+      byId.get(cur.get) match {
+        case None => return false
+        case Some(pm) => cur = pm.parent
+      }
+    }
+    true
+  }
 
   private def resolvedOver(name: String, varName: String,
       admissible: Seq[Long], coordFilter: Column): DataFrame =

@@ -98,6 +98,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(values(store, store.versions("ds").head._2) == expected(true))
   }
 
+  test("streaming tail across an EXPIRED gap re-delivers state via the " +
+      "checkpoint instead of silently losing the expired changes") {
+    val (store, v1, v2) = buildTwoVersions()
+    val w = store.compact("ds")
+    // history intact: a tailer at v2 sees nothing new from the checkpoint,
+    // and a tailer at 0 gets the real versions' rows (checkpoint skipped)
+    assert(store.resolvedIndexBetween("ds", "n", v2, w).count() == 0)
+    val before = store.resolvedIndexBetween("ds", "n", 0L, w)
+    assert(before.count() == 3) // v1's three chunks resolved with v2's win
+    store.expireHistory("ds")
+    // v1/v2 are gone — the checkpoint is now the only carrier of their
+    // changes, so the behind-the-gap delta must emit its full state
+    val after = store.resolvedIndexBetween("ds", "n", 0L, w)
+    assert(after.count() == 3,
+      "expired-gap delta must re-deliver state via the checkpoint")
+    // while a tailer already at the checkpoint's parent still gets nothing
+    assert(store.resolvedIndexBetween("ds", "n", v2, w).count() == 0)
+  }
+
   test("compact on a dataset with no committed versions refuses; " +
       "expireHistory without a checkpoint refuses") {
     val store = freshStore()
