@@ -35,7 +35,7 @@ private[streaming] object Replay {
     // into the query's offset metadata at start, then restored — batch
     // queries on the session are unaffected).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
       try build(input.toDS())
         .writeStream.format("memory").queryName(name)
