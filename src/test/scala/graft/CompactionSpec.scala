@@ -117,6 +117,49 @@ class CompactionSpec extends AnyFunSuite {
     assert(store.resolvedIndexBetween("ds", "n", v2, w).count() == 0)
   }
 
+  test("compact with multiple variables and a grown dimension; second " +
+      "compact supersedes the first") {
+    val store = freshStore()
+    store.create("g")
+    val m1 = DatasetMeta(
+      dimensions = Map("h" -> 8L), chunkDimensions = Map("h" -> 4L),
+      variables = Map(
+        "a" -> VariableDef("long", Vector("h"), -1.0),
+        "b" -> VariableDef("double", Vector("h"), 0.0)))
+    val w1 = store.addVersion("g", m1)
+    w1.write("a", Seq(Slab.fromDoubles(DType.LONG, Slice(Seq(0L), Seq(8L)),
+      (0 until 8).map(_.toDouble))))
+    w1.write("b", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L), Seq(4L)), 2.5)))
+    w1.finishVersion()
+    Thread.sleep(2)
+    // grow h 8 → 12 with a write into the new region
+    val m2 = m1.copy(dimensions = Map("h" -> 12L))
+    val w2 = store.addVersion("g", m2)
+    w2.write("a", Seq(Slab.empty(DType.LONG, Slice(Seq(8L), Seq(12L)), 7.0)))
+    w2.finishVersion()
+    val cp1 = store.compact("g")
+    // checkpoint carries the GROWN dims and both variables
+    val rd = store.reader("g").onVersion(cp1)
+    val a = rd.exploded("a", Slice(Seq(0L), Seq(12L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a(3L) == 3L && a(9L) == 7L && a.size == 12)
+    val b = rd.exploded("b", Slice(Seq(0L), Seq(8L)))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(b(0L) == 2.5 && b(7L) == 0.0)
+    // another write + a second checkpoint; expire drops everything < cp2
+    Thread.sleep(2)
+    val w3 = store.addVersion("g", m2)
+    w3.write("a", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(4L)), 5.0)))
+    w3.finishVersion()
+    val cp2 = store.compact("g")
+    assert(store.expireHistory("g") == 4L) // v1, v2, cp1, v3 — all < cp2
+    val a2 = store.reader("g").onLastVersion()
+      .exploded("a", Slice(Seq(0L), Seq(12L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2(0L) == 5L && a2(5L) == 5L && a2(9L) == 7L)
+    assert(store.versions("g").map(_._2) == Seq(cp2))
+  }
+
   test("compact on a dataset with no committed versions refuses; " +
       "expireHistory without a checkpoint refuses") {
     val store = freshStore()
