@@ -409,6 +409,25 @@ object PipelineQueries {
         .filter(col("user_id") < 50)
       graft.streaming.Sessionize.sessionsBatch(ev, gapSeconds = 1800L)
     }),
+    // Spark's NATIVE session_window aggregation — same session definition
+    // as the relational twin (gapDuration 1801 s: session_window merges on
+    // strictly-less-than-end, the twin splits on gap > 1800), so it shares
+    // the q_pipe_sessions oracle
+    "q_pipe_session_window" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_type"),
+          timestamp_seconds(col("ts_s")).as("ts"), col("ts_s"))
+      val byStart = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("session_window.start"))
+      ev.groupBy(col("user_id"), session_window(col("ts"), "1801 seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          (max(col("ts_s")) - min(col("ts_s"))).as("duration_s"))
+        .withColumn("session_no", row_number().over(byStart).cast("long"))
+        .select("user_id", "session_no", "n_events", "n_types", "duration_s")
+        .orderBy("user_id", "session_no")
+    }),
     // the STREAMING sessionizer replayed over deterministic micro-batches
     // (state carries across batches; sentinel flush closes open sessions)
     // — gated against the SAME oracle as the relational twin above
@@ -457,6 +476,18 @@ object PipelineQueries {
           col("ts_s"))
       graft.streaming.StreamJoin
         .clickAttributionReplay(ev, lookbackSeconds = 7200L, nBatches = 3)
+    }),
+    // LEFT OUTER stream-stream join replayed: unmatched purchases emit a
+    // null click only after the watermark closes their window (sentinel
+    // advance) — collected output ≡ the batch left join
+    "q_pipe_outer_join_stream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 200 &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_s"))
+      graft.streaming.StreamJoin
+        .clickAttributionOuterReplay(ev, lookbackSeconds = 7200L, nBatches = 3)
     }),
     // streaming exact dedup replayed: horizon covers the corpus spread so
     // within-watermark dedup must equal global dedup — one row per
@@ -517,6 +548,9 @@ object PipelineQueries {
       // streaming replay answers identically to the relational twin —
       // same gap definition, same grouping — so it shares the oracle
       ("q_pipe_sessions_stream" -> oracleSqlBase("q_pipe_sessions")) +
+      // native session_window shares the relational twin's oracle (same
+      // gap rule after the 1801-second strict-less adjustment)
+      ("q_pipe_session_window" -> oracleSqlBase("q_pipe_sessions")) +
       ("q_pipe_window_stats_stream" ->
         """WITH e AS (
           | SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
@@ -554,6 +588,21 @@ object PipelineQueries {
           | FROM events WHERE user_id < 50)
           |SELECT (ts_s // 3600) * 3600 AS hour_s, event_type, count(*) AS n
           |FROM e GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin) +
+      ("q_pipe_outer_join_stream" ->
+        """WITH e AS (
+          | SELECT user_id, event_id, event_type,
+          |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+          | FROM events
+          | WHERE user_id < 200 AND event_type IN ('click', 'purchase')),
+          |p AS (SELECT user_id, event_id AS purchase_id, ts_s FROM e
+          |      WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, event_id AS click_id, ts_s AS c_ts FROM e
+          |      WHERE event_type = 'click')
+          |SELECT p.user_id, p.purchase_id, c.click_id,
+          |       p.ts_s - c.c_ts AS gap_s
+          |FROM p LEFT JOIN c ON p.user_id = c.user_id
+          | AND c.c_ts >= p.ts_s - 7200 AND c.c_ts <= p.ts_s
+          |ORDER BY purchase_id, click_id""".stripMargin) +
       ("q_pipe_join_stream" ->
         """WITH e AS (
           | SELECT user_id, event_id, event_type,

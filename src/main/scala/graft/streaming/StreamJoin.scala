@@ -76,6 +76,61 @@ object StreamJoin {
     }.orderBy("event_id")
   }
 
+  /** LEFT OUTER variant: purchases with no click in the window emit a
+    * null-click row — but only once the watermark proves no matching
+    * click can still arrive, which is the part of stream-stream joins
+    * that trips people up (an unmatched row's emission is *watermark-
+    * driven*, not arrival-driven). The replay feeds a far-future
+    * sentinel batch to push the watermark past every purchase's match
+    * window, so the collected output equals the full batch left join. */
+  def clickAttributionOuter(events: Dataset[Ev],
+      lookbackSeconds: Long): DataFrame = {
+    val base = events.toDF()
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", s"$lookbackSeconds seconds")
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"${2 * lookbackSeconds} seconds")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_s"))
+  }
+
+  /** Replay gate for the outer join: sentinel events (one per side, a
+    * throwaway user far in the future) advance both watermarks past
+    * every real purchase, flushing the unmatched-left state. The
+    * sentinel pair matches itself and is filtered from the result. */
+  def clickAttributionOuterReplay(events: DataFrame, lookbackSeconds: Long,
+      nBatches: Int = 3): DataFrame = {
+    val spark: SparkSession = events.sparkSession
+    import spark.implicits._
+    val rows = events.select("user_id", "event_id", "event_type", "ts_s")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2),
+        new java.sql.Timestamp(r.getLong(3) * 1000L)))
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val sentinelUser = -1L
+    val farFuture = rows.last.ts.getTime + 10L * lookbackSeconds * 1000L
+    val sentinels = Seq(
+      Ev(sentinelUser, -1L, "click", new java.sql.Timestamp(farFuture)),
+      Ev(sentinelUser, -2L, "purchase", new java.sql.Timestamp(farFuture)))
+    val sunk = Replay.run(spark, rows.toIndexedSeq, nBatches,
+      tailBatches = Seq(sentinels, sentinels.map(e =>
+        e.copy(event_id = e.event_id - 10,
+          ts = new java.sql.Timestamp(farFuture + lookbackSeconds * 1000L))))) {
+      ds => clickAttributionOuter(ds, lookbackSeconds)
+    }
+    sunk.filter(col("user_id") =!= sentinelUser)
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** Deterministic micro-batch replay of the streaming join over bounded
     * input (caller caps it; the gate uses user_id < 200). Events feed in
     * event-time order across `nBatches` contiguous slices; inner-join
