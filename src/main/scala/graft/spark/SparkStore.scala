@@ -346,8 +346,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       require(vs.nonEmpty, s"compact($name): no committed versions")
       val latest = vs.head._2
       val latestMeta = metadata(name, latest)
+      // user extra metadata survives the checkpoint; the commit re-stamps
+      // graft-committed-at and markCheckpoint adds the flag on top
       val w = addVersion(name,
-        latestMeta.copy(versionId = None, parent = None, extra = None))
+        latestMeta.copy(versionId = None, parent = None))
       val vid = w.meta.versionId.get
       latestMeta.variables.keys.toSeq.sorted.foreach { varN =>
         if (hasIndexData(name, varN, Some(latest), vid))

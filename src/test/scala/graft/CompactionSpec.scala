@@ -160,6 +160,22 @@ class CompactionSpec extends AnyFunSuite {
     assert(store.versions("g").map(_._2) == Seq(cp2))
   }
 
+  test("user extra metadata survives compaction; commit stamp and " +
+      "checkpoint flag coexist with it") {
+    val store = freshStore()
+    store.create("x")
+    val w1 = store.addVersion("x",
+      meta1d.copy(extra = Some("""{"owner":"team-data","note":"v1"}""")))
+    w1.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(8L)), 1.0)))
+    w1.finishVersion()
+    val cp = store.compact("x")
+    val m = store.metadata("x", cp)
+    val extra = m.extra.getOrElse("")
+    assert(extra.contains(""""owner":"team-data""""), extra)
+    assert(extra.contains(""""graft-checkpoint":true"""), extra)
+    assert(extra.contains(""""graft-committed-at""""), extra)
+  }
+
   test("compact on a dataset with no committed versions refuses; " +
       "expireHistory without a checkpoint refuses") {
     val store = freshStore()
