@@ -160,6 +160,36 @@ class CompactionSpec extends AnyFunSuite {
     assert(store.versions("g").map(_._2) == Seq(cp2))
   }
 
+  test("never-written variable: compact skips its index, reads at the " +
+      "checkpoint still see pure fill") {
+    val store = freshStore()
+    store.create("nv")
+    val m = meta1d.copy(variables = meta1d.variables +
+      ("empty" -> graft.meta.VariableDef("long", Vector("h"), -7.0)))
+    val w1 = store.addVersion("nv", m)
+    w1.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(8L)), 3.0)))
+    w1.finishVersion()
+    val cp = store.compact("nv")
+    val rd = store.reader("nv").onVersion(cp)
+    assert(rd.exploded("empty", Slice(Seq(0L), Seq(8L)))
+      .collect().forall(_.getLong(1) == -7L))
+    assert(rd.exploded("n", Slice(Seq(0L), Seq(8L)))
+      .collect().forall(_.getLong(1) == 3L))
+  }
+
+  test("a writer in flight across a compact fails its commit with the " +
+      "explicit parent-mismatch error (linear history preserved)") {
+    val (store, _, v2) = buildTwoVersions()
+    val inflight = store.addVersion("ds", meta1d) // parent = v2
+    inflight.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(8L)), 1.0)))
+    val cp = store.compact("ds") // takes the latest slot
+    val e = intercept[IllegalStateException](inflight.finishVersion())
+    assert(e.getMessage.contains("latest version"), e.getMessage)
+    // the dataset is unharmed: checkpoint is latest, values intact
+    assert(store.versions("ds").head._2 == cp)
+    assert(values(store, cp) == expected(true))
+  }
+
   test("user extra metadata survives compaction; commit stamp and " +
       "checkpoint flag coexist with it") {
     val store = freshStore()
