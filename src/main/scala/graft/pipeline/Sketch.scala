@@ -3,11 +3,14 @@ package graft.pipeline
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Deterministic cardinality sketch: KMV (k minimum values).
+/** Deterministic cardinality sketches: KMV (k minimum values) and a
+  * pinned-layout HyperLogLog.
   *
-  * HyperLogLog-style sketches are engine-specific (register layouts and
-  * bias tables differ), so they can't be oracle-checked across engines.
-  * KMV is the portable alternative: hash every element to a uniform
+  * Off-the-shelf HyperLogLog implementations are engine-specific (register
+  * layouts and bias tables differ), so they can't be oracle-checked across
+  * engines; `hllDistinctDocs` sidesteps that by pinning the layout to
+  * integer-exact md5 register math both engines compute identically.
+  * KMV is the simpler portable sketch: hash every element to a uniform
   * 32-bit value, keep the k smallest DISTINCT hashes, and estimate
   * cardinality as `(k-1) / fraction-of-hash-space-covered`. With md5 as
   * the hash and integer-exact division, two engines produce bit-identical
@@ -41,6 +44,55 @@ object Sketch {
         when(col("k_actual") < k, col("k_actual"))
           .otherwise(expr(s"((k_actual - 1) * 4294967296L) div kth_hv"))
           .as("est_distinct"),
+        col("n_exact"))
+  }
+
+  /** HyperLogLog distinct estimate with FULLY DETERMINISTIC, integer-exact
+    * register math — the cross-engine-checkable HLL the header note above
+    * says generic HLLs can't be: registers, ranks, and the harmonic-mean
+    * denominator are all integers derived from md5, and the only float op
+    * is one division by a shared literal constant (same IEEE double in
+    * both engines), so the estimate hash-matches the DuckDB oracle.
+    *
+    * Layout (m = 256): register = first md5 byte; w = next 24 bits;
+    * rank = leading zeros of w in 24 bits + 1 (via `25 - length(bin(w))`,
+    * integer in both engines; w = 0 → 25). The denominator Σ 2^(−M_j) is
+    * scaled by 2^25 so every term is an integer: occupied registers
+    * contribute 2^(25−M_j), empty ones 2^25. Raw estimate =
+    * ⌊α·m²·2^25 / S⌋ with α·m²·2^25 embedded as one double literal.
+    *
+    * Scale: this is THE billion-row distinct-count shape — per-partition
+    * register maxima merge associatively (shuffle is m rows after map-side
+    * combine), registers merge across days/sources by max. `regime` flags
+    * when production would switch to the linear-counting small-range
+    * correction (est < 2.5m with empty registers) — reported rather than
+    * applied because ln() is not cross-engine exact. */
+  def hllDistinctDocs(docs: DataFrame): DataFrame = {
+    val m = 256
+    val h = md5(col("text"))
+    val regs = docs.filter(col("text").isNotNull)
+      .select(
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(h, 3, 6), 16, 10).cast("long").as("w"))
+      .select(col("reg"),
+        when(col("w") === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("w")))).as("rank"))
+      .groupBy("reg").agg(max("rank").as("maxrank"))
+    val s = regs.agg(
+      count(lit(1)).as("n_occ"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - maxrank AS INT))"))
+        .as("s_occ"))
+    val exact = docs.agg(countDistinct(col("text")).as("n_exact"))
+    s.crossJoin(exact)
+      .withColumn("s_scaled",
+        col("s_occ") + (lit(m.toLong) - col("n_occ")) * lit(33554432L))
+      .withColumn("est_hll",
+        floor(lit(1579498136381.3938) / col("s_scaled").cast("double"))
+          .cast("long"))
+      .select(lit(m.toLong).as("m"), col("n_occ"), col("s_scaled"),
+        col("est_hll"),
+        when(col("n_occ") < m && col("est_hll") < lit((2.5 * m).toLong),
+          lit("linear_counting")).otherwise(lit("raw")).as("regime"),
         col("n_exact"))
   }
 

@@ -315,6 +315,21 @@ object ArrayQueries {
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("hash")).as("n_blobs"))
     }),
+    // zone-map VALUE-predicate chunk skipping through the DSv2 source:
+    // `value >= 999` can only hold inside the 999-overlay band (plus any
+    // hour whose raw count reaches 999), so planning drops every chunk
+    // whose index stats prove no cell can match — the filter is applied
+    // exactly above the scan either way (AggSkipSpec pins the plan-time
+    // skip; this gate pins the semantics against the events ground truth)
+    "q_arr_skip" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      s.read.format("graft").option("root", fx.store.root)
+        .option("dataset", "ev").option("variable", "n")
+        .option("version", fx.evV1.toString).load()
+        .filter(col("value") >= 999L)
+        .select(col("h"), col("value"))
+        .orderBy("h")
+    }),
     // the SQL front door: the same 2-D slice as q_arr_2d, but routed
     // through the GraftCatalog plugin — `SELECT … FROM <cat>.grid.qty
     // VERSION AS OF <v>` with dim-filter pushdown intact. The catalog
@@ -491,6 +506,14 @@ object ArrayQueries {
         |SELECT 'n', CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT),
         |       CAST(sum(v) AS BIGINT), CAST(count(*) AS BIGINT) FROM vn
         |ORDER BY varname""".stripMargin),
+    "q_arr_skip" -> (cte +
+      """, vv AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT h, value FROM vv WHERE value >= 999 ORDER BY h""".stripMargin),
     "q_arr_chunked" ->
       """WITH lb AS (
         | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,

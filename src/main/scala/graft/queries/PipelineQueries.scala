@@ -342,6 +342,15 @@ object PipelineQueries {
     "q_pipe_e2e" -> ((s, dir) => Curation.curatePipeline(docs(s, dir))),
     "q_pipe_vocab" -> ((s, dir) => Curation.topKTokens(docs(s, dir))),
     "q_pipe_distinct_est" -> ((s, dir) => Sketch.kmvDistinctDocs(docs(s, dir))),
+
+    // deterministic HyperLogLog (pinned md5 register layout, integer-exact
+    // denominator): the associatively-mergeable billion-row distinct shape
+    "q_pipe_hll" -> ((s, dir) => Sketch.hllDistinctDocs(docs(s, dir))),
+
+    // bigram-LM predictability scoring (CCNet-style quality pass):
+    // add-one-smoothed model trained on the full corpus, docs ranked by
+    // integer-exact mean scaled inverse probability
+    "q_pipe_lm_score" -> ((s, dir) => LangModel.bigramScore(docs(s, dir))),
     // Zipf diagnostic: count-of-counts over the term frequencies
     "q_pipe_freq_spectrum" -> ((s, dir) => Sketch.termFrequencySpectrum(docs(s, dir))),
     // TF-IDF term ranking (1/df idf — exactly-rounded division, no libm)
@@ -1486,6 +1495,60 @@ object PipelineQueries {
         |      ELSE (k_actual - 1) * 4294967296 // kth_hv END AS est_distinct,
         | n_exact
         |FROM sk, ex""".stripMargin,
+
+    // the same register/rank/denominator integer math as hllDistinctDocs;
+    // the single float op is division by the shared α·m²·2^25 literal
+    "q_pipe_hll" ->
+      """WITH r AS (
+        | SELECT CAST(concat('0x', substr(md5(text), 1, 2)) AS BIGINT) AS reg,
+        |        CAST(concat('0x', substr(md5(text), 3, 6)) AS BIGINT) AS w
+        | FROM documents WHERE text IS NOT NULL),
+        |rr AS (
+        | SELECT reg,
+        |        max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS maxrank
+        | FROM r GROUP BY reg),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_occ,
+        |        CAST(sum(CAST(1 AS BIGINT) << CAST(25 - maxrank AS INT)) AS BIGINT) AS s_occ
+        | FROM rr),
+        |ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents)
+        |SELECT CAST(256 AS BIGINT) AS m, n_occ,
+        | s_occ + (256 - n_occ) * 33554432 AS s_scaled,
+        | CAST(floor(1579498136381.3938 /
+        |   CAST(s_occ + (256 - n_occ) * 33554432 AS DOUBLE)) AS BIGINT) AS est_hll,
+        | CASE WHEN n_occ < 256 AND
+        |   CAST(floor(1579498136381.3938 /
+        |     CAST(s_occ + (256 - n_occ) * 33554432 AS DOUBLE)) AS BIGINT) < 640
+        |  THEN 'linear_counting' ELSE 'raw' END AS regime,
+        | n_exact
+        |FROM s, ex""".stripMargin,
+
+    // same tokenization as vocab/bigrams; integer-exact scaled inverse
+    // probability, trained on the full corpus, scored on doc_id < 200
+    "q_pipe_lm_score" ->
+      """WITH base AS (
+        | SELECT doc_id, lang,
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS l
+        | FROM documents WHERE text IS NOT NULL),
+        |uni AS (
+        | SELECT w, count(*) AS c1 FROM base, unnest(l) t(w) GROUP BY w),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bgs AS (
+        | SELECT doc_id, lang, bg FROM base,
+        |  unnest(list_transform(l[1:len(l)-1], (x, i) -> x || ' ' || l[i+1])) t(bg)),
+        |bi AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+        |sc AS (
+        | SELECT b.doc_id, b.lang,
+        |        ((u.c1 + v.v) * 1000000) // (bi.c2 + 1) AS inv
+        | FROM bgs b
+        | JOIN bi USING (bg)
+        | JOIN uni u ON u.w = string_split(b.bg, ' ')[1]
+        | CROSS JOIN v
+        | WHERE b.doc_id < 200)
+        |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | CAST(sum(inv) // count(*) AS BIGINT) AS ppl_proxy
+        |FROM sc GROUP BY doc_id, lang
+        |ORDER BY ppl_proxy ASC, doc_id LIMIT 25""".stripMargin,
 
     // count-of-counts over term frequencies, ascending cnt
     "q_pipe_freq_spectrum" ->

@@ -217,6 +217,40 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).cast("double").as("total_spend"))
         .orderBy("r_name")
+    }),
+
+    // CUBE: all four grouping sets of (returnflag, linestatus) in one
+    // Expand + single shuffle — completes the multi-level-agg family next
+    // to q_rel_rollup's hierarchy subtotals
+    "q_rel_cube" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          grouping_id(col("l_returnflag"), col("l_linestatus"))
+            .cast("int").as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Bloom-pruned join (operators.BloomJoin): part keys filtered to a
+    // selective dim subset; the fact side is pruned by broadcast Bloom
+    // bits BEFORE its shuffle. False positives are removed by the exact
+    // join, so the result is row-identical to the plain join the oracle
+    // computes — the gate pins exactly that no-false-negative contract.
+    "q_rel_bloom_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val dim = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_brand"))
+      graft.operators.BloomJoin
+        .bloomPrunedJoin(li, dim, "l_partkey", "p_partkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("p_brand")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -356,5 +390,20 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
-        |ORDER BY r_name""".stripMargin)
+        |ORDER BY r_name""".stripMargin,
+    "q_rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS lvl
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_rel_bloom_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
 }
