@@ -351,6 +351,68 @@ object PipelineQueries {
     // add-one-smoothed model trained on the full corpus, docs ranked by
     // integer-exact mean scaled inverse probability
     "q_pipe_lm_score" -> ((s, dir) => LangModel.bigramScore(docs(s, dir))),
+
+    // integer-exact PageRank (operators.Graph) over the symmetrized
+    // user↔item interaction graph from events (item nodes offset by 1e6);
+    // 3 rounds from a uniform start, top-30 nodes
+    "q_pipe_pagerank" -> ((s, dir) => {
+      val pairs = EventTime.readEvents(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .distinct()
+      val fwd = pairs.select(col("user_id").as("src"),
+        (col("k") + 1000000L).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 3)
+        .select(col("id"),
+          when(col("id") >= 1000000L, lit("item"))
+            .otherwise(lit("user")).as("kind"),
+          col("r"))
+        .orderBy(col("r").desc, col("id")).limit(30)
+    }),
+
+    // ordered conversion funnel view → click → purchase: each stage's
+    // earliest qualifying timestamp must be at-or-after the previous
+    // stage's (three user_id-partitioned aggregation passes — at scale
+    // all three shuffles land on the same user_id hash partitioning and
+    // the per-user state is three longs); per-mille conversion is
+    // integer-exact
+    "q_pipe_funnel" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_s"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_s").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_s") >= col("v_ts"))
+        .groupBy("user_id").agg(min("ts_s").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_s") >= col("c_ts"))
+        .groupBy("user_id").agg(min("ts_s").as("p_ts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          expr("n_click * 1000 div n_view").as("click_pm"),
+          expr("n_purchase * 1000 div n_click").as("purchase_pm"))
+    }),
+
+    // cohort retention: users grouped by first-activity week, distinct
+    // active users per (cohort week, weeks since) — two aggregations over
+    // the same user_id partitioning plus one small re-origin broadcast
+    "q_pipe_cohort" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), expr("ts_s div 604800").as("w"))
+      val w0 = ev.agg(min("w").as("w0"))
+      val cohort = ev.groupBy("user_id").agg(min("w").as("cw"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id").crossJoin(broadcast(w0))
+        .groupBy((col("cw") - col("w0")).as("cohort_week"),
+          (col("w") - col("cw")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
     // Zipf diagnostic: count-of-counts over the term frequencies
     "q_pipe_freq_spectrum" -> ((s, dir) => Sketch.termFrequencySpectrum(docs(s, dir))),
     // TF-IDF term ranking (1/df idf — exactly-rounded division, no libm)
@@ -1549,6 +1611,69 @@ object PipelineQueries {
         | CAST(sum(inv) // count(*) AS BIGINT) AS ppl_proxy
         |FROM sc GROUP BY doc_id, lang
         |ORDER BY ppl_proxy ASC, doc_id LIMIT 25""".stripMargin,
+
+    // 3 unrolled integer-exact PageRank rounds; floor divisions and
+    // integer sums make each round engine-identical
+    "q_pipe_pagerank" ->
+      """WITH b AS (
+        | SELECT DISTINCT user_id AS u,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) + 1000000 AS i
+        | FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |ed AS (SELECT u AS src, i AS dst FROM b UNION ALL SELECT i, u FROM b),
+        |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM ed),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT ed.dst AS id, sum(r0.r // dg.deg) AS cs
+        |       FROM ed JOIN r0 ON r0.id = ed.src JOIN dg ON dg.src = ed.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT n.id, 150000 + (85 * COALESCE(c1.cs, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c1 ON c1.id = n.id),
+        |c2 AS (SELECT ed.dst AS id, sum(r1.r // dg.deg) AS cs
+        |       FROM ed JOIN r1 ON r1.id = ed.src JOIN dg ON dg.src = ed.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT n.id, 150000 + (85 * COALESCE(c2.cs, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c2 ON c2.id = n.id),
+        |c3 AS (SELECT ed.dst AS id, sum(r2.r // dg.deg) AS cs
+        |       FROM ed JOIN r2 ON r2.id = ed.src JOIN dg ON dg.src = ed.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT n.id, 150000 + (85 * COALESCE(c3.cs, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c3 ON c3.id = n.id)
+        |SELECT id, CASE WHEN id >= 1000000 THEN 'item' ELSE 'user' END AS kind,
+        | CAST(r AS BIGINT) AS r
+        |FROM r3 ORDER BY r DESC, id LIMIT 30""".stripMargin,
+
+    "q_pipe_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, event_type,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+        | FROM events),
+        |v AS (SELECT user_id, min(ts_s) AS v_ts FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_s) AS c_ts
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_s >= v.v_ts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_s) AS p_ts
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_s >= c.c_ts GROUP BY 1)
+        |SELECT nv AS n_view, nc AS n_click, np AS n_purchase,
+        | nc * 1000 // nv AS click_pm, np * 1000 // nc AS purchase_pm
+        |FROM (SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS nv,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM c) AS nc,
+        |             (SELECT CAST(count(*) AS BIGINT) FROM p) AS np) t""".stripMargin,
+
+    "q_pipe_cohort" ->
+      """WITH e AS (
+        | SELECT user_id,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) // 604800 AS w
+        | FROM events),
+        |w0 AS (SELECT min(w) AS w0 FROM e),
+        |cu AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1),
+        |aw AS (SELECT DISTINCT user_id, w FROM e)
+        |SELECT cu.cw - (SELECT w0 FROM w0) AS cohort_week,
+        |       aw.w - cu.cw AS week_offset,
+        |       CAST(count(DISTINCT aw.user_id) AS BIGINT) AS n_users
+        |FROM aw JOIN cu ON aw.user_id = cu.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // count-of-counts over term frequencies, ascending cnt
     "q_pipe_freq_spectrum" ->

@@ -251,6 +251,39 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy("p_brand")
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution via a LEFT OUTER
+    // join with a filtered right side — zero-order customers flow through
+    // as c_count = 0, then a second small aggregation over the counts
+    "q_rel_custdist" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // lag/lead window surface: day gaps between consecutive orders and
+    // the next order's exact-decimal price delta per customer
+    "q_rel_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_custkey") < 30)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+        .withColumn("next_price_delta",
+          (lead(dec(col("o_totalprice")), 1).over(w) - dec(col("o_totalprice")))
+            .cast("double"))
+        .filter(col("prev_date").isNotNull)
+        .select(col("o_custkey"), col("o_orderkey"), col("gap_days"),
+          col("next_price_delta"))
+        .orderBy("o_custkey", "o_orderkey")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -405,5 +438,26 @@ object RelationalQueries {
         |JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 5
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin)
+        |ORDER BY p_brand""".stripMargin,
+    "q_rel_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (
+        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_rel_lag" ->
+      """SELECT o_custkey, o_orderkey, gap_days, next_price_delta FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  lag(o_orderdate) OVER w AS prev_date,
+        |  CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+        |       CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+        |  CAST(lead(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |       - CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS next_price_delta
+        | FROM orders WHERE o_custkey < 30
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t WHERE prev_date IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
 }
