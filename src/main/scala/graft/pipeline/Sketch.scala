@@ -96,6 +96,34 @@ object Sketch {
         col("n_exact"))
   }
 
+  /** Per-group variant of `hllDistinctDocs` — same pinned register
+    * layout, one sketch per group key (shuffle = groups × occupied
+    * registers after map-side combine; the per-group state registers
+    * merge associatively across days/sources by max, which is what makes
+    * this the incremental-rollup distinct shape). */
+  def hllDistinctPerGroup(df: DataFrame, valueCol: String,
+      groupCol: String): DataFrame = {
+    val h = md5(col(valueCol).cast("string"))
+    val regs = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        conv(substring(h, 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(h, 3, 6), 16, 10).cast("long").as("w"))
+      .select(col("grp"), col("reg"),
+        when(col("w") === 0L, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("w")))).as("rank"))
+      .groupBy("grp", "reg").agg(max("rank").as("maxrank"))
+    regs.groupBy("grp").agg(
+        count(lit(1)).as("n_occ"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - maxrank AS INT))"))
+          .as("s_occ"))
+      .withColumn("s_scaled",
+        col("s_occ") + (lit(256L) - col("n_occ")) * lit(33554432L))
+      .select(col("grp").as(groupCol), col("s_scaled"),
+        floor(lit(1579498136381.3938) / col("s_scaled").cast("double"))
+          .cast("long").as("est_distinct"))
+      .orderBy(groupCol)
+  }
+
   /** One-pass histogram quantiles: per-group fixed-width-bin counts, the
     * quantile estimate is the LOWER BOUND of the first bin whose
     * cumulative count reaches ⌈q‰·n/1000⌉. Error is bounded by

@@ -352,6 +352,24 @@ object PipelineQueries {
     // integer-exact mean scaled inverse probability
     "q_pipe_lm_score" -> ((s, dir) => LangModel.bigramScore(docs(s, dir))),
 
+    // per-group deterministic HLL: distinct users per event type with
+    // exact counts alongside for error inspection
+    "q_pipe_hll_group" -> ((s, dir) => {
+      val ev = EventTime.readEvents(s, dir).select("event_type", "user_id")
+      Sketch.hllDistinctPerGroup(ev, "user_id", "event_type")
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_exact")), "event_type")
+        .orderBy("event_type")
+    }),
+
+    // integer-exact JL random projection (pipeline.Projection): 64-dim
+    // embeddings → 16-dim Rademacher sketch, row-local, no shuffle
+    "q_pipe_rproj" -> ((s, dir) => {
+      Projection.projectQ8(emb(s, dir))
+        .filter(col("vec_id") < 40)
+        .orderBy("vec_id")
+    }),
+
     // integer-exact PageRank (operators.Graph) over the symmetrized
     // user↔item interaction graph from events (item nodes offset by 1e6);
     // 3 rounds from a uniform start, top-30 nodes
@@ -1611,6 +1629,53 @@ object PipelineQueries {
         | CAST(sum(inv) // count(*) AS BIGINT) AS ppl_proxy
         |FROM sc GROUP BY doc_id, lang
         |ORDER BY ppl_proxy ASC, doc_id LIMIT 25""".stripMargin,
+
+    // same pinned register math as q_pipe_hll, grouped
+    "q_pipe_hll_group" ->
+      """WITH r AS (
+        | SELECT event_type,
+        |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS reg,
+        |  CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 3, 6)) AS BIGINT) AS w
+        | FROM events WHERE user_id IS NOT NULL),
+        |rr AS (
+        | SELECT event_type, reg,
+        |        max(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS maxrank
+        | FROM r GROUP BY 1, 2),
+        |s AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_occ,
+        |        CAST(sum(CAST(1 AS BIGINT) << CAST(25 - maxrank AS INT)) AS BIGINT) AS s_occ
+        | FROM rr GROUP BY 1),
+        |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |       FROM events GROUP BY 1)
+        |SELECT s.event_type,
+        | s_occ + (256 - n_occ) * 33554432 AS s_scaled,
+        | CAST(floor(1579498136381.3938 /
+        |   CAST(s_occ + (256 - n_occ) * 33554432 AS DOUBLE)) AS BIGINT) AS est_distinct,
+        | ex.n_exact
+        |FROM s JOIN ex ON s.event_type = ex.event_type
+        |ORDER BY s.event_type""".stripMargin,
+
+    // q8 quantization exactly as q_pipe_knn_q8, then the md5-Rademacher
+    // matrix applied with integer sums (exact in doubles at any order)
+    "q_pipe_rproj" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |z AS (SELECT vec_id, list_transform(v,
+        |  x -> CASE WHEN ma = 0 THEN 0.0 ELSE round(x * (127.0 / ma)) END) AS qv FROM q
+        |  WHERE vec_id < 40),
+        |sgn AS (SELECT d, j,
+        |  CASE WHEN CAST(concat('0x',
+        |    substr(md5(concat(CAST(j AS VARCHAR), '_', CAST(d AS VARCHAR))), 1, 1)) AS INT) < 8
+        |   THEN 1 ELSE -1 END AS s
+        | FROM range(16) t1(d), range(64) t2(j)),
+        |ux AS (SELECT vec_id, CAST(u.e.x AS BIGINT) AS x, u.e.j AS j
+        |  FROM (SELECT vec_id,
+        |     unnest(list_transform(qv, (x, i) -> {'x': x, 'j': i - 1})) AS e
+        |   FROM z) u),
+        |pr AS (SELECT vec_id, sgn.d, CAST(sum(x * sgn.s) AS BIGINT) AS p
+        |  FROM ux JOIN sgn ON sgn.j = ux.j GROUP BY 1, 2)
+        |SELECT vec_id, list(p ORDER BY d) AS proj
+        |FROM pr GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // 3 unrolled integer-exact PageRank rounds; floor divisions and
     // integer sums make each round engine-identical

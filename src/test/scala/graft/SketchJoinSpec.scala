@@ -66,6 +66,28 @@ class SketchJoinSpec extends AnyFunSuite {
     assert(whole.getAs[Long]("est_hll") == again.getAs[Long]("est_hll"))
   }
 
+  test("JL projection preserves neighborhood structure: planted near-dup " +
+      "pairs stay far closer in the sketch than random pairs") {
+    import graft.pipeline.Projection
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val bases = (0 until 50).map(_ => vec())
+    // ids 0..49 originals, 100..149 their near-dups
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      bases.zipWithIndex.map { case (v, i) => (100L + i, perturb(v).toSeq) }
+    val emb = rows.toDF("vec_id", "embedding")
+    val proj = Projection.projectQ8(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def dist(a: Array[Long], b: Array[Long]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum)
+    val nearAvg = (0 until 50).map(i => dist(proj(i.toLong), proj(100L + i))).sum / 50
+    val farAvg = (0 until 50).map(i => dist(proj(i.toLong), proj(100L + ((i + 7) % 50)))).sum / 50
+    assert(nearAvg * 2 < farAvg, s"near=$nearAvg far=$farAvg")
+  }
+
   test("bigramScore ranks a repeated-template doc as more predictable " +
       "than a unique-text doc") {
     import spark.implicits._
