@@ -416,6 +416,14 @@ object PipelineQueries {
           expr("n_purchase * 1000 div n_click").as("purchase_pm"))
     }),
 
+    // the funnel live: per-user mapGroupsWithState state machine replayed
+    // in event-time micro-batches — shares q_pipe_funnel's oracle
+    "q_pipe_funnel_stream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+      graft.streaming.FunnelStream.funnelStreamReplay(ev)
+    }),
+
     // cohort retention: users grouped by first-activity week, distinct
     // active users per (cohort week, weeks since) — two aggregations over
     // the same user_id partitioning plus one small re-origin broadcast
@@ -637,6 +645,9 @@ object PipelineQueries {
       // streaming replay answers identically to the relational twin —
       // same gap definition, same grouping — so it shares the oracle
       ("q_pipe_sessions_stream" -> oracleSqlBase("q_pipe_sessions")) +
+      // the state-machine funnel answers identically to the three-pass
+      // batch funnel (same >= stage constraints) — shared oracle
+      ("q_pipe_funnel_stream" -> oracleSqlBase("q_pipe_funnel")) +
       // native session_window shares the relational twin's oracle (same
       // gap rule after the 1801-second strict-less adjustment)
       ("q_pipe_session_window" -> oracleSqlBase("q_pipe_sessions")) +
