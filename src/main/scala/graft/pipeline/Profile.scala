@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level data profiling — the pre-flight a pipeline runs before
+  * trusting a new data drop: row/null/distinct counts and min/max per
+  * column, ONE aggregation pass over the table (all columns' stats
+  * computed in a single partial-aggregable job — profiling 100 TB costs
+  * one scan, not one scan per column), melted to one row per column.
+  *
+  * min/max are surfaced as strings so heterogeneous columns share a
+  * schema; callers profile columns whose string forms are portable
+  * (integers, small decimals, timestamps, varchars).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val row = df.agg(aggs.head, aggs.drop(1): _*)
+    val entries = array(cols.map { c =>
+      struct(
+        lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        col(s"${c}__nn").as("n_nonnull"),
+        col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_s"),
+        col(s"${c}__mx").as("max_s"))
+    }: _*)
+    row.select(explode(entries).as("e")).select("e.*")
+      .orderBy("column_name")
+  }
+}

@@ -352,6 +352,20 @@ object PipelineQueries {
     // integer-exact mean scaled inverse probability
     "q_pipe_lm_score" -> ((s, dir) => LangModel.bigramScore(docs(s, dir))),
 
+    // heavy hitters without a vocabulary shuffle: per-partition
+    // Misra–Gries candidates + one exact broadcast-semi recount; equals
+    // the full groupBy whenever the k-th frequency clears tokens/capacity
+    // (the exact oracle asserts precisely that)
+    "q_pipe_heavy" -> ((s, dir) => TextOps.heavyHitters(docs(s, dir))),
+
+    // one-scan column profiling of the orders table (types chosen for
+    // portable string forms; see pipeline.Profile)
+    "q_pipe_profile" -> ((s, dir) => {
+      Profile.profile(s.read.parquet(s"$dir/orders.parquet"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))
+    }),
+
     // per-group deterministic HLL: distinct users per event type with
     // exact counts alongside for error inspection
     "q_pipe_hll_group" -> ((s, dir) => {
@@ -1640,6 +1654,36 @@ object PipelineQueries {
         | CAST(sum(inv) // count(*) AS BIGINT) AS ppl_proxy
         |FROM sc GROUP BY doc_id, lang
         |ORDER BY ppl_proxy ASC, doc_id LIMIT 25""".stripMargin,
+
+    // the two-phase heavy hitter result must equal the exact top-k
+    "q_pipe_heavy" ->
+      """SELECT w AS term, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents,
+        | unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)
+        |GROUP BY w ORDER BY cnt DESC, term LIMIT 50""".stripMargin,
+
+    "q_pipe_profile" ->
+      """WITH p AS (
+        | SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        | UNION ALL
+        | SELECT 'o_orderdate', count(*), count(o_orderdate), count(DISTINCT o_orderdate),
+        |  CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM orders
+        | UNION ALL
+        | SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM orders)
+        |SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_nonnull AS BIGINT) AS n_nonnull,
+        | CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+        |FROM p ORDER BY column_name""".stripMargin,
 
     // same pinned register math as q_pipe_hll, grouped
     "q_pipe_hll_group" ->

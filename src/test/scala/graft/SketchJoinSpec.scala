@@ -66,6 +66,28 @@ class SketchJoinSpec extends AnyFunSuite {
     assert(whole.getAs[Long]("est_hll") == again.getAs[Long]("est_hll"))
   }
 
+  test("heavyHitters ≡ exact top-k under Misra–Gries eviction pressure " +
+      "(5k distinct terms, capacity 64, Zipf-ish skew)") {
+    import graft.pipeline.TextOps
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // ~40 genuinely hot terms + a long tail of 5000 rare ones
+    def doc(): String = {
+      val hot = (0 until 30).map(_ => s"hot${rnd.nextInt(40)}")
+      val tail = (0 until 10).map(_ => s"rare${rnd.nextInt(5000)}")
+      rnd.shuffle(hot ++ tail).mkString(" ")
+    }
+    val docs = (0 until 2000).map(_ => doc()).toDF("text").repartition(8)
+    val fast = TextOps.heavyHitters(docs, k = 20, mgCapacity = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = docs
+      .select(explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(fast == exact)
+  }
+
   test("JL projection preserves neighborhood structure: planted near-dup " +
       "pairs stay far closer in the sketch than random pairs") {
     import graft.pipeline.Projection
