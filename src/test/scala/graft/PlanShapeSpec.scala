@@ -99,4 +99,63 @@ class PlanShapeSpec extends AnyFunSuite {
       p.getClass.getSimpleName.contains("ShuffledHashJoin")),
       "range join must plan as an equi-join on (bucket, keys)")
   }
+
+  test("bloomPrunedJoin: the bloom filter is applied to the fact side " +
+      "BELOW its exchange — pruned rows never shuffle") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
+    // Filter over LocalRelation away and hide the shape under test
+    val fact = spark.range(4000)
+      .select(pmod(col("id"), lit(1000L)).as("fk"), col("id").as("payload"))
+    val dim = spark.range(4000)
+      .select((col("id") * 5L).as("dk"), concat(lit("d"), col("id")).as("name"))
+    // keep the dim just over the broadcast-join path by disabling it: the
+    // operator targets the too-big-to-broadcast regime
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.operators.BloomJoin
+        .bloomPrunedJoin(fact, dim, "fk", "dk", expectedItems = 4000)
+      joined.collect()
+      val ns = nodes(joined)
+      // find the exchange whose subtree carries the fact payload: the
+      // bloom-filter predicate (a FilterExec with a ScalaUDF) must sit
+      // inside that subtree, i.e. the filter runs pre-shuffle
+      val factExchanges = ns.collect { case s: ShuffleExchangeExec
+        if s.child.schema.fieldNames.contains("payload") => s }
+      assert(factExchanges.nonEmpty, "expected a shuffled fact side")
+      factExchanges.foreach { ex =>
+        val hasUdfFilter = ex.child.collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("UDF") => f
+        }.nonEmpty
+        assert(hasUdfFilter,
+          s"bloom UDF filter must be below the fact exchange:\n${ex.child}")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("JL projection plans shuffle-free (row-local)") {
+    import spark.implicits._
+    val emb = (0 until 100)
+      .map(i => (i.toLong, Seq.fill(64)(0.25f * (i % 7))))
+      .toDF("vec_id", "embedding")
+    val proj = graft.pipeline.Projection.projectQ8(emb)
+    proj.collect()
+    assert(!nodes(proj).exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "projection must not shuffle")
+  }
+
+  test("funnel stages: all three aggregations partition by user_id only " +
+      "— no single-partition exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("q_pipe_funnel")(spark, dir)
+    q.collect()
+    val singles = nodes(q).collect { case s: ShuffleExchangeExec
+      if s.outputPartitioning.numPartitions == 1 &&
+        // the final 1-row stage-count crossJoin legitimately runs single;
+        // only flag single-partition exchanges that carry per-user rows
+        s.child.schema.fieldNames.contains("user_id") => s }
+    assert(singles.isEmpty,
+      s"per-user funnel stages must stay hash-partitioned: $singles")
+  }
 }
