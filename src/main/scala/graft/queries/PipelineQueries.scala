@@ -34,6 +34,18 @@ object PipelineQueries {
     * once per JVM (K pinned to 16 to share the q_pipe_knn_ivf oracle).
     * The memo IS the serving story: build once, answer every subsequent
     * query from the index — bench reps 2..n measure pure serving cost. */
+  /** Hive-style partitionBy(lang) copy of documents, written at most once
+    * per (JVM, sfDir) — the q_pipe_partitioned fixture. */
+  private val partitionedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedDocsDir(s: SparkSession, dir: String): String =
+    partitionedDirs.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_part_docs").toString
+      docs(s, d).write.mode("overwrite").partitionBy("lang").parquet(out)
+      out
+    })
+
   private val ivfIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexFor(s: SparkSession, dir: String): String =
@@ -351,6 +363,36 @@ object PipelineQueries {
     // add-one-smoothed model trained on the full corpus, docs ranked by
     // integer-exact mean scaled inverse probability
     "q_pipe_lm_score" -> ((s, dir) => LangModel.bigramScore(docs(s, dir))),
+
+    // hive-style partitioned layout: the corpus written partitionBy(lang)
+    // once per (JVM, sfDir), read back through a partition-pruned scan —
+    // the bread-and-butter 100 TB layout where a per-language query
+    // touches only its directory
+    "q_pipe_partitioned" -> ((s, dir) => {
+      val out = partitionedDocsDir(s, dir)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // edit-distance (Levenshtein) successor scan: the fuzzy-match metric
+    // over per-language consecutive doc pairs (first 120 chars — the
+    // O(len²) DP cost is capped by construction); candidate GENERATION at
+    // scale is the LSH family gated above, this pins the metric itself
+    "q_pipe_editdist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 120).as("t"))
+        .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("nt", lead(col("t"), 1).over(w))
+        .filter(col("nt").isNotNull)
+        .select(col("lang"), col("doc_id"), col("next_id"),
+          levenshtein(col("t"), col("nt")).cast("long").as("dist"))
+        .orderBy("lang", "doc_id")
+    }),
 
     // heavy hitters without a vocabulary shuffle: per-partition
     // Misra–Gries candidates + one exact broadcast-semi recount; equals
@@ -1654,6 +1696,26 @@ object PipelineQueries {
         | CAST(sum(inv) // count(*) AS BIGINT) AS ppl_proxy
         |FROM sc GROUP BY doc_id, lang
         |ORDER BY ppl_proxy ASC, doc_id LIMIT 25""".stripMargin,
+
+    // a partition-pruned read of the partitionBy(lang) layout must equal
+    // a plain filtered scan of the source table
+    "q_pipe_partitioned" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    // both engines implement plain (unit-cost) Levenshtein edit distance
+    "q_pipe_editdist" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, substr(text, 1, 120) AS t
+        | FROM documents WHERE doc_id < 300),
+        |w AS (
+        | SELECT lang, doc_id,
+        |        lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS next_id,
+        |        t, lead(t) OVER (PARTITION BY lang ORDER BY doc_id) AS nt
+        | FROM d)
+        |SELECT lang, doc_id, next_id, CAST(levenshtein(t, nt) AS BIGINT) AS dist
+        |FROM w WHERE nt IS NOT NULL
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // the two-phase heavy hitter result must equal the exact top-k
     "q_pipe_heavy" ->

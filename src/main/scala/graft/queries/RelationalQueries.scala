@@ -268,6 +268,36 @@ object RelationalQueries {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // set-operation surface: INTERSECT / EXCEPT / UNION DISTINCT over two
+    // customer key sets, reduced to (kind, n, key_sum) rows
+    "q_rel_setops" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val a = ord.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val b = ord.filter(col("o_totalprice") > 150000.0).select("o_custkey")
+      def stats(df: DataFrame, kind: String) =
+        df.agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("key_sum"))
+          .withColumn("kind", lit(kind)).select("kind", "n", "key_sum")
+      stats(a.intersect(b), "both")
+        .unionByName(stats(a.except(b), "urgent_only"))
+        .unionByName(stats(a.union(b).distinct(), "either"))
+        .orderBy("kind")
+    }),
+
+    // correlated EXISTS / NOT EXISTS in one predicate — decorrelates to a
+    // semi join and an anti join over the same orders scans
+    "q_rel_exists" -> ((s, dir) => {
+      s.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("g2_customer")
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("g2_orders")
+      s.sql(
+        """SELECT c_custkey FROM g2_customer c
+          |WHERE EXISTS (SELECT 1 FROM g2_orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          |  AND NOT EXISTS (SELECT 1 FROM g2_orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderpriority = '1-URGENT')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // lag/lead window surface: day gaps between consecutive orders and
     // the next order's exact-decimal price delta per customer
     "q_rel_lag" -> ((s, dir) => {
@@ -448,6 +478,30 @@ object RelationalQueries {
         | GROUP BY c_custkey) t
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_rel_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        |x AS (SELECT 'both' AS kind, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(o_custkey) AS BIGINT) AS key_sum
+        |      FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t
+        |      UNION ALL
+        |      SELECT 'urgent_only', CAST(count(*) AS BIGINT),
+        |        CAST(sum(o_custkey) AS BIGINT)
+        |      FROM (SELECT * FROM a EXCEPT SELECT * FROM b) t
+        |      UNION ALL
+        |      SELECT 'either', CAST(count(*) AS BIGINT),
+        |        CAST(sum(o_custkey) AS BIGINT)
+        |      FROM (SELECT DISTINCT o_custkey
+        |            FROM (SELECT * FROM a UNION ALL SELECT * FROM b) u) t)
+        |SELECT kind, n, key_sum FROM x ORDER BY kind""".stripMargin,
+    "q_rel_exists" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
     "q_rel_lag" ->
       """SELECT o_custkey, o_orderkey, gap_days, next_price_delta FROM (
         | SELECT o_custkey, o_orderkey,

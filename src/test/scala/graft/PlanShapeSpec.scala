@@ -134,6 +134,26 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("partitionBy(lang) layout: a lang-filtered read prunes to ONE " +
+      "hive partition at planning time") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    (0 until 300).map(i => (i.toLong, Seq("en", "de", "es")(i % 3), s"t$i"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val read = spark.read.parquet(out).filter(col("lang") === lit("de"))
+    read.collect()
+    val scans = nodes(read).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, "lang filter must prune partitions")
+      assert(f.selectedPartitions.partitionCount == 1,
+        s"expected 1 of 3 partitions, scanned ${f.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("JL projection plans shuffle-free (row-local)") {
     import spark.implicits._
     val emb = (0 until 100)
