@@ -315,6 +315,16 @@ object ArrayQueries {
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("hash")).as("n_blobs"))
     }),
+    // cell-level CDC between v1 and v2 (spark.VersionDiff): index-only
+    // change detection by content hash — only the single chunk v2
+    // rewrote is decoded (structural sharing drops the rest), and only
+    // the [25,35) band differs cell-wise
+    "q_arr_diff" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.VersionDiff
+        .diffCells(fx.store, "ev", "n", fx.evV1, fx.evV2)
+        .orderBy("h")
+    }),
     // zone-map VALUE-predicate chunk skipping through the DSv2 source:
     // `value >= 999` can only hold inside the 999-overlay band (plus any
     // hour whose raw count reaches 999), so planning drops every chunk
@@ -506,6 +516,19 @@ object ArrayQueries {
         |SELECT 'n', CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT),
         |       CAST(sum(v) AS BIGINT), CAST(count(*) AS BIGINT) FROM vn
         |ORDER BY varname""".stripMargin),
+    // old = v1 overlay (999 band then counts), new = 777 on [25,35);
+    // cells already equal (a count happening to be 777) drop from BOTH
+    // sides of the compare identically
+    "q_arr_diff" -> (cte +
+      """, dv AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS old_value,
+        |  CAST(777 AS BIGINT) AS new_value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h >= 25 AND g.h < 35)
+        |SELECT h, old_value, new_value FROM dv
+        |WHERE old_value <> new_value ORDER BY h""".stripMargin),
     "q_arr_skip" -> (cte +
       """, vv AS (
         | SELECT g.h AS h,
