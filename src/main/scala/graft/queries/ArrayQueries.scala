@@ -315,6 +315,38 @@ object ArrayQueries {
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("hash")).as("n_blobs"))
     }),
+    // SQL INSERT OVERWRITE end-to-end: the overwrite commits a
+    // per-variable REPLACE version — at latest, unwritten regions read
+    // fill (older overlays stop resolving); VERSION AS OF the pre-
+    // overwrite version still reads the full counts (append-only MVCC,
+    // nothing destroyed). Fixture work once per JVM (guarded).
+    "q_arr_sql_overwrite" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val h = fx.hours
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      if (!fx.store.datasetExists("sqlow")) {
+        import s.implicits._
+        ArrayFixtures.hourCounts(s, dir).toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }
+          .toDF("h", "value").createOrReplaceTempView("sqlow_src")
+        s.sql(s"""CREATE TABLE $cat.sqlow.e (h BIGINT, value BIGINT)
+          TBLPROPERTIES ('dims' = 'h:$h:64', 'fill' = '-1')""")
+        s.sql(s"INSERT INTO $cat.sqlow.e SELECT h, value FROM sqlow_src")
+        s.sql(s"""INSERT OVERWRITE $cat.sqlow.e
+          SELECT h, CAST(555 AS BIGINT) FROM sqlow_src WHERE h >= 5 AND h < 15""")
+      }
+      // versions reverse-chron: [overwrite, insert, create-ddl]
+      val preOverwrite = fx.store.versions("sqlow")(1)._2
+      s.sql(s"""
+        SELECT 'pre' AS era, h, value FROM $cat.sqlow.e VERSION AS OF $preOverwrite
+          WHERE h < 25
+        UNION ALL
+        SELECT 'post' AS era, h, value FROM $cat.sqlow.e WHERE h < 25
+        ORDER BY era, h""")
+    }),
     // cell-level CDC between v1 and v2 (spark.VersionDiff): index-only
     // change detection by content hash — only the single chunk v2
     // rewrote is decoded (structural sharing drops the rest), and only
@@ -516,6 +548,15 @@ object ArrayQueries {
         |SELECT 'n', CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT),
         |       CAST(sum(v) AS BIGINT), CAST(count(*) AS BIGINT) FROM vn
         |ORDER BY varname""".stripMargin),
+    "q_arr_sql_overwrite" -> (cte +
+      """SELECT 'post' AS era, g.h AS h,
+        | CASE WHEN g.h >= 5 AND g.h < 15 THEN 555 ELSE -1 END AS value
+        |FROM range(0,1000000) g(h) WHERE g.h < 25
+        |UNION ALL
+        |SELECT 'pre' AS era, g.h AS h, COALESCE(c.cnt, 0) AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25
+        |ORDER BY era, h""".stripMargin),
     // old = v1 overlay (999 band then counts), new = 777 on [25,35);
     // cells already equal (a count happening to be 777) drop from BOTH
     // sides of the compare identically

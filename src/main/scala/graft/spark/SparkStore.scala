@@ -107,6 +107,19 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   def reader(name: String): SparkDatasetReader = new SparkDatasetReader(this, name)
 
   /** V2 add-version (reference: src/io/mandoline.clj:143-158). */
+  /** addVersion whose committed version REPLACES `varName` (INSERT
+    * OVERWRITE semantics): at-or-after it, `varName` resolves from this
+    * version's writes alone — unwritten regions read fill; other
+    * variables and time travel below it are untouched. */
+  def addReplaceVersion(name: String, meta: DatasetMeta,
+      varName: String): SparkVersionWriter = {
+    require(meta.variables.contains(varName),
+      s"replace target $varName is not a variable of $name")
+    val w = addVersion(name, meta)
+    new SparkVersionWriter(this, name,
+      SparkStore.markReplace(w.meta, varName), w.parentMeta)
+  }
+
   def addVersion(name: String, meta: DatasetMeta): SparkVersionWriter = {
     val vs = versions(name)
     val parentMeta = vs.headOption.map { case (_, vid) => metadata(name, vid) }
@@ -644,9 +657,12 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     val committed = manifests.map(_._2).filter(_ <= upTo)
     // a checkpoint's index alone answers its point in time: admit only
     // versions at or after the newest checkpoint ≤ upTo, so resolve cost
-    // is O(changes since last compact), not O(version history)
+    // is O(changes since last compact), not O(version history). A
+    // per-variable REPLACE version (INSERT OVERWRITE) floors THIS
+    // variable the same way — older overlays of it stop resolving.
     val floor = manifests.collect {
-      case (_, vid, m) if vid <= upTo && SparkStore.isCheckpoint(m) => vid
+      case (_, vid, m) if vid <= upTo &&
+        (SparkStore.isCheckpoint(m) || SparkStore.isReplaceOf(m, varName)) => vid
     }.maxOption
     val admissible = committed.filter(v => floor.forall(v >= _)) ++
       includeUncommitted.toSeq
@@ -823,6 +839,32 @@ object SparkStore {
 
   private[spark] def isCheckpoint(m: DatasetMeta): Boolean =
     m.extra.exists(""""graft-checkpoint":true""".r.findFirstIn(_).isDefined)
+
+  /** Per-variable REPLACE marker (SQL `INSERT OVERWRITE` semantics): a
+    * version carrying `graft-replaces:[v]` is a resolve barrier for
+    * variable v ONLY — older overlays of v become invisible at-or-after
+    * it (unwritten regions read fill), while every other variable keeps
+    * its full overlay and time travel below the barrier still sees the
+    * old data. Mechanically the per-variable analog of the checkpoint
+    * floor. */
+  private[spark] def markReplace(m: DatasetMeta, varName: String): DatasetMeta = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.extra
+      .map(e => mapper.readTree(e).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(mapper.createObjectNode())
+    val arr = Option(node.get("graft-replaces")) match {
+      case Some(a: com.fasterxml.jackson.databind.node.ArrayNode) => a
+      case _ => node.putArray("graft-replaces")
+    }
+    arr.add(varName)
+    m.copy(extra = Some(mapper.writeValueAsString(node)))
+  }
+
+  private[spark] def isReplaceOf(m: DatasetMeta, varName: String): Boolean =
+    m.extra.exists { e =>
+      """"graft-replaces":\[([^\]]*)\]""".r.findFirstMatchIn(e)
+        .exists(_.group(1).contains("\"" + varName + "\""))
+    }
 }
 
 /** Time-travel reader over a Spark store (V5,
@@ -1291,7 +1333,11 @@ final class SparkVersionWriter(store: SparkStore, name: String,
     //    the semi-join + blob join entirely; the cogroup below then sees
     //    an empty base side and folds fragments onto fill.
     val baseChunks: Dataset[(String, Array[Byte])] =
-      if (!store.hasIndexData(name, varN, meta.parent, vid))
+      if (!store.hasIndexData(name, varN, meta.parent, vid) ||
+          // REPLACE version (INSERT OVERWRITE): merge against FILL, never
+          // the parent — the committed version must contain only this
+          // write's cells, with everything else reading as fill
+          SparkStore.isReplaceOf(meta, varN))
         spark.emptyDataset[(String, Array[Byte])]
       else {
         // touched chunk coordinates, computed WITHOUT shuffling slab bytes —

@@ -197,14 +197,20 @@ private[source] class GraftTable(options: Map[String, String])
   * whole DataFrame to route through the existing distributed plan.
   * SaveMode.Append and Overwrite behave identically (MVCC versions are
   * append-only; the new version shadows written coordinates). */
-private[source] class GraftWriteBuilder(r: Resolved)
+private[source] class GraftWriteBuilder(r: Resolved,
+    replace: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = this // MVCC append-only: same plan
+  // INSERT OVERWRITE: still an MVCC append (no data is destroyed), but
+  // the committed version carries a per-variable REPLACE barrier — older
+  // overlays of THIS variable stop resolving at-or-after it, unwritten
+  // regions read fill, other variables and time travel are untouched
+  override def truncate(): WriteBuilder = new GraftWriteBuilder(r, replace = true)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
-            overwrite: Boolean): Unit = GraftCellIngest.ingest(r, data)
+            overwrite: Boolean): Unit =
+          GraftCellIngest.ingest(r, data, replace = replace)
       }
   }
 }
@@ -219,7 +225,8 @@ private[source] object GraftCellIngest {
     * transformed exploded view — become long slab rows instead of
     * per-cell fragments); the one-shuffle cogroup in writeRows then
     * merges runs onto base chunks. */
-  def ingest(r: Resolved, data: org.apache.spark.sql.DataFrame): Unit = {
+  def ingest(r: Resolved, data: org.apache.spark.sql.DataFrame,
+      replace: Boolean = false): Unit = {
     val dims = r.dims
     val rank = dims.length
     val variable = r.variable
@@ -326,6 +333,9 @@ private[source] object GraftCellIngest {
         }
       }
     }.toDF("start", "stop", "bytes", "seq")
+    def open(base: DatasetMeta) =
+      if (replace) r.store.addReplaceVersion(r.dataset, base, variable)
+      else r.store.addVersion(r.dataset, base)
     val w =
       if (r.create) {
         // create-if-absent: dataset + v1 in one shot from the proposed
@@ -341,19 +351,19 @@ private[source] object GraftCellIngest {
           try r.store.create(r.dataset)
           catch { case _: IllegalStateException => () } // lost the race
         r.store.versions(r.dataset).headOption match {
-          case None => r.store.addVersion(r.dataset, r.meta)
+          case None => open(r.meta)
           case Some((_, vid)) =>
             val latest = r.store.metadata(r.dataset, vid)
             DatasetMeta.inherit(r.meta, latest) // frozen attrs must agree
             require(r.meta.dimensions == latest.dimensions,
               s"graft write: dataset ${r.dataset} was committed concurrently " +
                 s"with extent ${latest.dimensions} != proposed ${r.meta.dimensions}")
-            r.store.addVersion(r.dataset, latest)
+            open(latest)
         }
       } else {
         val vs = r.store.versions(r.dataset)
         require(vs.nonEmpty, s"dataset ${r.dataset} has no committed versions")
-        r.store.addVersion(r.dataset, r.store.metadata(r.dataset, vs.head._2))
+        open(r.store.metadata(r.dataset, vs.head._2))
       }
     w.writeRows(variable, slabRows)
     w.finishVersion()

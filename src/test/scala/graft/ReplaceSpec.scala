@@ -1,0 +1,70 @@
+package graft
+
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.{SparkStore, VersionDiff}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-variable REPLACE versions (INSERT OVERWRITE semantics). */
+class ReplaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def meta2 = DatasetMeta(
+    dimensions = Map("h" -> 20L),
+    chunkDimensions = Map("h" -> 8L),
+    variables = Map(
+      "a" -> VariableDef("long", Vector("h"), -1.0),
+      "b" -> VariableDef("long", Vector("h"), -1.0)))
+
+  private def readAll(store: SparkStore, v: Long, varName: String): Seq[Long] =
+    store.reader("d").onVersion(v)
+      .exploded(varName, Slice(Seq(0L), Seq(20L)))
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+
+  test("replace truncates ONLY its variable; time travel keeps the old " +
+      "overlay; diff sees removed cells as value→fill") {
+    val store = new SparkStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_repl").toString)
+    store.create("d")
+    val w1 = store.addVersion("d", meta2)
+    w1.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(20L)), (0 until 20).map(_ * 2.0))))
+    w1.write("b", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(20L)), 7.0)))
+    val v1 = w1.finishVersion()
+    Thread.sleep(2)
+    val w2 = store.addReplaceVersion("d", meta2, "a")
+    w2.write("a", Seq(Slab.empty(DType.LONG, Slice(Seq(5L), Seq(7L)), 99.0)))
+    val v2 = w2.finishVersion()
+
+    // a at v2: only the overwrite's cells; everything else fill
+    assert(readAll(store, v2, "a") ==
+      (0 until 20).map(h => if (h == 5 || h == 6) 99L else -1L))
+    // b at v2: untouched full overlay (the barrier is per-variable)
+    assert(readAll(store, v2, "b") == Seq.fill(20)(7L))
+    // time travel below the barrier: a's old overlay intact
+    assert(readAll(store, v1, "a") == (0 until 20).map(_ * 2L))
+    // CDC across the replace: every cell that changed, including
+    // value→fill transitions outside the overwrite slab
+    val d = VersionDiff.diffCells(store, "d", "a", v1, v2)
+    assert(d.count() == 20L) // h=5: 10→99, h=6: 12→99, others → fill (h0: 0 → -1 changes too)
+  }
+
+  test("replace then compact: the checkpoint preserves replace semantics") {
+    val store = new SparkStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_repl2").toString)
+    store.create("d")
+    val w1 = store.addVersion("d", meta2)
+    w1.write("a", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(20L)), 3.0)))
+    w1.write("b", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(20L)), 4.0)))
+    w1.finishVersion()
+    Thread.sleep(2)
+    val w2 = store.addReplaceVersion("d", meta2, "a")
+    w2.write("a", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(2L)), 9.0)))
+    w2.finishVersion()
+    store.compact("d")
+    val latest = store.versions("d").head._2
+    assert(readAll(store, latest, "a") ==
+      (0 until 20).map(h => if (h < 2) 9L else -1L))
+    assert(readAll(store, latest, "b") == Seq.fill(20)(4L))
+  }
+}
