@@ -683,8 +683,31 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // emitted (silently skipping it would lose data). "Needed" is
     // detected by walking the checkpoint's parent chain down to the
     // tailer's offset: a missing link means expired history.
+    // A REPLACE version (INSERT OVERWRITE) is a semantic reset of its
+    // variable: coordinates written before it and not by it revert to
+    // fill. A tailer with NO prior state (fromExclusive = 0, fresh
+    // backfill) simply resolves from the newest replace onward — the
+    // same floor the batch path applies. A tailer WITH prior state
+    // cannot be repaired by a delta (no tombstones in the overlay
+    // model); silently emitting the replace's chunks would leave it
+    // permanently stale on the reverted region — fail loudly and let it
+    // restart at the replace version with a fresh full load (same
+    // contract as expired-history time travel).
+    val replaceFloor = manifests.collect {
+      case (_, vid, m) if vid > fromExclusive && vid <= toInclusive &&
+        SparkStore.isReplaceOf(m, varName) => vid
+    }.maxOption
+    replaceFloor.foreach { r =>
+      if (fromExclusive > 0L)
+        throw new IllegalStateException(
+          s"streaming tail of $name/$varName crosses REPLACE version $r " +
+            "(INSERT OVERWRITE): deltas cannot express the implied " +
+            "reset-to-fill — restart the stream at or after the replace " +
+            s"version (startingVersion=$r)")
+    }
     val admissible = manifests.collect {
       case (_, vid, m) if vid > fromExclusive && vid <= toInclusive &&
+        replaceFloor.forall(vid >= _) &&
         (!SparkStore.isCheckpoint(m) ||
           !chainIntactBelow(m, fromExclusive, byId)) => vid
     }
