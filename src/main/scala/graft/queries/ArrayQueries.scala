@@ -315,6 +315,36 @@ object ArrayQueries {
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct(col("hash")).as("n_blobs"))
     }),
+    // SQL DELETE end-to-end: deleting a dim-range region commits a new
+    // version whose write is fill over that envelope (MVCC append-only
+    // — VERSION AS OF below still reads the data); reads at latest see
+    // fill in [10,20), data elsewhere
+    "q_arr_sql_delete" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val h = fx.hours
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      if (!fx.store.datasetExists("sqldel")) {
+        import s.implicits._
+        ArrayFixtures.hourCounts(s, dir).toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }
+          .toDF("h", "value").createOrReplaceTempView("sqldel_src")
+        s.sql(s"""CREATE TABLE $cat.sqldel.e (h BIGINT, value BIGINT)
+          TBLPROPERTIES ('dims' = 'h:$h:64', 'fill' = '-1')""")
+        s.sql(s"INSERT INTO $cat.sqldel.e SELECT h, value FROM sqldel_src")
+        s.sql(s"DELETE FROM $cat.sqldel.e WHERE h >= 10 AND h < 20")
+      }
+      // versions reverse-chron: [delete, insert, create-ddl]
+      val preDelete = fx.store.versions("sqldel")(1)._2
+      s.sql(s"""
+        SELECT 'pre' AS era, h, value FROM $cat.sqldel.e VERSION AS OF $preDelete
+          WHERE h < 25
+        UNION ALL
+        SELECT 'post' AS era, h, value FROM $cat.sqldel.e WHERE h < 25
+        ORDER BY era, h""")
+    }),
     // SQL INSERT OVERWRITE end-to-end: the overwrite commits a
     // per-variable REPLACE version — at latest, unwritten regions read
     // fill (older overlays stop resolving); VERSION AS OF the pre-
@@ -548,6 +578,17 @@ object ArrayQueries {
         |SELECT 'n', CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT),
         |       CAST(sum(v) AS BIGINT), CAST(count(*) AS BIGINT) FROM vn
         |ORDER BY varname""".stripMargin),
+    "q_arr_sql_delete" -> (cte +
+      """SELECT 'post' AS era, g.h AS h,
+        | CASE WHEN g.h >= 10 AND g.h < 20 THEN -1
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25
+        |UNION ALL
+        |SELECT 'pre' AS era, g.h AS h, COALESCE(c.cnt, 0) AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25
+        |ORDER BY era, h""".stripMargin),
     "q_arr_sql_overwrite" -> (cte +
       """SELECT 'post' AS era, g.h AS h,
         | CASE WHEN g.h >= 5 AND g.h < 15 THEN 555 ELSE -1 END AS value

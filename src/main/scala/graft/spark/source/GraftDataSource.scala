@@ -166,8 +166,99 @@ private[source] object GraftSource {
 }
 
 private[source] class GraftTable(options: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private lazy val resolved = GraftSource.resolve(options)
+
+  /** SQL `DELETE FROM …` for a dense versioned array: deleting a region
+    * means "reads return fill there" — committed as a NEW version whose
+    * write is a fill-valued slab over the predicate's envelope (MVCC
+    * append-only; time travel below still sees the data, vacuum after
+    * expireHistory reclaims it). Only predicates that EXACTLY describe a
+    * hyper-rectangle (conjunctions of dim range/equality) are accepted —
+    * anything else must be rejected up front or the fill write would
+    * delete a superset. */
+  private def deleteEnvelope(filters: Array[Filter]): Option[(Array[Long], Array[Long])] = {
+    val r = resolved
+    val dims = r.dims
+    val lo = Array.fill(dims.size)(0L)
+    val hi = dims.map(r.meta.dimensions(_)).toArray
+    val ok = filters.forall {
+      case GreaterThan(a, v: Number) if dims.contains(a) =>
+        val i = dims.indexOf(a)
+        lo(i) = math.max(lo(i), GraftScanBuilder.incSat(v.longValue)); true
+      case GreaterThanOrEqual(a, v: Number) if dims.contains(a) =>
+        val i = dims.indexOf(a); lo(i) = math.max(lo(i), v.longValue); true
+      case LessThan(a, v: Number) if dims.contains(a) =>
+        val i = dims.indexOf(a); hi(i) = math.min(hi(i), v.longValue); true
+      case LessThanOrEqual(a, v: Number) if dims.contains(a) =>
+        val i = dims.indexOf(a)
+        hi(i) = math.min(hi(i), GraftScanBuilder.incSat(v.longValue)); true
+      case EqualTo(a, v: Number) if dims.contains(a) =>
+        val i = dims.indexOf(a)
+        lo(i) = math.max(lo(i), v.longValue)
+        hi(i) = math.min(hi(i), GraftScanBuilder.incSat(v.longValue)); true
+      case _ => false
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteEnvelope(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (lo, hi) = deleteEnvelope(filters).getOrElse(throw
+      new UnsupportedOperationException(
+        "graft DELETE supports only conjunctions of dimension " +
+          "range/equality predicates (a hyper-rectangular region)"))
+    if ((0 until lo.length).exists(i => lo(i) >= hi(i))) return // empty region
+    val r = resolved
+    val vs = r.store.versions(r.dataset)
+    require(vs.nonEmpty, s"dataset ${r.dataset} has no committed versions")
+    val w = r.store.addVersion(r.dataset,
+      r.store.metadata(r.dataset, vs.head._2))
+    val rank = lo.length
+    if (rank == 0) {
+      w.write(r.variable, Seq(graft.core.Slab.empty(
+        r.meta.dtype(r.variable),
+        graft.core.Slice(Seq.empty[Long], Seq.empty[Long]),
+        r.meta.fill(r.variable))))
+    } else {
+      // fill rows are generated ON EXECUTORS, one per covering chunk
+      // (clipped to the envelope) — a 100 TB-region delete never builds
+      // a region-sized buffer on the driver, and all-fill chunk blobs
+      // content-dedup to one blob in the store
+      val grid = r.meta.chunkGridSlice(r.variable)
+      val steps = (0 until rank).map(i => grid.step(i)).toArray
+      val cLo = (0 until rank).map(i => Math.floorDiv(lo(i), steps(i))).toArray
+      val counts = (0 until rank)
+        .map(i => Math.floorDiv(hi(i) - 1, steps(i)) - cLo(i) + 1).toArray
+      val total = counts.map(_.toLong).product
+      val dtName = r.meta.dtype(r.variable).name
+      val fillV = r.meta.fill(r.variable)
+      val (loB, hiB) = (lo.clone(), hi.clone())
+      val spark = SparkSession.active
+      import spark.implicits._
+      val slabRows = spark.range(total).map { linear =>
+        var rem = linear
+        val start = new Array[Long](rank)
+        val stop = new Array[Long](rank)
+        var i = rank - 1
+        while (i >= 0) {
+          val c = cLo(i) + rem % counts(i); rem /= counts(i)
+          start(i) = math.max(loB(i), c * steps(i))
+          stop(i) = math.min(hiB(i), (c + 1) * steps(i))
+          i -= 1
+        }
+        val slab = graft.core.Slab.empty(graft.core.DType(dtName),
+          graft.core.Slice(start.toIndexedSeq, stop.toIndexedSeq), fillV)
+        (start, stop, slab.bytes, linear)
+      }.toDF("start", "stop", "bytes", "seq")
+      w.writeRows(r.variable, slabRows)
+    }
+    w.finishVersion()
+    ()
+  }
   override def name(): String =
     s"graft:${options.getOrElse("dataset", "?")}/${options.getOrElse("variable", "?")}"
   override def schema(): StructType = resolved.schema

@@ -49,6 +49,38 @@ class ReplaceSpec extends AnyFunSuite {
     assert(d.count() == 20L) // h=5: 10→99, h=6: 12→99, others → fill (h0: 0 → -1 changes too)
   }
 
+  test("SQL DELETE: non-rectangular predicates are rejected up front; " +
+      "a rectangular delete reads back as fill and time-travels") {
+    val root = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("h" -> 20L), Map("h" -> 8L),
+      Map("a" -> VariableDef("long", Vector("h"), -1.0)))
+    val w1 = store.addVersion("d", m)
+    w1.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(20L)), (0 until 20).map(_ * 1.0))))
+    val v1 = w1.finishVersion()
+    val cat = "graft_" +
+      java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // value predicates aren't a rectangle — must fail, not over-delete
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.d.a WHERE value > 5")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    spark.sql(s"DELETE FROM $cat.d.a WHERE h >= 3 AND h <= 4")
+    val latest = store.versions("d").head._2
+    val got = store.reader("d").onVersion(latest)
+      .exploded("a", Slice(Seq(0L), Seq(20L)))
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    assert(got == (0 until 20).map(h => if (h == 3 || h == 4) -1L else h.toLong))
+    val old = store.reader("d").onVersion(v1)
+      .exploded("a", Slice(Seq(0L), Seq(20L)))
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    assert(old == (0 until 20).map(_.toLong))
+  }
+
   test("replace then compact: the checkpoint preserves replace semantics") {
     val store = new SparkStore(spark,
       java.nio.file.Files.createTempDirectory("graft_repl2").toString)
