@@ -377,6 +377,75 @@ object ArrayQueries {
         SELECT 'post' AS era, h, value FROM $cat.sqlow.e WHERE h < 25
         ORDER BY era, h""")
     }),
+    // SQL UPDATE end-to-end (delta-based row-level DSv2 path,
+    // GraftRowLevel.scala): matched cells are scanned, the assignment is
+    // applied, and the new cell values commit as ONE new overlay version
+    // through the ordinary one-shuffle distributed write — VERSION AS OF
+    // below the update still reads the originals (append-only MVCC)
+    "q_arr_sql_update" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val h = fx.hours
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      if (!fx.store.datasetExists("sqlupd")) {
+        import s.implicits._
+        ArrayFixtures.hourCounts(s, dir).toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }
+          .toDF("h", "value").createOrReplaceTempView("sqlupd_src")
+        s.sql(s"""CREATE TABLE $cat.sqlupd.e (h BIGINT, value BIGINT)
+          TBLPROPERTIES ('dims' = 'h:$h:64', 'fill' = '-1')""")
+        s.sql(s"INSERT INTO $cat.sqlupd.e SELECT h, value FROM sqlupd_src")
+        s.sql(s"UPDATE $cat.sqlupd.e SET value = value * 3 + 1 " +
+          "WHERE h >= 10 AND h < 20")
+      }
+      // versions reverse-chron: [update, insert, create-ddl]
+      val preUpdate = fx.store.versions("sqlupd")(1)._2
+      s.sql(s"""
+        SELECT 'pre' AS era, h, value FROM $cat.sqlupd.e VERSION AS OF $preUpdate
+          WHERE h < 25
+        UNION ALL
+        SELECT 'post' AS era, h, value FROM $cat.sqlupd.e WHERE h < 25
+        ORDER BY era, h""")
+    }),
+    // SQL MERGE INTO end-to-end: the dense-array matching rule (every
+    // in-extent coordinate exists, so source rows always MATCH), a
+    // conditional matched DELETE (reads as fill), and a matched UPDATE
+    // taking the source's value — one new version for the whole MERGE
+    "q_arr_sql_merge" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val h = fx.hours
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      if (!fx.store.datasetExists("sqlmrg")) {
+        import s.implicits._
+        ArrayFixtures.hourCounts(s, dir).toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }
+          .toDF("h", "value").createOrReplaceTempView("sqlmrg_src")
+        s.sql(s"""CREATE TABLE $cat.sqlmrg.e (h BIGINT, value BIGINT)
+          TBLPROPERTIES ('dims' = 'h:$h:64', 'fill' = '-1')""")
+        s.sql(s"INSERT INTO $cat.sqlmrg.e SELECT h, value FROM sqlmrg_src")
+        s.sql(s"""
+          MERGE INTO $cat.sqlmrg.e t
+          USING (SELECT h, value * 10 AS v FROM sqlmrg_src
+                 WHERE h >= 5 AND h < 15) s
+          ON t.h = s.h
+          WHEN MATCHED AND s.v % 20 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET value = s.v
+          WHEN NOT MATCHED THEN INSERT (h, value) VALUES (s.h, s.v)""")
+      }
+      // versions reverse-chron: [merge, insert, create-ddl]
+      val preMerge = fx.store.versions("sqlmrg")(1)._2
+      s.sql(s"""
+        SELECT 'pre' AS era, h, value FROM $cat.sqlmrg.e VERSION AS OF $preMerge
+          WHERE h < 25
+        UNION ALL
+        SELECT 'post' AS era, h, value FROM $cat.sqlmrg.e WHERE h < 25
+        ORDER BY era, h""")
+    }),
     // cell-level CDC between v1 and v2 (spark.VersionDiff): index-only
     // change detection by content hash — only the single chunk v2
     // rewrote is decoded (structural sharing drops the rest), and only
@@ -582,6 +651,30 @@ object ArrayQueries {
       """SELECT 'post' AS era, g.h AS h,
         | CASE WHEN g.h >= 10 AND g.h < 20 THEN -1
         |      ELSE COALESCE(c.cnt, 0) END AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25
+        |UNION ALL
+        |SELECT 'pre' AS era, g.h AS h, COALESCE(c.cnt, 0) AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25
+        |ORDER BY era, h""".stripMargin),
+    "q_arr_sql_update" -> (cte +
+      """SELECT 'post' AS era, g.h AS h,
+        | CASE WHEN g.h >= 10 AND g.h < 20 THEN COALESCE(c.cnt, 0) * 3 + 1
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25
+        |UNION ALL
+        |SELECT 'pre' AS era, g.h AS h, COALESCE(c.cnt, 0) AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25
+        |ORDER BY era, h""".stripMargin),
+    "q_arr_sql_merge" -> (cte +
+      """SELECT 'post' AS era, g.h AS h,
+        | CASE WHEN g.h >= 5 AND g.h < 15 THEN
+        |   CASE WHEN COALESCE(c.cnt, 0) % 2 = 0 THEN -1
+        |        ELSE COALESCE(c.cnt, 0) * 10 END
+        | ELSE COALESCE(c.cnt, 0) END AS value
         |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
         |WHERE g.h < 25
         |UNION ALL

@@ -167,7 +167,8 @@ private[source] object GraftSource {
 
 private[source] class GraftTable(options: Map[String, String])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private lazy val resolved = GraftSource.resolve(options)
 
   /** SQL `DELETE FROM …` for a dense versioned array: deleting a region
@@ -259,6 +260,20 @@ private[source] class GraftTable(options: Map[String, String])
     w.finishVersion()
     ()
   }
+  /** SQL `UPDATE` / `MERGE INTO` / value-predicate `DELETE` — see
+    * [[GraftRowLevelOperation]]. Rectangular DELETEs still resolve to the
+    * scan-free `deleteWhere` above via Spark's metadata-only-delete
+    * optimization; everything else scans matched rows and commits cell
+    * deltas (deletes as fill) through the ordinary distributed write. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!options.contains("version"),
+      "graft DML: the 'version' option is read-only time travel; " +
+        "row-level operations always commit a NEW version on top of the latest")
+    new GraftRowLevelOperationBuilder(options, info)
+  }
+
   override def name(): String =
     s"graft:${options.getOrElse("dataset", "?")}/${options.getOrElse("variable", "?")}"
   override def schema(): StructType = resolved.schema

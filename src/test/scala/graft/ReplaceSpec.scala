@@ -49,8 +49,9 @@ class ReplaceSpec extends AnyFunSuite {
     assert(d.count() == 20L) // h=5: 10→99, h=6: 12→99, others → fill (h0: 0 → -1 changes too)
   }
 
-  test("SQL DELETE: non-rectangular predicates are rejected up front; " +
-      "a rectangular delete reads back as fill and time-travels") {
+  test("SQL DELETE: a rectangular delete is metadata-only, reads back as " +
+      "fill, and time-travels; a value predicate routes to the row-level " +
+      "path and fills exactly the matched cells") {
     val root = java.nio.file.Files.createTempDirectory("graft_del").toString
     val store = new SparkStore(spark, root)
     store.create("d")
@@ -64,17 +65,22 @@ class ReplaceSpec extends AnyFunSuite {
       java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-    // value predicates aren't a rectangle — must fail, not over-delete
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.d.a WHERE value > 5")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"))
+    // value predicates aren't a rectangle: the row-level (WriteDelta)
+    // path scans the matched cells and fills exactly those — never the
+    // bounding envelope (RowLevelDmlSpec pins the plan shapes)
+    spark.sql(s"DELETE FROM $cat.d.a WHERE value > 17")
+    val afterPred = store.versions("d").head._2
+    val gotPred = store.reader("d").onVersion(afterPred)
+      .exploded("a", Slice(Seq(0L), Seq(20L)))
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    assert(gotPred == (0 until 20).map(h => if (h > 17) -1L else h.toLong))
     spark.sql(s"DELETE FROM $cat.d.a WHERE h >= 3 AND h <= 4")
     val latest = store.versions("d").head._2
     val got = store.reader("d").onVersion(latest)
       .exploded("a", Slice(Seq(0L), Seq(20L)))
       .orderBy("h").collect().map(_.getLong(1)).toSeq
-    assert(got == (0 until 20).map(h => if (h == 3 || h == 4) -1L else h.toLong))
+    assert(got == (0 until 20).map(h =>
+      if (h == 3 || h == 4 || h > 17) -1L else h.toLong))
     val old = store.reader("d").onVersion(v1)
       .exploded("a", Slice(Seq(0L), Seq(20L)))
       .orderBy("h").collect().map(_.getLong(1)).toSeq
