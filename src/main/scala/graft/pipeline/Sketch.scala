@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic cardinality sketches: KMV (k minimum values) and a
@@ -174,4 +174,42 @@ object Sketch {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .groupBy("cnt").agg(count(lit(1)).as("n_terms"))
       .orderBy("cnt").limit(k)
+
+  /** Count–min sketch over the corpus token stream, with the estimates
+    * read back for a deterministic query set and the exact counts
+    * alongside (CMS guarantee: `est >= exact`, equality when no bucket
+    * collisions — both engines verify it row by row).
+    *
+    * Hash j of term t = first 8 md5 hex chars of "j:t" mod `width` —
+    * integer-exact and replicated verbatim in the DuckDB oracle. The
+    * sketch build is ONE map-side-combinable aggregation whose result is
+    * at most `depth × width` rows regardless of corpus size; that is the
+    * whole point at 100 TB — a 4×1024 integer table answers frequency
+    * queries over any token stream, and sketches from different
+    * partitions/days merge by cell-wise addition. The query terms here
+    * (first `qTerms` distinct tokens of length ≥ `minLen`) keep the gate
+    * deterministic; a production caller passes its own terms. */
+  def countMinEstimates(docs: DataFrame, width: Int = 1024, depth: Int = 4,
+      qTerms: Int = 20, minLen: Int = 5): DataFrame = {
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+    def bucket(j: Column, w: Column): Column =
+      pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), w)), 1, 8),
+        16, 10).cast("long"), lit(width.toLong))
+    val depths = array((0 until depth).map(lit): _*)
+    val sketch = toks
+      .select(explode(depths).as("j"), col("w"))
+      .select(col("j"), bucket(col("j"), col("w")).as("bucket"))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+    val qt = toks.filter(length(col("w")) >= minLen).select("w").distinct()
+      .orderBy("w").limit(qTerms)
+    val est = qt.crossJoin(sketch.sparkSession.range(depth).toDF("qj"))
+      .select(col("w"), col("qj"), bucket(col("qj"), col("w")).as("qbucket"))
+      .join(sketch, col("qj") === col("j") && col("qbucket") === col("bucket"),
+        "left")
+      .groupBy(col("w").as("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+    val exact = toks.groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("term")).orderBy("term")
+  }
 }

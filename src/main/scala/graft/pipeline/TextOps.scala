@@ -356,6 +356,48 @@ object TextOps {
       .limit(k)
   }
 
+  /** Cross-document boilerplate detection (the line-dedup pass of
+    * CCNet-style curation): a document is segmented into NON-overlapping
+    * `segLen`-token units (the "lines" of newline-free text; the trailing
+    * remainder < segLen is kept as content), a unit whose document
+    * frequency reaches `dfThreshold` is boilerplate (headers, footers,
+    * navigation chrome — text repeated verbatim across many documents),
+    * and each document reports how much of it would be stripped.
+    *
+    * Scale shape: one shuffle builds the (segment → distinct-doc count)
+    * table; only segments at-or-over the threshold survive the filter —
+    * by construction a SMALL set (each needs ≥ dfThreshold distinct docs,
+    * so |boiler| ≤ total_segments / dfThreshold) — and the recount joins
+    * the per-doc segment stream against that small side (broadcast-sized
+    * in practice; Spark's AQE broadcasts it from its runtime size). The
+    * document text itself is never shuffled. */
+  def boilerplateStats(docs: DataFrame, segLen: Int = 3,
+      dfThreshold: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    // sequence(0, -1) would generate a DESCENDING range, so a document
+    // shorter than segLen must short-circuit to zero segments explicitly
+    val segs = toks.select(col("doc_id"),
+        explode(expr(s"CASE WHEN size(ts) >= $segLen THEN " +
+          s"transform(sequence(0, CAST(size(ts)/$segLen AS INT) - 1), " +
+          s"i -> array_join(slice(ts, i*$segLen + 1, $segLen), ' ')) " +
+          "ELSE array() END")).as("seg"))
+    val boiler = segs.distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= dfThreshold)
+      .select("seg")
+    val perDoc = segs.join(boiler, Seq("seg"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    toks.select(col("doc_id"),
+        (size(col("ts")) / segLen).cast("long").as("n_seg"),
+        size(col("ts")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        (col("n_tokens") - lit(segLen.toLong) *
+          coalesce(col("n_boiler"), lit(0L))).as("n_tokens_clean"))
+      .orderBy("doc_id")
+  }
+
   def postingLists(docs: DataFrame, k: Int = 50,
       maxPostings: Int = 8): DataFrame = {
     val words = docs

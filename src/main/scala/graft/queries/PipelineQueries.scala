@@ -497,6 +497,17 @@ object PipelineQueries {
     }),
     // Zipf diagnostic: count-of-counts over the term frequencies
     "q_pipe_freq_spectrum" -> ((s, dir) => Sketch.termFrequencySpectrum(docs(s, dir))),
+
+    // count–min sketch: 4×1024 integer cell table over the token stream,
+    // estimates read back for a deterministic query-term set with exact
+    // counts alongside (est >= exact always; the oracle recomputes the
+    // identical md5-derived bucket math)
+    "q_pipe_cms" -> ((s, dir) => Sketch.countMinEstimates(docs(s, dir))),
+
+    // cross-document boilerplate (CCNet line-dedup analog): 3-token
+    // non-overlapping segments with document frequency >= 20 are
+    // boilerplate; per doc, how many segments would be stripped
+    "q_pipe_boilerplate" -> ((s, dir) => TextOps.boilerplateStats(docs(s, dir))),
     // TF-IDF term ranking (1/df idf — exactly-rounded division, no libm)
     "q_pipe_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(docs(s, dir).filter(col("doc_id") < 100))),
@@ -1866,6 +1877,51 @@ object PipelineQueries {
         | GROUP BY w)
         |SELECT cnt, CAST(count(*) AS BIGINT) AS n_terms
         |FROM tc GROUP BY cnt ORDER BY cnt LIMIT 50""".stripMargin,
+
+    // count–min sketch replicated cell-for-cell: same md5 bucket hash,
+    // same 4×1024 table, min over depths per query term
+    "q_pipe_cms" ->
+      """WITH toks AS (
+        | SELECT w FROM documents,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) t(w)),
+        |ds AS (SELECT unnest(range(4)) AS j),
+        |sk AS (
+        | SELECT j, CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', w)), 1, 8)) AS BIGINT) % 1024 AS bucket,
+        |        count(*) AS cnt
+        | FROM toks, ds GROUP BY 1, 2),
+        |qt AS (SELECT DISTINCT w FROM toks WHERE length(w) >= 5 ORDER BY w LIMIT 20),
+        |qb AS (
+        | SELECT q.w AS term, ds.j AS j,
+        |  CAST(concat('0x', substr(md5(concat(CAST(ds.j AS VARCHAR), ':', q.w)), 1, 8)) AS BIGINT) % 1024 AS bucket
+        | FROM qt q CROSS JOIN ds),
+        |est AS (
+        | SELECT qb.term, min(COALESCE(sk.cnt, 0)) AS est
+        | FROM qb LEFT JOIN sk ON sk.j = qb.j AND sk.bucket = qb.bucket
+        | GROUP BY 1),
+        |ex AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY 1)
+        |SELECT e.term, e.est, x.exact_cnt
+        |FROM est e JOIN ex x USING (term) ORDER BY term""".stripMargin,
+
+    // boilerplate segments: 3-token non-overlapping units, df >= 20
+    "q_pipe_boilerplate" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        | FROM documents),
+        |segs AS (
+        | SELECT doc_id, array_to_string(ts[(i*3 + 1):(i*3 + 3)], ' ') AS seg
+        | FROM toks, unnest(range(CAST(floor(len(ts)/3) AS BIGINT))) r(i)),
+        |boiler AS (
+        | SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM segs)
+        | GROUP BY seg HAVING count(*) >= 20),
+        |pd AS (
+        | SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        | FROM segs s JOIN boiler b USING (seg) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(floor(len(ts)/3) AS BIGINT) AS n_seg,
+        |  COALESCE(pd.n_boiler, 0) AS n_boiler,
+        |  len(ts) - 3 * COALESCE(pd.n_boiler, 0) AS n_tokens_clean
+        |FROM toks t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // top-100 vocabulary by raw token frequency, tie-break by word
     "q_pipe_vocab" ->

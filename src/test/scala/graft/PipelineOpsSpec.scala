@@ -402,4 +402,49 @@ class PipelineOpsSpec extends AnyFunSuite {
       (2L, "aa", "aa", "aaaa", 2L),
       (3L, "a", "b", "ab", 1L)))
   }
+
+  test("countMinEstimates: est >= exact for every term, exact when the " +
+      "vocabulary is far below the sketch width") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha bravo charlie"),
+      (1L, "alpha bravo bravo delta echo"),
+      (2L, "charlie charlie charlie foxtrot")).toDF("doc_id", "text")
+    val got = Sketch.countMinEstimates(docs, width = 1024, depth = 4,
+      qTerms = 20, minLen = 5)
+      .as[(String, Long, Long)].collect()
+      .map { case (t, e, x) => t -> (e, x) }.toMap
+    // 6 distinct tokens in a 4×1024 sketch: collision probability per
+    // depth pair ~ 15/1024; with depth 4 the min over rows is exact here
+    val want = Map("alpha" -> 3L, "bravo" -> 3L, "charlie" -> 4L,
+      "delta" -> 1L, "foxtrot" -> 1L)
+    want.foreach { case (t, x) =>
+      assert(got(t)._2 == x, s"exact($t)")
+      assert(got(t)._1 >= x, s"CMS lower bound violated for $t")
+    }
+    assert(got.forall { case (_, (e, x)) => e == x },
+      s"unexpected collision at this size: $got")
+  }
+
+  test("boilerplateStats: segments repeated across >= dfThreshold docs " +
+      "are counted per doc; short docs have zero segments") {
+    import spark.implicits._
+    val chrome = "subscribe to newsletter" // the planted boilerplate unit
+    val docs = (0L until 5L).map(i =>
+        (i, s"$chrome unique${i} body${i} tail${i} extra"))
+      .toDF("doc_id", "text")
+      .union(Seq((9L, "tiny doc")).toDF("doc_id", "text"))
+    val got = TextOps.boilerplateStats(docs, segLen = 3, dfThreshold = 5)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // each long doc: 7 tokens → 2 segments, 1 boilerplate → 4 clean tokens
+    (0L until 5L).foreach { i =>
+      assert(got(i) == ((2L, 1L, 7L - 3L)), s"doc $i: ${got(i)}")
+    }
+    assert(got(9L) == ((0L, 0L, 2L))) // < segLen tokens: zero segments
+    // raising the threshold above the corpus size finds no boilerplate
+    val none = TextOps.boilerplateStats(docs, segLen = 3, dfThreshold = 6)
+      .agg(sum("n_boiler")).collect().head.getLong(0)
+    assert(none == 0L)
+  }
 }
