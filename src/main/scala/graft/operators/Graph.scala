@@ -46,4 +46,50 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count over an undirected simple graph, by
+    * degree-ordered edge orientation (the standard bounded-fan-out
+    * construction): every edge points from its lower-(degree, id)
+    * endpoint to the higher one, wedges are ordered out-neighbor pairs,
+    * and a wedge closes iff the oriented (b, c) edge exists — each
+    * triangle is counted exactly once, at its lowest-(degree, id) corner.
+    *
+    * `edges`: (src, dst) with src < dst, deduplicated (one row per
+    * undirected edge). Returns one row (n_nodes, n_edges, n_triangles).
+    *
+    * Scale shape: after (degree, id) orientation the maximum out-degree
+    * of ANY graph is O(√E), so the wedge join's fan-out is bounded at
+    * E^{3/2} worst case and Σ outdeg² in practice — the reason this runs
+    * on power-law graphs where a naive 3-way self-join explodes at the
+    * hub nodes. Three shuffles total: degree count, wedge self-join on
+    * the low corner, closing-edge join on (b, c). */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented edge (a → b) with b's sort key carried for wedge ordering
+    val oriented = withDeg.select(
+      when(lowFirst, col("u")).otherwise(col("v")).as("a"),
+      when(lowFirst, col("v")).otherwise(col("u")).as("b"),
+      when(lowFirst, col("dv")).otherwise(col("du")).as("db"))
+    val o1 = oriented.select(col("a"), col("b"), col("db"))
+    val o2 = oriented.select(col("a"), col("b").as("c"), col("db").as("dc"))
+    val wedges = o1.join(o2, "a")
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select("b", "c")
+    val closing = oriented.select(col("a").as("b"), col("b").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    counts.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
 }

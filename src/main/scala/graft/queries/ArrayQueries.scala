@@ -446,6 +446,17 @@ object ArrayQueries {
         SELECT 'post' AS era, h, value FROM $cat.sqlmrg.e WHERE h < 25
         ORDER BY era, h""")
     }),
+    // block pooling (spark.Coarsen): hourly → 8-hourly rollup of ev.n at
+    // v1. Factor 8 divides the chunk extent 64, so the whole aggregation
+    // is EXCHANGE-FREE over the chunked scan's KeyGroupedPartitioning
+    // (CoarsenSpec pins the plan; this gate pins the semantics)
+    "q_arr_coarsen" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      graft.spark.Coarsen.coarsen(s, fx.store.root, "ev", "n",
+          Some(fx.evV1), factors = Map("h" -> 8L))
+        .orderBy("h_c")
+    }),
     // cell-level CDC between v1 and v2 (spark.VersionDiff): index-only
     // change detection by content hash — only the single chunk v2
     // rewrote is decoded (structural sharing drops the rest), and only
@@ -658,6 +669,17 @@ object ArrayQueries {
         |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
         |WHERE g.h < 25
         |ORDER BY era, h""".stripMargin),
+    "q_arr_coarsen" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT h // 8 AS h_c, CAST(sum(value) AS BIGINT) AS v_sum,
+        | CAST(count(*) AS BIGINT) AS n_cells,
+        | min(value) AS v_min, max(value) AS v_max
+        |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
     "q_arr_sql_update" -> (cte +
       """SELECT 'post' AS era, g.h AS h,
         | CASE WHEN g.h >= 10 AND g.h < 20 THEN COALESCE(c.cnt, 0) * 3 + 1

@@ -429,6 +429,20 @@ object PipelineQueries {
     // integer-exact PageRank (operators.Graph) over the symmetrized
     // user↔item interaction graph from events (item nodes offset by 1e6);
     // 3 rounds from a uniform start, top-30 nodes
+    // exact triangle count by degree-ordered orientation over the
+    // co-order part graph (parts appearing in the same high-quantity
+    // order are connected) — the clustering-structure probe next to
+    // PageRank (influence) and duplicateClusters (components)
+    "q_pipe_triangles" -> ((s, dir) => {
+      val l = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val e = l.as("a")
+        .join(l.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      graft.operators.Graph.triangleStats(e)
+    }),
+
     "q_pipe_pagerank" -> ((s, dir) => {
       val pairs = EventTime.readEvents(s, dir)
         .select(col("user_id"),
@@ -1807,6 +1821,25 @@ object PipelineQueries {
 
     // 3 unrolled integer-exact PageRank rounds; floor divisions and
     // integer sums make each round engine-identical
+    // id-ordered 3-way join — counts each triangle once at its lowest id,
+    // which equals the degree-oriented count (both count unordered
+    // triangles exactly once)
+    "q_pipe_triangles" ->
+      """WITH l AS (
+        | SELECT l_orderkey o, l_partkey p FROM lineitem WHERE l_quantity >= 45),
+        |e AS (
+        | SELECT DISTINCT a.p u, b.p v FROM l a JOIN l b ON a.o = b.o AND a.p < b.p),
+        |n AS (
+        | SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_nodes
+        | FROM (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)),
+        |t AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT n_nodes FROM n) AS n_nodes,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |       (SELECT n_triangles FROM t) AS n_triangles""".stripMargin,
+
     "q_pipe_pagerank" ->
       """WITH b AS (
         | SELECT DISTINCT user_id AS u,

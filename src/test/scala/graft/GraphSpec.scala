@@ -44,4 +44,30 @@ class GraphSpec extends AnyFunSuite {
     assert(total >= v * 1000000L - 4 * (e + v) * 100L,
       s"total=$total v=$v — mass leaked beyond floor losses")
   }
+
+  test("triangleStats: K4 + pendant = 4 triangles; matches a brute-force " +
+      "count on a hub graph with skewed degrees") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles; pendant 4-5 adds none
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield
+      (a.toLong, b.toLong)) :+ ((4L, 5L))
+    val r1 = graft.operators.Graph
+      .triangleStats(k4.toDF("src", "dst")).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((5L, 7L, 4L)))
+
+    // hub graph: node 0 connected to 1..20, plus ring edges i—(i+1) for
+    // i in 1..19 → each ring edge closes exactly one triangle through 0
+    val hub = (1 to 20).map(i => (0L, i.toLong)) ++
+      (1 to 19).map(i => (i.toLong, (i + 1).toLong))
+    val edges = hub.toDF("src", "dst")
+    val got = graft.operators.Graph.triangleStats(edges).collect().head
+    // brute force for reference
+    val es = hub.toSet
+    def has(a: Long, b: Long) = es.contains((math.min(a, b), math.max(a, b)))
+    val ids = (0L to 20L)
+    val brute = (for (a <- ids; b <- ids if a < b; c <- ids if b < c
+      if has(a, b) && has(a, c) && has(b, c)) yield 1).size
+    assert(got.getLong(2) == brute && brute == 19)
+    assert((got.getLong(0), got.getLong(1)) == ((21L, 39L)))
+  }
 }

@@ -47,4 +47,28 @@ class ReplaceTailSpec extends AnyFunSuite {
     assert(e.getMessage.contains("REPLACE"))
     assert(e.getMessage.contains(v2.toString))
   }
+
+  test("row-level DML versions (UPDATE/MERGE deltas) tail as ORDINARY " +
+      "overlay deltas — a stateful tailer crossing them keeps working") {
+    val store = new SparkStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_dmltail").toString)
+    val root = store.root
+    store.create("d")
+    val w1 = store.addVersion("d", meta)
+    w1.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(16L)), (0 until 16).map(_.toDouble))))
+    val v1 = w1.finishVersion()
+    val cat = "graft_" +
+      java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Thread.sleep(2)
+    spark.sql(s"UPDATE $cat.d.a SET value = value + 100 WHERE h >= 12")
+    val v2 = store.versions("d").head._2
+    // unlike a replace, the DML version is a plain overlay: the
+    // incremental index between v1 and v2 is exactly the touched chunk
+    val delta = store.resolvedIndexBetween("d", "a", v1, v2)
+      .collect().map(_.getAs[String]("coordKey")).toSet
+    assert(delta == Set("1")) // h in [12,16) lives in chunk 1 of 2
+  }
 }
