@@ -457,6 +457,16 @@ object ArrayQueries {
           Some(fx.evV1), factors = Map("h" -> 8L))
         .orderBy("h_c")
     }),
+    // halo-exchange stencil (spark.Stencil): rolling sum of radius 2
+    // along h — windows centered near a chunk face need cells from the
+    // NEIGHBORING chunk, delivered by duplicating only the 2-cell halo
+    // bands into the adjacent group before the per-chunk local window
+    "q_arr_stencil" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.Stencil.rollingAxis(s, fx.store.root, "ev", "n",
+          Some(fx.evV1), axis = "h", radius = 2)
+        .orderBy("h")
+    }),
     // cell-level CDC between v1 and v2 (spark.VersionDiff): index-only
     // change detection by content hash — only the single chunk v2
     // rewrote is decoded (structural sharing drops the rest), and only
@@ -680,6 +690,18 @@ object ArrayQueries {
         | CAST(count(*) AS BIGINT) AS n_cells,
         | min(value) AS v_min, max(value) AS v_max
         |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
+    "q_arr_stencil" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT h, CAST(sum(value) OVER w AS BIGINT) AS v_sum,
+        | CAST(count(*) OVER w AS BIGINT) AS n_win
+        |FROM v
+        |WINDOW w AS (ORDER BY h RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY h""".stripMargin),
     "q_arr_sql_update" -> (cte +
       """SELECT 'post' AS era, g.h AS h,
         | CASE WHEN g.h >= 10 AND g.h < 20 THEN COALESCE(c.cnt, 0) * 3 + 1
