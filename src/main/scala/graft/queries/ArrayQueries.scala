@@ -457,6 +457,26 @@ object ArrayQueries {
           Some(fx.evV1), factors = Map("h" -> 8L))
         .orderBy("h_c")
     }),
+    // cell-wise binary op between two VARIABLES of one dataset (n + m),
+    // joined on (_chunk_h, h) through two chunked scans: the shared
+    // KeyGroupedPartitioning co-locates matching chunks, so the join
+    // plans WITHOUT any Exchange (storage-partitioned join; plan shape
+    // pinned in DataSourceSpec) — fill semantics included, since the
+    // scan materializes fill cells for m's unwritten region
+    "q_arr_binop" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      def side(v: String) = s.read.format("graft")
+        .option("root", fx.store.root).option("dataset", "ev")
+        .option("variable", v).option("version", fx.evV1.toString)
+        .option("chunked", "true").load()
+      side("n").alias("a").join(side("m").alias("b"), Seq("_chunk_h", "h"))
+        .select(col("h"), col("a.value").as("n_val"),
+          col("b.value").as("m_val"),
+          (col("a.value") + col("b.value")).as("v_sum"))
+        .orderBy("h")
+    }),
     // halo-exchange stencil (spark.Stencil): rolling sum of radius 2
     // along h — windows centered near a chunk face need cells from the
     // NEIGHBORING chunk, delivered by duplicating only the 2-cell halo
@@ -690,6 +710,16 @@ object ArrayQueries {
         | CAST(count(*) AS BIGINT) AS n_cells,
         | min(value) AS v_min, max(value) AS v_max
         |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
+    "q_arr_binop" -> (cte +
+      """, nn AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS n_val,
+        |  CASE WHEN g.h < 10 THEN COALESCE(c.cnt, 0) ELSE -1 END AS m_val
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT h, n_val, m_val, n_val + m_val AS v_sum
+        |FROM nn ORDER BY h""".stripMargin),
     "q_arr_stencil" -> (cte +
       """, v AS (
         | SELECT g.h AS h,

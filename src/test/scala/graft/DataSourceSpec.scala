@@ -286,6 +286,43 @@ class DataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("CROSS-VARIABLE storage-partitioned join: two variables of one " +
+      "grid join on (_chunk_*, dims) with no Exchange, fill included") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dsv2-xv").toString
+    val store = new SparkStore(spark, root)
+    store.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 9L),
+      chunkDimensions = Map("x" -> 4L),
+      variables = Map(
+        "a" -> VariableDef("long", Vector("x"), -1.0),
+        "b" -> VariableDef("long", Vector("x"), -5.0)))
+    val w = store.addVersion("ds", meta)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(9L)), (1 to 9).map(_.toDouble))))
+    w.write("b", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(5L)), (11 to 15).map(_.toDouble)))) // [5,9) = fill -5
+    w.finishVersion()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      def side(v: String) = spark.read.format("graft")
+        .option("root", root).option("dataset", "ds").option("variable", v)
+        .option("chunked", "true").load()
+      val j = side("a").alias("l").join(side("b").alias("r"), Seq("_chunk_x", "x"))
+        .select(col("x"), expr("l.value + r.value").as("s"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"cross-variable join shuffled:\n$plan")
+      val got = j.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (0 until 9).map(x =>
+        x.toLong -> ((x + 1).toLong + (if (x < 5) (11 + x).toLong else -5L))).toMap
+      assert(got == want)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
   test("scan manifests are cached by (dataset, variable, version, window): " +
       "a repeated large scan reuses the published manifest, no new planning job") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsv2-cache").toString
