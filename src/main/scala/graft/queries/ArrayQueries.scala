@@ -457,6 +457,30 @@ object ArrayQueries {
           Some(fx.evV1), factors = Map("h" -> 8L))
         .orderBy("h_c")
     }),
+    // chunk-grid migration (rechunk): ev.n@v1 copied into a NEW dataset
+    // with chunk extent 100 (vs the source's 64) through the ordinary
+    // exploded-read → DSv2-write path — run coalescing re-slabs the
+    // cells, the one-shuffle ingest re-owns them per new-grid chunk.
+    // Output pins the new chunk count AND that every cell survived
+    "q_arr_rechunk" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      if (!fx.store.datasetExists("rck")) {
+        s.read.format("graft").option("root", fx.store.root)
+          .option("dataset", "ev").option("variable", "n")
+          .option("version", fx.evV1.toString).load()
+          .write.format("graft").option("root", fx.store.root)
+          .option("dataset", "rck").option("variable", "n")
+          .option("create", "true").option("dims", s"h:${fx.hours}:100")
+          .option("type", "long").option("fill", "-1").mode("append").save()
+      }
+      val chunks = s.read.parquet(fx.store.indexDir("rck"))
+        .filter(col("var") === "n")
+        .agg(countDistinct(col("coordKey")).as("n_chunks"))
+      val data = s.read.format("graft").option("root", fx.store.root)
+        .option("dataset", "rck").option("variable", "n").load()
+        .agg(count(lit(1)).as("n_cells"), sum("value").as("v_sum"))
+      chunks.crossJoin(data)
+    }),
     // cell-wise binary op between two VARIABLES of one dataset (n + m),
     // joined on (_chunk_h, h) through two chunked scans: the shared
     // KeyGroupedPartitioning co-locates matching chunks, so the join
@@ -710,6 +734,13 @@ object ArrayQueries {
         | CAST(count(*) AS BIGINT) AS n_cells,
         | min(value) AS v_min, max(value) AS v_max
         |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
+    "q_arr_rechunk" -> (cte +
+      """SELECT CAST(ceil((SELECT maxh FROM hh) / 100.0) AS BIGINT) AS n_chunks,
+        | (SELECT maxh FROM hh) AS n_cells,
+        | CAST((SELECT sum(CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |                       ELSE COALESCE(c.cnt, 0) END)
+        |  FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |  WHERE g.h < (SELECT maxh FROM hh)) AS BIGINT) AS v_sum""".stripMargin),
     "q_arr_binop" -> (cte +
       """, nn AS (
         | SELECT g.h AS h,

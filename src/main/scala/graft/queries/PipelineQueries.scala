@@ -429,6 +429,24 @@ object PipelineQueries {
     // integer-exact PageRank (operators.Graph) over the symmetrized
     // user↔item interaction graph from events (item nodes offset by 1e6);
     // 3 rounds from a uniform start, top-30 nodes
+    // skip-gram training-pair generation (word2vec-style): (center,
+    // context) pairs within a ±2 window, generated ROW-LOCALLY from the
+    // materialized token array (no positions self-join — at corpus scale
+    // the only shuffle is the final pair count), top-50 by count
+    "q_pipe_pairs" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
+      toks.select(col("ts"), posexplode(col("ts")).as(Seq("i", "center")))
+        .select(col("center"), explode(expr(
+          "filter(transform(sequence(-2, 2), o -> " +
+            "CASE WHEN o != 0 AND i + o >= 0 AND i + o < size(ts) " +
+            "THEN ts[CAST(i + o AS INT)] END), x -> x IS NOT NULL)"))
+          .as("context"))
+        .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("center"), col("context"))
+        .limit(50)
+    }),
+
     // exact triangle count by degree-ordered orientation over the
     // co-order part graph (parts appearing in the same high-quantity
     // order are connected) — the clustering-structure probe next to
@@ -1821,6 +1839,24 @@ object PipelineQueries {
 
     // 3 unrolled integer-exact PageRank rounds; floor divisions and
     // integer sums make each round engine-identical
+    // positions self-join in the oracle (DuckDB can afford it); the
+    // Spark side generates pairs row-locally from the token array
+    "q_pipe_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        | FROM documents),
+        |pos AS (
+        | SELECT doc_id, ts[CAST(i + 1 AS BIGINT)] AS w, i
+        | FROM toks, unnest(range(len(ts))) r(i)),
+        |p AS (
+        | SELECT a.w AS center, b.w AS context
+        | FROM pos a JOIN pos b
+        |  ON a.doc_id = b.doc_id AND abs(a.i - b.i) BETWEEN 1 AND 2)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, center, context LIMIT 50""".stripMargin,
+
     // id-ordered 3-way join — counts each triangle once at its lowest id,
     // which equals the degree-oriented count (both count unordered
     // triangles exactly once)

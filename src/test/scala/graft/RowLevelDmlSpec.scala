@@ -164,6 +164,25 @@ class RowLevelDmlSpec extends AnyFunSuite {
     assert(v2 != v1)
   }
 
+  test("an in-flight writer whose base goes stale under a concurrent DML " +
+      "fails its commit explicitly (parent CAS)") {
+    val (store, _, cat) = mkStore("graft_updrace")
+    seed1d(store)
+    // writer opens against the current latest…
+    val base = store.metadata("d", store.versions("d").head._2)
+    val w = store.addVersion("d", base)
+    w.write("a", Seq(graft.core.Slab.empty(DType.LONG,
+      Slice(Seq(0L), Seq(2L)), 42.0)))
+    Thread.sleep(2)
+    // …then a DML commits first
+    spark.sql(s"UPDATE $cat.d.a SET value = 0 WHERE h = 5")
+    val e = intercept[IllegalStateException] { w.finishVersion() }
+    assert(e.getMessage.contains("latest version"))
+    // the DML's state is intact and the loser's cells are invisible
+    val got = readAll(store, store.versions("d").head._2)
+    assert(got(0) == 0L && got(1) == 1L && got(5) == 0L)
+  }
+
   test("DML staging directory is cleaned up after commit") {
     val (store, root, cat) = mkStore("graft_updclean")
     seed1d(store)
