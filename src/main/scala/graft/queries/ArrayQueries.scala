@@ -457,6 +457,25 @@ object ArrayQueries {
           Some(fx.evV1), factors = Map("h" -> 8L))
         .orderBy("h_c")
     }),
+    // distributed prefix scan (spark.AxisOps.cumsumAxis): cumulative sum
+    // along h in TWO passes — per-chunk totals (tiny), exclusive prefix
+    // over those totals, offsets joined back onto per-chunk local
+    // cumsums. A naive Window.orderBy(h) would funnel all cells through
+    // ONE task; here no task holds more than one chunk
+    "q_arr_cumsum" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.AxisOps.cumsumAxis(s, fx.store.root, "ev", "n",
+          Some(fx.evV1), axis = "h")
+        .orderBy("h")
+    }),
+    // coordinate-returning reduction (spark.AxisOps.argmaxAxis): the max
+    // cell value and the smallest h attaining it — per-chunk partial
+    // (max, argmax) pairs, final combine over one pair per chunk
+    "q_arr_argmax" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.AxisOps.argmaxAxis(s, fx.store.root, "ev", "n",
+          Some(fx.evV1), axis = "h")
+    }),
     // chunk-grid migration (rechunk): ev.n@v1 copied into a NEW dataset
     // with chunk extent 100 (vs the source's 64) through the ordinary
     // exploded-read → DSv2-write path — run coalescing re-slabs the
@@ -734,6 +753,27 @@ object ArrayQueries {
         | CAST(count(*) AS BIGINT) AS n_cells,
         | min(value) AS v_min, max(value) AS v_max
         |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
+    "q_arr_cumsum" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT h, CAST(sum(value) OVER (ORDER BY h
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |FROM v ORDER BY h""".stripMargin),
+    "q_arr_argmax" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT max(value) AS v_max,
+        | CAST((SELECT min(h) FROM v WHERE value = (SELECT max(value) FROM v))
+        |   AS BIGINT) AS h_argmax
+        |FROM v""".stripMargin),
     "q_arr_rechunk" -> (cte +
       """SELECT CAST(ceil((SELECT maxh FROM hh) / 100.0) AS BIGINT) AS n_chunks,
         | (SELECT maxh FROM hh) AS n_cells,

@@ -1,0 +1,94 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Axis-wise array analytics that need more than a plain groupBy:
+  * cumulative sums (a distributed prefix scan) and arg-extrema
+  * (coordinate-returning reductions).
+  *
+  * Both read through the `chunked=true` DSv2 scan so the heavy phase is
+  * organized per chunk; neither ever globally sorts the cell stream.
+  */
+object AxisOps {
+
+  private def resolved(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long]) = {
+    val store = new SparkStore(spark, root)
+    val vid = version.getOrElse {
+      val vs = store.versions(dataset)
+      require(vs.nonEmpty, s"dataset $dataset has no committed versions")
+      vs.head._2
+    }
+    val meta = store.metadata(dataset, vid)
+    val df = spark.read.format("graft")
+      .option("root", root).option("dataset", dataset)
+      .option("variable", variable).option("version", vid.toString)
+      .option("chunked", "true").load()
+    (meta, df)
+  }
+
+  /** Cumulative sum along `axis` (other coordinates fixed): output
+    * (dims…, cum) with cum = Σ value over [0, d] on the axis.
+    *
+    * The classic TWO-PASS distributed prefix scan — a global
+    * `Window.orderBy(axis)` would funnel every cell through ONE task:
+    *  1. per-(other-coords, chunk) totals — map-side combinable, output
+    *     is one row per chunk, tiny;
+    *  2. exclusive prefix of those totals per other-coords line — a
+    *     window over the CHUNK-TOTAL rows only (≤ #chunks per line);
+    *  3. join the chunk offsets back and run the local cumsum inside
+    *     each (other-coords, chunk) group.
+    * Shuffled volume: cells once (to co-locate each line's chunk with its
+    * offset) + two chunk-count-sized frames. No task ever holds more than
+    * one chunk's cells. */
+  def cumsumAxis(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long] = None,
+      axis: String): DataFrame = {
+    val (meta, df) = resolved(spark, root, dataset, variable, version)
+    val dims = meta.variables(variable).shape
+    require(dims.contains(axis), s"variable $variable has no axis '$axis'")
+    val others = dims.filterNot(_ == axis)
+    val c = col(s"_chunk_$axis")
+    val chunkTotals = df.groupBy((others.map(col) :+ c.as("ck")): _*)
+      .agg(sum("value").as("t"))
+    val offW = Window.partitionBy(others.map(col): _*).orderBy(col("ck"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = chunkTotals.withColumn("off",
+      coalesce(sum("t").over(offW), lit(0L)))
+      .select((others.map(col) :+ col("ck") :+ col("off")): _*)
+    val inW = Window
+      .partitionBy((others.map(col) :+ col("ck")): _*)
+      .orderBy(col(axis))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("ck", c)
+      .withColumn("local", sum("value").over(inW))
+      .join(offsets, (others :+ "ck").toSeq)
+      .select((dims.map(col) :+ (col("local") + col("off")).as("cum")): _*)
+  }
+
+  /** Arg-extremum along `axis`: for each other-coords line, the maximum
+    * value and the SMALLEST axis coordinate attaining it (deterministic
+    * tie-break). Per-chunk partials reduce each chunk's line segment to
+    * one (max, argmax) pair — the final combine shuffles only those. */
+  def argmaxAxis(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long] = None,
+      axis: String): DataFrame = {
+    val (meta, df) = resolved(spark, root, dataset, variable, version)
+    val dims = meta.variables(variable).shape
+    require(dims.contains(axis), s"variable $variable has no axis '$axis'")
+    val others = dims.filterNot(_ == axis)
+    val c = col(s"_chunk_$axis")
+    // struct ordering gives (max value, then min coord among maxes) via
+    // max of (value, -coord); carried as (value, negCoord)
+    val pair = struct(col("value"), (-col(axis)).as("nc"))
+    val partial = df.groupBy((others.map(col) :+ c.as("ck")): _*)
+      .agg(max(pair).as("p"))
+    val grouped = if (others.isEmpty) partial.groupBy()
+      else partial.groupBy(others.map(col): _*)
+    grouped.agg(max(col("p")).as("p"))
+      .select((others.map(col) :+ col("p.value").as("v_max") :+
+        (-col("p.nc")).as(s"${axis}_argmax")): _*)
+  }
+}

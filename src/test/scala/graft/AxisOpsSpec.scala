@@ -1,0 +1,76 @@
+package graft
+
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.{AxisOps, SparkStore}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Distributed prefix scan + coordinate-returning reductions. */
+class AxisOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mk1d(vals: Seq[Long], chunk: Long): (SparkStore, String, Long) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_axis").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("h" -> vals.length.toLong), Map("h" -> chunk),
+      Map("a" -> VariableDef("long", Vector("h"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(vals.length.toLong)), vals.map(_.toDouble))))
+    (store, root, w.finishVersion())
+  }
+
+  test("cumsum crosses chunk boundaries with exact offsets") {
+    val vals = (0 until 20).map(i => ((i * 5) % 11).toLong)
+    val (_, root, v) = mk1d(vals, chunk = 6L) // 4 chunks, last partial
+    val got = AxisOps.cumsumAxis(spark, root, "d", "a", Some(v), axis = "h")
+      .orderBy("h").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = vals.scanLeft(0L)(_ + _).tail.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    assert(got == want)
+  }
+
+  test("2-D cumsum along x runs per y line") {
+    val root = java.nio.file.Files.createTempDirectory("graft_axis2").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("y" -> 3L, "x" -> 9L), Map("y" -> 2L, "x" -> 4L),
+      Map("a" -> VariableDef("long", Vector("y", "x"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(3L, 9L)), (0 until 27).map(i => (i % 4).toDouble))))
+    val v = w.finishVersion()
+    val got = AxisOps.cumsumAxis(spark, root, "d", "a", Some(v), axis = "x")
+      .orderBy("y", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = for (y <- 0L until 3L; x <- 0L until 9L) yield
+      (y, x, (0L to x).map(i => (y * 9 + i) % 4).sum)
+    assert(got == want.toSeq)
+  }
+
+  test("argmax returns the max value and the SMALLEST coordinate on ties") {
+    val vals = Seq(3L, 9L, 1L, 9L, 2L, 9L, 0L, 4L)
+    val (_, root, v) = mk1d(vals, chunk = 3L)
+    val r = AxisOps.argmaxAxis(spark, root, "d", "a", Some(v), axis = "h")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((9L, 1L)))
+  }
+
+  test("2-D argmax along x: one row per y") {
+    val root = java.nio.file.Files.createTempDirectory("graft_axis3").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("y" -> 2L, "x" -> 6L), Map("y" -> 1L, "x" -> 4L),
+      Map("a" -> VariableDef("long", Vector("y", "x"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(2L, 6L)),
+      Seq(1, 5, 2, 5, 0, 3, 7, 0, 7, 1, 2, 7).map(_.toDouble))))
+    val v = w.finishVersion()
+    val got = AxisOps.argmaxAxis(spark, root, "d", "a", Some(v), axis = "x")
+      .orderBy("y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 5L, 1L), (1L, 7L, 0L)))
+  }
+}
