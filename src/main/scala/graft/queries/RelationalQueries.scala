@@ -203,6 +203,43 @@ object RelationalQueries {
     }),
 
     // distinct + set-style aggregation over a dimension hierarchy join
+    // TPC-H Q17 shape (small-quantity revenue): per-part average via a
+    // correlated threshold, made integer-exact as q·5·cnt < Σq over
+    // DECIMAL(18,2) — the brand dim broadcasts, the per-part stats agg
+    // and the probe share one l_partkey shuffle
+    "q_rel_q17" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), dec(col("l_quantity")).as("q"),
+          dec(col("l_extendedprice")).as("ep"))
+      val stats = li.groupBy("l_partkey")
+        .agg(sum("q").as("sq"), count(lit(1)).as("cnt"))
+      val pp = s.read.parquet(s"$dir/part.parquet")
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))
+      li.join(broadcast(pp), li("l_partkey") === pp("p_partkey"))
+        .join(stats, "l_partkey")
+        .filter(col("q") * 5 * col("cnt") < col("sq"))
+        .agg(sum("ep").cast("double").as("small_qty_rev"),
+          count(lit(1)).as("n_lines"))
+    }),
+    // TPC-H Q11 shape (important share): nations whose revenue exceeds
+    // 5% of the global total — per-group sums vs one broadcast scalar,
+    // the inequality kept integer-exact on decimals (r·20 > total)
+    "q_rel_q11" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), dec(col("o_totalprice")).as("tp"))
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val byNation = ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("c_nationkey").agg(sum("tp").as("rev"))
+      val total = byNation.agg(sum("rev").as("total"))
+      byNation.crossJoin(broadcast(total))
+        .filter(col("rev") * 20 > col("total"))
+        .join(broadcast(nation), col("c_nationkey") === nation("n_nationkey"))
+        .select(col("n_name"), col("rev").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q_rel_region_sales" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
       val region = s.read.parquet(s"$dir/region.parquet")
@@ -443,6 +480,29 @@ object RelationalQueries {
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rel_q17" ->
+      """WITH li AS (
+        | SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS ep
+        | FROM lineitem),
+        |st AS (SELECT l_partkey, sum(q) AS sq, count(*) AS cnt FROM li GROUP BY 1),
+        |pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+        |SELECT CAST(sum(ep) AS DOUBLE) AS small_qty_rev,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM li JOIN pp ON li.l_partkey = pp.p_partkey
+        | JOIN st ON li.l_partkey = st.l_partkey
+        |WHERE q * 5 * cnt < sq""".stripMargin,
+    "q_rel_q11" ->
+      """WITH bn AS (
+        | SELECT c_nationkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM bn)
+        |SELECT n_name, CAST(rev AS DOUBLE) AS revenue
+        |FROM bn, t JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rev * 20 > total
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_rel_region_sales" ->
       """SELECT r_name,
         | COUNT(DISTINCT o_custkey) AS n_customers,
