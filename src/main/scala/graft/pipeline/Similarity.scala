@@ -51,6 +51,32 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Attribute-FILTERED nearest neighbors: top-k restricted to candidates
+    * satisfying `candFilter` (metadata-constrained retrieval — "nearest
+    * documents in this language / with this label"). The filter applies
+    * BEFORE ranking (pre-filtering), so exactly k true neighbors of the
+    * filtered subset come back — post-filtering a plain top-k can return
+    * fewer than k or miss closer in-filter candidates entirely. At scale
+    * the same pre-filter discipline carries to the IVF/PQ variants: the
+    * predicate prunes candidate lists ahead of the distance arithmetic,
+    * so cost scales with the SELECTED fraction, not the corpus. */
+  def filteredTopK(emb: DataFrame, k: Int, nQueries: Int,
+      candFilter: Column): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val cand = n.filter(candFilter)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(emb)(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** k-NN label classification: each query vector's label is the
     * majority vote among its k nearest labeled neighbors (self excluded),
     * tie-break by smallest label — the classic embedding-space

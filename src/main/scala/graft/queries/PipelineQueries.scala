@@ -176,6 +176,13 @@ object PipelineQueries {
     // approximate variants — deterministic by construction (fixed arithmetic
     // hyperplanes; quantized-integer Lloyd update), so both are under the
     // full DuckDB oracle gate
+    // metadata-constrained retrieval: top-k among label=1 candidates
+    // only, with the predicate applied BEFORE ranking (pre-filtering) —
+    // post-filtering a plain top-k can return < k or miss closer
+    // in-filter candidates
+    "q_pipe_knn_filtered" -> ((s, dir) =>
+      Similarity.filteredTopK(emb(s, dir), k = 5, nQueries = 10,
+        candFilter = col("label") === 1)),
     "q_pipe_knn_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir), k = 5, nQueries = 20)),
     // K pinned to 16: the oracle mirrors the centroid arithmetic, so the
     // auto-K default (√N) must not drift the tested configuration
@@ -901,6 +908,19 @@ object PipelineQueries {
         |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
         |        list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS sim
         |      FROM n q, n t WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_pipe_knn_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |        list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS sim
+        |      FROM n q, n t
+        |      WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id AND t.label = 1),
         |r AS (SELECT query_id, neighbor_id,
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM p)
