@@ -457,6 +457,34 @@ object ArrayQueries {
           Some(fx.evV1), factors = Map("h" -> 8L))
         .orderBy("h_c")
     }),
+    // derived-variable pipeline, entirely in SQL: a second variable is
+    // added to the dataset (CREATE TABLE carries existing variables
+    // forward — one dataset, one version lineage) and populated FROM a
+    // transform of the first; both then read consistently at latest
+    "q_arr_derived" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val h = fx.hours
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      if (!fx.store.datasetExists("derv")) {
+        import s.implicits._
+        ArrayFixtures.hourCounts(s, dir).toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }
+          .toDF("h", "value").createOrReplaceTempView("derv_src")
+        s.sql(s"""CREATE TABLE $cat.derv.a (h BIGINT, value BIGINT)
+          TBLPROPERTIES ('dims' = 'h:$h:64', 'fill' = '-1')""")
+        s.sql(s"INSERT INTO $cat.derv.a SELECT h, value FROM derv_src")
+        s.sql(s"""CREATE TABLE $cat.derv.b (h BIGINT, value BIGINT)
+          TBLPROPERTIES ('dims' = 'h:$h:64', 'fill' = '-1')""")
+        s.sql(s"INSERT INTO $cat.derv.b SELECT h, value * 2 + 1 FROM $cat.derv.a")
+      }
+      s.sql(s"""
+        SELECT a.h AS h, a.value AS src, b.value AS derived
+        FROM $cat.derv.a a JOIN $cat.derv.b b ON a.h = b.h
+        WHERE a.h < 25 ORDER BY h""")
+    }),
     // distributed prefix scan (spark.AxisOps.cumsumAxis): cumulative sum
     // along h in TWO passes — per-chunk totals (tiny), exclusive prefix
     // over those totals, offsets joined back onto per-chunk local
@@ -753,6 +781,11 @@ object ArrayQueries {
         | CAST(count(*) AS BIGINT) AS n_cells,
         | min(value) AS v_min, max(value) AS v_max
         |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
+    "q_arr_derived" -> (cte +
+      """SELECT g.h AS h, COALESCE(c.cnt, 0) AS src,
+        | COALESCE(c.cnt, 0) * 2 + 1 AS derived
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25 ORDER BY h""".stripMargin),
     "q_arr_cumsum" -> (cte +
       """, v AS (
         | SELECT g.h AS h,
