@@ -457,6 +457,27 @@ object ArrayQueries {
           Some(fx.evV1), factors = Map("h" -> 8L))
         .orderBy("h_c")
     }),
+    // CREATE TABLE … AS SELECT: the catalog's createTable + the DSv2
+    // append compose into (non-atomic) CTAS — dataset, definition, and
+    // first version land from one statement
+    "q_arr_sql_ctas" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val h = fx.hours
+      val cat = "graft_" +
+        java.lang.Integer.toHexString(fx.store.root.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", fx.store.root)
+      if (!fx.store.datasetExists("ctas")) {
+        import s.implicits._
+        ArrayFixtures.hourCounts(s, dir).toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c) }
+          .toDF("h", "value").createOrReplaceTempView("ctas_src")
+        s.sql(s"""CREATE TABLE $cat.ctas.e
+          TBLPROPERTIES ('dims' = 'h:$h:64', 'fill' = '-1', 'type' = 'long')
+          AS SELECT h, value FROM ctas_src""")
+      }
+      s.sql(s"SELECT h, value FROM $cat.ctas.e WHERE h < 25 ORDER BY h")
+    }),
     // derived-variable pipeline, entirely in SQL: a second variable is
     // added to the dataset (CREATE TABLE carries existing variables
     // forward — one dataset, one version lineage) and populated FROM a
@@ -781,6 +802,10 @@ object ArrayQueries {
         | CAST(count(*) AS BIGINT) AS n_cells,
         | min(value) AS v_min, max(value) AS v_max
         |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
+    "q_arr_sql_ctas" -> (cte +
+      """SELECT g.h AS h, COALESCE(c.cnt, 0) AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 25 ORDER BY h""".stripMargin),
     "q_arr_derived" -> (cte +
       """SELECT g.h AS h, COALESCE(c.cnt, 0) AS src,
         | COALESCE(c.cnt, 0) * 2 + 1 AS derived

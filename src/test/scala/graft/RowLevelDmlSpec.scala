@@ -164,6 +164,31 @@ class RowLevelDmlSpec extends AnyFunSuite {
     assert(v2 != v1)
   }
 
+  test("UPDATE and DELETE on a FLOAT variable with NaN fill: deltas encode " +
+      "the float dtype; deleted cells read back NaN") {
+    val (store, _, cat) = mkStore("graft_updflt")
+    store.create("d")
+    val m = DatasetMeta(Map("h" -> 10L), Map("h" -> 4L),
+      Map("a" -> VariableDef("float", Vector("h"), Double.NaN)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.FLOAT,
+      Slice(Seq(0L), Seq(10L)), (0 until 10).map(_ * 1.5))))
+    w.finishVersion()
+    spark.sql(s"UPDATE $cat.d.a SET value = value * 2 WHERE h >= 2 AND h < 4")
+    spark.sql(s"DELETE FROM $cat.d.a WHERE value > 12.0") // h=9: 13.5
+    val v = store.versions("d").head._2
+    val got = store.reader("d").onVersion(v)
+      .exploded("a", Slice(Seq(0L), Seq(10L)))
+      .orderBy("h").collect().map(_.getFloat(1)).toSeq
+    val want = (0 until 10).map {
+      case h if h == 2 || h == 3 => h * 3.0f
+      case 9 => Float.NaN
+      case h => h * 1.5f
+    }
+    assert(got.zip(want).forall { case (g, e) =>
+      (g.isNaN && e.isNaN) || g == e }, s"got $got")
+  }
+
   test("an in-flight writer whose base goes stale under a concurrent DML " +
       "fails its commit explicitly (parent CAS)") {
     val (store, _, cat) = mkStore("graft_updrace")
