@@ -221,6 +221,25 @@ object RelationalQueries {
         .agg(sum("ep").cast("double").as("small_qty_rev"),
           count(lit(1)).as("n_lines"))
     }),
+    // TPC-H Q15 shape (top supplier): per-supplier quarter revenue, keep
+    // the max — DECIMAL revenue makes the scalar-subquery equality exact
+    // (a float max would be ulp-fragile); supplier dim broadcasts
+    "q_rel_q15" -> ((s, dir) => {
+      val rev = s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("tr"))
+      val mx = rev.agg(max("tr").as("mx"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(mx)).filter(col("tr") === col("mx"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("tr").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    }),
     // TPC-H Q11 shape (important share): nations whose revenue exceeds
     // 5% of the global total — per-group sums vs one broadcast scalar,
     // the inequality kept integer-exact on decimals (r·20 > total)
@@ -492,6 +511,19 @@ object RelationalQueries {
         |FROM li JOIN pp ON li.l_partkey = pp.p_partkey
         | JOIN st ON li.l_partkey = st.l_partkey
         |WHERE q * 5 * cnt < sq""".stripMargin,
+    "q_rel_q15" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE tr = (SELECT max(tr) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_rel_q11" ->
       """WITH bn AS (
         | SELECT c_nationkey,
