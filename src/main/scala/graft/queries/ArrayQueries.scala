@@ -457,6 +457,46 @@ object ArrayQueries {
           Some(fx.evV1), factors = Map("h" -> 8L))
         .orderBy("h_c")
     }),
+    // incrementally-maintained coarsened MATERIALIZED VIEW
+    // (streaming.Rollup): v1 backfills the 8-hourly (sum, cnt) view
+    // through the version-tail streaming source, v2's overlay then
+    // advances it by ONE delta batch — maintenance cost O(changed
+    // chunks), not O(view); RollupSpec pins that the incremental run
+    // writes only the affected view chunk. The oracle is the full
+    // recompute of the v2 state, so incremental ≡ recompute is exactly
+    // what hash-matching proves
+    "q_arr_rollup_incr" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val store = fx.store
+      if (!store.datasetExists("rollsrc")) {
+        import graft.core._
+        import graft.meta.{DatasetMeta, VariableDef}
+        val counts = ArrayFixtures.hourCounts(s, dir)
+        val m = DatasetMeta(Map("h" -> fx.hours), Map("h" -> 64L),
+          Map("n" -> VariableDef("long", Vector("h"), -1.0)))
+        store.create("rollsrc")
+        val w1 = store.addVersion("rollsrc", m)
+        w1.write("n", Seq(Slab.fromDoubles(DType.LONG,
+          Slice(Seq(0L), Seq(fx.hours)), counts.map(_.toDouble).toIndexedSeq)))
+        w1.finishVersion()
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_rollup_ckpt").toString
+        graft.streaming.Rollup.maintain(s, store.root, "rollsrc", "n",
+          "rollview", Map("h" -> 8L), ckpt)
+        Thread.sleep(2)
+        val w2 = store.addVersion("rollsrc", m)
+        w2.write("n", Seq(Slab.empty(DType.LONG,
+          Slice(Seq(20L), Seq(30L)), 999.0)))
+        w2.finishVersion()
+        graft.streaming.Rollup.maintain(s, store.root, "rollsrc", "n",
+          "rollview", Map("h" -> 8L), ckpt)
+      }
+      def rd(v: String, as: String) = store.reader("rollview").onLastVersion()
+        .exploded(v, Slice(Seq(0L), Seq((fx.hours + 7L) / 8L)))
+        .select(col("h").as("h_c"), col("value").as(as))
+      rd("sum", "v_sum").join(rd("cnt", "n_cells"), Seq("h_c"))
+        .orderBy("h_c")
+    }),
     // CREATE TABLE … AS SELECT: the catalog's createTable + the DSv2
     // append compose into (non-atomic) CTAS — dataset, definition, and
     // first version land from one statement
@@ -801,6 +841,16 @@ object ArrayQueries {
         |SELECT h // 8 AS h_c, CAST(sum(value) AS BIGINT) AS v_sum,
         | CAST(count(*) AS BIGINT) AS n_cells,
         | min(value) AS v_min, max(value) AS v_max
+        |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
+    "q_arr_rollup_incr" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT h // 8 AS h_c, CAST(sum(value) AS BIGINT) AS v_sum,
+        | CAST(count(*) AS BIGINT) AS n_cells
         |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
     "q_arr_sql_ctas" -> (cte +
       """SELECT g.h AS h, COALESCE(c.cnt, 0) AS value
