@@ -816,7 +816,8 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     valueFilters: Array[Filter] = Array.empty,
     limit: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // runtime filters (e.g. dynamic pruning from a dim-table join) narrow
   // the request further AFTER planning starts — soundly, to the envelope
@@ -830,7 +831,11 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     // invariant (SparkException at execution) — advertise no filterable
     // attributes there, so DPP never fires on them
     if (r.chunked) Array.empty
-    else r.dims.map(d =>
+    // only dims still present in the scan output: DPP resolves these
+    // against the PRUNED schema, and a reference to a projected-away dim
+    // fails analysis (surfaced once exact stats made small slices
+    // broadcast-join candidates)
+    else r.dims.filter(required.fieldNames.contains).map(d =>
       org.apache.spark.sql.connector.expressions.Expressions.column(d)).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -856,6 +861,36 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
 
   private def isEmpty: Boolean =
     empty || (0 until request.rank).exists(i => request.stop(i) <= request.start(i))
+
+  /** EXACT cardinality for Catalyst's CBO: a dense scan of a clipped
+    * request produces precisely its cell volume (fill materialization
+    * means no selectivity guesswork), so a small pruned slice joined
+    * against a big table broadcasts automatically — no hint needed.
+    * Saturating multiply: a petacell variable must not overflow into a
+    * "tiny" estimate. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val rows: Long =
+        if (isEmpty) 0L
+        else (0 until request.rank).foldLeft(1L) { (acc, i) =>
+          // pushed-aggregate scans emit at most one row per covering
+          // chunk, not one per cell
+          val d =
+            if (aggSpec.isDefined) {
+              val step = r.meta.chunkGridSlice(r.variable).step(i)
+              Math.floorDiv(request.stop(i) - 1, step) -
+                Math.floorDiv(request.start(i), step) + 1
+            } else request.stop(i) - request.start(i)
+          if (acc != 0L && d > Long.MaxValue / acc) Long.MaxValue else acc * d
+        }
+      private val rowBytes: Long =
+        8L * r.dims.length + r.meta.dtype(r.variable).size
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          if (rows > Long.MaxValue / rowBytes) Long.MaxValue else rows * rowBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
 
   /** Pushed-aggregate scans output the GROUP columns first (grouped
     * pushdown only — named `_chunk_<dim>` so the reported

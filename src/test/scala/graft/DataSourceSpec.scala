@@ -247,6 +247,9 @@ class DataSourceSpec extends AnyFunSuite {
     // co-partitioned join with join keys ⊃ partition keys (the chunk keys
     // plus the dims) needs the all-cluster-keys requirement relaxed
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // exact scan statistics make this TINY test grid a broadcast candidate;
+    // disable auto-broadcast so the test exercises the big-big SPJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       def loadChunked() = spark.read.format("graft").option("root", store.root)
         .option("dataset", "ds").option("variable", "v")
@@ -283,6 +286,7 @@ class DataSourceSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
@@ -305,6 +309,7 @@ class DataSourceSpec extends AnyFunSuite {
     w.finishVersion()
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       def side(v: String) = spark.read.format("graft")
         .option("root", root).option("dataset", "ds").option("variable", v)
@@ -320,7 +325,23 @@ class DataSourceSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("scan reports EXACT statistics: a small pruned slice auto-broadcasts " +
+      "in a join with no hint, at planning time (AQE off)") {
+    val (store, _, _) = mkStore()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val small = load(store).filter(col("x") === 1) // 10 cells → ~260 B
+      val big = spark.range(100000).selectExpr("id % 10 AS y", "id AS payload")
+      val j = big.join(small, "y")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"small graft slice should auto-broadcast:\n$plan")
+      assert(j.count() == 100000)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("scan manifests are cached by (dataset, variable, version, window): " +
