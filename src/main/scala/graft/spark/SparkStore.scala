@@ -481,6 +481,27 @@ final class SparkStore(val spark: SparkSession, val root: String) {
             } catch { case _: java.io.IOException => () }
         }
     }
+    // row-level DML staging (<dataset>/_delta_staging/<queryId>): commit
+    // and abort both clean up, so anything quiet past the grace window is
+    // a crashed query's leftover
+    listDatasets.foreach { ds =>
+      val staging = dsPath(ds).resolve("_delta_staging")
+      if (Files.exists(staging))
+        scala.util.Using.resource(Files.list(staging)) { s =>
+          s.iterator().asScala.toSeq.foreach { dir =>
+            val newest =
+              try scala.util.Using.resource(Files.walk(dir)) {
+                _.iterator().asScala
+                  .map(p => Files.getLastModifiedTime(p).toMillis)
+                  .foldLeft(0L)(math.max)
+              } catch { case _: java.io.IOException => Long.MaxValue }
+            if (newest <= quiet)
+              try scala.util.Using.resource(Files.walk(dir)) {
+                _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+              } catch { case _: java.io.IOException => () }
+          }
+        }
+    }
   }
 
   // ---- chunk-file hash-range sidecars ----

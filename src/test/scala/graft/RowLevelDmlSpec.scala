@@ -208,6 +208,23 @@ class RowLevelDmlSpec extends AnyFunSuite {
     assert(got(0) == 0L && got(1) == 1L && got(5) == 0L)
   }
 
+  test("vacuum sweeps a crashed DML query's orphaned staging dir") {
+    val (store, root, cat) = mkStore("graft_updvac")
+    seed1d(store)
+    spark.sql(s"UPDATE $cat.d.a SET value = 1 WHERE h = 1")
+    // simulate a crashed query: an orphaned staging dir, quiet past grace
+    val orphan = java.nio.file.Paths.get(root).resolve("d")
+      .resolve("_delta_staging").resolve("deadbeef-crashed")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-0-0-0.bin"), "x")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 86400000L)
+    java.nio.file.Files.setLastModifiedTime(orphan, old)
+    java.nio.file.Files.setLastModifiedTime(orphan.resolve("part-0-0-0.bin"), old)
+    store.vacuum(graceMs = 0L)
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
   test("DML staging directory is cleaned up after commit") {
     val (store, root, cat) = mkStore("graft_updclean")
     seed1d(store)
