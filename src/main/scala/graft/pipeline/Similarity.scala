@@ -77,6 +77,35 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** HARD-NEGATIVE mining for contrastive training: for each query, the
+    * `k` most-similar candidates whose label DIFFERS from the query's —
+    * the pairs that teach a metric model the most (easy negatives are
+    * already far; hard ones sit just across the boundary). Same broadcast
+    * plan as bruteForceTopK with the label-mismatch predicate fused into
+    * the join; the per-query filter means no candidate subset can be
+    * precomputed once, which is exactly why it is a JOIN predicate and
+    * not a pre-filter. Output: (query_id, query_label, neighbor_id,
+    * neighbor_label, rank). */
+  def hardNegatives(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val n = withNorm(emb) // drops label — join it back by vec_id
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val cand = n.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neighbor_label"), col("v"), col("nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(cand,
+        col("query_id") =!= col("neighbor_id") &&
+          col("query_label") =!= col("neighbor_label"))
+      .withColumn("sim", dot(emb)(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** k-NN label classification: each query vector's label is the
     * majority vote among its k nearest labeled neighbors (self excluded),
     * tie-break by smallest label — the classic embedding-space

@@ -457,6 +457,24 @@ object ArrayQueries {
           Some(fx.evV1), factors = Map("h" -> 8L))
         .orderBy("h_c")
     }),
+    // training-batch export: each chunk's cells as ONE row-major value
+    // array — the ML-dataloader handoff shape (a tensor per chunk, its
+    // grid coordinate as the batch key). Grouping by _chunk_h over the
+    // chunked scan is exchange-free; row-major order comes from the
+    // in-group sort, not a global one
+    "q_arr_tensors" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft").option("root", fx.store.root)
+        .option("dataset", "ev").option("variable", "n")
+        .option("version", fx.evV1.toString)
+        .option("chunked", "true").load()
+        .groupBy(col("_chunk_h").as("c"))
+        .agg(count(lit(1)).as("n_cells"),
+          expr("transform(sort_array(collect_list(struct(h, value))), x -> x.value)")
+            .as("vals"))
+        .orderBy("c")
+    }),
     // incrementally-maintained coarsened MATERIALIZED VIEW
     // (streaming.Rollup): v1 backfills the 8-hourly (sum, cnt) view
     // through the version-tail streaming source, v2's overlay then
@@ -842,6 +860,16 @@ object ArrayQueries {
         | CAST(count(*) AS BIGINT) AS n_cells,
         | min(value) AS v_min, max(value) AS v_max
         |FROM v GROUP BY 1 ORDER BY h_c""".stripMargin),
+    "q_arr_tensors" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT h // 64 AS c, CAST(count(*) AS BIGINT) AS n_cells,
+        | list(value ORDER BY h) AS vals
+        |FROM v GROUP BY 1 ORDER BY c""".stripMargin),
     "q_arr_rollup_incr" -> (cte +
       """, v AS (
         | SELECT g.h AS h,

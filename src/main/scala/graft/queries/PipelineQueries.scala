@@ -176,6 +176,12 @@ object PipelineQueries {
     // approximate variants — deterministic by construction (fixed arithmetic
     // hyperplanes; quantized-integer Lloyd update), so both are under the
     // full DuckDB oracle gate
+    // hard-negative mining for contrastive training: the most-similar
+    // DIFFERENT-label candidates per query (the label-mismatch predicate
+    // fuses into the broadcast join — per-query, so not a pre-filter)
+    "q_pipe_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(emb(s, dir), k = 3, nQueries = 10)),
+
     // metadata-constrained retrieval: top-k among label=1 candidates
     // only, with the predicate applied BEFORE ranking (pre-filtering) —
     // post-filtering a plain top-k can return < k or miss closer
@@ -913,6 +919,21 @@ object PipelineQueries {
         |      FROM p)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_pipe_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+        |        t.vec_id AS neighbor_id, t.label AS neighbor_label,
+        |        list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS sim
+        |      FROM n q, n t
+        |      WHERE q.vec_id < 10 AND t.vec_id <> q.vec_id
+        |        AND t.label <> q.label),
+        |r AS (SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, query_label, neighbor_id, neighbor_label, rank
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_pipe_knn_filtered" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
