@@ -29,6 +29,9 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
       "materialize the MVCC-resolved index as a checkpoint version"
     case "expire_history" =>
       "drop index partitions + manifests below the newest checkpoint"
+    case "refresh_rollup" =>
+      "advance (creating if absent) an incrementally-maintained coarsened " +
+        "(sum, cnt) view of a variable; returns view versions committed"
     case _ => "mark-and-sweep GC of unreferenced chunk blobs"
   }
 
@@ -42,6 +45,17 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
             .defaultValue(SparkStore.VacuumGraceMs.toString)
             .comment("age a blob must reach before it is sweepable")
             .build())
+        else if (procName == "refresh_rollup")
+          Array(
+            ProcedureParameter.in("src_dataset", StringType).build(),
+            ProcedureParameter.in("src_variable", StringType).build(),
+            ProcedureParameter.in("view_dataset", StringType).build(),
+            ProcedureParameter.in("factors", StringType)
+              .comment("per-axis pooling factors, 'dim:k[,dim:k…]' — " +
+                "each k must divide its axis's chunk extent").build(),
+            ProcedureParameter.in("checkpoint", StringType)
+              .comment("streaming checkpoint dir carrying the resume " +
+                "offset; reuse the same path on every refresh").build())
         else Array(ProcedureParameter.in("dataset", StringType).build())
       // side-effecting by definition — never cache/reuse a result
       override def isDeterministic: Boolean = false
@@ -50,6 +64,22 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
           case "compact" => store.compact(input.getUTF8String(0).toString)
           case "expire_history" =>
             store.expireHistory(input.getUTF8String(0).toString)
+          case "refresh_rollup" =>
+            val (src, srcVar, view) = (input.getUTF8String(0).toString,
+              input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+            val factors = input.getUTF8String(3).toString.split(',')
+              .map(_.split(':') match {
+                case Array(d, k) => d.trim -> k.trim.toLong
+                case bad => throw new IllegalArgumentException(
+                  s"refresh_rollup: bad factors entry '${bad.mkString(":")}'" +
+                    " — want dim:k[,dim:k…]")
+              }).toMap
+            val before =
+              if (store.datasetExists(view)) store.versions(view).length else 0
+            graft.streaming.Rollup.maintain(
+              org.apache.spark.sql.SparkSession.active, store.root,
+              src, srcVar, view, factors, input.getUTF8String(4).toString)
+            (store.versions(view).length - before).toLong
           case _ => store.vacuum(graceMs = input.getLong(0))
         }
         java.util.List.of[Scan](new LocalScan {
@@ -64,5 +94,6 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
 }
 
 private[source] object MaintenanceProcedure {
-  val Names: Seq[String] = Seq("compact", "expire_history", "vacuum")
+  val Names: Seq[String] = Seq("compact", "expire_history", "vacuum",
+    "refresh_rollup")
 }

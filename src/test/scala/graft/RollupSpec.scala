@@ -67,6 +67,35 @@ class RollupSpec extends AnyFunSuite {
     assert(store.versions("view").length == vs.length)
   }
 
+  test("CALL graft.system.refresh_rollup drives the whole cycle from SQL " +
+      "and reports versions committed (0 when idempotent)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollsql").toString
+    val store = new SparkStore(spark, root)
+    store.create("src")
+    val m = DatasetMeta(Map("h" -> 16L), Map("h" -> 8L),
+      Map("a" -> VariableDef("long", Vector("h"), -1.0)))
+    val w = store.addVersion("src", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(16L)), (1 to 16).map(_.toDouble))))
+    w.finishVersion()
+    val cat = "graft_" +
+      java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rollsql_ck").toString
+    val n1 = spark.sql(s"CALL $cat.system.refresh_rollup(" +
+      s"'src', 'a', 'view', 'h:4', '$ckpt')").collect().head.getLong(0)
+    assert(n1 == 2L) // sum + cnt versions from the backfill
+    val sums = spark.sql(s"SELECT h, value FROM $cat.view.sum ORDER BY h")
+      .collect().map(_.getLong(1)).toSeq
+    assert(sums == Seq(1 + 2 + 3 + 4, 5 + 6 + 7 + 8, 9 + 10 + 11 + 12,
+      13 + 14 + 15 + 16).map(_.toLong))
+    // nothing new → zero versions committed
+    val n2 = spark.sql(s"CALL $cat.system.refresh_rollup(" +
+      s"'src', 'a', 'view', 'h:4', '$ckpt')").collect().head.getLong(0)
+    assert(n2 == 0L)
+  }
+
   test("a factor not dividing the chunk extent is rejected up front") {
     val root = java.nio.file.Files.createTempDirectory("graft_roll2").toString
     val store = new SparkStore(spark, root)
