@@ -96,6 +96,34 @@ class RollupSpec extends AnyFunSuite {
     assert(n2 == 0L)
   }
 
+  test("refresh across a src compact: the checkpointed tail keeps working " +
+      "and the view stays equal to a full recompute") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rollcp").toString
+    val store = new SparkStore(spark, root)
+    store.create("src")
+    val m = DatasetMeta(Map("h" -> 16L), Map("h" -> 8L),
+      Map("a" -> VariableDef("long", Vector("h"), -1.0)))
+    val w1 = store.addVersion("src", m)
+    w1.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(16L)), (1 to 16).map(_.toDouble))))
+    w1.finishVersion()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rollcp_ck").toString
+    Rollup.maintain(spark, root, "src", "a", "view", Map("h" -> 4L), ckpt)
+    // src gets a delta, then a CHECKPOINT version (compact)
+    Thread.sleep(2)
+    val w2 = store.addVersion("src", m)
+    w2.write("a", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(2L)), 50.0)))
+    w2.finishVersion()
+    store.compact("src")
+    Rollup.maintain(spark, root, "src", "a", "view", Map("h" -> 4L), ckpt)
+    def rd(v: String) = store.reader("view").onLastVersion()
+      .exploded(v, Slice(Seq(0L), Seq(4L)))
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    assert(rd("sum") == Seq(50L + 50 + 3 + 4, 5L + 6 + 7 + 8,
+      9L + 10 + 11 + 12, 13L + 14 + 15 + 16))
+    assert(rd("cnt") == Seq(4L, 4L, 4L, 4L))
+  }
+
   test("a factor not dividing the chunk extent is rejected up front") {
     val root = java.nio.file.Files.createTempDirectory("graft_roll2").toString
     val store = new SparkStore(spark, root)

@@ -208,6 +208,24 @@ class RowLevelDmlSpec extends AnyFunSuite {
     assert(got(0) == 0L && got(1) == 1L && got(5) == 0L)
   }
 
+  test("UPDATE after a dimension grow reaches the grown region (its cells " +
+      "read as fill and are matchable/updatable)") {
+    val (store, _, cat) = mkStore("graft_updgrow")
+    seed1d(store)
+    spark.sql(s"ALTER TABLE $cat.d.a SET TBLPROPERTIES ('dims' = 'h:30')")
+    // grown cells [20,30) read as fill (-1) — match on the fill value
+    spark.sql(s"UPDATE $cat.d.a SET value = 7 WHERE h >= 25 AND value = -1")
+    val v = store.versions("d").head._2
+    val got = store.reader("d").onVersion(v)
+      .exploded("a", Slice(Seq(0L), Seq(30L)))
+      .orderBy("h").collect().map(_.getLong(1)).toSeq
+    assert(got == (0 until 30).map {
+      case h if h < 20 => h.toLong
+      case h if h >= 25 => 7L
+      case _ => -1L
+    })
+  }
+
   test("vacuum sweeps a crashed DML query's orphaned staging dir") {
     val (store, root, cat) = mkStore("graft_updvac")
     seed1d(store)
