@@ -575,6 +575,16 @@ object ArrayQueries {
           Some(fx.evV1), axis = "h")
         .orderBy("h")
     }),
+    // linear upsampling (spark.AxisOps.interpAxis, inverse of coarsen):
+    // 4× interpolation with integer-floor arithmetic (deterministic on
+    // any engine); each cell's successor arrives via a 1-cell halo, so
+    // chunk-boundary segments interpolate correctly without global sorts
+    "q_arr_interp" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.AxisOps.interpAxis(s, fx.store.root, "ev", "n",
+          Some(fx.evV1), axis = "h", k = 4)
+        .orderBy("h")
+    }),
     // coordinate-returning reduction (spark.AxisOps.argmaxAxis): the max
     // cell value and the smallest h attaining it — per-chunk partial
     // (max, argmax) pairs, final combine over one pair per chunk
@@ -899,6 +909,19 @@ object ArrayQueries {
         |SELECT h, CAST(sum(value) OVER (ORDER BY h
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |FROM v ORDER BY h""".stripMargin),
+    "q_arr_interp" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh)),
+        |o AS (SELECT unnest(range((SELECT (maxh - 1) * 4 + 1 FROM hh))) AS i)
+        |SELECT o.i AS h,
+        | ((4 - (o.i % 4)) * a.value + (o.i % 4) * COALESCE(b.value, a.value)) // 4 AS value
+        |FROM o JOIN v a ON a.h = o.i // 4
+        | LEFT JOIN v b ON b.h = o.i // 4 + 1
+        |ORDER BY h""".stripMargin),
     "q_arr_argmax" -> (cte +
       """, v AS (
         | SELECT g.h AS h,

@@ -68,6 +68,51 @@ object AxisOps {
       .select((dims.map(col) :+ (col("local") + col("off")).as("cum")): _*)
   }
 
+  /** Linear upsampling (interpolation) along `axis` — the inverse of
+    * `Coarsen`: output length (n−1)·k + 1, with
+    * `out[q·k + r] = ⌊((k−r)·src[q] + r·src[q+1]) / k⌋` (endpoints exact,
+    * interior points integer-floor interpolated — deterministic on any
+    * engine, where float lerp would drift in the last ulp).
+    *
+    * The only cross-cell dependency is each cell's successor, which can
+    * live in the NEXT chunk — solved like [[Stencil]]: the first cell of
+    * every chunk also duplicates into its predecessor's group (a 1-cell
+    * halo), `lead` then runs entirely inside each (other-coords, chunk)
+    * group, and each group emits only the out-cells of the cells it owns.
+    * One shuffle, group size ≤ chunkExtent + 1, no global sort. */
+  def interpAxis(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long] = None,
+      axis: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (meta, df) = resolved(spark, root, dataset, variable, version)
+    val dims = meta.variables(variable).shape
+    require(dims.contains(axis), s"variable $variable has no axis '$axis'")
+    val others = dims.filterNot(_ == axis)
+    val ext = meta.chunkDimensions(axis)
+    val nChunks = (meta.dimensions(axis) + ext - 1) / ext
+    val c = col(s"_chunk_$axis")
+    val pos = col(axis) - c * ext
+    val targets = array_compact(array(c, when(pos === 0 && c > 0, c - 1)))
+    val tagged = df.select(
+      (dims.map(col) :+ col("value") :+ c.as("own") :+
+        explode(targets).as("tc")): _*)
+    val w = Window
+      .partitionBy((others.map(col) :+ col("tc")): _*)
+      .orderBy(col(axis))
+    val pairs = tagged
+      .withColumn("vn", lead("value", 1).over(w))
+      .filter(col("own") === col("tc"))
+    val rs = array((0 until k).map(lit): _*)
+    pairs
+      .select((others.map(col) :+ col(axis) :+ col("value") :+ col("vn") :+
+        explode(rs).as("r")): _*)
+      .filter(col("vn").isNotNull || col("r") === 0)
+      .select((others.map(col) :+
+        (col(axis) * k + col("r")).as(axis) :+
+        expr(s"((${k} - r) * value + r * coalesce(vn, value)) div $k")
+          .as("value")): _*)
+  }
+
   /** Arg-extremum along `axis`: for each other-coords line, the maximum
     * value and the SMALLEST axis coordinate attaining it (deterministic
     * tie-break). Per-chunk partials reduce each chunk's line segment to

@@ -49,6 +49,47 @@ class AxisOpsSpec extends AnyFunSuite {
     assert(got == want.toSeq)
   }
 
+  test("interp upsamples 4x with exact endpoints and floor-interpolated " +
+      "interiors, across chunk boundaries") {
+    val vals = Seq(0L, 8L, 4L, 12L, 2L, 10L, 6L, 3L, 9L)
+    val (_, root, v) = mk1d(vals, chunk = 4L) // successor of cell 3 and 7 cross chunks
+    val got = AxisOps.interpAxis(spark, root, "d", "a", Some(v),
+        axis = "h", k = 4)
+      .orderBy("h").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (0 until (vals.length - 1) * 4 + 1).map { o =>
+      val (q, r) = (o / 4, o % 4)
+      val vn = if (q + 1 < vals.length) vals(q + 1) else vals(q)
+      (o.toLong, Math.floorDiv((4 - r) * vals(q) + r * vn, 4L))
+    }
+    assert(got == want)
+    assert(got.length == 33)
+  }
+
+  test("2-D interp along x stays inside each y line") {
+    val root = java.nio.file.Files.createTempDirectory("graft_axis4").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("y" -> 2L, "x" -> 5L), Map("y" -> 1L, "x" -> 2L),
+      Map("a" -> VariableDef("long", Vector("y", "x"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(2L, 5L)),
+      Seq(0, 2, 4, 6, 8, 10, 30, 50, 70, 90).map(_.toDouble))))
+    val v = w.finishVersion()
+    val got = AxisOps.interpAxis(spark, root, "d", "a", Some(v),
+        axis = "x", k = 2)
+      .orderBy("y", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = Seq(Seq(0L, 2L, 4L, 6L, 8L), Seq(10L, 30L, 50L, 70L, 90L))
+    val want = for (y <- 0 to 1; o <- 0 until 9) yield {
+      val (q, r) = (o / 2, o % 2)
+      val vq = rows(y)(q)
+      val vn = if (q + 1 < 5) rows(y)(q + 1) else vq
+      (y.toLong, o.toLong, Math.floorDiv((2 - r) * vq + r * vn, 2L))
+    }
+    assert(got == want.toSeq)
+  }
+
   test("argmax returns the max value and the SMALLEST coordinate on ties") {
     val vals = Seq(3L, 9L, 1L, 9L, 2L, 9L, 0L, 4L)
     val (_, root, v) = mk1d(vals, chunk = 3L)
