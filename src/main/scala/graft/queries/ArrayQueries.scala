@@ -585,6 +585,17 @@ object ArrayQueries {
           Some(fx.evV1), axis = "h", k = 4)
         .orderBy("h")
     }),
+    // axis-collapsing reduction (spark.AxisOps.reduceAxis, xarray
+    // reduce(dim=…) analog): the 2-D grid's b axis folds away leaving one
+    // (sum, min, max, cnt) row per month — Catalyst's own two-phase
+    // HashAggregate gives the per-chunk partial fold, shuffling partials
+    // only, never cells
+    "q_arr_reduce" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.AxisOps.reduceAxis(s, fx.store.root, "grid", "qty",
+          Some(fx.gridV1), axis = "b")
+        .orderBy("m")
+    }),
     // coordinate-returning reduction (spark.AxisOps.argmaxAxis): the max
     // cell value and the smallest h attaining it — per-chunk partial
     // (max, argmax) pairs, final combine over one pair per chunk
@@ -922,6 +933,26 @@ object ArrayQueries {
         |FROM o JOIN v a ON a.h = o.i // 4
         | LEFT JOIN v b ON b.h = o.i // 4 + 1
         |ORDER BY h""".stripMargin),
+    // identical grid ground truth to q_arr_2d, then the b axis folds away
+    "q_arr_reduce" ->
+      """WITH lb AS (
+        | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,
+        |        l_partkey % 8 AS b, l_quantity
+        | FROM lineitem),
+        |mn AS (SELECT min(am) AS m0, max(am) - min(am) + 1 AS nm FROM lb),
+        |g AS (SELECT am - (SELECT m0 FROM mn) AS m, b,
+        |        CAST(sum(l_quantity) AS BIGINT) AS q
+        |      FROM lb GROUP BY 1, 2),
+        |v AS (SELECT gm.m AS m, gb.b AS b, COALESCE(g.q, 0) AS value
+        |      FROM range(0, 10000) gm(m)
+        |      CROSS JOIN range(0, 8) gb(b)
+        |      LEFT JOIN g ON g.m = gm.m AND g.b = gb.b
+        |      WHERE gm.m < (SELECT nm FROM mn))
+        |SELECT m, CAST(sum(value) AS BIGINT) AS v_sum,
+        | CAST(min(value) AS BIGINT) AS v_min,
+        | CAST(max(value) AS BIGINT) AS v_max,
+        | count(*) AS v_cnt
+        |FROM v GROUP BY m ORDER BY m""".stripMargin,
     "q_arr_argmax" -> (cte +
       """, v AS (
         | SELECT g.h AS h,

@@ -113,6 +113,31 @@ object AxisOps {
           .as("value")): _*)
   }
 
+  /** Full reduction along `axis` (xarray `reduce(dim=…)` analog): each
+    * other-coords line collapses to one row carrying sum/min/max/count of
+    * the line's cells. Output dims are the surviving coordinates — the
+    * result is an (N−1)-d array frame.
+    *
+    * Deliberately a plain `groupBy(others).agg(…)`: Catalyst plans this as
+    * partial HashAggregate inside each chunk-aligned input partition
+    * followed by a final aggregate over one row per (others, partition) —
+    * i.e. the per-chunk pre-fold falls out of the engine's own two-phase
+    * aggregation, with the shuffle carrying partials, never cells. */
+  def reduceAxis(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long] = None,
+      axis: String): DataFrame = {
+    val (meta, df) = resolved(spark, root, dataset, variable, version)
+    val dims = meta.variables(variable).shape
+    require(dims.contains(axis), s"variable $variable has no axis '$axis'")
+    val others = dims.filterNot(_ == axis)
+    val grouped = if (others.isEmpty) df.groupBy() else df.groupBy(others.map(col): _*)
+    grouped.agg(
+      sum("value").as("v_sum"),
+      min("value").as("v_min"),
+      max("value").as("v_max"),
+      count("value").as("v_cnt"))
+  }
+
   /** Arg-extremum along `axis`: for each other-coords line, the maximum
     * value and the SMALLEST axis coordinate attaining it (deterministic
     * tie-break). Per-chunk partials reduce each chunk's line segment to

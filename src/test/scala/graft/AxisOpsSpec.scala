@@ -98,6 +98,24 @@ class AxisOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) == ((9L, 1L)))
   }
 
+  test("reduce collapses an axis to (sum, min, max, cnt) per line") {
+    val root = java.nio.file.Files.createTempDirectory("graft_axis4").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("y" -> 2L, "x" -> 6L), Map("y" -> 1L, "x" -> 4L),
+      Map("a" -> VariableDef("long", Vector("y", "x"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(2L, 6L)),
+      Seq(1, 5, 2, 5, 0, 3, 7, 0, 7, 1, 2, 7).map(_.toDouble))))
+    val v = w.finishVersion()
+    val got = AxisOps.reduceAxis(spark, root, "d", "a", Some(v), axis = "x")
+      .orderBy("y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((0L, 16L, 0L, 5L, 6L), (1L, 24L, 0L, 7L, 6L)))
+  }
+
   test("2-D argmax along x: one row per y") {
     val root = java.nio.file.Files.createTempDirectory("graft_axis3").toString
     val store = new SparkStore(spark, root)
