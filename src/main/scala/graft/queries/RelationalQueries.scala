@@ -259,6 +259,59 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q21 shape (waiting suppliers): in finished multi-supplier
+    // orders, suppliers who were the ONLY late one. The classic
+    // correlated EXISTS/NOT-EXISTS pair is rewritten as one
+    // orderkey-keyed aggregation cascade: per-(order, supplier) late
+    // flags, then per-order (n_supp, n_late) — the second agg and the
+    // join back REUSE the first shuffle's partitioning, so the whole
+    // query is one lineitem-sized exchange; supplier dim broadcasts.
+    // "Late" = shipped >365 days after the order date (the testdata has
+    // no receipt/commit dates; the join/agg/decorrelation shape is the
+    // point). Deterministic: (numwait DESC, s_name) totally orders rows
+    "q_rel_q21" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > 365, 1)
+          .otherwise(0)).as("is_late"))
+      val os = late.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("is_late").as("n_late"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"), col("s_name"))
+      late.join(os, "l_orderkey")
+        .filter(col("is_late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+    // TPC-H Q22 shape (global sales opportunity): high-balance customers
+    // (above the positive-balance average, kept integer-exact as
+    // bal·n > Σbal on decimals) in a nation subset with NO recent order —
+    // scalar stats broadcast, the NOT EXISTS becomes a left_anti join
+    // shuffling only the date-filtered order keys
+    "q_rel_q22" -> ((s, dir) => {
+      val cs = s.read.parquet(s"$dir/customer.parquet")
+        .filter(pmod(col("c_nationkey"), lit(2)) === 1)
+        .select(col("c_custkey"), col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
+      val st = cs.filter(col("bal") > 0)
+        .agg(count(lit(1)).as("n"), sum("bal").as("s"))
+      val recent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cs.crossJoin(broadcast(st))
+        .filter(col("bal") * col("n") > col("s"))
+        .join(recent, cs("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum("bal").cast("double").as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     "q_rel_region_sales" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
       val region = s.read.parquet(s"$dir/region.parquet")
@@ -535,6 +588,37 @@ object RelationalQueries {
         |FROM bn, t JOIN nation ON c_nationkey = n_nationkey
         |WHERE rev * 20 > total
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // the classic correlated form — semantically identical to the Spark
+    // side's decorrelated aggregation cascade
+    "q_rel_q21" ->
+      """WITH late AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  max(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 365
+        |       THEN 1 ELSE 0 END) AS is_late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE o_orderstatus = 'F'
+        | GROUP BY 1, 2),
+        |os AS (SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+        |       FROM late GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM late JOIN os USING (l_orderkey)
+        | JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late.is_late = 1 AND os.n_supp > 1 AND os.n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_rel_q22" ->
+      """WITH cs AS (
+        | SELECT c_custkey, c_nationkey,
+        |        CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        | FROM customer WHERE c_nationkey % 2 = 1),
+        |st AS (SELECT count(*) AS n, sum(bal) AS s FROM cs WHERE bal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        | CAST(sum(bal) AS DOUBLE) AS totacctbal
+        |FROM cs, st
+        |WHERE bal * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cs.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rel_region_sales" ->
       """SELECT r_name,
         | COUNT(DISTINCT o_custkey) AS n_customers,
