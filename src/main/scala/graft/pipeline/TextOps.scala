@@ -93,6 +93,68 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** BM25 ranked retrieval: top-k documents per query under the Lucene
+    * BM25 variant — idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (positive even
+    * for terms in most documents), tf part tf·(k1+1)/(tf + k1·(1 − b +
+    * b·dl/avgdl)).
+    *
+    * Determinism: floating-point SUMS are order-sensitive, so each
+    * per-term contribution is quantized to an integer (round(c·10⁶))
+    * BEFORE summing — integer addition is order-free, making the score
+    * and therefore the ranking (ties broken by doc_id) reproducible on
+    * any engine; the output carries only integers.
+    *
+    * Scale shape: the query set broadcasts; the (doc, term) shuffle is
+    * FILTERED to query vocabulary first, so corpus terms outside any
+    * query never leave the scan; df is O(query vocab); the final top-k is
+    * two-phase (per-salt survivors, then k of S·k) so no partition ever
+    * holds one query's full corpus-sized candidate list. */
+  def bm25Retrieve(docs: DataFrame, queries: Seq[(Int, String)],
+      k: Int = 10, salts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, q) =>
+        q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qvocab = qterms.select("term").distinct()
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("total_len")))
+    val tf = toks.join(broadcast(qvocab), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      // BM25 tf part with k1 = 1.2, b = 0.75, scaled by 5 so every
+      // constant (11, 5, 1.5, 4.5) is exactly representable — the whole
+      // expression is then a fixed sequence of individually-rounded IEEE
+      // ops, bit-identical on any engine
+      .withColumn("tfp", (col("tf") * 11) /
+        (col("tf") * 5 + lit(1.5) + lit(4.5) * col("dl") / col("avgdl")))
+      .withColumn("c_q", round(col("idf") * col("tfp") * 1e6).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c_q").as("score_q"), count(lit(1)).as("n_hit"))
+    val w1 = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    val w2 = Window.partitionBy("query_id")
+      .orderBy(col("score_q").desc, col("doc_id"))
+    scored
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score_q", "n_hit")
+      .orderBy("query_id", "rank")
+  }
+
   /** Intra-document repetition signals (the Gopher-rule family for
     * filtering machine-generated/spammy text): duplicate-token fraction,
     * duplicate-3-gram fraction, and the most frequent token's share.

@@ -30,6 +30,14 @@ object PipelineQueries {
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Fixed query set for the BM25 retrieval gate (mirrored verbatim in
+    * the oracle SQL's VALUES list). */
+  private val Bm25Queries = Seq(
+    1 -> "hash join merge",
+    2 -> "slow scan filter row",
+    3 -> "customer order line value",
+    4 -> "vector batch stream window")
+
   /** Persistent IVF index for `dir`'s embedding corpus, built at most
     * once per JVM (K pinned to 16 to share the q_pipe_knn_ivf oracle).
     * The memo IS the serving story: build once, answer every subsequent
@@ -556,6 +564,13 @@ object PipelineQueries {
     // TF-IDF term ranking (1/df idf — exactly-rounded division, no libm)
     "q_pipe_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(docs(s, dir).filter(col("doc_id") < 100))),
+    // BM25 ranked retrieval (TextOps.bm25Retrieve): top-10 docs for four
+    // fixed queries under Lucene-variant BM25 — query vocab broadcast and
+    // filtered BEFORE the (doc, term) shuffle, per-term contributions
+    // integer-quantized so the score sum is order-free, two-phase salted
+    // top-k so no partition holds a query's full candidate list
+    "q_pipe_bm25" -> ((s, dir) =>
+      TextOps.bm25Retrieve(docs(s, dir), Bm25Queries)),
     // n-gram LM counts: corpus-wide top bigrams
     "q_pipe_bigrams" -> ((s, dir) => TextOps.topKBigrams(docs(s, dir))),
     // best-of-group curation: top docs per (lang, source) by length
@@ -2041,6 +2056,39 @@ object PipelineQueries {
         |GROUP BY w ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
 
     // same tokenization as vocab; idf as a single exactly-rounded division
+    // BM25 mirror: same exact-constant tf part (11·tf / (5·tf + 1.5 +
+    // 4.5·dl/avgdl)), same ln(1 + (N−df+0.5)/(df+0.5)) idf, same
+    // round(·10⁶) per-term integer quantization before the order-free sum
+    "q_pipe_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (1, 'hash join merge'), (2, 'slow scan filter row'),
+        |  (3, 'customer order line value'), (4, 'vector batch stream window')),
+        |qt AS (SELECT DISTINCT query_id, w AS term FROM q,
+        |  unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+        |    x -> x <> '')) t(w)),
+        |toks AS (SELECT doc_id, w AS term FROM documents,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) t(w)),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |             (SELECT sum(dl) FROM dl) AS total_len),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        | SELECT qt.query_id, tf.doc_id,
+        |  CAST(sum(CAST(round(
+        |    ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) *
+        |    ((tf * 11) / (tf * 5 + 1.5e0 + 4.5e0 * dl / (CAST(total_len AS DOUBLE) / n_docs)))
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS score_q,
+        |  count(*) AS n_hit
+        | FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+        |  JOIN dl USING (doc_id), c
+        | GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, score_q, n_hit FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY score_q DESC, doc_id) AS rank FROM sc) r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_pipe_tfidf" ->
       """WITH toks AS (
         | SELECT doc_id, w AS term

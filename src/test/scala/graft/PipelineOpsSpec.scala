@@ -447,4 +447,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       .agg(sum("n_boiler")).collect().head.getLong(0)
     assert(none == 0L)
   }
+
+  test("bm25Retrieve ranks term-dense short docs first, ties broken by doc_id") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "cat dog cat dog cat"),        // dense in both query terms
+      (1L, "cat dog bird fish mouse horse goat sheep"), // both terms, longer
+      (2L, "cat cat cat cat cat"),        // one term only, dense
+      (3L, "bird fish mouse"),            // no query terms
+      (4L, "cat dog cat dog cat"))        // tie with doc 0 → doc_id order
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25Retrieve(docs, Seq(7 -> "cat dog"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(got.length == 3)
+    assert(got.map(_._1).forall(_ == 7))
+    // docs 0 and 4 are identical → equal score, doc 0 first; doc 3 never appears
+    assert(got.map(_._3).toSeq == Seq(0L, 4L, 1L))
+    assert(got.map(_._4).toSeq == Seq(2L, 2L, 2L)) // both terms hit in top 3
+    // the per-salt pre-pass never drops a global top-k row: salts=1 ≡ salts=8
+    val oneSalt = TextOps.bm25Retrieve(docs, Seq(7 -> "cat dog"), k = 3, salts = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(oneSalt.toSeq == got.toSeq)
+  }
 }
