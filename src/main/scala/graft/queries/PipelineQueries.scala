@@ -681,6 +681,11 @@ object PipelineQueries {
         EventTime.eventsWithSeconds(s, dir)
           .filter(col("user_id") < 50)
           .select("user_id", "event_id", "event_type", "ts_s"))),
+    // UPDATE-mode streaming heavy hitters replayed: per-term counts over
+    // the document stream, update log reduced to final counts, exact
+    // top-50 — shares the batch q_pipe_heavy oracle
+    "q_pipe_heavy_stream" -> ((s, dir) =>
+      graft.streaming.UpdateModeStats.heavyHittersReplay(docs(s, dir))),
     // STREAM-STATIC broadcast enrichment replayed: events joined to a
     // static per-user profile frame (stateless; static side re-planned
     // per micro-batch) ≡ the batch left join
@@ -775,6 +780,9 @@ object PipelineQueries {
       // the state-machine funnel answers identically to the three-pass
       // batch funnel (same >= stage constraints) — shared oracle
       ("q_pipe_funnel_stream" -> oracleSqlBase("q_pipe_funnel")) +
+      // the update-mode streaming heavy hitters reduce to the exact batch
+      // top-k — shared oracle
+      ("q_pipe_heavy_stream" -> oracleSqlBase("q_pipe_heavy")) +
       // native session_window shares the relational twin's oracle (same
       // gap rule after the 1801-second strict-less adjustment)
       ("q_pipe_session_window" -> oracleSqlBase("q_pipe_sessions")) +

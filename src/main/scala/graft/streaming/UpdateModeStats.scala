@@ -48,4 +48,35 @@ object UpdateModeStats {
       .agg(max(col("n")).as("n"))
       .orderBy("hour_s", "event_type")
   }
+
+  final case class Doc(doc_id: Long, text: String)
+
+  /** Streaming heavy hitters: term counts as an UPDATE-mode aggregation
+    * over a replayed document stream, reduced to final counts (max of the
+    * monotone per-term emissions) and cut to the exact top-k. Shares the
+    * batch heavy-hitters oracle — the streaming route must land on the
+    * identical exact answer.
+    *
+    * Scale: state is O(vocabulary) (terms, not documents); a production
+    * deployment bounds emission with a watermarked window — unwatermarked
+    * update mode is exactly the always-fresh dashboard shape. The
+    * driver-side collect here is the gate's bounded replay harness, not
+    * part of the operator. */
+  def heavyHittersReplay(docs: DataFrame, k: Int = 50,
+      nBatches: Int = 3): DataFrame = {
+    val spark: SparkSession = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    val sunk = Replay.run(spark, rows.toIndexedSeq, nBatches,
+      outputMode = "update") { ds =>
+      ds.toDF()
+        .select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+    }
+    sunk.groupBy("term").agg(max(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+  }
 }
