@@ -658,6 +658,17 @@ object ArrayQueries {
           Some(fx.evV1), axis = "h", radius = 2)
         .orderBy("h")
     }),
+    // 2-D neighborhood stencil (spark.Stencil.boxSum2d): 3×3 box sum
+    // over the month×bucket grid — two-axis halo exchange (faces AND
+    // corners via the per-axis target cross product), each chunk group
+    // computing its owned cells' boxes locally; one shuffle, no 2-D
+    // window bent through 1-D SQL frames
+    "q_arr_stencil2d" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.Stencil.boxSum2d(s, fx.store.root, "grid", "qty",
+          Some(fx.gridV1), radius = 1)
+        .orderBy("m", "b")
+    }),
     // cell-level CDC between v1 and v2 (spark.VersionDiff): index-only
     // change detection by content hash — only the single chunk v2
     // rewrote is decoded (structural sharing drops the rest), and only
@@ -933,6 +944,29 @@ object ArrayQueries {
         |FROM o JOIN v a ON a.h = o.i // 4
         | LEFT JOIN v b ON b.h = o.i // 4 + 1
         |ORDER BY h""".stripMargin),
+    // identical grid ground truth to q_arr_2d, box-neighborhood
+    // self-join per cell
+    "q_arr_stencil2d" ->
+      """WITH lb AS (
+        | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,
+        |        l_partkey % 8 AS b, l_quantity
+        | FROM lineitem),
+        |mn AS (SELECT min(am) AS m0, max(am) - min(am) + 1 AS nm FROM lb),
+        |g AS (SELECT am - (SELECT m0 FROM mn) AS m, b,
+        |        CAST(sum(l_quantity) AS BIGINT) AS q
+        |      FROM lb GROUP BY 1, 2),
+        |v AS (SELECT gm.m AS m, gb.b AS b, COALESCE(g.q, 0) AS value
+        |      FROM range(0, 10000) gm(m)
+        |      CROSS JOIN range(0, 8) gb(b)
+        |      LEFT JOIN g ON g.m = gm.m AND g.b = gb.b
+        |      WHERE gm.m < (SELECT nm FROM mn))
+        |SELECT a.m AS m, a.b AS b,
+        | CAST(sum(nb.value) AS BIGINT) AS v_sum,
+        | count(*) AS n_win
+        |FROM v a JOIN v nb
+        |  ON nb.m BETWEEN a.m - 1 AND a.m + 1
+        | AND nb.b BETWEEN a.b - 1 AND a.b + 1
+        |GROUP BY 1, 2 ORDER BY m, b""".stripMargin,
     // identical grid ground truth to q_arr_2d, then the b axis folds away
     "q_arr_reduce" ->
       """WITH lb AS (

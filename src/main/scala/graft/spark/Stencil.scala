@@ -77,4 +77,90 @@ object Stencil {
       .filter(col("own") === col("tc"))
       .select((dims.map(col) :+ col("v_sum") :+ col("n_win")): _*)
   }
+
+  private final case class Cell2(x1: Long, x2: Long, v: Long, own: Boolean)
+
+  /** 2-D neighborhood stencil over an integer-typed 2-D variable: for
+    * every cell, the sum and population of the (2r+1)×(2r+1) box around
+    * it, clipped at the array bounds. Output (dim1, dim2, v_sum, n_win).
+    *
+    * The halo exchange generalizes [[rollingAxis]] to both axes: each
+    * cell duplicates into the neighboring chunk's group per axis
+    * independently, so the two explodes' cross product covers face AND
+    * corner neighbors (≤ 9 targets at r < extent, but only halo-band
+    * cells replicate — a ~2r/extent fraction per axis). Each
+    * (chunk₁, chunk₂) group then holds its own cells plus a full halo
+    * ring and computes every owned cell's box locally from a hash map —
+    * one shuffle, group size ≤ (ext₁+2r)·(ext₂+2r), no global sort, and
+    * SQL windows (which are 1-D) are never bent around a 2-D frame.
+    *
+    * A declarative alternative — union (2r+1)² shifted copies and
+    * groupBy(cell) — stays in whole-stage codegen but shuffles (2r+1)²×
+    * the data; the halo form shuffles ~1× and is the 100 TB answer. */
+  def boxSum2d(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long] = None,
+      radius: Int): DataFrame = {
+    require(radius >= 1, s"radius must be >= 1, got $radius")
+    val store = new SparkStore(spark, root)
+    val vid = version.getOrElse {
+      val vs = store.versions(dataset)
+      require(vs.nonEmpty, s"dataset $dataset has no committed versions")
+      vs.head._2
+    }
+    val meta = store.metadata(dataset, vid)
+    val dims = meta.variables(variable).shape
+    require(dims.length == 2,
+      s"boxSum2d needs a 2-D variable; $variable has shape $dims")
+    val Vector(a1, a2) = dims
+    val (ext1, ext2) = (meta.chunkDimensions(a1), meta.chunkDimensions(a2))
+    require(radius < ext1 && radius < ext2,
+      s"radius $radius must be < both chunk extents ($ext1, $ext2)")
+    val n1 = (meta.dimensions(a1) + ext1 - 1) / ext1
+    val n2 = (meta.dimensions(a2) + ext2 - 1) / ext2
+    val df = spark.read.format("graft")
+      .option("root", root).option("dataset", dataset)
+      .option("variable", variable).option("version", vid.toString)
+      .option("chunked", "true").load()
+    val (c1, c2) = (col(s"_chunk_$a1"), col(s"_chunk_$a2"))
+    val pos1 = col(a1) - c1 * ext1
+    val pos2 = col(a2) - c2 * ext2
+    val t1 = array_compact(array(c1,
+      when(pos1 < radius && c1 > 0, c1 - 1),
+      when(pos1 >= ext1 - radius && c1 < n1 - 1, c1 + 1)))
+    val t2 = array_compact(array(c2,
+      when(pos2 < radius && c2 > 0, c2 - 1),
+      when(pos2 >= ext2 - radius && c2 < n2 - 1, c2 + 1)))
+    import spark.implicits._
+    val tagged = df
+      .select(col(a1), col(a2), col("value").cast("long").as("v"),
+        c1.as("own1"), c2.as("own2"), explode(t1).as("tc1"), t2.as("t2s"))
+      .select(col(a1), col(a2), col("v"), col("own1"), col("own2"),
+        col("tc1"), explode(col("t2s")).as("tc2"))
+    val r = radius
+    tagged
+      .select(col("tc1"), col("tc2"), col(a1).as("x1"), col(a2).as("x2"),
+        col("v"), (col("own1") === col("tc1") && col("own2") === col("tc2")).as("own"))
+      .groupByKey(row => (row.getLong(0), row.getLong(1)))
+      .flatMapGroups { (_: (Long, Long), it: Iterator[org.apache.spark.sql.Row]) =>
+        val cells = it.map(row =>
+          Cell2(row.getLong(2), row.getLong(3), row.getLong(4),
+            row.getBoolean(5))).toArray
+        val m = new scala.collection.mutable.HashMap[(Long, Long), Long]
+        cells.foreach(c => m((c.x1, c.x2)) = c.v)
+        cells.iterator.filter(_.own).map { c =>
+          var s = 0L; var n = 0L
+          var d1 = -r
+          while (d1 <= r) {
+            var d2 = -r
+            while (d2 <= r) {
+              m.get((c.x1 + d1, c.x2 + d2)).foreach { v => s += v; n += 1 }
+              d2 += 1
+            }
+            d1 += 1
+          }
+          (c.x1, c.x2, s, n)
+        }
+      }
+      .toDF(a1, a2, "v_sum", "n_win")
+  }
 }

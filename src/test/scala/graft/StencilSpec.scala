@@ -60,6 +60,33 @@ class StencilSpec extends AnyFunSuite {
     assert(got == want.toSeq)
   }
 
+  test("boxSum2d: 3x3 boxes exact across faces, corners, and array edges") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sten2d").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    // 7x6 array, 3x2 chunks → interior cells straddle face AND corner
+    // chunk boundaries in both axes
+    val m = DatasetMeta(Map("y" -> 7L, "x" -> 6L), Map("y" -> 3L, "x" -> 2L),
+      Map("a" -> VariableDef("long", Vector("y", "x"), -1.0)))
+    val w = store.addVersion("d", m)
+    val cell = (y: Int, x: Int) => ((y * 6 + x) * 7 % 11).toLong
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(7L, 6L)),
+      (for (y <- 0 until 7; x <- 0 until 6) yield cell(y, x).toDouble))))
+    val v = w.finishVersion()
+    val got = Stencil.boxSum2d(spark, root, "d", "a", Some(v), radius = 1)
+      .orderBy("y", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = for (y <- 0 until 7; x <- 0 until 6) yield {
+      val nb = for {
+        yy <- math.max(0, y - 1) to math.min(6, y + 1)
+        xx <- math.max(0, x - 1) to math.min(5, x + 1)
+      } yield cell(yy, xx)
+      (y.toLong, x.toLong, nb.sum, nb.length.toLong)
+    }
+    assert(got == want.toSeq)
+  }
+
   test("radius must stay below the chunk extent") {
     val root = java.nio.file.Files.createTempDirectory("graft_sten3").toString
     val store = new SparkStore(spark, root)
