@@ -52,6 +52,22 @@ object ArrayQueries {
     }
   }
 
+  /** `rck` = ev.n@v1 rechunked onto extent 100, created at most once per
+    * fixture store (q_arr_rechunk and q_arr_xgrid both depend on it and
+    * run in arbitrary order). */
+  private def ensureRechunked(s: SparkSession, fx: ArrayFixtures.Handles): Unit =
+    ArrayFixtures.synchronized {
+      if (!fx.store.datasetExists("rck")) {
+        s.read.format("graft").option("root", fx.store.root)
+          .option("dataset", "ev").option("variable", "n")
+          .option("version", fx.evV1.toString).load()
+          .write.format("graft").option("root", fx.store.root)
+          .option("dataset", "rck").option("variable", "n")
+          .option("create", "true").option("dims", s"h:${fx.hours}:100")
+          .option("type", "long").option("fill", "-1").mode("append").save()
+      }
+    }
+
   /** Shared oracle CTE: per-hour counts re-origined to the first hour —
     * the exact ground truth the fixture slabs were built from. */
   private val cte =
@@ -611,15 +627,7 @@ object ArrayQueries {
     // Output pins the new chunk count AND that every cell survived
     "q_arr_rechunk" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
-      if (!fx.store.datasetExists("rck")) {
-        s.read.format("graft").option("root", fx.store.root)
-          .option("dataset", "ev").option("variable", "n")
-          .option("version", fx.evV1.toString).load()
-          .write.format("graft").option("root", fx.store.root)
-          .option("dataset", "rck").option("variable", "n")
-          .option("create", "true").option("dims", s"h:${fx.hours}:100")
-          .option("type", "long").option("fill", "-1").mode("append").save()
-      }
+      ensureRechunked(s, fx)
       val chunks = s.read.parquet(fx.store.indexDir("rck"))
         .filter(col("var") === "n")
         .agg(countDistinct(col("coordKey")).as("n_chunks"))
@@ -646,6 +654,24 @@ object ArrayQueries {
         .select(col("h"), col("a.value").as("n_val"),
           col("b.value").as("m_val"),
           (col("a.value") + col("b.value")).as("v_sum"))
+        .orderBy("h")
+    }),
+    // CROSS-GRID arithmetic: ev.n (chunk 64) + rck.n (chunk 100 — the
+    // rechunked copy) joined on the bare coordinate. The grids don't
+    // align, so no storage-partitioned join applies; the engine falls
+    // back to one coordinate-keyed shuffle per side — correct by
+    // construction, and the measured case FOR rechunking one side when
+    // a cross-grid op repeats. Values double since rck ≡ ev.n@v1
+    "q_arr_xgrid" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      ensureRechunked(s, fx)
+      def side(ds: String, v: Long) = s.read.format("graft")
+        .option("root", fx.store.root).option("dataset", ds)
+        .option("variable", "n").option("version", v.toString).load()
+      val rckV = fx.store.versions("rck").head._2
+      side("ev", fx.evV1).alias("a")
+        .join(side("rck", rckV).alias("b"), Seq("h"))
+        .select(col("h"), (col("a.value") + col("b.value")).as("v_sum"))
         .orderBy("h")
     }),
     // halo-exchange stencil (spark.Stencil): rolling sum of radius 2
@@ -1005,6 +1031,12 @@ object ArrayQueries {
         |                       ELSE COALESCE(c.cnt, 0) END)
         |  FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
         |  WHERE g.h < (SELECT maxh FROM hh)) AS BIGINT) AS v_sum""".stripMargin),
+    "q_arr_xgrid" -> (cte +
+      """SELECT g.h AS h,
+        | CAST(2 * (CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |                ELSE COALESCE(c.cnt, 0) END) AS BIGINT) AS v_sum
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < (SELECT maxh FROM hh) ORDER BY h""".stripMargin),
     "q_arr_binop" -> (cte +
       """, nn AS (
         | SELECT g.h AS h,
