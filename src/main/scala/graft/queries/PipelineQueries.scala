@@ -181,6 +181,29 @@ object PipelineQueries {
     "q_pipe_simhash" -> ((s, dir) => Dedup.simHash16(docs(s, dir).filter(col("doc_id") < 50))),
     "q_pipe_jaccard" -> ((s, dir) => Dedup.successorJaccard(docs(s, dir), "en")),
     "q_pipe_knn" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir), k = 5, nQueries = 10)),
+    // the vector functions through the SQL FRONT DOOR: `graft_dot` (the
+    // codegen'd Catalyst expression) resolved by the analyzer from SQL
+    // text — the same route a `spark.sql.extensions=graft.spark
+    // .GraftExtensions` deployment gives JDBC/spark-sql users. Top-4
+    // cosine neighbors for 8 queries, ranked inside the SQL itself
+    "q_pipe_vector_sql" -> ((s, dir) => {
+      graft.functions.VectorFunctions.register(s)
+      emb(s, dir).createOrReplaceTempView("graft_emb_sql")
+      s.sql("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                   FROM graft_emb_sql),
+        n AS (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm FROM e),
+        p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                graft_dot(q.v, t.v) / (q.nrm * t.nrm) AS sim
+              FROM n q JOIN n t ON t.vec_id <> q.vec_id
+              WHERE q.vec_id < 8),
+        r AS (SELECT query_id, neighbor_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, neighbor_id) AS rank
+              FROM p)
+        SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 4
+        ORDER BY query_id, rank""")
+    }),
     // approximate variants — deterministic by construction (fixed arithmetic
     // hyperplanes; quantized-integer Lloyd update), so both are under the
     // full DuckDB oracle gate
@@ -941,6 +964,18 @@ object PipelineQueries {
         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM p)
         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q_pipe_vector_sql" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+        |        list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS sim
+        |      FROM n q, n t WHERE q.vec_id < 8 AND t.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM p)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 4
         |ORDER BY query_id, rank""".stripMargin,
 
     "q_pipe_hard_negatives" ->

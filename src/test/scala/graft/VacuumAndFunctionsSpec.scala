@@ -132,4 +132,32 @@ class VacuumAndFunctionsSpec extends AnyFunSuite {
       df.select(VectorFunctions.dotProduct(spark, col("a"), lit("nope"))).collect()
     }
   }
+
+  test("GraftExtensions injects both SQL functions with working builders") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.spark.GraftExtensions().apply(ext)
+    // the injected (identifier, info, builder) triples live in a
+    // private field — read it reflectively and drive each builder
+    val f = ext.getClass.getDeclaredFields
+      .find(_.getName.contains("injectedFunctions")).get
+    f.setAccessible(true)
+    val injected = f.get(ext)
+      .asInstanceOf[scala.collection.mutable.Buffer[(
+        org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)]]
+    assert(injected.map(_._1.funcName).sorted == Seq("graft_dot", "graft_lsh_sig"))
+    val arr = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
+    val dot = injected.find(_._1.funcName == "graft_dot").get._3(Seq(arr, arr))
+    assert(dot.eval(null) == 5.0)
+    val sig = injected.find(_._1.funcName == "graft_lsh_sig").get._3(
+      Seq(arr, Literal(4)))
+    assert(sig.isInstanceOf[graft.functions.LshSignature])
+    // 2-arg form defaults planeOffset to 0 ≡ explicit 0
+    val sig3 = injected.find(_._1.funcName == "graft_lsh_sig").get._3(
+      Seq(arr, Literal(4), Literal(0)))
+    assert(sig.eval(null) == sig3.eval(null))
+  }
 }
