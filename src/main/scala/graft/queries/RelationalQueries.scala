@@ -61,6 +61,24 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // rank-family window completeness: ntile/percent_rank/cume_dist per
+    // market segment — the compound (acctbal, custkey) order makes every
+    // row its own peer group, so all three are position-determined and
+    // engine-independent; one shuffle on the partition key
+    "q_rel_ntile" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") < 300)
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      cust
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pr", round(percent_rank().over(w), 4))
+        .withColumn("cd", round(cume_dist().over(w), 4))
+        .select(col("c_mktsegment"), col("c_custkey"), col("quartile"),
+          col("pr"), col("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     // semi/anti join surface: customers with and without orders
     "q_rel_semi_anti" -> ((s, dir) => {
       val cust = s.read.parquet(s"$dir/customer.parquet")
@@ -454,6 +472,14 @@ object RelationalQueries {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
         | FROM orders WHERE o_custkey < 20
         |) t WHERE rn <= 5 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rel_ntile" ->
+      """SELECT c_mktsegment, c_custkey,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 4) AS pr,
+        | round(cume_dist() OVER w, 4) AS cd
+        |FROM customer WHERE c_custkey < 300
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "q_rel_semi_anti" ->
       """SELECT kind, n FROM (
         | SELECT 'with_orders' AS kind, count(*) AS n FROM customer
