@@ -117,6 +117,28 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split: a SALTED per-mille hash bucket
+    * of the document id assigns val (< valPerMille), test (next
+    * testPerMille), or train. Row-local and shuffle-free; a document's
+    * split never depends on other documents, so it is stable under
+    * retries, repartitioning, AND corpus growth (appending documents
+    * never reassigns existing ones — the property that keeps eval sets
+    * uncontaminated across dataset refreshes). The "split:" salt
+    * decorrelates these buckets from [[stratifiedSample]]'s, so
+    * sub-sampling a corpus never biases its splits. */
+  def trainValTestSplit(docs: DataFrame, valPerMille: Int = 100,
+      testPerMille: Int = 100): DataFrame = {
+    require(valPerMille >= 0 && testPerMille >= 0 &&
+      valPerMille + testPerMille <= 1000, "per-mille budgets must fit in 1000")
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("long").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000L
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+      when(bucket < valPerMille, "val")
+        .when(bucket < valPerMille + testPerMille, "test")
+        .otherwise("train").as("split"))
+  }
+
   /** Target mixture weights in 1/1000ths of a copy per language: 1000
     * keeps a doc exactly once, 2300 emits 2 copies plus a third for 30%
     * of docs, 700 keeps 70%. Unlisted languages fall back to

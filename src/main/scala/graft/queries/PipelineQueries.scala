@@ -313,6 +313,14 @@ object PipelineQueries {
     // curation: decontamination, deterministic sampling, packing, vocab
     "q_pipe_decontam" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
     "q_pipe_sample" -> ((s, dir) => Curation.stratifiedSample(docs(s, dir))),
+    // deterministic salted-hash train/val/test split, summarized per
+    // (lang, split) with an id-sum pin so assignment (not just counts)
+    // is hash-checked
+    "q_pipe_split" -> ((s, dir) =>
+      Curation.trainValTestSplit(docs(s, dir))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("lang", "split")),
     // intra-document repetition signals (the Gopher-rule filter family)
     "q_pipe_repetition" -> ((s, dir) => TextOps.repetitionStats(docs(s, dir))),
     // deterministic corpus mixing: per-language up/down-sampling
@@ -1431,6 +1439,19 @@ object PipelineQueries {
         |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
         |            WHEN 'es' THEN 125 WHEN 'fr' THEN 62 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipe_split" ->
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  CASE WHEN b < 100 THEN 'val' WHEN b < 200 THEN 'test'
+        |       ELSE 'train' END AS split
+        | FROM (SELECT doc_id, lang,
+        |        CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) % 1000 AS b
+        |       FROM documents))
+        |SELECT lang, split, count(*) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     // intra-document repetition: same tokenizer as langid/quality; the
     // 3-grams index into the token list (1-based in DuckDB)

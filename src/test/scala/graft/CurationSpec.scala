@@ -196,4 +196,25 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.curatePipeline(docs.orderBy(col("doc_id").desc)).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("trainValTestSplit: growth-stable, budget-respecting, decorrelated " +
+      "from the sampling hash") {
+    import spark.implicits._
+    def mk(n: Int) = (0L until n.toLong).map(i => (i, "en")).toDF("doc_id", "lang")
+    val small = Curation.trainValTestSplit(mk(200)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val grown = Curation.trainValTestSplit(mk(500)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // appending documents never reassigns existing ones
+    assert(small.forall { case (id, s) => grown(id) == s })
+    val counts = grown.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // ~10% each at per-mille 100: loose envelope, deterministic data
+    assert(counts("val") >= 25 && counts("val") <= 75)
+    assert(counts("test") >= 25 && counts("test") <= 75)
+    // budgets are validated
+    intercept[IllegalArgumentException] {
+      Curation.trainValTestSplit(mk(10), valPerMille = 600, testPerMille = 600)
+    }
+  }
 }

@@ -178,4 +178,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(singles.isEmpty,
       s"per-user funnel stages must stay hash-partitioned: $singles")
   }
+
+  test("q_rel_q21 cascade: dims broadcast, no cartesian product, no " +
+      "single-partition shuffle of per-order rows") {
+    val q = graft.SparkEntry.queries("q_rel_q21")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val ns = nodes(q)
+    assert(ns.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 1,
+      "supplier (and the filtered orders side at this SF) must broadcast")
+    assert(!ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the decorrelated cascade must never plan a cartesian product")
+    val singles = ns.collect { case s: ShuffleExchangeExec
+      if s.outputPartitioning.numPartitions == 1 &&
+        s.child.schema.fieldNames.contains("l_orderkey") => s }
+    assert(singles.isEmpty,
+      s"per-order aggregation must stay hash-partitioned: $singles")
+  }
+
+  test("bm25: every window is partitioned; no cartesian product; the " +
+      "corpus token stream is query-vocab-filtered before its shuffle") {
+    import spark.implicits._
+    val docs = (0 until 40).map(i =>
+      (i.toLong, s"alpha beta gamma delta doc$i one two three")).toDF("doc_id", "text")
+    val q = graft.pipeline.TextOps.bm25Retrieve(docs, Seq(1 -> "alpha beta", 2 -> "gamma"))
+    q.collect()
+    val ns = nodes(q)
+    assert(!ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    val unpartitioned = ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpartitioned.isEmpty, "both top-k windows must be partitioned")
+    // every shuffle carrying raw terms must carry ONLY query-vocab rows:
+    // the (doc, term) stream joins the broadcast vocab before grouping,
+    // so no exchange input holds the bare exploded term column alone
+    // (the literal query set's own distinct also shuffles a bare term
+    // column — it is driver-local data, recognizable by its
+    // LocalTableScan leaf, and excluded here)
+    def fromLiteral(p: SparkPlan): Boolean =
+      p.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec])
+    val rawTermShuffles = ns.collect { case s: ShuffleExchangeExec
+      if s.child.schema.fieldNames.sameElements(Array("term")) &&
+        !fromLiteral(s.child) => s }
+    assert(rawTermShuffles.isEmpty,
+      s"corpus terms must be vocab-filtered before any exchange: $rawTermShuffles")
+  }
 }
