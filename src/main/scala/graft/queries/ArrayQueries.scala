@@ -656,6 +656,18 @@ object ArrayQueries {
           (col("a.value") + col("b.value")).as("v_sum"))
         .orderBy("h")
     }),
+    // multi-variable single-pass read (SparkStore.explodedMulti): n and
+    // m in ONE wide frame — the k-way join happens at CHUNK level
+    // (compressed blobs, one row per covering chunk per variable), each
+    // blob decodes once, arrays_zip + one posexplode emits wide cells;
+    // no cell-level join, per-variable fill preserved (m is fill −1
+    // beyond [0,10))
+    "q_arr_multivar" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onVersion(fx.evV1)
+        .explodedMulti(Seq("n", "m"), Slice(Seq(0L), Seq(fx.hours)))
+        .orderBy("h")
+    }),
     // CROSS-GRID arithmetic: ev.n (chunk 64) + rck.n (chunk 100 — the
     // rechunked copy) joined on the bare coordinate. The grids don't
     // align, so no storage-partitioned join applies; the engine falls
@@ -1031,6 +1043,13 @@ object ArrayQueries {
         |                       ELSE COALESCE(c.cnt, 0) END)
         |  FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
         |  WHERE g.h < (SELECT maxh FROM hh)) AS BIGINT) AS v_sum""".stripMargin),
+    "q_arr_multivar" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS n,
+        | CASE WHEN g.h < 10 THEN COALESCE(c.cnt, 0) ELSE -1 END AS m
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < (SELECT maxh FROM hh) ORDER BY h""".stripMargin),
     "q_arr_xgrid" -> (cte +
       """SELECT g.h AS h,
         | CAST(2 * (CASE WHEN g.h >= 20 AND g.h < 30 THEN 999

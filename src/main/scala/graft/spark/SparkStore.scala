@@ -1096,6 +1096,78 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     * derive each cell's coordinates inside whole-stage codegen — no boxed
     * Row-per-cell path (which dominated the full-read bench ~5 s of 8 s
     * at the 216M-cell reference shape). */
+  /** `chunkRows` with the dangling-index guard applied: a hash whose blob
+    * is missing raises INSIDE the plan instead of silently reading fill. */
+  private def guardedChunkRows(varName: String, request: Slice): DataFrame =
+    chunkRows(varName, request).withColumn("bytes",
+      when(col("hash").isNotNull && col("bytes").isNull,
+        raise_error(concat(
+          lit("chunk "), col("coordKey"), lit(" resolved to blob "), col("hash"),
+          lit(" but the blob is missing from the chunk store (GC'd or lost?)" +
+            " — refusing to read fill"))).cast("binary"))
+        .otherwise(col("bytes")))
+
+  /** Multi-variable single-pass read: one wide row per cell, columns
+    * (dims…, var₁, var₂, …) — the cross-variable frame that otherwise
+    * needs k exploded scans joined cell-wise.
+    *
+    * All variables must share the dimension tuple (hence the chunk grid,
+    * which the dataset fixes per dimension). The join then happens at
+    * CHUNK level: each variable contributes one (coordKey, blob) row per
+    * covering chunk, the k-way join shuffles compressed blob bytes (≈
+    * data volume, versus every cell row twice for the exploded-join
+    * alternative), each blob decodes exactly once, and `arrays_zip` +
+    * one `posexplode` emits the wide cells — no cell-level join, sort,
+    * or exchange ever sees individual values. Unwritten chunks decode as
+    * fill per variable, preserving per-variable fill semantics. */
+  def explodedMulti(varNames: Seq[String], request: Slice,
+      checkBounds: Boolean = true): DataFrame = {
+    require(varNames.nonEmpty, "explodedMulti needs at least one variable")
+    require(varNames.distinct == varNames, s"duplicate variables: $varNames")
+    val dims = meta.variables(varNames.head).shape
+    require(dims.nonEmpty, "explodedMulti needs array variables (rank >= 1)")
+    varNames.foreach { v =>
+      require(meta.variables(v).shape == dims,
+        s"variable $v has shape ${meta.variables(v).shape}, expected $dims " +
+          "(all variables of a multi-read must share the dimension tuple)")
+    }
+    val varSlice = meta.varSlice(varNames.head)
+    require(request.nonEmpty, s"request slice is empty: $request")
+    if (checkBounds && !request.isContainedIn(varSlice))
+      throw new IndexOutOfBoundsException(
+        s"Request slice $request crosses the variables' extent: $varSlice.")
+    val rank = dims.length
+    val grid = meta.chunkGridSlice(varNames.head)
+    graft.functions.ChunkFunctions.register(spark)
+    val chunkShape = (0 until rank).map(i => grid.step(i))
+    val strides = (0 until rank).map(i => (i + 1 until rank).map(chunkShape).product)
+    val volume = chunkShape.product
+    val sides = varNames.map { v =>
+      guardedChunkRows(v, request)
+        .select(col("coordKey"), col("coord"), col("bytes").as(s"__bytes_$v"))
+    }
+    val joined = sides.reduceLeft { (a, b) =>
+      a.join(b.drop("coord"), Seq("coordKey"))
+    }
+    val perChunk = (0 until rank).map(i =>
+      (col("coord")(i) * lit(grid.step(i))).as(s"__base$i"))
+    val decoded = varNames.map { v =>
+      graft.functions.ChunkFunctions.chunkCells(spark, col(s"__bytes_$v"),
+        lit(volume), lit(meta.dtype(v).name), lit(meta.fill(v))).as(v)
+    }
+    val cells = joined.select(perChunk :+
+      posexplode(arrays_zip(decoded: _*)).as(Seq("pos", "__zip")): _*)
+    val cellCols = (0 until rank).map { i =>
+      s"(__base$i + (CAST(pos AS BIGINT) div ${strides(i)}L) % ${chunkShape(i)}L)" +
+        s" AS `${dims(i)}`"
+    }
+    val out = cells.selectExpr(
+      (cellCols ++ varNames.map(v => s"__zip.`$v` AS `$v`")): _*)
+    (0 until rank).foldLeft(out) { (df, i) =>
+      df.filter(col(dims(i)) >= request.start(i) && col(dims(i)) < request.stop(i))
+    }
+  }
+
   def exploded(varName: String, request: Slice, checkBounds: Boolean = true): DataFrame = {
     val varSlice = meta.varSlice(varName)
     require(request.nonEmpty, s"request slice is empty: $request")
@@ -1128,13 +1200,7 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
 
     // dangling index entry (hash without blob) fails INSIDE the plan —
     // same invariant as requireBlob on the driver paths
-    val guarded = chunkRows(varName, request).withColumn("bytes",
-      when(col("hash").isNotNull && col("bytes").isNull,
-        raise_error(concat(
-          lit("chunk "), col("coordKey"), lit(" resolved to blob "), col("hash"),
-          lit(" but the blob is missing from the chunk store (GC'd or lost?)" +
-            " — refusing to read fill"))).cast("binary"))
-        .otherwise(col("bytes")))
+    val guarded = guardedChunkRows(varName, request)
 
     // Blobs ALWAYS hold the full chunk volume — edge chunks include the
     // overhang, filled (write path: chunkSlice = fromChunkCoordinate,

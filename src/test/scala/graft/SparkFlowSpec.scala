@@ -67,6 +67,47 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(slab.valueAt(Seq(2L, 3L)) == 16.0)
   }
 
+  test("explodedMulti: wide cells ≡ per-variable exploded reads; shape " +
+      "mismatch and duplicates rejected") {
+    val store = freshStore()
+    store.create("mv")
+    val m = DatasetMeta(
+      dimensions = Map("x" -> 9L, "y" -> 10L),
+      chunkDimensions = Map("x" -> 4L, "y" -> 3L),
+      variables = Map(
+        "a" -> VariableDef("double", Vector("x", "y"), -9.0),
+        "b" -> VariableDef("long", Vector("x", "y"), -1.0),
+        "s" -> VariableDef("long", Vector(), 0.0)))
+    val w = store.addVersion("mv", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.DOUBLE,
+      Slice(Seq(0L, 0L), Seq(5L, 6L)), (1 to 30).map(_.toDouble))))
+    w.write("b", Seq(Slab.empty(DType.LONG, Slice(Seq(3L, 4L), Seq(9L, 10L)), 7.0)))
+    val v1 = w.finishVersion()
+    val r = store.reader("mv").onVersion(v1)
+    val req = Slice(Seq(0L, 0L), Seq(9L, 10L))
+    val wide = r.explodedMulti(Seq("a", "b"), req).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) ->
+        ((row.getDouble(2), row.getLong(3)))).toMap
+    assert(wide.size == 90)
+    // per-variable fills where only the other variable wrote
+    assert(wide((0L, 0L)) == ((1.0, -1L)))   // a written, b fill
+    assert(wide((8L, 9L)) == ((-9.0, 7L)))   // a fill, b written
+    assert(wide((3L, 4L)) == ((23.0, 7L)))   // both written
+    // exact parity with the two single-variable exploded reads
+    val ea = r.exploded("a", req).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    val eb = r.exploded("b", req).collect()
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getLong(2)).toMap
+    assert(wide.forall { case (k, (va, vb)) => ea(k) == va && eb(k) == vb })
+    // scalar variable can't join a 2-D read; duplicates rejected
+    assert(intercept[IllegalArgumentException] {
+      r.explodedMulti(Seq("a", "s"), req)
+    }.getMessage.contains("dimension tuple"))
+    assert(intercept[IllegalArgumentException] {
+      r.explodedMulti(Seq("a", "a"), req)
+    }.getMessage.contains("duplicate"))
+  }
+
   test("statsAggregate matches the exploded view: interior stats, fill math, " +
     "boundary decode, NaN semantics, windowed requests") {
     val store = freshStore()
