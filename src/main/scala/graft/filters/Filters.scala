@@ -112,17 +112,51 @@ class DeflateFilter(level: Int = 6) extends ChunkFilter {
 }
 object DeflateFilter extends DeflateFilter(6)
 
+/** Zstandard — an EXTENSION code beyond the reference's fixed 1-3 (its
+  * filter registry is the sanctioned extension point, chain.clj:26-45):
+  * better ratio than lz4 at comparable decode speed, the right default
+  * for cold 100 TB archives where storage dominates CPU. Same body
+  * framing (raw marker / little-endian length) as every other filter,
+  * so chains mix freely and old readers reject the unknown code loudly
+  * rather than misreading bytes. */
+class ZstdFilter(level: Int = 3) extends ChunkFilter {
+  val code: Byte = 4
+  val name = "zstd"
+  def apply(data: Array[Byte]): Array[Byte] = {
+    val max = com.github.luben.zstd.Zstd.compressBound(data.length.toLong).toInt
+    val buf = new Array[Byte](max)
+    val n = com.github.luben.zstd.Zstd.compressByteArray(
+      buf, 0, max, data, 0, data.length, level)
+    frame(data, buf, n.toInt)
+  }
+  def reverse(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val (compressed, decLen, payloadOff) = parseHeader(data, off)
+    if (!compressed) java.util.Arrays.copyOfRange(data, payloadOff, off + len)
+    else {
+      val out = new Array[Byte](decLen)
+      val n = com.github.luben.zstd.Zstd.decompressByteArray(
+        out, 0, decLen, data, payloadOff, off + len - payloadOff)
+      require(n == decLen, s"zstd decoded $n bytes, expected $decLen")
+      out
+    }
+  }
+}
+object ZstdFilter extends ZstdFilter(3)
+
 /** Filter chain with the reference's chunk framing
   * (reference: src/io/mandoline/filters/chain.clj:1-31):
   *   [headerVersion=0][filterCount][code…][payload]
-  * Codes are fixed for the lifetime of a database: lz4=1 lz4hc=2 deflate=3.
+  * Codes are fixed for the lifetime of a database: lz4=1 lz4hc=2
+  * deflate=3, plus extension code zstd=4.
   * Encode applies filters left-to-right; decode reverses right-to-left.
   */
 object FilterChain {
   private val byName: Map[String, ChunkFilter] =
-    Map("lz4" -> Lz4Filter, "lz4hc" -> Lz4HcFilter, "deflate" -> DeflateFilter)
+    Map("lz4" -> Lz4Filter, "lz4hc" -> Lz4HcFilter, "deflate" -> DeflateFilter,
+      "zstd" -> ZstdFilter)
   private val byCode: Map[Byte, ChunkFilter] =
-    Map[Byte, ChunkFilter](1.toByte -> Lz4Filter, 2.toByte -> Lz4HcFilter, 3.toByte -> DeflateFilter)
+    Map[Byte, ChunkFilter](1.toByte -> Lz4Filter, 2.toByte -> Lz4HcFilter,
+      3.toByte -> DeflateFilter, 4.toByte -> ZstdFilter)
 
   /** The write path's default chain (reference hard-codes ["lz4"] on write,
     * src/io/mandoline/impl/compressed_store.clj:7-30). */

@@ -69,8 +69,25 @@ class FiltersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { FilterChain.encode(Seq("snappy"), Array[Byte](1)) }
   }
 
+  test("zstd (extension code 4): round trip, raw marker on incompressible, " +
+      "beats lz4 on redundant data, mixes into chains") {
+    import graft.filters.{ZstdFilter, Lz4Filter}
+    val redundant = Array.tabulate[Byte](60000)(i => (i % 17).toByte)
+    val z = ZstdFilter(redundant)
+    assert(z(0) == 1 && java.util.Arrays.equals(
+      ZstdFilter.reverse(z, 0, z.length), redundant))
+    assert(z.length < Lz4Filter(redundant).length)
+    val noise = Array.fill[Byte](4096)(rnd.nextInt().toByte)
+    val raw = ZstdFilter(noise)
+    assert(raw(0) == 0 && java.util.Arrays.equals(
+      ZstdFilter.reverse(raw, 0, raw.length), noise))
+    val framed = FilterChain.encode(Seq("lz4", "zstd"), redundant)
+    assert(framed(2) == 1 && framed(3) == 4)
+    assert(java.util.Arrays.equals(FilterChain.decode(framed), redundant))
+  }
+
   test("chain round trip property") {
-    val all = Seq("lz4", "lz4hc", "deflate")
+    val all = Seq("lz4", "lz4hc", "deflate", "zstd")
     for (_ <- 1 to 30) {
       val names = rnd.shuffle(all).take(rnd.nextInt(4))
       val data = randomBytes()

@@ -108,6 +108,28 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.getMessage.contains("duplicate"))
   }
 
+  test("per-dataset filters metadata drives the chunk codec end-to-end: " +
+      "zstd-framed blobs, identical reads") {
+    val store = freshStore()
+    store.create("zs")
+    val m = DatasetMeta(
+      dimensions = Map("x" -> 64L), chunkDimensions = Map("x" -> 32L),
+      variables = Map("v" -> VariableDef("long", Vector("x"), -1.0)),
+      filters = Seq("zstd"))
+    val w = store.addVersion("zs", m)
+    w.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(64L)), (0 until 64).map(i => (i % 7).toDouble))))
+    val v1 = w.finishVersion()
+    // stored blobs carry the [ver=0][count=1][code=4 zstd] chain header
+    val blobs = spark.read.parquet(store.chunksDir)
+      .select("bytes").collect().map(_.getAs[Array[Byte]](0))
+    assert(blobs.nonEmpty && blobs.forall(b => b(0) == 0 && b(1) == 1 && b(2) == 4))
+    val got = store.reader("zs").onVersion(v1)
+      .exploded("v", Slice(Seq(0L), Seq(64L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 64).forall(i => got(i.toLong) == (i % 7).toLong))
+  }
+
   test("statsAggregate matches the exploded view: interior stats, fill math, " +
     "boundary decode, NaN semantics, windowed requests") {
     val store = freshStore()
