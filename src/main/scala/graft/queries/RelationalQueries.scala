@@ -330,6 +330,28 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    // explicit GROUPING SETS (beyond cube/rollup): (region, nation),
+    // (region), () in ONE Expand + a single shuffle, grouping_id
+    // disambiguating subtotal rows from genuine NULL groups
+    "q_rel_gsets" -> ((s, dir) => {
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val region = s.read.parquet(s"$dir/region.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("r_name"),
+          coalesce(col("n_name"), lit("(all)")).as("n_name"),
+          col("gid"), col("n_orders"), col("spend"))
+        .orderBy("gid", "r_name", "n_name")
+    }),
+
     "q_rel_region_sales" -> ((s, dir) => {
       val nation = s.read.parquet(s"$dir/nation.parquet")
       val region = s.read.parquet(s"$dir/region.parquet")
@@ -472,6 +494,18 @@ object RelationalQueries {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_spend
         | FROM orders WHERE o_custkey < 20
         |) t WHERE rn <= 5 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rel_gsets" ->
+      """SELECT coalesce(r_name, '(all)') AS r_name,
+        | coalesce(n_name, '(all)') AS n_name,
+        | CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        |ORDER BY gid, r_name, n_name""".stripMargin,
     "q_rel_ntile" ->
       """SELECT c_mktsegment, c_custkey,
         | ntile(4) OVER w AS quartile,
