@@ -111,14 +111,8 @@ object TextOps {
     * holds one query's full corpus-sized candidate list. */
   def bm25Retrieve(docs: DataFrame, queries: Seq[(Int, String)],
       k: Int = 10, salts: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    import spark.implicits._
-    val qterms = queries
-      .flatMap { case (qid, q) =>
-        q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
-          .map(t => (qid, t)) }
-      .toDF("query_id", "term")
+    val qterms = queryTerms(spark, queries)
     val qvocab = qterms.select("term").distinct()
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
@@ -127,6 +121,26 @@ object TextOps {
     val tf = toks.join(broadcast(qvocab), Seq("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Rank(tf, dfreq, qterms, dl, corpus, k, salts)
+  }
+
+  private def queryTerms(spark: SparkSession,
+      queries: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
+    queries
+      .flatMap { case (qid, q) =>
+        q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t)) }
+      .toDF("query_id", "term")
+  }
+
+  /** The shared BM25 scoring/rank tail: see [[bm25Retrieve]] for the
+    * determinism and top-k reasoning. `tf` may be pre-filtered to any
+    * superset of the query vocabulary; `dfreq` must be the CORPUS
+    * document frequencies of those terms (not post-filter counts). */
+  private def bm25Rank(tf: DataFrame, dfreq: DataFrame, qterms: DataFrame,
+      dl: DataFrame, corpus: DataFrame, k: Int, salts: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = tf
       .join(broadcast(dfreq), Seq("term"))
       .join(broadcast(qterms), Seq("term"))
@@ -153,6 +167,62 @@ object TextOps {
       .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
       .select("query_id", "rank", "doc_id", "score_q", "n_hit")
       .orderBy("query_id", "rank")
+  }
+
+  /** Build a persistent BM25 index at `path`: term-sorted postings
+    * (term, doc_id, tf), per-term corpus document frequencies, document
+    * lengths, and one-row corpus stats carrying a content fingerprint.
+    * Build is one tokenization pass; the expensive artifact then serves
+    * every future query batch (the IVF build/serve discipline applied to
+    * lexical retrieval).
+    *
+    * Postings are repartitioned AND sorted by term, so each parquet row
+    * group covers a narrow term range — a query-vocabulary `IN` predicate
+    * prunes to the few row groups actually holding those postings
+    * (min/max row-group stats), instead of re-scanning the corpus. */
+  def bm25BuildIndex(docs: DataFrame, path: String): Unit = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    docs.agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("fingerprint"))
+      .crossJoin(dl.agg(sum("dl").as("total_len")))
+      .select("n_docs", "total_len", "fingerprint")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Serve queries from a [[bm25BuildIndex]] artifact — bit-identical
+    * ranking to the one-shot [[bm25Retrieve]] over the same corpus, but
+    * reading only the query vocabulary's postings/df row groups. With
+    * `verifyCorpus`, asserts the index's corpus fingerprint against the
+    * supplied frame before answering (stale-index protection; a
+    * once-per-batch cost, not per-query). */
+  def bm25QueryIndex(spark: SparkSession, path: String,
+      queries: Seq[(Int, String)], k: Int = 10, salts: Int = 8,
+      verifyCorpus: Option[DataFrame] = None): DataFrame = {
+    verifyCorpus.foreach { docs =>
+      val want = spark.read.parquet(s"$path/stats")
+        .select("n_docs", "fingerprint").collect().head
+      val got = docs.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, text))")).collect().head
+      require(want.getLong(0) == got.getLong(0) && want.getLong(1) == got.getLong(1),
+        s"BM25 index at $path was built from a different corpus " +
+          s"(count ${want.getLong(0)} vs ${got.getLong(0)}) — rebuild it")
+    }
+    val qterms = queryTerms(spark, queries)
+    val vocab = qterms.select("term").distinct().collect().map(_.getString(0)).sorted
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(vocab.toIndexedSeq: _*))
+    val dfreq = spark.read.parquet(s"$path/df")
+      .filter(col("term").isin(vocab.toIndexedSeq: _*))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val corpus = spark.read.parquet(s"$path/stats").select("n_docs", "total_len")
+    bm25Rank(tf, dfreq, qterms, dl, corpus, k, salts)
   }
 
   /** Intra-document repetition signals (the Gopher-rule family for

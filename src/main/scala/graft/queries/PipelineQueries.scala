@@ -86,6 +86,17 @@ object PipelineQueries {
       path
     })
 
+  /** Persistent BM25 index over the documents corpus, built once per
+    * sfDir — serve gates answer from term-pruned postings only. */
+  private val bm25Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25IndexFor(s: SparkSession, dir: String): String =
+    bm25Indexes.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+      TextOps.bm25BuildIndex(docs(s, d), path)
+      path
+    })
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
@@ -602,6 +613,13 @@ object PipelineQueries {
     // top-k so no partition holds a query's full candidate list
     "q_pipe_bm25" -> ((s, dir) =>
       TextOps.bm25Retrieve(docs(s, dir), Bm25Queries)),
+    // the persistent-index twin: same queries answered from the
+    // build-once BM25 artifact (term-sorted postings pruned to the query
+    // vocabulary by parquet row-group stats, fingerprint-attested) —
+    // bit-identical ranking, shares the one-shot's oracle
+    "q_pipe_bm25_serve" -> ((s, dir) =>
+      TextOps.bm25QueryIndex(s, bm25IndexFor(s, dir), Bm25Queries,
+        verifyCorpus = Some(docs(s, dir)))),
     // n-gram LM counts: corpus-wide top bigrams
     "q_pipe_bigrams" -> ((s, dir) => TextOps.topKBigrams(docs(s, dir))),
     // best-of-group curation: top docs per (lang, source) by length
@@ -814,6 +832,9 @@ object PipelineQueries {
       // the update-mode streaming heavy hitters reduce to the exact batch
       // top-k — shared oracle
       ("q_pipe_heavy_stream" -> oracleSqlBase("q_pipe_heavy")) +
+      // the persistent-index BM25 serve ranks bit-identically to the
+      // one-shot — shared oracle
+      ("q_pipe_bm25_serve" -> oracleSqlBase("q_pipe_bm25")) +
       // native session_window shares the relational twin's oracle (same
       // gap rule after the 1801-second strict-less adjustment)
       ("q_pipe_session_window" -> oracleSqlBase("q_pipe_sessions")) +

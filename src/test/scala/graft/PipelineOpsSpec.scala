@@ -468,5 +468,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     val oneSalt = TextOps.bm25Retrieve(docs, Seq(7 -> "cat dog"), k = 3, salts = 1)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(4)))
     assert(oneSalt.toSeq == got.toSeq)
+    // persistent index: serve ≡ one-shot; stale corpus detected
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextOps.bm25BuildIndex(docs, idx)
+    val served = TextOps.bm25QueryIndex(spark, idx, Seq(7 -> "cat dog"), k = 3,
+        verifyCorpus = Some(docs))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    assert(served.toSeq == got.toSeq)
+    val grown = docs.union(Seq((9L, "cat dog extra")).toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bm25QueryIndex(spark, idx, Seq(7 -> "cat"), verifyCorpus = Some(grown))
+    }
+    assert(e.getMessage.contains("different corpus"))
   }
 }
