@@ -34,11 +34,21 @@ object Similarity {
       .withColumn("nrm", sqrt(d(col("v"), col("v"))))
   }
 
+  /** Exact top-k cosine neighbors for an explicit query-id set — same
+    * plan as [[bruteForceTopK]] (broadcast queries, candidate stream
+    * never shuffled), differing only in the query predicate. */
+  def bruteForceTopKIds(emb: DataFrame, k: Int, queryIds: Seq[Long]): DataFrame =
+    bruteTopK(emb, k, col("vec_id").isin(queryIds: _*))
+
   /** Exact top-k cosine neighbors for the `nQueries` lowest vec_ids.
     * Output: (query_id, neighbor_id, rank). */
-  def bruteForceTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, k: Int, nQueries: Int): DataFrame =
+    bruteTopK(emb, k, col("vec_id") < nQueries)
+
+  private def bruteTopK(emb: DataFrame, k: Int,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
     val n = withNorm(emb)
-    val q = n.filter(col("vec_id") < nQueries)
+    val q = n.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val cand = n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
     val w = Window.partitionBy("query_id")

@@ -225,6 +225,44 @@ object TextOps {
     bm25Rank(tf, dfreq, qterms, dl, corpus, k, salts)
   }
 
+  /** Hybrid retrieval: BM25 lexical top-`perList` fused with exact
+    * cosine top-`perList` by reciprocal-rank fusion. Each query id names
+    * both a text query (BM25 side) and its encoded vector `vec_id` in
+    * `emb` (semantic side, self excluded). RRF keeps only RANKS from the
+    * two systems — fusing raw scores across incomparable scales is the
+    * classic hybrid mistake — and the contribution `⌊10⁶/(60+rank)⌋` is
+    * integer division, so fused scores are order-free sums of exact
+    * integers: engine-reproducible, ties broken by doc_id.
+    *
+    * Scale: both lists are top-`perList` PER QUERY before the fusion
+    * join, so fusion touches O(queries·perList) rows regardless of
+    * corpus size; at billions of documents swap the semantic side for
+    * the IVF-PQ index and the lexical side for the persistent BM25
+    * index — the fusion is oblivious to how each list was produced. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queries: Seq[(Int, String)],
+      k: Int = 5, perList: Int = 10): DataFrame = {
+    val lex = bm25Retrieve(docs, queries, k = perList)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id"), col("rank").as("lex_rank"))
+    val sem = graft.pipeline.Similarity
+      .bruteForceTopKIds(emb, perList, queries.map(_._1.toLong))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("sem_rank"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_q",
+        coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sem_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_q"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Intra-document repetition signals (the Gopher-rule family for
     * filtering machine-generated/spammy text): duplicate-token fraction,
     * duplicate-3-gram fraction, and the most frequent token's share.

@@ -613,6 +613,12 @@ object PipelineQueries {
     // top-k so no partition holds a query's full candidate list
     "q_pipe_bm25" -> ((s, dir) =>
       TextOps.bm25Retrieve(docs(s, dir), Bm25Queries)),
+    // hybrid lexical+semantic retrieval: BM25 top-10 and exact-cosine
+    // top-10 fused by reciprocal-rank fusion (integer ⌊10⁶/(60+rank)⌋
+    // contributions — rank-only fusion, never cross-scale score mixing);
+    // each query id names both its text query and its encoded vec_id
+    "q_pipe_hybrid" -> ((s, dir) =>
+      TextOps.hybridRrf(docs(s, dir), emb(s, dir), Bm25Queries)),
     // the persistent-index twin: same queries answered from the
     // build-once BM25 artifact (term-sorted postings pruned to the query
     // vocabulary by parquet row-group stats, fingerprint-attested) —
@@ -2174,6 +2180,58 @@ object PipelineQueries {
         | SELECT *, row_number() OVER (PARTITION BY query_id
         |   ORDER BY score_q DESC, doc_id) AS rank FROM sc) r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // lexical branch ≡ the q_pipe_bm25 oracle as a CTE; semantic branch
+    // ≡ the knn pattern over vec_id IN (1,2,3,4); fusion = integer RRF
+    "q_pipe_hybrid" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (1, 'hash join merge'), (2, 'slow scan filter row'),
+        |  (3, 'customer order line value'), (4, 'vector batch stream window')),
+        |qt AS (SELECT DISTINCT query_id, w AS term FROM q,
+        |  unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'),
+        |    x -> x <> '')) t(w)),
+        |dtoks AS (SELECT doc_id, w AS term FROM documents,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) t(w)),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM dtoks GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |             (SELECT sum(dl) FROM dl) AS total_len),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dtoks
+        |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        | SELECT qt.query_id, tf.doc_id,
+        |  CAST(sum(CAST(round(
+        |    ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) *
+        |    ((tf * 11) / (tf * 5 + 1.5e0 + 4.5e0 * dl / (CAST(total_len AS DOUBLE) / n_docs)))
+        |    * 1e6) AS BIGINT)) AS BIGINT) AS score_q
+        | FROM tf JOIN dfq USING (term) JOIN qt USING (term)
+        |  JOIN dl USING (doc_id), c
+        | GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rank AS lex_rank FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_q DESC, doc_id) AS rank FROM sc) z WHERE rank <= 10),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT q2.vec_id AS query_id, t.vec_id AS doc_id,
+        |        list_dot_product(q2.v, t.v) / (q2.nrm * t.nrm) AS sim
+        |      FROM n q2, n t
+        |      WHERE q2.vec_id IN (1, 2, 3, 4) AND t.vec_id <> q2.vec_id),
+        |sem AS (SELECT query_id, doc_id, rank AS sem_rank FROM (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, doc_id) AS rank FROM p) z WHERE rank <= 10),
+        |f AS (SELECT query_id, doc_id,
+        |        coalesce(1000000 // (60 + lex_rank), 0) +
+        |        coalesce(1000000 // (60 + sem_rank), 0) AS rrf_q,
+        |        coalesce(lex_rank, 0) AS lex_rank,
+        |        coalesce(sem_rank, 0) AS sem_rank
+        |      FROM lex FULL OUTER JOIN sem USING (query_id, doc_id))
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+        | CAST(rrf_q AS BIGINT) AS rrf_q,
+        | CAST(lex_rank AS BIGINT) AS lex_rank,
+        | CAST(sem_rank AS BIGINT) AS sem_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_q DESC, doc_id) AS rank FROM f) z
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_pipe_tfidf" ->
       """WITH toks AS (
         | SELECT doc_id, w AS term
