@@ -80,6 +80,14 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   def versions(name: String): Seq[(Long, Long)] = // (timestamp, versionId)
     versionManifests(name).map { case (ts, vid, _) => (ts, vid) }
 
+  /** DESCRIBE HISTORY analog, newest first: (versionId, committed-ms,
+    * isCheckpoint, #variables) per committed version — the inspection
+    * twin of compact/expireHistory (also `CALL …system.history('ds')`). */
+  def history(name: String): Seq[(Long, Long, Boolean, Int)] =
+    versionManifests(name).map { case (ts, vid, m) =>
+      (vid, ts, SparkStore.isCheckpoint(m), m.variables.size)
+    }
+
   /** One manifest-listing pass: (timestamp, versionId, meta) newest
     * first. Committed-version resolution needs both the ordering and the
     * checkpoint marker — a separate listing per question would double

@@ -32,6 +32,9 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
     case "refresh_rollup" =>
       "advance (creating if absent) an incrementally-maintained coarsened " +
         "(sum, cnt) view of a variable; returns view versions committed"
+    case "history" =>
+      "list committed versions newest-first: (version, committed_ms, " +
+        "is_checkpoint, n_variables)"
     case _ => "mark-and-sweep GC of unreferenced chunk blobs"
   }
 
@@ -60,6 +63,22 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
       // side-effecting by definition — never cache/reuse a result
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        if (procName == "history") {
+          val historyRows = store.history(input.getUTF8String(0).toString).map {
+            case (vid, ts, ckpt, nVars) =>
+              new GenericInternalRow(Array[Any](vid, ts,
+                if (ckpt) 1L else 0L, nVars.toLong)): InternalRow
+          }.toArray
+          return java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = historyRows
+            override def readSchema(): StructType = StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("committed_ms", LongType, nullable = false),
+              StructField("is_checkpoint", LongType, nullable = false),
+              StructField("n_variables", LongType, nullable = false)))
+            override def description(): String = "graft history"
+          }).iterator()
+        }
         val result: Long = procName match {
           case "compact" => store.compact(input.getUTF8String(0).toString)
           case "expire_history" =>
@@ -95,5 +114,5 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
 
 private[source] object MaintenanceProcedure {
   val Names: Seq[String] = Seq("compact", "expire_history", "vacuum",
-    "refresh_rollup")
+    "refresh_rollup", "history")
 }

@@ -192,8 +192,19 @@ class CatalogSpec extends AnyFunSuite {
     w2.write("v", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(4L)), 9.0)))
     w2.finishVersion()
 
+    // history BEFORE compaction: two plain versions, newest first
+    val h0 = spark.sql("CALL catp.system.history('m')").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(h0.length == 2 && h0.forall(_._3 == 0L) && h0.forall(_._4 == 1L))
+    assert(h0(0)._2 >= h0(1)._2) // newest first
+    assert(h0.map(_._1).toSet == store.versions("m").map(_._2).toSet)
+
     val cp = spark.sql("CALL catp.system.compact('m')").head.getLong(0)
     assert(store.versions("m").head._2 == cp)
+    // the checkpoint shows up flagged at the head of history
+    val h1 = spark.sql("CALL catp.system.history('m')").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(h1.head == ((cp, 1L)) && h1.count(_._2 == 1L) == 1)
     assert(spark.sql("CALL catp.system.expire_history('m')").head.getLong(0) == 2L)
     assert(spark.sql("CALL catp.system.vacuum(0)").head.getLong(0) >= 1L)
     // default grace (15 min) keeps everything fresh
