@@ -196,6 +196,44 @@ object TextOps {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append a NEW document batch to a [[bm25BuildIndex]] artifact
+    * without re-tokenizing the existing corpus: the batch's postings and
+    * doclens append as new files; df and the one-row stats merge
+    * old + batch (count and length sums add; the xxhash64 fingerprint
+    * XORs, which is associative and order-free, so the merged
+    * fingerprint equals a from-scratch build's). Serving afterwards is
+    * bit-identical to a full rebuild over old ∪ batch. Cost is
+    * O(batch) + O(vocab) — the existing postings never re-shuffle.
+    * Single-writer maintenance (like compact/vacuum); concurrent
+    * appends need external coordination. */
+  def bm25AppendBatch(newDocs: DataFrame, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val toks = newDocs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.repartition(col("term")).sortWithinPartitions("term", "doc_id")
+      .write.mode("append").parquet(s"$path/postings")
+    val dl = newDocs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    dl.write.mode("append").parquet(s"$path/doclen")
+    val mergedDf = spark.read.parquet(s"$path/df")
+      .unionByName(tf.groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").as("df"))
+      .collect() // vocab-sized; materialized BEFORE the overwrite truncates the source
+    val batchStats = newDocs.agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(xxhash64(doc_id, text))").as("fingerprint"))
+      .crossJoin(dl.agg(sum("dl").as("total_len")))
+      .collect().head
+    val oldStats = spark.read.parquet(s"$path/stats").collect().head
+    import spark.implicits._
+    mergedDf.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("term", "df")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/df")
+    Seq((oldStats.getLong(0) + batchStats.getLong(0),
+        oldStats.getLong(1) + batchStats.getLong(2),
+        oldStats.getLong(2) ^ batchStats.getLong(1)))
+      .toDF("n_docs", "total_len", "fingerprint")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Serve queries from a [[bm25BuildIndex]] artifact — bit-identical
     * ranking to the one-shot [[bm25Retrieve]] over the same corpus, but
     * reading only the query vocabulary's postings/df row groups. With

@@ -601,6 +601,17 @@ object ArrayQueries {
           Some(fx.evV1), axis = "h", k = 4)
         .orderBy("h")
     }),
+    // distributed top-k cells: ORDER BY value DESC LIMIT k over the
+    // exploded view plans as TakeOrderedAndProject — per-partition
+    // top-k partials merged on the driver, never a global sort (the
+    // argmax generalization: k extremes WITH their coordinates)
+    "q_arr_topk" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      fx.store.reader("ev").onVersion(fx.evV1)
+        .exploded("n", Slice(Seq(0L), Seq(fx.hours)))
+        .orderBy(col("value").desc, col("h"))
+        .limit(12)
+    }),
     // axis-collapsing reduction (spark.AxisOps.reduceAxis, xarray
     // reduce(dim=…) analog): the 2-D grid's b axis folds away leaving one
     // (sum, min, max, cnt) row per month — Catalyst's own two-phase
@@ -1043,6 +1054,13 @@ object ArrayQueries {
         |                       ELSE COALESCE(c.cnt, 0) END)
         |  FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
         |  WHERE g.h < (SELECT maxh FROM hh)) AS BIGINT) AS v_sum""".stripMargin),
+    "q_arr_topk" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < (SELECT maxh FROM hh)
+        |ORDER BY value DESC, h LIMIT 12""".stripMargin),
     "q_arr_multivar" -> (cte +
       """SELECT g.h AS h,
         | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999

@@ -97,6 +97,19 @@ object PipelineQueries {
       path
     })
 
+  /** Incremental BM25 index: built from the doc_id % 5 != 0 slice, then
+    * the % 5 == 0 batch APPENDED — serving must equal a full-corpus
+    * build (shared one-shot oracle). */
+  private val bm25IncrIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25IncrIndexFor(s: SparkSession, dir: String): String =
+    bm25IncrIndexes.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25i").toString
+      TextOps.bm25BuildIndex(docs(s, d).filter(col("doc_id") % 5 =!= 0), path)
+      TextOps.bm25AppendBatch(docs(s, d).filter(col("doc_id") % 5 === 0), path)
+      path
+    })
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString(", ")
 
@@ -619,6 +632,12 @@ object PipelineQueries {
     // each query id names both its text query and its encoded vec_id
     "q_pipe_hybrid" -> ((s, dir) =>
       TextOps.hybridRrf(docs(s, dir), emb(s, dir), Bm25Queries)),
+    // incremental-index twin: index built on 4/5 of the corpus, the
+    // last fifth APPENDED (postings/doclens append; df + stats merge,
+    // fingerprints XOR) — serving equals a full-corpus build
+    "q_pipe_bm25_incr" -> ((s, dir) =>
+      TextOps.bm25QueryIndex(s, bm25IncrIndexFor(s, dir), Bm25Queries,
+        verifyCorpus = Some(docs(s, dir)))),
     // the persistent-index twin: same queries answered from the
     // build-once BM25 artifact (term-sorted postings pruned to the query
     // vocabulary by parquet row-group stats, fingerprint-attested) —
@@ -841,6 +860,8 @@ object PipelineQueries {
       // the persistent-index BM25 serve ranks bit-identically to the
       // one-shot — shared oracle
       ("q_pipe_bm25_serve" -> oracleSqlBase("q_pipe_bm25")) +
+      // appended index serves identically to a full-corpus build
+      ("q_pipe_bm25_incr" -> oracleSqlBase("q_pipe_bm25")) +
       // native session_window shares the relational twin's oracle (same
       // gap rule after the 1801-second strict-less adjustment)
       ("q_pipe_session_window" -> oracleSqlBase("q_pipe_sessions")) +
