@@ -179,6 +179,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-user funnel stages must stay hash-partitioned: $singles")
   }
 
+  test("q_arr_topk plans TakeOrderedAndProject — per-partition partials, " +
+      "no global sort") {
+    val q = graft.SparkEntry.queries("q_arr_topk")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val ns = nodes(q)
+    assert(ns.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "ORDER BY … LIMIT k over the exploded view must plan as TakeOrdered")
+    assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "no global SortExec may appear for a top-k")
+  }
+
   test("q_rel_q21 cascade: dims broadcast, no cartesian product, no " +
       "single-partition shuffle of per-order rows") {
     val q = graft.SparkEntry.queries("q_rel_q21")(spark, "/root/testdata/sf0.001")
