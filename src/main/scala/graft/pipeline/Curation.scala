@@ -139,6 +139,59 @@ object Curation {
         .otherwise("train").as("split"))
   }
 
+  /** Token-budget corpus selection: the documents a greedy
+    * quality-descending pass would keep while the running token total
+    * stays ≤ `budgetTokens` — computed WITHOUT the global sort that
+    * definition implies. Quality is the [[TextOps.qualityColumns]]
+    * composite quantized to an integer (q_milli = round(quality·10⁴)),
+    * so the selection order (q_milli desc, doc_id asc) is exact and
+    * engine-reproducible.
+    *
+    * Two-phase at scale: (1) one map-side-combinable groupBy over the
+    * ≤ 10 001 distinct quality buckets finds, on the driver, the
+    * threshold bucket where the cumulative token total crosses the
+    * budget; (2) everything strictly above the threshold passes with a
+    * plain filter (no sort, no window), and only the THRESHOLD BUCKET —
+    * the one place the greedy order matters — runs a doc_id-ordered
+    * prefix window over its own (bounded, single-bucket) rows. A 100 TB
+    * corpus moves one filter pass plus a histogram; the classic
+    * `ORDER BY quality DESC` formulation would shuffle-sort everything.
+    * Output: (doc_id, q_milli, tok) of the selected documents. */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    // qualityColumns order: n_chars, n_tokens, punct_ratio, stop_ratio, quality
+    val q = TextOps.qualityColumns(col("text"))
+    val perDoc = docs
+      .select(col("doc_id").cast("long").as("doc_id"), q(4), q(1))
+      .select(col("doc_id"),
+        round(col("quality") * 10000).cast("long").as("q_milli"),
+        col("n_tokens").as("tok"))
+    val buckets = perDoc.groupBy("q_milli")
+      .agg(sum("tok").as("btok")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(-_._1)
+    var acc = 0L
+    var threshold = Long.MinValue // everything selected if budget never crossed
+    var aboveSum = 0L
+    buckets.takeWhile { case (qm, btok) =>
+      if (acc + btok > budgetTokens) { threshold = qm; aboveSum = acc; false }
+      else { acc += btok; true }
+    }
+    if (threshold == Long.MinValue)
+      perDoc.orderBy("doc_id")
+    else {
+      val above = perDoc.filter(col("q_milli") > threshold)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_milli").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tie = perDoc.filter(col("q_milli") === threshold)
+        .withColumn("cum", sum("tok").over(w))
+        .filter(col("cum") <= budgetTokens - aboveSum)
+        .drop("cum")
+      above.unionByName(tie).orderBy("doc_id")
+    }
+  }
+
   /** Target mixture weights in 1/1000ths of a copy per language: 1000
     * keeps a doc exactly once, 2300 emits 2 copies plus a third for 30%
     * of docs, 700 keeps 70%. Unlisted languages fall back to

@@ -297,6 +297,12 @@ object PipelineQueries {
       docs(s, dir).filter(col("doc_id") < 100)
         .select(col("doc_id") +: TextOps.tokenCountColumns(col("text")): _*)
         .orderBy("doc_id")),
+    // token-budget selection: greedy quality-descending keep while the
+    // running token total fits 10k — computed via the bucket-threshold
+    // two-phase (histogram + filter + one single-bucket prefix window),
+    // NEVER the global quality sort the definition implies
+    "q_pipe_budget" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(docs(s, dir), 10000L)),
     "q_pipe_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
@@ -1443,6 +1449,27 @@ object PipelineQueries {
         |   + CAST(stops AS DOUBLE) / greatest(n_tokens, 1) * 0.3
         |   + (1.0 - CAST(punct AS DOUBLE) / n_chars) * 0.2, 4) AS quality
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // the oracle IS the global greedy sort the Spark side avoids
+    "q_pipe_budget" ->
+      s"""WITH t AS (
+        | SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct
+        | FROM documents),
+        |u AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_tokens, punct,
+        |  CAST(len(list_filter(toks, x -> x IN (${sqlList(TextOps.StopEn)}))) AS BIGINT) AS stops
+        | FROM t),
+        |d AS (SELECT doc_id,
+        |  CAST(round(round(CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.5
+        |    + CAST(stops AS DOUBLE) / greatest(n_tokens, 1) * 0.3
+        |    + (1.0 - CAST(punct AS DOUBLE) / n_chars) * 0.2, 4) * 10000) AS BIGINT) AS q_milli,
+        |  n_tokens AS tok FROM u),
+        |c AS (SELECT *, sum(tok) OVER (ORDER BY q_milli DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, q_milli, CAST(tok AS BIGINT) AS tok
+        |FROM c WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
 
     "q_pipe_tokens" ->
       """SELECT doc_id,

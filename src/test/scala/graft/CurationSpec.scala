@@ -197,6 +197,35 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("tokenBudgetSelect ≡ the greedy quality-descending prefix; " +
+      "budget edges") {
+    import spark.implicits._
+    // quality dominated by token count (≤100 → ·0.5/100) → distinct
+    // buckets per length; several docs share a length → threshold-bucket
+    // tie-break by doc_id is exercised
+    val docs = ((0 until 12).map(i => (i.toLong, Seq.fill(10 + (i % 4) * 10)("w").mkString(" "))) :+
+      (99L -> "the and of to in")).toDF("doc_id", "text")
+    val q = docs.select(col("doc_id"),
+        graft.pipeline.TextOps.qualityColumns(col("text"))(4),
+        graft.pipeline.TextOps.qualityColumns(col("text"))(1))
+      .collect().map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 10000), r.getLong(2)))
+    // the operator's contract is the PREFIX cut (stop at the first doc
+    // that would cross the budget), not skip-and-continue greedy
+    def prefixCut(budget: Long) = {
+      var cum = 0L
+      q.sortBy { case (id, qm, _) => (-qm, id) }.takeWhile { case (_, _, t) =>
+        cum += t; cum <= budget }.map(_._1).toSet
+    }
+    for (budget <- Seq(0L, 35L, 120L, 10000L)) {
+      val got = Curation.tokenBudgetSelect(docs, budget)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == prefixCut(budget), s"budget $budget")
+    }
+    // whole corpus fits → everything selected
+    assert(Curation.tokenBudgetSelect(docs, 10000L).count() == 13)
+  }
+
   test("trainValTestSplit: growth-stable, budget-respecting, decorrelated " +
       "from the sampling hash") {
     import spark.implicits._
