@@ -601,6 +601,16 @@ object ArrayQueries {
           Some(fx.evV1), axis = "h", k = 4)
         .orderBy("h")
     }),
+    // forward-fill along the axis (spark.AxisOps.ffillAxis, xarray
+    // ffill): m is written on [0,10) only — every later cell carries
+    // h=9's value forward via the two-pass chunk-summary scan (no
+    // global per-line sort); leading fill-only prefixes stay at fill
+    "q_arr_ffill" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.AxisOps.ffillAxis(s, fx.store.root, "ev", "m",
+          Some(fx.evV1), axis = "h")
+        .orderBy("h")
+    }),
     // distributed top-k cells: ORDER BY value DESC LIMIT k over the
     // exploded view plans as TakeOrderedAndProject — per-partition
     // top-k partials merged on the driver, never a global sort (the
@@ -1054,6 +1064,17 @@ object ArrayQueries {
         |                       ELSE COALESCE(c.cnt, 0) END)
         |  FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
         |  WHERE g.h < (SELECT maxh FROM hh)) AS BIGINT) AS v_sum""".stripMargin),
+    "q_arr_ffill" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h < 10 THEN COALESCE(c.cnt, 0) ELSE -1 END AS value,
+        |  CASE WHEN g.h < 10 THEN COALESCE(c.cnt, 0) END AS nf
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh))
+        |SELECT h, value,
+        | COALESCE(last_value(nf IGNORE NULLS) OVER (ORDER BY h
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS filled
+        |FROM v ORDER BY h""".stripMargin),
     "q_arr_topk" -> (cte +
       """SELECT g.h AS h,
         | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999

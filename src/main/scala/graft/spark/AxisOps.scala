@@ -113,6 +113,61 @@ object AxisOps {
           .as("value")): _*)
   }
 
+  /** Forward-fill along `axis` (xarray `ffill`): each cell takes the
+    * most recent non-fill value at or before it on its line; cells with
+    * no predecessor stay at the variable's fill. Output (dims…, value,
+    * filled).
+    *
+    * Same two-pass shape as [[cumsumAxis]] — a global
+    * `Window.orderBy(axis)` would serialize each line through one task:
+    *  1. within each (other-coords, chunk) group, `last(…, ignoreNulls)`
+    *     over the chunk's own cells;
+    *  2. per-chunk summaries (the line-segment's LAST non-fill value,
+    *     one tiny row per chunk) get a carry-in via an ignore-nulls
+    *     window over PRIOR chunks only — O(#chunks) rows;
+    *  3. carry-ins join back and `coalesce(within, carry, fill)`.
+    * Shuffle: cells once + two chunk-count-sized frames; no task holds
+    * more than one chunk's cells. NaN fills are matched with isnan
+    * (NaN ≠ NaN would otherwise never detect a fill cell). */
+  def ffillAxis(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long] = None,
+      axis: String): DataFrame = {
+    val (meta, df) = resolved(spark, root, dataset, variable, version)
+    val dims = meta.variables(variable).shape
+    require(dims.contains(axis), s"variable $variable has no axis '$axis'")
+    val others = dims.filterNot(_ == axis)
+    val c = col(s"_chunk_$axis")
+    val fillV = meta.fill(variable)
+    val isFillCell =
+      if (fillV.isNaN) isnan(col("value").cast("double"))
+      else col("value") === lit(fillV).cast(df.schema("value").dataType)
+    val v0 = when(!isFillCell, col("value"))
+    val wWithin = Window
+      .partitionBy((others.map(col) :+ c): _*)
+      .orderBy(col(axis))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cells = df
+      .withColumn("ck", c)
+      .withColumn("within", last(v0, ignoreNulls = true).over(wWithin))
+    val summaries = df
+      .withColumn("ck", c)
+      .groupBy((others.map(col) :+ col("ck")): _*)
+      .agg(max(struct(
+        coalesce(when(!isFillCell, col(axis)), lit(Long.MinValue)).as("at"),
+        v0.as("v"))).as("s"))
+    val wCarry = Window.partitionBy(others.map(col): _*).orderBy(col("ck"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summaries
+      .withColumn("carry", last(
+        when(col("s.at") =!= Long.MinValue, col("s.v")), ignoreNulls = true)
+        .over(wCarry))
+      .select((others.map(col) :+ col("ck") :+ col("carry")): _*)
+    cells.join(carries, (others :+ "ck").toSeq)
+      .select((dims.map(col) :+ col("value") :+
+        coalesce(col("within"), col("carry"),
+          lit(fillV).cast(df.schema("value").dataType)).as("filled")): _*)
+  }
+
   /** Full reduction along `axis` (xarray `reduce(dim=…)` analog): each
     * other-coords line collapses to one row carrying sum/min/max/count of
     * the line's cells. Output dims are the surviving coordinates — the

@@ -98,6 +98,45 @@ class AxisOpsSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) == ((9L, 1L)))
   }
 
+  test("ffill carries across entirely-fill chunks; leading prefix stays fill") {
+    // 12 cells, chunk 4: values only at h=1 and h=2 — chunk 1 is ALL
+    // fill, so chunk 2 must inherit the carry from chunk 0
+    val root = java.nio.file.Files.createTempDirectory("graft_ffill").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("h" -> 12L), Map("h" -> 4L),
+      Map("a" -> VariableDef("long", Vector("h"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(1L), Seq(3L)), Seq(7.0, 9.0))))
+    val v = w.finishVersion()
+    val got = AxisOps.ffillAxis(spark, root, "d", "a", Some(v), axis = "h")
+      .orderBy("h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(
+      (0L, -1L, -1L), (1L, 7L, 7L), (2L, 9L, 9L), (3L, -1L, 9L),
+      (4L, -1L, 9L), (5L, -1L, 9L), (6L, -1L, 9L), (7L, -1L, 9L),
+      (8L, -1L, 9L), (9L, -1L, 9L), (10L, -1L, 9L), (11L, -1L, 9L))
+    assert(got == want)
+  }
+
+  test("ffill with NaN fill detects fill cells via isnan") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ffilln").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("h" -> 6L), Map("h" -> 3L),
+      Map("f" -> VariableDef("double", Vector("h"), Double.NaN)))
+    val w = store.addVersion("d", m)
+    w.write("f", Seq(Slab.fromDoubles(DType.DOUBLE,
+      Slice(Seq(1L), Seq(2L)), Seq(2.5))))
+    val v = w.finishVersion()
+    val got = AxisOps.ffillAxis(spark, root, "d", "f", Some(v), axis = "h")
+      .orderBy("h").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got.head._2.isNaN) // leading prefix: nothing to carry
+    assert(got.drop(1).forall(_._2 == 2.5))
+  }
+
   test("reduce collapses an axis to (sum, min, max, cnt) per line") {
     val root = java.nio.file.Files.createTempDirectory("graft_axis4").toString
     val store = new SparkStore(spark, root)
