@@ -641,6 +641,26 @@ object ArrayQueries {
       graft.spark.AxisOps.argmaxAxis(s, fx.store.root, "ev", "n",
           Some(fx.evV1), axis = "h")
     }),
+    // first difference along the axis (spark.AxisOps.diffAxis, xarray
+    // diff(dim)): each cell's predecessor arrives via a 1-cell halo (the
+    // mirror of interp's successor halo), lag runs inside each
+    // (other-coords, chunk) group — one bounded shuffle, no global sort
+    "q_arr_axisdiff" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.AxisOps.diffAxis(s, fx.store.root, "ev", "n",
+          Some(fx.evV1), axis = "h")
+        .orderBy("h")
+    }),
+    // per-line exact interpolated quantiles (spark.AxisOps.quantileAxis,
+    // xarray quantile(dim=…)): quarter-point fractions over integer cells
+    // are exactly representable in binary doubles, so the interpolated
+    // order statistics hash-match DuckDB's quantile_cont bit-for-bit
+    "q_arr_quantile" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      graft.spark.AxisOps.quantileAxis(s, fx.store.root, "grid", "qty",
+          Some(fx.gridV1), axis = "b", ps = Seq(0.25, 0.5, 0.75))
+        .orderBy("m")
+    }),
     // chunk-grid migration (rechunk): ev.n@v1 copied into a NEW dataset
     // with chunk extent 100 (vs the source's 64) through the ordinary
     // exploded-read → DSv2-write path — run coalescing re-slabs the
@@ -1057,6 +1077,33 @@ object ArrayQueries {
         | CAST((SELECT min(h) FROM v WHERE value = (SELECT max(value) FROM v))
         |   AS BIGINT) AS h_argmax
         |FROM v""".stripMargin),
+    "q_arr_axisdiff" -> (cte +
+      """, v AS (
+        | SELECT g.h AS h,
+        |  CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |       ELSE COALESCE(c.cnt, 0) END AS value
+        | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        | WHERE g.h < (SELECT maxh FROM hh)),
+        |d AS (SELECT h, value - lag(value) OVER (ORDER BY h) AS diff FROM v)
+        |SELECT h, diff FROM d WHERE diff IS NOT NULL ORDER BY h""".stripMargin),
+    "q_arr_quantile" ->
+      """WITH lb AS (
+        | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,
+        |        l_partkey % 8 AS b, l_quantity
+        | FROM lineitem),
+        |mn AS (SELECT min(am) AS m0, max(am) - min(am) + 1 AS nm FROM lb),
+        |g AS (SELECT am - (SELECT m0 FROM mn) AS m, b,
+        |        CAST(sum(l_quantity) AS BIGINT) AS q
+        |      FROM lb GROUP BY 1, 2),
+        |v AS (SELECT gm.m AS m, gb.b AS b, COALESCE(g.q, 0) AS value
+        |      FROM range(0, 10000) gm(m)
+        |      CROSS JOIN range(0, 8) gb(b)
+        |      LEFT JOIN g ON g.m = gm.m AND g.b = gb.b
+        |      WHERE gm.m < (SELECT nm FROM mn))
+        |SELECT m, quantile_cont(value, 0.25) AS q25,
+        | quantile_cont(value, 0.5) AS q50,
+        | quantile_cont(value, 0.75) AS q75
+        |FROM v GROUP BY m ORDER BY m""".stripMargin,
     "q_arr_rechunk" -> (cte +
       """SELECT CAST(ceil((SELECT maxh FROM hh) / 100.0) AS BIGINT) AS n_chunks,
         | (SELECT maxh FROM hh) AS n_cells,

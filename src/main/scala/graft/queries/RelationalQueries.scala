@@ -330,6 +330,76 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    // TPC-H Q18 shape (large-volume customers): the IN-subquery over a
+    // HAVING aggregate becomes a join on the SAME key the aggregate
+    // grouped by — the orderkey shuffle is planned once and reused by
+    // the filter join; customer dim broadcasts. DECIMAL quantity sums,
+    // ties under LIMIT broken by o_orderkey
+    "q_rel_q18" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), dec(col("l_quantity")).as("q"))
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("q").as("tq")).filter(col("tq") > 300)
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("tq").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+    // TPC-H Q12 shape (shipmode priority classes; testdata has no
+    // l_shipmode, so the class axis is the ship-latency bucket): one
+    // orderkey join + a two-way CONDITIONAL aggregation — urgent/high
+    // vs lower priorities counted per latency bucket in a single pass.
+    // Negative synthetic latencies clamp to 0 BEFORE the integer
+    // division (Spark `div` truncates toward zero, DuckDB `//` floors —
+    // nonnegative operands make them agree)
+    "q_rel_q12" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .withColumn("bucket",
+          least(expr("greatest(datediff(l_shipdate, o_orderdate), 0) div 30"),
+            lit(5L)))
+        .groupBy("bucket")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("bucket")
+    }),
+    // TPC-H Q19 shape (disjunctive predicate join): three conjunctive
+    // (brand, size-range, quantity-range) clauses OR-ed across the
+    // part⋈lineitem join — the part side broadcasts, the disjunction
+    // evaluates inside the joined stream in one codegen stage (no
+    // union-of-three-joins blowup)
+    "q_rel_q19" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey"), col("l_quantity"),
+          dec(col("l_extendedprice")).as("ep"), dec(col("l_discount")).as("disc"))
+      val p = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val c1 = col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 10) && col("l_quantity").between(1, 20)
+      val c2 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(11, 25) && col("l_quantity").between(10, 30)
+      val c3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(26, 50) && col("l_quantity").between(20, 40)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .filter(c1 || c2 || c3)
+        .agg(sum(col("ep") * (lit(1) - col("disc"))).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // explicit GROUPING SETS (beyond cube/rollup): (region, nation),
     // (region), () in ONE Expand + a single shuffle, grouping_id
     // disambiguating subtotal rows from genuine NULL groups
@@ -679,6 +749,35 @@ object RelationalQueries {
         |                  WHERE o.o_custkey = cs.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rel_q18" ->
+      """WITH big AS (
+        | SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        | FROM lineitem GROUP BY 1 HAVING tq > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(tq AS DOUBLE) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_rel_q12" ->
+      """SELECT least(greatest(datediff('day', o_orderdate, l_shipdate), 0) // 30,
+        |   5) AS bucket,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rel_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q_rel_region_sales" ->
       """SELECT r_name,
         | COUNT(DISTINCT o_custkey) AS n_customers,

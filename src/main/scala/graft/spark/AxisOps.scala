@@ -168,6 +168,74 @@ object AxisOps {
           lit(fillV).cast(df.schema("value").dataType)).as("filled")): _*)
   }
 
+  /** First difference along `axis` (xarray `diff(dim)`): output
+    * (dims…, diff) with diff[i] = v[i] − v[i−1], defined for axis
+    * coordinate ≥ 1 (the first cell of each line has no predecessor and
+    * is dropped, matching xarray's length-(n−1) result).
+    *
+    * The only cross-cell dependency is each cell's PREDECESSOR, which can
+    * live in the previous chunk — the mirror of [[interpAxis]]'s
+    * successor halo: the last cell of every chunk also duplicates into
+    * its successor's group (a 1-cell halo), `lag` then runs entirely
+    * inside each (other-coords, chunk) group, and each group emits only
+    * the cells it owns. One shuffle, group size ≤ chunkExtent + 1, no
+    * global sort — where a naive `Window.orderBy(axis)` would funnel
+    * every line through one task. */
+  def diffAxis(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long] = None,
+      axis: String): DataFrame = {
+    val (meta, df) = resolved(spark, root, dataset, variable, version)
+    val dims = meta.variables(variable).shape
+    require(dims.contains(axis), s"variable $variable has no axis '$axis'")
+    val others = dims.filterNot(_ == axis)
+    val ext = meta.chunkDimensions(axis)
+    val c = col(s"_chunk_$axis")
+    val pos = col(axis) - c * ext
+    // a chunk's LAST cell (pos == ext−1) also feeds the next chunk's lag;
+    // the trailing overhang chunk's last cell never needs to (no successor)
+    val targets = array_compact(array(c, when(pos === ext - 1, c + 1)))
+    val tagged = df.select(
+      (dims.map(col) :+ col("value") :+ c.as("own") :+
+        explode(targets).as("tc")): _*)
+    val w = Window
+      .partitionBy((others.map(col) :+ col("tc")): _*)
+      .orderBy(col(axis))
+    tagged
+      .withColumn("vp", lag("value", 1).over(w))
+      .filter(col("own") === col("tc") && col("vp").isNotNull)
+      .select((dims.map(col) :+ (col("value") - col("vp")).as("diff")): _*)
+  }
+
+  /** Exact interpolated quantiles along `axis`: each other-coords line
+    * collapses to its p-quantiles (linear interpolation between order
+    * statistics — the xarray/numpy `quantile(dim=…)` rule). Output
+    * (others…, one column per requested p).
+    *
+    * Quarter-point fractions over integer cell values make the
+    * interpolation EXACTLY representable in binary doubles, so results
+    * hash-match any IEEE engine. Intentionally a plain per-line
+    * `percentile` aggregate: a line must gather to one task (order
+    * statistics don't decompose), so group size = the axis extent —
+    * fine while one line fits a task; for monster axes the engine's
+    * histogram-sketch quantiles (q_pipe_hist_quantiles) are the stated
+    * scale path. */
+  def quantileAxis(spark: SparkSession, root: String, dataset: String,
+      variable: String, version: Option[Long] = None,
+      axis: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile fraction required")
+    val (meta, df) = resolved(spark, root, dataset, variable, version)
+    val dims = meta.variables(variable).shape
+    require(dims.contains(axis), s"variable $variable has no axis '$axis'")
+    val others = dims.filterNot(_ == axis)
+    val grouped = if (others.isEmpty) df.groupBy()
+      else df.groupBy(others.map(col): _*)
+    val aggs = ps.map { p =>
+      percentile(col("value"), lit(p))
+        .as(s"q${(p * 100).round}")
+    }
+    grouped.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Full reduction along `axis` (xarray `reduce(dim=…)` analog): each
     * other-coords line collapses to one row carrying sum/min/max/count of
     * the line's cells. Output dims are the surviving coordinates — the

@@ -137,6 +137,57 @@ class AxisOpsSpec extends AnyFunSuite {
     assert(got.drop(1).forall(_._2 == 2.5))
   }
 
+  test("diff crosses chunk boundaries via the predecessor halo") {
+    val vals = Seq(3L, 9L, 1L, 9L, 2L, 9L, 0L, 4L, 6L)
+    val (_, root, v) = mk1d(vals, chunk = 3L) // predecessors of h=3,6 cross chunks
+    val got = AxisOps.diffAxis(spark, root, "d", "a", Some(v), axis = "h")
+      .orderBy("h").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (1 until vals.length).map(i => (i.toLong, vals(i) - vals(i - 1)))
+    assert(got == want)
+  }
+
+  test("2-D diff along x stays inside each y line (no cross-line leakage)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_axisd2").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("y" -> 2L, "x" -> 5L), Map("y" -> 1L, "x" -> 2L),
+      Map("a" -> VariableDef("long", Vector("y", "x"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(2L, 5L)),
+      Seq(0, 2, 4, 6, 8, 100, 90, 70, 40, 0).map(_.toDouble))))
+    val v = w.finishVersion()
+    val got = AxisOps.diffAxis(spark, root, "d", "a", Some(v), axis = "x")
+      .orderBy("y", "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Seq(
+      (0L, 1L, 2L), (0L, 2L, 2L), (0L, 3L, 2L), (0L, 4L, 2L),
+      (1L, 1L, -10L), (1L, 2L, -20L), (1L, 3L, -30L), (1L, 4L, -40L))
+    assert(got == want)
+  }
+
+  test("quantile interpolates order statistics per line, exactly at " +
+      "quarter fractions") {
+    val root = java.nio.file.Files.createTempDirectory("graft_axisq").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("y" -> 2L, "x" -> 4L), Map("y" -> 1L, "x" -> 2L),
+      Map("a" -> VariableDef("long", Vector("y", "x"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L, 0L), Seq(2L, 4L)),
+      Seq(4, 1, 3, 2, 10, 30, 20, 0).map(_.toDouble))))
+    val v = w.finishVersion()
+    val got = AxisOps.quantileAxis(spark, root, "d", "a", Some(v),
+        axis = "x", ps = Seq(0.25, 0.5, 0.75))
+      .orderBy("y").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    // sorted lines: (1,2,3,4) → q25=1.75 q50=2.5 q75=3.25;
+    //               (0,10,20,30) → 7.5, 15, 22.5
+    assert(got == Seq((0L, 1.75, 2.5, 3.25), (1L, 7.5, 15.0, 22.5)))
+  }
+
   test("reduce collapses an axis to (sum, min, max, cnt) per line") {
     val root = java.nio.file.Files.createTempDirectory("graft_axis4").toString
     val store = new SparkStore(spark, root)
