@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -407,5 +407,47 @@ object Curation {
       .filter(col("rnk") === ceil(col("p") * col("n")))
       .select(col("lang"), col("p"), col("n_chars").as("q"))
       .orderBy("lang", "p")
+  }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank raw documents
+    * by how much they look like a TARGET distribution, using hashed
+    * n-gram models of both.
+    *
+    * The published method scores log p_target(x) − log p_raw(x) under
+    * hashed-bigram bag models; libm logs aren't bit-identical across
+    * engines, so — like [[LangModel.bigramScore]] — the per-bucket
+    * likelihood RATIO is kept as a scaled integer,
+    *   w(b) = ⌊(c_target(b) + 1) · 10⁶ / (c_raw(b) + 1)⌋
+    * and a document's score is the integer mean of w over its bigram
+    * stream: a monotone rank-equivalent importance statistic (smoothed,
+    * so buckets unseen in the target down-weight rather than −∞).
+    *
+    * Scale shape: both hashed models are ONE map-side-combinable
+    * aggregation bounded at `buckets` rows regardless of corpus size; the
+    * bucket table broadcasts back onto the gram stream (grams never
+    * shuffle on the gram key), and the only real shuffle is the final
+    * doc_id aggregation. Selecting top-k is TakeOrdered, not a sort. */
+  def dsirTopDocs(docs: DataFrame, targetPred: Column,
+      buckets: Int = 1024, topK: Int = 40): DataFrame = {
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), targetPred.as("is_target"),
+        TextOps.tokens(col("text")).as("t"))
+    val grams = base.select(col("doc_id"), col("is_target"),
+        explode(TextOps.bigramsOf(col("t"))).as("g"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val model = grams.groupBy("b").agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    grams.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        expr("sum(((ct + 1) * 1000000L) div (cr + 1))").as("w_sum"))
+      .withColumn("dsir_w", expr("w_sum div n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dsir_w"))
+      .orderBy(col("dsir_w").desc, col("doc_id"))
+      .limit(topK)
   }
 }

@@ -303,6 +303,13 @@ object PipelineQueries {
     // NEVER the global quality sort the definition implies
     "q_pipe_budget" -> ((s, dir) =>
       Curation.tokenBudgetSelect(docs(s, dir), 10000L)),
+    // DSIR importance resampling (Xie et al. 2023): rank the corpus by a
+    // hashed-bigram likelihood ratio against the English slice as the
+    // target distribution — both hashed models are ONE bounded
+    // aggregation (≤ 1024 rows) broadcast back onto the gram stream;
+    // integer-scaled ratios instead of logs keep ranks engine-exact
+    "q_pipe_dsir" -> ((s, dir) =>
+      Curation.dsirTopDocs(docs(s, dir), col("lang") === "en")),
     "q_pipe_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
@@ -1470,6 +1477,29 @@ object PipelineQueries {
         |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
         |SELECT doc_id, q_milli, CAST(tok AS BIGINT) AS tok
         |FROM c WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
+
+    // same hashed-bigram model + integer likelihood ratios, replayed in SQL
+    "q_pipe_dsir" ->
+      """WITH toks AS (
+        | SELECT doc_id, lang = 'en' AS is_target,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ts
+        | FROM documents WHERE text IS NOT NULL),
+        |bk AS (
+        | SELECT doc_id, is_target,
+        |  CAST(concat('0x', substr(md5(ts[i+1] || ' ' || ts[i+2]), 1, 8))
+        |    AS BIGINT) % 1024 AS b
+        | FROM toks, unnest(range(len(ts) - 1)) r(i)
+        | WHERE len(ts) >= 2),
+        |model AS (
+        | SELECT b, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+        |        count(*) AS cr
+        | FROM bk GROUP BY 1),
+        |sc AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(((ct + 1) * 1000000) // (cr + 1)) AS BIGINT) AS w_sum
+        | FROM bk JOIN model USING (b) GROUP BY 1)
+        |SELECT doc_id, n_grams, (w_sum // n_grams) AS dsir_w
+        |FROM sc ORDER BY dsir_w DESC, doc_id LIMIT 40""".stripMargin,
 
     "q_pipe_tokens" ->
       """SELECT doc_id,

@@ -246,4 +246,34 @@ class CurationSpec extends AnyFunSuite {
       Curation.trainValTestSplit(mk(10), valPerMille = 600, testPerMille = 600)
     }
   }
+
+  test("dsirTopDocs: raw docs sharing the target's n-grams outrank " +
+      "disjoint ones; target docs themselves rank highest") {
+    // target (en): two docs over the 'alpha beta gamma' vocabulary.
+    // raw doc 30 reuses that vocabulary, raw doc 31 is disjoint —
+    // 30's buckets carry target mass, 31's don't.
+    val docs = docsDF(Seq(
+      (10L, "alpha beta gamma alpha beta gamma", "en"),
+      (11L, "beta gamma alpha beta gamma alpha", "en"),
+      (30L, "alpha beta gamma delta", "zh"),
+      (31L, "one two three four five six seven", "zh")))
+    val got = Curation.dsirTopDocs(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val w = got.toMap
+    assert(got.map(_._1).toSet == Set(10L, 11L, 30L, 31L))
+    assert(w(30L) > w(31L)) // target-like raw doc outranks disjoint raw doc
+    assert(math.min(w(10L), w(11L)) > w(30L)) // pure-target docs on top
+  }
+
+  test("dsirTopDocs: weights are deterministic under repartitioning") {
+    val docs = docsDF((0L until 40L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} w${i % 5}",
+        if (i % 3 == 0) "en" else "zh")))
+    val a = Curation.dsirTopDocs(docs, col("lang") === "en", topK = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Curation.dsirTopDocs(docs.repartition(7), col("lang") === "en",
+        topK = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b)
+  }
 }
