@@ -68,6 +68,26 @@ object ArrayQueries {
       }
     }
 
+  /** `evc` = zero-copy clone of `ev` plus one divergent write (444 on
+    * [5,15) of n), created at most once per fixture store. The clone
+    * carries ev's FULL committed history (shared blobs, copied
+    * manifests+index) — so evc@evV1 must read as ev@v1 and evc@latest
+    * as v2's overlay plus the divergence, while ev itself is untouched. */
+  private def ensureCloned(s: SparkSession, fx: ArrayFixtures.Handles): Unit =
+    ArrayFixtures.synchronized {
+      if (!fx.store.datasetExists("evc")) {
+        import graft.core._
+        fx.store.cloneDataset("ev", "evc")
+        val latest = fx.store.versions("evc").head._2
+        val meta = fx.store.metadata("evc", latest)
+        val w = fx.store.addVersion("evc",
+          meta.copy(versionId = None, parent = None))
+        w.write("n", Seq(Slab.empty(DType.LONG, Slice(Seq(5L), Seq(15L)), 444.0)))
+        w.finishVersion()
+        ()
+      }
+    }
+
   /** Shared oracle CTE: per-hour counts re-origined to the first hour —
     * the exact ground truth the fixture slabs were built from. */
   private val cte =
@@ -641,6 +661,24 @@ object ArrayQueries {
       graft.spark.AxisOps.argmaxAxis(s, fx.store.root, "ev", "n",
           Some(fx.evV1), axis = "h")
     }),
+    // zero-copy clone (SparkStore.cloneDataset, the SHALLOW CLONE
+    // analog): evc shares ev's chunk blobs (manifests + index copied,
+    // no cell data moves), carries its FULL version history (evc@evV1 ≡
+    // ev@v1), and diverges independently (444 on [5,15) committed to
+    // evc only — ev@latest is untouched); all three reads in one result
+    "q_arr_clone" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      ensureCloned(s, fx)
+      val lim = Slice(Seq(0L), Seq(40L))
+      val src = fx.store.reader("ev").onVersion(fx.evV2)
+        .exploded("n", lim).select(col("h"), col("value").as("src_n"))
+      val cv1 = fx.store.reader("evc").onVersion(fx.evV1)
+        .exploded("n", lim).select(col("h"), col("value").as("clone_v1"))
+      val latest = fx.store.versions("evc").head._2
+      val cl = fx.store.reader("evc").onVersion(latest)
+        .exploded("n", lim).select(col("h"), col("value").as("clone_n"))
+      src.join(cv1, "h").join(cl, "h").orderBy("h")
+    }),
     // first difference along the axis (spark.AxisOps.diffAxis, xarray
     // diff(dim)): each cell's predecessor arrives via a 1-cell halo (the
     // mirror of interp's successor halo), lag runs inside each
@@ -1077,6 +1115,19 @@ object ArrayQueries {
         | CAST((SELECT min(h) FROM v WHERE value = (SELECT max(value) FROM v))
         |   AS BIGINT) AS h_argmax
         |FROM v""".stripMargin),
+    "q_arr_clone" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 25 AND g.h < 35 THEN 777
+        |      WHEN g.h >= 20 AND g.h < 25 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS src_n,
+        | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS clone_v1,
+        | CASE WHEN g.h >= 5 AND g.h < 15 THEN 444
+        |      WHEN g.h >= 25 AND g.h < 35 THEN 777
+        |      WHEN g.h >= 20 AND g.h < 25 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS clone_n
+        |FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
+        |WHERE g.h < 40 ORDER BY h""".stripMargin),
     "q_arr_axisdiff" -> (cte +
       """, v AS (
         | SELECT g.h AS h,

@@ -423,6 +423,71 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       expired.size.toLong
     }
 
+  /** Zero-copy dataset clone (the SHALLOW-CLONE analog; beyond the
+    * reference): `dst` gets copies of `src`'s version manifests and
+    * index rows, referencing the SAME content-addressed chunk blobs —
+    * no cell data moves, so cost is metadata-scale (index ≈
+    * 1/chunkVolume of the data) however big the array is. Blob sharing
+    * is safe because blobs are immutable and `vacuum` marks live hashes
+    * across ALL datasets: destroying either side never strands the
+    * other, and writes after the clone diverge normally (each side
+    * appends its own versions; shared history stays shared).
+    *
+    * Concurrency & crash safety: the committed-manifest set is
+    * snapshotted FIRST, then the index is copied, then exactly the
+    * snapshotted manifests — a version committing mid-clone may leave
+    * partial index rows in `dst`, but without its manifest they are
+    * invisible (the same MVCC rule that hides in-flight ingests).
+    * Everything assembles under a dot-prefixed temp dir (invisible to
+    * listDatasets and the vacuum mark) and lands via one atomic move.
+    * Returns the number of committed versions cloned. */
+  def cloneDataset(src: String, dst: String): Long = {
+    require(Files.exists(dsPath(src)), s"cloneDataset: dataset $src does not exist")
+    if (dst == null || dst.trim.isEmpty || dst.startsWith("."))
+      throw new IllegalArgumentException(s"cloneDataset: bad target name '$dst'")
+    if (Files.exists(dsPath(dst)))
+      throw new IllegalStateException(s"""dataset with name "$dst" already exists.""")
+    val tmp = rootPath.resolve(s".clone_tmp_$dst")
+    if (Files.exists(tmp)) // leftover from a crashed clone
+      scala.util.Using.resource(Files.walk(tmp)) {
+        _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    // 1. snapshot the committed manifests (names only)
+    val manifests = scala.util.Using.resource(Files.list(versionsDir(src))) {
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(f => f.endsWith(".json") && !f.startsWith(".")).toSeq
+    }
+    // 2. copy the index tree (skip in-flight Spark temp dirs/files)
+    def copyTree(from: Path, to: Path): Unit = {
+      Files.createDirectories(to)
+      scala.util.Using.resource(Files.walk(from)) { walk =>
+        walk.iterator().asScala.filter(_ != from).foreach { p =>
+          val parts = from.relativize(p)
+          val name = p.getFileName.toString
+          val hidden = (0 until parts.getNameCount).exists { i =>
+            val n = parts.getName(i).toString
+            n.startsWith(".") || n.startsWith("_")
+          }
+          if (!hidden) {
+            val target = to.resolve(parts)
+            if (Files.isDirectory(p)) Files.createDirectories(target)
+            else Files.copy(p, target,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    }
+    val srcIdx = Paths.get(indexDir(src))
+    if (Files.exists(srcIdx)) copyTree(srcIdx, tmp.resolve("index"))
+    // 3. copy exactly the snapshotted manifests
+    Files.createDirectories(tmp.resolve("versions"))
+    manifests.foreach(f => Files.copy(versionsDir(src).resolve(f),
+      tmp.resolve("versions").resolve(f)))
+    Files.move(tmp, dsPath(dst),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    manifests.size.toLong
+  }
+
   /** Greatest committed checkpoint version ≤ `upTo`, if any. */
   private def latestCheckpointUpTo(name: String, upTo: Long): Option[Long] =
     versionManifests(name).collect {

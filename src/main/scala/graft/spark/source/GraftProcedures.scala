@@ -35,6 +35,9 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
     case "history" =>
       "list committed versions newest-first: (version, committed_ms, " +
         "is_checkpoint, n_variables)"
+    case "clone" =>
+      "zero-copy clone: manifests + index copied, chunk blobs shared; " +
+        "returns versions cloned"
     case _ => "mark-and-sweep GC of unreferenced chunk blobs"
   }
 
@@ -59,6 +62,10 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
             ProcedureParameter.in("checkpoint", StringType)
               .comment("streaming checkpoint dir carrying the resume " +
                 "offset; reuse the same path on every refresh").build())
+        else if (procName == "clone")
+          Array(
+            ProcedureParameter.in("src_dataset", StringType).build(),
+            ProcedureParameter.in("dst_dataset", StringType).build())
         else Array(ProcedureParameter.in("dataset", StringType).build())
       // side-effecting by definition — never cache/reuse a result
       override def isDeterministic: Boolean = false
@@ -83,6 +90,9 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
           case "compact" => store.compact(input.getUTF8String(0).toString)
           case "expire_history" =>
             store.expireHistory(input.getUTF8String(0).toString)
+          case "clone" =>
+            store.cloneDataset(input.getUTF8String(0).toString,
+              input.getUTF8String(1).toString)
           case "refresh_rollup" =>
             val (src, srcVar, view) = (input.getUTF8String(0).toString,
               input.getUTF8String(1).toString, input.getUTF8String(2).toString)
@@ -114,5 +124,5 @@ private[source] final class MaintenanceProcedure(store: SparkStore,
 
 private[source] object MaintenanceProcedure {
   val Names: Seq[String] = Seq("compact", "expire_history", "vacuum",
-    "refresh_rollup", "history")
+    "refresh_rollup", "history", "clone")
 }
