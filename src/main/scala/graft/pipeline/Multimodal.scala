@@ -374,6 +374,100 @@ object Multimodal {
     extractMetaBinary(docs.select(col("doc_id"),
       col("text").cast("binary").as("payload")), decoder)
 
+  /** One minimal PCM16 mono WAV: RIFF → fmt (16-byte PCM) → a junk LIST
+    * chunk (the walker must skip unknown chunks) → data (LE int16
+    * samples). */
+  private[graft] def buildWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(12 + 24 + 12 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + 12 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(rate).putInt(rate * 2)              // sample rate, byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))           // chunk the walker skips
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Synthetic PCM16 WAV per document — rate and samples derived from
+    * (doc_id, n_chars) so the DuckDB oracle can recompute the extracted
+    * features closed-form while the Spark side genuinely parses bytes. */
+  def syntheticWavs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)].mapPartitions { it =>
+        it.map { case (id, nc) =>
+          val rate = (8000L * (1L + id % 3L)).toInt
+          val n = (nc % 300L + 50L).toInt
+          val samples = Array.tabulate(n)(i =>
+            ((nc * 131L + i * 17L) % 4096L - 2048L).toShort)
+          (id, buildWav(rate, samples))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Typed audio row: header metadata + sample-level integer features. */
+  final case class AudioMeta(doc_id: Long, sample_rate: Long,
+      n_channels: Long, n_samples: Long, duration_ms: Long,
+      energy: Long, peak: Long)
+
+  /** Audio feature extraction over PCM16 WAV payloads: a real RIFF chunk
+    * walk (unknown chunks skipped, sizes validated) locates fmt + data,
+    * then the samples decode as little-endian int16 and reduce row-LOCALLY
+    * to integer features — Σ|s| (energy) and max|s| (peak) — so the only
+    * shuffle a downstream agg pays is over one feature row per clip, never
+    * samples. duration_ms is integer-exact (n·1000 div rate). */
+  def audioStats(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          def fail(msg: String): Nothing =
+            throw new IllegalArgumentException(s"malformed WAV: $msg")
+          if (p.length < 12 || !(p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+              p(3) == 'F')) fail("no RIFF header")
+          val bb = java.nio.ByteBuffer.wrap(p)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var off = 12
+          var rate = -1L; var channels = -1L; var bits = -1L
+          var dataOff = -1; var dataLen = -1
+          while (off + 8 <= p.length) {
+            val idc = new String(p, off, 4, "US-ASCII")
+            val sz = bb.getInt(off + 4).toLong & 0xffffffffL
+            if (sz > p.length.toLong - off - 8)
+              fail(s"truncated or oversized chunk at $off (size $sz)")
+            if (idc == "fmt ") {
+              if (sz < 16) fail(s"short fmt chunk ($sz)")
+              channels = (bb.getShort(off + 10) & 0xffff).toLong
+              rate = bb.getInt(off + 12).toLong & 0xffffffffL
+              bits = (bb.getShort(off + 22) & 0xffff).toLong
+            } else if (idc == "data") { dataOff = off + 8; dataLen = sz.toInt }
+            off += (8L + sz + (sz & 1L)).toInt
+          }
+          if (rate <= 0 || channels != 1 || bits != 16)
+            fail(s"unsupported format (rate=$rate ch=$channels bits=$bits)")
+          if (dataOff < 0) fail("no data chunk")
+          val n = dataLen / 2
+          var i = 0; var energy = 0L; var peak = 0L
+          while (i < n) {
+            val s = math.abs(bb.getShort(dataOff + i * 2).toLong)
+            energy += s; if (s > peak) peak = s
+            i += 1
+          }
+          AudioMeta(id, rate, channels, n.toLong,
+            n.toLong * 1000L / rate, energy, peak)
+        }
+      }
+  }
+
   /** Deterministic frame sampling: every `stride`-th frame index. */
   def sampleFrames(meta: Dataset[MediaMeta], stride: Long): DataFrame =
     meta.toDF()

@@ -29,6 +29,37 @@ object Projection {
     if (((h(0) >> 4) & 0xf) < 8) 1 else -1
   }
 
+  /** Integer-exact Gram accumulator over the q8-quantized corpus — the
+    * one-pass statistic PCA/whitening starts from (covariance is
+    * (g_ij − s_i·s_j/n)/n, all terms emitted here). Output: one row per
+    * (i ≤ j) pair of the first `dim` components — (i, j, g, s_i, s_j,
+    * n_vecs) — all integers.
+    *
+    * Scale shape: each vector emits its dim·(dim+1)/2 products ROW-
+    * LOCALLY; the groupBy is map-side combinable, so the shuffle carries
+    * at most partitions × pairs partial rows and the result is bounded
+    * by the pair count whatever the corpus size. The float path would
+    * not hash-check (summation order), the q8 path is exact in any
+    * order — same tradeoff as [[projectQ8]]. */
+  def gramQ8(emb: DataFrame, dim: Int = 16): DataFrame = {
+    val q8 = emb
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => when(col("ma") === 0.0, 0.0).otherwise(round(x * (lit(127.0) / col("ma"))))))
+    val terms = array((for { i <- 0 until dim; j <- i until dim } yield
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
+        (element_at(col("qv"), i + 1) * element_at(col("qv"), j + 1))
+          .cast("long").as("p"),
+        element_at(col("qv"), i + 1).cast("long").as("qi"),
+        element_at(col("qv"), j + 1).cast("long").as("qj"))): _*)
+    q8.select(explode(terms).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum("t.p").as("g"), sum("t.qi").as("s_i"),
+        sum("t.qj").as("s_j"), count(lit(1)).as("n_vecs"))
+      .orderBy("i", "j")
+  }
+
   /** (vec_id, proj: Array[Long] of length `outDim`) — int8-quantized
     * input projected through the fixed Rademacher matrix. */
   def projectQ8(emb: DataFrame, inDim: Int = 64, outDim: Int = 16): DataFrame = {

@@ -347,6 +347,13 @@ object PipelineQueries {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"))
         .orderBy("doc_id")),
+    // audio leg of the multimodal family: synthetic PCM16 WAVs parsed by
+    // a REAL RIFF chunk walk (LIST junk chunk skipped, sizes validated),
+    // samples decoded as LE int16 and reduced row-locally to integer
+    // features — only one feature row per clip ever shuffles
+    "q_pipe_multimodal_audio" -> ((s, dir) =>
+      Multimodal.audioStats(Multimodal.syntheticWavs(docs(s, dir)))
+        .toDF().orderBy("doc_id")),
     // curation: decontamination, deterministic sampling, packing, vocab
     "q_pipe_decontam" -> ((s, dir) => Curation.decontaminate(docs(s, dir))),
     "q_pipe_sample" -> ((s, dir) => Curation.stratifiedSample(docs(s, dir))),
@@ -514,6 +521,12 @@ object PipelineQueries {
         .filter(col("vec_id") < 40)
         .orderBy("vec_id")
     }),
+    // integer-exact Gram accumulator over the q8 corpus (the one-pass
+    // statistic PCA/whitening starts from): every vector emits its
+    // pair products row-locally, the groupBy is map-side combinable —
+    // shuffle ≤ partitions × 136 partial rows whatever the corpus size
+    "q_pipe_gram" -> ((s, dir) =>
+      Projection.gramQ8(emb(s, dir), dim = 16)),
 
     // integer-exact PageRank (operators.Graph) over the symmetrized
     // user↔item interaction graph from events (item nodes offset by 1e6);
@@ -2062,6 +2075,24 @@ object PipelineQueries {
         |SELECT vec_id, list(p ORDER BY d) AS proj
         |FROM pr GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // the same q8 quantization, then every (i ≤ j) pair product summed
+    "q_pipe_gram" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        |z AS (SELECT vec_id, list_transform(v,
+        |  x -> CASE WHEN ma = 0 THEN 0.0 ELSE round(x * (127.0 / ma)) END) AS qv FROM q),
+        |pairs AS (SELECT a.i AS i, b.j AS j
+        |  FROM range(16) a(i), range(16) b(j) WHERE b.j >= a.i),
+        |t AS (SELECT p.i, p.j,
+        |   CAST(qv[p.i + 1] * qv[p.j + 1] AS BIGINT) AS pr,
+        |   CAST(qv[p.i + 1] AS BIGINT) AS qi,
+        |   CAST(qv[p.j + 1] AS BIGINT) AS qj
+        |  FROM z, pairs p)
+        |SELECT i, j, CAST(sum(pr) AS BIGINT) AS g,
+        | CAST(sum(qi) AS BIGINT) AS s_i, CAST(sum(qj) AS BIGINT) AS s_j,
+        | count(*) AS n_vecs
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // 3 unrolled integer-exact PageRank rounds; floor divisions and
     // integer sums make each round engine-identical
     // positions self-join in the oracle (DuckDB can afford it); the
@@ -2423,5 +2454,24 @@ object PipelineQueries {
         | CAST(doc_id % 128 + 16 AS BIGINT) AS width,
         | CAST((doc_id * 3) % 96 + 16 AS BIGINT) AS height,
         | CAST(doc_id % 24 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the synthetic generator's closed form, replayed over range(n)
+    "q_pipe_multimodal_audio" ->
+      """WITH d AS (
+        | SELECT doc_id, n_chars,
+        |  8000 * (1 + doc_id % 3) AS rate,
+        |  n_chars % 300 + 50 AS n
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, abs(((n_chars * 131 + i * 17) % 4096) - 2048) AS a
+        | FROM d, unnest(range(n)) r(i)),
+        |f AS (SELECT doc_id, CAST(sum(a) AS BIGINT) AS energy,
+        |       CAST(max(a) AS BIGINT) AS peak
+        |      FROM s GROUP BY 1)
+        |SELECT d.doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS n_channels, CAST(n AS BIGINT) AS n_samples,
+        | CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+        | f.energy, f.peak
+        |FROM d JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin)
 }

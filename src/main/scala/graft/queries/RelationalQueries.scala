@@ -330,6 +330,23 @@ object RelationalQueries {
         .orderBy("c_nationkey")
     }),
 
+    // RANGE-frame window (time-based, not row-based): per customer, the
+    // trailing-90-day spend at each order — RANGE over epoch seconds so
+    // same-day peer rows all enter each other's frame (a ROWS frame
+    // would be order-dependent among ties and engine-fragile)
+    "q_rel_range_frame" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_custkey") < 50)
+        .withColumn("ts", col("o_orderdate").cast("timestamp").cast("long"))
+      val w = Window.partitionBy("o_custkey").orderBy("ts")
+        .rangeBetween(-90L * 86400L, 0L)
+      ord
+        .withColumn("spend_90d",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .withColumn("n_90d", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("spend_90d"), col("n_90d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     // TPC-H Q18 shape (large-volume customers): the IN-subquery over a
     // HAVING aggregate becomes a join on the SAME key the aggregate
     // grouped by — the orderkey shuffle is planned once and reused by
@@ -749,6 +766,17 @@ object RelationalQueries {
         |                  WHERE o.o_custkey = cs.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rel_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |   RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS spend_90d,
+        | count(*) OVER (
+        |   PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |   RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS n_90d
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rel_q18" ->
       """WITH big AS (
         | SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS tq

@@ -201,4 +201,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Map(0L -> ((1L, 1L)), 63L -> ((64L, 16L)),
       64L -> ((1L, 17L)), 100L -> ((37L, 5L))))
   }
+
+  test("audioStats: RIFF walk skips the LIST chunk, decodes LE int16 " +
+      "samples, integer features exact") {
+    import spark.implicits._
+    val samples = Array[Short](100, -200, 2047, -2048, 0)
+    val wav = Multimodal.buildWav(16000, samples)
+    val media = Seq((7L, wav)).toDF("doc_id", "payload")
+    val m = Multimodal.audioStats(media).collect().head
+    assert(m.sample_rate == 16000L && m.n_channels == 1L)
+    assert(m.n_samples == 5L)
+    assert(m.duration_ms == 5L * 1000L / 16000L)
+    assert(m.energy == 100L + 200L + 2047L + 2048L + 0L)
+    assert(m.peak == 2048L)
+  }
+
+  test("audioStats: a recognized-but-truncated WAV fails loudly instead " +
+      "of emitting garbage features") {
+    import spark.implicits._
+    val wav = Multimodal.buildWav(8000, Array[Short](1, 2, 3)).dropRight(2)
+    val media = Seq((1L, wav)).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.audioStats(media).collect())
+    assert(e.getMessage.contains("malformed WAV") ||
+      String.valueOf(e.getCause).contains("malformed WAV"))
+  }
 }

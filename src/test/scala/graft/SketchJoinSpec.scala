@@ -110,6 +110,33 @@ class SketchJoinSpec extends AnyFunSuite {
     assert(nearAvg * 2 < farAvg, s"near=$nearAvg far=$farAvg")
   }
 
+  test("gramQ8: hand-computed Gram + sums on known vectors, " +
+      "partition-order invariant") {
+    import graft.pipeline.Projection
+    import spark.implicits._
+    // max|x| = 127 in every vector → quantization is the identity
+    val rows = Seq(
+      (0L, Seq(127f, 0f, 64f)),
+      (1L, Seq(0f, 127f, -64f)),
+      (2L, Seq(127f, 127f, 0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Projection.gramQ8(emb, dim = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // g(0,0)=127²+0+127², g(0,1)=0+0+127·127, g(0,2)=127·64+0+0,
+    // g(1,1)=0+127²+127², g(1,2)=0−127·64+0, g(2,2)=64²+64²+0
+    assert(got((0L, 0L)) == ((2L * 127 * 127, 254L, 254L, 3L)))
+    assert(got((0L, 1L)) == ((127L * 127, 254L, 254L, 3L)))
+    assert(got((0L, 2L)) == ((127L * 64, 254L, 0L, 3L)))
+    assert(got((1L, 1L)) == ((2L * 127 * 127, 254L, 254L, 3L)))
+    assert(got((1L, 2L)) == ((-127L * 64, 254L, 0L, 3L)))
+    assert(got((2L, 2L)) == ((2L * 64 * 64, 0L, 0L, 3L)))
+    val re = Projection.gramQ8(emb.repartition(5), dim = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(re == got)
+  }
+
   test("bigramScore ranks a repeated-template doc as more predictable " +
       "than a unique-text doc") {
     import spark.implicits._
