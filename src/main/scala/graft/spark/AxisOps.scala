@@ -168,6 +168,46 @@ object AxisOps {
           lit(fillV).cast(df.schema("value").dataType)).as("filled")): _*)
   }
 
+  /** Label-based selection (xarray `sel(axis=slice(lo, hi))`): a 1-d
+    * COORDINATE variable on `axis` holds the labels (monotone non-
+    * decreasing along the axis — the same precondition xarray's slice
+    * sel has); cells of `dataVar` whose label falls in [lo, hi) are
+    * returned as (dims…, label, value).
+    *
+    * Two-phase, pruning-preserving: phase 1 scans ONLY the coordinate
+    * variable (1-d — metadata-sized next to an N-d data variable) and
+    * reduces the matching labels to [minIdx, maxIdx] — two longs to the
+    * driver, like a centroid collect. Phase 2 slices the data variable
+    * on that index range, so the data scan plans just the covering
+    * chunks (the whole point: label predicates become index pruning,
+    * not a full-scan filter), and joins the label back on the axis
+    * coordinate — both sides ride the same chunk grid, so the join is
+    * the exchange-free storage-partitioned shape when grids align. */
+  def selByLabel(spark: SparkSession, root: String, dataset: String,
+      dataVar: String, coordVar: String, axis: String,
+      lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
+    val (meta, coords) = resolved(spark, root, dataset, coordVar, version)
+    require(meta.variables(coordVar).shape == Vector(axis),
+      s"coordinate variable $coordVar must be 1-d on '$axis'")
+    val hit = coords.filter(col("value") >= lo && col("value") < hi)
+      .agg(min(col(axis)).as("lo"), max(col(axis)).as("hi"))
+      .collect().head
+    if (hit.isNullAt(0))
+      return coords.sparkSession.emptyDataFrame // no label in range
+    val (i0, i1) = (hit.getLong(0), hit.getLong(1) + 1)
+    val store = new SparkStore(spark, root)
+    val vid = version.getOrElse(store.versions(dataset).head._2)
+    val dims = meta.variables(dataVar).shape
+    val req = graft.core.Slice(
+      dims.map(d => if (d == axis) i0 else 0L),
+      dims.map(d => if (d == axis) i1 else meta.dimensions(d)))
+    val data = store.reader(dataset).onVersion(vid).exploded(dataVar, req)
+    val labels = coords.filter(col(axis) >= i0 && col(axis) < i1)
+      .select(col(axis), col("value").as("label"))
+    data.join(labels, axis)
+      .select((dims.map(col) :+ col("label") :+ col("value")): _*)
+  }
+
   /** First difference along `axis` (xarray `diff(dim)`): output
     * (dims…, diff) with diff[i] = v[i] − v[i−1], defined for axis
     * coordinate ≥ 1 (the first cell of each line has no predecessor and
