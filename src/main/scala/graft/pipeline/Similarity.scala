@@ -462,22 +462,39 @@ object Similarity {
     *
     * Scale shape: the pairwise stage is an equi-join on cent_id, so work
     * is partitioned by cluster and total cost is Σ|cluster|² — with
-    * K ≈ √N clusters that is O(N^1.5) worst-case and embarrassingly
-    * parallel; a pathological giant cluster would be sub-sharded the
-    * same way Dedup caps LSH buckets.
+    * K ≈ √N clusters (`nCentroids = 0` → `autoCentroids`, the default)
+    * that is O(N^1.5) worst-case and embarrassingly parallel. A
+    * pathological giant cluster (one boilerplate topic swallowing a
+    * corpus fraction) is additionally CAPPED at `maxClusterSize`
+    * members — the same defense as `capBuckets`/Dedup's
+    * `maxBucketSize`: past the cap a cluster is non-discriminative, so
+    * comparing only its `maxClusterSize` lowest-id members bounds
+    * per-task pair counts at O(K · maxClusterSize²) while keeping the
+    * within-cap pairs (truncation, not whole-cluster drop: unlike an
+    * LSH boilerplate bucket, a semantic megacluster still holds real
+    * near-dups worth flagging). `maxClusterSize = 0` disables the cap.
     */
-  def semanticNearDupPairs(emb: DataFrame, nCentroids: Int = 16,
-      tau: Double = 0.2, lloydIters: Int = 1): DataFrame = {
+  def semanticNearDupPairs(emb: DataFrame, nCentroids: Int = 0,
+      tau: Double = 0.2, lloydIters: Int = 1,
+      maxClusterSize: Int = 4096): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val n = withNorm(emb)
     val d = dot(emb) _
-    var centsLocal = n.filter(col("vec_id") < nCentroids)
+    val kC = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
+    var centsLocal = n.filter(col("vec_id") < kC)
       .select(col("vec_id").as("cent_id"), col("v"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     for (_ <- 0 until lloydIters)
       centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
-    val assigned = ivfAssign(n, ivfCentsDF(emb, centsLocal), d)
+    val assignedAll = ivfAssign(n, ivfCentsDF(emb, centsLocal), d)
+    val assigned =
+      if (maxClusterSize <= 0) assignedAll
+      else {
+        val wCap = Window.partitionBy("cent_id").orderBy(col("vec_id").asc)
+        assignedAll.withColumn("crank", row_number().over(wCap))
+          .filter(col("crank") <= maxClusterSize).drop("crank")
+      }
     val b = assigned.select(col("cent_id"), col("vec_id").as("dup_id"),
       col("v").as("bv"), col("nrm").as("bn"))
     assigned.join(b, Seq("cent_id"))

@@ -75,7 +75,17 @@ object ArrayQueries {
     * as v2's overlay plus the divergence, while ev itself is untouched. */
   private def ensureCloned(s: SparkSession, fx: ArrayFixtures.Handles): Unit =
     ArrayFixtures.synchronized {
-      if (!fx.store.datasetExists("evc")) {
+      // Guard on the divergent overlay's PRESENCE, not mere dataset
+      // existence: a crash between cloneDataset and finishVersion would
+      // otherwise leave an evc that permanently mismatches its oracle on
+      // this fixture dir. The complete fixture has strictly more
+      // committed versions than ev (clone carries ev's history + 1
+      // divergent write) — anything short of that is a partial build:
+      // destroy and rebuild.
+      val complete = fx.store.datasetExists("evc") &&
+        fx.store.versions("evc").length > fx.store.versions("ev").length
+      if (!complete) {
+        if (fx.store.datasetExists("evc")) fx.store.destroy("evc")
         import graft.core._
         fx.store.cloneDataset("ev", "evc")
         val latest = fx.store.versions("evc").head._2
@@ -497,7 +507,13 @@ object ArrayQueries {
     // array — the ML-dataloader handoff shape (a tensor per chunk, its
     // grid coordinate as the batch key). Grouping by _chunk_h over the
     // chunked scan is exchange-free; row-major order comes from the
-    // in-group sort, not a global one
+    // in-group sort, not a global one. The gate then posexplodes the
+    // tensor back to (c, n_cells, pos, value) scalar rows so the
+    // driver's pandas oracle can hash it (array-typed top-level columns
+    // are un-hashable there); the round trip still proves the tensor
+    // assembly — pos is the row-major position WITHIN the collected
+    // array, so any ordering mistake in the collect shows up as a
+    // pos/value mismatch
     "q_arr_tensors" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
@@ -509,7 +525,9 @@ object ArrayQueries {
         .agg(count(lit(1)).as("n_cells"),
           expr("transform(sort_array(collect_list(struct(h, value))), x -> x.value)")
             .as("vals"))
-        .orderBy("c")
+        .select(col("c"), col("n_cells"),
+          posexplode(col("vals")).as(Seq("pos", "value")))
+        .orderBy("c", "pos")
     }),
     // incrementally-maintained coarsened MATERIALIZED VIEW
     // (streaming.Rollup): v1 backfills the 8-hourly (sum, cnt) view
@@ -1016,9 +1034,10 @@ object ArrayQueries {
         |       ELSE COALESCE(c.cnt, 0) END AS value
         | FROM range(0,1000000) g(h) LEFT JOIN c ON c.h = g.h
         | WHERE g.h < (SELECT maxh FROM hh))
-        |SELECT h // 64 AS c, CAST(count(*) AS BIGINT) AS n_cells,
-        | list(value ORDER BY h) AS vals
-        |FROM v GROUP BY 1 ORDER BY c""".stripMargin),
+        |SELECT h // 64 AS c,
+        | CAST(count(*) OVER (PARTITION BY h // 64) AS BIGINT) AS n_cells,
+        | CAST(h % 64 AS INT) AS pos, value
+        |FROM v ORDER BY c, pos""".stripMargin),
     "q_arr_rollup_incr" -> (cte +
       """, v AS (
         | SELECT g.h AS h,

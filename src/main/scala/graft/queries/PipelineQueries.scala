@@ -515,11 +515,14 @@ object PipelineQueries {
     }),
 
     // integer-exact JL random projection (pipeline.Projection): 64-dim
-    // embeddings → 16-dim Rademacher sketch, row-local, no shuffle
+    // embeddings → 16-dim Rademacher sketch, row-local, no shuffle.
+    // posexploded to (vec_id, d, p) scalar rows for the gate — the
+    // driver's pandas oracle cannot hash array-typed columns
     "q_pipe_rproj" -> ((s, dir) => {
       Projection.projectQ8(emb(s, dir))
         .filter(col("vec_id") < 40)
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("d", "p")))
+        .orderBy("vec_id", "d")
     }),
     // integer-exact Gram accumulator over the q8 corpus (the one-pass
     // statistic PCA/whitening starts from): every vector emits its
@@ -2072,8 +2075,8 @@ object PipelineQueries {
         |   FROM z) u),
         |pr AS (SELECT vec_id, sgn.d, CAST(sum(x * sgn.s) AS BIGINT) AS p
         |  FROM ux JOIN sgn ON sgn.j = ux.j GROUP BY 1, 2)
-        |SELECT vec_id, list(p ORDER BY d) AS proj
-        |FROM pr GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, CAST(d AS INT) AS d, p
+        |FROM pr ORDER BY vec_id, d""".stripMargin,
 
     // the same q8 quantization, then every (i ≤ j) pair product summed
     "q_pipe_gram" ->

@@ -337,7 +337,12 @@ object RelationalQueries {
     "q_rel_range_frame" -> ((s, dir) => {
       val ord = s.read.parquet(s"$dir/orders.parquet")
         .filter(col("o_custkey") < 50)
-        .withColumn("ts", col("o_orderdate").cast("timestamp").cast("long"))
+        // day-granularity epoch seconds via datediff — timezone-
+        // independent (the cast-to-timestamp route shifts per-row under
+        // a DST session zone, drifting rows exactly 90 d apart across
+        // the RANGE boundary; see EventTime.scala's house pattern)
+        .withColumn("ts",
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long") * 86400L)
       val w = Window.partitionBy("o_custkey").orderBy("ts")
         .rangeBetween(-90L * 86400L, 0L)
       ord

@@ -192,20 +192,24 @@ object AxisOps {
     val hit = coords.filter(col("value") >= lo && col("value") < hi)
       .agg(min(col(axis)).as("lo"), max(col(axis)).as("hi"))
       .collect().head
-    if (hit.isNullAt(0))
-      return coords.sparkSession.emptyDataFrame // no label in range
-    val (i0, i1) = (hit.getLong(0), hit.getLong(1) + 1)
+    // No label in range: still return the documented (dims…, label,
+    // value) SCHEMA (an all-columns-dropped emptyDataFrame would break
+    // any caller that selects or unions on the result) — plan a 1-cell
+    // probe slice purely for its schema and limit(0) it.
+    val empty = hit.isNullAt(0)
+    val (i0, i1) = if (empty) (0L, 1L) else (hit.getLong(0), hit.getLong(1) + 1)
     val store = new SparkStore(spark, root)
     val vid = version.getOrElse(store.versions(dataset).head._2)
     val dims = meta.variables(dataVar).shape
     val req = graft.core.Slice(
       dims.map(d => if (d == axis) i0 else 0L),
-      dims.map(d => if (d == axis) i1 else meta.dimensions(d)))
+      dims.map(d => if (d == axis) i1 else if (empty) 1L else meta.dimensions(d)))
     val data = store.reader(dataset).onVersion(vid).exploded(dataVar, req)
     val labels = coords.filter(col(axis) >= i0 && col(axis) < i1)
       .select(col(axis), col("value").as("label"))
-    data.join(labels, axis)
+    val out = data.join(labels, axis)
       .select((dims.map(col) :+ col("label") :+ col("value")): _*)
+    if (empty) out.limit(0) else out
   }
 
   /** First difference along `axis` (xarray `diff(dim)`): output

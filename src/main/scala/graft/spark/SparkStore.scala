@@ -48,9 +48,21 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
   // ---- catalog (V1/V7/V8) ----
 
-  def create(name: String): Unit = {
+  /** Shared create/clone target validation: a dataset name is a single
+    * path segment under the store root. Dot-prefixed names collide with
+    * internal temp/staging dirs; separators and '..' would resolve the
+    * dataset OUTSIDE (or below) the root — reachable from SQL via
+    * CALL system.clone, so this is an injection guard, not just hygiene. */
+  private def validateDatasetName(name: String, ctx: String): Unit = {
     if (name == null || name.trim.isEmpty)
-      throw new IllegalArgumentException("dataset name must be a non-empty string")
+      throw new IllegalArgumentException(s"$ctx: dataset name must be a non-empty string")
+    if (name.startsWith(".") || name == "chunks" ||
+        name.contains("/") || name.contains("\\") || name.contains(".."))
+      throw new IllegalArgumentException(s"$ctx: bad dataset name '$name'")
+  }
+
+  def create(name: String): Unit = {
+    validateDatasetName(name, "create")
     if (Files.exists(dsPath(name)))
       throw new IllegalStateException(s"""dataset with name "$name" already exists.""")
     Files.createDirectories(versionsDir(name))
@@ -311,7 +323,22 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
     }
     if (old.isEmpty) { compactRangeSidecars(); return 0L }
-    val referenced = listDatasets.map(ds => indexDF(ds).select("hash"))
+    // mark phase: live hashes from every dataset's index PLUS any
+    // in-flight clone temp trees — a clone whose src is destroyed
+    // mid-copy still references blobs that only ITS temp index names,
+    // and dropping them would land an unreadable dst (the temp dirs are
+    // invisible to listDatasets by design, so they need an explicit leg)
+    val cloneTmpIdx =
+      scala.util.Using.resource(Files.list(rootPath)) { s =>
+        s.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith(".clone_tmp_"))
+          .map(_.resolve("index"))
+          .filter(Files.exists(_))
+          .map(p => spark.read.schema(indexSchema).parquet(p.toString)
+            .select("hash"))
+      }
+    val referenced = (listDatasets.map(ds => indexDF(ds).select("hash")) ++
+        cloneTmpIdx)
       .reduceOption(_ union _)
       .getOrElse(spark.emptyDataFrame.withColumn("hash", lit("")).select("hash"))
       .distinct()
@@ -439,19 +466,22 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * partial index rows in `dst`, but without its manifest they are
     * invisible (the same MVCC rule that hides in-flight ingests).
     * Everything assembles under a dot-prefixed temp dir (invisible to
-    * listDatasets and the vacuum mark) and lands via one atomic move.
+    * listDatasets, but its index IS included in vacuum's mark phase so a
+    * destroy(src)+vacuum racing the copy window cannot drop blobs the
+    * about-to-land clone references) and lands via one atomic move.
+    * Crashed temp trees are swept by vacuum's quiet-floor staging sweep.
     * Returns the number of committed versions cloned. */
   def cloneDataset(src: String, dst: String): Long = {
     require(Files.exists(dsPath(src)), s"cloneDataset: dataset $src does not exist")
-    if (dst == null || dst.trim.isEmpty || dst.startsWith("."))
-      throw new IllegalArgumentException(s"cloneDataset: bad target name '$dst'")
+    validateDatasetName(dst, "cloneDataset")
     if (Files.exists(dsPath(dst)))
       throw new IllegalStateException(s"""dataset with name "$dst" already exists.""")
-    val tmp = rootPath.resolve(s".clone_tmp_$dst")
-    if (Files.exists(tmp)) // leftover from a crashed clone
-      scala.util.Using.resource(Files.walk(tmp)) {
-        _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
+    // unique per attempt: two concurrent clones to the same dst must not
+    // share a temp tree (the loser fails at the atomic move below, which
+    // is the correct already-exists outcome); crashed leftovers are swept
+    // by vacuum's quiet-floor staging sweep, never by a racing clone
+    val tmp = rootPath.resolve(
+      s".clone_tmp_${dst}_${java.util.UUID.randomUUID}")
     // 1. snapshot the committed manifests (names only)
     val manifests = scala.util.Using.resource(Files.list(versionsDir(src))) {
       _.iterator().asScala.map(_.getFileName.toString)
@@ -483,8 +513,17 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     Files.createDirectories(tmp.resolve("versions"))
     manifests.foreach(f => Files.copy(versionsDir(src).resolve(f),
       tmp.resolve("versions").resolve(f)))
-    Files.move(tmp, dsPath(dst),
+    try Files.move(tmp, dsPath(dst),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: java.nio.file.FileSystemException =>
+      // lost the race to a concurrent clone/create of the same dst: clean
+      // up our temp tree and report it as the already-exists failure
+      scala.util.Using.resource(Files.walk(tmp)) {
+        _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      throw new IllegalStateException(
+        s"""dataset with name "$dst" already exists.""", e)
+    }
     manifests.size.toLong
   }
 
@@ -540,7 +579,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       System.currentTimeMillis() - SparkStore.ManifestSweepMinAgeMs)
     scala.util.Using.resource(Files.list(rootPath)) { s =>
       s.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith(".chunks_ingest_"))
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(".chunks_ingest_") || n.startsWith(".clone_tmp_")
+        }
         .foreach { dir =>
           val newest =
             try scala.util.Using.resource(Files.walk(dir)) {

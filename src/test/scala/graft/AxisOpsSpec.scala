@@ -222,4 +222,35 @@ class AxisOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((0L, 5L, 1L), (1L, 7L, 0L)))
   }
+
+  test("selByLabel: label range → index slice; empty range keeps the " +
+      "(dims…, label, value) schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft_axis_sel").toString
+    val store = new SparkStore(spark, root)
+    store.create("d")
+    val m = DatasetMeta(Map("h" -> 10L), Map("h" -> 4L),
+      Map("a" -> VariableDef("long", Vector("h"), -1.0),
+        "lab" -> VariableDef("long", Vector("h"), -1.0)))
+    val w = store.addVersion("d", m)
+    w.write("a", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(10L)), (0 until 10).map(i => (i * i).toDouble))))
+    // monotone labels 100,110,…,190 on the same axis
+    w.write("lab", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(10L)), (0 until 10).map(i => 100.0 + 10 * i))))
+    val v = w.finishVersion()
+    val hitRows = AxisOps.selByLabel(spark, root, "d", "a", "lab", "h",
+        lo = 125L, hi = 165L, version = Some(v))
+      .orderBy("h").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // labels 130..160 → indices 3..6, value = h²
+    assert(hitRows == Seq((3L, 130L, 9L), (4L, 140L, 16L),
+      (5L, 150L, 25L), (6L, 160L, 36L)))
+    val none = AxisOps.selByLabel(spark, root, "d", "a", "lab", "h",
+      lo = 1000L, hi = 2000L, version = Some(v))
+    assert(none.columns.toSeq == Seq("h", "label", "value"))
+    assert(none.count() == 0L)
+    // the empty frame must stay selectable/union-able (the regression:
+    // emptyDataFrame dropped every column)
+    assert(none.select("label", "value").count() == 0L)
+  }
 }

@@ -35,6 +35,18 @@ class QuerySmokeSpec extends AnyFunSuite {
     test(s"smoke: $name") {
       assume(dataPresent)
       val df = fn(spark, sfDir)
+      // The driver's pandas oracle hashes every output column; ARRAY /
+      // MAP / STRUCT top-level columns crash it ("unhashable type:
+      // numpy.ndarray") BEFORE any comparison — round 8 lost two gates
+      // to exactly this. Gates must posexplode / checksum such columns.
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val complex = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => f.name
+      }
+      assert(complex.isEmpty,
+        s"gate '$name' has oracle-unhashable top-level columns: ${complex.mkString(", ")}")
       assert(df.count() >= 0L) // full execution, not just analysis
     }
   }

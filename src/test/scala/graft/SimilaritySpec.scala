@@ -52,6 +52,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(qids.forall(_ >= 200L), "dropped-bucket query leaked through")
   }
 
+  test("semdedup megacluster cap: per-cluster pair work is bounded") {
+    // 60 of 200 vectors (30%) are one identical boilerplate direction —
+    // they all land in a single semantic cluster. Uncapped, that cluster
+    // alone emits 60*59/2 = 1770 pairs; with maxClusterSize = 8 every
+    // cluster contributes at most 8*7/2 = 28 pairs (its 8 lowest-id
+    // members), so per-task join output is bounded however big the
+    // megacluster grows.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val boiler = (0L until 60L).map(i => (i, Array.fill(16)(1.0f)))
+    val rest = (60L until 200L).map(i =>
+      (i, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13).toFloat - 6f)))
+    val emb = (boiler ++ rest).toDF("vec_id", "embedding")
+    val capped = Similarity.semanticNearDupPairs(emb, nCentroids = 16,
+      tau = 0.99, maxClusterSize = 8)
+    // bounded per-cluster membership → bounded pair output
+    val perCluster = capped.groupBy("cent_id")
+      .agg(countDistinct(col("keep_id")).as("nk"),
+        countDistinct(col("dup_id")).as("nd")).collect()
+    perCluster.foreach { r =>
+      assert(r.getLong(1) <= 8 && r.getLong(2) <= 8,
+        s"cluster ${r.getLong(0)} exceeded the member cap: $r")
+    }
+    assert(capped.count() <= 16L * 28L)
+    // the boilerplate dups under the cap ARE still flagged (truncation,
+    // not whole-cluster drop): its 8 lowest-id members give 28 pairs
+    val boilerPairs = capped.filter(col("keep_id") < 60 && col("dup_id") < 60)
+    assert(boilerPairs.count() == 28L)
+    // uncapped control goes quadratic in the megacluster
+    val uncapped = Similarity.semanticNearDupPairs(emb, nCentroids = 16,
+      tau = 0.99, maxClusterSize = 0)
+    assert(uncapped.filter(col("keep_id") < 60 && col("dup_id") < 60)
+      .count() == 1770L)
+  }
+
   test("persistent IVF index answers bit-identically to the one-shot path") {
     import org.apache.spark.sql.functions._
     import graft.pipeline.Similarity
