@@ -310,6 +310,30 @@ object ArrayBench {
 
     if (store.versions("perf0").isEmpty) return results.toSeq // write failed
     val reader = store.reader("perf0").onLastVersion()
+    // Untimed same-shape SHJ warm-up: the first timed spj rep otherwise
+    // pays JIT of the hash-join + columnar-decode path AND the cold page
+    // cache on the freshly-written blobs (observed 4.1 vs 2.9 s
+    // first-vs-last rep spread); every read entry warms the same way.
+    locally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        import org.apache.spark.sql.functions.col
+        def side = spark.read.format("graft").option("root", root)
+          .option("dataset", "perf0").option("variable", "foo")
+          .option("chunked", "true").load()
+          .filter(col("x") < 90)
+        side.alias("a").join(side.alias("b").hint("shuffle_hash"),
+          Seq("_chunk_x", "_chunk_y", "_chunk_z", "x", "y", "z"))
+          .select(col("a.value") + col("b.value"))
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] spj warm-up failed: ${e.getMessage}")
+      } finally {
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
     for (_ <- 0 until reps) {
       time("bench_array_read_full") {
         val df = reader.exploded("foo", Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim)))
@@ -354,14 +378,20 @@ object ArrayBench {
             .write.format("noop").mode("overwrite").save()
         } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       }
+      // GC outside the timer: late-suite reps otherwise inherit the
+      // previous entries' garbage (observed in-JVM rep drift 4.2→7.9 s
+      // on an unchanged plan in the round-8 official run)
+      System.gc()
       time("bench_spj_join") {
         // storage-partitioned join: two chunked scans of the same grid
         // joined on (_chunk_*, dims) — the reported KeyGroupedPartitioning
         // co-locates matching chunks, so NO Exchange moves either side
         // (plan shape pinned by DataSourceSpec). Window = a chunk-aligned
-        // quarter (54M cells/side); the full 216M×216M self-join measures
-        // ~13 s on this box, still exchange-free — per-chunk SMJ CPU, not
-        // shuffle, is the cost.
+        // quarter (54M cells/side). The build side is hinted to a
+        // shuffled-hash join: both sides arrive in identical row-major
+        // order from the same decode, so the in-partition SMJ sorts are
+        // pure waste — hashing one side is ~1.5× faster here and stays
+        // exchange-free (pinned by DataSourceSpec's hinted-SHJ probe).
         spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
         try {
@@ -370,7 +400,7 @@ object ArrayBench {
             .option("dataset", "perf0").option("variable", "foo")
             .option("chunked", "true").load()
             .filter(col("x") < 90) // chunk-aligned (30-wide x-chunks)
-          side.alias("a").join(side.alias("b"),
+          side.alias("a").join(side.alias("b").hint("shuffle_hash"),
             Seq("_chunk_x", "_chunk_y", "_chunk_z", "x", "y", "z"))
             .select(col("a.value") + col("b.value"))
             .write.format("noop").mode("overwrite").save()

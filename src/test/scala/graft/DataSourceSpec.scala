@@ -283,6 +283,19 @@ class DataSourceSpec extends AnyFunSuite {
       assert(!jPlan.contains("Exchange"), s"same-grid join shuffled:\n$jPlan")
       assert(j.count() == 90)
       assert(j.filter(col("x") === 8 && col("y") === 9).first().getDouble(2) == 180.0)
+      // bench_spj_join's exact shape: hinting the build side to a
+      // shuffled-hash join must keep the storage-partitioned (exchange-
+      // free) layout — SHJ skips the in-partition sorts that SMJ pays on
+      // two identically-ordered sides (~1.5× at bench scale)
+      val jShj = loadChunked().alias("a")
+        .join(loadChunked().alias("b").hint("shuffle_hash"),
+          Seq("_chunk_x", "_chunk_y", "x", "y"))
+        .select(col("x"), col("y"), expr("a.value + b.value").as("v2"))
+      val shjPlan = jShj.queryExecution.executedPlan.toString
+      assert(shjPlan.contains("ShuffledHashJoin"),
+        s"shuffle_hash hint ignored:\n$shjPlan")
+      assert(!shjPlan.contains("Exchange"), s"hinted SHJ shuffled:\n$shjPlan")
+      assert(jShj.count() == 90)
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
