@@ -7,7 +7,6 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSes
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** Spark-native, Parquet-backed dataset store — the distributed counterpart
@@ -40,11 +39,17 @@ import scala.jdk.CollectionConverters._
 final class SparkStore(val spark: SparkSession, val root: String) {
   import SparkStore._
 
-  private def rootPath: Path = Paths.get(root)
-  private def dsPath(name: String): Path = rootPath.resolve(name)
-  private def versionsDir(name: String): Path = dsPath(name).resolve("versions")
-  def indexDir(name: String): String = dsPath(name).resolve("index").toString
-  def chunksDir: String = rootPath.resolve("chunks").toString
+  // All catalog/manifest/staging I/O goes through StoreFs (Hadoop
+  // FileSystem resolved per path), so `root` may be a local path, a
+  // file:/// URI, or any configured remote scheme (hdfs://, s3a://) —
+  // the reference's production posture (impl.clj:77-119). Paths are
+  // plain strings end to end; Spark's own parquet reads/writes accept
+  // the same scheme-qualified strings.
+  private def dsPath(name: String): String = StoreFs.child(root, name)
+  private def versionsDir(name: String): String =
+    StoreFs.child(dsPath(name), "versions")
+  def indexDir(name: String): String = StoreFs.child(dsPath(name), "index")
+  def chunksDir: String = StoreFs.child(root, "chunks")
 
   // ---- catalog (V1/V7/V8) ----
 
@@ -63,28 +68,19 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
   def create(name: String): Unit = {
     validateDatasetName(name, "create")
-    if (Files.exists(dsPath(name)))
+    if (StoreFs.exists(dsPath(name)))
       throw new IllegalStateException(s"""dataset with name "$name" already exists.""")
-    Files.createDirectories(versionsDir(name))
+    StoreFs.mkdirs(versionsDir(name))
   }
 
-  def destroy(name: String): Unit =
-    if (Files.exists(dsPath(name))) {
-      scala.util.Using.resource(Files.walk(dsPath(name))) {
-        _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
-    }
+  def destroy(name: String): Unit = StoreFs.deleteTree(dsPath(name))
 
   def listDatasets: Seq[String] =
-    if (!Files.exists(rootPath)) Nil
-    else scala.util.Using.resource(Files.list(rootPath)) { s =>
-      s.iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString != "chunks"
-          && !p.getFileName.toString.startsWith("."))
-        .map(_.getFileName.toString).toSeq
+    StoreFs.list(root).collect {
+      case (_, n, _, isDir) if isDir && n != "chunks" && !n.startsWith(".") => n
     }
 
-  def datasetExists(name: String): Boolean = Files.exists(dsPath(name))
+  def datasetExists(name: String): Boolean = StoreFs.exists(dsPath(name))
 
   // ---- versions (V2-V6) ----
 
@@ -106,22 +102,21 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * the manifest parsing on every read-planning call. */
   private def versionManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
     val dir = versionsDir(name)
-    if (!Files.exists(dir)) throw new IllegalArgumentException(
+    if (!StoreFs.exists(dir)) throw new IllegalArgumentException(
       s"""dataset with name "$name" does not exist.""")
-    scala.util.Using.resource(Files.list(dir)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".json"))
-        .map { p =>
-          val m = DatasetMeta.fromJson(Files.readString(p))
-          (extractTimestamp(m), m.versionId.get, m)
-        }.toSeq
-    }.sortBy { case (ts, vid, _) => (ts, vid) }.reverse
+    StoreFs.list(dir)
+      .filter { case (_, n, _, _) => n.endsWith(".json") }
+      .map { case (p, _, _, _) =>
+        val m = DatasetMeta.fromJson(StoreFs.readString(p))
+        (extractTimestamp(m), m.versionId.get, m)
+      }
+      .sortBy { case (ts, vid, _) => (ts, vid) }.reverse
   }
 
   def metadata(name: String, versionId: Long): DatasetMeta = {
-    val p = versionsDir(name).resolve(s"$versionId.json")
-    require(Files.exists(p), s"no committed version $versionId in dataset $name")
-    DatasetMeta.fromJson(Files.readString(p))
+    val p = StoreFs.child(versionsDir(name), s"$versionId.json")
+    require(StoreFs.exists(p), s"no committed version $versionId in dataset $name")
+    DatasetMeta.fromJson(StoreFs.readString(p))
   }
 
   def reader(name: String): SparkDatasetReader = new SparkDatasetReader(this, name)
@@ -177,10 +172,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       // onTimestamp resolution ambiguous between them
       val withTs = stampTimestamp(meta,
         math.max(System.currentTimeMillis(), vs.headOption.map(_._1 + 1).getOrElse(0L)))
-      val tmp = versionsDir(name).resolve(s".$vid.json.tmp")
-      Files.writeString(tmp, withTs.toJson)
-      Files.move(tmp, versionsDir(name).resolve(s"$vid.json"),
-        StandardCopyOption.ATOMIC_MOVE)
+      val tmp = StoreFs.child(versionsDir(name), s".$vid.json.tmp")
+      StoreFs.writeString(tmp, withTs.toJson)
+      StoreFs.moveReplace(tmp, StoreFs.child(versionsDir(name), s"$vid.json"))
       vid
     }
 
@@ -188,7 +182,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
   private[spark] def indexDF(name: String): DataFrame = {
     val dir = indexDir(name)
-    if (!Files.exists(Paths.get(dir))) spark.createDataFrame(
+    if (!StoreFs.exists(dir)) spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], indexSchema)
     // explicit schema: (var, version) resolve from the partition dirs, and
     // files predating the stats column read it as null (no mergeSchema scan)
@@ -197,7 +191,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
   private[spark] def chunksDF: DataFrame = {
     healChunksDir()
-    if (!Files.exists(Paths.get(chunksDir))) spark.createDataFrame(
+    if (!StoreFs.exists(chunksDir)) spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], chunksSchema)
     else spark.read.schema(chunksSchema).parquet(chunksDir)
   }
@@ -206,24 +200,17 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * is missing but the pre-swap copy exists, restore it (reads must
     * never silently degrade to fill values). */
   private def healChunksDir(): Unit = {
-    val live = Paths.get(chunksDir)
-    val old = rootPath.resolve(".chunks_old")
-    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+    val old = StoreFs.child(root, ".chunks_old")
+    if (!StoreFs.exists(chunksDir) && StoreFs.exists(old))
+      StoreFs.moveInto(old, chunksDir)
   }
 
   /** V10 get-stats: storage sizes in bytes
     * (reference: impl/protocol.clj:75-82). */
-  def getStats(name: String): Map[String, Long] = {
-    def dirSize(p: Path): Long =
-      if (!Files.exists(p)) 0L
-      else scala.util.Using.resource(Files.walk(p)) {
-        _.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
-      }
-    Map(
-      "metadata-size" -> dirSize(versionsDir(name)),
-      "index-size" -> dirSize(Paths.get(indexDir(name))),
-      "data-size" -> dirSize(Paths.get(chunksDir)))
-  }
+  def getStats(name: String): Map[String, Long] = Map(
+    "metadata-size" -> StoreFs.treeSize(versionsDir(name)),
+    "index-size" -> StoreFs.treeSize(indexDir(name)),
+    "data-size" -> StoreFs.treeSize(chunksDir))
 
   /** Fresh scan-manifest directory for a DSv2 large-scan planning job —
     * under the store root so executors share it. Best-effort cleanup at
@@ -231,11 +218,11 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * sweeps manifests older than max(grace, ManifestSweepMinAge) — the
     * floor protects manifests of still-running long scans. */
   private[graft] def newScanManifestDir(): String = {
-    val dir = rootPath.resolve(".scan_manifest")
-      .resolve(java.util.UUID.randomUUID().toString)
-    Files.createDirectories(dir.getParent)
+    val base = StoreFs.child(root, ".scan_manifest")
+    val dir = StoreFs.child(base, java.util.UUID.randomUUID().toString)
+    StoreFs.mkdirs(base)
     SparkStore.registerManifestForCleanup(dir)
-    dir.toString
+    dir
   }
 
   /** Keyed scan-manifest cache lookup. A manifest is a PURE function of
@@ -247,13 +234,12 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * survive the age sweep; the repeated-full-scan planning job (the
     * recoverable ~18% of a large DSv2 read) is skipped entirely. */
   private[graft] def cachedScanManifest(key: String): Option[String] = {
-    val dir = rootPath.resolve(".scan_manifest").resolve(key)
-    if (!Files.exists(dir.resolve(SparkStore.ManifestCompleteMarker))) None
+    val dir = StoreFs.child(StoreFs.child(root, ".scan_manifest"), key)
+    if (!StoreFs.exists(StoreFs.child(dir, SparkStore.ManifestCompleteMarker))) None
     else {
-      try Files.setLastModifiedTime(dir,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      try StoreFs.setMtimeNow(dir)
       catch { case _: java.io.IOException => }
-      Some(dir.toString)
+      Some(dir)
     }
   }
 
@@ -263,33 +249,24 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * cross-filesystem move falls back to this scan's staging copy — which
     * stays registered for JVM-exit cleanup; the winner serves the cache. */
   private[graft] def publishScanManifest(staging: String, key: String): String = {
-    val src = Paths.get(staging)
-    val dst = rootPath.resolve(".scan_manifest").resolve(key)
-    try Files.createFile(src.resolve(SparkStore.ManifestCompleteMarker))
+    val dst = StoreFs.child(StoreFs.child(root, ".scan_manifest"), key)
+    try StoreFs.createMarker(StoreFs.child(staging, SparkStore.ManifestCompleteMarker))
     catch { case _: java.io.IOException => return staging }
     try {
-      Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      dst.toString
+      if (StoreFs.moveInto(staging, dst)) dst else staging
     } catch { case _: java.io.IOException => staging }
   }
 
   private def sweepScanManifests(cutoffMs: Long): Unit = {
-    val base = rootPath.resolve(".scan_manifest")
-    if (!Files.exists(base)) return
-    scala.util.Using.resource(Files.list(base)) {
-      _.iterator().asScala.toSeq
-        .filter(d => Files.getLastModifiedTime(d).toMillis <= cutoffMs)
-        .foreach { d =>
-          // completion marker FIRST: if any later delete fails, the dir
-          // reads as incomplete (a cache miss), never as complete-but-empty
-          try Files.deleteIfExists(d.resolve(SparkStore.ManifestCompleteMarker))
-          catch { case _: java.io.IOException => }
-          scala.util.Using.resource(Files.walk(d)) {
-            _.iterator().asScala.toSeq.reverse.foreach(p =>
-              try Files.delete(p) catch { case _: java.io.IOException => })
-          }
-        }
-    }
+    val base = StoreFs.child(root, ".scan_manifest")
+    StoreFs.list(base)
+      .filter { case (_, _, mtime, _) => mtime <= cutoffMs }
+      .foreach { case (d, _, _, _) =>
+        // completion marker FIRST: if any later delete fails, the dir
+        // reads as incomplete (a cache miss), never as complete-but-empty
+        StoreFs.deleteIfExists(StoreFs.child(d, SparkStore.ManifestCompleteMarker))
+        try StoreFs.deleteTree(d) catch { case _: java.io.IOException => }
+      }
   }
 
   /** Content-addressed garbage collection: drop chunk blobs not referenced
@@ -314,13 +291,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     healChunksDir()
     sweepScanManifests(System.currentTimeMillis() -
       math.max(graceMs, SparkStore.ManifestSweepMinAgeMs))
-    if (!Files.exists(Paths.get(chunksDir))) return 0L
+    if (!StoreFs.exists(chunksDir)) return 0L
     val cutoff = System.currentTimeMillis() - graceMs
-    val live = Paths.get(chunksDir)
-    val old = scala.util.Using.resource(Files.list(live)) {
-      _.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+    val old = StoreFs.list(chunksDir).collect {
+      case (p, n, mtime, _) if n.endsWith(".parquet") && mtime <= cutoff => p
     }
     if (old.isEmpty) { compactRangeSidecars(); return 0L }
     // mark phase: live hashes from every dataset's index PLUS any
@@ -328,40 +302,33 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // mid-copy still references blobs that only ITS temp index names,
     // and dropping them would land an unreadable dst (the temp dirs are
     // invisible to listDatasets by design, so they need an explicit leg)
-    val cloneTmpIdx =
-      scala.util.Using.resource(Files.list(rootPath)) { s =>
-        s.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith(".clone_tmp_"))
-          .map(_.resolve("index"))
-          .filter(Files.exists(_))
-          .map(p => spark.read.schema(indexSchema).parquet(p.toString)
-            .select("hash"))
-      }
+    val cloneTmpIdx = StoreFs.list(root)
+      .collect { case (p, n, _, _) if n.startsWith(".clone_tmp_") =>
+        StoreFs.child(p, "index") }
+      .filter(StoreFs.exists)
+      .map(p => spark.read.schema(indexSchema).parquet(p).select("hash"))
     val referenced = (listDatasets.map(ds => indexDF(ds).select("hash")) ++
         cloneTmpIdx)
       .reduceOption(_ union _)
       .getOrElse(spark.emptyDataFrame.withColumn("hash", lit("")).select("hash"))
       .distinct()
     val oldDF = spark.read.schema(SparkStore.chunksSchema)
-      .parquet(old.map(_.toString): _*)
+      .parquet(old: _*)
     val before = oldDF.count()
-    val keptDir = rootPath.resolve(".chunks_compact")
-    if (Files.exists(keptDir)) // leftover from a crashed vacuum
-      scala.util.Using.resource(Files.walk(keptDir)) {
-        _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
+    val keptDir = StoreFs.child(root, ".chunks_compact")
+    StoreFs.deleteTree(keptDir) // leftover from a crashed vacuum
     oldDF.join(referenced, Seq("hash"), "left_semi")
       .dropDuplicates("hash") // compact duplicate rows from racy appends
       // range-partition: compaction leaves the WHOLE swept store as one
       // disjoint-file generation (see writeRows blob append)
       .repartitionByRange(col("hash")).sortWithinPartitions("hash")
-      .write.option("compression", "uncompressed").mode("overwrite").parquet(keptDir.toString)
-    val after = spark.read.parquet(keptDir.toString).count()
+      .write.option("compression", "uncompressed").mode("overwrite").parquet(keptDir)
+    val after = spark.read.parquet(keptDir).count()
     // adopt the compacted part files into the live dir (part-file names
     // carry fresh UUIDs — no collision), then delete exactly the files we
     // compacted; concurrent appends are untouched throughout
     val adopted = adoptChunkFiles(keptDir)
-    old.foreach(Files.delete)
+    old.foreach(StoreFs.delete)
     // every chunk file at or before the cutoff is gone now: their
     // sidecars are fully stale — sweep them (and crashed-ingest staging
     // leftovers), and record the compacted generation's ranges
@@ -428,25 +395,16 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         throw new IllegalStateException(
           s"expireHistory($name): no checkpoint — run compact first"))
       val expired = versions(name).map(_._2).filter(_ < cp).toSet
-      val idx = Paths.get(indexDir(name))
-      if (Files.exists(idx))
-        scala.util.Using.resource(Files.list(idx)) { vars =>
-          vars.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("var=")).toSeq
-        }.foreach { vd =>
-          scala.util.Using.resource(Files.list(vd)) { parts =>
-            parts.iterator().asScala.filter { p =>
-              p.getFileName.toString.stripPrefix("version=").toLongOption
-                .exists(expired.contains)
-            }.toSeq
-          }.foreach { pdir =>
-            scala.util.Using.resource(Files.walk(pdir)) {
-              _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-            }
-          }
+      StoreFs.list(indexDir(name))
+        .collect { case (p, n, _, _) if n.startsWith("var=") => p }
+        .foreach { vd =>
+          StoreFs.list(vd)
+            .filter { case (_, n, _, _) =>
+              n.stripPrefix("version=").toLongOption.exists(expired.contains) }
+            .foreach { case (pdir, _, _, _) => StoreFs.deleteTree(pdir) }
         }
       expired.foreach(v =>
-        Files.deleteIfExists(versionsDir(name).resolve(s"$v.json")))
+        StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$v.json")))
       expired.size.toLong
     }
 
@@ -472,57 +430,44 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * Crashed temp trees are swept by vacuum's quiet-floor staging sweep.
     * Returns the number of committed versions cloned. */
   def cloneDataset(src: String, dst: String): Long = {
-    require(Files.exists(dsPath(src)), s"cloneDataset: dataset $src does not exist")
+    require(StoreFs.exists(dsPath(src)), s"cloneDataset: dataset $src does not exist")
     validateDatasetName(dst, "cloneDataset")
-    if (Files.exists(dsPath(dst)))
+    if (StoreFs.exists(dsPath(dst)))
       throw new IllegalStateException(s"""dataset with name "$dst" already exists.""")
     // unique per attempt: two concurrent clones to the same dst must not
-    // share a temp tree (the loser fails at the atomic move below, which
-    // is the correct already-exists outcome); crashed leftovers are swept
-    // by vacuum's quiet-floor staging sweep, never by a racing clone
-    val tmp = rootPath.resolve(
+    // share a temp tree (the loser fails at the no-clobber move below,
+    // which is the correct already-exists outcome); crashed leftovers are
+    // swept by vacuum's quiet-floor staging sweep, never by a racing clone
+    val tmp = StoreFs.child(root,
       s".clone_tmp_${dst}_${java.util.UUID.randomUUID}")
     // 1. snapshot the committed manifests (names only)
-    val manifests = scala.util.Using.resource(Files.list(versionsDir(src))) {
-      _.iterator().asScala.map(_.getFileName.toString)
-        .filter(f => f.endsWith(".json") && !f.startsWith(".")).toSeq
+    val manifests = StoreFs.list(versionsDir(src)).collect {
+      case (_, n, _, _) if n.endsWith(".json") && !n.startsWith(".") => n
     }
-    // 2. copy the index tree (skip in-flight Spark temp dirs/files)
-    def copyTree(from: Path, to: Path): Unit = {
-      Files.createDirectories(to)
-      scala.util.Using.resource(Files.walk(from)) { walk =>
-        walk.iterator().asScala.filter(_ != from).foreach { p =>
-          val parts = from.relativize(p)
-          val name = p.getFileName.toString
-          val hidden = (0 until parts.getNameCount).exists { i =>
-            val n = parts.getName(i).toString
-            n.startsWith(".") || n.startsWith("_")
-          }
-          if (!hidden) {
-            val target = to.resolve(parts)
-            if (Files.isDirectory(p)) Files.createDirectories(target)
-            else Files.copy(p, target,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-        }
-      }
+    // 2. copy the index tree (skip in-flight Spark temp dirs/files —
+    // recursive file listing, hidden segments filtered on the RELATIVE
+    // path so a dot-prefixed store root doesn't hide everything)
+    val srcIdx = indexDir(src)
+    val idxPrefix = new org.apache.hadoop.fs.Path(srcIdx).toUri.getPath
+    StoreFs.filesUnder(srcIdx).foreach { p =>
+      val rel = new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix(idxPrefix).stripPrefix("/")
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
+      if (!hidden)
+        StoreFs.copyFile(p, StoreFs.child(StoreFs.child(tmp, "index"), rel))
     }
-    val srcIdx = Paths.get(indexDir(src))
-    if (Files.exists(srcIdx)) copyTree(srcIdx, tmp.resolve("index"))
     // 3. copy exactly the snapshotted manifests
-    Files.createDirectories(tmp.resolve("versions"))
-    manifests.foreach(f => Files.copy(versionsDir(src).resolve(f),
-      tmp.resolve("versions").resolve(f)))
-    try Files.move(tmp, dsPath(dst),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case e: java.nio.file.FileSystemException =>
+    StoreFs.mkdirs(StoreFs.child(tmp, "versions"))
+    manifests.foreach(f => StoreFs.copyFile(
+      StoreFs.child(versionsDir(src), f),
+      StoreFs.child(StoreFs.child(tmp, "versions"), f)))
+    if (!StoreFs.moveInto(tmp, dsPath(dst))) {
       // lost the race to a concurrent clone/create of the same dst: clean
       // up our temp tree and report it as the already-exists failure
-      scala.util.Using.resource(Files.walk(tmp)) {
-        _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
+      StoreFs.deleteTree(tmp)
       throw new IllegalStateException(
-        s"""dataset with name "$dst" already exists.""", e)
+        s"""dataset with name "$dst" already exists.""")
     }
     manifests.size.toLong
   }
@@ -539,29 +484,24 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * by `adoptChunkFiles`; orphans from crashed ingests are swept by
     * vacuum). Lives beside — not inside — the chunks dir, so readers
     * never see half-written part files. */
-  private[spark] def newChunkStagingDir(): Path =
-    rootPath.resolve(s".chunks_ingest_${java.util.UUID.randomUUID}")
+  private[spark] def newChunkStagingDir(): String =
+    StoreFs.child(root, s".chunks_ingest_${java.util.UUID.randomUUID}")
 
   /** Move a staged generation's part files into the live chunks dir and
     * return their new paths; removes the staging dir. A crash mid-adopt
     * leaves some files adopted (orphan blobs until their index rows land
     * — same exposure as a direct append) and the staging leftovers for
     * vacuum's sweep. */
-  private[spark] def adoptChunkFiles(staging: Path): Seq[Path] = {
-    val live = Paths.get(chunksDir)
-    Files.createDirectories(live)
-    val adopted = scala.util.Using.resource(Files.list(staging)) {
-      _.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map { p =>
-          val dst = live.resolve(p.getFileName.toString)
-          Files.move(p, dst)
-          dst
-        }
-    }
-    scala.util.Using.resource(Files.walk(staging)) {
-      _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+  private[spark] def adoptChunkFiles(staging: String): Seq[String] = {
+    StoreFs.mkdirs(chunksDir)
+    val adopted = StoreFs.list(staging)
+      .collect { case (p, n, _, _) if n.endsWith(".parquet") => (p, n) }
+      .map { case (p, n) =>
+        val dst = StoreFs.child(chunksDir, n)
+        StoreFs.moveInto(p, dst)
+        dst
+      }
+    StoreFs.deleteTree(staging)
     adopted
   }
 
@@ -574,54 +514,27 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * floor scan manifests get (a live job keeps touching files; a
     * crashed one goes silent). */
   private def sweepChunkStaging(cutoff: Long): Unit = {
-    if (!Files.exists(rootPath)) return
     val quiet = math.min(cutoff,
       System.currentTimeMillis() - SparkStore.ManifestSweepMinAgeMs)
-    scala.util.Using.resource(Files.list(rootPath)) { s =>
-      s.iterator().asScala.toSeq
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith(".chunks_ingest_") || n.startsWith(".clone_tmp_")
-        }
-        .foreach { dir =>
-          val newest =
-            try scala.util.Using.resource(Files.walk(dir)) {
-              _.iterator().asScala
-                .map(p => Files.getLastModifiedTime(p).toMillis)
-                .foldLeft(0L)(math.max)
-            } catch { case _: java.io.IOException => Long.MaxValue } // racing adopt
-          if (newest <= quiet)
-            try scala.util.Using.resource(Files.walk(dir)) {
-              _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-            } catch { case _: java.io.IOException => () }
-        }
-    }
+    def sweepIfQuiet(dir: String): Unit =
+      if (StoreFs.newestMtime(dir) <= quiet)
+        try StoreFs.deleteTree(dir) catch { case _: java.io.IOException => () }
+    StoreFs.list(root)
+      .filter { case (_, n, _, _) =>
+        n.startsWith(".chunks_ingest_") || n.startsWith(".clone_tmp_") }
+      .foreach { case (dir, _, _, _) => sweepIfQuiet(dir) }
     // row-level DML staging (<dataset>/_delta_staging/<queryId>): commit
     // and abort both clean up, so anything quiet past the grace window is
     // a crashed query's leftover
     listDatasets.foreach { ds =>
-      val staging = dsPath(ds).resolve("_delta_staging")
-      if (Files.exists(staging))
-        scala.util.Using.resource(Files.list(staging)) { s =>
-          s.iterator().asScala.toSeq.foreach { dir =>
-            val newest =
-              try scala.util.Using.resource(Files.walk(dir)) {
-                _.iterator().asScala
-                  .map(p => Files.getLastModifiedTime(p).toMillis)
-                  .foldLeft(0L)(math.max)
-              } catch { case _: java.io.IOException => Long.MaxValue }
-            if (newest <= quiet)
-              try scala.util.Using.resource(Files.walk(dir)) {
-                _.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-              } catch { case _: java.io.IOException => () }
-          }
-        }
+      StoreFs.list(StoreFs.child(dsPath(ds), "_delta_staging"))
+        .foreach { case (dir, _, _, _) => sweepIfQuiet(dir) }
     }
   }
 
   // ---- chunk-file hash-range sidecars ----
 
-  private def rangesDir: Path = Paths.get(chunksDir).resolve(".ranges")
+  private def rangesDir: String = StoreFs.child(chunksDir, ".ranges")
 
   /** Record (part file → footer hash range) for an ingest generation's
     * NEW chunk files, so scan planning never opens parquet footers: at
@@ -631,9 +544,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * later deleted by vacuum are simply never consulted (planning
     * intersects with the live listing). The ingest itself reads only ITS
     * new files' footers (a few dozen). */
-  private[spark] def writeChunkRangeSidecar(files: Seq[Path]): Unit = {
+  private[spark] def writeChunkRangeSidecar(files: Seq[String]): Unit = {
     if (files.isEmpty) return
-    Files.createDirectories(rangesDir)
+    StoreFs.mkdirs(rangesDir)
     val conf = graft.spark.source.ChunkBlobReader.sharedConf
     // a file whose footer yields no usable range (unreadable, still being
     // written) gets NO entry — recording the unbounded fallback range
@@ -641,14 +554,14 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // silently defeat the pruning (readers just fall back to its footer)
     val lines = files.flatMap { p =>
       val (mn, mx) =
-        graft.spark.source.ChunkBlobReader.fileHashRange(p.toString, conf)
-      if (mn.isEmpty) None else Some(s"${p.getFileName}\t$mn\t$mx")
+        graft.spark.source.ChunkBlobReader.fileHashRange(p, conf)
+      if (mn.isEmpty) None else Some(s"${StoreFs.name(p)}\t$mn\t$mx")
     }
     if (lines.isEmpty) return
     val id = java.util.UUID.randomUUID.toString
-    val tmp = rangesDir.resolve(s".$id.tmp")
-    Files.writeString(tmp, lines.mkString("\n"))
-    Files.move(tmp, rangesDir.resolve(s"$id.tsv"), StandardCopyOption.ATOMIC_MOVE)
+    val tmp = StoreFs.child(rangesDir, s".$id.tmp")
+    StoreFs.writeString(tmp, lines.mkString("\n"))
+    StoreFs.moveReplace(tmp, StoreFs.child(rangesDir, s"$id.tsv"))
   }
 
   /** Seed the per-JVM footer-range cache from the sidecars; each sidecar
@@ -657,29 +570,26 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * are gone too — and any still-live file simply falls back to its
     * footer); a sidecar is only marked loaded after a successful parse. */
   private[spark] def loadChunkRangeSidecars(): Unit = {
-    if (!Files.exists(rangesDir)) return
-    val dir = Paths.get(chunksDir)
     val sidecars =
-      try scala.util.Using.resource(Files.list(rangesDir)) { s =>
-        s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".tsv")).toSeq
-      } catch { case _: java.io.IOException => return }
+      try StoreFs.list(rangesDir)
+        .collect { case (p, n, _, _) if n.endsWith(".tsv") => p }
+      catch { case _: java.io.IOException => return }
     sidecars.foreach { p =>
       // claim atomically (concurrent planners would otherwise all parse
       // every sidecar on a fresh JVM); roll the claim back on IO failure
       // so a transient error retries next plan
-      if (SparkStore.loadedSidecars.putIfAbsent(p.toString,
+      if (SparkStore.loadedSidecars.putIfAbsent(p,
           java.lang.Boolean.TRUE) == null) {
         try {
-          Files.readAllLines(p).asScala.foreach { line =>
+          StoreFs.readLines(p).foreach { line =>
             line.split('\t') match {
               case Array(f, mn, mx) => graft.spark.source.ChunkBlobReader
-                .seedRange(dir.resolve(f).toString, mn, mx)
+                .seedRange(StoreFs.child(chunksDir, f), mn, mx)
               case _ => // tolerate malformed lines: footer fallback
             }
           }
         } catch { case _: java.io.IOException =>
-          SparkStore.loadedSidecars.remove(p.toString); ()
+          SparkStore.loadedSidecars.remove(p); ()
         }
       }
     }
@@ -699,52 +609,46 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * deletion just skips it (its files fall back to footer reads once,
     * then the merged manifest covers them). */
   private def compactRangeSidecars(): Unit = {
-    if (!Files.exists(rangesDir)) return
     val inputs =
-      try scala.util.Using.resource(Files.list(rangesDir)) { s =>
-        s.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".tsv")).toSeq
-      } catch { case _: java.io.IOException => return }
+      try StoreFs.list(rangesDir)
+        .collect { case (p, n, _, _) if n.endsWith(".tsv") => p }
+      catch { case _: java.io.IOException => return }
     if (inputs.size <= 1) return
-    val dir = Paths.get(chunksDir)
+    // ONE listing of the live chunk files instead of an exists() probe
+    // per entry — on an object store each probe is a round trip and the
+    // merged manifest can hold millions of lines
+    val liveFiles = StoreFs.list(chunksDir)
+      .collect { case (_, n, _, _) if n.endsWith(".parquet") => n }.toSet
     val merged = scala.collection.mutable.LinkedHashMap.empty[String, String]
     inputs.foreach { p =>
-      try Files.readAllLines(p).asScala.foreach { line =>
+      try StoreFs.readLines(p).foreach { line =>
         line.split('\t') match {
-          case Array(f, _, _) if Files.exists(dir.resolve(f)) => merged(f) = line
+          case Array(f, _, _) if liveFiles.contains(f) => merged(f) = line
           case _ => // dead or malformed entry: drop
         }
       } catch { case _: java.io.IOException => () } // racing sweep: its files are gone too
     }
     if (merged.nonEmpty) {
       val id = java.util.UUID.randomUUID.toString
-      val tmp = rangesDir.resolve(s".$id.tmp")
-      Files.writeString(tmp, merged.values.mkString("\n"))
-      Files.move(tmp, rangesDir.resolve(s"$id.tsv"), StandardCopyOption.ATOMIC_MOVE)
+      val tmp = StoreFs.child(rangesDir, s".$id.tmp")
+      StoreFs.writeString(tmp, merged.values.mkString("\n"))
+      StoreFs.moveReplace(tmp, StoreFs.child(rangesDir, s"$id.tsv"))
     }
     // delete exactly the merged inputs (a crash above leaves them in
     // place — the next compaction retries; a crash below leaves
     // duplicates the next merge dedupes)
-    inputs.foreach(p =>
-      try Files.delete(p) catch { case _: java.io.IOException => () })
+    inputs.foreach(StoreFs.deleteIfExists)
   }
 
   /** Drop sidecars whose files were all deleted by a vacuum sweep (every
     * chunk file at or before `cutoff` is gone afterwards, so sidecars
     * that old are fully stale), plus any orphaned .tmp from a crashed
     * sidecar write. */
-  private def sweepRangeSidecars(cutoff: Long): Unit = {
-    if (!Files.exists(rangesDir)) return
-    scala.util.Using.resource(Files.list(rangesDir)) { s =>
-      s.iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          (n.endsWith(".tsv") || n.endsWith(".tmp")) &&
-            Files.getLastModifiedTime(p).toMillis <= cutoff
-        }
-        .toSeq.foreach(Files.delete)
-    }
-  }
+  private def sweepRangeSidecars(cutoff: Long): Unit =
+    StoreFs.list(rangesDir)
+      .filter { case (_, n, mtime, _) =>
+        (n.endsWith(".tsv") || n.endsWith(".tmp")) && mtime <= cutoff }
+      .foreach { case (p, _, _, _) => StoreFs.delete(p) }
 
   /** True iff the variable could have ANY index entries visible to a
     * writer whose parent is `parent` and whose in-flight version is `vid`
@@ -757,17 +661,11 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * data" and the caller falls back to the full read-modify-write path. */
   private[graft] def hasIndexData(name: String, varName: String,
       parent: Option[Long], vid: Long): Boolean = {
-    val varDir = Paths.get(indexDir(name)).resolve(s"var=$varName")
-    if (!Files.exists(varDir)) return false
-    try scala.util.Using.resource(Files.list(varDir)) { s =>
-      s.iterator().asScala.exists { p =>
-        p.getFileName.toString match {
-          case v if v.startsWith("version=") =>
-            v.stripPrefix("version=").toLongOption
-              .exists(ver => parent.exists(ver <= _) || ver == vid)
-          case _ => false
-        }
-      }
+    val varDir = StoreFs.child(indexDir(name), s"var=$varName")
+    try StoreFs.list(varDir).exists { case (_, n, _, _) =>
+      n.startsWith("version=") &&
+        n.stripPrefix("version=").toLongOption
+          .exists(ver => parent.exists(ver <= _) || ver == vid)
     } catch { case _: java.io.IOException => true }
   }
 
@@ -901,15 +799,11 @@ object SparkStore {
   private[spark] val loadedSidecars =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Every .parquet file under `dir` (empty when absent). Resource-safe:
-    * `Files.walk` streams hold open directory handles until closed — the
-    * one shared listing for scan planning and the streaming source. */
-  def parquetFilesUnder(dir: Path): Array[Path] = {
-    if (!Files.exists(dir)) Array.empty
-    else scala.util.Using.resource(Files.walk(dir)) {
-      _.iterator().asScala.filter(_.toString.endsWith(".parquet")).toArray
-    }
-  }
+  /** Every .parquet file under `dir` (empty when absent) — the one
+    * shared listing for scan planning and the streaming source, through
+    * the Hadoop FS layer so remote store roots list identically. */
+  def parquetFilesUnder(dir: String): Array[String] =
+    StoreFs.filesUnder(dir).filter(_.endsWith(".parquet")).toArray
 
   /** Default vacuum grace window: chunk files younger than this are never
     * collected (their index rows may still be in flight — see vacuum). */
@@ -929,17 +823,12 @@ object SparkStore {
   // one shared JVM shutdown hook for all scan-manifest dirs (a hook
   // thread per scan would accumulate in long-lived drivers)
   private val manifestDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private lazy val manifestHook: Unit = Runtime.getRuntime.addShutdownHook(
     new Thread(() => manifestDirs.forEach { dir =>
-      if (java.nio.file.Files.exists(dir))
-        scala.util.Using.resource(java.nio.file.Files.walk(dir)) {
-          _.iterator().asScala.toSeq.reverse.foreach(p =>
-            try java.nio.file.Files.delete(p)
-            catch { case _: java.io.IOException => })
-        }
+      try StoreFs.deleteTree(dir) catch { case _: java.io.IOException => }
     }))
-  private[spark] def registerManifestForCleanup(dir: java.nio.file.Path): Unit = {
+  private[spark] def registerManifestForCleanup(dir: String): Unit = {
     manifestHook
     manifestDirs.add(dir)
     ()
@@ -1671,7 +1560,7 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       val staging = store.newChunkStagingDir()
       newBlobs.repartitionByRange(col("hash")).sortWithinPartitions("hash")
         .write.option("compression", "uncompressed")
-        .parquet(staging.toString)
+        .parquet(staging)
       store.writeChunkRangeSidecar(store.adoptChunkFiles(staging))
 
       // 5. index append, hive-partitioned by (var, version) so the MVCC

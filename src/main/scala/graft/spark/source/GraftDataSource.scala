@@ -3,7 +3,7 @@ package graft.spark.source
 import graft.core._
 import graft.filters.FilterChain
 import graft.meta.{DatasetMeta, VariableDef}
-import graft.spark.{SparkPinnedReader, SparkStore}
+import graft.spark.{SparkPinnedReader, SparkStore, StoreFs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -731,10 +731,8 @@ private[source] object ChunkFileScope {
     * thereafter. */
   def ranged(store: SparkStore): Array[(String, String, String)] = {
     store.loadChunkRangeSidecars()
-    val files = SparkStore.parquetFilesUnder(
-      java.nio.file.Paths.get(store.chunksDir))
-    java.util.Arrays.stream(files).parallel().map { p =>
-      val f = p.toString
+    val files = SparkStore.parquetFilesUnder(store.chunksDir)
+    java.util.Arrays.stream(files).parallel().map { f =>
       val (mn, mx) = ChunkBlobReader.fileHashRange(f, ChunkBlobReader.sharedConf)
       (f, mn, mx)
     }.toArray(n => new Array[(String, String, String)](n))
@@ -1203,9 +1201,8 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     }
     // one listing per family, grouped by bucket — O(#files) driver work
     def bucketFiles(sub: String, prefix: String): Map[Long, Array[String]] =
-      SparkStore.parquetFilesUnder(java.nio.file.Paths.get(dir, sub))
-        .groupBy(p => p.getParent.getFileName.toString.stripPrefix(prefix).toLong)
-        .map { case (b, ps) => b -> ps.map(_.toString) }
+      SparkStore.parquetFilesUnder(StoreFs.child(dir, sub))
+        .groupBy(p => StoreFs.name(StoreFs.parent(p)).stripPrefix(prefix).toLong)
     val dataFiles = bucketFiles("data", "hb=")
     val fillFiles = bucketFiles("fill", "bucket=")
     val ranged = ChunkFileScope.ranged(r.store)

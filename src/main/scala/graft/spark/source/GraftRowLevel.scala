@@ -9,7 +9,6 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.io.{BufferedOutputStream, DataOutputStream}
 import java.nio.ByteBuffer
-import java.nio.file.{Files, Path, Paths}
 import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
@@ -105,11 +104,13 @@ private[source] final case class GraftDeltaCommitMessage(
 private[source] class GraftDeltaBatchWrite(r: Resolved, info: LogicalWriteInfo)
     extends DeltaBatchWrite {
 
-  private val stagingDir: Path = Paths.get(r.store.root)
-    .resolve(r.dataset).resolve("_delta_staging").resolve(info.queryId)
+  private val stagingDir: String = graft.spark.StoreFs.child(
+    graft.spark.StoreFs.child(
+      graft.spark.StoreFs.child(r.store.root, r.dataset), "_delta_staging"),
+    info.queryId)
 
   override def createBatchWriterFactory(p: PhysicalWriteInfo): DeltaWriterFactory = {
-    Files.createDirectories(stagingDir)
+    graft.spark.StoreFs.mkdirs(stagingDir)
     val dims = r.dims
     val rowSchema = info.schema()
     val idSchema = info.rowIdSchema().orElse(null)
@@ -120,7 +121,7 @@ private[source] class GraftDeltaBatchWrite(r: Resolved, info: LogicalWriteInfo)
     def rowOrd(name: String): Int =
       if (rowSchema.fieldNames.contains(name)) rowSchema.fieldIndex(name) else -1
     GraftDeltaWriterFactory(
-      stagingDir.toString,
+      stagingDir,
       rowDimOrds = dims.map(rowOrd).toArray,
       rowValueOrd = rowOrd("value"),
       idDimOrds = dims.map(d => idSchema.fieldIndex(d)).toArray,
@@ -152,12 +153,7 @@ private[source] class GraftDeltaBatchWrite(r: Resolved, info: LogicalWriteInfo)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
 
-  private def cleanup(): Unit =
-    if (Files.exists(stagingDir)) {
-      Files.walk(stagingDir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      ()
-    }
+  private def cleanup(): Unit = graft.spark.StoreFs.deleteTree(stagingDir)
 }
 
 /** Staged-fragment binary format: per run-slab,
@@ -268,11 +264,11 @@ private[source] class GraftDeltaWriter(f: GraftDeltaWriterFactory,
   private def ensureOut(): Unit = {
     if (out != null && outBytes >= RotateBytes) { out.close(); out = null }
     if (out == null) {
-      val p = Paths.get(f.stagingDir).resolve(
+      val p = graft.spark.StoreFs.child(f.stagingDir,
         s"part-$partitionId-$taskId-${files.length}.bin")
       out = new DataOutputStream(new BufferedOutputStream(
-        Files.newOutputStream(p), 1 << 16))
-      files += p.toString
+        graft.spark.StoreFs.createStream(p), 1 << 16))
+      files += p
       outBytes = 0L
     }
   }
@@ -339,7 +335,7 @@ private[source] class GraftDeltaWriter(f: GraftDeltaWriterFactory,
 
   override def abort(): Unit = {
     if (out != null) { out.close(); out = null }
-    files.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    files.foreach(graft.spark.StoreFs.deleteIfExists)
   }
 
   override def close(): Unit = if (out != null) { out.close(); out = null }

@@ -15,6 +15,13 @@ object StoreRegistry {
   /** Parsed `scheme://root/dataset` spec (dataset optional). */
   final case class StoreSpec(scheme: String, root: String, dataset: Option[String])
 
+  /** Schemes whose stores are Spark-native (graft.spark.SparkStore over
+    * the Hadoop FileSystem layer): the FULL uri is the store root —
+    * `new SparkStore(spark, uri)` — since every SparkStore operation
+    * resolves its FileSystem from the path itself. Any Hadoop-configured
+    * scheme works; these are the ones we name in docs and parse below. */
+  val sparkNativeSchemes: Set[String] = Set("file", "hdfs", "s3a", "abfss", "gs")
+
   def parse(uri: String): StoreSpec = {
     val m = "([a-z0-9+.-]+)://(.*)".r
     uri match {
@@ -23,6 +30,10 @@ object StoreRegistry {
           // file URIs: the whole remainder is a filesystem path; the
           // dataset segment is resolved by the caller against the path
           StoreSpec(scheme, "/" + rest.stripPrefix("/"), None)
+        } else if (sparkNativeSchemes(scheme)) {
+          // remote Hadoop-FS stores keep the scheme in the root: the
+          // SparkStore path layer needs it to resolve the FileSystem
+          StoreSpec(scheme, uri, None)
         } else {
           rest.split("/", 2) match {
             case Array(root) => StoreSpec(scheme, root, None)
@@ -40,8 +51,11 @@ object StoreRegistry {
     providers.put(scheme, factory)
 
   /** Open a protocol-level Backend for a URI (mem:// and any registered
-    * scheme). file:// stores are Spark-native — open those with
-    * `new graft.spark.SparkStore(spark, path)` instead. */
+    * scheme). Hadoop-FS stores (file://, hdfs://, s3a://, …) are
+    * Spark-native — open those with
+    * `new graft.spark.SparkStore(spark, parse(uri).root)` instead; the
+    * store's whole manifest/commit layer resolves its FileSystem from
+    * the root's scheme. */
   def backend(uri: String): Backend = {
     val spec = parse(uri)
     providers.get(spec.scheme) match {

@@ -1,0 +1,143 @@
+package graft
+
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.{SparkStore, StoreFs}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The remote-capable store layer: SparkStore opened through an
+  * EXPLICIT `file:///` URI root, so every manifest / catalog / staging /
+  * sidecar operation goes through the Hadoop FileSystem resolution an
+  * hdfs:// or s3a:// root would take (LocalFileSystem is the CI medium;
+  * the code path is scheme-generic). Mirrors the reference's remote
+  * backend posture (/root/reference/README.md:16-19,
+  * src/io/mandoline/impl.clj:77-119). */
+class StoreFsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def fileRoot(): String =
+    "file://" + java.nio.file.Files.createTempDirectory("graft-fsroot").toString
+
+  private def meta1d(n: Long = 10L, chunk: Long = 4L) = DatasetMeta(
+    dimensions = Map("x" -> n), chunkDimensions = Map("x" -> chunk),
+    variables = Map("v" -> VariableDef("long", Vector("x"), -1.0)))
+
+  test("full lifecycle on a file:/// root: write, read, time travel, " +
+      "clone, compact, expire, vacuum") {
+    val store = new SparkStore(spark, fileRoot())
+    store.create("ds")
+    val w1 = store.addVersion("ds", meta1d())
+    w1.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(10L)), (1 to 10).map(_.toDouble))))
+    val v1 = w1.finishVersion()
+    val w2 = store.addVersion("ds", meta1d())
+    w2.write("v", Seq(Slab.empty(DType.LONG, Slice(Seq(2L), Seq(5L)), 99.0)))
+    val v2 = w2.finishVersion()
+
+    def readAll(vid: Long): Map[Long, Long] =
+      store.reader("ds").onVersion(vid)
+        .exploded("v", Slice(Seq(0L), Seq(10L)))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(readAll(v1) == (0L until 10L).map(x => x -> (x + 1)).toMap)
+    val at2 = readAll(v2)
+    assert(at2(2L) == 99L && at2(4L) == 99L && at2(5L) == 6L)
+
+    // catalog + stats through the FS layer
+    assert(store.listDatasets == Seq("ds"))
+    assert(store.versions("ds").map(_._2) == Seq(v2, v1))
+    val stats = store.getStats("ds")
+    assert(stats("metadata-size") > 0 && stats("data-size") > 0)
+
+    // DSv2 read through the same file:// root
+    val dsv2 = spark.read.format("graft")
+      .option("root", store.root).option("dataset", "ds")
+      .option("variable", "v").load()
+    assert(dsv2.count() == 10L)
+
+    // zero-copy clone + divergence
+    assert(store.cloneDataset("ds", "ds2") == 2L)
+    val w3 = store.addVersion("ds2", meta1d())
+    w3.write("v", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(1L)), 7.0)))
+    w3.finishVersion()
+    assert(store.versions("ds2").length == 3)
+    assert(readAll(v2)(0L) == 1L) // src untouched
+
+    // maintenance triad
+    store.compact("ds")
+    assert(store.expireHistory("ds") >= 1L)
+    store.vacuum(graceMs = 0L)
+    // both datasets still read correctly after vacuum (shared blobs kept)
+    assert(store.reader("ds").onLastVersion()
+      .exploded("v", Slice(Seq(0L), Seq(10L))).count() == 10L)
+    assert(store.reader("ds2").onLastVersion()
+      .exploded("v", Slice(Seq(0L), Seq(10L))).count() == 10L)
+  }
+
+  test("atomic commit on the FS layer: manifests land whole; a stale " +
+      "tmp file is invisible; stale-parent commit refuses") {
+    val store = new SparkStore(spark, fileRoot())
+    store.create("ds")
+    val w1 = store.addVersion("ds", meta1d())
+    w1.write("v", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(4L)), 1.0)))
+    val v1 = w1.finishVersion()
+    // a crashed commit's tmp file must be invisible to the catalog
+    val versionsDir = StoreFs.child(StoreFs.child(store.root, "ds"), "versions")
+    StoreFs.writeString(StoreFs.child(versionsDir, ".999.json.tmp"), "{not json")
+    assert(store.versions("ds").map(_._2) == Seq(v1))
+    // two writers fork from v1; the second to commit must refuse, not
+    // corrupt (optimistic concurrency on the manifest layer)
+    val wa = store.addVersion("ds", meta1d())
+    val wb = store.addVersion("ds", meta1d())
+    wa.write("v", Seq(Slab.empty(DType.LONG, Slice(Seq(0L), Seq(2L)), 2.0)))
+    wb.write("v", Seq(Slab.empty(DType.LONG, Slice(Seq(2L), Seq(4L)), 3.0)))
+    val v2 = wa.finishVersion()
+    val err = intercept[IllegalStateException] { wb.finishVersion() }
+    assert(err.getMessage.contains("latest version"))
+    assert(store.versions("ds").map(_._2) == Seq(v2, v1))
+  }
+
+  test("StoreFs.moveInto is no-clobber for directories: a lost publish " +
+      "race refuses instead of nesting into the winner") {
+    val root = fileRoot()
+    val a = StoreFs.child(root, "a")
+    val b = StoreFs.child(root, "b")
+    StoreFs.mkdirs(a)
+    StoreFs.writeString(StoreFs.child(a, "f.txt"), "A")
+    StoreFs.mkdirs(b)
+    StoreFs.writeString(StoreFs.child(b, "f.txt"), "B")
+    assert(!StoreFs.moveInto(a, b)) // dst exists → refuse
+    assert(StoreFs.readString(StoreFs.child(b, "f.txt")) == "B")
+    assert(StoreFs.exists(StoreFs.child(a, "f.txt"))) // src untouched
+    assert(!StoreFs.exists(StoreFs.child(StoreFs.child(b, "a"), "f.txt")),
+      "posix mv-into semantics leaked through")
+    // and the success path moves the whole tree
+    val c = StoreFs.child(root, "c")
+    assert(StoreFs.moveInto(a, c))
+    assert(StoreFs.readString(StoreFs.child(c, "f.txt")) == "A")
+  }
+
+  test("scheme-qualified and scheme-less roots address the same store") {
+    val plain = java.nio.file.Files.createTempDirectory("graft-dual").toString
+    val viaFs = new SparkStore(spark, "file://" + plain)
+    val viaLocal = new SparkStore(spark, plain)
+    viaFs.create("ds")
+    val w = viaFs.addVersion("ds", meta1d(4L, 2L))
+    w.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(4L)), Seq(1.0, 2.0, 3.0, 4.0))))
+    val v = w.finishVersion()
+    assert(viaLocal.listDatasets == Seq("ds"))
+    assert(viaLocal.reader("ds").onVersion(v)
+      .exploded("v", Slice(Seq(0L), Seq(4L)))
+      .collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("StoreRegistry: Hadoop schemes keep the full uri as the root") {
+    import graft.store.StoreRegistry
+    val s = StoreRegistry.parse("s3a://bucket/prefix/stores")
+    assert(s.scheme == "s3a" && s.root == "s3a://bucket/prefix/stores")
+    val h = StoreRegistry.parse("hdfs://nn:8020/graft")
+    assert(h.scheme == "hdfs" && h.root == "hdfs://nn:8020/graft")
+    val m = StoreRegistry.parse("mem://xyz/ds")
+    assert(m.scheme == "mem" && m.root == "xyz" && m.dataset.contains("ds"))
+  }
+}

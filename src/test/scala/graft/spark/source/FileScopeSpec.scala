@@ -3,6 +3,7 @@ package graft.spark.source
 import graft.SparkTestSession
 import graft.core._
 import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.StoreFs
 import graft.spark.SparkStore
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -52,7 +53,7 @@ class FileScopeSpec extends AnyFunSuite {
   test("hash-range partitions carry only their bucket's overlapping files") {
     val (root, store) = mk(2048) // > PointLookupThreshold -> range path
     val total = SparkStore.parquetFilesUnder(
-      java.nio.file.Paths.get(store.chunksDir)).length
+      store.chunksDir).length
     assert(total >= 6, s"expected a multi-file store, got $total files")
     val parts = scanOf(root).planInputPartitions()
     val hashParts = parts.collect { case p: GraftDataHashPartition => p }
@@ -78,7 +79,7 @@ class FileScopeSpec extends AnyFunSuite {
   test("point partitions scope files to their own hashes") {
     val (root, store) = mk(64) // <= PointLookupThreshold -> point path
     val total = SparkStore.parquetFilesUnder(
-      java.nio.file.Paths.get(store.chunksDir)).length
+      store.chunksDir).length
     assert(total >= 6)
     // a 2-chunk window: its single point partition wants 2 hashes, and a
     // hash lives in exactly one range-disjoint file per generation, so the
@@ -118,12 +119,12 @@ class FileScopeSpec extends AnyFunSuite {
       java.nio.file.Files.readAllLines(p).toArray.map(_.toString.split('\t')))
       .map(a => a(0) -> (a(1), a(2))).toMap
     val files = SparkStore.parquetFilesUnder(
-      java.nio.file.Paths.get(store.chunksDir))
+      store.chunksDir)
     assert(files.nonEmpty &&
-      files.forall(f => entries.contains(f.getFileName.toString)))
+      files.forall(f => entries.contains(StoreFs.name(f))))
     files.foreach { f =>
-      assert(ChunkBlobReader.fileHashRange(f.toString,
-        ChunkBlobReader.sharedConf) == entries(f.getFileName.toString))
+      assert(ChunkBlobReader.fileHashRange(f,
+        ChunkBlobReader.sharedConf) == entries(StoreFs.name(f)))
     }
     // seeding pre-empts the footer read entirely: a seeded path that is
     // not even a parquet file resolves from the cache
@@ -139,11 +140,11 @@ class FileScopeSpec extends AnyFunSuite {
     }
     assert(after.size == 1, s"expected one post-compaction sidecar: $after")
     val afterFiles = SparkStore.parquetFilesUnder(
-      java.nio.file.Paths.get(store.chunksDir))
+      store.chunksDir)
     val afterEntries = after.flatMap(p =>
       java.nio.file.Files.readAllLines(p).toArray.map(_.toString.split('\t')))
       .map(a => a(0)).toSet
-    assert(afterFiles.forall(f => afterEntries.contains(f.getFileName.toString)))
+    assert(afterFiles.forall(f => afterEntries.contains(StoreFs.name(f))))
     // reads still correct after compaction with sidecar-seeded planning
     val df = spark.read.format("graft").option("root", root)
       .option("dataset", "ds").option("variable", "v").load()
@@ -177,12 +178,12 @@ class FileScopeSpec extends AnyFunSuite {
     // default grace: every blob is seconds old — nothing is swept, only
     // the sidecars compact
     val filesBefore = SparkStore.parquetFilesUnder(
-      java.nio.file.Paths.get(store.chunksDir)).map(_.getFileName.toString).toSet
+      store.chunksDir).map(StoreFs.name).toSet
     assert(store.vacuum() == 0L)
     val after = tsvs()
     assert(after.size == 1, s"expected ONE merged manifest: $after")
-    assert(SparkStore.parquetFilesUnder(java.nio.file.Paths.get(store.chunksDir))
-      .map(_.getFileName.toString).toSet == filesBefore, "vacuum touched young blobs")
+    assert(SparkStore.parquetFilesUnder(store.chunksDir)
+      .map(StoreFs.name).toSet == filesBefore, "vacuum touched young blobs")
     // the manifest still covers every live file
     val entries = java.nio.file.Files.readAllLines(after.head).toArray
       .map(_.toString.split('\t')(0)).toSet
