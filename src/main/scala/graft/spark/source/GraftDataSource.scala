@@ -1327,7 +1327,14 @@ private[source] final class ChunkSlabCursor(part: InputPartition,
 
   private lazy val bytesByHash: Map[String, Array[Byte]] = {
     val wanted = kept.iterator.map(_._2).filter(_ != null).toSet
-    if (wanted.isEmpty) Map.empty else ChunkBlobReader.read(chunkFiles, wanted)
+    // sibling-harvest only for chunked (one-chunk-per-task) partitions:
+    // their row-group-mates are wanted by OTHER tasks of the same scan,
+    // so pre-decoding them into the blob cache amortizes. A windowed
+    // exploded read's point/bucket partitions own their whole wanted set
+    // — harvesting there decodes row groups nobody else reads.
+    val harvest = part.isInstanceOf[GraftChunkPartition]
+    if (wanted.isEmpty) Map.empty
+    else ChunkBlobReader.read(chunkFiles, wanted, harvest)
   }
 
   /** Each covering chunk as (chunk-grid coordinate, slab clipped to the
@@ -1720,7 +1727,30 @@ private[spark] object ChunkBlobReader {
     c
   }
 
-  def read(files: Array[String], wanted: Set[String]): Map[String, Array[Byte]] = {
+  /** Per-JVM decode-work counters — the observable the pruning contract
+    * is pinned on (BASELINE.md: a chunk-aligned sub-slice read touches
+    * exactly its covering chunks). OS/page-cache-independent, unlike
+    * byte-level I/O statistics (parquet's ByteBuffer reads bypass
+    * Hadoop's FileSystem.Statistics entirely). Monotonic; tests diff
+    * snapshots around an action. */
+  val blobsDecoded = new java.util.concurrent.atomic.AtomicLong()
+  val blobPayloadBytes = new java.util.concurrent.atomic.AtomicLong()
+  val blobFilesOpened = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Fetch `wanted` blobs from the hash-sorted chunk files.
+    *
+    * `harvest` selects the decode mode for cache-eligible (small) wanted
+    * sets: with harvest ON, record-level filtering is disabled so every
+    * record of a touched row group materializes and the SIBLING blobs
+    * land in the per-JVM cache — the right trade for `chunked=true`
+    * scans (one chunk per task; row-group-mates are wanted by other
+    * tasks of the same scan within this JVM). With harvest OFF the
+    * record filter materializes EXACTLY the wanted blobs — the right
+    * trade for a windowed exploded read, whose single task would
+    * otherwise decode whole row groups (at production row-group sizes,
+    * 100× the wanted bytes) for siblings nobody asks for. */
+  def read(files: Array[String], wanted: Set[String],
+      harvest: Boolean = true): Map[String, Array[Byte]] = {
     val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val useCache = wanted.size <= BlobCacheWantedLimit
     if (useCache) wanted.foreach { h =>
@@ -1729,7 +1759,7 @@ private[spark] object ChunkBlobReader {
     }
     val missing = wanted diff out.keySet
     if (missing.isEmpty) return out.toMap
-    val conf = if (useCache) harvestConf else scanConf
+    val conf = if (useCache && harvest) harvestConf else scanConf
     val sorted = missing.toArray.sorted
     val pred: FilterPredicate =
       if (sorted.length <= OrTreeLimit) balancedOr(sorted, 0, sorted.length)
@@ -1744,6 +1774,7 @@ private[spark] object ChunkBlobReader {
     }
     candidates.foreach { f =>
       if (out.size < wanted.size) {
+        blobFilesOpened.incrementAndGet()
         val reader = ParquetReader
           .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
           .withConf(conf)
@@ -1753,11 +1784,14 @@ private[spark] object ChunkBlobReader {
           var g = reader.read()
           while (g != null) {
             val h = g.getString("hash", 0)
+            val b = g.getBinary("bytes", 0).getBytes
+            blobsDecoded.incrementAndGet()
+            blobPayloadBytes.addAndGet(b.length.toLong)
             if (missing.contains(h) && !out.contains(h))
-              out(h) = g.getBinary("bytes", 0).getBytes
+              out(h) = b
             else if (useCache && !blobCache.containsKey(h))
               // sibling blob decoded anyway by the row-group scan: keep it
-              cachePut(h, g.getBinary("bytes", 0).getBytes)
+              cachePut(h, b)
             g = reader.read()
           }
         } finally reader.close()
