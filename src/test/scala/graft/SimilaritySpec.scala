@@ -631,4 +631,74 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 2).count() > 0)
     assert(!java.nio.file.Files.exists(lock), "lock not released after append")
   }
+
+  test("concurrent ivfAppendBatch racers: exactly one generation commits " +
+      "per batchId; the fingerprint stays exact") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-race").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16)
+    def meta(): java.util.Properties = {
+      val cur = java.nio.file.Paths.get(path, "CURRENT")
+      val sd = if (java.nio.file.Files.exists(cur))
+        java.nio.file.Paths.get(path,
+          new String(java.nio.file.Files.readAllBytes(cur)).trim)
+      else java.nio.file.Paths.get(path)
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(sd.resolve("meta.props"))
+      try p.load(in) finally in.close()
+      p
+    }
+    val gens0 = meta().getProperty("gens").split(',').length
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    // two racers deliver the SAME batchId (one plays the streaming sink's
+    // re-delivery, one a manual batch append). The lock is fail-loud, so
+    // a racer that collides retries — modelling foreachBatch's retry.
+    def racer(): Either[Throwable, Boolean] = {
+      var attempts = 0
+      while (true) {
+        try return Right(Similarity.ivfAppendBatch(batch, path, batchId = 1L))
+        catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("write.lock") && attempts < 240 =>
+            attempts += 1; Thread.sleep(500)
+          case e: Throwable => return Left(e)
+        }
+      }
+      sys.error("unreachable")
+    }
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(() => racer())
+      val fb = pool.submit(() => racer())
+      val (ra, rb) = (fa.get(300, TimeUnit.SECONDS), fb.get(300, TimeUnit.SECONDS))
+      val results = Seq(ra, rb).map {
+        case Right(committed) => committed
+        case Left(e) => fail(s"racer failed non-lock: $e")
+      }
+      // exactly one commit; the other observed the recorded batchId and
+      // skipped (idempotent re-delivery)
+      assert(results.count(identity) == 1, s"commits: $results")
+    } finally pool.shutdownNow()
+    val m1 = meta()
+    assert(m1.getProperty("gens").split(',').length == gens0 + 1,
+      "exactly one assignment generation must land for batchId 1")
+    assert(m1.getProperty("last_batch").toLong == 1L)
+    // fingerprint is exact: the full corpus attests cleanly, the stale
+    // base alone refuses
+    val full = emb.select("vec_id", "embedding").unionByName(batch)
+    assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 3).count() > 0)
+    intercept[IllegalStateException] {
+      Similarity.ivfQuery(emb, path, k = 1, nQueries = 3).count() }
+    // a later batchId from either role commits exactly once more
+    val batch2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    assert(Similarity.ivfAppendBatch(batch2, path, batchId = 2L))
+    assert(!Similarity.ivfAppendBatch(batch2, path, batchId = 2L)) // re-delivery
+    val m2 = meta()
+    assert(m2.getProperty("gens").split(',').length == gens0 + 2)
+    assert(m2.getProperty("last_batch").toLong == 2L)
+  }
 }
