@@ -214,6 +214,16 @@ object ArrayQueries {
       fx.store.reader("ev").onVersion(fx.evV2)
         .exploded("n", Slice(Seq(10L), Seq(40L))).orderBy("h")
     }),
+    // the SAME slice through an explicit file:/// store root — the whole
+    // metadata plane (manifests, index listing, blob scoping) resolves
+    // through the Hadoop FileSystem route a remote (hdfs/s3a) root takes,
+    // gated against the same oracle as q_arr_slice
+    "q_arr_fsroot" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val fsStore = new graft.spark.SparkStore(s, "file://" + fx.store.root)
+      fsStore.reader("ev").onVersion(fx.evV2)
+        .exploded("n", Slice(Seq(10L), Seq(40L))).orderBy("h")
+    }),
     // W2: in-version overlapping writes, last-writer-wins
     "q_arr_merge" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
@@ -569,6 +579,36 @@ object ArrayQueries {
       rd("sum", "v_sum").join(rd("cnt", "n_cells"), Seq("h_c"))
         .orderBy("h_c")
     }),
+    // label-based selection (xarray sel(axis=slice(lo, hi)) — AxisOps
+    // .selByLabel): a 1-d coordinate variable lab(h) = 100 + 10·h holds
+    // the labels; selecting labels [150, 350) must reduce to the index
+    // slice h ∈ [5, 25) via the two-phase coordinate-scan plan (phase 1
+    // scans ONLY the metadata-sized coordinate variable; phase 2 slices
+    // the data variable on the derived index range, so label predicates
+    // become chunk pruning, not a full-scan filter)
+    "q_arr_sel" -> ((s, dir) => {
+      val fx = ArrayFixtures.get(s, dir)
+      val store = fx.store
+      if (!store.datasetExists("selfx")) {
+        import graft.core._
+        import graft.meta.{DatasetMeta, VariableDef}
+        val counts = ArrayFixtures.hourCounts(s, dir)
+        val m = DatasetMeta(Map("h" -> fx.hours), Map("h" -> 64L),
+          Map("n" -> VariableDef("long", Vector("h"), -1.0),
+            "lab" -> VariableDef("long", Vector("h"), -1.0)))
+        store.create("selfx")
+        val w = store.addVersion("selfx", m)
+        w.write("n", Seq(Slab.fromDoubles(DType.LONG,
+          Slice(Seq(0L), Seq(fx.hours)), counts.map(_.toDouble).toIndexedSeq)))
+        w.write("lab", Seq(Slab.fromDoubles(DType.LONG,
+          Slice(Seq(0L), Seq(fx.hours)),
+          (0L until fx.hours).map(h => 100.0 + 10.0 * h))))
+        w.finishVersion()
+      }
+      graft.spark.AxisOps.selByLabel(s, store.root, "selfx", "n", "lab",
+          "h", lo = 150L, hi = 350L)
+        .orderBy("h")
+    }),
     // CREATE TABLE … AS SELECT: the catalog's createTable + the DSv2
     // append compose into (non-atomic) CTAS — dataset, definition, and
     // first version land from one statement
@@ -898,6 +938,16 @@ object ArrayQueries {
         |      WHEN g.h >= 20 AND g.h < 25 THEN 999
         |      ELSE COALESCE(c.cnt, 0) END AS value
         |""".stripMargin + grid + " WHERE g.h >= 10 AND g.h < 40 ORDER BY h"),
+    "q_arr_fsroot" -> (cte +
+      """SELECT g.h AS h,
+        | CASE WHEN g.h >= 25 AND g.h < 35 THEN 777
+        |      WHEN g.h >= 20 AND g.h < 25 THEN 999
+        |      ELSE COALESCE(c.cnt, 0) END AS value
+        |""".stripMargin + grid + " WHERE g.h >= 10 AND g.h < 40 ORDER BY h"),
+    "q_arr_sel" -> (cte +
+      """SELECT g.h AS h, CAST(100 + 10 * g.h AS BIGINT) AS label,
+        | COALESCE(c.cnt, 0) AS value
+        |""".stripMargin + grid + " WHERE g.h >= 5 AND g.h < 25 ORDER BY h"),
     "q_arr_merge" -> (cte +
       """SELECT g.h AS h,
         | CASE WHEN g.h >= 20 AND g.h < 30 THEN 999

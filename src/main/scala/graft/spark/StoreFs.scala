@@ -2,36 +2,74 @@ package graft.spark
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+import java.nio.file.{Files => NFiles, Paths => NPaths, Path => NPath,
+  StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
-/** Hadoop-FileSystem layer for ALL of [[SparkStore]]'s manifest /
-  * catalog / staging / sidecar I/O — the array store's production
-  * posture is "the catalog lives wherever the data lives" (the
-  * reference ships remote store backends behind scheme dispatch,
+/** Filesystem layer for ALL of [[SparkStore]]'s manifest / catalog /
+  * staging / sidecar I/O — the array store's production posture is "the
+  * catalog lives wherever the data lives" (the reference ships remote
+  * store backends behind scheme dispatch,
   * `/root/reference/README.md:16-19`, `src/io/mandoline/impl.clj:77-119`),
-  * and a 100 TB corpus does not sit on one node's disk. Every operation
-  * resolves its FileSystem from the path itself: `file:///` and
-  * scheme-less paths hit LocalFileSystem (so the existing local layout
-  * and the whole test suite exercise exactly the code a cluster runs),
-  * `hdfs://` / `s3a://` / any configured scheme hit their remote FS.
+  * and a 100 TB corpus does not sit on one node's disk.
+  *
+  * Two routes, identical semantics:
+  *  - SCHEME-LESS paths (`/data/store`) take a `java.nio` fast path.
+  *    This is a measured necessity, not a shortcut: without the native
+  *    hadoop library, RawLocalFileSystem's per-file status loads
+  *    permission info by SHELLING OUT (`ls -ld` per entry), which made
+  *    a ~100-file manifest listing cost ~270 ms — paid serially on
+  *    every scan-planning call (bench_stats_agg regressed 0.18 → 1.5 s
+  *    before this split). Local metadata ops must stay microseconds.
+  *  - SCHEME-QUALIFIED paths (`file:///`, `hdfs://`, `s3a://`, …)
+  *    resolve their Hadoop FileSystem from the path. `file:///` is the
+  *    CI medium for the remote route: StoreFsSpec drives the full store
+  *    lifecycle through it, so the exact code a cluster runs is
+  *    exercised by the local suite.
   *
   * Same shim design as [[graft.pipeline.IndexFs]] (the IVF sidecars'
   * layer) — kept separate because the store needs a wider surface
   * (tree walks, dir mtimes, no-overwrite dir renames) and IndexFs is
   * deliberately private to the pipeline package.
   *
-  * Atomicity notes: [[moveInto]]/[[moveReplace]] are
-  * `FileContext.rename` — atomic on HDFS and the local FS; on S3-class
-  * stores rename is copy+delete and the commit-file pattern degrades
-  * to small-window non-atomicity exactly as every parquet table format
-  * does there. [[FileSystem]] instances come from Hadoop's per-scheme
+  * Atomicity notes: [[moveInto]]/[[moveReplace]] are a single rename on
+  * both routes — atomic on the local FS and HDFS; on S3-class stores
+  * rename is copy+delete and the commit-file pattern degrades to
+  * small-window non-atomicity exactly as every parquet table format
+  * does there. [[FileSystem]] objects come from Hadoop's per-scheme
   * cache — never closed here.
   */
 private[graft] object StoreFs {
 
-  def conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  // One Configuration for the JVM's lifetime, derived from the first
+  // active SparkSession seen (so spark.hadoop.* settings — s3a creds,
+  // endpoints — apply). newHadoopConf() CLONES the full config; paying
+  // that per metadata call would tax every version listing and manifest
+  // read on the hot planning path. Until a session exists, fall back to
+  // classpath defaults WITHOUT caching, so an early pre-session call
+  // can't pin a config that lacks the session's hadoop settings.
+  @volatile private var cachedConf: Configuration = _
+  def conf: Configuration = {
+    val c = cachedConf
+    if (c != null) c
+    else org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        val n = s.sessionState.newHadoopConf()
+        cachedConf = n
+        n
+      case None => new Configuration()
+    }
+  }
+
+  /** The nio fast path applies ONLY to scheme-less paths: an explicit
+    * `file://` is a request for the Hadoop route (that's what makes the
+    * remote code path locally testable). */
+  private def localPath(p: String): NPath = {
+    val i = p.indexOf("://")
+    // a scheme-less absolute or relative path has no "://"; a one-slash
+    // "file:/x" URI form (Hadoop's Path.toString) is scheme-qualified
+    if (i < 0 && !p.startsWith("file:")) NPaths.get(p) else null
+  }
 
   private def fs(p: String): (FileSystem, HPath) = {
     val hp = new HPath(p)
@@ -39,86 +77,159 @@ private[graft] object StoreFs {
   }
 
   /** Child path under `p` (single segment or a relative subpath). */
-  def child(p: String, name: String): String = new HPath(p, name).toString
+  def child(p: String, name: String): String = {
+    val lp = localPath(p)
+    if (lp != null) lp.resolve(name).toString
+    else new HPath(p, name).toString
+  }
 
   /** Last path segment. */
   def name(p: String): String = new HPath(p).getName
 
-  def parent(p: String): String = new HPath(p).getParent.toString
+  def parent(p: String): String = {
+    val lp = localPath(p)
+    if (lp != null) lp.getParent.toString else new HPath(p).getParent.toString
+  }
 
-  def exists(p: String): Boolean = { val (f, hp) = fs(p); f.exists(hp) }
+  def exists(p: String): Boolean = {
+    val lp = localPath(p)
+    if (lp != null) NFiles.exists(lp)
+    else { val (f, hp) = fs(p); f.exists(hp) }
+  }
 
   def isDirectory(p: String): Boolean = {
-    val (f, hp) = fs(p)
-    try f.getFileStatus(hp).isDirectory
-    catch { case _: java.io.FileNotFoundException => false }
+    val lp = localPath(p)
+    if (lp != null) NFiles.isDirectory(lp)
+    else {
+      val (f, hp) = fs(p)
+      try f.getFileStatus(hp).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    }
   }
 
-  def mkdirs(p: String): Unit = { val (f, hp) = fs(p); f.mkdirs(hp); () }
+  def mkdirs(p: String): Unit = {
+    val lp = localPath(p)
+    if (lp != null) { NFiles.createDirectories(lp); () }
+    else { val (f, hp) = fs(p); f.mkdirs(hp); () }
+  }
 
-  def mtime(p: String): Long =
-    { val (f, hp) = fs(p); f.getFileStatus(hp).getModificationTime }
+  def mtime(p: String): Long = {
+    val lp = localPath(p)
+    if (lp != null) NFiles.getLastModifiedTime(lp).toMillis
+    else { val (f, hp) = fs(p); f.getFileStatus(hp).getModificationTime }
+  }
 
   def setMtimeNow(p: String): Unit = {
-    val (f, hp) = fs(p)
-    f.setTimes(hp, System.currentTimeMillis(), -1)
+    val lp = localPath(p)
+    if (lp != null)
+      NFiles.setLastModifiedTime(lp, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis()))
+    else { val (f, hp) = fs(p); f.setTimes(hp, System.currentTimeMillis(), -1) }
   }
 
-  def size(p: String): Long = { val (f, hp) = fs(p); f.getFileStatus(hp).getLen }
+  def size(p: String): Long = {
+    val lp = localPath(p)
+    if (lp != null) NFiles.size(lp)
+    else { val (f, hp) = fs(p); f.getFileStatus(hp).getLen }
+  }
 
   /** Direct children as (fullPath, name, mtime, isDir); empty when `p`
-    * is absent. */
+    * is absent. Child paths keep the flavor of the input path. */
   def list(p: String): Seq[(String, String, Long, Boolean)] = {
-    val (f, hp) = fs(p)
-    if (!f.exists(hp)) Seq.empty
-    else f.listStatus(hp).toSeq.map(s =>
-      (s.getPath.toString, s.getPath.getName, s.getModificationTime,
-        s.isDirectory))
+    val lp = localPath(p)
+    if (lp != null) {
+      if (!NFiles.exists(lp)) Seq.empty
+      else scala.util.Using.resource(NFiles.list(lp)) { s =>
+        s.iterator().asScala.map { c =>
+          (c.toString, c.getFileName.toString,
+            NFiles.getLastModifiedTime(c).toMillis, NFiles.isDirectory(c))
+        }.toSeq
+      }
+    } else {
+      val (f, hp) = fs(p)
+      if (!f.exists(hp)) Seq.empty
+      else f.listStatus(hp).toSeq.map(s =>
+        (s.getPath.toString, s.getPath.getName, s.getModificationTime,
+          s.isDirectory))
+    }
   }
 
   /** Every FILE under `p`, recursive, as full paths (empty when absent). */
   def filesUnder(p: String): Seq[String] = {
-    val (f, hp) = fs(p)
-    if (!f.exists(hp)) Seq.empty
-    else {
-      val out = Seq.newBuilder[String]
-      val it = f.listFiles(hp, true)
-      while (it.hasNext) out += it.next().getPath.toString
-      out.result()
+    val lp = localPath(p)
+    if (lp != null) {
+      if (!NFiles.exists(lp)) Seq.empty
+      else scala.util.Using.resource(NFiles.walk(lp)) { s =>
+        s.iterator().asScala.filter(NFiles.isRegularFile(_))
+          .map(_.toString).toSeq
+      }
+    } else {
+      val (f, hp) = fs(p)
+      if (!f.exists(hp)) Seq.empty
+      else {
+        val out = Seq.newBuilder[String]
+        val it = f.listFiles(hp, true)
+        while (it.hasNext) out += it.next().getPath.toString
+        out.result()
+      }
     }
   }
 
   /** Sum of file sizes under `p` (0 when absent). */
   def treeSize(p: String): Long = {
-    val (f, hp) = fs(p)
-    if (!f.exists(hp)) 0L
-    else {
-      var total = 0L
-      val it = f.listFiles(hp, true)
-      while (it.hasNext) total += it.next().getLen
-      total
+    val lp = localPath(p)
+    if (lp != null) {
+      if (!NFiles.exists(lp)) 0L
+      else scala.util.Using.resource(NFiles.walk(lp)) {
+        _.iterator().asScala.filter(NFiles.isRegularFile(_))
+          .map(NFiles.size).sum
+      }
+    } else {
+      val (f, hp) = fs(p)
+      if (!f.exists(hp)) 0L
+      else {
+        var total = 0L
+        val it = f.listFiles(hp, true)
+        while (it.hasNext) total += it.next().getLen
+        total
+      }
     }
   }
 
   /** Newest mtime anywhere in the tree (the "has this staging dir gone
     * silent" probe). Long.MaxValue on listing errors — callers treat
     * the tree as still live. */
-  def newestMtime(p: String): Long =
-    try {
-      val (f, hp) = fs(p)
-      var newest = f.getFileStatus(hp).getModificationTime
-      val it = f.listFiles(hp, true)
-      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
-      newest
-    } catch { case _: java.io.IOException => Long.MaxValue }
+  def newestMtime(p: String): Long = {
+    val lp = localPath(p)
+    if (lp != null) {
+      try scala.util.Using.resource(NFiles.walk(lp)) {
+        _.iterator().asScala
+          .map(c => NFiles.getLastModifiedTime(c).toMillis)
+          .foldLeft(0L)(math.max)
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    } else {
+      try {
+        val (f, hp) = fs(p)
+        var newest = f.getFileStatus(hp).getModificationTime
+        val it = f.listFiles(hp, true)
+        while (it.hasNext)
+          newest = math.max(newest, it.next().getModificationTime)
+        newest
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    }
+  }
 
   def readString(p: String): String = {
-    val (f, hp) = fs(p)
-    val len = f.getFileStatus(hp).getLen
-    require(len <= (64L << 20), s"metadata file $p unexpectedly large ($len bytes)")
-    val buf = new Array[Byte](len.toInt)
-    scala.util.Using.resource(f.open(hp))(_.readFully(0, buf))
-    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    val lp = localPath(p)
+    if (lp != null) NFiles.readString(lp)
+    else {
+      val (f, hp) = fs(p)
+      val len = f.getFileStatus(hp).getLen
+      require(len <= (64L << 20), s"metadata file $p unexpectedly large ($len bytes)")
+      val buf = new Array[Byte](len.toInt)
+      scala.util.Using.resource(f.open(hp))(_.readFully(0, buf))
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }
   }
 
   def readLines(p: String): Seq[String] =
@@ -130,42 +241,63 @@ private[graft] object StoreFs {
     * file:// and for clusters that ship core-site on the executor
     * classpath (the standard deployment). */
   def createStream(p: String): java.io.OutputStream = {
-    val (f, hp) = fs(p)
-    f.create(hp, true)
+    val lp = localPath(p)
+    if (lp != null) NFiles.newOutputStream(lp)
+    else { val (f, hp) = fs(p); f.create(hp, true) }
   }
 
   /** Plain create-overwrite (for paths no reader races). */
   def writeString(p: String, s: String): Unit = {
-    val (f, hp) = fs(p)
-    scala.util.Using.resource(f.create(hp, true))(
-      _.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val lp = localPath(p)
+    if (lp != null) { NFiles.writeString(lp, s); () }
+    else {
+      val (f, hp) = fs(p)
+      scala.util.Using.resource(f.create(hp, true))(
+        _.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
   }
 
   /** Atomic create-no-overwrite empty file (completion markers). Throws
     * IOException when it already exists or cannot be created. */
   def createMarker(p: String): Unit = {
-    val (f, hp) = fs(p)
-    scala.util.Using.resource(f.create(hp, false))(_ => ())
+    val lp = localPath(p)
+    if (lp != null) { NFiles.createFile(lp); () }
+    else {
+      val (f, hp) = fs(p)
+      scala.util.Using.resource(f.create(hp, false))(_ => ())
+    }
   }
 
   /** Rename with NO overwrite — both files and whole directory trees.
     * Returns false when dst already exists or src is missing — the
-    * no-clobber commit primitive. Deliberately FileContext, not
-    * FileSystem.rename: the latter silently moves src INTO an existing
-    * dst directory (POSIX mv semantics), which would turn a lost
-    * publish race into nested garbage instead of a clean refusal. */
+    * no-clobber commit primitive. The Hadoop route is deliberately
+    * FileContext, not FileSystem.rename: the latter silently moves src
+    * INTO an existing dst directory (POSIX mv semantics), which would
+    * turn a lost publish race into nested garbage instead of a clean
+    * refusal. */
   def moveInto(src: String, dst: String): Boolean = {
-    val d = new HPath(dst)
-    try {
-      FileContext.getFileContext(d.toUri, conf)
-        .rename(new HPath(src), d, Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case _: java.io.FileNotFoundException => false
-      case e: java.io.IOException
-        if exists(dst) || !exists(src) => false
+    val (ls, ld) = (localPath(src), localPath(dst))
+    if (ls != null && ld != null) {
+      if (NFiles.exists(ld) || !NFiles.exists(ls)) false
+      else try { NFiles.move(ls, ld, StandardCopyOption.ATOMIC_MOVE); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.nio.file.FileSystemException
+          if NFiles.exists(ld) || !NFiles.exists(ls) => false
+      }
+    } else {
+      val d = new HPath(dst)
+      try {
+        FileContext.getFileContext(d.toUri, conf)
+          .rename(new HPath(src), d, Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.FileNotFoundException => false
+        case e: java.io.IOException
+          if exists(dst) || !exists(src) => false
+      }
     }
   }
 
@@ -173,25 +305,51 @@ private[graft] object StoreFs {
     * (FileContext supports OVERWRITE; FileSystem.rename does not on
     * some schemes). */
   def moveReplace(src: String, dst: String): Unit = {
-    val d = new HPath(dst)
-    FileContext.getFileContext(d.toUri, conf)
-      .rename(new HPath(src), d, Options.Rename.OVERWRITE)
+    val (ls, ld) = (localPath(src), localPath(dst))
+    if (ls != null && ld != null) {
+      NFiles.move(ls, ld,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val d = new HPath(dst)
+      FileContext.getFileContext(d.toUri, conf)
+        .rename(new HPath(src), d, Options.Rename.OVERWRITE)
+    }
   }
 
   def copyFile(src: String, dst: String): Unit = {
-    val (sf, sp) = fs(src)
-    val (df, dp) = fs(dst)
-    org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, dp,
-      /*deleteSource=*/ false, /*overwrite=*/ true, conf)
-    ()
+    val (ls, ld) = (localPath(src), localPath(dst))
+    if (ls != null && ld != null) {
+      if (ld.getParent != null) NFiles.createDirectories(ld.getParent)
+      NFiles.copy(ls, ld, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } else {
+      val (sf, sp) = fs(src)
+      val (df, dp) = fs(dst)
+      org.apache.hadoop.fs.FileUtil.copy(sf, sp, df, dp,
+        /*deleteSource=*/ false, /*overwrite=*/ true, conf)
+      ()
+    }
   }
 
   /** Delete one file; missing is fine, IO errors propagate. */
-  def delete(p: String): Unit = { val (f, hp) = fs(p); f.delete(hp, false); () }
+  def delete(p: String): Unit = {
+    val lp = localPath(p)
+    if (lp != null) { NFiles.deleteIfExists(lp); () }
+    else { val (f, hp) = fs(p); f.delete(hp, false); () }
+  }
 
   def deleteIfExists(p: String): Unit =
     try delete(p) catch { case _: java.io.IOException => () }
 
   /** Recursive tree delete; missing is fine. */
-  def deleteTree(p: String): Unit = { val (f, hp) = fs(p); f.delete(hp, true); () }
+  def deleteTree(p: String): Unit = {
+    val lp = localPath(p)
+    if (lp != null) {
+      if (NFiles.exists(lp))
+        scala.util.Using.resource(NFiles.walk(lp)) {
+          _.iterator().asScala.toSeq.reverse.foreach(NFiles.deleteIfExists)
+        }
+    } else { val (f, hp) = fs(p); f.delete(hp, true); () }
+  }
 }
