@@ -61,18 +61,30 @@ object Projection {
   }
 
   /** (vec_id, proj: Array[Long] of length `outDim`) — int8-quantized
-    * input projected through the fixed Rademacher matrix. */
+    * input projected through the fixed Rademacher matrix.
+    *
+    * The matrix rides as ONE 16×64 literal and the per-row work is a
+    * `transform`(rows) × `zip_with`+`aggregate`(dot product) over the
+    * MATERIALIZED qv array — a compact expression Catalyst handles in
+    * milliseconds. The previous form inlined `qv` (itself a transform
+    * over the raw vector) into each of outDim×inDim = 1024 `element_at`
+    * terms; the resulting expression forest cost seconds per execution
+    * in analysis/codegen alone (observed 4.7 s for 2 000 rows).
+    * Bit-identical results: `aggregate` folds left in index order —
+    * the same order the unrolled `reduce(_ + _)` summed — over
+    * integer-valued doubles, and `cast("long")` normalizes ±0.0. */
   def projectQ8(emb: DataFrame, inDim: Int = 64, outDim: Int = 16): DataFrame = {
     val q8 = emb
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
         x => when(col("ma") === 0.0, 0.0).otherwise(round(x * (lit(127.0) / col("ma"))))))
-    val proj = array((0 until outDim).map { d =>
-      (0 until inDim).map { j =>
-        element_at(col("qv"), j + 1) * lit(sign(j, d).toDouble)
-      }.reduce(_ + _).cast("long")
+    val signs = array((0 until outDim).map { d =>
+      array((0 until inDim).map(j => lit(sign(j, d).toDouble)): _*)
     }: _*)
-    q8.select(col("vec_id"), proj.as("proj"))
+    q8.select(col("vec_id"),
+      transform(signs, srow =>
+        aggregate(zip_with(col("qv"), srow, (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x).cast("long")).as("proj"))
   }
 }
