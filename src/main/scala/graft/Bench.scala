@@ -133,6 +133,9 @@ object Bench {
     def jvmHygiene(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // up to 256 MB of query-suite fixture blobs otherwise stay pinned
+      // in old-gen while the engine suite is timed
+      graft.spark.SparkStore.clearBlobCache()
       System.gc()
     }
     jvmHygiene()

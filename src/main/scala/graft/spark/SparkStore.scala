@@ -805,6 +805,11 @@ object SparkStore {
   def parquetFilesUnder(dir: String): Array[String] =
     StoreFs.filesUnder(dir).filter(_.endsWith(".parquet")).toArray
 
+  /** Bench/ops hygiene hook: drop the per-JVM content-addressed blob
+    * cache (see ChunkBlobReader.clearBlobCache). */
+  def clearBlobCache(): Unit =
+    graft.spark.source.ChunkBlobReader.clearBlobCache()
+
   /** Default vacuum grace window: chunk files younger than this are never
     * collected (their index rows may still be in flight — see vacuum). */
   val VacuumGraceMs: Long = 15L * 60 * 1000

@@ -1713,6 +1713,15 @@ private[spark] object ChunkBlobReader {
   private def cachePut(h: String, b: Array[Byte]): Unit =
     if (blobCache.put(h, b) == null) { blobCacheBytes.addAndGet(b.length.toLong); () }
 
+  /** Drop the per-JVM blob cache (bench hygiene between suite sections:
+    * up to 256 MB of one workload's fixture blobs otherwise sit in
+    * old-gen while an unrelated suite is being timed). Correctness-
+    * neutral — blobs are immutable and re-fetchable. */
+  def clearBlobCache(): Unit = blobCache.synchronized {
+    blobCache.clear()
+    blobCacheBytes.set(0L)
+  }
+
   // shared Configurations — construction parses classpath XML (~10+ ms),
   // far too expensive per read() call. Both are effectively read-only.
   private lazy val scanConf = new org.apache.hadoop.conf.Configuration()
