@@ -104,6 +104,56 @@ class CloneSpec extends AnyFunSuite {
     assert(store.versions("dst2").length == 2)
   }
 
+  test("concurrent clones to one dst: exactly one wins, the loser gets " +
+      "already-exists and leaves no temp tree or nested garbage") {
+    val (store, _, _) = buildSrc()
+    import java.util.concurrent.{Executors, TimeUnit, CyclicBarrier}
+    val barrier = new CyclicBarrier(2)
+    val pool = Executors.newFixedThreadPool(2)
+    def racer(): Either[Throwable, Long] = {
+      barrier.await(30, TimeUnit.SECONDS)
+      try Right(store.cloneDataset("src", "dst"))
+      catch { case e: Throwable => Left(e) }
+    }
+    val (ra, rb) =
+      try {
+        val fa = pool.submit(() => racer())
+        val fb = pool.submit(() => racer())
+        (fa.get(120, TimeUnit.SECONDS), fb.get(120, TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+    val results = Seq(ra, rb)
+    assert(results.count(_.isRight) == 1, s"exactly one clone must win: $results")
+    results.collect { case Left(e) =>
+      assert(e.isInstanceOf[IllegalStateException] &&
+        e.getMessage.contains("already exists"), s"loser raised $e")
+    }
+    // the winner's clone is whole and readable
+    assert(store.versions("dst").length == 2)
+    assert(store.reader("dst").onLastVersion()
+      .exploded("n", Slice(Seq(0L), Seq(48L))).count() == 48L)
+    // no leftover temp trees (loser cleaned up) and no nested garbage
+    // (FileSystem.rename's mv-into semantics would have landed the
+    // loser's tree INSIDE dst)
+    val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(store.root)).toArray.map(_.toString)
+      .filter(_.contains(".clone_tmp_"))
+    assert(leftovers.isEmpty, s"temp trees left: ${leftovers.mkString(",")}")
+    val dstChildren = java.nio.file.Files.list(
+        java.nio.file.Paths.get(store.root, "dst")).toArray
+      .map(_.toString.split('/').last).sorted.toSeq
+    assert(dstChildren == Seq("index", "versions"),
+      s"nested garbage inside dst: $dstChildren")
+  }
+
+  test("dataset names are a single path segment: separators, dot-prefix, " +
+      "'..', and 'chunks' are rejected by create and clone") {
+    val (store, _, _) = buildSrc()
+    for (bad <- Seq("a/b", "..", "a\\b", ".hidden", "chunks", "", "  "))
+      intercept[IllegalArgumentException](store.create(bad))
+    for (bad <- Seq("a/b", "../esc", ".clone_tmp_x", "chunks"))
+      intercept[IllegalArgumentException](store.cloneDataset("src", bad))
+  }
+
   test("CALL graft.system.clone drives it from SQL and the clone is " +
       "immediately queryable through the catalog") {
     val (store, _, _) = buildSrc()
