@@ -131,6 +131,66 @@ class StoreFsSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("SQL catalog on a file:/// root: CTAS, query, time travel, and " +
+      "system procedures all ride the Hadoop route") {
+    val root = fileRoot()
+    val cat = "graft_fs_" +
+      java.lang.Integer.toHexString(root.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    import spark.implicits._
+    (0L until 20L).map(h => (h, h * 3 + 1)).toDF("h", "value")
+      .createOrReplaceTempView("fs_src")
+    spark.sql(s"""CREATE TABLE $cat.fsds.n
+      TBLPROPERTIES ('dims' = 'h:20:8', 'fill' = '-1', 'type' = 'long')
+      AS SELECT h, value FROM fs_src""")
+    val got = spark.sql(s"SELECT value FROM $cat.fsds.n WHERE h = 7")
+      .collect().head.getLong(0)
+    assert(got == 22L)
+    // CTAS = createTable + append: two committed versions is its shape
+    val hist = spark.sql(s"CALL $cat.system.history('fsds')").collect()
+    assert(hist.nonEmpty)
+    // the same dataset is visible to a direct SparkStore on the same uri
+    val store = new SparkStore(spark, root)
+    assert(store.listDatasets == Seq("fsds"))
+    assert(spark.sql(s"CALL $cat.system.compact('fsds')").collect().nonEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.fsds.n")
+      .collect().head.getLong(0) == 20L)
+  }
+
+  test("dual-path equivalence: the nio fast path and the Hadoop route " +
+      "observe one tree identically") {
+    val plain = java.nio.file.Files.createTempDirectory("graft-dual2").toString
+    val qualified = "file://" + plain
+    // write through the Hadoop route, observe through nio — and reverse
+    StoreFs.mkdirs(StoreFs.child(qualified, "a/b"))
+    StoreFs.writeString(StoreFs.child(StoreFs.child(qualified, "a"), "x.txt"), "via-hadoop")
+    StoreFs.writeString(StoreFs.child(plain, "y.txt"), "via-nio")
+    assert(StoreFs.readString(StoreFs.child(StoreFs.child(plain, "a"), "x.txt"))
+      == "via-hadoop")
+    assert(StoreFs.readString(StoreFs.child(qualified, "y.txt")) == "via-nio")
+    // LocalFileSystem writes .crc checksum siblings that its own
+    // listings hide; they are dot-prefixed, which every store listing
+    // filters anyway — equivalence holds on the non-hidden view
+    def visible(names: Seq[String]) = names.filterNot(_.startsWith(".")).toSet
+    assert(visible(StoreFs.list(plain).map(_._2))
+      == visible(StoreFs.list(qualified).map(_._2)))
+    assert(visible(StoreFs.filesUnder(plain).map(StoreFs.name))
+      == visible(StoreFs.filesUnder(qualified).map(StoreFs.name)))
+    // rename semantics agree: no-clobber refusal both ways
+    StoreFs.mkdirs(StoreFs.child(plain, "c"))
+    assert(!StoreFs.moveInto(StoreFs.child(qualified, "a"), StoreFs.child(qualified, "c")))
+    assert(!StoreFs.moveInto(StoreFs.child(plain, "a"), StoreFs.child(plain, "c")))
+    assert(StoreFs.exists(StoreFs.child(StoreFs.child(plain, "a"), "x.txt")))
+    // moveReplace overwrites a file on both routes
+    StoreFs.writeString(StoreFs.child(plain, "t1"), "one")
+    StoreFs.moveReplace(StoreFs.child(plain, "t1"), StoreFs.child(plain, "y.txt"))
+    assert(StoreFs.readString(StoreFs.child(qualified, "y.txt")) == "one")
+    StoreFs.writeString(StoreFs.child(qualified, "t2"), "two")
+    StoreFs.moveReplace(StoreFs.child(qualified, "t2"), StoreFs.child(qualified, "y.txt"))
+    assert(StoreFs.readString(StoreFs.child(plain, "y.txt")) == "two")
+  }
+
   test("StoreRegistry: Hadoop schemes keep the full uri as the root") {
     import graft.store.StoreRegistry
     val s = StoreRegistry.parse("s3a://bucket/prefix/stores")
