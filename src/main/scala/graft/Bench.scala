@@ -204,7 +204,10 @@ object Bench {
     // then the slowest queries by median until the byte budget is spent;
     // everything else is summarized under "others" and fully present in
     // the local file.
-    def f3(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
+    // Locale.ROOT: the f interpolator uses the default locale, which on
+    // e.g. a de_DE JVM renders "0,123" — malformed JSON for the driver
+    def f3(d: Double): String =
+      if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_STDOUT_BYTES", "1600").toInt
     val ordered = {
       val (bench, rest) = meds.toSeq.partition(_._1.startsWith("bench_"))

@@ -75,7 +75,12 @@ object Projection {
     * integer-valued doubles, and `cast("long")` normalizes ±0.0. */
   def projectQ8(emb: DataFrame, inDim: Int = 64, outDim: Int = 16): DataFrame = {
     val q8 = emb
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      // slice to inDim FIRST: zip_with pads the shorter side with nulls,
+      // so an embedding longer than inDim would null-poison every dot
+      // product through the aggregate fold; truncating up front keeps
+      // the "project the first inDim entries" contract for any length
+      .select(col("vec_id"),
+        transform(slice(col("embedding"), 1, inDim), _.cast("double")).as("v"))
       .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
         x => when(col("ma") === 0.0, 0.0).otherwise(round(x * (lit(127.0) / col("ma"))))))

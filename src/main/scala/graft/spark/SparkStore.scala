@@ -73,7 +73,14 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     StoreFs.mkdirs(versionsDir(name))
   }
 
-  def destroy(name: String): Unit = StoreFs.deleteTree(dsPath(name))
+  def destroy(name: String): Unit = {
+    // Same injection guard as create/clone: destroy is SQL-reachable via
+    // DROP NAMESPACE ... CASCADE, and an unvalidated name like ".." or
+    // "chunks" would delete the store root's parent or every dataset's
+    // shared content-addressed blobs.
+    validateDatasetName(name, "destroy")
+    StoreFs.deleteTree(dsPath(name))
+  }
 
   def listDatasets: Seq[String] =
     StoreFs.list(root).collect {
@@ -298,15 +305,29 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     }
     if (old.isEmpty) { compactRangeSidecars(); return 0L }
     // mark phase: live hashes from every dataset's index PLUS any
-    // in-flight clone temp trees — a clone whose src is destroyed
-    // mid-copy still references blobs that only ITS temp index names,
-    // and dropping them would land an unreadable dst (the temp dirs are
-    // invisible to listDatasets by design, so they need an explicit leg)
+    // in-flight clone temp trees — a clone still copying references blobs
+    // that only ITS temp index names (the temp dirs are invisible to
+    // listDatasets by design, so they need an explicit leg). Clones are
+    // concurrent-safe via two mechanisms: (a) ignoreMissingFiles below —
+    // a clone LANDING mid-mark renames its temp files away, which must
+    // not crash the mark job; (b) the pre-delete snapshot check at the
+    // bottom — if any dataset or clone-tmp appeared/vanished while we
+    // marked, the sweep yields (deletes nothing) and the next vacuum
+    // retries against a quiesced root. The one unsupported interleaving
+    // is destroy(src) issued WHILE a clone of that same src is in flight
+    // — inherently contradictory (the clone itself fails mid-copy).
+    def rootSnapshot(): (Set[String], Set[String]) = {
+      val entries = StoreFs.list(root)
+      (listDatasets.toSet,
+       entries.collect { case (_, n, _, _) if n.startsWith(".clone_tmp_") => n }.toSet)
+    }
+    val snapBefore = rootSnapshot()
     val cloneTmpIdx = StoreFs.list(root)
       .collect { case (p, n, _, _) if n.startsWith(".clone_tmp_") =>
         StoreFs.child(p, "index") }
       .filter(StoreFs.exists)
-      .map(p => spark.read.schema(indexSchema).parquet(p).select("hash"))
+      .map(p => spark.read.schema(indexSchema)
+        .option("ignoreMissingFiles", "true").parquet(p).select("hash"))
     val referenced = (listDatasets.map(ds => indexDF(ds).select("hash")) ++
         cloneTmpIdx)
       .reduceOption(_ union _)
@@ -324,6 +345,14 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       .repartitionByRange(col("hash")).sortWithinPartitions("hash")
       .write.option("compression", "uncompressed").mode("overwrite").parquet(keptDir)
     val after = spark.read.parquet(keptDir).count()
+    // Pre-delete snapshot check: if a dataset or clone temp tree appeared
+    // or vanished while the mark ran, its references may be missing from
+    // `referenced` — yield without deleting anything. Vacuum is periodic;
+    // losing one cycle to a concurrent clone/create is the safe trade.
+    if (rootSnapshot() != snapBefore) {
+      StoreFs.deleteTree(keptDir)
+      return 0L
+    }
     // adopt the compacted part files into the live dir (part-file names
     // carry fresh UUIDs — no collision), then delete exactly the files we
     // compacted; concurrent appends are untouched throughout
@@ -424,9 +453,13 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * partial index rows in `dst`, but without its manifest they are
     * invisible (the same MVCC rule that hides in-flight ingests).
     * Everything assembles under a dot-prefixed temp dir (invisible to
-    * listDatasets, but its index IS included in vacuum's mark phase so a
-    * destroy(src)+vacuum racing the copy window cannot drop blobs the
-    * about-to-land clone references) and lands via one atomic move.
+    * listDatasets, but its index IS included in vacuum's mark phase, and
+    * vacuum yields its delete phase whenever a clone lands or starts
+    * mid-mark — see vacuum's snapshot check — so a vacuum racing the
+    * copy window cannot drop blobs the about-to-land clone references;
+    * the one unsupported interleaving is destroy(src) issued while a
+    * clone of that same src is still copying) and lands via one atomic
+    * move.
     * Crashed temp trees are swept by vacuum's quiet-floor staging sweep.
     * Returns the number of committed versions cloned. */
   def cloneDataset(src: String, dst: String): Long = {
@@ -484,7 +517,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * by `adoptChunkFiles`; orphans from crashed ingests are swept by
     * vacuum). Lives beside — not inside — the chunks dir, so readers
     * never see half-written part files. */
-  private[spark] def newChunkStagingDir(): String =
+  private[graft] def newChunkStagingDir(): String =
     StoreFs.child(root, s".chunks_ingest_${java.util.UUID.randomUUID}")
 
   /** Move a staged generation's part files into the live chunks dir and
@@ -492,13 +525,21 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * leaves some files adopted (orphan blobs until their index rows land
     * — same exposure as a direct append) and the staging leftovers for
     * vacuum's sweep. */
-  private[spark] def adoptChunkFiles(staging: String): Seq[String] = {
+  private[graft] def adoptChunkFiles(staging: String): Seq[String] = {
     StoreFs.mkdirs(chunksDir)
     val adopted = StoreFs.list(staging)
       .collect { case (p, n, _, _) if n.endsWith(".parquet") => (p, n) }
       .map { case (p, n) =>
         val dst = StoreFs.child(chunksDir, n)
-        StoreFs.moveInto(p, dst)
+        // moveInto reports failure (dst exists / racing rename) as false
+        // rather than throwing; adopting MUST fail loudly before the
+        // staging sweep below, or the unmoved part file is deleted while
+        // its blob hashes are about to be referenced by index rows —
+        // committed reads would then silently degrade to fill values.
+        if (!StoreFs.moveInto(p, dst))
+          throw new java.io.IOException(
+            s"adoptChunkFiles: failed to move staged chunk file $p -> $dst" +
+              "; staging dir left in place for retry/vacuum")
         dst
       }
     StoreFs.deleteTree(staging)

@@ -41,34 +41,46 @@ import scala.jdk.CollectionConverters._
   */
 private[graft] object StoreFs {
 
-  // One Configuration for the JVM's lifetime, derived from the first
-  // active SparkSession seen (so spark.hadoop.* settings — s3a creds,
-  // endpoints — apply). newHadoopConf() CLONES the full config; paying
-  // that per metadata call would tax every version listing and manifest
-  // read on the hot planning path. Until a session exists, fall back to
-  // classpath defaults WITHOUT caching, so an early pre-session call
-  // can't pin a config that lacks the session's hadoop settings.
-  @volatile private var cachedConf: Configuration = _
-  def conf: Configuration = {
-    val c = cachedConf
-    if (c != null) c
-    else org.apache.spark.sql.SparkSession.getActiveSession match {
+  // Configuration cache keyed by the SparkSession that produced it —
+  // newHadoopConf() CLONES the full config (classpath-XML parse, ~10 ms),
+  // far too expensive per metadata call on the hot planning path. Keying
+  // by session (not caching the first one forever) means a replacement
+  // session's spark.hadoop.* settings (rotated s3a creds, new endpoint)
+  // take effect the moment it becomes active. Executor-side calls (no
+  // active session) get their own cached classpath default, kept in a
+  // separate field so a later driver session still upgrades `conf`.
+  @volatile private var cachedConf
+      : (org.apache.spark.sql.SparkSession, Configuration) = _
+  @volatile private var defaultConf: Configuration = _
+  def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>
-        val n = s.sessionState.newHadoopConf()
-        cachedConf = n
-        n
-      case None => new Configuration()
+        val c = cachedConf
+        if (c != null && (c._1 eq s)) c._2
+        else {
+          val n = s.sessionState.newHadoopConf()
+          cachedConf = (s, n)
+          n
+        }
+      case None =>
+        val d = defaultConf
+        if (d != null) d
+        else { val n = new Configuration(); defaultConf = n; n }
     }
-  }
 
   /** The nio fast path applies ONLY to scheme-less paths: an explicit
     * `file://` is a request for the Hadoop route (that's what makes the
     * remote code path locally testable). */
-  private def localPath(p: String): NPath = {
-    val i = p.indexOf("://")
-    // a scheme-less absolute or relative path has no "://"; a one-slash
-    // "file:/x" URI form (Hadoop's Path.toString) is scheme-qualified
-    if (i < 0 && !p.startsWith("file:")) NPaths.get(p) else null
+  private[graft] def localPath(p: String): NPath = {
+    // Scheme detection per RFC 3986: a colon BEFORE the first slash marks
+    // a scheme-qualified URI. This covers both the "scheme://auth/x" form
+    // and Hadoop's authority-less "scheme:/x" rendering (HPath.toString
+    // emits "hdfs:/x" for authority-less URIs) — matching only "://"
+    // would silently misroute "hdfs:/x" to the local nio path.
+    val colon = p.indexOf(':')
+    val slash = p.indexOf('/')
+    val hasScheme = colon > 0 && (slash < 0 || colon < slash)
+    if (!hasScheme) NPaths.get(p) else null
   }
 
   private def fs(p: String): (FileSystem, HPath) = {

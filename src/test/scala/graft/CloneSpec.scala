@@ -152,6 +152,11 @@ class CloneSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](store.create(bad))
     for (bad <- Seq("a/b", "../esc", ".clone_tmp_x", "chunks"))
       intercept[IllegalArgumentException](store.cloneDataset("src", bad))
+    // destroy is SQL-reachable via DROP NAMESPACE ... CASCADE: the same
+    // guard must hold or ".." deletes above the root and "chunks" deletes
+    // every dataset's shared blobs
+    for (bad <- Seq("..", "a/b", "chunks", ".clone_tmp_x", ""))
+      intercept[IllegalArgumentException](store.destroy(bad))
   }
 
   test("CALL graft.system.clone drives it from SQL and the clone is " +

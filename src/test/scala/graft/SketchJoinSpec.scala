@@ -110,6 +110,26 @@ class SketchJoinSpec extends AnyFunSuite {
     assert(nearAvg * 2 < farAvg, s"near=$nearAvg far=$farAvg")
   }
 
+  test("projectQ8 on embeddings LONGER than inDim: no null poisoning " +
+      "(zip_with pads the shorter side), equals projecting the 64-prefix") {
+    import graft.pipeline.Projection
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val long80 = (0 until 5).map(i =>
+      (i.toLong, Seq.fill(80)(rnd.nextGaussian().toFloat)))
+    val emb80 = long80.toDF("vec_id", "embedding")
+    val emb64 = long80.map { case (id, v) => (id, v.take(64)) }
+      .toDF("vec_id", "embedding")
+    val got = Projection.projectQ8(emb80).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    val want = Projection.projectQ8(emb64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
+    for ((id, p) <- got) {
+      assert(p.forall(_ != null), s"vec $id: null in projection $p")
+      assert(p == want(id), s"vec $id: 80-dim input must project its 64-prefix")
+    }
+  }
+
   test("gramQ8: hand-computed Gram + sums on known vectors, " +
       "partition-order invariant") {
     import graft.pipeline.Projection

@@ -191,6 +191,35 @@ class StoreFsSpec extends AnyFunSuite {
     assert(StoreFs.readString(StoreFs.child(plain, "y.txt")) == "two")
   }
 
+  test("route classifier: any scheme-qualified form takes the Hadoop " +
+      "route, including authority-less hdfs:/x; colons AFTER the first " +
+      "slash stay local") {
+    // Hadoop route (null = not local): both the ://-form and the
+    // authority-less one-slash rendering HPath.toString produces
+    for (p <- Seq("file:///tmp/x", "file:/tmp/x", "hdfs://nn:8020/g",
+        "hdfs:/warehouse/graft", "s3a://b/k", "s3a:/k", "abfss://c@a/x"))
+      assert(StoreFs.localPath(p) == null, s"$p must route Hadoop")
+    // nio fast path: scheme-less absolute/relative, incl. a colon in a
+    // path SEGMENT (RFC 3986: a scheme colon precedes the first slash)
+    for (p <- Seq("/data/store", "rel/dir", "/tmp/a:b/c"))
+      assert(StoreFs.localPath(p) != null, s"$p must stay local")
+  }
+
+  test("adoptChunkFiles fails loudly when a staged file cannot move, " +
+      "leaving the staging dir intact for retry") {
+    val store = new SparkStore(spark, fileRoot())
+    StoreFs.mkdirs(store.chunksDir)
+    val staging = store.newChunkStagingDir()
+    StoreFs.writeString(StoreFs.child(staging, "part-x.parquet"), "staged")
+    // pre-existing dst with the same name => moveInto reports false
+    StoreFs.writeString(StoreFs.child(store.chunksDir, "part-x.parquet"), "live")
+    intercept[java.io.IOException](store.adoptChunkFiles(staging))
+    // the staged blob data must survive the failure
+    assert(StoreFs.readString(StoreFs.child(staging, "part-x.parquet")) == "staged")
+    assert(StoreFs.readString(
+      StoreFs.child(store.chunksDir, "part-x.parquet")) == "live")
+  }
+
   test("StoreRegistry: Hadoop schemes keep the full uri as the root") {
     import graft.store.StoreRegistry
     val s = StoreRegistry.parse("s3a://bucket/prefix/stores")
