@@ -589,7 +589,14 @@ object ArrayQueries {
     "q_arr_sel" -> ((s, dir) => {
       val fx = ArrayFixtures.get(s, dir)
       val store = fx.store
-      if (!store.datasetExists("selfx")) {
+      // Completeness guard, not mere existence (same rationale as
+      // ensureCloned): a crash between create and finishVersion would
+      // leave a permanently empty selfx that mismatches its oracle on
+      // every later run. No committed version ⇒ partial build ⇒ rebuild.
+      val selfxComplete = store.datasetExists("selfx") &&
+        store.versions("selfx").nonEmpty
+      if (!selfxComplete) {
+        if (store.datasetExists("selfx")) store.destroy("selfx")
         import graft.core._
         import graft.meta.{DatasetMeta, VariableDef}
         val counts = ArrayFixtures.hourCounts(s, dir)

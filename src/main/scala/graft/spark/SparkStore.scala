@@ -57,12 +57,18 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * path segment under the store root. Dot-prefixed names collide with
     * internal temp/staging dirs; separators and '..' would resolve the
     * dataset OUTSIDE (or below) the root — reachable from SQL via
-    * CALL system.clone, so this is an injection guard, not just hygiene. */
+    * CALL system.clone, so this is an injection guard, not just hygiene.
+    * ':' must be rejected too: on a scheme-qualified root, Hadoop's
+    * `new Path(parent, "file:x")` treats the colon-bearing child as an
+    * absolute URI and resolves it OUTSIDE the store root entirely (e.g.
+    * destroy("file:x") on an hdfs:// root would deleteTree a LOCAL path
+    * relative to the JVM's CWD). */
   private def validateDatasetName(name: String, ctx: String): Unit = {
     if (name == null || name.trim.isEmpty)
       throw new IllegalArgumentException(s"$ctx: dataset name must be a non-empty string")
     if (name.startsWith(".") || name == "chunks" ||
-        name.contains("/") || name.contains("\\") || name.contains(".."))
+        name.contains("/") || name.contains("\\") || name.contains("..") ||
+        name.contains(":"))
       throw new IllegalArgumentException(s"$ctx: bad dataset name '$name'")
   }
 

@@ -46,9 +46,15 @@ private[graft] object StoreFs {
   // far too expensive per metadata call on the hot planning path. Keying
   // by session (not caching the first one forever) means a replacement
   // session's spark.hadoop.* settings (rotated s3a creds, new endpoint)
-  // take effect the moment it becomes active. Executor-side calls (no
-  // active session) get their own cached classpath default, kept in a
-  // separate field so a later driver session still upgrades `conf`.
+  // take effect the moment it becomes active. KNOWN LIMIT: the cache key
+  // is session IDENTITY, not conf version — spark.conf.set("spark.hadoop
+  // .*") changes made MID-session are ignored until a replacement
+  // session becomes active (build a new session to rotate credentials;
+  // Configuration exposes no cheap modification epoch to key on).
+  // Executor-side calls (no active thread session) get the installed
+  // driver conf if a write factory shipped one ([[installExecutorConf]]),
+  // else a cached classpath default — kept in a separate field so a
+  // later driver session still upgrades `conf`.
   @volatile private var cachedConf
       : (org.apache.spark.sql.SparkSession, Configuration) = _
   @volatile private var defaultConf: Configuration = _
@@ -67,6 +73,23 @@ private[graft] object StoreFs {
         if (d != null) d
         else { val n = new Configuration(); defaultConf = n; n }
     }
+
+  /** Driver-side capture of the active session's resolved Hadoop conf
+    * for shipping to executors inside a serialized write factory. The
+    * standard Spark deployment supplies Hadoop settings (s3a
+    * credentials/endpoint) via spark.hadoop.* on the DRIVER session —
+    * executor classpath defaults don't have them, so executor-side
+    * staged writes against a remote root would fail auth without this. */
+  def captureConf(): SerializableHadoopConf = new SerializableHadoopConf(conf)
+
+  /** Executor-side install of a shipped driver conf as this JVM's
+    * no-active-session default. Idempotent and last-writer-wins — every
+    * shipped conf comes from a driver session resolving the same store,
+    * so any of them is correct. A live thread-local session (driver, or
+    * local-mode task threads that set one) still takes precedence via
+    * the `conf` session branch. */
+  def installExecutorConf(c: Configuration): Unit =
+    if (c != null) defaultConf = c
 
   /** The nio fast path applies ONLY to scheme-less paths: an explicit
     * `file://` is a request for the Hadoop route (that's what makes the
@@ -248,10 +271,12 @@ private[graft] object StoreFs {
     readString(p).split('\n').toSeq.filter(_.nonEmpty)
 
   /** Raw create-overwrite output stream (executor-side staged-fragment
-    * writers). On executors there is no active SparkSession, so the
-    * Configuration falls back to classpath defaults — correct for
-    * file:// and for clusters that ship core-site on the executor
-    * classpath (the standard deployment). */
+    * writers). On executors there is no active thread SparkSession; the
+    * Configuration is the driver conf the write factory shipped via
+    * [[installExecutorConf]] (so spark.hadoop.* s3a credentials work on
+    * the standard deployment), falling back to classpath defaults —
+    * still correct for file:// and clusters that ship core-site on the
+    * executor classpath. */
   def createStream(p: String): java.io.OutputStream = {
     val lp = localPath(p)
     if (lp != null) NFiles.newOutputStream(lp)
@@ -363,5 +388,24 @@ private[graft] object StoreFs {
           _.iterator().asScala.toSeq.reverse.foreach(NFiles.deleteIfExists)
         }
     } else { val (f, hp) = fs(p); f.delete(hp, true); () }
+  }
+}
+
+/** Java-serializable carrier for a Hadoop [[Configuration]] (which is
+  * itself Writable but not Serializable). Shipped inside DSv2 write
+  * factories so executor-side [[StoreFs]] calls resolve FileSystems with
+  * the DRIVER session's spark.hadoop.* settings instead of executor
+  * classpath defaults. Same shape as Spark's internal
+  * SerializableConfiguration (not used directly: private[spark]). */
+private[graft] final class SerializableHadoopConf(
+    @transient var value: Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }

@@ -1710,8 +1710,13 @@ private[spark] object ChunkBlobReader {
         } else false
       }
     })
-  private def cachePut(h: String, b: Array[Byte]): Unit =
+  // synchronized on the map's own mutex so the put and the byte-counter
+  // update are atomic w.r.t. clearBlobCache (a put racing a clear could
+  // otherwise leave the counter drifted from the live entries for the
+  // rest of the JVM's life, weakening the byte-cap)
+  private def cachePut(h: String, b: Array[Byte]): Unit = blobCache.synchronized {
     if (blobCache.put(h, b) == null) { blobCacheBytes.addAndGet(b.length.toLong); () }
+  }
 
   /** Drop the per-JVM blob cache (bench hygiene between suite sections:
     * up to 256 MB of one workload's fixture blobs otherwise sit in

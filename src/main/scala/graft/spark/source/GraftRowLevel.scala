@@ -127,7 +127,8 @@ private[source] class GraftDeltaBatchWrite(r: Resolved, info: LogicalWriteInfo)
       idDimOrds = dims.map(d => idSchema.fieldIndex(d)).toArray,
       dtName = r.meta.dtype(r.variable).name,
       fill = r.meta.fill(r.variable),
-      lo = varSlice.start.toArray, hi = varSlice.stop.toArray)
+      lo = varSlice.start.toArray, hi = varSlice.stop.toArray,
+      hconf = graft.spark.StoreFs.captureConf())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -179,9 +180,15 @@ private[source] object GraftDeltaFormat {
 private[source] final case class GraftDeltaWriterFactory(
     stagingDir: String, rowDimOrds: Array[Int], rowValueOrd: Int,
     idDimOrds: Array[Int], dtName: String, fill: Double,
-    lo: Array[Long], hi: Array[Long]) extends DeltaWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    lo: Array[Long], hi: Array[Long],
+    // the DRIVER session's Hadoop conf, shipped so executor-side staged
+    // writes resolve the store's FileSystem with spark.hadoop.* settings
+    // (s3a credentials/endpoint) instead of executor classpath defaults
+    hconf: graft.spark.SerializableHadoopConf) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    graft.spark.StoreFs.installExecutorConf(hconf.value)
     new GraftDeltaWriter(this, partitionId, taskId)
+  }
 }
 
 /** Per-task delta writer: buffers (coordinate, cell-bytes) pairs, and at

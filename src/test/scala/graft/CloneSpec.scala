@@ -148,14 +148,19 @@ class CloneSpec extends AnyFunSuite {
   test("dataset names are a single path segment: separators, dot-prefix, " +
       "'..', and 'chunks' are rejected by create and clone") {
     val (store, _, _) = buildSrc()
-    for (bad <- Seq("a/b", "..", "a\\b", ".hidden", "chunks", "", "  "))
+    // ':' is rejected because Hadoop's Path(parent, "file:x") treats the
+    // colon-bearing child as an ABSOLUTE URI, resolving it outside the
+    // store root on a scheme-qualified store (destroy("file:x") on an
+    // hdfs:// root would deleteTree a local CWD-relative path)
+    for (bad <- Seq("a/b", "..", "a\\b", ".hidden", "chunks", "", "  ",
+        "file:x", "a:b"))
       intercept[IllegalArgumentException](store.create(bad))
-    for (bad <- Seq("a/b", "../esc", ".clone_tmp_x", "chunks"))
+    for (bad <- Seq("a/b", "../esc", ".clone_tmp_x", "chunks", "file:x"))
       intercept[IllegalArgumentException](store.cloneDataset("src", bad))
     // destroy is SQL-reachable via DROP NAMESPACE ... CASCADE: the same
     // guard must hold or ".." deletes above the root and "chunks" deletes
     // every dataset's shared blobs
-    for (bad <- Seq("..", "a/b", "chunks", ".clone_tmp_x", ""))
+    for (bad <- Seq("..", "a/b", "chunks", ".clone_tmp_x", "", "file:x"))
       intercept[IllegalArgumentException](store.destroy(bad))
   }
 

@@ -220,6 +220,37 @@ class StoreFsSpec extends AnyFunSuite {
       StoreFs.child(store.chunksDir, "part-x.parquet")) == "live")
   }
 
+  test("SerializableHadoopConf round-trips driver settings and " +
+      "installExecutorConf makes them the no-session default") {
+    // the deployment this protects: s3a credentials supplied as
+    // spark.hadoop.* on the DRIVER reach executor-side staged-fragment
+    // writers (GraftDeltaWriterFactory ships the conf; task threads
+    // have no active SparkSession, so StoreFs.conf takes the
+    // installed-default branch)
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    c.set("graft.test.cred", "sekrit")
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new graft.spark.SerializableHadoopConf(c))
+    oos.close()
+    val rt = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.spark.SerializableHadoopConf]
+    assert(rt.value.get("graft.test.cred") == "sekrit")
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      StoreFs.installExecutorConf(rt.value)
+      assert(StoreFs.conf.get("graft.test.cred") == "sekrit")
+    } finally {
+      // restore a full default so later no-session calls in this JVM
+      // (local-mode task threads) resolve file:// normally
+      StoreFs.installExecutorConf(
+        new org.apache.hadoop.conf.Configuration())
+      prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+
   test("StoreRegistry: Hadoop schemes keep the full uri as the root") {
     import graft.store.StoreRegistry
     val s = StoreRegistry.parse("s3a://bucket/prefix/stores")
