@@ -167,19 +167,58 @@ object Bench {
       val ok = runs.getOrElse(name, Nil).filter(_ >= 0)
       ok.nonEmpty && baseline.get(name).exists(b => b > 0 && ok.min > guardX * b)
     }
-    val flaggedEntries = runs.keys.filter(contaminated).toSeq.sorted
+    // Inter-rep spread guard (round-9's record loss: the whole-suite
+    // guard above only fires when EVERY rep is inflated, but one
+    // contended rep among three still sets the upper median — observed
+    // reps like [3.40, 0.60, 2.70] s recorded 2.70 while the machine
+    // demonstrably ran the same query at 0.60). Flag an entry when
+    //  - its WARM-rep max/min ratio exceeds spreadX (default 3: no
+    //    unchanged query legitimately swings 3× between passes on the
+    //    same data). The first rep is excluded — it structurally carries
+    //    one-time fixture construction + JIT (q_arr_stream_ingest's
+    //    first pass BUILDS its dataset: 11.8 s vs 0.25 s warm in a
+    //    clean run) and the median discards it anyway; sub-0.3 s
+    //    entries are exempt (JIT jitter, too small to move any
+    //    record) — or
+    //  - its median lands over medX× the clean baseline while its min
+    //    rep is under (the median is poisoned, the machine is capable).
+    // Flagged entries get TWO interleaved extra reps: with ≤2 bad reps
+    // among the original 3, five total reps put the upper median inside
+    // the clean cluster after the 5×-min stall filter; a REAL regression
+    // (all reps consistently slow) is never flagged, so honest slow
+    // numbers survive.
+    val spreadX = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREADX", "3.0").toDouble
+    val medX = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEDX", "1.8").toDouble
+    def noisy(name: String): Boolean = {
+      val ok = runs.getOrElse(name, Nil).filter(_ >= 0)
+      ok.length >= 2 && {
+        val warm = if (ok.length > 2) ok.drop(1) else ok
+        val bigSpread = warm.length >= 2 &&
+          warm.max > 0.3 && warm.max / math.max(warm.min, 1e-3) > spreadX
+        val poisonedMedian = baseline.get(name).exists(b =>
+          b > 0 && median(ok) > medX * b && ok.min <= medX * b)
+        bigSpread || poisonedMedian
+      }
+    }
+    val flaggedEntries =
+      runs.keys.filter(n => contaminated(n) || noisy(n)).toSeq.sorted
     if (flaggedEntries.nonEmpty) {
       System.err.println(s"[bench] contamination guard: rerunning " +
         flaggedEntries.mkString(", "))
-      jvmHygiene()
-      entries.filter(e => flaggedEntries.contains(e._1)).foreach { case (name, fn) =>
-        runs(name) = runs(name) :+ time {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      val rerunPasses = 2
+      for (_ <- 0 until rerunPasses) { // interleaved, like the main passes
+        jvmHygiene()
+        entries.filter(e => flaggedEntries.contains(e._1)).foreach { case (name, fn) =>
+          runs(name) = runs(name) :+ time {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        }
       }
-      if (flaggedEntries.exists(_.startsWith("bench_ivf"))) ivfPass(1)
-      if (flaggedEntries.exists(ArrayBench.entryNames.contains))
-        ArrayBench.run(spark, 1, minWriteReps = 1).foreach { case (k, v) =>
+      if (flaggedEntries.exists(_.startsWith("bench_ivf"))) ivfPass(rerunPasses)
+      if (flaggedEntries.exists(ArrayBench.entryNames.contains)) {
+        jvmHygiene()
+        ArrayBench.run(spark, rerunPasses, minWriteReps = 1).foreach { case (k, v) =>
           runs(k) = runs.getOrElse(k, Vector.empty[Double]) ++ v }
+      }
     }
 
     val meds = runs.map { case (k, v) => k -> median(v) }
@@ -222,7 +261,21 @@ object Bench {
     val othersTotal = meds.collect { case (k, v) if !picked.contains(k) && v >= 0 => v }.sum
     val qsCompact = picked.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"others":{"n":${meds.size - picked.size},"total":${f3(othersTotal)}},"n_queries":${meds.size},"reps":$reps,"reran":$reran,"full":"$fullPath","sf":"$sfDir"}""")
+    val compactLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qsCompact,"others":{"n":${meds.size - picked.size},"total":${f3(othersTotal)}},"n_queries":${meds.size},"reps":$reps,"reran":$reran,"full":"$fullPath","sf":"$sfDir"}"""
+    println(compactLine)
+    // The same line as the SINGLE line of BENCH_SUMMARY.json: under sbt
+    // the stdout line prints mid-stream and sbt's own "[success]" trailer
+    // ends the log, so a parser reading the last stdout line misses it —
+    // the file is the parse-safe copy. (A JVM shutdown hook doesn't help:
+    // sbt echoes the forked process's output and appends its trailer
+    // after process exit, so nothing printed from this JVM can be last.)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")),
+      compactLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_SUMMARY.json: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -557,8 +557,14 @@ object TextOps {
       }
       counts.keysIterator
     }.toDF("term").distinct()
+    // functions.broadcast (not .hint("broadcast")): the string hint node
+    // was lost through the intervening mapPartitions/toDF transformation
+    // (Spark logged "join hint ... not part of a join relation"), so the
+    // intended broadcast of the ≤ partitions×capacity candidate set was
+    // at AQE's discretion; broadcast() attaches the ResolvedHint to the
+    // join's immediate child and always sticks
     toks.toDF("term")
-      .join(candidates.hint("broadcast"), "term")
+      .join(broadcast(candidates), "term")
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)

@@ -236,4 +236,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rawTermShuffles.isEmpty,
       s"corpus terms must be vocab-filtered before any exchange: $rawTermShuffles")
   }
+
+  test("heavyHitters: the candidate-set recount join broadcasts — the " +
+      "≤ partitions×capacity Misra–Gries survivors, never sort-merge") {
+    // regression pin: the former .hint("broadcast") node was silently
+    // dropped through the mapPartitions/toDF lineage (HintErrorLogger
+    // warned and the broadcast was left to AQE); functions.broadcast
+    // attaches to the join's immediate child and must stick
+    val df = graft.pipeline.TextOps.heavyHitters(docsDF(60), k = 10)
+    df.collect()
+    val ns = nodes(df)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "candidate recount must be a broadcast hash join")
+    assert(!ns.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "candidate recount must not fall back to sort-merge")
+  }
 }
