@@ -15,6 +15,12 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // mockfs://: test-only object-store-semantics FileSystem
+      // (graft.testfs.MockObjectStoreFileSystem). The FileSystem route
+      // registers via META-INF/services; the FileContext route (store
+      // commit renames) resolves AbstractFileSystem from this key.
+      .config("spark.hadoop.fs.AbstractFileSystem.mockfs.impl",
+        "graft.testfs.MockAbstractFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

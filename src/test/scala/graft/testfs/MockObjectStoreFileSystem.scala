@@ -1,0 +1,104 @@
+package graft.testfs
+
+import java.io.{File, IOException}
+import java.net.URI
+import java.nio.file.{Files => NFiles, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{DelegateToFileSystem, Path, RawLocalFileSystem}
+
+/** Test-only Hadoop FileSystem with OBJECT-STORE rename semantics, so the
+  * store's remote route is exercised against the unfriendly case without
+  * network access (the reference keeps its remote backends behind the
+  * same store protocol and tests them through swappable fixtures —
+  * /root/reference/README.md:16-19, src/io/mandoline/impl.clj:77-119).
+  *
+  * `file:///` (Hadoop LocalFileSystem) gives every rename POSIX atomicity;
+  * an S3-class store does not. This mock backs `mockfs://` URIs with the
+  * local disk but degrades EVERY rename the way s3a does:
+  *  - rename = recursive copy + delete of the source, NOT an atomic move;
+  *  - each individual object becomes visible atomically (S3 PUT/COPY is
+  *    per-object atomic), but a DIRECTORY rename is a sequence of
+  *    per-object copies — a crash mid-sequence leaves a PARTIAL
+  *    destination tree and the full source behind;
+  *  - rename onto an existing destination reports false (no implicit
+  *    replace), and the existence check is check-then-act, not atomic.
+  * Listing is immediate (modern S3 is strongly consistent, so no
+  * eventual-consistency emulation).
+  *
+  * Crash injection: set [[MockObjectStoreFileSystem.failNextCopyMatching]]
+  * to a destination-name substring; the next per-object copy whose target
+  * matches throws BEFORE that object becomes visible and clears the flag
+  * (one-shot), emulating a client crash at the worst moment of a
+  * copy-based "rename".
+  *
+  * Registered via META-INF/services (FileSystem route — also reaches the
+  * bare-Configuration readers) and `fs.AbstractFileSystem.mockfs.impl`
+  * on the test session (FileContext commit route).
+  */
+class MockObjectStoreFileSystem extends RawLocalFileSystem {
+  private var myUri: URI = URI.create(MockObjectStoreFileSystem.Scheme + ":///")
+
+  override def getScheme: String = MockObjectStoreFileSystem.Scheme
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    myUri = URI.create(name.getScheme + ":///")
+  }
+
+  override def getUri: URI = myUri
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val s = pathToFile(src)
+    val d = pathToFile(dst)
+    if (!s.exists() || d.exists()) return false
+    MockObjectStoreFileSystem.renameCount.incrementAndGet()
+    copyLikeObjectStore(s, d)
+    if (!org.apache.hadoop.fs.FileUtil.fullyDelete(s))
+      throw new IOException(s"mockfs: could not delete rename source $s")
+    true
+  }
+
+  /** Per-object-atomic copy; directories copy child by child in sorted
+    * order (deterministic partial states under crash injection). */
+  private def copyLikeObjectStore(s: File, d: File): Unit = {
+    if (s.isDirectory) {
+      if (!d.mkdirs() && !d.isDirectory)
+        throw new IOException(s"mockfs: cannot create directory $d")
+      val kids = Option(s.listFiles()).getOrElse(Array.empty[File]).sortBy(_.getName)
+      kids.foreach(k => copyLikeObjectStore(k, new File(d, k.getName)))
+    } else {
+      maybeCrash(d)
+      val tmp = new File(d.getParentFile, "." + d.getName + ".copytmp")
+      NFiles.copy(s.toPath, tmp.toPath, StandardCopyOption.REPLACE_EXISTING)
+      // local atomic move = the object's atomic visibility on PUT/COPY
+      if (!tmp.renameTo(d)) {
+        tmp.delete()
+        throw new IOException(s"mockfs: could not publish copied object $d")
+      }
+    }
+  }
+
+  private def maybeCrash(d: File): Unit = {
+    val m = MockObjectStoreFileSystem.failNextCopyMatching
+    if (m != null && d.getName.contains(m)) {
+      MockObjectStoreFileSystem.failNextCopyMatching = null
+      throw new IOException(
+        s"mockfs: injected crash during copy-rename of $d (matched '$m')")
+    }
+  }
+}
+
+object MockObjectStoreFileSystem {
+  val Scheme = "mockfs"
+  /** One-shot crash injection: destination-name substring to fail on. */
+  @volatile var failNextCopyMatching: String = _
+  val renameCount = new java.util.concurrent.atomic.AtomicLong()
+}
+
+/** FileContext adapter for the mockfs scheme (configured as
+  * `fs.AbstractFileSystem.mockfs.impl`); the store's no-clobber commit
+  * renames go through FileContext, which resolves AbstractFileSystem,
+  * not FileSystem. */
+class MockAbstractFs(uri: URI, conf: Configuration)
+  extends DelegateToFileSystem(uri, new MockObjectStoreFileSystem, conf,
+    MockObjectStoreFileSystem.Scheme, false)
