@@ -4,7 +4,8 @@ import java.io.{File, IOException}
 import java.net.URI
 import java.nio.file.{Files => NFiles, StandardCopyOption}
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{DelegateToFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{DelegateToFileSystem, FileStatus, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
 
 /** Test-only Hadoop FileSystem with OBJECT-STORE rename semantics, so the
   * store's remote route is exercised against the unfriendly case without
@@ -36,16 +37,48 @@ import org.apache.hadoop.fs.{DelegateToFileSystem, Path, RawLocalFileSystem}
   * on the test session (FileContext commit route).
   */
 class MockObjectStoreFileSystem extends RawLocalFileSystem {
-  private var myUri: URI = URI.create(MockObjectStoreFileSystem.Scheme + ":///")
 
   override def getScheme: String = MockObjectStoreFileSystem.Scheme
 
-  override def initialize(name: URI, conf: Configuration): Unit = {
-    super.initialize(name, conf)
-    myUri = URI.create(name.getScheme + ":///")
+  // NOT backed by a field: the RawLocalFileSystem super-constructor calls
+  // getUri() (via getInitialWorkingDirectory → makeQualified) before Scala
+  // field initializers run, and a null here makes Hadoop's ServiceLoader
+  // silently drop the provider ("No FileSystem for scheme mockfs").
+  override def getUri: URI = MockObjectStoreFileSystem.SchemeUri
+
+  // RawLocalFileSystem's DeprecatedRawLocalFileStatus loads permissions
+  // lazily via `new java.io.File(path.toUri)`, which rejects any URI whose
+  // scheme isn't "file". Build eager plain FileStatus objects instead
+  // (fixed permissions — an object store has no POSIX permission bits
+  // anyway, which makes this the more faithful mock).
+  private def statusFor(f: File, qualified: Path): FileStatus =
+    new FileStatus(
+      if (f.isDirectory) 0L else f.length(), f.isDirectory, 1,
+      getDefaultBlockSize(qualified), f.lastModified(), f.lastModified(),
+      if (f.isDirectory) MockObjectStoreFileSystem.DirPerm
+      else MockObjectStoreFileSystem.FilePerm,
+      System.getProperty("user.name"), System.getProperty("user.name"),
+      qualified)
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val file = pathToFile(f)
+    if (!file.exists())
+      throw new java.io.FileNotFoundException(s"mockfs: no such object $f")
+    statusFor(file, makeQualified(f))
   }
 
-  override def getUri: URI = myUri
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val file = pathToFile(f)
+    if (!file.exists())
+      throw new java.io.FileNotFoundException(s"mockfs: no such object $f")
+    if (file.isFile) Array(statusFor(file, makeQualified(f)))
+    else {
+      val kids = Option(file.listFiles()).getOrElse(
+        throw new IOException(s"mockfs: cannot list $f"))
+      kids.sortBy(_.getName)
+        .map(k => statusFor(k, makeQualified(new Path(f, k.getName))))
+    }
+  }
 
   override def rename(src: Path, dst: Path): Boolean = {
     val s = pathToFile(src)
@@ -90,6 +123,9 @@ class MockObjectStoreFileSystem extends RawLocalFileSystem {
 
 object MockObjectStoreFileSystem {
   val Scheme = "mockfs"
+  val SchemeUri: URI = URI.create(Scheme + ":///")
+  val FilePerm: FsPermission = FsPermission.valueOf("-rw-rw-rw-")
+  val DirPerm: FsPermission = FsPermission.valueOf("drwxrwxrwx")
   /** One-shot crash injection: destination-name substring to fail on. */
   @volatile var failNextCopyMatching: String = _
   val renameCount = new java.util.concurrent.atomic.AtomicLong()
