@@ -15,8 +15,9 @@ import org.apache.spark.sql.SparkSession
   *  - reps are INTERLEAVED: the whole suite runs as N passes, so a
   *    machine stall touches at most one rep of each affected query and
   *    the cross-pass median discards it;
-  *  - the median additionally rejects reps > 5× the per-query minimum
-  *    as stall artifacts (raw runs stay in the JSON for audit).
+  *  - the median additionally rejects reps > StallX× (default 3×) the
+  *    per-query minimum as stall artifacts (raw runs stay in the JSON
+  *    for audit).
   *
   * Two groups:
   *  - every SparkEntry query (array-fixture ingest is warmed first so
@@ -28,16 +29,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Stall-discard threshold, relative to the per-query minimum rep.
+    * Matches the spread-guard flag threshold (3×): the justification is
+    * the same — an unchanged query cannot legitimately swing 3× between
+    * passes of the same suite on the same data, so a rep over 3× the
+    * entry's own minimum is a machine stall, not the query. (Round 10
+    * kept these thresholds split — discard at 5×, flag at 3× — and two
+    * entries' records were set by contended reps at ~3.5× their min that
+    * the flag saw but the discard filter kept. A REAL regression raises
+    * the minimum too, so a uniformly-slower query is never masked.)
+    */
+  val StallX: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_STALLX", "3.0").toDouble
+
   /** Median over successful reps, after dropping stall artifacts: any rep
-    * more than 5× the per-query minimum is a machine stall, not the query
-    * (a pure column scan cannot legitimately swing 5× between passes of
-    * the same suite on the same data).
+    * more than [[StallX]]× the per-query minimum.
     */
   def median(xs: Seq[Double]): Double = {
     val ok = xs.filter(_ >= 0)
     if (ok.isEmpty) -1.0
     else {
-      val kept = ok.filter(_ <= 5.0 * ok.min)
+      val kept = ok.filter(_ <= StallX * ok.min)
       val s = kept.sorted
       s(s.length / 2) // upper median: pessimistic for even n
     }
@@ -105,17 +117,24 @@ object Bench {
     // per run). verifyCorpus=false in the timed body: the fingerprint
     // attestation is a once-per-batch pinning cost, not per-query — the
     // build entry already includes computing the fingerprint.
-    def ivfPass(queryReps: Int): Unit = {
+    // `record` gates which entries APPEND reps (the guard reruns must not
+    // add fresh post-hygiene reps to entries that were never flagged —
+    // that silently changes their medians); the build always executes
+    // because the query entry needs its index.
+    def ivfPass(queryReps: Int, record: String => Boolean = _ => true): Unit = {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val idx = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
-      runs("bench_ivf_build") = runs.getOrElse("bench_ivf_build", Vector.empty[Double]) :+ time {
-        graft.pipeline.Similarity.ivfBuild(emb, idx, nCentroids = 16) }
-      for (_ <- 0 until queryReps)
-        runs("bench_ivf_query") =
-          runs.getOrElse("bench_ivf_query", Vector.empty[Double]) :+ time {
-            graft.pipeline.Similarity
-              .ivfQuery(emb, idx, k = 5, nQueries = 20, verifyCorpus = false)
-              .write.format("noop").mode("overwrite").save() }
+      val buildT = time { graft.pipeline.Similarity.ivfBuild(emb, idx, nCentroids = 16) }
+      if (record("bench_ivf_build"))
+        runs("bench_ivf_build") =
+          runs.getOrElse("bench_ivf_build", Vector.empty[Double]) :+ buildT
+      if (record("bench_ivf_query"))
+        for (_ <- 0 until queryReps)
+          runs("bench_ivf_query") =
+            runs.getOrElse("bench_ivf_query", Vector.empty[Double]) :+ time {
+              graft.pipeline.Similarity
+                .ivfQuery(emb, idx, k = 5, nQueries = 20, verifyCorpus = false)
+                .write.format("noop").mode("overwrite").save() }
     }
     if (wanted("bench_ivf_build") || wanted("bench_ivf_query")) {
       ivfPass(reps)
@@ -202,6 +221,12 @@ object Bench {
     }
     val flaggedEntries =
       runs.keys.filter(n => contaminated(n) || noisy(n)).toSeq.sorted
+    // Audit trail (benchmark integrity): the guard is one-sided — it only
+    // reruns entries that look slow — so the full record keeps each
+    // flagged entry's PRE-guard median alongside the final one, letting an
+    // audit reconstruct what the unguarded record would have said.
+    val preGuardMedians: Map[String, Double] =
+      flaggedEntries.map(n => n -> median(runs(n))).toMap
     if (flaggedEntries.nonEmpty) {
       System.err.println(s"[bench] contamination guard: rerunning " +
         flaggedEntries.mkString(", "))
@@ -213,11 +238,16 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         }
       }
-      if (flaggedEntries.exists(_.startsWith("bench_ivf"))) ivfPass(rerunPasses)
+      if (flaggedEntries.exists(_.startsWith("bench_ivf")))
+        ivfPass(rerunPasses, record = flaggedEntries.contains)
       if (flaggedEntries.exists(ArrayBench.entryNames.contains)) {
         jvmHygiene()
-        ArrayBench.run(spark, rerunPasses, minWriteReps = 1).foreach { case (k, v) =>
-          runs(k) = runs.getOrElse(k, Vector.empty[Double]) ++ v }
+        // the array suite is interdependent (reads need the fresh write),
+        // so the whole suite EXECUTES, but only flagged entries RECORD
+        ArrayBench.run(spark, rerunPasses, minWriteReps = 1)
+          .filter { case (k, _) => flaggedEntries.contains(k) }
+          .foreach { case (k, v) =>
+            runs(k) = runs.getOrElse(k, Vector.empty[Double]) ++ v }
       }
     }
 
@@ -232,8 +262,10 @@ object Bench {
     // entries and overflowed the driver's bounded tail capture
     // ("parsed": null), so stdout must stay small and the audit trail
     // moves to disk.
+    val preGuard = preGuardMedians.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"reran":$reran,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"reps":$reps,"reran":$reran,"preGuardMedians":$preGuard,"stallX":$StallX,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_LOCAL_full.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullLine + "\n")
     catch { case e: Throwable =>

@@ -423,11 +423,15 @@ object Curation {
     * stream: a monotone rank-equivalent importance statistic (smoothed,
     * so buckets unseen in the target down-weight rather than −∞).
     *
-    * Scale shape: both hashed models are ONE map-side-combinable
-    * aggregation bounded at `buckets` rows regardless of corpus size; the
-    * bucket table broadcasts back onto the gram stream (grams never
-    * shuffle on the gram key), and the only real shuffle is the final
-    * doc_id aggregation. Selecting top-k is TakeOrdered, not a sort. */
+    * Scale shape: the tokenize + md5 gram stream — the CPU-dominant part —
+    * is materialized ONCE as per-(doc, bucket) counts (map-side combine
+    * bounds the shuffle at ≤ `buckets` rows per document regardless of
+    * document length); the bucket model is a second-stage aggregate of
+    * that compacted frame (≤ `buckets` rows total) and broadcasts back
+    * onto it, so no per-gram row ever shuffles or is computed twice.
+    * Selecting top-k is TakeOrdered, not a sort. (The previous shape
+    * recomputed the whole gram stream on both sides of the model join —
+    * two full tokenize+md5 passes over the corpus.) */
   def dsirTopDocs(docs: DataFrame, targetPred: Column,
       buckets: Int = 1024, topK: Int = 40): DataFrame = {
     val base = docs.filter(col("text").isNotNull)
@@ -438,13 +442,16 @@ object Curation {
       .withColumn("b",
         pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)))
-    val model = grams.groupBy("b").agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-    grams.join(broadcast(model), "b")
+    // is_target is constant per doc, so it groups through for free
+    val docBucket = grams.groupBy("doc_id", "is_target", "b")
+      .agg(count(lit(1)).as("cnt"))
+    val model = docBucket.groupBy("b").agg(
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("ct"),
+      sum(col("cnt")).as("cr"))
+    docBucket.join(broadcast(model), "b")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        expr("sum(((ct + 1) * 1000000L) div (cr + 1))").as("w_sum"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        expr("sum(cnt * (((ct + 1) * 1000000L) div (cr + 1)))").as("w_sum"))
       .withColumn("dsir_w", expr("w_sum div n_grams"))
       .select(col("doc_id"), col("n_grams"), col("dsir_w"))
       .orderBy(col("dsir_w").desc, col("doc_id"))

@@ -36,8 +36,8 @@ import scala.jdk.CollectionConverters._
   * both routes — atomic on the local FS and HDFS; on S3-class stores
   * rename is copy+delete and the commit-file pattern degrades to
   * small-window non-atomicity exactly as every parquet table format
-  * does there. [[FileSystem]] objects come from Hadoop's per-scheme
-  * cache — never closed here.
+  * does there. [[FileSystem]] objects come from a conf-keyed JVM-local
+  * cache (see [[fs]]) — never closed here.
   */
 private[graft] object StoreFs {
 
@@ -106,9 +106,38 @@ private[graft] object StoreFs {
     if (!hasScheme) NPaths.get(p) else null
   }
 
+  // Conf-faithful FileSystem resolution. Hadoop's global FileSystem.CACHE
+  // keys on (scheme, authority, UGI) and IGNORES conf contents, so
+  // `path.getFileSystem(conf)` returns whatever instance FIRST resolved
+  // that scheme in this JVM — on an executor that ran a scan task before
+  // a write factory installed the driver conf, that is a CREDENTIAL-LESS
+  // classpath-default instance, and staged writes fail auth even though
+  // [[installExecutorConf]] ran. Resolve through a JVM-local cache keyed
+  // by (conf identity, scheme, authority) via FileSystem.newInstance
+  // instead: the instance always matches the conf that asked for it, and
+  // a newly shipped conf (rotated credentials, replacement session) gets
+  // a fresh instance. Entries are never closed — they live for the JVM
+  // like Hadoop's own cached instances; growth is bounded by (sessions
+  // seen) × (schemes used), a handful in any real process. KNOWN LIMIT:
+  // parquet READS of store files go through Spark's scan machinery with
+  // its own Hadoop conf plumbing, not this resolver — on clusters where
+  // executors lack core-site credentials, reads rely on Spark shipping
+  // the session Hadoop conf to scan tasks (which vanilla Spark does via
+  // the broadcast task conf), not on this cache.
+  private val fsInstances =
+    new java.util.concurrent.ConcurrentHashMap[(Configuration, String, String), FileSystem]
+
   private def fs(p: String): (FileSystem, HPath) = {
     val hp = new HPath(p)
-    (hp.getFileSystem(conf), hp)
+    val c = conf
+    val uri = hp.toUri
+    // scheme-less relative HPaths can only arise on the nio route, which
+    // never reaches here; default scheme "file" guards the residual case
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    val auth = Option(uri.getAuthority).getOrElse("")
+    val f = fsInstances.computeIfAbsent((c, scheme, auth),
+      _ => FileSystem.newInstance(uri, c))
+    (f, hp)
   }
 
   /** Child path under `p` (single segment or a relative subpath). */
