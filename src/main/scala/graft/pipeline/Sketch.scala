@@ -191,16 +191,25 @@ object Sketch {
     * deterministic; a production caller passes its own terms. */
   def countMinEstimates(docs: DataFrame, width: Int = 1024, depth: Int = 4,
       qTerms: Int = 20, minLen: Int = 5): DataFrame = {
-    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+    // Aggregate the token stream to VOCAB counts first: the sketch is a
+    // weighted sum over distinct terms (Σ occurrences into a bucket =
+    // Σ per-term counts into that bucket), so the `depth` md5s run per
+    // DISTINCT term, not per token occurrence (~100× fewer on natural
+    // text), the tokenize pass runs once instead of three times (sketch /
+    // query-terms / exact sides all derive from the vocab frame and share
+    // its exchange), and the only corpus-sized shuffle is the map-side-
+    // combinable groupBy(term).
+    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("exact_cnt"))
     def bucket(j: Column, w: Column): Column =
       pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), w)), 1, 8),
         16, 10).cast("long"), lit(width.toLong))
     val depths = array((0 until depth).map(lit): _*)
-    val sketch = toks
-      .select(explode(depths).as("j"), col("w"))
-      .select(col("j"), bucket(col("j"), col("w")).as("bucket"))
-      .groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
-    val qt = toks.filter(length(col("w")) >= minLen).select("w").distinct()
+    val sketch = vocab
+      .select(explode(depths).as("j"), col("w"), col("exact_cnt"))
+      .select(col("j"), bucket(col("j"), col("w")).as("bucket"), col("exact_cnt"))
+      .groupBy("j", "bucket").agg(sum("exact_cnt").as("cnt"))
+    val qt = vocab.filter(length(col("w")) >= minLen).select("w")
       .orderBy("w").limit(qTerms)
     val est = qt.crossJoin(sketch.sparkSession.range(depth).toDF("qj"))
       .select(col("w"), col("qj"), bucket(col("qj"), col("w")).as("qbucket"))
@@ -208,8 +217,7 @@ object Sketch {
         "left")
       .groupBy(col("w").as("term"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
-    val exact = toks.groupBy(col("w").as("term"))
-      .agg(count(lit(1)).as("exact_cnt"))
-    est.join(exact, Seq("term")).orderBy("term")
+    est.join(vocab.select(col("w").as("term"), col("exact_cnt")), Seq("term"))
+      .orderBy("term")
   }
 }

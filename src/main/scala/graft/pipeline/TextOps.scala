@@ -595,12 +595,18 @@ object TextOps {
           s"transform(sequence(0, CAST(size(ts)/$segLen AS INT) - 1), " +
           s"i -> array_join(slice(ts, i*$segLen + 1, $segLen), ' ')) " +
           "ELSE array() END")).as("seg"))
-    val boiler = segs.distinct()
+    // per-(doc, segment) occurrence counts, built ONCE: the df side and
+    // the recount side both consume this frame, sharing its exchange
+    // (ReuseExchange), so the tokenize+segment pass — the CPU-dominant
+    // part — runs once instead of twice; the rows are already distinct
+    // (doc, seg) pairs, so df is a plain count
+    val segCnt = segs.groupBy("doc_id", "seg").agg(count(lit(1)).as("cnt"))
+    val boiler = segCnt
       .groupBy("seg").agg(count(lit(1)).as("df"))
       .filter(col("df") >= dfThreshold)
       .select("seg")
-    val perDoc = segs.join(boiler, Seq("seg"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    val perDoc = segCnt.join(boiler, Seq("seg"))
+      .groupBy("doc_id").agg(sum(col("cnt")).as("n_boiler"))
     toks.select(col("doc_id"),
         (size(col("ts")) / segLen).cast("long").as("n_seg"),
         size(col("ts")).cast("long").as("n_tokens"))
