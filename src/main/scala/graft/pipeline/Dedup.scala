@@ -135,11 +135,16 @@ object Dedup {
       maxBucketSize: Int = 32): DataFrame = {
     require(k == 8, "the fast signature path is fixed at k=8")
     val buckets = bandBuckets(docs)
-    val small = buckets.groupBy("band", "key")
-      .agg(count(lit(1)).as("bsz"))
+    // bucket-size cap as a COUNT OVER WINDOW on (band, key): the size
+    // filter then rides the SAME shuffle that clusters the self-join, so
+    // the signature pass — the expensive part — runs once. (The previous
+    // groupBy-then-join shape shuffled the bucket stream twice and
+    // re-fingerprinted the corpus under each exchange.)
+    val wBsz = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val kept = buckets
+      .withColumn("bsz", count(lit(1)).over(wBsz))
       .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
-      .select("band", "key")
-    val kept = buckets.join(small, Seq("band", "key"))
+      .select("band", "key", "doc_id")
     val l = kept.select(col("band"), col("key"), col("doc_id").as("a"))
     val r = kept.select(col("band"), col("key"), col("doc_id").as("b"))
     l.join(r, Seq("band", "key"))
@@ -186,10 +191,12 @@ object Dedup {
         TextOps.fingerprint(col("text")).as("fp"))
       .join(corpusFp, Seq("fp"), "left")
       .select(col("doc_id"), coalesce(col("hit"), lit(0L)).as("is_exact_dup"))
-    val cb = bandBuckets(corpus)
-    val capped = cb.groupBy("band", "key").agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= maxBucketSize).select("band", "key")
-    val corpusKept = cb.join(capped, Seq("band", "key"))
+    // same single-shuffle cap as minHashCandidatePairsUnordered: the
+    // corpus is fingerprinted once, not once per consumer
+    val wBsz = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val corpusKept = bandBuckets(corpus)
+      .withColumn("bsz", count(lit(1)).over(wBsz))
+      .filter(col("bsz") <= maxBucketSize)
       .select(col("band"), col("key"), col("doc_id").as("corpus_id"))
     val near = bandBuckets(batch)
       .join(corpusKept, Seq("band", "key"))
