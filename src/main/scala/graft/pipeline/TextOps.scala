@@ -305,31 +305,40 @@ object TextOps {
     * filtering machine-generated/spammy text): duplicate-token fraction,
     * duplicate-3-gram fraction, and the most frequent token's share.
     *
-    * Scale shape: the duplicate fractions are row-local array arithmetic
-    * (`array_distinct` is a linear hash pass; the 3-grams index into a
-    * MATERIALIZED token-array column — inlining the tokenizer into the
-    * lambda would re-split per position, the measured O(n²) pitfall).
-    * The top-token share deliberately does NOT scan distinct terms per
-    * row (O(distinct·tokens) per document): it rides one map-side-
-    * combinable groupBy(doc, term) + max — shuffle O(distinct (doc,
-    * term) pairs). All divisions are single exactly-rounded IEEE ops, so
-    * the fractions hash-match the DuckDB oracle. */
+    * Scale shape: EVERYTHING is row-local array arithmetic — one
+    * tokenize pass, zero shuffles (`array_distinct` is a linear hash
+    * pass; the 3-grams index into a MATERIALIZED token-array column —
+    * inlining the tokenizer into the lambda would re-split per position,
+    * the measured O(n²) pitfall; the top-token count is the max run
+    * length of the sorted token array, an O(n log n) per-row fold). All
+    * divisions are single exactly-rounded IEEE ops, so the fractions
+    * hash-match the DuckDB oracle. */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = col("toks")
     val tri = transform(slice(toks, lit(1), greatest(size(toks) - 2, lit(0))),
       (x, i) => concat_ws(" ", x, element_at(toks, i + 2), element_at(toks, i + 3)))
-    val local = docs
+    // top token count = max run length of the SORTED token array — a
+    // row-local O(n log n) fold, so the whole statistic set is one
+    // tokenize pass with NO shuffle and no join (the previous shape
+    // re-tokenized the corpus under an explode + two groupBys + join
+    // just for this one column)
+    val topCnt = expr(
+      """aggregate(array_sort(toks),
+        |  named_struct('prev', CAST(NULL AS STRING),
+        |               'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+        |  (a, x) -> named_struct('prev', x,
+        |    'run', IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)),
+        |    'best', GREATEST(a.best,
+        |      IF(a.prev <=> x, a.run + 1, CAST(1 AS BIGINT)))),
+        |  a -> a.best)""".stripMargin)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         greatest(size(toks) - 2, lit(0)).cast("long").as("n_tri"),
-        size(array_distinct(tri)).cast("long").as("n_tri_distinct"))
-    val top = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id").agg(max("cnt").as("top_cnt"))
-    local.join(top, Seq("doc_id"), "left")
+        size(array_distinct(tri)).cast("long").as("n_tri_distinct"),
+        topCnt.as("top_cnt"))
       .select(col("doc_id"), col("n_tokens"),
         round((col("n_tokens") - col("n_distinct")).cast("double") /
           greatest(col("n_tokens"), lit(1L)).cast("double"), 4).as("dup_token_frac"),

@@ -133,6 +133,72 @@ class MockFsSpec extends AnyFunSuite {
     assert(readAll(store, "dst", v1) == (0L until 10L).map(x => x -> (x + 1)).toMap)
   }
 
+  test("maintenance triad over mockfs: compact checkpoint reads back, " +
+      "expireHistory drops the pre-checkpoint manifests, and vacuum's " +
+      "multi-object adopt (copy+delete renames) reclaims the orphan blob") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("ds")
+    val v1 = writeVals(store, "ds", (1 to 10).map(_.toDouble))
+    val v2 = writeVals(store, "ds", Seq(99.0, 99.0, 99.0), at = 2L)
+    val want = readAll(store, "ds", v2)
+
+    // compact: the checkpoint's resolved read must equal the pre-compact
+    // read, and its commit is the same copy+delete manifest publish
+    val cp = store.compact("ds")
+    assert(cp > v2)
+    assert(readAll(store, "ds", cp) == want)
+
+    // expireHistory: v1+v2 manifests gone; travel to them errors loudly
+    assert(store.expireHistory("ds") == 2L)
+    assert(store.versions("ds").map(_._2) == Seq(cp))
+    assert(intercept[Exception](readAll(store, "ds", v1))
+      .getMessage.contains("no committed version"))
+
+    // vacuum: mark is a distributed left-semi join; sweep adopts the
+    // compacted generation via per-object copy+delete renames on mockfs.
+    // v1's overwritten [0,4) and [4,8) chunks lost their last reference.
+    val reclaimed = store.vacuum(graceMs = 0L)
+    assert(reclaimed >= 1L, s"expected >=1 reclaimed blob, got $reclaimed")
+    assert(readAll(store, "ds", cp) == want,
+      "post-vacuum read must be unchanged")
+  }
+
+  test("crash mid DML commit over mockfs: UPDATE fails loudly, the table " +
+      "and version list are unchanged, and a retry lands cleanly") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("ds")
+    val v1 = writeVals(store, "ds", (1 to 10).map(_.toDouble))
+    val cat = "mockcat" +
+      java.lang.Integer.toHexString(store.root.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.spark.source.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", store.root)
+
+    // staged fragments are .bin files; the FIRST .parquet copy of the
+    // query is the delta commit's chunk adopt — kill the publish there
+    MockObjectStoreFileSystem.failNextCopyMatching = ".parquet"
+    try {
+      intercept[Exception] {
+        spark.sql(s"UPDATE $cat.ds.v SET value = 7 WHERE x < 3")
+      }
+    } finally MockObjectStoreFileSystem.failNextCopyMatching = null
+
+    assert(store.versions("ds").map(_._2) == Seq(v1),
+      "a crashed DML commit must not leave a version")
+    assert(readAll(store, "ds", v1) == (0L until 10L).map(x => x -> (x + 1)).toMap)
+    // the aborted query's staging tree must not survive (commit cleanup)
+    val staging = graft.spark.StoreFs.child(
+      graft.spark.StoreFs.child(store.root, "ds"), "_delta_staging")
+    assert(!graft.spark.StoreFs.exists(staging) ||
+      graft.spark.StoreFs.list(staging).isEmpty,
+      "crashed DML left staged fragments behind")
+
+    // retry commits cleanly over the same mockfs route
+    spark.sql(s"UPDATE $cat.ds.v SET value = 7 WHERE x < 3")
+    val got = spark.sql(s"SELECT x, value FROM $cat.ds.v ORDER BY x")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 10L).map(x => (x, if (x < 3) 7L else x + 1)))
+  }
+
   test("SQL row-level UPDATE over mockfs: executor-side staged fragments " +
       "resolve the store FileSystem through the shipped driver conf") {
     val store = new SparkStore(spark, mockRoot())
