@@ -84,9 +84,14 @@ object Projection {
       .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
         x => when(col("ma") === 0.0, 0.0).otherwise(round(x * (lit(127.0) / col("ma"))))))
-    val signs = array((0 until outDim).map { d =>
-      array((0 until inDim).map(j => lit(sign(j, d).toDouble)): _*)
-    }: _*)
+    // ONE Literal node of ArrayType(ArrayType(Double)) — the previous
+    // `array(array(lit…))` form was 1 040 expression nodes the analyzer
+    // and optimizer re-walked on every execution (~0.3 s/run of pure
+    // plan-time); typedLit folds the whole matrix into a single constant.
+    // Same values, same fold order — bit-identical output.
+    val signs = typedLit((0 until outDim).map { d =>
+      (0 until inDim).map(j => sign(j, d).toDouble)
+    })
     q8.select(col("vec_id"),
       transform(signs, srow =>
         aggregate(zip_with(col("qv"), srow, (x, s) => x * s),

@@ -596,34 +596,41 @@ object TextOps {
     * document text itself is never shuffled. */
   def boilerplateStats(docs: DataFrame, segLen: Int = 3,
       dfThreshold: Int = 20): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+    // ONE tokenize pass over the corpus: per-doc token counts ride the
+    // segment stream itself (explode_outer keeps segment-less docs as a
+    // null-seg row), so neither the final report nor the df table needs
+    // a second scan of the text.
     // sequence(0, -1) would generate a DESCENDING range, so a document
     // shorter than segLen must short-circuit to zero segments explicitly
-    val segs = toks.select(col("doc_id"),
-        explode(expr(s"CASE WHEN size(ts) >= $segLen THEN " +
+    val stream = docs
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("nt"),
+        explode_outer(expr(s"CASE WHEN size(ts) >= $segLen THEN " +
           s"transform(sequence(0, CAST(size(ts)/$segLen AS INT) - 1), " +
           s"i -> array_join(slice(ts, i*$segLen + 1, $segLen), ' ')) " +
           "ELSE array() END")).as("seg"))
     // per-(doc, segment) occurrence counts, built ONCE: the df side and
-    // the recount side both consume this frame, sharing its exchange
+    // the per-doc report both consume this frame, sharing its exchange
     // (ReuseExchange), so the tokenize+segment pass — the CPU-dominant
-    // part — runs once instead of twice; the rows are already distinct
-    // (doc, seg) pairs, so df is a plain count
-    val segCnt = segs.groupBy("doc_id", "seg").agg(count(lit(1)).as("cnt"))
+    // part — runs once; rows are distinct (doc, seg) pairs, so df is a
+    // plain count (the null-seg rows group by doc and never match a
+    // boiler segment, keeping empty/short docs in the report with 0)
+    val segCnt = stream.groupBy("doc_id", "seg")
+      .agg(count(col("seg")).as("cnt"), max(col("nt")).as("nt"))
     val boiler = segCnt
+      .filter(col("seg").isNotNull)
       .groupBy("seg").agg(count(lit(1)).as("df"))
       .filter(col("df") >= dfThreshold)
-      .select("seg")
-    val perDoc = segCnt.join(boiler, Seq("seg"))
-      .groupBy("doc_id").agg(sum(col("cnt")).as("n_boiler"))
-    toks.select(col("doc_id"),
-        (size(col("ts")) / segLen).cast("long").as("n_seg"),
-        size(col("ts")).cast("long").as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_seg"),
-        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        (col("n_tokens") - lit(segLen.toLong) *
-          coalesce(col("n_boiler"), lit(0L))).as("n_tokens_clean"))
+      .select(col("seg"), lit(true).as("is_boiler"))
+    segCnt.join(boiler, Seq("seg"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("nt")).as("n_tokens"),
+        sum(when(col("is_boiler"), col("cnt")).otherwise(lit(0L))).as("n_boiler"))
+      .select(col("doc_id"),
+        (col("n_tokens") / segLen).cast("long").as("n_seg"),
+        col("n_boiler"),
+        (col("n_tokens") - lit(segLen.toLong) * col("n_boiler"))
+          .as("n_tokens_clean"))
       .orderBy("doc_id")
   }
 
