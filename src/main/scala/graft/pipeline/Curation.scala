@@ -439,9 +439,15 @@ object Curation {
         TextOps.tokens(col("text")).as("t"))
     val grams = base.select(col("doc_id"), col("is_target"),
         explode(TextOps.bigramsOf(col("t"))).as("g"))
+      // coalesce carries a PROVABLY-NON-NULL bucket id downstream: `conv`
+      // is always-nullable in Catalyst (whatever its input), so without it
+      // the inner join on `b` infers IsNotNull(b), and pushing that filter
+      // through this projection substitutes — and re-evaluates — the whole
+      // md5→conv→pmod chain once more per gram (~20% of the query). The
+      // branch itself never fires: md5 hex is always valid conv input.
       .withColumn("b",
-        pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
-          lit(buckets.toLong)))
+        coalesce(pmod(conv(substring(md5(col("g")), 1, 8), 16, 10)
+          .cast("long"), lit(buckets.toLong)), lit(0L)))
     // is_target is constant per doc, so it groups through for free
     val docBucket = grams.groupBy("doc_id", "is_target", "b")
       .agg(count(lit(1)).as("cnt"))

@@ -201,9 +201,14 @@ object Sketch {
     // combinable groupBy(term).
     val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+    // coalesce marks the bucket PROVABLY NON-NULL (`conv` is always-
+    // nullable in Catalyst): without it the bucket join infers
+    // IsNotNull(bucket) on the sketch side and pushes it through the
+    // projection by substitution, running the per-term md5 chain twice.
+    // The fallback never fires — md5 hex is always valid conv input.
     def bucket(j: Column, w: Column): Column =
-      pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), w)), 1, 8),
-        16, 10).cast("long"), lit(width.toLong))
+      coalesce(pmod(conv(substring(md5(concat(j.cast("string"), lit(":"), w)),
+        1, 8), 16, 10).cast("long"), lit(width.toLong)), lit(0L))
     val depths = array((0 until depth).map(lit): _*)
     val sketch = vocab
       .select(explode(depths).as("j"), col("w"), col("exact_cnt"))

@@ -357,8 +357,16 @@ object TextOps {
     * bigram, turning the pairing O(tokens²) per doc (measured 5.3 s →
     * 0.6 s at sf0.1 when the tokens ride a materialized projection). */
   def bigramsOf(toks: Column): Column =
+    // concat_ws, not concat: concat is null-propagating, so the grams —
+    // and every hash/bucket derived from them — carry `nullable = true`
+    // downstream, and an inner join on the bucket then infers an
+    // IsNotNull filter that Catalyst pushes through the projection by
+    // SUBSTITUTION, evaluating the whole md5→conv→pmod chain twice per
+    // gram (measured: the duplicated filter was ~30% of q_pipe_dsir).
+    // concat_ws never returns null, so the inference never fires. The
+    // values are identical: both operands are non-null within bounds.
     transform(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      (x, i) => concat(x, lit(" "), element_at(toks, i + 2)))
+      (x, i) => concat_ws(" ", x, element_at(toks, i + 2)))
 
   /** Token bigrams straight from text — convenience for single-doc use;
     * pipelines should project `tokens(text)` first and use `bigramsOf`. */

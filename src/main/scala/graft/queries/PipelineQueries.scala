@@ -519,9 +519,14 @@ object PipelineQueries {
     // posexploded to (vec_id, d, p) scalar rows for the gate — the
     // driver's pandas oracle cannot hash array-typed columns
     "q_pipe_rproj" -> ((s, dir) => {
+      // posexplode_OUTER: the non-outer form triggers
+      // InferFiltersFromGenerate, whose size(proj)>0 filter pushes through
+      // the projection by substitution and re-evaluates the whole
+      // sign-matrix fold in the filter; proj always has outDim elements,
+      // so outer is row-identical and skips the inference.
       Projection.projectQ8(emb(s, dir))
         .filter(col("vec_id") < 40)
-        .select(col("vec_id"), posexplode(col("proj")).as(Seq("d", "p")))
+        .select(col("vec_id"), posexplode_outer(col("proj")).as(Seq("d", "p")))
         .orderBy("vec_id", "d")
     }),
     // integer-exact Gram accumulator over the q8 corpus (the one-pass
@@ -539,14 +544,23 @@ object PipelineQueries {
     // materialized token array (no positions self-join — at corpus scale
     // the only shuffle is the final pair count), top-50 by count
     "q_pipe_pairs" -> ((s, dir) => {
+      // Both generates are the OUTER form + a cheap null filter on the
+      // GENERATED attribute: the non-outer form triggers
+      // InferFiltersFromGenerate, whose size(..)>0 ∧ isnotnull(..)
+      // conjuncts push through the projection by substitution and
+      // re-evaluate the tokenize chain once per conjunct (3 tokenize
+      // passes total; filter conjuncts don't share subexpressions in
+      // codegen). Row-identical: an empty/short array emits one all-null
+      // row under outer, which the explicit filter drops.
       val toks = docs(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ts"))
-      toks.select(col("ts"), posexplode(col("ts")).as(Seq("i", "center")))
-        .select(col("center"), explode(expr(
+      toks.select(col("ts"), posexplode_outer(col("ts")).as(Seq("i", "center")))
+        .select(col("center"), explode_outer(expr(
           "filter(transform(sequence(-2, 2), o -> " +
             "CASE WHEN o != 0 AND i + o >= 0 AND i + o < size(ts) " +
             "THEN ts[CAST(i + o AS INT)] END), x -> x IS NOT NULL)"))
           .as("context"))
+        .filter(col("context").isNotNull)
         .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("center"), col("context"))
         .limit(50)
