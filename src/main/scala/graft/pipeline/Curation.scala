@@ -307,9 +307,14 @@ object Curation {
     * retries, and input order: every quantity is a pure function of
     * doc_id. Output: (doc_id, pos), pos ∈ [0, N). */
   def deterministicShuffle(docs: DataFrame): DataFrame = {
+    // coalesce: both columns are join/partition keys downstream, and a
+    // nullable key makes the inner join infer IsNotNull and re-run the
+    // md5/conv chain inside three pushed filters (conv is always-nullable
+    // in Catalyst). Neither fallback can fire on a non-null doc_id.
     val hashed = docs.select(col("doc_id").cast("long").as("doc_id"))
-      .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+      .withColumn("h", coalesce(md5(col("doc_id").cast("string")), lit("")))
+      .withColumn("bucket",
+        coalesce(conv(substring(col("h"), 1, 2), 16, 10).cast("long"), lit(0L)))
     val win = Window.partitionBy("bucket").orderBy("h", "doc_id")
     val within = hashed.withColumn("rk", row_number().over(win).cast("long"))
     val btot = hashed.groupBy("bucket").agg(count(lit(1)).as("btot"))

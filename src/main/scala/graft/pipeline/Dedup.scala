@@ -183,8 +183,14 @@ object Dedup {
     * n_near_corpus = distinct corpus docs sharing ≥ 1 band bucket). */
   def dedupeNewBatch(corpus: DataFrame, batch: DataFrame,
       maxBucketSize: Int = 32): DataFrame = {
+    // coalesce on the CORPUS side only: as the right side of the left
+    // join it gets an inferred IsNotNull(fp) that substitution turns into
+    // a second regexp+md5 pass over the whole corpus. Join-identical: ""
+    // never equals an md5 hex or a null batch fp, so null-text corpus
+    // rows still match nothing (md5("") is a 32-char hex, not "").
     val corpusFp = corpus
-      .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+      .select(coalesce(TextOps.fingerprint(col("text")), lit("")).as("fp"))
+      .distinct()
       .withColumn("hit", lit(1L))
     val exact = batch
       .select(col("doc_id").cast("long").as("doc_id"),

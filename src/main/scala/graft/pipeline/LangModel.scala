@@ -32,15 +32,27 @@ object LangModel {
       limit: Int = 25): DataFrame = {
     val base = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("t"))
-    val uni = base.select(explode(col("t")).as("w"))
+    // OUTER generates + a null filter on the generated attribute: the
+    // non-outer form triggers InferFiltersFromGenerate, whose size>0 and
+    // isnotnull conjuncts push through `base`'s projection by
+    // substitution and re-run the tokenize chain once per conjunct
+    // (three passes per side). Row-identical: only an empty token array
+    // emits the one all-null row the filter drops.
+    val uni = base.select(explode_outer(col("t")).as("w"))
+      .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val bgAll = base.select(col("doc_id"), col("lang"),
-      explode(TextOps.bigramsOf(col("t"))).as("bigram"))
+      explode_outer(TextOps.bigramsOf(col("t"))).as("bigram"))
+      .filter(col("bigram").isNotNull)
     val bi = bgAll.groupBy("bigram").agg(count(lit(1)).as("c2"))
     bgAll.filter(col("doc_id") < scoreDocIdBelow)
       .join(bi, "bigram") // trained on a superset of the scored docs → inner join keeps every bigram
-      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      // coalesce: element_at is always-nullable, and the join on w1 would
+      // infer IsNotNull(w1) and re-split per row; never fires (bigram is
+      // non-null and split yields >= 1 element)
+      .withColumn("w1",
+        coalesce(element_at(split(col("bigram"), " "), 1), lit("")))
       .join(uni, col("w1") === uni("w"))
       .crossJoin(broadcast(vocab))
       .withColumn("inv", expr("((c1 + v) * 1000000L) div (c2 + 1)"))

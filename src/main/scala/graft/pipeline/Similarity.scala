@@ -30,8 +30,14 @@ object Similarity {
     // session's lifetime (and measured no win at bench scale). Callers
     // who reuse one embedding table across many ANN queries should cache
     // it themselves.
+    // coalesce marks nrm PROVABLY NON-NULL: downstream `cos >= τ` filters
+    // propagate IsNotNull through this projection by SUBSTITUTION, so a
+    // nullable nrm re-evaluates the whole transform+dot+sqrt chain inside
+    // the pushed filter, doubling the per-row norm cost. The fallback
+    // never changes results: a null embedding made cos null (row dropped)
+    // and a 0.0 norm makes the division null (row dropped the same way).
     emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(d(col("v"), col("v"))))
+      .withColumn("nrm", coalesce(sqrt(d(col("v"), col("v"))), lit(0.0)))
   }
 
   /** Exact top-k cosine neighbors for an explicit query-id set — same
