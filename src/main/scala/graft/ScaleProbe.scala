@@ -47,7 +47,11 @@ object ScaleProbe {
 
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val nDocs = docs0.count(); val nVecs = emb0.count()
+    // replica id stride = max(id)+1, NOT count(): sparse or non-zero-based
+    // ids under a count() stride would collide across replicas, letting
+    // dedup collapse replicas and understate scaling
+    val docStride = docs0.agg(max("doc_id")).head.getLong(0) + 1L
+    val vecStride = emb0.agg(max("vec_id")).head.getLong(0) + 1L
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     for (sc <- scales) {
@@ -55,13 +59,13 @@ object ScaleProbe {
       // shingle stream shifts so MinHash fingerprints differ per replica;
       // embeddings get a tiny per-replica rotation on one coordinate)
       val docs = (0 until sc).map { r =>
-        docs0.withColumn("doc_id", col("doc_id") + lit(r.toLong * nDocs))
+        docs0.withColumn("doc_id", col("doc_id") + lit(r.toLong * docStride))
           .withColumn("text",
             when(col("text").isNotNull, concat(lit(s"r$r "), col("text"))))
       }.reduce(_ unionAll _)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val emb = (0 until sc).map { r =>
-        emb0.withColumn("vec_id", col("vec_id") + lit(r.toLong * nVecs))
+        emb0.withColumn("vec_id", col("vec_id") + lit(r.toLong * vecStride))
           .withColumn("embedding",
             transform(col("embedding"), (x, i) =>
               when(i === 0, x + lit(r * 0.001f)).otherwise(x)))

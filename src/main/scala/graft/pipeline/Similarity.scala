@@ -34,8 +34,11 @@ object Similarity {
     // propagate IsNotNull through this projection by SUBSTITUTION, so a
     // nullable nrm re-evaluates the whole transform+dot+sqrt chain inside
     // the pushed filter, doubling the per-row norm cost. The fallback
-    // never changes results: a null embedding made cos null (row dropped)
-    // and a 0.0 norm makes the division null (row dropped the same way).
+    // never changes results: a null embedding nulls the dot-product
+    // NUMERATOR, so cos is null (row dropped) regardless of what the
+    // denominator does — the 0.0 stands in only for that already-null
+    // case (Spark double division by zero yields NaN/Infinity, not null;
+    // it is the null numerator that drops the row, never the division).
     emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm", coalesce(sqrt(d(col("v"), col("v"))), lit(0.0)))
   }

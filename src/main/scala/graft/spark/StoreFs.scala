@@ -56,40 +56,79 @@ private[graft] object StoreFs {
   // else a cached classpath default — kept in a separate field so a
   // later driver session still upgrades `conf`.
   @volatile private var cachedConf
-      : (org.apache.spark.sql.SparkSession, Configuration) = _
-  @volatile private var defaultConf: Configuration = _
-  def conf: Configuration =
+      : (org.apache.spark.sql.SparkSession, Configuration, String) = _
+  @volatile private var defaultConf: (Configuration, String) = _
+
+  /** Content fingerprint of a Configuration (sorted key=value SHA-1).
+    * Computed ONCE per conf object — at session-conf refresh, driver
+    * capture, or classpath-default init — never per metadata call, and
+    * shipped precomputed inside [[SerializableHadoopConf]] so executor
+    * tasks never iterate the conf at all. */
+  private[graft] def fingerprint(c: Configuration): String = {
+    val sb = new java.lang.StringBuilder(1 << 15)
+    val it = c.iterator()
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); entries += ((e.getKey, e.getValue)) }
+    entries.sortInPlace()
+    entries.foreach { case (k, v) =>
+      sb.append(k).append('=').append(v).append('\n') }
+    graft.core.Sha1.hex(sb.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Active conf plus its content fingerprint (the FS-cache key). */
+  private[graft] def confFp: (Configuration, String) =
     org.apache.spark.sql.SparkSession.getActiveSession match {
       case Some(s) =>
         val c = cachedConf
-        if (c != null && (c._1 eq s)) c._2
+        if (c != null && (c._1 eq s)) (c._2, c._3)
         else {
           val n = s.sessionState.newHadoopConf()
-          cachedConf = (s, n)
-          n
+          val fp = fingerprint(n)
+          cachedConf = (s, n, fp)
+          (n, fp)
         }
       case None =>
         val d = defaultConf
         if (d != null) d
-        else { val n = new Configuration(); defaultConf = n; n }
+        else {
+          val n = new Configuration()
+          val p = (n, fingerprint(n))
+          defaultConf = p
+          p
+        }
     }
 
+  def conf: Configuration = confFp._1
+
   /** Driver-side capture of the active session's resolved Hadoop conf
-    * for shipping to executors inside a serialized write factory. The
-    * standard Spark deployment supplies Hadoop settings (s3a
-    * credentials/endpoint) via spark.hadoop.* on the DRIVER session —
-    * executor classpath defaults don't have them, so executor-side
-    * staged writes against a remote root would fail auth without this. */
-  def captureConf(): SerializableHadoopConf = new SerializableHadoopConf(conf)
+    * for shipping to executors inside a serialized write factory or scan
+    * reader factory. The standard Spark deployment supplies Hadoop
+    * settings (s3a credentials/endpoint) via spark.hadoop.* on the
+    * DRIVER session — executor classpath defaults don't have them, so
+    * executor-side store I/O against a remote root would fail auth
+    * without this. */
+  def captureConf(): SerializableHadoopConf = {
+    val (c, fp) = confFp
+    new SerializableHadoopConf(c, fp)
+  }
 
   /** Executor-side install of a shipped driver conf as this JVM's
-    * no-active-session default. Idempotent and last-writer-wins — every
-    * shipped conf comes from a driver session resolving the same store,
-    * so any of them is correct. A live thread-local session (driver, or
-    * local-mode task threads that set one) still takes precedence via
-    * the `conf` session branch. */
-  def installExecutorConf(c: Configuration): Unit =
-    if (c != null) defaultConf = c
+    * no-active-session default. Content-deduped: every task deserializes
+    * its OWN Configuration copy, so installing by identity would churn
+    * the conf-keyed FileSystem cache one instance per task (unbounded
+    * s3a connection-pool growth on long-lived executors). A shipped conf
+    * whose fingerprint matches the installed one is dropped — the
+    * installed object stays identity-stable and [[fs]] keeps reusing its
+    * FileSystems. Last-writer-wins across GENUINELY different contents
+    * (rotated credentials). A live thread-local session still takes
+    * precedence via the `confFp` session branch. */
+  def installExecutorConf(shipped: SerializableHadoopConf): Unit =
+    if (shipped != null && shipped.value != null) {
+      val d = defaultConf
+      if (d == null || d._2 != shipped.fp)
+        defaultConf = (shipped.value, shipped.fp)
+    }
 
   /** The nio fast path applies ONLY to scheme-less paths: an explicit
     * `file://` is a request for the Hadoop route (that's what makes the
@@ -113,29 +152,33 @@ private[graft] object StoreFs {
   // a write factory installed the driver conf, that is a CREDENTIAL-LESS
   // classpath-default instance, and staged writes fail auth even though
   // [[installExecutorConf]] ran. Resolve through a JVM-local cache keyed
-  // by (conf identity, scheme, authority) via FileSystem.newInstance
-  // instead: the instance always matches the conf that asked for it, and
-  // a newly shipped conf (rotated credentials, replacement session) gets
-  // a fresh instance. Entries are never closed — they live for the JVM
-  // like Hadoop's own cached instances; growth is bounded by (sessions
-  // seen) × (schemes used), a handful in any real process. KNOWN LIMIT:
-  // parquet READS of store files go through Spark's scan machinery with
-  // its own Hadoop conf plumbing, not this resolver — on clusters where
-  // executors lack core-site credentials, reads rely on Spark shipping
-  // the session Hadoop conf to scan tasks (which vanilla Spark does via
-  // the broadcast task conf), not on this cache.
+  // by (conf CONTENT fingerprint, scheme, authority) via
+  // FileSystem.newInstance instead: the instance always matches the conf
+  // contents that asked for it, and a genuinely different conf (rotated
+  // credentials, replacement session) gets a fresh instance. Content
+  // keying (not identity) is what bounds the cache: every write/read
+  // task deserializes its OWN Configuration copy, and identity keying
+  // would mint one never-closed FileSystem (s3a connection pools) per
+  // task on a long-lived executor. Entries are never closed — they live
+  // for the JVM like Hadoop's own cached instances; growth is bounded by
+  // (distinct conf CONTENTS seen) × (schemes used), a handful in any
+  // real process. Scan-manifest/chunk parquet READS resolve their
+  // FileSystem via parquet-mr's path.getFileSystem(conf) with the conf
+  // from [[conf]] (the shipped driver conf on executors) — the global
+  // Hadoop cache they hit is seeded by the FIRST resolution, which under
+  // the factory-install ordering always carries the driver settings.
   private val fsInstances =
-    new java.util.concurrent.ConcurrentHashMap[(Configuration, String, String), FileSystem]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), FileSystem]
 
   private def fs(p: String): (FileSystem, HPath) = {
     val hp = new HPath(p)
-    val c = conf
+    val (c, fp) = confFp
     val uri = hp.toUri
     // scheme-less relative HPaths can only arise on the nio route, which
     // never reaches here; default scheme "file" guards the residual case
     val scheme = Option(uri.getScheme).getOrElse("file")
     val auth = Option(uri.getAuthority).getOrElse("")
-    val f = fsInstances.computeIfAbsent((c, scheme, auth),
+    val f = fsInstances.computeIfAbsent((fp, scheme, auth),
       _ => FileSystem.newInstance(uri, c))
     (f, hp)
   }
@@ -421,13 +464,16 @@ private[graft] object StoreFs {
 }
 
 /** Java-serializable carrier for a Hadoop [[Configuration]] (which is
-  * itself Writable but not Serializable). Shipped inside DSv2 write
-  * factories so executor-side [[StoreFs]] calls resolve FileSystems with
-  * the DRIVER session's spark.hadoop.* settings instead of executor
-  * classpath defaults. Same shape as Spark's internal
+  * itself Writable but not Serializable) plus its content fingerprint,
+  * computed ONCE on the driver so executor installs can dedupe by
+  * content without ever iterating the conf. Shipped inside DSv2 write
+  * AND scan factories so executor-side [[StoreFs]] calls resolve
+  * FileSystems with the DRIVER session's spark.hadoop.* settings instead
+  * of executor classpath defaults. Same shape as Spark's internal
   * SerializableConfiguration (not used directly: private[spark]). */
 private[graft] final class SerializableHadoopConf(
-    @transient var value: Configuration) extends Serializable {
+    @transient var value: Configuration, val fp: String) extends Serializable {
+  def this(value: Configuration) = this(value, StoreFs.fingerprint(value))
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()
     value.write(out)

@@ -155,8 +155,15 @@ private[source] case object GraftEmptyAggPartition extends InputPartition
 
 private[source] class GraftAggReaderFactory(metaJson: String, variable: String,
     request: Slice, spec: GraftAgg.AggSpec) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+  // constructed on the DRIVER (createReaderFactory), so capture the
+  // session's resolved Hadoop conf here and install it before any
+  // executor-side manifest/blob parquet read — same conf-faithfulness
+  // contract as the staged-write factory (GraftDeltaWriterFactory)
+  private val hconf = graft.spark.StoreFs.captureConf()
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    graft.spark.StoreFs.installExecutorConf(hconf)
     new GraftAggPartitionReader(p, metaJson, variable, request, spec)
+  }
 }
 
 /** Aggregate rows per input partition: ONE partial row in global mode;

@@ -1253,14 +1253,26 @@ private[source] object GraftScan {
 private[source] class GraftReaderFactory(metaJson: String, variable: String,
     request: Slice, requiredFields: Array[String],
     valueFilters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+  // constructed on the DRIVER (createReaderFactory), so capture the
+  // session's resolved Hadoop conf here; createReader installs it on the
+  // executor BEFORE any manifest/blob parquet read, so those reads
+  // resolve the store FileSystem with the driver's spark.hadoop.*
+  // settings (s3a credentials/endpoint) instead of executor classpath
+  // defaults — the read-side half of the staged-write factory's
+  // conf-faithfulness contract (GraftDeltaWriterFactory)
+  private val hconf = graft.spark.StoreFs.captureConf()
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    graft.spark.StoreFs.installExecutorConf(hconf)
     new GraftPartitionReader(p, metaJson, variable, request, requiredFields,
       valueFilters)
+  }
   override def supportColumnarReads(p: InputPartition): Boolean = true
   override def createColumnarReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    graft.spark.StoreFs.installExecutorConf(hconf)
     new GraftColumnarReader(p, metaJson, variable, request, requiredFields,
       valueFilters)
+  }
 }
 
 /** Shared per-partition cursor: resolves this partition's (coord, hash)
@@ -1579,7 +1591,10 @@ private[source] object ScanManifestReader {
 
   def read(files: Array[String]): java.util.HashMap[java.lang.Long, String] = {
     val out = new java.util.HashMap[java.lang.Long, String]()
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // the installed driver conf (shipped via the reader factory), NOT a
+    // classpath default: manifest files live under the store root, whose
+    // scheme may need driver-session spark.hadoop.* settings to resolve
+    val conf = ChunkBlobReader.sharedConf
     files.foreach { f =>
       val reader = ParquetReader
         .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
@@ -1598,7 +1613,7 @@ private[source] object ScanManifestReader {
   /** Fill-manifest variant: linear ids only. */
   def readLinears(files: Array[String]): java.util.HashSet[Long] = {
     val out = new java.util.HashSet[Long]()
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = ChunkBlobReader.sharedConf
     files.foreach { f =>
       val reader = ParquetReader
         .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(f))
@@ -1727,18 +1742,32 @@ private[spark] object ChunkBlobReader {
     blobCacheBytes.set(0L)
   }
 
-  // shared Configurations — construction parses classpath XML (~10+ ms),
-  // far too expensive per read() call. Both are effectively read-only.
-  private lazy val scanConf = new org.apache.hadoop.conf.Configuration()
-  private[spark] def sharedConf: org.apache.hadoop.conf.Configuration = scanConf
+  // Configurations follow StoreFs.conf — on the driver the session's
+  // resolved Hadoop conf, on executors the driver conf the reader/writer
+  // factory installed (conf-faithful remote reads), classpath defaults
+  // only when neither exists. The harvest variant (see below) is DERIVED
+  // per base conf and cached by base-conf identity: StoreFs.conf returns
+  // an identity-stable object per session / installed conf, so the copy
+  // happens once per conf generation, not per read() call.
+  private[spark] def sharedConf: org.apache.hadoop.conf.Configuration =
+    graft.spark.StoreFs.conf
+  @volatile private var harvestCache
+      : (org.apache.hadoop.conf.Configuration,
+         org.apache.hadoop.conf.Configuration) = _
   // harvest mode: the predicate prunes ROW GROUPS only; record-level and
   // page-level (column index) filtering are off, so the row-group scan
   // returns sibling rows for the blob cache
-  private lazy val harvestConf = {
-    val c = new org.apache.hadoop.conf.Configuration()
-    c.setBoolean("parquet.filter.record-level.enabled", false)
-    c.setBoolean("parquet.filter.columnindex.enabled", false)
-    c
+  private def harvestConf: org.apache.hadoop.conf.Configuration = {
+    val base = graft.spark.StoreFs.conf
+    val hit = harvestCache
+    if (hit != null && (hit._1 eq base)) hit._2
+    else {
+      val c = new org.apache.hadoop.conf.Configuration(base)
+      c.setBoolean("parquet.filter.record-level.enabled", false)
+      c.setBoolean("parquet.filter.columnindex.enabled", false)
+      harvestCache = (base, c)
+      c
+    }
   }
 
   /** Per-JVM decode-work counters — the observable the pruning contract
@@ -1773,7 +1802,7 @@ private[spark] object ChunkBlobReader {
     }
     val missing = wanted diff out.keySet
     if (missing.isEmpty) return out.toMap
-    val conf = if (useCache && harvest) harvestConf else scanConf
+    val conf = if (useCache && harvest) harvestConf else sharedConf
     val sorted = missing.toArray.sorted
     val pred: FilterPredicate =
       if (sorted.length <= OrTreeLimit) balancedOr(sorted, 0, sorted.length)
@@ -1783,7 +1812,7 @@ private[spark] object ChunkBlobReader {
     // prune to files whose footer hash range overlaps the wanted span
     val (wLo, wHi) = (sorted.head, sorted.last)
     val candidates = files.filter { f =>
-      val (mn, mx) = fileHashRange(f, scanConf)
+      val (mn, mx) = fileHashRange(f, sharedConf)
       wHi >= mn && wLo <= mx
     }
     candidates.foreach { f =>

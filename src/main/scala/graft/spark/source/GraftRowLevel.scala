@@ -186,7 +186,7 @@ private[source] final case class GraftDeltaWriterFactory(
     // (s3a credentials/endpoint) instead of executor classpath defaults
     hconf: graft.spark.SerializableHadoopConf) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
-    graft.spark.StoreFs.installExecutorConf(hconf.value)
+    graft.spark.StoreFs.installExecutorConf(hconf)
     new GraftDeltaWriter(this, partitionId, taskId)
   }
 }

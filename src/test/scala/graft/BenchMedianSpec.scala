@@ -7,33 +7,35 @@ import org.scalatest.funsuite.AnyFunSuite
   * round 10's record kept two entries over the 2× bar because contended
   * reps at ~3.5× the per-entry minimum slipped under the then-5× discard
   * threshold while the 3× spread guard flagged them. The discard and
-  * flag thresholds are now the same 3× (Bench.StallX). */
+  * flag thresholds are now the same 3× (Bench.StallX; the spec pins stallX=3.0 explicitly so a
+  * SPARK_GRAFT_BENCH_STALLX set in the test environment cannot flip the
+  * expected medians). */
 class BenchMedianSpec extends AnyFunSuite {
 
   test("median ignores failed reps (-1) and is upper-median for even n") {
-    assert(Bench.median(Seq(-1.0, 2.0, 1.0)) == 2.0)
-    assert(Bench.median(Seq(1.0, 2.0)) == 2.0) // upper: pessimistic
-    assert(Bench.median(Seq(-1.0)) == -1.0)
-    assert(Bench.median(Nil) == -1.0)
+    assert(Bench.median(Seq(-1.0, 2.0, 1.0), 3.0) == 2.0)
+    assert(Bench.median(Seq(1.0, 2.0), 3.0) == 2.0) // upper: pessimistic
+    assert(Bench.median(Seq(-1.0), 3.0) == -1.0)
+    assert(Bench.median(Nil, 3.0) == -1.0)
   }
 
   test("reps over StallX x the minimum are discarded as machine stalls") {
     // round-10 failure shape: 3 of 5 reps contended at ~3.5x min — the
     // old 5x threshold kept them and they set the median
     val contended = Seq(0.69, 0.88, 0.69, 0.25, 0.19)
-    assert(Bench.median(contended) == 0.25)
+    assert(Bench.median(contended, 3.0) == 0.25)
     // a clean cluster with one huge stall: stall dropped, median clean
-    assert(Bench.median(Seq(1.0, 1.1, 14.7)) == 1.1)
+    assert(Bench.median(Seq(1.0, 1.1, 14.7), 3.0) == 1.1)
   }
 
   test("a real regression (uniformly slow reps) is never masked") {
     // all reps slow together => min rises => nothing is discarded
     val regressed = Seq(4.0, 4.2, 4.1)
-    assert(Bench.median(regressed) == 4.1)
+    assert(Bench.median(regressed, 3.0) == 4.1)
   }
 
   test("first-rep fixture construction is discarded relative to warm reps") {
     // q_arr_stream_ingest shape: first pass builds the dataset
-    assert(Bench.median(Seq(11.8, 0.25, 0.26)) == 0.26)
+    assert(Bench.median(Seq(11.8, 0.25, 0.26), 3.0) == 0.26)
   }
 }

@@ -199,6 +199,41 @@ class MockFsSpec extends AnyFunSuite {
     assert(got == (0L until 10L).map(x => (x, if (x < 3) 7L else x + 1)))
   }
 
+  test("conf-faithfulness tripwire: resolving mockfs from a classpath-" +
+      "default conf fails loudly (the credential only rides the session " +
+      "conf / shipped driver conf)") {
+    spark.sparkContext // ensure the credentialed session exists first
+    val e = intercept[java.io.IOException] {
+      org.apache.hadoop.fs.FileSystem.newInstance(
+        java.net.URI.create("mockfs:///"),
+        new org.apache.hadoop.conf.Configuration())
+    }
+    assert(e.getMessage.contains(MockObjectStoreFileSystem.CredentialKey))
+  }
+
+  test("remote READ conf-faithfulness: with a credential-less conf " +
+      "installed as the executor default, a DSv2 scan still reads — the " +
+      "reader factory ships and installs the driver conf before any " +
+      "manifest/blob access") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("ds")
+    val v1 = writeVals(store, "ds", (1 to 10).map(_.toDouble))
+    // Poison the no-session fallback: task threads that fail to receive
+    // the factory-shipped conf would resolve mockfs through THIS conf
+    // and die on the mock's credential check.
+    StoreFs.installExecutorConf(new graft.spark.SerializableHadoopConf(
+      new org.apache.hadoop.conf.Configuration()))
+    try {
+      val dsv2 = spark.read.format("graft")
+        .option("root", store.root).option("dataset", "ds")
+        .option("variable", "v").load()
+      assert(dsv2.count() == 10L)
+      // windowed exploded read exercises the point-partition blob path
+      assert(readAll(store, "ds", v1).size == 10)
+    } finally StoreFs.installExecutorConf(new graft.spark.SerializableHadoopConf(
+      new org.apache.hadoop.conf.Configuration()))
+  }
+
   test("SQL row-level UPDATE over mockfs: executor-side staged fragments " +
       "resolve the store FileSystem through the shipped driver conf") {
     val store = new SparkStore(spark, mockRoot())

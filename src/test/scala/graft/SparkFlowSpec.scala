@@ -21,6 +21,14 @@ object SparkTestSession {
       // commit renames) resolves AbstractFileSystem from this key.
       .config("spark.hadoop.fs.AbstractFileSystem.mockfs.impl",
         "graft.testfs.MockAbstractFs")
+      // conf-faithfulness gate: the mock REQUIRES this driver-session
+      // credential at every initialize — any mockfs resolution through a
+      // classpath-default conf fails loudly (see the mock's scaladoc)
+      .config("spark.hadoop." + graft.testfs.MockObjectStoreFileSystem.CredentialKey,
+        graft.testfs.MockObjectStoreFileSystem.CredentialValue)
+      // keep Hadoop's content-blind global FS cache out of the gate: a
+      // credentialed instance must not be handed to a credential-less conf
+      .config("spark.hadoop.fs.mockfs.impl.disable.cache", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -440,5 +448,71 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.valueAt(Seq(4L, 2L)) == 3.0, "worker A's half")
     assert(got.valueAt(Seq(4L, 7L)) == 4.0, "worker B's half")
     assert(got.valueAt(Seq(8L, 0L)) == 3.0 && got.valueAt(Seq(8L, 9L)) == 4.0)
+  }
+
+  test("script.clj master/worker commit flow across SparkSessions: token " +
+      "ships as a string, workers on their OWN sessions+threads write " +
+      "disjoint halves behind a ready/go/done handshake, master commits " +
+      "(script.clj:18-52,54-83)") {
+    // Two isolated SparkSessions over one SparkContext — the closest a
+    // single-JVM offline CI gets to script.clj's separate worker
+    // processes. Everything a real process boundary would force is
+    // forced here: the token crosses as a STRING (argv in the
+    // reference), each worker rebuilds store+writer from (root, token)
+    // alone on a thread whose ACTIVE session is its own newSession()
+    // (separate session state and conf), and coordination is the
+    // reference's ready→go→done handshake, not shared objects.
+    val root = java.nio.file.Files.createTempDirectory("graft-script").toString
+    val master = new SparkStore(spark, root)
+    master.create("ds")
+    val w = master.addVersion("ds", meta2d)
+    val tok: String = w.token // the string that crosses the "process" line
+
+    final class Worker(half: Int) extends Thread {
+      val ready = new java.util.concurrent.CountDownLatch(1)
+      val go = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(1)
+      @volatile var failure: Throwable = _
+      override def run(): Unit =
+        try {
+          val mySession = spark.newSession()
+          org.apache.spark.sql.SparkSession.setActiveSession(mySession)
+          // worker bootstraps from (store root, token) only
+          val myStore = new SparkStore(mySession, root)
+          val myWriter = myStore.writerFromToken("ds", tok)
+          ready.countDown() // "r"
+          go.await()        // "go"
+          // CHUNK-ALIGNED halves (y chunks are 3 wide; the split at y=6
+          // is a chunk boundary): script.clj hands each slave a DISJOINT
+          // chunk-coordinate set — concurrent writers to the SAME chunk
+          // resolve chunk-LWW by seq, which is the reference's contract
+          // too (slaves never share a chunk)
+          val slab =
+            if (half == 0) Slab.empty(DType.DOUBLE,
+              Slice(Seq(0L, 0L), Seq(9L, 6L)), 3.0)
+            else Slab.empty(DType.DOUBLE,
+              Slice(Seq(0L, 6L), Seq(9L, 10L)), 4.0)
+          myWriter.write("v", Seq(slab))
+          done.countDown()  // "done"
+        } catch { case t: Throwable => failure = t; ready.countDown(); done.countDown() }
+    }
+    val workers = Seq(new Worker(0), new Worker(1))
+    workers.foreach(_.start())
+    workers.foreach(w => assert(w.ready.await(120, java.util.concurrent.TimeUnit.SECONDS)))
+    workers.foreach(_.go.countDown())
+    workers.foreach(w => assert(w.done.await(120, java.util.concurrent.TimeUnit.SECONDS)))
+    workers.foreach(_.join(120000))
+    workers.foreach(w => if (w.failure != null) throw w.failure)
+
+    // only the MASTER commits — and nothing was visible before it did
+    assert(new SparkStore(spark, root).versions("ds").isEmpty,
+      "worker writes must not be visible before the master's commit")
+    val vid = w.finishVersion()
+    val got = new SparkStore(spark, root).reader("ds").onVersion(vid)
+      .getSlice("v", Slice(Seq(0L, 0L), Seq(9L, 10L)))
+    assert(got.valueAt(Seq(4L, 2L)) == 3.0, "worker 0's half")
+    assert(got.valueAt(Seq(4L, 7L)) == 4.0, "worker 1's half")
+    assert(got.valueAt(Seq(0L, 5L)) == 3.0 && got.valueAt(Seq(0L, 6L)) == 4.0,
+      "halves meet at the y=6 chunk-boundary seam")
   }
 }

@@ -240,13 +240,22 @@ class StoreFsSpec extends AnyFunSuite {
     val prev = org.apache.spark.sql.SparkSession.getActiveSession
     org.apache.spark.sql.SparkSession.clearActiveSession()
     try {
-      StoreFs.installExecutorConf(rt.value)
+      StoreFs.installExecutorConf(rt)
       assert(StoreFs.conf.get("graft.test.cred") == "sekrit")
+      // content-dedup: re-installing an equal-fingerprint conf keeps the
+      // installed OBJECT (identity-stable FS cache key across tasks)
+      val again = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[graft.spark.SerializableHadoopConf]
+      val installed = StoreFs.conf
+      StoreFs.installExecutorConf(again)
+      assert(StoreFs.conf eq installed,
+        "equal-content conf re-install must not churn the installed object")
     } finally {
       // restore a full default so later no-session calls in this JVM
       // (local-mode task threads) resolve file:// normally
-      StoreFs.installExecutorConf(
-        new org.apache.hadoop.conf.Configuration())
+      StoreFs.installExecutorConf(new graft.spark.SerializableHadoopConf(
+        new org.apache.hadoop.conf.Configuration()))
       prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
     }
   }

@@ -38,6 +38,28 @@ import org.apache.hadoop.fs.permission.FsPermission
   */
 class MockObjectStoreFileSystem extends RawLocalFileSystem {
 
+  // Conf-faithfulness tripwire: a real object store rejects clients that
+  // didn't present credentials, and ours come in exclusively via the
+  // DRIVER session's spark.hadoop.* settings (SparkTestSession sets
+  // mockfs.credential there). Any code path that resolves mockfs through
+  // a bare classpath-default Configuration — instead of the session conf
+  // or the shipped-and-installed driver conf (StoreFs.captureConf /
+  // installExecutorConf) — fails HERE, loudly, at initialize time.
+  // SparkTestSession also sets fs.mockfs.impl.disable.cache=true so
+  // Hadoop's global FileSystem cache can't launder a credentialed
+  // instance to a credential-less caller.
+  override def initialize(uri: URI, conf: Configuration): Unit = {
+    val cred = conf.get(MockObjectStoreFileSystem.CredentialKey)
+    if (cred != MockObjectStoreFileSystem.CredentialValue)
+      throw new IOException(
+        s"mockfs: missing/wrong ${MockObjectStoreFileSystem.CredentialKey} " +
+          "— this FileSystem was resolved from a Configuration that did " +
+          "not carry the driver session's settings (conf-faithfulness " +
+          "violation: reads/writes must resolve through the session conf " +
+          "or the factory-shipped driver conf)")
+    super.initialize(uri, conf)
+  }
+
   override def getScheme: String = MockObjectStoreFileSystem.Scheme
 
   // NOT backed by a field: the RawLocalFileSystem super-constructor calls
@@ -123,6 +145,9 @@ class MockObjectStoreFileSystem extends RawLocalFileSystem {
 
 object MockObjectStoreFileSystem {
   val Scheme = "mockfs"
+  /** Conf key every mockfs resolution must carry (see initialize). */
+  val CredentialKey = "mockfs.credential"
+  val CredentialValue = "open-sesame"
   val SchemeUri: URI = URI.create(Scheme + ":///")
   val FilePerm: FsPermission = FsPermission.valueOf("-rw-rw-rw-")
   val DirPerm: FsPermission = FsPermission.valueOf("drwxrwxrwx")
