@@ -113,6 +113,29 @@ private[graft] object StoreFs {
     new SerializableHadoopConf(c, fp)
   }
 
+  /** [[captureConf]] wrapped in a cached BROADCAST — the form every
+    * serialized scan/write factory must ship. A factory deserializes
+    * once per TASK; embedding the ~1k-entry Configuration in it re-parses
+    * the conf per task, which fine-grained chunked scans (thousands of
+    * tiny tasks) turn into the dominant cost — measured 2.2× on the
+    * storage-partitioned-join bench. A broadcast deserializes as an ID
+    * and materializes the value once per executor. Cached per conf
+    * fingerprint so repeated scans reuse ONE broadcast per conf
+    * generation instead of re-broadcasting per plan. */
+  @volatile private var cachedBc
+      : (String, org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]) = _
+  def broadcastConf(): org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] = {
+    val (c, fp) = confFp
+    val hit = cachedBc
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(new SerializableHadoopConf(c, fp))
+      cachedBc = (fp, bc)
+      bc
+    }
+  }
+
   /** Executor-side install of a shipped driver conf as this JVM's
     * no-active-session default. Content-deduped: every task deserializes
     * its OWN Configuration copy, so installing by identity would churn

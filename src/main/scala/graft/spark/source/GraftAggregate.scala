@@ -156,12 +156,13 @@ private[source] case object GraftEmptyAggPartition extends InputPartition
 private[source] class GraftAggReaderFactory(metaJson: String, variable: String,
     request: Slice, spec: GraftAgg.AggSpec) extends PartitionReaderFactory {
   // constructed on the DRIVER (createReaderFactory), so capture the
-  // session's resolved Hadoop conf here and install it before any
-  // executor-side manifest/blob parquet read — same conf-faithfulness
-  // contract as the staged-write factory (GraftDeltaWriterFactory)
-  private val hconf = graft.spark.StoreFs.captureConf()
+  // session's resolved Hadoop conf here (as a broadcast — the factory
+  // deserializes per task) and install it before any executor-side
+  // manifest/blob parquet read — same conf-faithfulness contract as the
+  // scan and staged-write factories
+  private val hconfBc = graft.spark.StoreFs.broadcastConf()
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    graft.spark.StoreFs.installExecutorConf(hconf)
+    graft.spark.StoreFs.installExecutorConf(hconfBc.value)
     new GraftAggPartitionReader(p, metaJson, variable, request, spec)
   }
 }

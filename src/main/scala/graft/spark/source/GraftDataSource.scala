@@ -1259,17 +1259,23 @@ private[source] class GraftReaderFactory(metaJson: String, variable: String,
   // resolve the store FileSystem with the driver's spark.hadoop.*
   // settings (s3a credentials/endpoint) instead of executor classpath
   // defaults — the read-side half of the staged-write factory's
-  // conf-faithfulness contract (GraftDeltaWriterFactory)
-  private val hconf = graft.spark.StoreFs.captureConf()
+  // conf-faithfulness contract (GraftDeltaWriterFactory). The conf rides
+  // a BROADCAST, never the factory itself: the factory deserializes once
+  // per TASK, and fine-grained chunked scans run THOUSANDS of tiny tasks
+  // (bench_spj_join: ~3600/rep) — an embedded ~1k-entry Configuration
+  // re-parses per task (measured: spj 3.3 s → 7.2 s), while a broadcast
+  // value materializes once per executor and later tasks resolve it from
+  // the block manager.
+  private val hconfBc = graft.spark.StoreFs.broadcastConf()
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    graft.spark.StoreFs.installExecutorConf(hconf)
+    graft.spark.StoreFs.installExecutorConf(hconfBc.value)
     new GraftPartitionReader(p, metaJson, variable, request, requiredFields,
       valueFilters)
   }
   override def supportColumnarReads(p: InputPartition): Boolean = true
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    graft.spark.StoreFs.installExecutorConf(hconf)
+    graft.spark.StoreFs.installExecutorConf(hconfBc.value)
     new GraftColumnarReader(p, metaJson, variable, request, requiredFields,
       valueFilters)
   }

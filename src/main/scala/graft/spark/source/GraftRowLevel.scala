@@ -128,7 +128,7 @@ private[source] class GraftDeltaBatchWrite(r: Resolved, info: LogicalWriteInfo)
       dtName = r.meta.dtype(r.variable).name,
       fill = r.meta.fill(r.variable),
       lo = varSlice.start.toArray, hi = varSlice.stop.toArray,
-      hconf = graft.spark.StoreFs.captureConf())
+      hconf = graft.spark.StoreFs.broadcastConf())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -181,12 +181,14 @@ private[source] final case class GraftDeltaWriterFactory(
     stagingDir: String, rowDimOrds: Array[Int], rowValueOrd: Int,
     idDimOrds: Array[Int], dtName: String, fill: Double,
     lo: Array[Long], hi: Array[Long],
-    // the DRIVER session's Hadoop conf, shipped so executor-side staged
-    // writes resolve the store's FileSystem with spark.hadoop.* settings
-    // (s3a credentials/endpoint) instead of executor classpath defaults
-    hconf: graft.spark.SerializableHadoopConf) extends DeltaWriterFactory {
+    // the DRIVER session's Hadoop conf (broadcast: the factory
+    // deserializes per task), shipped so executor-side staged writes
+    // resolve the store's FileSystem with spark.hadoop.* settings (s3a
+    // credentials/endpoint) instead of executor classpath defaults
+    hconf: org.apache.spark.broadcast.Broadcast[graft.spark.SerializableHadoopConf])
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
-    graft.spark.StoreFs.installExecutorConf(hconf)
+    graft.spark.StoreFs.installExecutorConf(hconf.value)
     new GraftDeltaWriter(this, partitionId, taskId)
   }
 }

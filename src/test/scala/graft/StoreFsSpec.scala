@@ -260,6 +260,39 @@ class StoreFsSpec extends AnyFunSuite {
     }
   }
 
+  test("conf fingerprint: content-stable across serialization round-trips " +
+      "and object copies; sensitive to any key change") {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    c.set("a.key", "1"); c.set("b.key", "2")
+    val fp = StoreFs.fingerprint(c)
+    // a COPY (what every task deserialization produces) fingerprints equal
+    assert(StoreFs.fingerprint(new org.apache.hadoop.conf.Configuration(c)) == fp)
+    // the serialized carrier ships the fp precomputed and intact
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(new graft.spark.SerializableHadoopConf(c)); oos.close()
+    val rt = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.spark.SerializableHadoopConf]
+    assert(rt.fp == fp && StoreFs.fingerprint(rt.value) == fp)
+    // any content change moves it
+    val c2 = new org.apache.hadoop.conf.Configuration(c)
+    c2.set("b.key", "3")
+    assert(StoreFs.fingerprint(c2) != fp)
+  }
+
+  test("broadcastConf is cached per conf generation: repeated scans of an " +
+      "unchanged session reuse ONE broadcast") {
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    try {
+      val b1 = StoreFs.broadcastConf()
+      val b2 = StoreFs.broadcastConf()
+      assert(b1 eq b2, "same conf generation must not re-broadcast")
+      assert(b1.value.fp == StoreFs.fingerprint(StoreFs.conf))
+    } finally prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
+
   test("StoreRegistry: Hadoop schemes keep the full uri as the root") {
     import graft.store.StoreRegistry
     val s = StoreRegistry.parse("s3a://bucket/prefix/stores")
