@@ -23,10 +23,12 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   */
 private[pipeline] object IndexFs {
 
-  private def conf: Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  // delegate to StoreFs's session-cached conf: newHadoopConf() CLONES
+  // the full config per call (~10 ms classpath-XML parse — was paid on
+  // every sidecar op here), and the StoreFs cache also returns the
+  // factory-shipped DRIVER conf on executor threads, so sidecar I/O is
+  // conf-faithful on credentialed remote schemes exactly like store I/O
+  private def conf: Configuration = graft.spark.StoreFs.conf
 
   private def fs(p: String): (FileSystem, HPath) = {
     val hp = new HPath(p)

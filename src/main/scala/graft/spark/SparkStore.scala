@@ -403,12 +403,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       val vid = w.meta.versionId.get
       latestMeta.variables.keys.toSeq.sorted.foreach { varN =>
         if (hasIndexData(name, varN, Some(latest), vid))
-          resolvedIndex(name, varN, upTo = latest)
+          appendIndexRows(name, resolvedIndex(name, varN, upTo = latest)
             .select(lit(varN).as("var"), lit(vid).as("version"),
               lit(0L).as("seq"), col("coordKey"), col("coord"), col("hash"),
-              col("stats"))
-            .write.partitionBy("var", "version").mode("append")
-            .parquet(indexDir(name))
+              col("stats")))
       }
       commitVersion(name, SparkStore.markCheckpoint(w.meta))
     }
@@ -552,6 +550,52 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     adopted
   }
 
+  // ---- index append staging ----
+
+  /** Fresh staging dir for one generation's index-row append (adopted by
+    * [[adoptIndexFiles]]). The index append STAGES for the same reason
+    * the blob append does, plus one of its own: concurrent token writers
+    * (separate JVMs — script.clj's multi-process ingest) each run their
+    * own Spark write job, and two FileOutputCommitter jobs appending the
+    * SAME output directory share `_temporary/0` — whichever job commits
+    * first deletes the other's in-flight task files (observed as a
+    * FileNotFoundException in the cross-JVM token-ingest test). Unique
+    * staging per generation keeps simultaneous writers filesystem-
+    * disjoint until the final per-file no-clobber renames. Dot-prefixed
+    * under the dataset dir: invisible to index readers. */
+  private[graft] def newIndexStagingDir(name: String): String =
+    StoreFs.child(dsPath(name), s".index_ingest_${java.util.UUID.randomUUID}")
+
+  /** Move a staged index generation's part files into the live index
+    * dir, preserving the hive partition subpaths (`var=…/version=…/`).
+    * Part-file names carry Spark task UUIDs, so adopted names never
+    * collide. A crash mid-adopt leaves some rows adopted for a version
+    * that never commits (invisible to resolve) and the staging leftovers
+    * for the crashed-staging sweep. */
+  private[graft] def adoptIndexFiles(name: String, staging: String): Unit = {
+    val idx = indexDir(name)
+    StoreFs.filesUnder(staging)
+      .filter(_.endsWith(".parquet"))
+      .foreach { p =>
+        val rel = p.stripPrefix(staging).dropWhile(_ == '/')
+        val dst = StoreFs.child(idx, rel)
+        StoreFs.mkdirs(StoreFs.parent(dst))
+        if (!StoreFs.moveInto(p, dst))
+          throw new java.io.IOException(
+            s"adoptIndexFiles: failed to move staged index file $p -> $dst" +
+              "; staging dir left in place for retry")
+      }
+    StoreFs.deleteTree(staging)
+  }
+
+  /** Stage-and-adopt index append: the ONLY way index rows land. */
+  private[graft] def appendIndexRows(name: String,
+      rows: org.apache.spark.sql.DataFrame): Unit = {
+    val staging = newIndexStagingDir(name)
+    rows.write.partitionBy("var", "version").parquet(staging)
+    adoptIndexFiles(name, staging)
+  }
+
   /** Remove staging dirs of CRASHED ingests. Crash detection must not
     * mistake a long-running live ingest for a dead one: the dir's
     * top-level mtime is set at job start while tasks keep writing
@@ -572,9 +616,13 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       .foreach { case (dir, _, _, _) => sweepIfQuiet(dir) }
     // row-level DML staging (<dataset>/_delta_staging/<queryId>): commit
     // and abort both clean up, so anything quiet past the grace window is
-    // a crashed query's leftover
+    // a crashed query's leftover; .index_ingest_* are crashed index-append
+    // generations (adoptIndexFiles removes them on success)
     listDatasets.foreach { ds =>
       StoreFs.list(StoreFs.child(dsPath(ds), "_delta_staging"))
+        .foreach { case (dir, _, _, _) => sweepIfQuiet(dir) }
+      StoreFs.list(dsPath(ds))
+        .filter { case (_, n, _, _) => n.startsWith(".index_ingest_") }
         .foreach { case (dir, _, _, _) => sweepIfQuiet(dir) }
     }
   }
@@ -1616,16 +1664,16 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       store.writeChunkRangeSidecar(store.adoptChunkFiles(staging))
 
       // 5. index append, hive-partitioned by (var, version) so the MVCC
-      //    resolve prunes whole files by version instead of filtering rows
-      merged.select(
+      //    resolve prunes whole files by version instead of filtering
+      //    rows; staged + adopted (appendIndexRows) so concurrent token
+      //    writers' commit protocols never share a _temporary dir
+      store.appendIndexRows(name, merged.select(
         lit(varN).as("var"), lit(vid).as("version"), lit(jobSeqBase).as("seq"),
         col("coordKey"), col("coord"), col("hash"),
         struct(col("scnt").as("cnt"), col("slmin").as("lmin"),
           col("slmax").as("lmax"), col("slsum").as("lsum"),
           col("sdmin").as("dmin"), col("sdmax").as("dmax"),
-          col("snan").as("nan")).as("stats"))
-        .write.partitionBy("var", "version").mode("append")
-        .parquet(store.indexDir(name))
+          col("snan").as("nan")).as("stats")))
     } finally merged.unpersist()
   }
 

@@ -515,4 +515,60 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.valueAt(Seq(0L, 5L)) == 3.0 && got.valueAt(Seq(0L, 6L)) == 4.0,
       "halves meet at the y=6 chunk-boundary seam")
   }
+
+  test("cross-JVM token ingest: two REAL worker processes (own JVMs, own " +
+      "SparkSessions) bootstrap from (root, token) argv, write disjoint " +
+      "chunk-aligned halves in parallel, master commits (script.clj:54-83)") {
+    // The full process boundary, not a simulation: nothing crosses but
+    // argv + the filesystem. Workers are java subprocesses running
+    // graft.testtools.TokenWorkerMain on THIS test JVM's classpath.
+    val root = java.nio.file.Files.createTempDirectory("graft-xjvm").toString
+    val master = new SparkStore(spark, root)
+    master.create("ds")
+    val w = master.addVersion("ds", meta2d)
+    val tokenFile = java.nio.file.Files.createTempFile("graft-token", ".json")
+    java.nio.file.Files.writeString(tokenFile, w.token)
+
+    val java17Opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(half: Int): (Process, java.io.File) = {
+      val out = java.io.File.createTempFile(s"graft-worker$half", ".log")
+      val cmd = (Seq(
+        System.getProperty("java.home") + "/bin/java", "-Xmx2g",
+        "-cp", System.getProperty("java.class.path")) ++ java17Opens ++ Seq(
+        "graft.testtools.TokenWorkerMain",
+        root, "ds", tokenFile.toString, half.toString)).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(out)
+      (pb.start(), out)
+    }
+    val procs = Seq(spawn(0), spawn(1)) // both workers run CONCURRENTLY
+    procs.foreach { case (p, out) =>
+      assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        "worker process timed out")
+      val log = java.nio.file.Files.readString(out.toPath)
+      assert(p.exitValue() == 0, s"worker failed (exit ${p.exitValue()}):\n" +
+        log.linesIterator.toSeq.takeRight(30).mkString("\n"))
+      assert(log.contains(graft.testtools.TokenWorkerMain.DoneMarker),
+        "worker never reported done")
+    }
+    // worker writes are staged but invisible until the MASTER commits
+    assert(new SparkStore(spark, root).versions("ds").isEmpty,
+      "cross-process writes must not be visible before the master's commit")
+    val vid = w.finishVersion()
+    val got = new SparkStore(spark, root).reader("ds").onVersion(vid)
+      .getSlice("v", Slice(Seq(0L, 0L), Seq(9L, 10L)))
+    assert(got.valueAt(Seq(4L, 2L)) == 3.0, "worker 0's half (other JVM)")
+    assert(got.valueAt(Seq(4L, 7L)) == 4.0, "worker 1's half (other JVM)")
+    assert(got.valueAt(Seq(0L, 5L)) == 3.0 && got.valueAt(Seq(0L, 6L)) == 4.0,
+      "halves meet at the y=6 chunk-boundary seam")
+  }
 }
