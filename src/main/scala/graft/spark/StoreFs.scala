@@ -108,7 +108,7 @@ private[graft] object StoreFs {
     * DRIVER session — executor classpath defaults don't have them, so
     * executor-side store I/O against a remote root would fail auth
     * without this. */
-  def captureConf(): SerializableHadoopConf = {
+  private def captureConf(): SerializableHadoopConf = {
     val (c, fp) = confFp
     new SerializableHadoopConf(c, fp)
   }
@@ -125,13 +125,13 @@ private[graft] object StoreFs {
   @volatile private var cachedBc
       : (String, org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]) = _
   def broadcastConf(): org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] = {
-    val (c, fp) = confFp
+    val shc = captureConf()
     val hit = cachedBc
-    if (hit != null && hit._1 == fp) hit._2
+    if (hit != null && hit._1 == shc.fp) hit._2
     else {
       val bc = org.apache.spark.sql.SparkSession.active.sparkContext
-        .broadcast(new SerializableHadoopConf(c, fp))
-      cachedBc = (fp, bc)
+        .broadcast(shc)
+      cachedBc = (shc.fp, bc)
       bc
     }
   }
