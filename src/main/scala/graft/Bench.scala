@@ -116,7 +116,12 @@ object Bench {
     // under its threshold). Same remedy as bench_array_write's
     // minWriteReps=5 — more samples, nothing discarded. The engine-side
     // analogs live in ArrayBench (minNoisyReadReps).
-    val extraRepQueries = Set("q_pipe_formats")
+    // formats from round 11; dsir/boilerplate/semdedup joined in round 12
+    // (same shape: 3-rep records of [2.10, 1.99, 1.62]-like samples where
+    // the warm floor sits at/below ~1.15× baseline but the upper median
+    // rides the contended early reps)
+    val extraRepQueries = Set("q_pipe_formats", "q_pipe_dsir",
+      "q_pipe_boilerplate", "q_pipe_semdedup")
     for (pass <- reps until math.max(reps, 5)) {
       entries.filter(e => extraRepQueries.contains(e._1)).foreach { case (name, fn) =>
         val t = time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
