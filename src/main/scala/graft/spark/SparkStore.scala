@@ -159,10 +159,14 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     new SparkVersionWriter(this, name, DatasetMeta.newVersion(inherited), parentMeta)
   }
 
-  /** Reconstruct an in-flight writer from its token (V9). */
+  /** Reconstruct an in-flight writer from its token (V9). Token writers
+    * are SHARED: the version may be written concurrently from several
+    * processes, so their writes verify-and-retry chunk ownership (see
+    * SparkVersionWriter.shared). */
   def writerFromToken(name: String, token: String): SparkVersionWriter = {
     val meta = DatasetMeta.fromJson(token)
-    new SparkVersionWriter(this, name, meta, meta.parent.map(metadata(name, _)))
+    new SparkVersionWriter(this, name, meta, meta.parent.map(metadata(name, _)),
+      shared = true)
   }
 
   /** V3 finish-version: atomic manifest write after re-checking the parent
@@ -866,15 +870,28 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       .filter(coordFilter)
       .groupBy("coordKey")
       // hash and stats ride in ONE max_by struct so they always come from
-      // the same (winning) index row
+      // the same (winning) index row. hash is the FINAL tie-breaker:
+      // concurrent shared writers in the same millisecond can collide on
+      // (version, seq) — each writer instance seeds its seq base from the
+      // wall clock — and without a deterministic tie-break two resolves
+      // could disagree about the winning row (and the shared-writer
+      // verify could not even tell whose row won). With identical
+      // content the tie is harmless either way; with different content
+      // the hash makes every resolve pick the SAME row.
       .agg(
-        max_by(struct(col("hash"), col("stats")), struct(col("version"), col("seq"))).as("hs"),
+        max_by(struct(col("hash"), col("stats")),
+          struct(col("version"), col("seq"), col("hash"))).as("hs"),
         first(col("coord")).as("coord"))
       .select(col("coordKey"), col("hs.hash").as("hash"),
         col("hs.stats").as("stats"), col("coord"))
 }
 
 object SparkStore {
+  /** Shared-writer verify/retry rounds before failing loudly (the
+    * reference's update-chunk! CAS loop is unbounded; bounded here so a
+    * pathological co-writer storm surfaces as an error, not a hang). */
+  val MaxSharedWriteRetries = 8
+
   /** Per-(root, dataset) commit locks: commitVersion's read-latest /
     * parent-check / timestamp-stamp / manifest-move sequence must be
     * atomic, or two concurrent committers can both pass the parent check
@@ -1476,7 +1493,16 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
 
 /** Distributed write path (W1-W8 as one shuffle + two appends). */
 final class SparkVersionWriter(store: SparkStore, name: String,
-    val meta: DatasetMeta, val parentMeta: Option[DatasetMeta]) {
+    val meta: DatasetMeta, val parentMeta: Option[DatasetMeta],
+    /** True for writers rebuilt from a token: the version may have
+      * CO-WRITERS in other processes, so every write() verifies it still
+      * owns its touched chunks after landing and retries lost ones — the
+      * Spark-job-granularity analog of the reference's per-chunk CAS
+      * retry loop (update-chunk!, impl.clj:232-250), which is what lets
+      * concurrent writers share chunks (mis-ordered coordinate
+      * partitions, concurrency.clj:162-243) without lost updates. The
+      * single-writer path (addVersion) skips the verify job entirely. */
+    shared: Boolean = false) {
   import store.spark
   import spark.implicits._
 
@@ -1501,17 +1527,33 @@ final class SparkVersionWriter(store: SparkStore, name: String,
     * (start: Array[Long], stop: Array[Long], bytes: Binary, seq: Long) where
     * bytes is the slab's raw big-endian row-major buffer. */
   // strictly increasing across write() calls of THIS writer even within
-  // one millisecond (cross-driver order still follows the wall clock, as
-  // in the reference's CAS semantics where concurrent-writer interleaving
-  // is unspecified)
+  // one millisecond — stored UNSHIFTED (millis scale), shifted by 20 bits
+  // at use. (A previous form computed max(millis, (prev >> 20) + 1) on the
+  // unshifted value, which collapses to the SAME base for two calls in
+  // one millisecond — cross-call LWW ordering would then interleave by
+  // per-slab seq. Never observed because a Spark write job exceeds 1 ms,
+  // but the invariant is now structural.) Cross-driver order still
+  // follows the wall clock, as in the reference's CAS semantics where
+  // concurrent-writer interleaving is unspecified; shared writers
+  // additionally bump past an observed winner before retrying.
   private val lastSeqBase = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def writeRows(varName: String, slabRows: DataFrame): Unit = {
+    val mine = writeOnce(varName, slabRows, collectHashes = shared)
+    if (shared) verifySharedWrite(varName, slabRows, mine.get, attempt = 0)
+  }
+
+  /** One merge-and-append pass. With `collectHashes` (shared writers
+    * only) returns this pass's (coordKey → content hash) — the identity
+    * the ownership verify compares; the single-writer path collects
+    * nothing. */
+  private def writeOnce(varName: String, slabRows: DataFrame,
+      collectHashes: Boolean = false): Option[Map[String, String]] = {
     val metaJson = meta.toJson
     val parentJson = parentMeta.map(_.toJson)
     val varN = varName
     val jobSeqBase = lastSeqBase.updateAndGet(prev =>
-      math.max(System.currentTimeMillis(), (prev >> 20) + 1)) << 20
+      math.max(System.currentTimeMillis(), prev + 1)) << 20
 
     // 1. shred: slab → per-chunk clipped fragments (flatMap, no shuffle yet)
     val frags: Dataset[Frag] = slabRows
@@ -1674,7 +1716,85 @@ final class SparkVersionWriter(store: SparkStore, name: String,
           col("slmax").as("lmax"), col("slsum").as("lsum"),
           col("sdmin").as("dmin"), col("sdmax").as("dmax"),
           col("snan").as("nan")).as("stats")))
+      // collected for shared writers only: bounded by THIS call's touched
+      // chunk count (token slaves write bounded batches; the unbounded
+      // bulk-ingest path is single-writer and never collects)
+      if (collectHashes)
+        Some(merged.select("coordKey", "hash").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap)
+      else None
     } finally merged.unpersist()
+  }
+
+  /** Post-landing ownership check for SHARED (token) writers — the
+    * CAS-retry analog at Spark-job granularity, and what lets concurrent
+    * writers share chunks without lost updates (the reference's
+    * mis-ordered lots-of-processes shape, concurrency.clj:162-243;
+    * update-chunk!'s per-chunk CAS loop, impl.clj:232-250).
+    *
+    * Ownership is CONTENT-based: contention lives entirely among THIS
+    * version's index rows (any vid row outranks every committed row in
+    * resolve), so the winner per touched chunk is the vid partition's
+    * max (seq, hash) row — the exact order resolve uses. A winning hash
+    * different from this pass's own means the resolved chunk does not
+    * contain this pass's merge result; a winning hash EQUAL to ours
+    * means the resolved content already includes our cells, no matter
+    * whose row it is (seq ties between same-millisecond writers land
+    * here, harmlessly). Retry = re-run the merge for just the lost
+    * chunks: writeOnce's base resolve now sees the winner's row, so our
+    * fragments fold ONTO the winner's cells (including a co-writer's),
+    * with a seq bumped past the winner so the retry outranks it. The
+    * scheme is self-stabilizing: a retry that re-merges cells already
+    * folded in produces the SAME bytes → same content hash → the verify
+    * converges and the content-addressed chunk store dedups the blob.
+    * Bounded rounds (reference liveness is an unbounded CAS loop; we
+    * fail loudly instead of hanging). Cost when uncontended: one small
+    * aggregate job over the touched coordinates of the vid partition per
+    * write() call — paid only by token writers. */
+  private def verifySharedWrite(varName: String, slabRows: DataFrame,
+      mine: Map[String, String], attempt: Int): Unit = {
+    val metaJson = meta.toJson
+    val varN = varName
+    val touched = slabRows.select("start", "stop")
+      .as[(Array[Long], Array[Long])]
+      .flatMap { case (start, stop) =>
+        val m = DatasetMeta.fromJson(metaJson)
+        ChunkGrid.toChunkCoordinates(Slice(start.toVector, stop.toVector),
+          m.chunkGridSlice(varN)).iterator.map(SparkStore.coordKey)
+      }.distinct().toDF("coordKey")
+    val winners = store.indexDF(name)
+      .filter(col("var") === varN && col("version") === vid)
+      .join(touched, Seq("coordKey"), "left_semi")
+      .groupBy("coordKey")
+      .agg(max(struct(col("seq"), col("hash"))).as("w"))
+      .select(col("coordKey"), col("w.seq").as("winSeq"),
+        col("w.hash").as("winHash"))
+      .collect()
+    val losers = winners.filter(r =>
+      mine.get(r.getString(0)).exists(_ != r.getString(2)))
+    if (losers.isEmpty) return
+    if (attempt >= SparkStore.MaxSharedWriteRetries)
+      throw new java.io.IOException(
+        s"shared write of $name/$varN lost ${losers.length} chunk(s) to " +
+          s"concurrent co-writers ${SparkStore.MaxSharedWriteRetries} times " +
+          "in a row — giving up (sustained contention on the same chunks; " +
+          "partition writers chunk-aligned or reduce co-writer fan-in)")
+    // the retry must outrank every observed winner even across driver
+    // clock skew: bump our unshifted millis-scale base past theirs
+    val maxWin = losers.iterator.map(_.getLong(1)).max
+    lastSeqBase.updateAndGet(prev => math.max(prev, maxWin >> 20))
+    Thread.sleep(50L + scala.util.Random.nextInt(150 * (attempt + 1)))
+    val lost = losers.iterator.map(_.getString(0)).toSet
+    val retryRows = slabRows.filter { row =>
+      val start = row.getAs[scala.collection.Seq[Long]]("start")
+      val stop = row.getAs[scala.collection.Seq[Long]]("stop")
+      val m = DatasetMeta.fromJson(metaJson)
+      ChunkGrid.toChunkCoordinates(
+        Slice(start.toVector, stop.toVector), m.chunkGridSlice(varN))
+        .exists(c => lost.contains(SparkStore.coordKey(c)))
+    }
+    val mineRetry = writeOnce(varName, retryRows, collectHashes = true)
+    verifySharedWrite(varName, retryRows, mineRetry.get, attempt + 1)
   }
 
   /** V3 commit. */

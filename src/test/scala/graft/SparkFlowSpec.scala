@@ -516,6 +516,56 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       "halves meet at the y=6 chunk-boundary seam")
   }
 
+  test("mis-ordered lots-of-processes analog: four token writers share " +
+      "chunks (shuffled column partitions, 7-wide y-chunks), write " +
+      "concurrently, and the shared-writer CAS-retry converges to the " +
+      "full constant slab (concurrency.clj:162-243 mis-ordered variant)") {
+    // The reference's hardest multi-writer shape: coordinates are the
+    // SHUFFLED y-columns partitioned across 4 slaves, chunk width 7 — so
+    // nearly every chunk is written by several slaves concurrently, with
+    // disjoint cells. Convergence requires the CAS analog: each token
+    // writer verifies chunk ownership after landing and re-merges lost
+    // chunks onto the winner's blob.
+    val root = java.nio.file.Files.createTempDirectory("graft-lop").toString
+    val master = new SparkStore(spark, root)
+    master.create("ds")
+    val dims = Map("x" -> 20L, "y" -> 40L)
+    val meta = DatasetMeta(
+      dimensions = dims,
+      chunkDimensions = Map("x" -> 7L, "y" -> 7L),
+      variables = Map("v" -> VariableDef("short", Vector("x", "y"), -3.0)))
+    val w = master.addVersion("ds", meta)
+    val tok = w.token
+    val nWorkers = 4
+    val shuffled = new scala.util.Random(42).shuffle((0L until 40L).toVector)
+    val parts = shuffled.grouped(40 / nWorkers).toSeq
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = parts.zipWithIndex.map { case (cols, i) =>
+      new Thread(() =>
+        try {
+          val mySession = spark.newSession()
+          org.apache.spark.sql.SparkSession.setActiveSession(mySession)
+          val myWriter = new SparkStore(mySession, root).writerFromToken("ds", tok)
+          // one write call with all of this slave's column slabs — the
+          // reference script's shape (generate-data over the coord list)
+          val slabs = cols.map(y =>
+            Slab.empty(DType.SHORT, Slice(Seq(0L, y), Seq(20L, y + 1)), 1.0))
+          myWriter.write("v", slabs)
+        } catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    if (!failures.isEmpty) throw failures.peek()
+
+    val vid = w.finishVersion()
+    val got = new SparkStore(spark, root).reader("ds").onVersion(vid)
+      .getSlice("v", Slice(Seq(0L, 0L), Seq(20L, 40L)))
+    for (x <- 0L until 20L; y <- 0L until 40L)
+      assert(got.valueAt(Seq(x, y)) == 1.0,
+        s"cell ($x,$y) lost to a concurrent co-writer — CAS retry failed")
+  }
+
   test("cross-JVM token ingest: two REAL worker processes (own JVMs, own " +
       "SparkSessions) bootstrap from (root, token) argv, write disjoint " +
       "chunk-aligned halves in parallel, master commits (script.clj:54-83)") {
