@@ -879,11 +879,15 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       // content the tie is harmless either way; with different content
       // the hash makes every resolve pick the SAME row.
       .agg(
-        max_by(struct(col("hash"), col("stats")),
+        max_by(struct(col("hash"), col("stats"), col("version"), col("seq")),
           struct(col("version"), col("seq"), col("hash"))).as("hs"),
         first(col("coord")).as("coord"))
+      // winVersion/winSeq: the winning row's provenance — shared writers
+      // record which base row their merge folded (verifySharedWrite's
+      // staleness test needs the base IDENTITY, not just its content)
       .select(col("coordKey"), col("hs.hash").as("hash"),
-        col("hs.stats").as("stats"), col("coord"))
+        col("hs.stats").as("stats"), col("coord"),
+        col("hs.version").as("winVersion"), col("hs.seq").as("winSeq"))
 }
 
 object SparkStore {
@@ -1544,11 +1548,18 @@ final class SparkVersionWriter(store: SparkStore, name: String,
   }
 
   /** One merge-and-append pass. With `collectHashes` (shared writers
-    * only) returns this pass's (coordKey → content hash) — the identity
-    * the ownership verify compares; the single-writer path collects
-    * nothing. */
+    * only) returns this pass's per-chunk (content hash, base row seq,
+    * base row hash) — content identity plus merge PROVENANCE, which the
+    * ownership verify compares (baseSeq −1 / baseHash "" when the base
+    * was a committed-version row or fill); the single-writer path
+    * collects nothing. `baseOverride` (retry passes only) pins each
+    * chunk's merge base to an explicit (seq, hash) row chosen at verify
+    * time instead of the MVCC resolve — the CAS-retry "re-read current,
+    * merge onto it" step. */
   private def writeOnce(varName: String, slabRows: DataFrame,
-      collectHashes: Boolean = false): Option[Map[String, String]] = {
+      collectHashes: Boolean = false,
+      baseOverride: Option[Seq[(String, Long, String)]] = None)
+      : Option[Map[String, (String, Long, String)]] = {
     val metaJson = meta.toJson
     val parentJson = parentMeta.map(_.toJson)
     val varN = varName
@@ -1588,13 +1599,24 @@ final class SparkVersionWriter(store: SparkStore, name: String,
     //    scan (a second full pass over slabRows), the MVCC resolve, and
     //    the semi-join + blob join entirely; the cogroup below then sees
     //    an empty base side and folds fragments onto fill.
-    val baseChunks: Dataset[(String, Array[Byte])] =
-      if (!store.hasIndexData(name, varN, meta.parent, vid) ||
+    // (coordKey, baseBytes, baseSeq, baseHash): base row content plus its
+    // identity — baseSeq −1 / baseHash "" for a committed-version or fill
+    // base (only THIS version's rows can contend, so only a vid base
+    // needs an identity)
+    val baseChunks: Dataset[(String, Array[Byte], Long, String)] =
+      if (baseOverride.isDefined) {
+        val ov = baseOverride.get.toDF("coordKey", "obSeq", "obHash")
+        ov.join(store.chunksDF.select(col("hash").as("obHash"), col("bytes")),
+            Seq("obHash"))
+          .select(col("coordKey"), col("bytes"), col("obSeq"), col("obHash"))
+          .dropDuplicates("coordKey")
+          .as[(String, Array[Byte], Long, String)]
+      } else if (!store.hasIndexData(name, varN, meta.parent, vid) ||
           // REPLACE version (INSERT OVERWRITE): merge against FILL, never
           // the parent — the committed version must contain only this
           // write's cells, with everything else reading as fill
           SparkStore.isReplaceOf(meta, varN))
-        spark.emptyDataset[(String, Array[Byte])]
+        spark.emptyDataset[(String, Array[Byte], Long, String)]
       else {
         // touched chunk coordinates, computed WITHOUT shuffling slab bytes —
         // base-chunk loading is restricted to these (writing one slab to a
@@ -1608,12 +1630,17 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         val baseIdx = store.resolvedIndex(name, varN,
           upTo = meta.parent.getOrElse(Long.MinValue), includeUncommitted = Some(vid))
           .join(touched, Seq("coordKey"), "left_semi")
-          .select("coordKey", "hash")
+          .select(col("coordKey"), col("hash"),
+            when(col("winVersion") === vid, col("winSeq")).otherwise(-1L)
+              .as("baseSeq"),
+            when(col("winVersion") === vid, col("hash")).otherwise("")
+              .as("baseHash"))
         baseIdx
           .join(store.chunksDF.select("hash", "bytes"), Seq("hash"))
-          .select(col("coordKey"), col("bytes").as("baseBytes"))
+          .select(col("coordKey"), col("bytes").as("baseBytes"),
+            col("baseSeq"), col("baseHash"))
           .dropDuplicates("coordKey") // tolerate duplicate blob rows (racy dedup)
-          .as[(String, Array[Byte])]
+          .as[(String, Array[Byte], Long, String)]
       }
 
     // 3. ONE shuffle: cogroup fragments with base chunks by coordinate;
@@ -1627,12 +1654,17 @@ final class SparkVersionWriter(store: SparkStore, name: String,
           val dt = m.dtype(varN)
           val coord = key.split(',').filter(_.nonEmpty).map(_.toLong).toVector
           val chunkSlice = m.chunkSlice(varN, coord)
-          val base = bIt.toSeq.headOption match {
-            case Some((_, bb)) =>
+          val baseRow = bIt.toSeq.headOption
+          val base = baseRow match {
+            case Some((_, bb, _, _)) =>
               // base chunk's slice == child chunk slice (grid is frozen
               // across versions, reference: dataset.clj:55-61)
               Slab(dt, chunkSlice, FilterChain.decode(bb))
             case None => Slab.empty(dt, chunkSlice, m.fill(varN))
+          }
+          val (baseSeq, baseHash) = baseRow match {
+            case Some((_, _, bs, bh)) => (bs, bh)
+            case None => (-1L, "")
           }
           // total order: seq, then fragment origin, then payload bytes (a
           // caller CAN ship duplicate coordinates with equal seq — e.g.
@@ -1664,10 +1696,12 @@ final class SparkVersionWriter(store: SparkStore, name: String,
           // skipping answer from these without touching the blob
           val st = base.stats
           Iterator((key, coord.toArray, base.contentHash, framed,
-            st.cnt, st.lmin, st.lmax, st.lsum, st.dmin, st.dmax, st.nan))
+            st.cnt, st.lmin, st.lmax, st.lsum, st.dmin, st.dmax, st.nan,
+            baseSeq, baseHash))
         }
       }.toDF("coordKey", "coord", "hash", "bytes",
-        "scnt", "slmin", "slmax", "slsum", "sdmin", "sdmax", "snan")
+        "scnt", "slmin", "slmax", "slsum", "sdmin", "sdmax", "snan",
+        "baseSeq", "baseHash")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
@@ -1720,8 +1754,9 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       // chunk count (token slaves write bounded batches; the unbounded
       // bulk-ingest path is single-writer and never collects)
       if (collectHashes)
-        Some(merged.select("coordKey", "hash").collect()
-          .map(r => r.getString(0) -> r.getString(1)).toMap)
+        Some(merged.select("coordKey", "hash", "baseSeq", "baseHash").collect()
+          .map(r => r.getString(0) ->
+            (r.getString(1), r.getLong(2), r.getString(3))).toMap)
       else None
     } finally merged.unpersist()
   }

@@ -567,8 +567,10 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("cross-JVM token ingest: two REAL worker processes (own JVMs, own " +
-      "SparkSessions) bootstrap from (root, token) argv, write disjoint " +
-      "chunk-aligned halves in parallel, master commits (script.clj:54-83)") {
+      "SparkSessions) bootstrap from (root, token) argv, write CHUNK-" +
+      "SHARING halves in parallel (split mid-chunk at y=5), and the " +
+      "shared-writer re-merge converges across the process boundary; " +
+      "master commits (script.clj:54-83)") {
     // The full process boundary, not a simulation: nothing crosses but
     // argv + the filesystem. Workers are java subprocesses running
     // graft.testtools.TokenWorkerMain on THIS test JVM's classpath.
@@ -618,7 +620,13 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getSlice("v", Slice(Seq(0L, 0L), Seq(9L, 10L)))
     assert(got.valueAt(Seq(4L, 2L)) == 3.0, "worker 0's half (other JVM)")
     assert(got.valueAt(Seq(4L, 7L)) == 4.0, "worker 1's half (other JVM)")
-    assert(got.valueAt(Seq(0L, 5L)) == 3.0 && got.valueAt(Seq(0L, 6L)) == 4.0,
-      "halves meet at the y=6 chunk-boundary seam")
+    // the y∈[3,6) chunk column was written by BOTH processes with
+    // disjoint cells: every cell of both halves must survive
+    for (x <- 0L until 9L) {
+      assert(got.valueAt(Seq(x, 4L)) == 3.0,
+        s"cell ($x,4) of the shared chunk lost worker 0's write")
+      assert(got.valueAt(Seq(x, 5L)) == 4.0,
+        s"cell ($x,5) of the shared chunk lost worker 1's write")
+    }
   }
 }

@@ -28,13 +28,17 @@ object TokenWorkerMain {
     try {
       val store = new graft.spark.SparkStore(spark, root)
       val w = store.writerFromToken(ds, token)
-      // chunk-aligned halves (y chunks are 3 wide; y=6 is a boundary):
-      // slaves own disjoint chunk sets, the reference's contract
+      // NON-aligned halves (y chunks are 3 wide; the split at y=5 is
+      // mid-chunk): both processes write the y∈[3,6) chunk column with
+      // disjoint cells, so convergence requires the shared-writer
+      // content-hash verify + re-merge to work ACROSS process
+      // boundaries (separate JVMs, separate wall clocks) — the
+      // mis-ordered lots-of-processes contract, concurrency.clj:162-243
       val slab =
         if (half == "0")
-          Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(9L, 6L)), 3.0)
+          Slab.empty(DType.DOUBLE, Slice(Seq(0L, 0L), Seq(9L, 5L)), 3.0)
         else
-          Slab.empty(DType.DOUBLE, Slice(Seq(0L, 6L), Seq(9L, 10L)), 4.0)
+          Slab.empty(DType.DOUBLE, Slice(Seq(0L, 5L), Seq(9L, 10L)), 4.0)
       w.write("v", Seq(slab))
       println(DoneMarker)
     } finally spark.stop()
