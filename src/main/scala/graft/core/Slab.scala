@@ -207,6 +207,32 @@ object Slab {
     s
   }
 
+  /** Element-wise diff-fold for the commit-time torn-write repair: every
+    * element where `row` differs from `base` is copied into `state`
+    * (mutated in place). All three buffers are full-chunk decoded
+    * buffers of equal length. Comparing per ELEMENT (not per byte) keeps
+    * a cell atomic — a byte-granular fold could stitch half of one
+    * writer's value to half of another's. An element written with a
+    * value equal to its base is a no-op by definition, so missing it is
+    * harmless. */
+  def applyDiff(dtype: DType, base: Array[Byte], row: Array[Byte],
+      state: Array[Byte]): Unit = {
+    require(base.length == row.length && row.length == state.length,
+      s"applyDiff: buffer lengths differ (${base.length}/${row.length}/${state.length})")
+    val w = dtype.size
+    var off = 0
+    while (off < row.length) {
+      var i = 0
+      var same = true
+      while (same && i < w) {
+        if (row(off + i) != base(off + i)) same = false
+        i += 1
+      }
+      if (!same) System.arraycopy(row, off, state, off, w)
+      off += w
+    }
+  }
+
   /** Copy the cells of region `region` (must be inside both slabs' slices)
     * from `src` to `dst`. Contiguous runs along the last axis are copied
     * with System.arraycopy. */

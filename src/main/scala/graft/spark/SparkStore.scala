@@ -183,6 +183,12 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         throw new IllegalStateException(
           s"version ${meta.versionId.get} has parent ${meta.parent.getOrElse("none")}, " +
             s"but the latest version is ${latest.getOrElse("none")}")
+      // shared-writer TOCTOU closure: a co-writer that lands AFTER
+      // another writer's post-write ownership verify is invisible to it —
+      // only the committer, running after every co-writer is done, sees
+      // all index rows. Validate per-chunk provenance coverage and
+      // repair torn chunks BEFORE the manifest makes them readable.
+      repairTornWrites(name, meta)
       val vid = meta.versionId.get
       // commit timestamps are STRICTLY monotonic per dataset (like version
       // ids): two commits in one millisecond would otherwise make
@@ -194,6 +200,193 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       StoreFs.moveReplace(tmp, StoreFs.child(versionsDir(name), s"$vid.json"))
       vid
     }
+
+  /** Commit-time torn-write validation + repair — the append-only
+    * completion of the shared-writer CAS analog. Post-write ownership
+    * verification (SparkVersionWriter.verifySharedWrite) converges the
+    * COMMON races, but has an inherent TOCTOU hole: a co-writer whose
+    * row lands after another writer's verify is invisible to it, and
+    * the later row can "win" a chunk without having folded the earlier
+    * writer's cells. The committer is the one actor that runs after
+    * every co-writer is done (the reference's master/slave contract:
+    * script.clj:54-83 — slaves report done, THEN the master commits),
+    * so it can see all rows.
+    *
+    * Soundness rule, computed per chunk from provenance links: starting
+    * from the resolve winner's content hash, a hash covers its row's
+    * recorded merge base (fold output contains base content), every
+    * hash listed in `replacesHash` (a CAS retry re-delivers its
+    * superseded row's cells), and any row with an equal hash (equal
+    * content). The chunk is sound iff every row's hash is covered. An
+    * uncovered row is TORN: its cells may be missing from the winner.
+    *
+    * Repair replays the version's per-chunk history: each row's
+    * effective cells are the elements where its blob differs from its
+    * recorded base's blob (an element re-written with its base value is
+    * a semantic no-op), folded in (seq, hash) order onto the
+    * version-start content — exactly the cell set the reference's
+    * per-chunk CAS loop would have accumulated. The repaired blob lands
+    * through the normal staged append with a seq above every existing
+    * row, so resolve picks it. Idempotent: a re-run computes the same
+    * content, sees its hash already winning, and appends nothing.
+    *
+    * Cost when no contention: variables whose vid index partition holds
+    * a single ingest generation (one write job UUID in its part-file
+    * names) are skipped with one directory listing and ZERO Spark jobs
+    * — every single-writer path. Multi-generation variables pay one
+    * metadata-only scan of their vid partition; blobs are touched only
+    * for chunks actually torn. */
+  private def repairTornWrites(name: String, meta: DatasetMeta): Unit = {
+    val vid = meta.versionId.get
+    val genRe = "part-\\d+-([0-9a-fA-F-]{36})".r
+    val cand = meta.variables.keys.toSeq.sorted.filter { varN =>
+      val dir = StoreFs.child(
+        StoreFs.child(indexDir(name), s"var=$varN"), s"version=$vid")
+      StoreFs.list(dir).iterator.map(_._2)
+        .flatMap(n => genRe.findFirstMatchIn(n).map(_.group(1)))
+        .toSet.size > 1
+    }
+    if (cand.isEmpty) return
+    import spark.implicits._
+    val metaJson = meta.toJson
+
+    // 1. metadata-only torn detection over the candidate vars' vid rows
+    val rows = indexDF(name)
+      .filter(col("version") === vid && col("var").isin(cand: _*))
+      .select(col("var"), col("coordKey"), col("coord"), col("seq"),
+        col("hash"), col("baseHash"), col("replacesHash"))
+      .as[(String, String, Array[Long], Long, String, Option[String], Option[String])]
+    val torn = rows.groupByKey(r => (r._1, r._2)).flatMapGroups {
+      (_: (String, String), it: Iterator[(String, String, Array[Long], Long,
+        String, Option[String], Option[String])]) =>
+        val rs = it.toArray
+        if (rs.length <= 1) Iterator.empty
+        else {
+          val byHash = rs.groupBy(_._5)
+          val winner = rs.maxBy(r => (r._4, r._5))
+          val covered = scala.collection.mutable.Set.empty[String]
+          val stack = scala.collection.mutable.Stack(winner._5)
+          while (stack.nonEmpty) {
+            val h = stack.pop()
+            if (!covered.contains(h)) {
+              covered += h
+              byHash.getOrElse(h, Array.empty).foreach { r =>
+                r._6.filter(_.nonEmpty).foreach(stack.push) // merge base
+                r._7.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+                  .foreach(stack.push) // CAS-retry superseded rows
+              }
+            }
+          }
+          if (rs.forall(r => covered.contains(r._5))) Iterator.empty
+          else rs.iterator
+        }
+    }.toDF("var", "coordKey", "coord", "seq", "hash", "baseHash", "replacesHash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (torn.isEmpty) return
+
+      // 2. version-start content for the torn coordinates (the pristine
+      //    base terminal-provenance rows diffed against): parent resolve,
+      //    or fill for no-parent / REPLACE variables
+      val tornVars = torn.select("var").distinct().as[String].collect().toSeq
+      val parents = tornVars.flatMap { varN =>
+        meta.parent match {
+          case Some(p) if !SparkStore.isReplaceOf(meta, varN) =>
+            Some(resolvedIndex(name, varN, upTo = p)
+              .join(torn.filter(col("var") === varN).select("coordKey"),
+                Seq("coordKey"), "left_semi")
+              .select(lit(varN).as("var"), col("coordKey"),
+                col("hash").as("parentHash")))
+          case _ => None
+        }
+      }.reduceOption(_ unionByName _)
+        .getOrElse(spark.emptyDataset[(String, String, String)]
+          .toDF("var", "coordKey", "parentHash"))
+
+      // 3. attach blobs (torn chunks only — the joins broadcast the tiny
+      //    torn side against the content-addressed store)
+      val blobs = chunksDF.select(col("hash"), col("bytes"))
+      val withBytes = torn
+        .join(blobs.withColumnRenamed("bytes", "rowBytes"), Seq("hash"))
+        .join(blobs.select(col("hash").as("baseHash"),
+          col("bytes").as("baseBytes")), Seq("baseHash"), "left")
+        .dropDuplicates("var", "coordKey", "seq", "hash")
+        .select(col("var"), col("coordKey"), col("coord"), col("seq"),
+          col("hash"), col("baseHash"), col("rowBytes"), col("baseBytes"))
+        .as[(String, String, Array[Long], Long, String, Option[String],
+          Array[Byte], Option[Array[Byte]])]
+      val parentBytes = parents
+        .join(blobs.select(col("hash").as("parentHash"),
+          col("bytes").as("parentBytes")), Seq("parentHash"))
+        .select(col("var"), col("coordKey"), col("parentBytes"))
+        .as[(String, String, Array[Byte])]
+
+      // 4. per-chunk diff-fold replay
+      val repaired = withBytes.groupByKey(r => (r._1, r._2))
+        .cogroup(parentBytes.groupByKey(p => (p._1, p._2))) {
+          case ((varN, ck), rIt, pIt) =>
+            val rs = rIt.toArray.sortBy(r => (r._4, r._5))
+            if (rs.isEmpty) Iterator.empty
+            else {
+              val m = DatasetMeta.fromJson(metaJson)
+              val dt = m.dtype(varN)
+              val coord = rs.head._3.toVector
+              val chunkSlice = m.chunkSlice(varN, coord)
+              val pristine = pIt.toSeq.headOption
+                .map(p => FilterChain.decode(p._3))
+                .getOrElse(Slab.empty(dt, chunkSlice, m.fill(varN)).bytes)
+              val state = pristine.clone()
+              rs.foreach { r =>
+                val base = r._6.filter(_.nonEmpty) match {
+                  case Some(bh) => FilterChain.decode(r._8.getOrElse(
+                    throw new java.io.IOException(
+                      s"torn-write repair: base blob $bh of " +
+                        s"$name/$varN@${r._2} missing from the chunk store")))
+                  case None => pristine
+                }
+                Slab.applyDiff(dt, base, FilterChain.decode(r._7), state)
+              }
+              val winner = rs.maxBy(r => (r._4, r._5))
+              val slab = Slab(dt, chunkSlice, state)
+              val h = slab.contentHash
+              if (h == winner._5) Iterator.empty // already converged
+              else {
+                val framed = FilterChain.encode(m.filters match {
+                  case Nil => FilterChain.DefaultWriteChain
+                  case f => f
+                }, state)
+                val st = slab.stats
+                val replaced = rs.iterator.map(_._5)
+                  .filter(_ != winner._5).toSeq.distinct.mkString(",")
+                Iterator((varN, ck, coord.toArray, winner._4 + 1L, h,
+                  framed, st.cnt, st.lmin, st.lmax, st.lsum, st.dmin,
+                  st.dmax, st.nan, winner._4, winner._5, replaced))
+              }
+            }
+        }.toDF("var", "coordKey", "coord", "seq", "hash", "bytes",
+          "scnt", "slmin", "slmax", "slsum", "sdmin", "sdmax", "snan",
+          "baseSeq", "baseHash", "replacesHash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (repaired.isEmpty) return
+        val newBlobs = repaired
+          .select(col("hash"), lit(-1L).as("ref"), col("bytes"))
+          .join(chunksDF.select("hash"), Seq("hash"), "left_anti")
+        val staging = newChunkStagingDir()
+        newBlobs.repartitionByRange(col("hash")).sortWithinPartitions("hash")
+          .write.option("compression", "uncompressed").parquet(staging)
+        writeChunkRangeSidecar(adoptChunkFiles(staging))
+        appendIndexRows(name, repaired.select(
+          col("var"), lit(vid).as("version"), col("seq"),
+          col("coordKey"), col("coord"), col("hash"),
+          struct(col("scnt").as("cnt"), col("slmin").as("lmin"),
+            col("slmax").as("lmax"), col("slsum").as("lsum"),
+            col("sdmin").as("dmin"), col("sdmax").as("dmax"),
+            col("snan").as("nan")).as("stats"),
+          col("baseSeq"), col("baseHash"), col("replacesHash")))
+      } finally repaired.unpersist()
+    } finally torn.unpersist()
+  }
 
   // ---- physical tables ----
 
@@ -410,7 +603,8 @@ final class SparkStore(val spark: SparkSession, val root: String) {
           appendIndexRows(name, resolvedIndex(name, varN, upTo = latest)
             .select(lit(varN).as("var"), lit(vid).as("version"),
               lit(0L).as("seq"), col("coordKey"), col("coord"), col("hash"),
-              col("stats")))
+              col("stats"), lit(-1L).as("baseSeq"), lit("").as("baseHash"),
+              lit(null).cast("string").as("replacesHash")))
       }
       commitVersion(name, SparkStore.markCheckpoint(w.meta))
     }
@@ -971,7 +1165,18 @@ object SparkStore {
     StructField("coordKey", StringType, nullable = false),
     StructField("coord", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("hash", StringType, nullable = false),
-    StructField("stats", statsSchema, nullable = true)))
+    StructField("stats", statsSchema, nullable = true),
+    // merge provenance (nullable — files predating it read null, treated
+    // as a terminal base): which row's content this row's merge FOLDED
+    // (baseSeq −1 / baseHash "" when the base was a committed-version
+    // row or fill), and, for a shared-writer CAS retry, the writer's own
+    // superseded row's content hash (replacesHash). The commit-time
+    // torn-write check walks these links to prove every row's cells are
+    // contained in the resolve winner — the append-only analog of the
+    // reference's per-chunk CAS pointer chain (impl.clj:232-250).
+    StructField("baseSeq", LongType, nullable = true),
+    StructField("baseHash", StringType, nullable = true),
+    StructField("replacesHash", StringType, nullable = true)))
 
   private[spark] val chunksSchema = StructType(Seq(
     StructField("hash", StringType, nullable = false),
@@ -1558,7 +1763,8 @@ final class SparkVersionWriter(store: SparkStore, name: String,
     * merge onto it" step. */
   private def writeOnce(varName: String, slabRows: DataFrame,
       collectHashes: Boolean = false,
-      baseOverride: Option[Seq[(String, Long, String)]] = None)
+      baseOverride: Option[Seq[(String, Long, String)]] = None,
+      replacesByCoord: Map[String, String] = Map.empty)
       : Option[Map[String, (String, Long, String)]] = {
     val metaJson = meta.toJson
     val parentJson = parentMeta.map(_.toJson)
@@ -1643,9 +1849,21 @@ final class SparkVersionWriter(store: SparkStore, name: String,
           .as[(String, Array[Byte], Long, String)]
       }
 
+    // On a pinned-base retry, merge ONLY the overridden coordinates: the
+    // retry's slab rows can span both lost and still-owned chunks, and an
+    // owned chunk absent from the override would otherwise cogroup with
+    // no base at all and re-merge onto FILL — erasing cells it already
+    // holds, with a bumped seq that would make the damage win
+    val fragsEff = baseOverride match {
+      case Some(ov) =>
+        val keys = ov.map(_._1).toSet
+        frags.filter(f => keys.contains(f._1))
+      case None => frags
+    }
+
     // 3. ONE shuffle: cogroup fragments with base chunks by coordinate;
     //    each coordinate owned by exactly one task → fold in seq order
-    val merged = frags.groupByKey(_._1)
+    val merged = fragsEff.groupByKey(_._1)
       .cogroup(baseChunks.groupByKey(_._1)) { (key, fIt, bIt) =>
         val fs = fIt.toArray
         if (fs.isEmpty) Iterator.empty
@@ -1743,13 +1961,21 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       //    resolve prunes whole files by version instead of filtering
       //    rows; staged + adopted (appendIndexRows) so concurrent token
       //    writers' commit protocols never share a _temporary dir
+      // replacesHash: on a CAS retry, the writer's own superseded row's
+      // content hash (the retry re-delivers those cells) — lets the
+      // commit-time torn-write check mark the old row as covered. The
+      // map is bounded by the retry's lost-chunk count; null elsewhere.
+      val replacesCol =
+        if (replacesByCoord.isEmpty) lit(null).cast("string")
+        else element_at(typedLit(replacesByCoord), col("coordKey"))
       store.appendIndexRows(name, merged.select(
         lit(varN).as("var"), lit(vid).as("version"), lit(jobSeqBase).as("seq"),
         col("coordKey"), col("coord"), col("hash"),
         struct(col("scnt").as("cnt"), col("slmin").as("lmin"),
           col("slmax").as("lmax"), col("slsum").as("lsum"),
           col("sdmin").as("dmin"), col("sdmax").as("dmax"),
-          col("snan").as("nan")).as("stats")))
+          col("snan").as("nan")).as("stats"),
+        col("baseSeq"), col("baseHash"), replacesCol.as("replacesHash")))
       // collected for shared writers only: bounded by THIS call's touched
       // chunk count (token slaves write bounded batches; the unbounded
       // bulk-ingest path is single-writer and never collects)
@@ -1787,7 +2013,7 @@ final class SparkVersionWriter(store: SparkStore, name: String,
     * aggregate job over the touched coordinates of the vid partition per
     * write() call — paid only by token writers. */
   private def verifySharedWrite(varName: String, slabRows: DataFrame,
-      mine: Map[String, String], attempt: Int): Unit = {
+      mine: Map[String, (String, Long, String)], attempt: Int): Unit = {
     val metaJson = meta.toJson
     val varN = varName
     val touched = slabRows.select("start", "stop")
@@ -1806,14 +2032,26 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         col("w.hash").as("winHash"))
       .collect()
     val losers = winners.filter(r =>
-      mine.get(r.getString(0)).exists(_ != r.getString(2)))
+      mine.get(r.getString(0)).exists(_._1 != r.getString(2)))
     if (losers.isEmpty) return
-    if (attempt >= SparkStore.MaxSharedWriteRetries)
+    if (attempt >= SparkStore.MaxSharedWriteRetries) {
+      // provenance in the report: whether each lost merge had folded the
+      // row that is STILL winning (pure seq/clock loss) or a base the
+      // winner has since superseded (content loss) — the first hint when
+      // diagnosing sustained contention
+      val detail = losers.take(5).map { r =>
+        val k = r.getString(0)
+        val (h, bs, bh) = mine(k)
+        s"$k: ours=$h over base(seq=$bs,hash=$bh) vs " +
+          s"winner(seq=${r.getLong(1)},hash=${r.getString(2)})"
+      }.mkString("; ")
       throw new java.io.IOException(
         s"shared write of $name/$varN lost ${losers.length} chunk(s) to " +
           s"concurrent co-writers ${SparkStore.MaxSharedWriteRetries} times " +
           "in a row — giving up (sustained contention on the same chunks; " +
-          "partition writers chunk-aligned or reduce co-writer fan-in)")
+          "partition writers chunk-aligned or reduce co-writer fan-in) [" +
+          detail + "]")
+    }
     // the retry must outrank every observed winner even across driver
     // clock skew: bump our unshifted millis-scale base past theirs
     val maxWin = losers.iterator.map(_.getLong(1)).max
@@ -1828,7 +2066,19 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         Slice(start.toVector, stop.toVector), m.chunkGridSlice(varN))
         .exists(c => lost.contains(SparkStore.coordKey(c)))
     }
-    val mineRetry = writeOnce(varName, retryRows, collectHashes = true)
+    // pin the retry's merge base to the OBSERVED winner rows (the CAS
+    // "re-read current, merge onto it" step made explicit): across
+    // process boundaries the retry's own MVCC resolve could race a
+    // still-landing co-writer and pick a base the verify never saw —
+    // pinning makes each retry round reproducible against the winner
+    // this round observed, and the next verify round catches anything
+    // newer
+    val pinned = losers.iterator
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val replaces = losers.iterator
+      .map(r => r.getString(0) -> mine(r.getString(0))._1).toMap
+    val mineRetry = writeOnce(varName, retryRows, collectHashes = true,
+      baseOverride = Some(pinned), replacesByCoord = replaces)
     verifySharedWrite(varName, retryRows, mineRetry.get, attempt + 1)
   }
 
