@@ -497,21 +497,62 @@ object Similarity {
     for (_ <- 0 until lloydIters)
       centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
     val assignedAll = ivfAssign(n, ivfCentsDF(emb, centsLocal), d)
-    val assigned =
-      if (maxClusterSize <= 0) assignedAll
-      else {
-        val wCap = Window.partitionBy("cent_id").orderBy(col("vec_id").asc)
-        assignedAll.withColumn("crank", row_number().over(wCap))
-          .filter(col("crank") <= maxClusterSize).drop("crank")
+    // Pair generation as ONE cogroup-style pass: the former
+    // window-cap + self-join shape shuffled the assignment frame twice
+    // (row_number partition + join exchange) and, because the two join
+    // sides canonicalize differently, re-ran the whole assignment scan
+    // (embedding read + broadcast argmin) for each side. Grouping by
+    // centroid once and emitting intra-cluster pairs in the task keeps a
+    // single shuffle of (id, vector) rows and a single assignment pass.
+    // Arithmetic is bit-identical to the SQL form: the in-task dot is the
+    // same ascending-index sequential fold as the codegen DotProduct, the
+    // denominator keeps the (nrm_left * nrm_right) order, and rounding is
+    // java BigDecimal.valueOf + HALF_UP — exactly Spark's round(col, 4) —
+    // so the DuckDB oracle still hash-matches.
+    val tauV = tau
+    val capV = maxClusterSize
+    assignedAll.select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Long, Array[Double], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid: Long, it: Iterator[(Long, Long, Array[Double], Double)]) =>
+        // cap = the maxClusterSize SMALLEST vec_ids (the former
+        // row_number-over-vec_id cap), held in a bounded max-heap so a
+        // semantic megacluster costs O(cap) memory, not O(cluster)
+        val members: Array[(Long, Array[Double], Double)] =
+          if (capV <= 0) it.map(r => (r._2, r._3, r._4)).toArray.sortBy(_._1)
+          else {
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[(Long, Array[Double], Double)](Ordering.by(_._1))
+            it.foreach { r =>
+              heap.enqueue((r._2, r._3, r._4))
+              if (heap.size > capV) heap.dequeue()
+            }
+            heap.dequeueAll.toArray.sortBy(_._1)
+          }
+        val out = Array.newBuilder[(Long, Long, Long, Double)]
+        var i = 0
+        while (i < members.length) {
+          val (idA, vA, nA) = members(i)
+          var j = i + 1
+          while (j < members.length) {
+            val (idB, vB, nB) = members(j)
+            val len = math.min(vA.length, vB.length)
+            var acc = 0.0
+            var k = 0
+            while (k < len) { acc += vA(k) * vB(k); k += 1 }
+            val cos = acc / (nA * nB)
+            if (cos >= tauV) {
+              val cosR = java.math.BigDecimal.valueOf(cos)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              out += ((cid, idA, idB, cosR))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
       }
-    val b = assigned.select(col("cent_id"), col("vec_id").as("dup_id"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    assigned.join(b, Seq("cent_id"))
-      .filter(col("vec_id") < col("dup_id"))
-      .withColumn("cos", d(col("v"), col("bv")) / (col("nrm") * col("bn")))
-      .filter(col("cos") >= tau)
-      .select(col("cent_id"), col("vec_id").as("keep_id"), col("dup_id"),
-        round(col("cos"), 4).as("cos_r"))
+      .toDF("cent_id", "keep_id", "dup_id", "cos_r")
       .orderBy("keep_id", "dup_id")
   }
 

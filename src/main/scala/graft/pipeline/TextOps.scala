@@ -608,6 +608,13 @@ object TextOps {
     // segment stream itself (explode_outer keeps segment-less docs as a
     // null-seg row), so neither the final report nor the df table needs
     // a second scan of the text.
+    // Segments are identified by xxhash64 of the token sub-array, not the
+    // joined string: the segment identity only has to be stable for
+    // grouping/joining (the report never emits segment text), and the
+    // hash both skips the per-segment string build and shrinks every
+    // downstream shuffle row to 8 bytes — at corpus scale the segment
+    // stream is the dominant exchange. Collisions (~n²/2⁶⁴) merge two
+    // segments' df counts; harmless at any realistic n.
     // sequence(0, -1) would generate a DESCENDING range, so a document
     // shorter than segLen must short-circuit to zero segments explicitly
     val stream = docs
@@ -615,7 +622,7 @@ object TextOps {
       .select(col("doc_id"), size(col("ts")).cast("long").as("nt"),
         explode_outer(expr(s"CASE WHEN size(ts) >= $segLen THEN " +
           s"transform(sequence(0, CAST(size(ts)/$segLen AS INT) - 1), " +
-          s"i -> array_join(slice(ts, i*$segLen + 1, $segLen), ' ')) " +
+          s"i -> xxhash64(slice(ts, i*$segLen + 1, $segLen))) " +
           "ELSE array() END")).as("seg"))
     // per-(doc, segment) occurrence counts, built ONCE: the df side and
     // the per-doc report both consume this frame, sharing its exchange
