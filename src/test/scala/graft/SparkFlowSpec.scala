@@ -629,4 +629,58 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"cell ($x,5) of the shared chunk lost worker 1's write")
     }
   }
+
+  test("cross-JVM mis-ordered lots-of-processes: FOUR worker JVMs each " +
+      "write a shuffled interleave of y-columns over 7-wide chunks (every " +
+      "chunk written by every worker, one write() per column), master " +
+      "commits — per-write CAS retries plus the commit-time torn-write " +
+      "repair converge to all cells (concurrency.clj:162-243)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-xjvm4").toString
+    val master = new SparkStore(spark, root)
+    master.create("ds")
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 6L, "y" -> 14L),
+      chunkDimensions = Map("x" -> 6L, "y" -> 7L), // 2 chunks, both shared 4-ways
+      variables = Map("v" -> VariableDef("double", Vector("x", "y"), -1.0)))
+    val w = master.addVersion("ds", meta)
+    val tokenFile = java.nio.file.Files.createTempFile("graft-token4", ".json")
+    java.nio.file.Files.writeString(tokenFile, w.token)
+    val java17Opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def spawn(k: Int): (Process, java.io.File) = {
+      val out = java.io.File.createTempFile(s"graft-worker4-$k", ".log")
+      val cmd = (Seq(
+        System.getProperty("java.home") + "/bin/java", "-Xmx2g",
+        "-cp", System.getProperty("java.class.path")) ++ java17Opens ++ Seq(
+        "graft.testtools.TokenWorkerMain",
+        root, "ds", tokenFile.toString, s"cols${k}of4")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(out)
+      (pb.start(), out)
+    }
+    val procs = (0 until 4).map(spawn)
+    procs.foreach { case (p, out) =>
+      assert(p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS),
+        "worker process timed out")
+      val log = java.nio.file.Files.readString(out.toPath)
+      assert(p.exitValue() == 0, s"worker failed (exit ${p.exitValue()}):\n" +
+        log.linesIterator.toSeq.takeRight(30).mkString("\n"))
+      assert(log.contains(graft.testtools.TokenWorkerMain.DoneMarker),
+        "worker never reported done")
+    }
+    val vid = w.finishVersion()
+    val got = new SparkStore(spark, root).reader("ds").onVersion(vid)
+      .getSlice("v", Slice(Seq(0L, 0L), Seq(6L, 14L)))
+    for (x <- 0L until 6L; y <- 0L until 14L)
+      assert(got.valueAt(Seq(x, y)) == (y + 1).toDouble,
+        s"cell ($x,$y): column $y's write (worker ${y % 4}) was lost")
+  }
 }
