@@ -146,12 +146,18 @@ object Multimodal {
       * the full image (not just the header) — which is what a real
       * feature-extract stage pays anyway — and fails loudly on corrupt
       * payloads: ImageIO either throws or, finding no capable reader,
-      * returns null. */
+      * returns null. The byte[] is wrapped in an explicit
+      * MemoryCacheImageInputStream: ImageIO.read(InputStream) would
+      * otherwise route through FileCacheImageInputStream (useCache
+      * defaults to true), creating and deleting a TEMP FILE per payload
+      * — pure executor-local I/O churn for data already in memory. */
     private def decodeImageIo(p: Array[Byte], fmt: String): (Long, Long, Long) = {
       def fail(msg: String, cause: Throwable): Nothing =
         throw new IllegalArgumentException(s"malformed $fmt: $msg", cause)
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        try javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(p)))
         catch { // readers throw unchecked on garbage dims, IIOException on
           // corrupt streams — either way: quarantine, don't ingest
           case scala.util.control.NonFatal(e) => fail(e.getMessage, e)
@@ -328,22 +334,39 @@ object Multimodal {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      // one PNG encoder per partition: ImageIO.write's convenience form
+      // does a registry lookup AND a FileCacheImageOutputStream temp
+      // file per image (useCache defaults to true) — for an in-memory
+      // encode that is a file create/delete per row, executor-local
+      // I/O that would also hammer local disk on a real cluster
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
       it.map { id =>
         val w = (id % 64 + 1).toInt
         val h = (id % 48 + 1).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // direct raster fill: setRGB pays a per-pixel ColorModel
+        // round-trip; for TYPE_INT_RGB the backing int array stores the
+        // same packed 0xRRGGBB words
+        val px = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferInt].getData
         var y = 0
+        var i = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, (x * 31 + y * 7 + id.toInt) & 0xffffff)
+            px(i) = (x * 31 + y * 7 + id.toInt) & 0xffffff
+            i += 1
             x += 1
           }
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
         (id, bos.toByteArray)
       }
     }.toDF("doc_id", "payload")
