@@ -341,7 +341,7 @@ object Multimodal {
       // I/O that would also hammer local disk on a real cluster
       val writer =
         javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
-      it.map { id =>
+      val encoded = it.map { id =>
         val w = (id % 64 + 1).toInt
         val h = (id % 48 + 1).toInt
         val img = new java.awt.image.BufferedImage(
@@ -364,10 +364,24 @@ object Multimodal {
         }
         val bos = new java.io.ByteArrayOutputStream()
         val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-        writer.setOutput(ios)
-        writer.write(img)
-        ios.flush()
+        try {
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.flush()
+        } finally ios.close() // releases the memory-cache buffers per row
         (id, bos.toByteArray)
+      }
+      // dispose() the shared writer when the partition is exhausted —
+      // long-lived executors otherwise accumulate one native-resource
+      // writer instance per task
+      new Iterator[(Long, Array[Byte])] {
+        private var disposed = false
+        def hasNext: Boolean = {
+          val h = encoded.hasNext
+          if (!h && !disposed) { disposed = true; writer.dispose() }
+          h
+        }
+        def next(): (Long, Array[Byte]) = encoded.next()
       }
     }.toDF("doc_id", "payload")
   }

@@ -481,7 +481,10 @@ object Similarity {
     * per-task pair counts at O(K · maxClusterSize²) while keeping the
     * within-cap pairs (truncation, not whole-cluster drop: unlike an
     * LSH boilerplate bucket, a semantic megacluster still holds real
-    * near-dups worth flagging). `maxClusterSize = 0` disables the cap.
+    * near-dups worth flagging). `maxClusterSize = 0` disables the cap
+    * AND switches to the streaming join-based pair plan (the in-task
+    * pair loop's memory bound is the cap; uncapped it would hold an
+    * entire cluster in one task).
     */
   def semanticNearDupPairs(emb: DataFrame, nCentroids: Int = 0,
       tau: Double = 0.2, lloydIters: Int = 1,
@@ -511,6 +514,26 @@ object Similarity {
     // so the DuckDB oracle still hash-matches.
     val tauV = tau
     val capV = maxClusterSize
+    if (capV <= 0) {
+      // Uncapped path: the flatMapGroups plan below materializes one
+      // whole cluster's (id, vector, norm) rows in a single task — with
+      // no cap a semantic megacluster is an executor-OOM risk and its
+      // O(|cluster|²) loop runs single-threaded. Fall back to the
+      // join-based plan: streams both sides and distributes the pair
+      // loop across tasks. Same arithmetic (codegen sequential-fold dot,
+      // (nrm·nrm) denominator order, round(_, 4)), so oracle-stable.
+      return assignedAll
+        .select(col("cent_id"), col("vec_id").as("keep_id"),
+          col("v").as("va"), col("nrm").as("na"))
+        .join(assignedAll.select(col("cent_id"), col("vec_id").as("dup_id"),
+          col("v").as("vb"), col("nrm").as("nb")), Seq("cent_id"))
+        .filter(col("keep_id") < col("dup_id"))
+        .withColumn("cos", d(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= tauV)
+        .select(col("cent_id"), col("keep_id"), col("dup_id"),
+          round(col("cos"), 4).as("cos_r"))
+        .orderBy("keep_id", "dup_id")
+    }
     assignedAll.select(col("cent_id"), col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Long, Array[Double], Double)]
       .groupByKey(_._1)
@@ -518,17 +541,15 @@ object Similarity {
         // cap = the maxClusterSize SMALLEST vec_ids (the former
         // row_number-over-vec_id cap), held in a bounded max-heap so a
         // semantic megacluster costs O(cap) memory, not O(cluster)
-        val members: Array[(Long, Array[Double], Double)] =
-          if (capV <= 0) it.map(r => (r._2, r._3, r._4)).toArray.sortBy(_._1)
-          else {
-            val heap = scala.collection.mutable.PriorityQueue
-              .empty[(Long, Array[Double], Double)](Ordering.by(_._1))
-            it.foreach { r =>
-              heap.enqueue((r._2, r._3, r._4))
-              if (heap.size > capV) heap.dequeue()
-            }
-            heap.dequeueAll.toArray.sortBy(_._1)
+        val members: Array[(Long, Array[Double], Double)] = {
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[(Long, Array[Double], Double)](Ordering.by(_._1))
+          it.foreach { r =>
+            heap.enqueue((r._2, r._3, r._4))
+            if (heap.size > capV) heap.dequeue()
           }
+          heap.dequeueAll.toArray.sortBy(_._1)
+        }
         val out = Array.newBuilder[(Long, Long, Long, Double)]
         var i = 0
         while (i < members.length) {

@@ -212,13 +212,29 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * script.clj:54-83 — slaves report done, THEN the master commits),
     * so it can see all rows.
     *
-    * Soundness rule, computed per chunk from provenance links: starting
-    * from the resolve winner's content hash, a hash covers its row's
-    * recorded merge base (fold output contains base content), every
-    * hash listed in `replacesHash` (a CAS retry re-delivers its
-    * superseded row's cells), and any row with an equal hash (equal
-    * content). The chunk is sound iff every row's hash is covered. An
-    * uncovered row is TORN: its cells may be missing from the winner.
+    * Soundness rule, computed per chunk from provenance links. Two
+    * coverage strengths exist, and the walk must track which one it
+    * holds — conflating them is unsound:
+    *
+    *  - FULL (content containment): the hash's entire content appears
+    *    in the winner. Holds for the winner itself, and propagates
+    *    along `baseHash` edges FROM a full-covered hash only (a fold
+    *    output contains its base's content — transitive).
+    *  - FRAGMENT (write-call cells survive): only the row's own diff
+    *    cells are guaranteed re-delivered. Propagates along
+    *    `replacesHash` edges from ANY covered hash (a CAS retry
+    *    re-delivers its superseded row's cells; retries chain). A
+    *    fragment-covered hash must NOT push its `baseHash`: the
+    *    superseded row's base content was never re-delivered, so a row
+    *    reachable only as "base of a replaced row" can still be torn
+    *    (e.g. writer A's write#1 reachable only through the base link
+    *    of A's replaced write#2 — write#2's retry carried write#2's
+    *    cells, not write#1's).
+    *
+    * Rows with an equal hash have equal content and share the hash's
+    * coverage. The chunk is sound iff every row's hash is covered (at
+    * either strength). An uncovered row is TORN: its cells may be
+    * missing from the winner.
     *
     * Repair replays the version's per-chunk history: each row's
     * effective cells are the elements where its blob differs from its
@@ -264,16 +280,20 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         else {
           val byHash = rs.groupBy(_._5)
           val winner = rs.maxBy(r => (r._4, r._5))
-          val covered = scala.collection.mutable.Set.empty[String]
-          val stack = scala.collection.mutable.Stack(winner._5)
+          // hash -> 1 (FULL) | 0 (FRAGMENT); absent = uncovered
+          val covered = scala.collection.mutable.Map.empty[String, Int]
+          val stack = scala.collection.mutable.Stack((winner._5, 1))
           while (stack.nonEmpty) {
-            val h = stack.pop()
-            if (!covered.contains(h)) {
-              covered += h
+            val (h, lvl) = stack.pop()
+            val cur = covered.getOrElse(h, -1)
+            if (lvl > cur) {
+              covered(h) = lvl
               byHash.getOrElse(h, Array.empty).foreach { r =>
-                r._6.filter(_.nonEmpty).foreach(stack.push) // merge base
-                r._7.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
-                  .foreach(stack.push) // CAS-retry superseded rows
+                if (lvl == 1) // merge base: FULL-covered parents only
+                  r._6.filter(_.nonEmpty).foreach(bh => stack.push((bh, 1)))
+                if (cur < 0) // CAS-retry superseded rows: FRAGMENT
+                  r._7.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+                    .foreach(rh => stack.push((rh, 0)))
               }
             }
           }
@@ -305,16 +325,21 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
       // 3. attach blobs (torn chunks only — the joins broadcast the tiny
       //    torn side against the content-addressed store)
+      // LEFT join so a torn row whose own blob is missing from the
+      // store cannot be silently dropped (the fold would then replay
+      // history without that row's cells and append a WRONG "repaired"
+      // blob); the fold throws on a null rowBytes, mirroring the
+      // missing-baseBytes guard below.
       val blobs = chunksDF.select(col("hash"), col("bytes"))
       val withBytes = torn
-        .join(blobs.withColumnRenamed("bytes", "rowBytes"), Seq("hash"))
+        .join(blobs.withColumnRenamed("bytes", "rowBytes"), Seq("hash"), "left")
         .join(blobs.select(col("hash").as("baseHash"),
           col("bytes").as("baseBytes")), Seq("baseHash"), "left")
         .dropDuplicates("var", "coordKey", "seq", "hash")
         .select(col("var"), col("coordKey"), col("coord"), col("seq"),
           col("hash"), col("baseHash"), col("rowBytes"), col("baseBytes"))
         .as[(String, String, Array[Long], Long, String, Option[String],
-          Array[Byte], Option[Array[Byte]])]
+          Option[Array[Byte]], Option[Array[Byte]])]
       val parentBytes = parents
         .join(blobs.select(col("hash").as("parentHash"),
           col("bytes").as("parentBytes")), Seq("parentHash"))
@@ -344,7 +369,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
                         s"$name/$varN@${r._2} missing from the chunk store")))
                   case None => pristine
                 }
-                Slab.applyDiff(dt, base, FilterChain.decode(r._7), state)
+                val rowB = r._7.getOrElse(throw new java.io.IOException(
+                  s"torn-write repair: row blob ${r._5} of " +
+                    s"$name/$varN@${r._2} missing from the chunk store"))
+                Slab.applyDiff(dt, base, FilterChain.decode(rowB), state)
               }
               val winner = rs.maxBy(r => (r._4, r._5))
               val slab = Slab(dt, chunkSlice, state)

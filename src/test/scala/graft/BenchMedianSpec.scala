@@ -38,4 +38,33 @@ class BenchMedianSpec extends AnyFunSuite {
     // q_arr_stream_ingest shape: first pass builds the dataset
     assert(Bench.median(Seq(11.8, 0.25, 0.26), 3.0) == 0.26)
   }
+
+  test("publishedMedian: a guard rerun never replaces a better pre-guard " +
+      "median with a worse one (round-13: q_arr_axisdiff 0.572 -> 1.298)") {
+    // rerun landed in the same contention window: post-guard median worse
+    assert(Bench.publishedMedian(
+      Seq(0.55, 0.572, 0.60, 1.29, 1.31), Some(0.572)) == 0.572)
+    // rerun rescued the entry: the better post-guard median wins
+    assert(Bench.publishedMedian(
+      Seq(2.9, 3.1, 3.0, 0.61, 0.60, 0.62), Some(3.0)) < 3.0)
+    // untouched entries pass through
+    assert(Bench.publishedMedian(Seq(1.0, 1.1, 1.2), None) == 1.1)
+    // all-failed reps with a valid pre-guard keep the pre-guard number
+    assert(Bench.publishedMedian(Seq(-1.0), Some(0.5)) == 0.5)
+  }
+
+  test("floorContended: median >1.5x own same-run floor is the " +
+      "machine-contention signature; fast entries and real regressions " +
+      "are exempt") {
+    // round-13 shape: floor 0.53 s, contended reps push median to 1.30
+    assert(Bench.floorContended(Seq(0.53, 1.28, 1.30), 1.5))
+    // clean sample: median rides the floor
+    assert(!Bench.floorContended(Seq(0.53, 0.55, 0.58), 1.5))
+    // a real regression raises the floor too -> ratio near 1, not flagged
+    assert(!Bench.floorContended(Seq(4.0, 4.2, 4.1), 1.5))
+    // sub-0.3 s entries are JIT jitter, never flagged
+    assert(!Bench.floorContended(Seq(0.05, 0.11, 0.12), 1.5))
+    // single rep: no spread information, not flagged
+    assert(!Bench.floorContended(Seq(2.0), 1.5))
+  }
 }

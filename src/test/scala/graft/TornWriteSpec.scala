@@ -90,6 +90,63 @@ class TornWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("coverage walk is edge-typed: a row reachable ONLY through the " +
+      "base link of a CAS-replaced row is still torn (a replaces edge " +
+      "re-delivers the superseded row's fragments, not its base's " +
+      "content) — commit must repair, not skip") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-edge").toString
+    val store = new SparkStore(spark, root)
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 4L), chunkDimensions = Map("x" -> 4L),
+      variables = Map("v" -> VariableDef("double", Vector("x"), -9.0)))
+    store.create("ds")
+    val w = store.addVersion("ds", meta)
+    val vid = w.meta.versionId.get
+    // writer A, write#1 (r1): whole chunk = 1.0; write#2 (r2, base r1):
+    // x=1 → 2.0. Both land through the normal path (chained provenance).
+    w.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L), Seq(4L)), 1.0)))
+    w.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(1L), Seq(2L)), 2.0)))
+    val idx = spark.read.parquet(s"$root/ds/index")
+      .filter(org.apache.spark.sql.functions.col("version") === vid)
+      .select("seq", "hash").orderBy("seq").collect()
+    assert(idx.length == 2)
+    val h2 = idx(1).getString(1)
+    // forge the TOCTOU outcome the ADVICE names: co-writer rB (terminal
+    // base, outranking seq) lands after A's write#2 verify; A's retry r3
+    // folds onto rB and replaces r2 — so the final winner r3 reaches r1
+    // only via r2's BASE link, and r2 was only ever fragment-re-delivered.
+    val chunkSlice = w.meta.chunkSlice("v", Seq(0L))
+    def mk(vals: Slab*): Slab =
+      vals.foldLeft(Slab.empty(DType.DOUBLE, chunkSlice, -9.0))(_ mergeFrom _)
+    val rB = mk(Slab.empty(DType.DOUBLE, Slice(Seq(2L), Seq(3L)), 5.0))
+    val r3 = mk(Slab.empty(DType.DOUBLE, Slice(Seq(2L), Seq(3L)), 5.0),
+      Slab.empty(DType.DOUBLE, Slice(Seq(1L), Seq(2L)), 2.0))
+    val staging = store.newChunkStagingDir()
+    Seq(rB, r3).map(s => (s.contentHash, -1L,
+        FilterChain.encode(FilterChain.DefaultWriteChain, s.bytes)))
+      .toDF("hash", "ref", "bytes").coalesce(1)
+      .write.option("compression", "uncompressed").parquet(staging)
+    store.adoptChunkFiles(staging)
+    val seqB = (System.currentTimeMillis() + 3600000L) << 20
+    store.appendIndexRows("ds", Seq(
+        ("v", vid, seqB, "0", Seq(0L), rB.contentHash,
+          Option.empty[String], Option.empty[String]),
+        ("v", vid, seqB + 1L, "0", Seq(0L), r3.contentHash,
+          Some(rB.contentHash), Some(h2)))
+      .toDF("var", "version", "seq", "coordKey", "coord", "hash",
+        "baseHash", "replacesHash"))
+    // pre-fix walk: r3 → base rB (ok), replaces r2 → base r1 judged
+    // covered → chunk "sound" → r1's cells at x=0,3 silently lost.
+    // Post-fix: r2 is fragment-covered only, r1 uncovered → repair.
+    w.finishVersion()
+    val got = store.reader("ds").onVersion(vid)
+      .getSlice("v", Slice(Seq(0L), Seq(4L)))
+    assert((0L until 4L).map(x => got.valueAt(Seq(x))) ==
+      Seq(1.0, 2.0, 5.0, 1.0),
+      "repair must replay r1's cells (x=0,3) that the forged winner lacks")
+  }
+
   test("single-writer commits append no repair rows (generation-count " +
       "skip): two write() calls of one writer are provenance-chained") {
     val root = java.nio.file.Files.createTempDirectory("graft-chain").toString
