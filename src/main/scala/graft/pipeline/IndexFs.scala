@@ -16,10 +16,12 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
   * Atomicity: [[replace]] is tmp-write + `FileContext.rename(OVERWRITE)`
   * — atomic on HDFS and on the local FS. On S3-class stores a rename is
   * copy+delete (non-atomic), but the window is a one-line sidecar file
-  * and readers retry ([[Similarity]] readMeta); [[createExclusive]]
-  * maps to an atomic create-no-overwrite (a conditional PUT on modern
-  * object stores). The FileSystem objects come from Hadoop's per-scheme
-  * cache — do not close them.
+  * and readers retry ([[Similarity]] readMeta). The write lease
+  * deliberately needs NO atomic create: it is a proposal election over
+  * uniquely-named objects (Similarity.withWriteLock), safe even where
+  * `create(overwrite=false)` is exists-check-then-truncate. The
+  * FileSystem objects come from Hadoop's per-scheme cache — do not
+  * close them.
   */
 private[pipeline] object IndexFs {
 
@@ -80,47 +82,6 @@ private[pipeline] object IndexFs {
   def delete(p: String): Unit = { val (f, hp) = fs(p); f.delete(hp, false); () }
 
   def deleteTree(p: String): Unit = { val (f, hp) = fs(p); f.delete(hp, true); () }
-
-  /** Atomic create-no-overwrite with `content` as the body. False when
-    * the file already exists (something else holds it); genuine IO
-    * errors propagate.
-    *
-    * Local paths go through `java.nio` `Files.createFile` (O_EXCL —
-    * truly atomic): Hadoop's ChecksumFileSystem implements
-    * `create(overwrite=false)` as exists-check THEN create, so two
-    * same-millisecond callers could interleave create/write/read-back
-    * such that EACH read its own token back (A creates+writes+reads;
-    * B's create truncates after A's read; B writes+reads its own) —
-    * both entered the "lock". Observed as two concurrent ivfAppendBatch
-    * meta writes clobbering each other's `_temporary`. HDFS and modern
-    * object stores implement the no-overwrite create atomically
-    * (conditional PUT), so the Hadoop path stands for them. */
-  def createExclusive(p: String, content: String): Boolean = {
-    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val hp = new HPath(p)
-    val scheme = Option(hp.toUri.getScheme).getOrElse("file")
-    if (scheme == "file" || hp.toUri.getScheme == null) {
-      val local = java.nio.file.Paths.get(hp.toUri.getPath)
-      try {
-        java.nio.file.Files.write(local, bytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      val (f, _) = fs(p)
-      val out =
-        try f.create(hp, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
-          case _: java.nio.file.FileAlreadyExistsException => return false
-          case e: java.io.IOException if f.exists(hp) => return false
-          case e: java.io.IOException => throw e
-        }
-      scala.util.Using.resource(out)(_.write(bytes))
-      true
-    }
-  }
 
   /** Direct children as (name, mtime) — empty when `p` is absent. */
   def list(p: String): Seq[(String, Long)] = {

@@ -799,44 +799,82 @@ object Similarity {
     writeProps(m, dir)
   }
 
-  /** Serialize index writes (appends, rebuilds) with a root-level lock
-    * file: two concurrent read-modify-write meta updates would lose one
-    * writer's generation and XOR contribution (lost update), and an
-    * append racing a rebuild would commit into the generation the flip
-    * is about to supersede. Cross-process via the Hadoop FS
-    * create-no-overwrite lease (an atomic conditional create on HDFS
-    * and modern object stores). A crashed writer's lock is stolen after
-    * `staleMs` — which therefore is a HARD upper bound on how long one
-    * append/rebuild may run; raise it for huge rebuilds. The steal path
-    * (delete stale, re-create) is two steps, so after creating the lock
-    * each writer reads its unique token back — of N racing stealers
-    * exactly one sees its own token and proceeds; the rest throw. */
+  /** Serialize index writes (appends, rebuilds): two concurrent
+    * read-modify-write meta updates would lose one writer's generation
+    * and XOR contribution (lost update), and an append racing a rebuild
+    * would commit into the generation the flip is about to supersede.
+    * A crashed writer's hold is stolen after `staleMs` — which
+    * therefore is a HARD upper bound on how long one append/rebuild may
+    * run; raise it for huge rebuilds.
+    *
+    * Mutual exclusion must hold on stores WITHOUT an atomic
+    * create-no-overwrite: legacy S3 `create(overwrite=false)` (and
+    * RawLocalFileSystem, which mockfs inherits) is an exists-check THEN
+    * a truncating create, so a bare lock-file lease admits two
+    * same-moment writers (A creates+verifies; B's create truncates
+    * after A's read-back; both "own" it). The lease here is therefore a
+    * PROPOSAL ELECTION that needs only per-object-atomic PUTs of
+    * UNIQUELY NAMED objects plus strongly-consistent listing (true of
+    * HDFS, posix, and modern object stores):
+    *
+    *  1. put `.write.lock.d/<uuid>` — unique name, can never clobber a
+    *     rival's proposal however create is implemented;
+    *  2. list the dir; proceed iff every OTHER live proposal is
+    *     STRICTLY NEWER (server-assigned mtime) than ours. A rival that
+    *     listed before our proposal became visible necessarily has an
+    *     older-or-equal mtime, so at most one contender can ever see
+    *     itself as strict minimum; mtime TIES back everyone who sees
+    *     them off (safety over liveness — callers retry).
+    *  3. the winner keeps its proposal for the whole body (so later
+    *     arrivals lose their election against it) and additionally
+    *     writes the legacy `.write.lock` marker file (cheap refusal for
+    *     later arrivals + external visibility of the holder's token).
+    *
+    * Stale proposals and a stale marker (mtime beyond `staleMs`) are
+    * swept at acquisition — the crashed-writer steal. */
   private def withWriteLock[A](path: String, staleMs: Long = 3600000L)(
       body: => A): A = {
     IndexFs.mkdirs(path)
     val lock = s"$path/.write.lock"
+    val elecDir = s"$path/.write.lock.d"
     val token = java.util.UUID.randomUUID.toString
+    def refuse(): Nothing = throw new IllegalStateException(
+      s"graft: another ivfAppend/ivfRebuild holds $path/.write.lock — " +
+        "index writes are single-writer (lost-update protection); retry " +
+        "after it commits (a crashed writer's lock is stolen after " +
+        s"${staleMs / 1000} s)")
+    val now = System.currentTimeMillis()
     try {
-      if (IndexFs.exists(lock) &&
-          IndexFs.mtime(lock) < System.currentTimeMillis() - staleMs)
-        IndexFs.delete(lock)
+      if (IndexFs.exists(lock)) {
+        if (IndexFs.mtime(lock) < now - staleMs) IndexFs.delete(lock)
+        else refuse()
+      }
     } catch { case _: java.io.IOException => () }
-    if (!IndexFs.createExclusive(lock, token))
-      throw new IllegalStateException(
-        s"graft: another ivfAppend/ivfRebuild holds $path/.write.lock — " +
-          "index writes are single-writer (lost-update protection); retry " +
-          "after it commits (a crashed writer's lock is stolen after " +
-          s"${staleMs / 1000} s)")
-    val owned =
-      try IndexFs.readString(lock).trim == token
-      catch { case _: java.io.IOException => false }
-    if (!owned)
-      throw new IllegalStateException(
-        s"graft: lost a stale-lock steal race on $path/.write.lock — " +
-          "another writer re-created the lock between this writer's " +
-          "delete and create; retry after it commits")
+    IndexFs.mkdirs(elecDir)
+    // sweep crashed contenders' proposals before standing our own
+    try IndexFs.list(elecDir).foreach { case (n, m) =>
+      if (m < now - staleMs) IndexFs.delete(s"$elecDir/$n")
+    } catch { case _: java.io.IOException => () }
+    IndexFs.writeBytes(s"$elecDir/$token", Array.emptyByteArray)
+    def cleanup(): Unit = {
+      try IndexFs.delete(s"$elecDir/$token")
+      catch { case _: java.io.IOException => () }
+    }
+    val live = IndexFs.list(elecDir).filter(_._2 >= now - staleMs)
+    val selfMtime = live.collectFirst { case (n, m) if n == token => m }
+      .getOrElse { cleanup(); refuse() } // swept by a skewed-clock racer
+    if (live.exists { case (n, m) => n != token && m <= selfMtime }) {
+      cleanup(); refuse() // rival proposal not strictly newer: stand down
+    }
+    // elected: the marker create-overwrite is safe, the election
+    // authorized exactly one writer to reach this line
+    IndexFs.writeBytes(lock,
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     try body
-    finally { try IndexFs.delete(lock) catch { case _: java.io.IOException => () } }
+    finally {
+      try IndexFs.delete(lock) catch { case _: java.io.IOException => () }
+      cleanup()
+    }
   }
 
   /** Persistent IVF index: `build` runs the Lloyd refinement ONCE and

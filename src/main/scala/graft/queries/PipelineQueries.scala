@@ -779,6 +779,19 @@ object PipelineQueries {
       graft.streaming.Sessionize
         .sessionsStreamReplay(ev, gapSeconds = 1800L, nBatches = 3)
     }),
+    // the SAME streaming sessionizer on its production path: a real
+    // file-source stream (readStream.parquet over a chunked feed dir,
+    // one file per micro-batch) with a parquet sink — no event row
+    // crosses the driver; gated against the same oracle
+    "q_pipe_sessions_fstream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-fstream").toString
+      graft.streaming.Sessionize
+        .sessionsStreamFile(ev, gapSeconds = 1800L, nBatches = 3, work)
+    }),
     // the watermarked window aggregate replayed over deterministic
     // micro-batches: per-(hour, event_type) counts/bytes, append-mode
     // emission flushed by sentinel watermark advancement
@@ -894,6 +907,8 @@ object PipelineQueries {
       // streaming replay answers identically to the relational twin —
       // same gap definition, same grouping — so it shares the oracle
       ("q_pipe_sessions_stream" -> oracleSqlBase("q_pipe_sessions")) +
+      // the file-source production path computes the same sessions
+      ("q_pipe_sessions_fstream" -> oracleSqlBase("q_pipe_sessions")) +
       // the state-machine funnel answers identically to the three-pass
       // batch funnel (same >= stage constraints) — shared oracle
       ("q_pipe_funnel_stream" -> oracleSqlBase("q_pipe_funnel")) +

@@ -238,15 +238,18 @@ object AxisOps {
     // a chunk's LAST cell (pos == ext−1) also feeds the next chunk's lag;
     // the trailing overhang chunk's last cell never needs to (no successor)
     val targets = array_compact(array(c, when(pos === ext - 1, c + 1)))
+    // ownership (own == tc) is re-derivable from the cell coordinate
+    // (own = floor(axis / ext)), so it does NOT ride the exchange as an
+    // extra column — the shuffle carries exactly dims + value + tc
     val tagged = df.select(
-      (dims.map(col) :+ col("value") :+ c.as("own") :+
-        explode(targets).as("tc")): _*)
+      (dims.map(col) :+ col("value") :+ explode(targets).as("tc")): _*)
     val w = Window
       .partitionBy((others.map(col) :+ col("tc")): _*)
       .orderBy(col(axis))
     tagged
       .withColumn("vp", lag("value", 1).over(w))
-      .filter(col("own") === col("tc") && col("vp").isNotNull)
+      .filter(col(axis) - col("tc") * ext >= 0 &&
+        col(axis) - col("tc") * ext < ext && col("vp").isNotNull)
       .select((dims.map(col) :+ (col("value") - col("vp")).as("diff")): _*)
   }
 

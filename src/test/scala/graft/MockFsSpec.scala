@@ -234,6 +234,69 @@ class MockFsSpec extends AnyFunSuite {
       new org.apache.hadoop.conf.Configuration()))
   }
 
+  test("crash mid INDEX adopt: per-file copy-renames into the live index " +
+      "dir die partway — the version never becomes visible (manifest-" +
+      "pointer commit), prior reads are intact, and a retry lands") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("ds")
+    val v1 = writeVals(store, "ds", (1 to 10).map(_.toDouble))
+    // target ONLY the live-index adopt surface: staged part files live
+    // under .index_ingest_<uuid>/var=… (no "index/var=" in the path), so
+    // the injected crash fires on the first ADOPT rename, after some
+    // chunk blobs may already be adopted — the worst partial state
+    MockObjectStoreFileSystem.failNextCopyMatching = "index/var="
+    try {
+      intercept[Exception] { writeVals(store, "ds", Seq(8.0, 8.0), at = 2L) }
+    } finally MockObjectStoreFileSystem.failNextCopyMatching = null
+    assert(store.versions("ds").map(_._2) == Seq(v1),
+      "a write crashed mid index adopt must not commit a version")
+    assert(readAll(store, "ds", v1) == (0L until 10L).map(x => x -> (x + 1)).toMap,
+      "partially adopted index rows of an uncommitted version must stay invisible")
+    val v2 = writeVals(store, "ds", Seq(8.0, 8.0), at = 2L)
+    val at2 = readAll(store, "ds", v2)
+    assert(at2(2L) == 8L && at2(3L) == 8L && at2(0L) == 1L && at2(4L) == 5L)
+  }
+
+  test("ANN index write lease over object-store create semantics: " +
+      "concurrent same-batch appenders commit exactly once (the proposal " +
+      "election needs no atomic create-no-overwrite)") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = mockRoot() + "/ivf"
+    Similarity.ivfBuild(emb, path, nCentroids = 16)
+    val batch = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    def racer(): Either[Throwable, Boolean] = {
+      var attempts = 0
+      while (true) {
+        try return Right(Similarity.ivfAppendBatch(batch, path, batchId = 1L))
+        catch {
+          case e: IllegalStateException
+            if e.getMessage.contains("write.lock") && attempts < 240 =>
+            attempts += 1; Thread.sleep(500)
+          case e: Throwable => return Left(e)
+        }
+      }
+      sys.error("unreachable")
+    }
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(() => racer())
+      val fb = pool.submit(() => racer())
+      val results = Seq(fa.get(300, TimeUnit.SECONDS),
+          fb.get(300, TimeUnit.SECONDS)).map {
+        case Right(committed) => committed
+        case Left(e) => fail(s"racer failed non-lock over mockfs: $e")
+      }
+      assert(results.count(identity) == 1,
+        s"exactly one racer must commit batchId 1 over mockfs: $results")
+    } finally pool.shutdownNow()
+    val full = emb.select("vec_id", "embedding").unionByName(batch)
+    assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 3).count() > 0)
+  }
+
   test("SQL row-level UPDATE over mockfs: executor-side staged fragments " +
       "resolve the store FileSystem through the shipped driver conf") {
     val store = new SparkStore(spark, mockRoot())

@@ -133,9 +133,12 @@ class MockObjectStoreFileSystem extends RawLocalFileSystem {
     }
   }
 
+  // matches against the FULL destination path, so a test can target one
+  // adopt surface ("index/var=") where the file NAMES are identical
+  // across surfaces (part-*.parquet for both chunks and index rows)
   private def maybeCrash(d: File): Unit = {
     val m = MockObjectStoreFileSystem.failNextCopyMatching
-    if (m != null && d.getName.contains(m)) {
+    if (m != null && d.getPath.contains(m)) {
       MockObjectStoreFileSystem.failNextCopyMatching = null
       throw new IOException(
         s"mockfs: injected crash during copy-rename of $d (matched '$m')")
@@ -151,7 +154,7 @@ object MockObjectStoreFileSystem {
   val SchemeUri: URI = URI.create(Scheme + ":///")
   val FilePerm: FsPermission = FsPermission.valueOf("-rw-rw-rw-")
   val DirPerm: FsPermission = FsPermission.valueOf("drwxrwxrwx")
-  /** One-shot crash injection: destination-name substring to fail on. */
+  /** One-shot crash injection: destination-PATH substring to fail on. */
   @volatile var failNextCopyMatching: String = _
   val renameCount = new java.util.concurrent.atomic.AtomicLong()
 }
