@@ -59,7 +59,7 @@ object Bench {
     }
   }
 
-  /** Final published median for an entry the guard rerandom: never worse
+  /** Final published median for an entry the guard reran: never worse
     * than its pre-guard median. The guard is one-sided — it only reruns
     * entries that LOOK slow, hoping for a calmer window — so a rerun
     * that lands in a WORSE window must not penalize the entry it was

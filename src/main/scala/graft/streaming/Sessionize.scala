@@ -10,8 +10,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * this is the training-pipeline extension for clickstream/event data).
   *
   * Scale shape: state is partitioned by user_id (one `SessionState` per
-  * active user, bounded by the processing-time timeout), so state size is
-  * O(active users), not O(events).
+  * user ever seen — `NoTimeout`, so the deterministic gates control
+  * eviction themselves via sentinel flushes), so state size is O(user
+  * population), not O(events); StreamScaleProbe pins this. A production
+  * deployment with an unbounded user space would switch to
+  * `EventTimeTimeout` so dormant users' sessions auto-close at the
+  * watermark instead of living in state forever.
   */
 object Sessionize {
 
