@@ -854,7 +854,15 @@ object PipelineQueries {
     "q_pipe_dedup_stream" -> ((s, dir) =>
       graft.streaming.StreamingDedup.byFingerprintReplay(
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
-          col("text")))))
+          col("text")))),
+    // the same within-watermark dedup on its production path: file-source
+    // stream in, parquet sink out, no document row on the driver
+    "q_pipe_dedup_fstream" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.byFingerprintStreamFile(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          col("text")),
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-dedup-fstream").toString)))
 
   /** Shared word-set CTE for the oracle side. */
   private val wordsCte =
@@ -988,6 +996,11 @@ object PipelineQueries {
           | AND c.ts_s >= p.ts_s - 7200 AND c.ts_s <= p.ts_s
           |ORDER BY purchase_id, click_id""".stripMargin) +
       ("q_pipe_dedup_stream" ->
+        """SELECT DISTINCT
+          | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+          |FROM documents ORDER BY fp""".stripMargin) +
+      // file-source production path computes the same fingerprint set
+      ("q_pipe_dedup_fstream" ->
         """SELECT DISTINCT
           | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
           |FROM documents ORDER BY fp""".stripMargin) +

@@ -129,63 +129,21 @@ object Sessionize {
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits._
-    val feed = s"$workDir/feed"
-    val outDir = s"$workDir/out"
-    new java.io.File(feed).mkdirs()
-
-    val mm = events.agg(min(col("ts_s")), max(col("ts_s"))).head()
-    require(!mm.isNullAt(0), "sessionsStreamFile: empty input")
-    val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
-    val span = math.max(1L, maxT - minT + 1)
-    // one file per slice, mtimes 2 s apart: FileStreamSource processes
-    // oldest-first, so arrival order == event-time order (recent base so
-    // the source's maxFileAge window can never drop a slice)
-    val mtimeBase = System.currentTimeMillis() - 600000L
-    def writeSlice(df: DataFrame, i: Int): Unit = {
-      val tmp = s"$workDir/slice_tmp_$i"
-      df.select(col("user_id").cast("long"), col("ts_s").cast("long"),
-          col("event_type").cast("string"))
-        .repartition(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"sessionsStreamFile: no part file in $tmp"))
-      val dst = new java.io.File(feed, f"slice_$i%03d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(mtimeBase + i * 2000L)
-      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
-    }
-    for (i <- 0 until nBatches) {
-      val lo = minT + i * span / nBatches
-      val hi = if (i == nBatches - 1) maxT + 1
-        else minT + (i + 1) * span / nBatches
-      writeSlice(events.filter(col("ts_s") >= lo && col("ts_s") < hi), i)
-    }
-    writeSlice(events.select("user_id").distinct()
+    val ev = events.select(col("user_id").cast("long"),
+      col("ts_s").cast("long"), col("event_type").cast("string"))
+    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    val sentinels = ev.select("user_id").distinct()
       .withColumn("ts_s", lit(maxT + 2 * gapSeconds))
-      .withColumn("event_type", lit("_flush")), nBatches)
-
-    val feedSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts_s",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(feedSchema)
-      .option("maxFilesPerTrigger", 1).parquet(feed)
+      .withColumn("event_type", lit("_flush"))
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
+        tails = Seq(sentinels))
       .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
         col("event_type")).as[Event]
-    val q = sessions(stream, gapMs = gapSeconds * 1000L).toDF()
-      .writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val sunk = FileFeed.runToParquet(
+      sessions(stream, gapMs = gapSeconds * 1000L).toDF(), workDir)
 
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
-    spark.read.parquet(outDir)
+    sunk
       .withColumn("session_no", row_number().over(byStart).cast("long"))
       .select(col("user_id"), col("session_no"),
         col("n_events"), col("n_types").cast("long").as("n_types"),

@@ -49,4 +49,22 @@ object StreamingDedup {
     }
     out.select(col("fp")).orderBy("fp")
   }
+
+  /** PRODUCTION-SHAPED twin of [[byFingerprintReplay]]: the same
+    * `dropDuplicatesWithinWatermark` operator fed from a real
+    * `readStream.parquet` file source (time-ordered slices, one per
+    * micro-batch — [[FileFeed]]) into a parquet sink. No document row
+    * crosses the driver; same synthetic doc_id-seconds event times and
+    * whole-corpus horizon as the replay, so the same oracle gates it. */
+  def byFingerprintStreamFile(docs: DataFrame, nBatches: Int = 3,
+      workDir: String): DataFrame = {
+    val ev = docs.select(col("doc_id").cast("long"), col("text"))
+      .withColumn("ts_s", col("doc_id") + 86400L)
+    val maxId = ev.agg(max(col("doc_id"))).head().getLong(0)
+    val horizon = s"${maxId + 1 + 86400} seconds"
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir)
+      .select(timestamp_seconds(col("ts_s")).as("ts"), col("text"))
+    val sunk = FileFeed.runToParquet(byFingerprint(stream, horizon), workDir)
+    sunk.select(col("fp")).orderBy("fp")
+  }
 }
