@@ -632,6 +632,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(lock), "lock not released after append")
   }
 
+  test("lease election is tie-safe and steals stale proposals: a live " +
+      "rival proposal (older OR same mtime) refuses acquisition; a stale " +
+      "one is swept") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-elec").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16)
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 710000L).as("vec_id"), col("embedding"))
+    val elec = java.nio.file.Paths.get(path, ".write.lock.d")
+    java.nio.file.Files.createDirectories(elec)
+    // a FRESH rival proposal stands (no .write.lock marker — the rival
+    // is mid-election): our proposal cannot be strictly oldest, and an
+    // mtime TIE must also refuse (the check-then-act interleave where
+    // both contenders listed each other). Plant the rival a beat in the
+    // future so our own proposal's mtime is <= the rival's only if the
+    // clock raced — i.e. force the tie/older branch deterministically.
+    val rival = elec.resolve("00000000-rival")
+    java.nio.file.Files.createFile(rival)
+    java.nio.file.Files.setLastModifiedTime(rival,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 5000L)) // older than any new proposal
+    assert(intercept[IllegalStateException] {
+      Similarity.ivfAppend(emb, batch, path)
+    }.getMessage.contains("single-writer"))
+    // the loser must have withdrawn its own proposal (no garbage buildup)
+    assert(java.nio.file.Files.list(elec).count() == 1L,
+      "a refused contender must withdraw its proposal")
+    // a STALE rival (crashed mid-election beyond the steal window) is
+    // swept at the next acquisition, which then proceeds
+    java.nio.file.Files.setLastModifiedTime(rival,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 3600 * 1000))
+    Similarity.ivfAppend(emb, batch, path)
+    val full = emb.select("vec_id", "embedding").unionByName(batch)
+    assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 2).count() > 0)
+    assert(java.nio.file.Files.list(elec).count() == 0L,
+      "winner must release its proposal and the stale rival must be swept")
+  }
+
   test("concurrent ivfAppendBatch racers: exactly one generation commits " +
       "per batchId; the fingerprint stays exact") {
     import org.apache.spark.sql.functions._
