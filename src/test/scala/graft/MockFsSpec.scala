@@ -257,6 +257,64 @@ class MockFsSpec extends AnyFunSuite {
     assert(at2(2L) == 8L && at2(3L) == 8L && at2(0L) == 1L && at2(4L) == 5L)
   }
 
+  test("torn-write repair over mockfs survives a crash mid repair-adopt: " +
+      "the commit throws, nothing becomes readable, and a retried " +
+      "finishVersion converges to the repaired content") {
+    import spark.implicits._
+    import graft.filters.FilterChain
+    val store = new SparkStore(spark, mockRoot())
+    val meta = DatasetMeta(
+      dimensions = Map("x" -> 4L), chunkDimensions = Map("x" -> 4L),
+      variables = Map("v" -> VariableDef("double", Vector("x"), -9.0)))
+    store.create("ds")
+    val w = store.addVersion("ds", meta)
+    val vid = w.meta.versionId.get
+    // writer A: full chunk 1.0, then x=1 -> 2.0 (chained provenance)
+    w.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(0L), Seq(4L)), 1.0)))
+    w.write("v", Seq(Slab.empty(DType.DOUBLE, Slice(Seq(1L), Seq(2L)), 2.0)))
+    val h2 = spark.read.parquet(s"${store.root}/ds/index")
+      .filter(org.apache.spark.sql.functions.col("version") === vid)
+      .select("seq", "hash").orderBy("seq").collect()(1).getString(1)
+    // forge the verify-TOCTOU outcome (co-writer rB wins terminal; A's
+    // retry r3 folds onto rB, replaces r2) so the commit MUST repair
+    val chunkSlice = w.meta.chunkSlice("v", Seq(0L))
+    def mk(vals: Slab*): Slab =
+      vals.foldLeft(Slab.empty(DType.DOUBLE, chunkSlice, -9.0))(_ mergeFrom _)
+    val rB = mk(Slab.empty(DType.DOUBLE, Slice(Seq(2L), Seq(3L)), 5.0))
+    val r3 = mk(Slab.empty(DType.DOUBLE, Slice(Seq(2L), Seq(3L)), 5.0),
+      Slab.empty(DType.DOUBLE, Slice(Seq(1L), Seq(2L)), 2.0))
+    val staging = store.newChunkStagingDir()
+    Seq(rB, r3).map(s => (s.contentHash, -1L,
+        FilterChain.encode(FilterChain.DefaultWriteChain, s.bytes)))
+      .toDF("hash", "ref", "bytes").coalesce(1)
+      .write.option("compression", "uncompressed").parquet(staging)
+    store.adoptChunkFiles(staging)
+    val seqB = (System.currentTimeMillis() + 3600000L) << 20
+    store.appendIndexRows("ds", Seq(
+        ("v", vid, seqB, "0", Seq(0L), rB.contentHash,
+          Option.empty[String], Option.empty[String]),
+        ("v", vid, seqB + 1L, "0", Seq(0L), r3.contentHash,
+          Some(rB.contentHash), Some(h2)))
+      .toDF("var", "version", "seq", "coordKey", "coord", "hash",
+        "baseHash", "replacesHash"))
+    // crash the FIRST copy-rename into the live index dir — i.e. the
+    // repair's own index adopt inside commitVersion
+    MockObjectStoreFileSystem.failNextCopyMatching = "index/var="
+    try {
+      intercept[Exception] { w.finishVersion() }
+    } finally MockObjectStoreFileSystem.failNextCopyMatching = null
+    assert(store.versions("ds").isEmpty,
+      "a commit crashed mid repair-adopt must not publish the version")
+    // retry: repair is idempotent (content-addressed, left-anti blob
+    // append, deterministic repaired hash) — the second commit lands
+    w.finishVersion()
+    val got = store.reader("ds").onVersion(vid)
+      .getSlice("v", Slice(Seq(0L), Seq(4L)))
+    assert((0L until 4L).map(x => got.valueAt(Seq(x))) ==
+      Seq(1.0, 2.0, 5.0, 1.0),
+      "retried commit must serve the fully repaired chunk")
+  }
+
   test("ANN index write lease over object-store create semantics: " +
       "concurrent same-batch appenders commit exactly once (the proposal " +
       "election needs no atomic create-no-overwrite)") {
