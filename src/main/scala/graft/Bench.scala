@@ -280,8 +280,16 @@ object Bench {
     // floors were 1.1-1.9× — the machine proved the plan, the sample was
     // contended). Flagging on median > floorX × own-min needs no clean
     // baseline and keeps resampling until the median converges toward
-    // the floor or the round budget is spent.
+    // the floor or the round budget is spent. When a clean baseline
+    // EXISTS, a wide floor ratio with a median still AT the historical
+    // clean median is not contention — it is the entry's own bimodality
+    // (AQE/cache mode flips) — so the floor arm additionally requires
+    // the median to exceed medX × baseline; without this, >K genuinely
+    // bimodal entries would refuse every record forever.
     val floorX = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORX", "1.5").toDouble
+    def floorSuspicious(name: String, med: Double, ok: Seq[Double]): Boolean =
+      floorContended(ok, floorX) && med > floorX * ok.min &&
+        baseline.get(name).forall(b => b <= 0 || med > medX * b)
     def noisy(name: String, firstRound: Boolean): Boolean = {
       val ok = runs.getOrElse(name, Nil).filter(_ >= 0)
       ok.length >= 2 && {
@@ -290,7 +298,7 @@ object Bench {
           warm.max > 0.3 && warm.max / math.max(warm.min, 1e-3) > spreadX
         val poisonedMedian = baseline.get(name).exists(b =>
           b > 0 && median(ok) > medX * b && ok.min <= medX * b)
-        bigSpread || poisonedMedian || floorContended(ok, floorX)
+        bigSpread || poisonedMedian || floorSuspicious(name, median(ok), ok)
       }
     }
     def flaggedNow(firstRound: Boolean): Seq[String] =
@@ -346,8 +354,7 @@ object Bench {
     // a driver-captured copy self-identifies), and BENCH_SUMMARY.json /
     // the default full file keep the previous clean record.
     val contendedEntries = runs.collect { case (k, v)
-      if floorContended(v.filter(_ >= 0), floorX)
-        && meds(k) > floorX * v.filter(_ >= 0).min => k }.toSeq.sorted
+      if floorSuspicious(k, meds(k), v.filter(_ >= 0)) => k }.toSeq.sorted
     val contendedK =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTENDED_K", "3").toInt
     val contended = contendedEntries.size > contendedK
@@ -366,16 +373,27 @@ object Bench {
     val contJson = contendedEntries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"contendedEntries":$contJson,"queries":$qs,"runs":$rs,"reps":$reps,"reran":$reran,"preGuardMedians":$preGuard,"stallX":$StallX,"sf":"$sfDir"}"""
-    val attemptTag =
-      if (contended) s"BENCH_ATTEMPT_${System.currentTimeMillis()}" else ""
+    // attempt files land BESIDE the configured record (same directory),
+    // so a driver pointing the outputs elsewhere still finds the refused
+    // run's audit trail
+    def attemptSibling(configured: String, kind: String): String = {
+      val p = java.nio.file.Paths.get(configured).toAbsolutePath
+      p.resolveSibling(
+        s"BENCH_ATTEMPT_${System.currentTimeMillis()}_$kind.json").toString
+    }
+    val fullConfigured =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_LOCAL_full.json")
+    val summaryConfigured =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
     if (contended) System.err.println(
       s"[bench] RECORD REFUSED (contended): ${contendedEntries.size} entries' " +
         s"medians sit >${floorX}x their own same-run floors after " +
         s"$guardRounds guard rounds (${contendedEntries.mkString(", ")}); " +
-        s"emitting ${attemptTag}_*.json — the official record is unchanged")
+        "emitting BENCH_ATTEMPT_* beside the configured record — the " +
+        "official record is unchanged")
     val fullPath =
-      if (contended) s"${attemptTag}_full.json"
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_LOCAL_full.json")
+      if (contended) attemptSibling(fullConfigured, "full")
+      else fullConfigured
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
@@ -420,8 +438,8 @@ object Bench {
     // sbt echoes the forked process's output and appends its trailer
     // after process exit, so nothing printed from this JVM can be last.)
     val summaryPath =
-      if (contended) s"${attemptTag}_summary.json" // refuse the record
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
+      if (contended) attemptSibling(summaryConfigured, "summary") // refused
+      else summaryConfigured
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(summaryPath), compactLine + "\n")
     catch { case e: Throwable =>

@@ -522,10 +522,15 @@ object Similarity {
       // join-based plan: streams both sides and distributes the pair
       // loop across tasks. Same arithmetic (codegen sequential-fold dot,
       // (nrm·nrm) denominator order, round(_, 4)), so oracle-stable.
-      return assignedAll
+      // localCheckpoint: the assignment (embedding scan + broadcast
+      // argmin) feeds BOTH join sides — unmaterialized, the two sides
+      // canonicalize differently and the whole assignment subplan runs
+      // twice (the exact double-scan the capped cogroup rewrite removed).
+      val assigned = assignedAll.localCheckpoint()
+      return assigned
         .select(col("cent_id"), col("vec_id").as("keep_id"),
           col("v").as("va"), col("nrm").as("na"))
-        .join(assignedAll.select(col("cent_id"), col("vec_id").as("dup_id"),
+        .join(assigned.select(col("cent_id"), col("vec_id").as("dup_id"),
           col("v").as("vb"), col("nrm").as("nb")), Seq("cent_id"))
         .filter(col("keep_id") < col("dup_id"))
         .withColumn("cos", d(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -822,9 +827,15 @@ object Similarity {
     *  2. list the dir; proceed iff every OTHER live proposal is
     *     STRICTLY NEWER (server-assigned mtime) than ours. A rival that
     *     listed before our proposal became visible necessarily has an
-    *     older-or-equal mtime, so at most one contender can ever see
-    *     itself as strict minimum; mtime TIES back everyone who sees
-    *     them off (safety over liveness — callers retry).
+    *     older-or-equal mtime WHEN stamps and visibility share a clock
+    *     (local FS, HDFS), so at most one contender can ever see itself
+    *     as strict minimum; mtime TIES back everyone who sees them off
+    *     (safety over liveness — callers retry). On remote schemes,
+    *     where a multi-frontend store may stamp a later-visible PUT
+    *     with an earlier time, the election CONFIRMS after a settle
+    *     window (GRAFT_LEASE_SETTLE_MS, default 250 ms — longer than
+    *     typical PUT-visibility lag): once both proposals are mutually
+    *     visible the strict-minimum rule admits at most one winner.
     *  3. the winner keeps its proposal for the whole body (so later
     *     arrivals lose their election against it) and additionally
     *     writes the legacy `.write.lock` marker file (cheap refusal for
@@ -860,16 +871,37 @@ object Similarity {
       try IndexFs.delete(s"$elecDir/$token")
       catch { case _: java.io.IOException => () }
     }
-    val live = IndexFs.list(elecDir).filter(_._2 >= now - staleMs)
-    val selfMtime = live.collectFirst { case (n, m) if n == token => m }
-      .getOrElse { cleanup(); refuse() } // swept by a skewed-clock racer
-    if (live.exists { case (n, m) => n != token && m <= selfMtime }) {
-      cleanup(); refuse() // rival proposal not strictly newer: stand down
-    }
-    // elected: the marker create-overwrite is safe, the election
-    // authorized exactly one writer to reach this line
-    IndexFs.writeBytes(lock,
-      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // From here until the body's own try/finally, ANY throw must
+    // withdraw the proposal — an orphaned fresh proposal would refuse
+    // every writer for staleMs with no holder to ever commit.
+    try {
+      def assertElected(): Unit = {
+        val live = IndexFs.list(elecDir).filter(_._2 >= now - staleMs)
+        val selfMtime = live.collectFirst { case (n, m) if n == token => m }
+          .getOrElse(refuse()) // swept by a skewed-clock racer
+        if (live.exists { case (n, m) => n != token && m <= selfMtime })
+          refuse() // rival proposal not strictly newer: stand down
+      }
+      assertElected()
+      // The single-list election is sound when PUT visibility and the
+      // listing's LastModified stamps come from one clock (local FS,
+      // HDFS). A multi-frontend object store can stamp a LATER-visible
+      // PUT with an EARLIER time, letting two contenders each see the
+      // other as "strictly newer" — so on remote schemes, confirm after
+      // a settle window longer than typical PUT-visibility lag: by then
+      // both proposals are mutually visible and the strict-minimum rule
+      // picks at most one winner (ties refuse both).
+      val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+      if (!scheme.forall(s => s == "file")) {
+        Thread.sleep(
+          sys.env.getOrElse("GRAFT_LEASE_SETTLE_MS", "250").toLong)
+        assertElected()
+      }
+      // elected: the marker create-overwrite is safe, the election
+      // authorized exactly one writer to reach this line
+      IndexFs.writeBytes(lock,
+        token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable => cleanup(); throw t }
     try body
     finally {
       try IndexFs.delete(lock) catch { case _: java.io.IOException => () }

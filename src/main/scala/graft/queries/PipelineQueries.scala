@@ -903,6 +903,13 @@ object PipelineQueries {
       | WHERE l.doc_id < r.doc_id)
       |""".stripMargin
 
+  /** Shared by the replay and file-source streaming dedup gates: both
+    * must surface exactly the corpus's distinct fingerprint set. */
+  private val dedupFingerprintSetSql =
+    """SELECT DISTINCT
+      | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY fp""".stripMargin
+
   /** The persistent-index serving paths (q_pipe_knn_ivf_serve,
     * q_pipe_knn_ivfpq_serve) answer bit-identically to their one-shot
     * twins — same centroids/codebooks, same probe/rank arithmetic, the
@@ -995,15 +1002,9 @@ object PipelineQueries {
           | AND p.event_type = 'purchase' AND c.event_type = 'click'
           | AND c.ts_s >= p.ts_s - 7200 AND c.ts_s <= p.ts_s
           |ORDER BY purchase_id, click_id""".stripMargin) +
-      ("q_pipe_dedup_stream" ->
-        """SELECT DISTINCT
-          | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-          |FROM documents ORDER BY fp""".stripMargin) +
+      ("q_pipe_dedup_stream" -> dedupFingerprintSetSql) +
       // file-source production path computes the same fingerprint set
-      ("q_pipe_dedup_fstream" ->
-        """SELECT DISTINCT
-          | md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
-          |FROM documents ORDER BY fp""".stripMargin) +
+      ("q_pipe_dedup_fstream" -> dedupFingerprintSetSql) +
       // the salted two-stage rankings are row-identical to the direct
       // windows, so they share their twins' oracles
       ("q_pipe_topdocs_salted" -> oracleSqlBase("q_pipe_topdocs")) +
