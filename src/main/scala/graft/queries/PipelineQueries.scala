@@ -792,6 +792,18 @@ object PipelineQueries {
       graft.streaming.Sessionize
         .sessionsStreamFile(ev, gapSeconds = 1800L, nBatches = 3, work)
     }),
+    // the EventTimeTimeout sessionizer (unbounded-user production
+    // variant: dormant sessions auto-close at the watermark, state is
+    // bounded by watermark-active users) on the same file-source path
+    "q_pipe_sessions_tmo" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-tmo").toString
+      graft.streaming.Sessionize
+        .sessionsStreamFileTimeout(ev, gapSeconds = 1800L, nBatches = 3, work)
+    }),
     // the watermarked window aggregate replayed over deterministic
     // micro-batches: per-(hour, event_type) counts/bytes, append-mode
     // emission flushed by sentinel watermark advancement
@@ -924,6 +936,8 @@ object PipelineQueries {
       ("q_pipe_sessions_stream" -> oracleSqlBase("q_pipe_sessions")) +
       // the file-source production path computes the same sessions
       ("q_pipe_sessions_fstream" -> oracleSqlBase("q_pipe_sessions")) +
+      // watermark-timeout auto-close implements the same gap rule
+      ("q_pipe_sessions_tmo" -> oracleSqlBase("q_pipe_sessions")) +
       // the state-machine funnel answers identically to the three-pass
       // batch funnel (same >= stage constraints) — shared oracle
       ("q_pipe_funnel_stream" -> oracleSqlBase("q_pipe_funnel")) +

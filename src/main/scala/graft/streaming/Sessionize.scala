@@ -105,6 +105,61 @@ object Sessionize {
       .orderBy("user_id", "session_no")
   }
 
+  /** Event-time-timeout sessionizer — the unbounded-user-space
+    * production variant of [[sessions]]: a user's open session AUTO-
+    * CLOSES (emits and leaves state) when the WATERMARK passes its
+    * last event + gap, so state is bounded by the users active within
+    * one gap of the watermark, not by every user ever seen. `events`
+    * must carry a watermark on `ts` before this operator (the gate uses
+    * delay 0 over a time-ordered feed; a real deployment sets its
+    * reorder slack). Emission differences vs [[sessions]]: closes
+    * happen at watermark passage (no successor event or sentinel
+    * needed), which is exactly the gap rule, so outputs are identical
+    * on any time-ordered feed. */
+  def sessionsWithTimeout(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed last + gap: the session is closed by the
+            // gap rule itself — emit and evict
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last, s.n, s.types.size,
+              s.last - s.start))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1,
+                    types = s.types + e.event_type))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.last, s.n,
+                    s.types.size, s.last - s.start)
+                  cur = Some(SessionState(t, t, 1, Set(e.event_type)))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, Set(e.event_type)))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** PRODUCTION-SHAPED twin of [[sessionsStreamReplay]]: the same
     * `flatMapGroupsWithState` operator fed from a REAL file-source
     * stream — `spark.readStream.parquet` over a chunked feed directory —
@@ -144,6 +199,41 @@ object Sessionize {
 
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
     sunk
+      .withColumn("session_no", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_no"),
+        col("n_events"), col("n_types").cast("long").as("n_types"),
+        (col("duration_ms") / 1000L).cast("long").as("duration_s"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** File-source gate for [[sessionsWithTimeout]]: unlike
+    * [[sessionsStreamFile]] it needs NO per-user sentinel flush — open
+    * sessions auto-close when the watermark passes them, so the tail is
+    * just TWO single-row watermark-advancing sentinels (the second
+    * batch fires the timeouts the first one's watermark armed; both
+    * carry a negative user_id and are filtered from the result). This
+    * is the shape an unbounded-user production feed runs. */
+  def sessionsStreamFileTimeout(events: DataFrame, gapSeconds: Long,
+      nBatches: Int = 3, workDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id").cast("long"),
+      col("ts_s").cast("long"), col("event_type").cast("string"))
+    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    def sentinel(ts: Long): DataFrame = spark.range(1).select(
+      lit(-1L).as("user_id"), lit(ts).as("ts_s"), lit("_wm").as("event_type"))
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
+        tails = Seq(sentinel(maxT + 2 * gapSeconds),
+          sentinel(maxT + 4 * gapSeconds)))
+      .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
+        col("event_type"))
+      .withWatermark("ts", "0 seconds") // feed is time-ordered
+      .as[Event]
+    val sunk = FileFeed.runToParquet(
+      sessionsWithTimeout(stream, gapMs = gapSeconds * 1000L).toDF(), workDir)
+    val byStart = Window.partitionBy("user_id").orderBy("start_ms")
+    sunk.filter(col("user_id") >= 0)
       .withColumn("session_no", row_number().over(byStart).cast("long"))
       .select(col("user_id"), col("session_no"),
         col("n_events"), col("n_types").cast("long").as("n_types"),

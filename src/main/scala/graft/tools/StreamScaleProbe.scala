@@ -146,6 +146,21 @@ object StreamScaleProbe {
       report("sessions_fixed_users", s, n, r)
     }
 
+    // ---- 4. timeout sessionization under an UNBOUNDED user population:
+    // every event is a brand-new user (the NoTimeout variant's state
+    // would grow linearly with volume), gap 60 s at 10 users/s — the
+    // EventTimeTimeout variant must hold state at the gap-window
+    // population (~600 + one batch), flat across volume.
+    for (s <- scales) {
+      val n = 6000 * s
+      val evs = (0 until n).map(i => graft.streaming.Sessionize.Event(
+        i.toLong, new Timestamp((base + i / 10) * 1000L), "click"))
+      val r = runLeg(chunk(evs, 12))(in =>
+        graft.streaming.Sessionize.sessionsWithTimeout(
+          in.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000L).toDF())
+      report("sessions_tmo_unbounded", s, n, r)
+    }
+
     spark.stop()
   }
 

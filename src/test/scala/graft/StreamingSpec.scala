@@ -63,6 +63,27 @@ class StreamingSpec extends AnyFunSuite {
       "file-source streaming sessions must equal the relational twin")
   }
 
+  test("EventTimeTimeout sessionization (watermark auto-close, no " +
+      "per-user sentinels) matches the batch twin") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Sessionize
+    val ev = graft.queries.EventTime
+      .eventsWithSeconds(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 20)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-tmo-spec").toString
+    val streamed = Sessionize.sessionsStreamFileTimeout(
+        ev.select("user_id", "ts_s", "event_type"),
+        gapSeconds = 1800L, nBatches = 3, workDir = work)
+      .collect().map(_.toSeq).toSeq
+    val batch = Sessionize.sessionsBatch(
+        ev.select("user_id", "event_id", "event_type", "ts_s"),
+        gapSeconds = 1800L)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "timeout-closed streaming sessions must equal the relational twin")
+  }
+
   test("graft streaming source tails committed versions (chunk-granular deltas)") {
     import graft.core._
     import graft.meta.{DatasetMeta, VariableDef}
