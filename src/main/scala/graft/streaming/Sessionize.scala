@@ -209,10 +209,13 @@ object Sessionize {
   /** File-source gate for [[sessionsWithTimeout]]: unlike
     * [[sessionsStreamFile]] it needs NO per-user sentinel flush — open
     * sessions auto-close when the watermark passes them, so the tail is
-    * just TWO single-row watermark-advancing sentinels (the second
-    * batch fires the timeouts the first one's watermark armed; both
-    * carry a negative user_id and are filtered from the result). This
-    * is the shape an unbounded-user production feed runs. */
+    * ONE single-row watermark-advancing sentinel (negative user_id,
+    * filtered from the result). The timeouts it arms fire in the
+    * trailing NO-DATA micro-batch the engine runs for state cleanup
+    * (`spark.sql.streaming.noDataMicroBatches.enabled`, default true —
+    * honored under Trigger.AvailableNow; were it disabled, the oracle
+    * hash-mismatch would catch the missing sessions loudly). This is
+    * the shape an unbounded-user production feed runs. */
   def sessionsStreamFileTimeout(events: DataFrame, gapSeconds: Long,
       nBatches: Int = 3, workDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -224,8 +227,7 @@ object Sessionize {
     def sentinel(ts: Long): DataFrame = spark.range(1).select(
       lit(-1L).as("user_id"), lit(ts).as("ts_s"), lit("_wm").as("event_type"))
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
-        tails = Seq(sentinel(maxT + 2 * gapSeconds),
-          sentinel(maxT + 4 * gapSeconds)))
+        tails = Seq(sentinel(maxT + 2 * gapSeconds)))
       .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
         col("event_type"))
       .withWatermark("ts", "0 seconds") // feed is time-ordered
