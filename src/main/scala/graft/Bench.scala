@@ -376,10 +376,12 @@ object Bench {
     // attempt files land BESIDE the configured record (same directory),
     // so a driver pointing the outputs elsewhere still finds the refused
     // run's audit trail
+    // one shared stamp so a refused run's full+summary pair stays
+    // matchable by name across multiple refusals
+    val attemptStamp = System.currentTimeMillis()
     def attemptSibling(configured: String, kind: String): String = {
       val p = java.nio.file.Paths.get(configured).toAbsolutePath
-      p.resolveSibling(
-        s"BENCH_ATTEMPT_${System.currentTimeMillis()}_$kind.json").toString
+      p.resolveSibling(s"BENCH_ATTEMPT_${attemptStamp}_$kind.json").toString
     }
     val fullConfigured =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_LOCAL_full.json")

@@ -522,11 +522,16 @@ object Similarity {
       // join-based plan: streams both sides and distributes the pair
       // loop across tasks. Same arithmetic (codegen sequential-fold dot,
       // (nrm·nrm) denominator order, round(_, 4)), so oracle-stable.
-      // localCheckpoint: the assignment (embedding scan + broadcast
-      // argmin) feeds BOTH join sides — unmaterialized, the two sides
+      // persist: the assignment (embedding scan + broadcast argmin)
+      // feeds BOTH join sides — unmaterialized, the two sides
       // canonicalize differently and the whole assignment subplan runs
-      // twice (the exact double-scan the capped cogroup rewrite removed).
-      val assigned = assignedAll.localCheckpoint()
+      // twice (the exact double-scan the capped cogroup rewrite
+      // removed). persist (not localCheckpoint) keeps the lineage
+      // recomputable on executor loss; the cache entry lives until
+      // spark.catalog.clearCache (the bench's jvmHygiene) or session
+      // end, which is the documented cost of the uncapped fallback.
+      val assigned = assignedAll
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       return assigned
         .select(col("cent_id"), col("vec_id").as("keep_id"),
           col("v").as("va"), col("nrm").as("na"))
@@ -866,15 +871,17 @@ object Similarity {
     try IndexFs.list(elecDir).foreach { case (n, m) =>
       if (m < now - staleMs) IndexFs.delete(s"$elecDir/$n")
     } catch { case _: java.io.IOException => () }
-    IndexFs.writeBytes(s"$elecDir/$token", Array.emptyByteArray)
     def cleanup(): Unit = {
       try IndexFs.delete(s"$elecDir/$token")
       catch { case _: java.io.IOException => () }
     }
-    // From here until the body's own try/finally, ANY throw must
-    // withdraw the proposal — an orphaned fresh proposal would refuse
-    // every writer for staleMs with no holder to ever commit.
+    // From the proposal PUT until the body's own try/finally, ANY throw
+    // must withdraw the proposal — an orphaned fresh proposal would
+    // refuse every writer for staleMs with no holder to ever commit
+    // (the PUT itself can throw AFTER creating the object: write/close
+    // failure on an already-created file).
     try {
+      IndexFs.writeBytes(s"$elecDir/$token", Array.emptyByteArray)
       def assertElected(): Unit = {
         val live = IndexFs.list(elecDir).filter(_._2 >= now - staleMs)
         val selfMtime = live.collectFirst { case (n, m) if n == token => m }
@@ -891,8 +898,11 @@ object Similarity {
       // a settle window longer than typical PUT-visibility lag: by then
       // both proposals are mutually visible and the strict-minimum rule
       // picks at most one winner (ties refuse both).
+      // file and HDFS stamp mtimes with the same clock that orders PUT
+      // visibility (the analysis above), so the single list suffices;
+      // only multi-frontend object-store schemes pay the settle
       val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
-      if (!scheme.forall(s => s == "file")) {
+      if (!scheme.forall(s => s == "file" || s == "hdfs")) {
         Thread.sleep(
           sys.env.getOrElse("GRAFT_LEASE_SETTLE_MS", "250").toLong)
         assertElected()
