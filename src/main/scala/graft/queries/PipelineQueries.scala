@@ -868,13 +868,82 @@ object PipelineQueries {
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
           col("text")))),
     // the same within-watermark dedup on its production path: file-source
-    // stream in, parquet sink out, no document row on the driver
+    // stream in, parquet sink out, no document row on the driver — and
+    // since round 15 a NON-time-ordered feed (bounded disorder, ±120 s
+    // displacement) consumed under the corpus-wide watermark horizon
     "q_pipe_dedup_fstream" -> ((s, dir) =>
       graft.streaming.StreamingDedup.byFingerprintStreamFile(
         docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
           col("text")),
         workDir = java.nio.file.Files
-          .createTempDirectory("graft-dedup-fstream").toString)))
+          .createTempDirectory("graft-dedup-fstream").toString,
+        oooSkewSeconds = 120L)),
+    // the OUT-OF-ORDER sessionizer on a genuinely disordered feed:
+    // fragment-merge sessions (order-independent) under a real watermark
+    // delay (600 s > 2×240 s displacement bound), auto-closing at the
+    // watermark — shares the batch sessionizer's oracle
+    "q_pipe_sessions_ooo" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      graft.streaming.Sessionize.sessionsStreamFileOoo(ev,
+        gapSeconds = 1800L, skewSeconds = 240L, delaySeconds = 600L,
+        nBatches = 4, workDir = java.nio.file.Files
+          .createTempDirectory("graft-ooo").toString)
+    }),
+    // LEFT OUTER stream-stream join on its production path: real file
+    // source, parquet sink, watermark-driven unmatched-row flush via two
+    // far-future sentinel FILES — shares the replay gate's oracle
+    "q_pipe_outer_join_fstream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 200 &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_s"))
+      graft.streaming.StreamJoin.clickAttributionOuterStreamFile(ev,
+        lookbackSeconds = 7200L, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-oj-fstream").toString)
+    }),
+    // watermarked window aggregate on its production path: append-mode
+    // windows close on real micro-batch watermark advancement
+    "q_pipe_window_stats_fstream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 50)
+        .select(col("ts_s"), col("event_type").as("lang"),
+          col("props").as("text"))
+      graft.streaming.WindowedStats.perWindowStreamFile(ev,
+        windowSeconds = 3600L, horizonSeconds = 600L, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-ws-fstream").toString)
+    }),
+    // UPDATE-mode hourly counts on the production path: file source in,
+    // foreachBatch parquet update log out, reduced to final rows
+    "q_pipe_hourly_fstream" -> ((s, dir) =>
+      graft.streaming.UpdateModeStats.hourlyCountsStreamFile(
+        EventTime.eventsWithSeconds(s, dir)
+          .filter(col("user_id") < 50)
+          .select("user_id", "event_id", "event_type", "ts_s"),
+        nBatches = 3, workDir = java.nio.file.Files
+          .createTempDirectory("graft-hr-fstream").toString)),
+    // the live funnel state machine on the production path: file source
+    // in, foreachBatch update log out, final stage per user reduced
+    "q_pipe_funnel_fstream" -> ((s, dir) =>
+      graft.streaming.FunnelStream.funnelStreamFile(
+        EventTime.eventsWithSeconds(s, dir)
+          .select(col("user_id"), col("ts_s"), col("event_type")),
+        nBatches = 3, workDir = java.nio.file.Files
+          .createTempDirectory("graft-fn-fstream").toString)),
+    // stream-static broadcast enrichment on the production path: the
+    // profile is re-broadcast per REAL micro-batch, enriched rows land
+    // through a parquet sink
+    "q_pipe_enrich_fstream" -> ((s, dir) =>
+      graft.streaming.StreamJoin.enrichStreamFile(
+        EventTime.eventsWithSeconds(s, dir)
+          .filter(col("user_id") < 100)
+          .select("user_id", "event_id", "event_type", "ts_s"),
+        nBatches = 3, workDir = java.nio.file.Files
+          .createTempDirectory("graft-en-fstream").toString)))
 
   /** Shared word-set CTE for the oracle side. */
   private val wordsCte =
@@ -938,6 +1007,12 @@ object PipelineQueries {
       ("q_pipe_sessions_fstream" -> oracleSqlBase("q_pipe_sessions")) +
       // watermark-timeout auto-close implements the same gap rule
       ("q_pipe_sessions_tmo" -> oracleSqlBase("q_pipe_sessions")) +
+      // fragment-merge sessionization is order-independent: the same
+      // sessions from a disordered feed under a real watermark delay
+      ("q_pipe_sessions_ooo" -> oracleSqlBase("q_pipe_sessions")) +
+      // the production file-source twins compute exactly what their
+      // replay-fed gates compute — one oracle each
+      ("q_pipe_funnel_fstream" -> oracleSqlBase("q_pipe_funnel")) +
       // the state-machine funnel answers identically to the three-pass
       // batch funnel (same >= stage constraints) — shared oracle
       ("q_pipe_funnel_stream" -> oracleSqlBase("q_pipe_funnel")) +
@@ -952,17 +1027,7 @@ object PipelineQueries {
       // native session_window shares the relational twin's oracle (same
       // gap rule after the 1801-second strict-less adjustment)
       ("q_pipe_session_window" -> oracleSqlBase("q_pipe_sessions")) +
-      ("q_pipe_window_stats_stream" ->
-        """WITH e AS (
-          | SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
-          |        event_type, props
-          | FROM events WHERE user_id < 50)
-          |SELECT (ts_s // 3600) * 3600 AS window_start_s,
-          |       (ts_s // 3600) * 3600 + 3600 AS window_end_s,
-          |       event_type AS lang, count(*) AS n_docs,
-          |       CAST(sum(length(props)) AS BIGINT) AS n_chars
-          |FROM e GROUP BY 1, 2, 3
-          |ORDER BY window_start_s, lang""".stripMargin) +
+      ("q_pipe_window_stats_stream" -> sharedStreamOracle("q_pipe_window_stats_stream")) +
       ("q_pipe_salted_join" ->
         """WITH e AS (
           | SELECT user_id, event_id, event_type FROM events
@@ -972,38 +1037,9 @@ object PipelineQueries {
           |SELECT e.user_id, e.event_id, p.n_purchases
           |FROM e JOIN p ON e.user_id = p.user_id
           |ORDER BY event_id""".stripMargin) +
-      ("q_pipe_enrich_stream" ->
-        """WITH e AS (
-          | SELECT user_id, event_id, event_type FROM events
-          | WHERE user_id < 100),
-          |p AS (SELECT user_id, count(*) AS n_purchases FROM e
-          |      WHERE event_type = 'purchase' GROUP BY user_id)
-          |SELECT e.user_id, e.event_id, e.event_type,
-          |       coalesce(p.n_purchases, 0) AS n_purchases
-          |FROM e LEFT JOIN p ON e.user_id = p.user_id
-          |ORDER BY event_id""".stripMargin) +
-      ("q_pipe_hourly_stream" ->
-        """WITH e AS (
-          | SELECT event_type,
-          |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
-          | FROM events WHERE user_id < 50)
-          |SELECT (ts_s // 3600) * 3600 AS hour_s, event_type, count(*) AS n
-          |FROM e GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin) +
-      ("q_pipe_outer_join_stream" ->
-        """WITH e AS (
-          | SELECT user_id, event_id, event_type,
-          |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
-          | FROM events
-          | WHERE user_id < 200 AND event_type IN ('click', 'purchase')),
-          |p AS (SELECT user_id, event_id AS purchase_id, ts_s FROM e
-          |      WHERE event_type = 'purchase'),
-          |c AS (SELECT user_id, event_id AS click_id, ts_s AS c_ts FROM e
-          |      WHERE event_type = 'click')
-          |SELECT p.user_id, p.purchase_id, c.click_id,
-          |       p.ts_s - c.c_ts AS gap_s
-          |FROM p LEFT JOIN c ON p.user_id = c.user_id
-          | AND c.c_ts >= p.ts_s - 7200 AND c.c_ts <= p.ts_s
-          |ORDER BY purchase_id, click_id""".stripMargin) +
+      ("q_pipe_enrich_stream" -> sharedStreamOracle("q_pipe_enrich_stream")) +
+      ("q_pipe_hourly_stream" -> sharedStreamOracle("q_pipe_hourly_stream")) +
+      ("q_pipe_outer_join_stream" -> sharedStreamOracle("q_pipe_outer_join_stream")) +
       ("q_pipe_join_stream" ->
         """WITH e AS (
           | SELECT user_id, event_id, event_type,
@@ -1029,7 +1065,64 @@ object PipelineQueries {
         """SELECT doc_id,
           | row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
           |   - 1 AS pos
-          |FROM documents ORDER BY doc_id""".stripMargin)
+          |FROM documents ORDER BY doc_id""".stripMargin) +
+      // file-source production twins of the replay-fed streaming gates:
+      // same operator, same reduction, one oracle each (keyed off the
+      // replay entries registered above)
+      ("q_pipe_outer_join_fstream" -> sharedStreamOracle("q_pipe_outer_join_stream")) +
+      ("q_pipe_window_stats_fstream" -> sharedStreamOracle("q_pipe_window_stats_stream")) +
+      ("q_pipe_hourly_fstream" -> sharedStreamOracle("q_pipe_hourly_stream")) +
+      ("q_pipe_enrich_fstream" -> sharedStreamOracle("q_pipe_enrich_stream"))
+
+  /** Streaming-gate oracles shared between a replay gate and its
+    * file-source production twin — one SQL text, two query entries, so
+    * the two routes are pinned to EXACTLY the same answer. */
+  private def sharedStreamOracle(key: String): String = replayOracles(key)
+
+  private val replayOracles: Map[String, String] = Map(
+    "q_pipe_window_stats_stream" ->
+      """WITH e AS (
+        | SELECT CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s,
+        |        event_type, props
+        | FROM events WHERE user_id < 50)
+        |SELECT (ts_s // 3600) * 3600 AS window_start_s,
+        |       (ts_s // 3600) * 3600 + 3600 AS window_end_s,
+        |       event_type AS lang, count(*) AS n_docs,
+        |       CAST(sum(length(props)) AS BIGINT) AS n_chars
+        |FROM e GROUP BY 1, 2, 3
+        |ORDER BY window_start_s, lang""".stripMargin,
+    "q_pipe_enrich_stream" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type FROM events
+        | WHERE user_id < 100),
+        |p AS (SELECT user_id, count(*) AS n_purchases FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT e.user_id, e.event_id, e.event_type,
+        |       coalesce(p.n_purchases, 0) AS n_purchases
+        |FROM e LEFT JOIN p ON e.user_id = p.user_id
+        |ORDER BY event_id""".stripMargin,
+    "q_pipe_hourly_stream" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+        | FROM events WHERE user_id < 50)
+        |SELECT (ts_s // 3600) * 3600 AS hour_s, event_type, count(*) AS n
+        |FROM e GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+    "q_pipe_outer_join_stream" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+        | FROM events
+        | WHERE user_id < 200 AND event_type IN ('click', 'purchase')),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts_s FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts_s AS c_ts FROM e
+        |      WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, c.click_id,
+        |       p.ts_s - c.c_ts AS gap_s
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        | AND c.c_ts >= p.ts_s - 7200 AND c.c_ts <= p.ts_s
+        |ORDER BY purchase_id, click_id""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_pipe_dedup_exact" ->

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic FILE-SOURCE feed for the streaming gates' production
@@ -23,13 +23,33 @@ object FileFeed {
   /** Write the slices + optional tail frames and return the streaming
     * frame reading them back (schema = `df.schema`). `tsCol` must be a
     * LONG event-time column (seconds); tails land after every slice in
-    * arrival order (sentinel/flush batches). */
+    * arrival order (sentinel/flush batches).
+    *
+    * `oooSkewSeconds > 0` produces a NON-time-ordered feed with bounded
+    * disorder — the production arrival shape (a firehose is never
+    * perfectly ordered): each row is assigned to a slice by a PERTURBED
+    * position `ts + δ` where δ is a deterministic per-row hash in
+    * [-skew, +skew], so events cross slice boundaries by up to one skew
+    * in either direction. Two rows can arrive out of order only when
+    * their true event times differ by ≤ 2·skew — the displacement bound
+    * a consumer's watermark delay must cover (delay > 2·skew ⇒ no row
+    * is ever late-dropped; rows beyond that slack would be dropped by
+    * the stateful operator's watermark filter, per Spark's contract).
+    * Tail frames are never perturbed (they are watermark sentinels). */
   def sliced(df: DataFrame, tsCol: String, nBatches: Int, workDir: String,
-      tails: Seq[DataFrame] = Nil): DataFrame = {
+      tails: Seq[DataFrame] = Nil, oooSkewSeconds: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val feed = s"$workDir/feed"
     new java.io.File(feed).mkdirs()
-    val mm = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    // slice position: true event time, or the hash-perturbed variant for
+    // the bounded-disorder feed (deterministic: same row → same slice)
+    val pos =
+      if (oooSkewSeconds <= 0) col(tsCol)
+      else col(tsCol) +
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+          lit(2 * oooSkewSeconds + 1)) - oooSkewSeconds
+    val withPos = df.withColumn("_feed_pos", pos)
+    val mm = withPos.agg(min(col("_feed_pos")), max(col("_feed_pos"))).head()
     require(!mm.isNullAt(0), "FileFeed.sliced: empty input")
     val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
     val span = math.max(1L, maxT - minT + 1)
@@ -49,25 +69,68 @@ object FileFeed {
       val lo = minT + i * span / nBatches
       val hi = if (i == nBatches - 1) maxT + 1
         else minT + (i + 1) * span / nBatches
-      writeSlice(df.filter(col(tsCol) >= lo && col(tsCol) < hi), i)
+      writeSlice(withPos
+        .filter(col("_feed_pos") >= lo && col("_feed_pos") < hi)
+        .drop("_feed_pos"), i)
     }
     tails.zipWithIndex.foreach { case (t, j) =>
-      writeSlice(t.select(df.columns.map(col): _*), nBatches + j) }
+      writeSlice(t.select(df.columns.map(col).toIndexedSeq: _*), nBatches + j) }
     spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(feed)
   }
 
   /** Run a streaming frame to completion through a parquet sink
-    * (AvailableNow) and return the sunk rows as a batch frame. */
-  def runToParquet(out: DataFrame, workDir: String): DataFrame = {
+    * (AvailableNow) and return the sunk rows as a batch frame.
+    * `narrowTo` bounds `spark.sql.shuffle.partitions` for the stream's
+    * lifetime (restored after): a bounded gate feed doesn't need one
+    * state-store instance per session shuffle partition per micro-batch
+    * — the partition count is captured into the checkpoint at start. */
+  def runToParquet(out: DataFrame, workDir: String,
+      narrowTo: Option[Int] = None): DataFrame = {
     val spark = out.sparkSession
-    val q = out.writeStream.format("parquet")
-      .option("path", s"$workDir/out")
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withNarrowShuffle(spark, narrowTo) {
+      val q = out.writeStream.format("parquet")
+        .option("path", s"$workDir/out")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(s"$workDir/out")
+  }
+
+  /** UPDATE-mode production sink: parquet has no native update sink, so
+    * the documented production pattern is `foreachBatch` appending each
+    * micro-batch's refreshed rows — an UPDATE LOG on disk that a reader
+    * reduces to final values (for the monotone aggregates the gates use,
+    * max per key). Rows go executor → parquet inside foreachBatch; the
+    * driver never sees them. Returns the full update log. */
+  def runUpdatesToParquet(out: DataFrame, workDir: String,
+      narrowTo: Option[Int] = None): DataFrame = {
+    val spark = out.sparkSession
+    val path = s"$workDir/out"
+    withNarrowShuffle(spark, narrowTo) {
+      val q = out.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(path); ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(path)
+  }
+
+  private def withNarrowShuffle[A](spark: SparkSession, narrowTo: Option[Int])(
+      body: => A): A = narrowTo match {
+    case None => body
+    case Some(n) =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try body
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }

@@ -78,4 +78,33 @@ object FunnelStream {
         expr("n_click * 1000 div n_view").as("click_pm"),
         expr("n_purchase * 1000 div n_click").as("purchase_pm"))
   }
+
+  /** PRODUCTION twin of [[funnelStreamReplay]]: the same per-user
+    * `mapGroupsWithState` state machine fed from a real file source
+    * ([[FileFeed]]), stage updates sunk through `foreachBatch` as an
+    * on-disk update log, reduced to the final stage per user (stages are
+    * monotone). Same-timestamp cross-stage ordering is handled inside
+    * the operator (per-batch sort by (ts, stage rank)) — the feed's
+    * uniform event-time slices keep equal-ts events in one micro-batch,
+    * so no pre-sort of the input is needed, unlike the replay harness.
+    * Input columns: user_id, ts_s, event_type. */
+  def funnelStreamFile(events: DataFrame, nBatches: Int = 3,
+      workDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id").cast("long"),
+      col("ts_s").cast("long"), col("event_type").cast("string"))
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir).as[Ev]
+    val sunk = FileFeed.runUpdatesToParquet(
+      stageUpdates(stream).toDF("user_id", "stage"), workDir,
+      narrowTo = Some(8))
+    val finalStage = sunk.groupBy("user_id").agg(max("stage").as("stage"))
+    finalStage.agg(
+        sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("stage") >= 2, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("stage") >= 3, 1L).otherwise(0L)).as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        expr("n_click * 1000 div n_view").as("click_pm"),
+        expr("n_purchase * 1000 div n_click").as("purchase_pm"))
+  }
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * MemoryStream and the caller caps the input — the scale path is the
   * same operator over readStream sources.
   */
-private[streaming] object Replay {
+private[graft] object Replay {
 
   /** Run `build` over `rows` split into `nBatches` contiguous slices,
     * followed by one extra batch per element of `tailBatches` (sentinels

@@ -211,13 +211,18 @@ object Sessionize {
     * sessions auto-close when the watermark passes them, so the tail is
     * ONE single-row watermark-advancing sentinel (negative user_id,
     * filtered from the result). The timeouts it arms fire in the
-    * trailing NO-DATA micro-batch the engine runs for state cleanup
-    * (`spark.sql.streaming.noDataMicroBatches.enabled`, default true —
-    * honored under Trigger.AvailableNow; were it disabled, the oracle
-    * hash-mismatch would catch the missing sessions loudly). This is
-    * the shape an unbounded-user production feed runs. */
+    * trailing NO-DATA micro-batch the engine runs for state cleanup —
+    * `spark.sql.streaming.noDataMicroBatches.enabled` is PINNED true for
+    * the stream's lifetime (it is the mechanism this operator depends
+    * on, not a default to inherit); `pinNoData = false` exists only for
+    * the spec that proves the gate fails LOUDLY without it. Loud-fail
+    * invariant: every input user closes at least one session by feed
+    * end (the sentinel's watermark passes every open session), so a
+    * user missing from the sink means trailing timeouts never fired —
+    * the gate throws instead of returning silently-partial rows. This
+    * is the shape an unbounded-user production feed runs. */
   def sessionsStreamFileTimeout(events: DataFrame, gapSeconds: Long,
-      nBatches: Int = 3, workDir: String): DataFrame = {
+      nBatches: Int = 3, workDir: String, pinNoData: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits._
@@ -232,8 +237,144 @@ object Sessionize {
         col("event_type"))
       .withWatermark("ts", "0 seconds") // feed is time-ordered
       .as[Event]
-    val sunk = FileFeed.runToParquet(
-      sessionsWithTimeout(stream, gapMs = gapSeconds * 1000L).toDF(), workDir)
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      pinNoData.toString)
+    val sunk =
+      try FileFeed.runToParquet(
+        sessionsWithTimeout(stream, gapMs = gapSeconds * 1000L).toDF(), workDir)
+      finally spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    // exact conservation: every input event belongs to exactly one CLOSED
+    // session by feed end (the sentinel's watermark passes every open
+    // session), so any per-user count mismatch means armed timeouts never
+    // fired in a trailing no-data micro-batch — fail loudly, never return
+    // silently-partial sessions
+    val expected = ev.groupBy("user_id").agg(count(lit(1)).as("n_in"))
+    val got = sunk.filter(col("user_id") >= 0)
+      .groupBy("user_id").agg(sum("n_events").as("n_out"))
+    val bad = expected.join(got, Seq("user_id"), "left_outer")
+      .filter(col("n_out").isNull || col("n_out") =!= col("n_in"))
+      .count()
+    if (bad > 0) throw new IllegalStateException(
+      s"sessionsStreamFileTimeout: $bad user(s) have unclosed sessions " +
+        "— trailing no-data micro-batches did not run the armed timeouts " +
+        "(spark.sql.streaming.noDataMicroBatches.enabled must be true)")
+    val byStart = Window.partitionBy("user_id").orderBy("start_ms")
+    sunk.filter(col("user_id") >= 0)
+      .withColumn("session_no", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_no"),
+        col("n_events"), col("n_types").cast("long").as("n_types"),
+        (col("duration_ms") / 1000L).cast("long").as("duration_s"))
+      .orderBy("user_id", "session_no")
+  }
+
+  /** One open-session FRAGMENT: a maximal run of already-seen events
+    * whose consecutive gaps are ≤ gap. Disordered arrival can hold
+    * several not-yet-bridged fragments per user at once. */
+  final case class Frag(start: Long, last: Long, n: Long, types: Set[String])
+  final case class FragState(frags: Seq[Frag])
+
+  /** OUT-OF-ORDER-safe sessionizer — the production variant for a feed
+    * with bounded disorder (reorder slack covered by the WATERMARK DELAY
+    * the caller sets on `ts`). [[sessionsWithTimeout]]'s arrival-order
+    * gap rule is wrong under reordering: an event arriving before its
+    * in-time predecessors can sit > gap from the latest state yet belong
+    * to the same session once the intermediates land. This operator
+    * instead keeps per-user session FRAGMENTS and merges them as events
+    * arrive — interval merging is ORDER-INDEPENDENT, so any arrival
+    * permutation yields the same sessions provided no row is dropped as
+    * late (guaranteed when watermark delay > the feed's displacement
+    * bound; rows beyond that slack are dropped by Spark's pre-state
+    * late-row filter, per the watermark contract — the deployment's
+    * explicit data-loss budget).
+    *
+    * A fragment closes (emits and leaves state) when the watermark
+    * passes `last + gap`: no event that could extend or bridge it can
+    * still arrive, because such an event has ts ≤ last + gap < watermark
+    * and would be filtered as late. State per user is O(open fragments
+    * within the watermark horizon) — bounded by disorder, not by user
+    * lifetime; dormant users leave state entirely, like
+    * [[sessionsWithTimeout]]. */
+  def sessionsOutOfOrder(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FragState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FragState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var frags = state.getOption.map(_.frags).getOrElse(Seq.empty)
+          // merge phase: each event joins every fragment within gap of it
+          // (possibly bridging two) or starts its own
+          batch.foreach { e =>
+            val t = e.ts.getTime
+            val (touch, rest) = frags.partition(f =>
+              t >= f.start - gapMs && t <= f.last + gapMs)
+            val merged = touch.foldLeft(
+              Frag(t, t, 1L, Set(e.event_type))) { (a, f) =>
+              Frag(math.min(a.start, f.start), math.max(a.last, f.last),
+                a.n + f.n, a.types ++ f.types)
+            }
+            frags = merged +: rest
+          }
+          // close phase: a fragment whose last+gap the watermark passed
+          // can never be extended or bridged again — it IS the session
+          val (closed, open) = frags.partition(_.last + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(FragState(open))
+            // earliest possible close; must be strictly above the current
+            // watermark or Spark rejects the registration
+            state.setTimeoutTimestamp(
+              math.max(wm + 1, open.map(_.last + gapMs).min))
+          }
+          closed.sortBy(_.start).iterator.map(f =>
+            Session(userId, f.start, f.last, f.n, f.types.size, f.last - f.start))
+      }
+  }
+
+  /** Gate for [[sessionsOutOfOrder]]: a NON-time-ordered file feed
+    * (bounded disorder — `FileFeed.sliced(oooSkewSeconds)` displaces
+    * rows across micro-batch boundaries by up to ±skew) consumed with a
+    * REAL watermark delay (> 2·skew, so no row is late-dropped and the
+    * oracle stays the exact batch twin). One far-future sentinel row
+    * advances the watermark past every open fragment; trailing no-data
+    * micro-batches fire the timeouts (pinned on, like
+    * [[sessionsStreamFileTimeout]]). */
+  def sessionsStreamFileOoo(events: DataFrame, gapSeconds: Long,
+      skewSeconds: Long, delaySeconds: Long, nBatches: Int = 4,
+      workDir: String): DataFrame = {
+    require(2 * skewSeconds < gapSeconds,
+      "disorder bound must stay under the session gap")
+    require(delaySeconds > 2 * skewSeconds,
+      "watermark delay must cover the feed's displacement bound")
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id").cast("long"),
+      col("ts_s").cast("long"), col("event_type").cast("string"))
+    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    def sentinel(ts: Long): DataFrame = spark.range(1).select(
+      lit(-1L).as("user_id"), lit(ts).as("ts_s"), lit("_wm").as("event_type"))
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
+        tails = Seq(sentinel(maxT + 2 * gapSeconds + 2 * delaySeconds)),
+        oooSkewSeconds = skewSeconds)
+      .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
+        col("event_type"))
+      .withWatermark("ts", s"$delaySeconds seconds")
+      .as[Event]
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val sunk =
+      try FileFeed.runToParquet(
+        sessionsOutOfOrder(stream, gapMs = gapSeconds * 1000L).toDF(), workDir,
+        narrowTo = Some(8))
+      finally spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
     sunk.filter(col("user_id") >= 0)
       .withColumn("session_no", row_number().over(byStart).cast("long"))

@@ -131,6 +131,67 @@ object StreamJoin {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** PRODUCTION twin of [[clickAttributionOuterReplay]]: the same
+    * watermarked LEFT OUTER stream-stream join fed from a REAL
+    * `readStream.parquet` file source ([[FileFeed]] slices, one per
+    * micro-batch) into a parquet sink — no event row on the driver. This
+    * is the path whose emission timing matters most: an unmatched
+    * purchase's null-click row emits only when the WATERMARK proves no
+    * matching click can still arrive, so the flush is driven by real
+    * micro-batch watermark advancement (two far-future sentinel files —
+    * append emission lags the watermark by one batch), not by a replay
+    * harness's batch boundaries. Input columns: user_id, event_id,
+    * event_type, ts_s (epoch seconds). */
+  def clickAttributionOuterStreamFile(events: DataFrame, lookbackSeconds: Long,
+      nBatches: Int = 3, workDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("event_type").cast("string"),
+      col("ts_s").cast("long"))
+    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    val sentinelUser = -1L
+    val farFuture = maxT + 10L * lookbackSeconds
+    // one click+purchase pair per sentinel file: the pair matches itself
+    // (advancing both sides' watermarks) and is filtered from the result
+    def sentinelPair(ts: Long, idBase: Long): DataFrame =
+      Seq((sentinelUser, idBase, "click", ts),
+        (sentinelUser, idBase - 1L, "purchase", ts))
+        .toDF("user_id", "event_id", "event_type", "ts_s")
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
+        tails = Seq(sentinelPair(farFuture, -1L),
+          sentinelPair(farFuture + lookbackSeconds, -11L)))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("ts_s")).as("ts")).as[Ev]
+    val sunk = FileFeed.runToParquet(
+      clickAttributionOuter(stream, lookbackSeconds), workDir,
+      narrowTo = Some(8))
+    sunk.filter(col("user_id") =!= sentinelUser)
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** PRODUCTION twin of [[enrichReplay]]: stream-static broadcast
+    * enrichment with the event stream arriving from a real file source
+    * and the enriched rows landing through a parquet sink. Stateless —
+    * the static profile is re-planned (and re-broadcast) per micro-batch,
+    * which is exactly how a production feed picks up dimension updates. */
+  def enrichStreamFile(events: DataFrame, nBatches: Int = 3,
+      workDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("event_type").cast("string"),
+      col("ts_s").cast("long"))
+    val profile = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("ts_s")).as("ts")).as[Ev]
+    val sunk = FileFeed.runToParquet(
+      enrichWithProfile(stream, profile), workDir, narrowTo = Some(8))
+    sunk.orderBy("event_id")
+  }
+
   /** Deterministic micro-batch replay of the streaming join over bounded
     * input (caller caps it; the gate uses user_id < 200). Events feed in
     * event-time order across `nBatches` contiguous slices; inner-join

@@ -57,12 +57,17 @@ object StreamingDedup {
     * crosses the driver; same synthetic doc_id-seconds event times and
     * whole-corpus horizon as the replay, so the same oracle gates it. */
   def byFingerprintStreamFile(docs: DataFrame, nBatches: Int = 3,
-      workDir: String): DataFrame = {
+      workDir: String, oooSkewSeconds: Long = 0L): DataFrame = {
     val ev = docs.select(col("doc_id").cast("long"), col("text"))
       .withColumn("ts_s", col("doc_id") + 86400L)
     val maxId = ev.agg(max(col("doc_id"))).head().getLong(0)
+    // the horizon doubles as the watermark DELAY, so it dwarfs any
+    // bounded feed disorder: no row is ever late-dropped and no state
+    // evicts mid-feed — within-watermark dedup equals global dedup on a
+    // non-time-ordered feed too
     val horizon = s"${maxId + 1 + 86400} seconds"
-    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir)
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
+        oooSkewSeconds = oooSkewSeconds)
       .select(timestamp_seconds(col("ts_s")).as("ts"), col("text"))
     val sunk = FileFeed.runToParquet(byFingerprint(stream, horizon), workDir)
     sunk.select(col("fp")).orderBy("fp")

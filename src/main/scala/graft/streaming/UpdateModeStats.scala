@@ -49,6 +49,27 @@ object UpdateModeStats {
       .orderBy("hour_s", "event_type")
   }
 
+  /** PRODUCTION twin of [[hourlyCountsReplay]]: the same unwatermarked
+    * UPDATE-mode aggregation fed from a real `readStream.parquet` file
+    * source, sunk through `foreachBatch` as an on-disk update log (the
+    * documented production pattern for update mode over file sinks —
+    * parquet has no native update sink), then reduced to final values
+    * (max of the monotone count per key). No event row on the driver.
+    * Input columns: user_id, event_id, event_type, ts_s. */
+  def hourlyCountsStreamFile(events: DataFrame, nBatches: Int = 3,
+      workDir: String): DataFrame = {
+    val ev = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("event_type").cast("string"),
+      col("ts_s").cast("long"))
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir)
+      .select(col("event_type"), col("ts_s"))
+    val sunk = FileFeed.runUpdatesToParquet(
+      hourlyCounts(stream), workDir, narrowTo = Some(8))
+    sunk.groupBy("hour_s", "event_type")
+      .agg(max(col("n")).as("n"))
+      .orderBy("hour_s", "event_type")
+  }
+
   final case class Doc(doc_id: Long, text: String)
 
   /** Streaming heavy hitters: term counts as an UPDATE-mode aggregation

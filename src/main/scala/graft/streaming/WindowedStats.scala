@@ -63,4 +63,36 @@ object WindowedStats {
         col("lang"), col("n_docs"), col("n_chars"))
       .orderBy("window_start_s", "lang")
   }
+
+  /** PRODUCTION twin of [[perWindowReplay]]: the same watermarked window
+    * aggregate fed from a real `readStream.parquet` file source
+    * ([[FileFeed]]) into a parquet sink — append-mode windows close on
+    * real micro-batch watermark advancement (two sentinel files past
+    * max(ts)+horizon+2·window), no event row on the driver. Input
+    * columns: ts_s (epoch seconds), lang, text. */
+  def perWindowStreamFile(events: DataFrame, windowSeconds: Long,
+      horizonSeconds: Long, nBatches: Int = 3, workDir: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("ts_s").cast("long"),
+      col("lang").cast("string"), col("text").cast("string"))
+    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    val flushT = maxT + horizonSeconds + 2 * windowSeconds
+    def sentinel(ts: Long): DataFrame =
+      Seq((ts, "_flush", "")).toDF("ts_s", "lang", "text")
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
+        // two sentinel files: append emission lags the watermark by one
+        // micro-batch (the first advances it, the second flushes)
+        tails = Seq(sentinel(flushT), sentinel(flushT + windowSeconds)))
+      .select(timestamp_seconds(col("ts_s")).as("ts"), col("lang"), col("text"))
+    val sunk = FileFeed.runToParquet(
+      perWindow(stream, s"$windowSeconds seconds", s"$horizonSeconds seconds"),
+      workDir, narrowTo = Some(8))
+    sunk.filter(col("lang") =!= "_flush")
+      .select(
+        expr("unix_micros(window_start) div 1000000").cast("long").as("window_start_s"),
+        expr("unix_micros(window_end) div 1000000").cast("long").as("window_end_s"),
+        col("lang"), col("n_docs"), col("n_chars"))
+      .orderBy("window_start_s", "lang")
+  }
 }

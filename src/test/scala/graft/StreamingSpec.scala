@@ -84,6 +84,77 @@ class StreamingSpec extends AnyFunSuite {
       "timeout-closed streaming sessions must equal the relational twin")
   }
 
+  test("timeout sessionizer fails LOUDLY when no-data micro-batches are " +
+      "disabled (trailing timeouts never fire) — never silently partial") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.Sessionize
+    val ev = graft.queries.EventTime
+      .eventsWithSeconds(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 5)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-tmo-loud-spec").toString
+    val e = intercept[IllegalStateException] {
+      Sessionize.sessionsStreamFileTimeout(
+        ev.select("user_id", "ts_s", "event_type"),
+        gapSeconds = 1800L, nBatches = 3, workDir = work,
+        pinNoData = false).collect()
+    }
+    assert(e.getMessage.contains("noDataMicroBatches"),
+      s"wrong failure: ${e.getMessage}")
+    // and the pin really is restored + an externally-disabled session
+    // conf cannot break the pinned gate
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val work2 = java.nio.file.Files
+        .createTempDirectory("graft-tmo-pin-spec").toString
+      val rows = Sessionize.sessionsStreamFileTimeout(
+        ev.select("user_id", "ts_s", "event_type"),
+        gapSeconds = 1800L, nBatches = 3, workDir = work2).collect()
+      assert(rows.nonEmpty, "pinned gate must close sessions regardless " +
+        "of the session default")
+      assert(spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled") == "false",
+        "gate must restore the caller's session conf")
+    } finally spark.conf.set(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+  }
+
+  test("out-of-order sessionizer: fragment merge survives the adversarial " +
+      "permutation that breaks an arrival-order gap rule") {
+    // user 1's true sessions (gap 1800 s): {0, 1750, 1900} and {10000}.
+    // Arrival order 0, 1900, 1750: when 1900 arrives the latest state is
+    // 0 and 1900-0 > gap — an arrival-order sessionizer wrongly closes
+    // {0}; the fragment merge holds {0} and {1900} apart until 1750
+    // BRIDGES them (1750-0 ≤ gap, 1900-1750 ≤ gap).
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{Replay, Sessionize}
+    import Sessionize.Event
+    import spark.implicits._
+    // +1 day base: a ts equal to the state store's INITIAL watermark (0)
+    // is discarded as late before first-seen (same offset the dedup
+    // replay documents)
+    val base = 86400L
+    def ev(u: Long, tS: Long, t: String) =
+      Event(u, new Timestamp((base + tS) * 1000L), t)
+    val arrivals = IndexedSeq(
+      ev(1, 0, "a"), ev(1, 1900, "b"), ev(1, 1750, "c"), ev(1, 10000, "d"))
+    val sentinel = IndexedSeq(ev(-1, 100000, "_wm"))
+    val out = Replay.run(spark, arrivals, nBatches = 4,
+      tailBatches = Seq(sentinel)) { ds =>
+      // delay 200 s covers the feed's displacement (1900 before 1750)
+      Sessionize.sessionsOutOfOrder(
+        ds.withWatermark("ts", "200 seconds"), gapMs = 1800000L).toDF()
+    }
+    val sessions = out.filter(col("user_id") === 1L)
+      .orderBy("start_ms").collect()
+      .map(r => (r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+        r.getAs[Long]("n_events")))
+    val b = base * 1000L
+    assert(sessions.toSeq ==
+      Seq((b, b + 1900000L, 3L), (b + 10000000L, b + 10000000L, 1L)),
+      s"got ${sessions.toSeq}")
+  }
+
   test("graft streaming source tails committed versions (chunk-granular deltas)") {
     import graft.core._
     import graft.meta.{DatasetMeta, VariableDef}
