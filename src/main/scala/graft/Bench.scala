@@ -17,7 +17,13 @@ import org.apache.spark.sql.SparkSession
   *    the cross-pass median discards it;
   *  - the median additionally rejects reps > StallX× (default 3×) the
   *    per-query minimum as stall artifacts (raw runs stay in the JSON
-  *    for audit).
+  *    for audit);
+  *  - when the whole run lands in a contention window (record would be
+  *    REFUSED), a bounded quiet-window RECOVERY waits for canary entries
+  *    to reproduce their floors, then resamples only the contended
+  *    entries; an internally-quiet resample is adopted symmetrically
+  *    (published whether faster or slower) so one invocation lands a
+  *    clean record whenever quiet time exists.
   *
   * Two groups:
   *  - every SparkEntry query (array-fixture ingest is warmed first so
@@ -59,19 +65,20 @@ object Bench {
     }
   }
 
-  /** Final published median for an entry the guard reran: never worse
-    * than its pre-guard median. The guard is one-sided — it only reruns
-    * entries that LOOK slow, hoping for a calmer window — so a rerun
-    * that lands in a WORSE window must not penalize the entry it was
-    * meant to rescue (round-13 record: q_arr_axisdiff 0.572 s pre-guard
-    * → 1.298 s after its rerun landed inside the same contention
-    * window). Entries the guard never touched pass through unchanged. */
-  def publishedMedian(allReps: Seq[Double], preGuard: Option[Double]): Double = {
-    val m = median(allReps)
-    preGuard match {
-      case Some(pg) if pg >= 0 && (m < 0 || pg < m) => pg
-      case _ => m
-    }
+  /** Symmetric acceptance rule for a quiet-window recovery resample: the
+    * fresh sample REPLACES a floor-contended entry's sample iff it is
+    * internally quiet (its own median sits at its own floor) — and then
+    * its median is published WHETHER FASTER OR SLOWER than the contended
+    * one. Publishing min(pre-guard, post-guard) medians (rounds ≤14) was
+    * a one-sided ratchet: the record was not the median of any actual
+    * sample and could only drift optimistic. Now every published number
+    * is the plain median of one concrete sample — all reps for untouched
+    * entries, the accepted quiet resample for recovered ones — with every
+    * raw rep retained in "runs" and the pre-recovery medians kept as
+    * metadata for audit. */
+  def acceptRecovery(recovery: Seq[Double], floorX: Double): Boolean = {
+    val ok = recovery.filter(_ >= 0)
+    ok.nonEmpty && !floorContended(ok, floorX)
   }
 
   /** Machine-contention signature, independent of any baseline: the
@@ -171,23 +178,29 @@ object Bench {
     // add fresh post-hygiene reps to entries that were never flagged —
     // that silently changes their medians); the build always executes
     // because the query entry needs its index.
-    def ivfPass(queryReps: Int, record: String => Boolean = _ => true): Unit = {
+    def ivfPass(queryReps: Int,
+        record: String => Boolean = _ => true): Seq[(String, Seq[Double])] = {
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val idx = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
       val buildT = time { graft.pipeline.Similarity.ivfBuild(emb, idx, nCentroids = 16) }
       if (record("bench_ivf_build"))
-        runs("bench_ivf_build") =
-          runs.getOrElse("bench_ivf_build", Vector.empty[Double]) :+ buildT
+        out("bench_ivf_build") = Vector(buildT)
       if (record("bench_ivf_query"))
         for (_ <- 0 until queryReps)
-          runs("bench_ivf_query") =
-            runs.getOrElse("bench_ivf_query", Vector.empty[Double]) :+ time {
+          out("bench_ivf_query") =
+            out.getOrElse("bench_ivf_query", Vector.empty[Double]) :+ time {
               graft.pipeline.Similarity
                 .ivfQuery(emb, idx, k = 5, nQueries = 20, verifyCorpus = false)
                 .write.format("noop").mode("overwrite").save() }
+      out.toSeq
     }
+    def mergeInto(target: scala.collection.mutable.LinkedHashMap[String, Seq[Double]],
+        extra: Seq[(String, Seq[Double])]): Unit =
+      extra.foreach { case (k, v) =>
+        target(k) = target.getOrElse(k, Vector.empty[Double]) ++ v }
     if (wanted("bench_ivf_build") || wanted("bench_ivf_query")) {
-      ivfPass(reps)
+      mergeInto(runs, ivfPass(reps))
       System.err.println(f"[bench] bench_ivf_build: ${median(runs("bench_ivf_build"))}%.2f s" +
         f"  bench_ivf_query: ${median(runs("bench_ivf_query"))}%.2f s")
     }
@@ -327,7 +340,7 @@ object Bench {
         }
       }
       if (flaggedEntries.exists(_.startsWith("bench_ivf")))
-        ivfPass(rerunPasses, record = flaggedEntries.contains)
+        mergeInto(runs, ivfPass(rerunPasses, record = flaggedEntries.contains))
       if (flaggedEntries.exists(ArrayBench.entryNames.contains)) {
         jvmHygiene()
         // the array suite is interdependent (reads need the fresh write),
@@ -342,27 +355,111 @@ object Bench {
       flaggedEntries = flaggedNow(firstRound = false)
     }
 
-    // Published medians apply the no-worse-than-preGuard rule (the raw
-    // post-guard medians remain reconstructible from "runs").
-    val meds = runs.map { case (k, v) =>
-      k -> publishedMedian(v, preGuardMedians.get(k)) }
-    // Record-level acceptance: a run where MANY entries' medians still
-    // sit >floorX above their own same-run floors after the guard spent
-    // its rounds is a machine-contention artifact, not a measurement —
-    // it must not silently become the official record. It is emitted as
-    // BENCH_ATTEMPT_* with "contended":true (stdout carries the flag so
-    // a driver-captured copy self-identifies), and BENCH_SUMMARY.json /
-    // the default full file keep the previous clean record.
-    val contendedEntries = runs.collect { case (k, v)
-      if floorSuspicious(k, meds(k), v.filter(_ >= 0)) => k }.toSeq.sorted
+    // ---- quiet-window RECOVERY (round-15): a refused record leaves the
+    // round without a driver-stamped clean number, so a single invocation
+    // must be able to outlast a contention window. When the record WOULD
+    // be refused, wait for the machine to go quiet (cheap canary entries
+    // re-probed until they reproduce their own same-run floors), then
+    // resample ONLY the floor-contended entries from scratch. Acceptance
+    // is SYMMETRIC (see acceptRecovery): an internally-quiet resample
+    // replaces the entry's sample whether it lands faster or slower —
+    // the published number is always the median of one actual sample.
+    // Bounded: recoverRounds × (quietTries × quietSleep + one resample).
+    val effective = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    def effReps(k: String): Seq[Double] = effective.getOrElse(k, runs(k))
+    def contendedNow(): Seq[String] = runs.keys.filter { k =>
+      val ok = effReps(k).filter(_ >= 0)
+      floorSuspicious(k, median(ok), ok)
+    }.toSeq.sorted
     val contendedK =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTENDED_K", "3").toInt
+    val recoverRounds =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RECOVER_ROUNDS", "2").toInt
+    val quietTries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_TRIES", "6").toInt
+    val quietSleepMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_SLEEP_MS", "20000").toLong
+    var contendedEntries = contendedNow()
+    var recoveryRound = 0
+    while (contendedEntries.size > contendedK && recoveryRound < recoverRounds) {
+      // canaries: the three cheapest proven-floor query entries that are
+      // NOT themselves contended — if they reproduce their floors, the
+      // machine is quiet enough to trust a resample
+      val entryFns = entries.toMap
+      val canaries = entries.map(_._1)
+        .filter { n =>
+          !contendedEntries.contains(n) && {
+            val ok = runs(n).filter(_ >= 0); ok.nonEmpty && ok.min > 0.3 } }
+        .sortBy(n => runs(n).filter(_ >= 0).min).take(3)
+      def canaryQuiet(): Boolean = canaries.nonEmpty && canaries.forall { n =>
+        val floor = runs(n).filter(_ >= 0).min
+        val t = time {
+          entryFns(n)(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        t >= 0 && t <= 1.35 * floor
+      }
+      jvmHygiene()
+      var tries = 0
+      var quiet = canaryQuiet()
+      while (!quiet && tries < quietTries) {
+        System.err.println(s"[bench] recovery: machine still contended, " +
+          s"waiting ${quietSleepMs / 1000} s (probe ${tries + 1}/$quietTries)")
+        Thread.sleep(quietSleepMs); tries += 1; quiet = canaryQuiet()
+      }
+      if (!quiet) {
+        System.err.println("[bench] recovery: no quiet window found — " +
+          "the record will be refused honestly")
+        recoveryRound = recoverRounds
+      } else {
+        System.err.println(s"[bench] recovery round ${recoveryRound + 1}: " +
+          s"resampling ${contendedEntries.mkString(", ")}")
+        val sample = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+        val resamplePasses = 3
+        for (_ <- 0 until resamplePasses) {
+          jvmHygiene()
+          entries.filter(e => contendedEntries.contains(e._1)).foreach {
+            case (name, fn) =>
+              sample(name) = sample.getOrElse(name, Vector.empty[Double]) :+ time {
+                fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          }
+        }
+        if (contendedEntries.exists(_.startsWith("bench_ivf")))
+          mergeInto(sample, ivfPass(resamplePasses, record = contendedEntries.contains))
+        if (contendedEntries.exists(ArrayBench.entryNames.contains)) {
+          jvmHygiene()
+          mergeInto(sample, ArrayBench.run(spark, resamplePasses,
+              minWriteReps = 1, minNoisyReadReps = resamplePasses)
+            .filter { case (k, _) => contendedEntries.contains(k) })
+        }
+        sample.foreach { case (k, v) =>
+          if (!preGuardMedians.contains(k)) preGuardMedians(k) = median(runs(k))
+          runs(k) = runs(k) ++ v // full audit trail
+          if (acceptRecovery(v, floorX)) effective(k) = v
+        }
+        recoveryRound += 1
+      }
+      contendedEntries = contendedNow()
+    }
+
+    // Published medians: the plain median of each entry's effective
+    // sample (all reps, or the accepted quiet resample — never a
+    // min-of-two cherry-pick; pre-recovery medians stay in metadata).
+    val meds = runs.map { case (k, v) => k -> median(effReps(k)) }
+    // Record-level acceptance: a run where MANY entries' medians still
+    // sit >floorX above their own same-run floors after the guard AND
+    // the quiet-window recovery is a machine-contention artifact, not a
+    // measurement — it must not silently become the official record. It
+    // is emitted as BENCH_ATTEMPT_* with "contended":true (stdout
+    // carries the flag so a driver-captured copy self-identifies), and
+    // BENCH_SUMMARY.json / the default full file keep the previous
+    // clean record.
     val contended = contendedEntries.size > contendedK
     val qs = meds.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val rs = runs.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = meds.values.filter(_ >= 0).sum
     val reran = everFlagged.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val recoveredNames = effective.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // FULL record (every median at full precision + every raw rep) goes
     // to a local file — BENCH_r08's stdout line hit ~18 KB at 155
     // entries and overflowed the driver's bounded tail capture
@@ -371,8 +468,12 @@ object Bench {
     val preGuard = preGuardMedians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val contJson = contendedEntries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the accepted quiet-window resamples (raw reps) — the published
+    // median of each recovered entry is the median of exactly this sample
+    val recJson = effective.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"contendedEntries":$contJson,"queries":$qs,"runs":$rs,"reps":$reps,"reran":$reran,"preGuardMedians":$preGuard,"stallX":$StallX,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"contendedEntries":$contJson,"queries":$qs,"runs":$rs,"reps":$reps,"reran":$reran,"preGuardMedians":$preGuard,"recoverySamples":$recJson,"stallX":$StallX,"sf":"$sfDir"}"""
     // attempt files land BESIDE the configured record (same directory),
     // so a driver pointing the outputs elsewhere still finds the refused
     // run's audit trail
@@ -421,8 +522,8 @@ object Bench {
     val preGuardCompact = preGuardMedians.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val picked = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // fixed-key overhead incl. sf path + others + preGuard
-    var used = 140 + reran.length + preGuardCompact.length
+    // fixed-key overhead incl. sf path + others + preGuard + recovered
+    var used = 155 + reran.length + preGuardCompact.length + recoveredNames.length
     ordered.foreach { case (k, v) =>
       val cost = k.length + f3(v).length + 4
       if (used + cost <= budget) { picked(k) = v; used += cost }
@@ -431,7 +532,7 @@ object Bench {
     val qsCompact = picked.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val compactLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","contended":$contended,"queries":$qsCompact,"others":{"n":${meds.size - picked.size},"total":${f3(othersTotal)}},"n_queries":${meds.size},"reps":$reps,"reran":$reran,"preGuardMedians":$preGuardCompact,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","contended":$contended,"queries":$qsCompact,"others":{"n":${meds.size - picked.size},"total":${f3(othersTotal)}},"n_queries":${meds.size},"reps":$reps,"reran":$reran,"recovered":$recoveredNames,"preGuardMedians":$preGuardCompact,"full":"$fullPath","sf":"$sfDir"}"""
     println(compactLine)
     // The same line as the SINGLE line of BENCH_SUMMARY.json: under sbt
     // the stdout line prints mid-stream and sbt's own "[success]" trailer

@@ -39,18 +39,20 @@ class BenchMedianSpec extends AnyFunSuite {
     assert(Bench.median(Seq(11.8, 0.25, 0.26), 3.0) == 0.26)
   }
 
-  test("publishedMedian: a guard rerun never replaces a better pre-guard " +
-      "median with a worse one (round-13: q_arr_axisdiff 0.572 -> 1.298)") {
-    // rerun landed in the same contention window: post-guard median worse
-    assert(Bench.publishedMedian(
-      Seq(0.55, 0.572, 0.60, 1.29, 1.31), Some(0.572)) == 0.572)
-    // rerun rescued the entry: the better post-guard median wins
-    assert(Bench.publishedMedian(
-      Seq(2.9, 3.1, 3.0, 0.61, 0.60, 0.62), Some(3.0)) < 3.0)
-    // untouched entries pass through
-    assert(Bench.publishedMedian(Seq(1.0, 1.1, 1.2), None) == 1.1)
-    // all-failed reps with a valid pre-guard keep the pre-guard number
-    assert(Bench.publishedMedian(Seq(-1.0), Some(0.5)) == 0.5)
+  test("acceptRecovery is SYMMETRIC: an internally-quiet resample is " +
+      "adopted whether it lands faster or slower; a still-contended " +
+      "resample is rejected (no min-of-two-medians ratchet)") {
+    // quiet resample, faster than whatever it replaces: accepted
+    assert(Bench.acceptRecovery(Seq(0.60, 0.62, 0.61), 1.5))
+    // quiet resample that happens to be SLOWER (honest regression or a
+    // cold cache): still accepted — acceptance looks only at internal
+    // spread, never at direction
+    assert(Bench.acceptRecovery(Seq(3.0, 3.1, 3.05), 1.5))
+    // resample itself contended (median >1.5x its own floor): rejected,
+    // the entry stays contended and the record refuses if too many do
+    assert(!Bench.acceptRecovery(Seq(0.53, 1.28, 1.30), 1.5))
+    // all-failed resample: rejected
+    assert(!Bench.acceptRecovery(Seq(-1.0, -1.0), 1.5))
   }
 
   test("floorContended: median >1.5x own same-run floor is the " +
