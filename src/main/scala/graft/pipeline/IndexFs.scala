@@ -62,6 +62,23 @@ private[pipeline] object IndexFs {
     scala.util.Using.resource(f.create(hp, true))(_.write(bytes))
   }
 
+  /** create(overwrite = false); false when the object already exists.
+    * Mutual exclusion through this is sound ONLY on schemes whose
+    * no-overwrite create is ATOMIC (HDFS's namenode lease; conditional
+    * PUTs) — RawLocal/legacy-S3 implement it as exists-check-then-
+    * truncate, which admits two same-moment writers. Callers gate on
+    * scheme (Similarity.withWriteLock's atomic-scheme set). */
+  def createExclusive(p: String, bytes: Array[Byte]): Boolean = {
+    val (f, hp) = fs(p)
+    try {
+      scala.util.Using.resource(f.create(hp, false))(_.write(bytes)); true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case e: java.io.IOException if f.exists(hp) => false
+    }
+  }
+
   /** Reader-visible atomic replace: write a tmp sibling, then rename
     * over the destination (FileContext supports OVERWRITE, unlike
     * FileSystem.rename on some schemes). */

@@ -371,14 +371,20 @@ object Multimodal {
         } finally ios.close() // releases the memory-cache buffers per row
         (id, bos.toByteArray)
       }
-      // dispose() the shared writer when the partition is exhausted —
-      // long-lived executors otherwise accumulate one native-resource
-      // writer instance per task
+      // dispose() the shared writer exactly once, on whichever comes
+      // first: iterator exhaustion (the happy path) or TASK COMPLETION —
+      // a consumer that stops early (limit/take) or a failed task never
+      // drains the iterator, and the exhaustion hook alone would leak
+      // the writer's native resources on those paths
+      val disposed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def disposeOnce(): Unit =
+        if (disposed.compareAndSet(false, true)) writer.dispose()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => disposeOnce()))
       new Iterator[(Long, Array[Byte])] {
-        private var disposed = false
         def hasNext: Boolean = {
           val h = encoded.hasNext
-          if (!h && !disposed) { disposed = true; writer.dispose() }
+          if (!h) disposeOnce()
           h
         }
         def next(): (Long, Array[Byte]) = encoded.next()

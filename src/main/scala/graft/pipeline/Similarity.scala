@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The previous uncapped semanticNearDupPairs assignment cache —
+    * bounded-live-entries handle (see the persist site): repeated
+    * uncapped calls in one session must not accumulate MEMORY_AND_DISK
+    * entries without limit. */
+  private val lastUncappedAssignment =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
   /** Sequential-fold dot product — graft's native codegen expression
     * (graft.functions.DotProduct); left-to-right summation matches the
     * oracle's evaluation order bit-for-bit. */
@@ -527,11 +534,17 @@ object Similarity {
       // canonicalize differently and the whole assignment subplan runs
       // twice (the exact double-scan the capped cogroup rewrite
       // removed). persist (not localCheckpoint) keeps the lineage
-      // recomputable on executor loss; the cache entry lives until
-      // spark.catalog.clearCache (the bench's jvmHygiene) or session
-      // end, which is the documented cost of the uncapped fallback.
+      // recomputable on executor loss. Live entries are bounded to ONE:
+      // each uncapped call unpersists the previous call's assignment
+      // (its consumers just recompute from lineage if still running), so
+      // a long-lived session holds at most one cache entry here — that
+      // last entry lives until the next call, clearCache, or session end.
       val assigned = assignedAll
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Option(Similarity.lastUncappedAssignment.getAndSet(assigned))
+        .foreach(prev =>
+          try prev.unpersist(blocking = false)
+          catch { case _: Throwable => () })
       return assigned
         .select(col("cent_id"), col("vec_id").as("keep_id"),
           col("v").as("va"), col("nrm").as("na"))
@@ -847,14 +860,58 @@ object Similarity {
     *     later arrivals + external visibility of the holder's token).
     *
     * Stale proposals and a stale marker (mtime beyond `staleMs`) are
-    * swept at acquisition — the crashed-writer steal. */
+    * swept at acquisition — the crashed-writer steal.
+    *
+    * Scheme dispatch (round-15): on stores whose create-no-overwrite IS
+    * atomic, the election is unnecessary indirection AND weaker — it
+    * leans on listing-stamp/visibility clock agreement that a
+    * multi-frontend store only approximates (the settle window) — so
+    * those schemes take the ATOMIC path: one `createExclusive` of the
+    * marker decides ownership outright. Default atomic set: `hdfs`
+    * (namenode-arbitrated); extend via GRAFT_LEASE_ATOMIC_SCHEMES /
+    * -Dgraft.lease.atomic.schemes for stores known to implement
+    * conditional PUT (modern object stores behind an up-to-date
+    * connector). Everything else — `file` (RawLocal's exists-then-
+    * truncate), legacy object stores, mockfs — uses the election.
+    *
+    * Liveness under ties: stores with COARSE (second-granularity)
+    * LastModified stamps tie same-second contenders, and the election
+    * refuses both (safety first). Instead of pushing that retry loop
+    * onto every caller, RACED refusals (election ties / rival-not-
+    * strictly-newer / swept-self) retry internally with jittered backoff
+    * long enough to cross a second boundary; a refusal against a LIVE
+    * MARKER (a real holder mid-commit) still surfaces immediately. */
+  private final class LeaseRaced(msg: String) extends IllegalStateException(msg)
+
   private def withWriteLock[A](path: String, staleMs: Long = 3600000L)(
       body: => A): A = {
     IndexFs.mkdirs(path)
+    val retries = sys.props.get("graft.lease.retries")
+      .orElse(sys.env.get("GRAFT_LEASE_RETRIES")).map(_.toInt).getOrElse(3)
+    var attempt = 0
+    while (true) {
+      try return lockOnce(path, staleMs)(body)
+      catch {
+        case r: LeaseRaced =>
+          if (attempt >= retries) throw r
+          attempt += 1
+          Thread.sleep(100L +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(600L))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def lockOnce[A](path: String, staleMs: Long)(body: => A): A = {
     val lock = s"$path/.write.lock"
     val elecDir = s"$path/.write.lock.d"
     val token = java.util.UUID.randomUUID.toString
     def refuse(): Nothing = throw new IllegalStateException(
+      s"graft: another ivfAppend/ivfRebuild holds $path/.write.lock — " +
+        "index writes are single-writer (lost-update protection); retry " +
+        "after it commits (a crashed writer's lock is stolen after " +
+        s"${staleMs / 1000} s)")
+    def raced(): Nothing = throw new LeaseRaced(
       s"graft: another ivfAppend/ivfRebuild holds $path/.write.lock — " +
         "index writes are single-writer (lost-update protection); retry " +
         "after it commits (a crashed writer's lock is stolen after " +
@@ -866,6 +923,22 @@ object Similarity {
         else refuse()
       }
     } catch { case _: java.io.IOException => () }
+    // ---- atomic-create fast path ----
+    val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
+    val atomicSchemes = sys.props.get("graft.lease.atomic.schemes")
+      .orElse(sys.env.get("GRAFT_LEASE_ATOMIC_SCHEMES")).getOrElse("hdfs")
+      .split(',').map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).toSet
+    if (scheme.exists(atomicSchemes)) {
+      // the create itself arbitrates: exactly one contender's
+      // no-overwrite create succeeds, however close the race
+      if (!IndexFs.createExclusive(lock,
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        raced() // lost the create race; retry re-checks holder staleness
+      try return body
+      finally { try IndexFs.delete(lock) catch { case _: java.io.IOException => () } }
+    }
+    // ---- proposal-election fallback ----
     IndexFs.mkdirs(elecDir)
     // sweep crashed contenders' proposals before standing our own
     try IndexFs.list(elecDir).foreach { case (n, m) =>
@@ -885,9 +958,9 @@ object Similarity {
       def assertElected(): Unit = {
         val live = IndexFs.list(elecDir).filter(_._2 >= now - staleMs)
         val selfMtime = live.collectFirst { case (n, m) if n == token => m }
-          .getOrElse(refuse()) // swept by a skewed-clock racer
+          .getOrElse(raced()) // swept by a skewed-clock racer
         if (live.exists { case (n, m) => n != token && m <= selfMtime })
-          refuse() // rival proposal not strictly newer: stand down
+          raced() // rival proposal not strictly newer: stand down
       }
       assertElected()
       // The single-list election is sound when PUT visibility and the
@@ -901,7 +974,6 @@ object Similarity {
       // file and HDFS stamp mtimes with the same clock that orders PUT
       // visibility (the analysis above), so the single list suffices;
       // only multi-frontend object-store schemes pay the settle
-      val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
       if (!scheme.forall(s => s == "file" || s == "hdfs")) {
         Thread.sleep(
           sys.env.getOrElse("GRAFT_LEASE_SETTLE_MS", "250").toLong)

@@ -113,7 +113,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * first. Committed-version resolution needs both the ordering and the
     * checkpoint marker — a separate listing per question would double
     * the manifest parsing on every read-planning call. */
-  private def versionManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
+  private def versionManifestsRaw(name: String): Seq[(Long, Long, DatasetMeta)] = {
     val dir = versionsDir(name)
     if (!StoreFs.exists(dir)) throw new IllegalArgumentException(
       s"""dataset with name "$name" does not exist.""")
@@ -124,6 +124,35 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         (extractTimestamp(m), m.versionId.get, m)
       }
       .sortBy { case (ts, vid, _) => (ts, vid) }.reverse
+  }
+
+  /** [[versionManifestsRaw]] plus read-side FORK RESOLUTION — normally a
+    * no-op (linear histories pass through untouched). If two manifests
+    * claim the SAME parent, a race slipped past commitVersion's
+    * parent-latest check (possible only on a store with delayed listing
+    * visibility, and only when the losing committer crashed between its
+    * manifest PUT and its post-commit verify's rollback): the
+    * (timestamp, versionId)-MIN child is the committed one — its writer
+    * committed first in real time and its own verify passed — and the
+    * other branch is an orphan that every reader must ignore, along with
+    * its descendants. This makes a forked history unreadable-by-
+    * construction even when the loser never cleaned up. */
+  private def versionManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
+    val raw = versionManifestsRaw(name)
+    if (raw.lengthCompare(2) < 0) return raw
+    val losers = scala.collection.mutable.Set.empty[Long]
+    raw.groupBy(_._3.parent).valuesIterator.filter(_.lengthCompare(1) > 0)
+      .foreach(g => losers ++= g.sortBy(t => (t._1, t._2)).tail.map(_._2))
+    if (losers.isEmpty) raw
+    else {
+      var changed = true
+      while (changed) { // orphan descendants of a dropped branch
+        changed = false
+        raw.foreach { case (_, v, m) =>
+          if (!losers(v) && m.parent.exists(losers)) { losers += v; changed = true } }
+      }
+      raw.filterNot(t => losers(t._2))
+    }
   }
 
   def metadata(name: String, versionId: Long): DatasetMeta = {
@@ -170,36 +199,92 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   }
 
   /** V3 finish-version: atomic manifest write after re-checking the parent
-    * is still latest (reference: src/io/mandoline.clj:292-310). */
-  private[spark] def commitVersion(name: String, meta: DatasetMeta): Long =
-    // the read-latest / parent-check / stamp / move sequence is atomic per
-    // dataset within this JVM (see SparkStore.commitLock); without it two
-    // committers can both see the same latest and stamp duplicate
-    // "strictly monotonic" timestamps
-    SparkStore.commitLock(root, name).synchronized {
-      val vs = versions(name)
-      val latest = vs.headOption.map(_._2)
-      if (latest != meta.parent)
-        throw new IllegalStateException(
-          s"version ${meta.versionId.get} has parent ${meta.parent.getOrElse("none")}, " +
-            s"but the latest version is ${latest.getOrElse("none")}")
-      // shared-writer TOCTOU closure: a co-writer that lands AFTER
-      // another writer's post-write ownership verify is invisible to it —
-      // only the committer, running after every co-writer is done, sees
-      // all index rows. Validate per-chunk provenance coverage and
-      // repair torn chunks BEFORE the manifest makes them readable.
-      repairTornWrites(name, meta)
-      val vid = meta.versionId.get
-      // commit timestamps are STRICTLY monotonic per dataset (like version
-      // ids): two commits in one millisecond would otherwise make
-      // onTimestamp resolution ambiguous between them
-      val withTs = stampTimestamp(meta,
-        math.max(System.currentTimeMillis(), vs.headOption.map(_._1 + 1).getOrElse(0L)))
-      val tmp = StoreFs.child(versionsDir(name), s".$vid.json.tmp")
-      StoreFs.writeString(tmp, withTs.toJson)
-      StoreFs.moveReplace(tmp, StoreFs.child(versionsDir(name), s"$vid.json"))
-      vid
+    * is still latest (reference: src/io/mandoline.clj:292-310), plus a
+    * post-commit FORK VERIFY for cross-process races the check cannot
+    * see. The reference documents its own ms-scale window here; ours is
+    * closed in two layers:
+    *  - the manifest lands via a NO-CLOBBER move — a same-vid rival can
+    *    never silently overwrite a committed manifest;
+    *  - after the move, the committer re-lists the manifests (after a
+    *    settle window on schemes whose LISTINGS may lag PUT visibility —
+    *    `graft.commit.settle.ms` / GRAFT_COMMIT_SETTLE_MS, default 250;
+    *    file/hdfs listings are strongly consistent and skip it) and, if
+    *    a SIBLING manifest with the same parent and smaller (ts, vid)
+    *    exists, DELETES its own manifest and throws: the rival committed
+    *    first, and at most one child of any parent survives. A loser
+    *    that crashes before its rollback is additionally neutralized by
+    *    the read-side fork resolution in [[versionManifests]].
+    */
+  private[spark] def commitVersion(name: String, meta: DatasetMeta): Long = {
+    val vid = meta.versionId.get
+    val myTs =
+      // the read-latest / parent-check / stamp / move sequence is atomic
+      // per dataset within this JVM (see SparkStore.commitLock); without
+      // it two committers can both see the same latest and stamp
+      // duplicate "strictly monotonic" timestamps
+      SparkStore.commitLock(root, name).synchronized {
+        val vs = versions(name)
+        val latest = vs.headOption.map(_._2)
+        if (latest != meta.parent)
+          throw new IllegalStateException(
+            s"version $vid has parent ${meta.parent.getOrElse("none")}, " +
+              s"but the latest version is ${latest.getOrElse("none")}")
+        // shared-writer TOCTOU closure: a co-writer that lands AFTER
+        // another writer's post-write ownership verify is invisible to it —
+        // only the committer, running after every co-writer is done, sees
+        // all index rows. Validate per-chunk provenance coverage and
+        // repair torn chunks BEFORE the manifest makes them readable.
+        repairTornWrites(name, meta)
+        // commit timestamps are STRICTLY monotonic per dataset (like version
+        // ids): two commits in one millisecond would otherwise make
+        // onTimestamp resolution ambiguous between them
+        val ts = math.max(System.currentTimeMillis(),
+          vs.headOption.map(_._1 + 1).getOrElse(0L))
+        val withTs = stampTimestamp(meta, ts)
+        val tmp = StoreFs.child(versionsDir(name), s".$vid.json.tmp")
+        StoreFs.writeString(tmp, withTs.toJson)
+        if (!StoreFs.moveInto(tmp, StoreFs.child(versionsDir(name), s"$vid.json"))) {
+          StoreFs.deleteIfExists(tmp)
+          throw new IllegalStateException(
+            s"version $vid of $name was already committed by a rival writer " +
+              "(same version id) — re-run addVersion/finishVersion on the new latest")
+        }
+        ts
+      }
+    // fork verify OUTSIDE the JVM lock: it defends against OTHER
+    // processes (the in-JVM race is already closed above), and holding
+    // the lock through a settle window would serialize unrelated commits
+    verifyNoFork(name, myTs, vid, meta.parent)
+    vid
+  }
+
+  /** Post-commit fork check; deletes OUR manifest and throws when a rival
+    * committed the same parent first. See [[commitVersion]]. */
+  private def verifyNoFork(name: String, myTs: Long, myVid: Long,
+      myParent: Option[Long]): Unit = {
+    val scheme = Option(new org.apache.hadoop.fs.Path(root).toUri.getScheme)
+    // file/hdfs listings are strongly consistent AND stamped by the same
+    // clock that orders visibility; everything else may return a listing
+    // that does not yet include a rival's just-PUT manifest, so wait out
+    // the visibility lag before trusting the absence of siblings
+    if (!scheme.forall(s => s == "file" || s == "hdfs")) {
+      val settle = sys.props.get("graft.commit.settle.ms")
+        .orElse(sys.env.get("GRAFT_COMMIT_SETTLE_MS"))
+        .map(_.toLong).getOrElse(250L)
+      if (settle > 0) Thread.sleep(settle)
     }
+    val rival = versionManifestsRaw(name)
+      .filter { case (_, v, m) => v != myVid && m.parent == myParent }
+      .find { case (ts, v, _) => ts < myTs || (ts == myTs && v < myVid) }
+    rival.foreach { case (_, rivalVid, _) =>
+      StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$myVid.json"))
+      throw new IllegalStateException(
+        s"commit of version $myVid rolled back: rival version $rivalVid " +
+          s"committed parent ${myParent.getOrElse("none")} first — a forked " +
+          "history was prevented; re-run addVersion/finishVersion on the " +
+          "new latest")
+    }
+  }
 
   /** Commit-time torn-write validation + repair — the append-only
     * completion of the shared-writer CAS analog. Post-write ownership

@@ -199,6 +199,71 @@ class MockFsSpec extends AnyFunSuite {
     assert(got == (0L until 10L).map(x => (x, if (x < 3) 7L else x + 1)))
   }
 
+  test("delayed LIST visibility on versions/: two racing committers — at " +
+      "most one commits, the loser rolls back loudly, never a forked " +
+      "history") {
+    // Emulates legacy-S3 LIST-after-PUT inconsistency: committer A's
+    // manifest is invisible to B's parent-latest listing, so B's
+    // pre-write check passes WRONGLY; B's post-commit fork verify (settle
+    // window > the visibility lag) must catch the sibling and roll B
+    // back. A, committing first, keeps its version.
+    val store = new SparkStore(spark, mockRoot())
+    store.create("race")
+    // a committed base version, so BOTH racers parent on v0 and B's
+    // parent-latest re-check is genuinely fooled by the lagged listing
+    // (without lag it would refuse the ordinary way: latest == A ≠ v0)
+    val v0 = writeVals(store, "race", (1 to 10).map(_.toDouble))
+    val wA = store.addVersion("race", meta1d())
+    Thread.sleep(5) // distinct version ids (epoch-ms stamped)
+    val wB = store.addVersion("race", meta1d())
+    assert(wA.meta.versionId != wB.meta.versionId)
+    assert(wA.meta.parent.contains(v0) && wB.meta.parent.contains(v0))
+    val prevSettle = sys.props.get("graft.commit.settle.ms")
+    MockObjectStoreFileSystem.listVisibilityLagMs = 3000L
+    sys.props("graft.commit.settle.ms") = "4000"
+    val (vidA, eB) =
+      try {
+        // age v0's manifest past the lag: the emulation keys freshness
+        // off mtime, and v0 must stay visible to both racers' checks
+        Thread.sleep(3200)
+        // A commits on a background thread: its manifest PUT happens
+        // quickly, then A sits in its own settle window OUTSIDE the JVM
+        // commit lock — leaving the lock free for B to race the check
+        val aResult = new java.util.concurrent.atomic.AtomicLong(-1L)
+        val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val tA = new Thread(() =>
+          try aResult.set(wA.finishVersion())
+          catch { case t: Throwable => aErr.set(t) })
+        tA.start()
+        Thread.sleep(1000) // A's manifest is on disk but LIST-invisible
+        val e = intercept[IllegalStateException] { wB.finishVersion() }
+        tA.join(30000)
+        assert(aErr.get() == null, s"committer A must win, got ${aErr.get()}")
+        (aResult.get(), e)
+      } finally {
+        MockObjectStoreFileSystem.listVisibilityLagMs = 0L
+        prevSettle match {
+          case Some(v) => sys.props("graft.commit.settle.ms") = v
+          case None => sys.props.remove("graft.commit.settle.ms")
+        }
+      }
+    assert(eB.getMessage.contains("forked"),
+      s"B must roll back via the fork verify, got: ${eB.getMessage}")
+    // exactly A's version committed; B's manifest is gone (rolled back)
+    assert(store.versions("race").map(_._2) == Seq(vidA, v0))
+    // and had B crashed before its rollback, the read-side fork
+    // resolution hides the orphan: re-plant B's manifest and re-list
+    val versionsDir = graft.spark.StoreFs.child(
+      graft.spark.StoreFs.child(store.root, "race"), "versions")
+    val bVid = wB.meta.versionId.get
+    val orphan = wB.meta.copy(
+      extra = Some(s"""{"graft-committed-at":${vidA + 12345}}"""))
+    graft.spark.StoreFs.writeString(
+      graft.spark.StoreFs.child(versionsDir, s"$bVid.json"), orphan.toJson)
+    assert(store.versions("race").map(_._2) == Seq(vidA, v0),
+      "a crashed loser's orphan manifest must stay unreadable")
+  }
+
   test("conf-faithfulness tripwire: resolving mockfs from a classpath-" +
       "default conf fails loudly (the credential only rides the session " +
       "conf / shipped driver conf)") {

@@ -632,6 +632,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(lock), "lock not released after append")
   }
 
+  test("atomic-scheme lease path: ownership decided by createExclusive " +
+      "alone (no election dir), held marker refuses, stale marker stolen") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val local = java.nio.file.Files.createTempDirectory("graft-ivf-atomic")
+    val path = "file://" + local.toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16)
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 720000L).as("vec_id"), col("embedding"))
+    // route file:// through the atomic path for this test only (its
+    // single-JVM create is race-free enough to exercise the code path;
+    // production default is hdfs-only because RawLocal's no-overwrite
+    // create is exists-then-truncate)
+    sys.props("graft.lease.atomic.schemes") = "file"
+    try {
+      val lock = local.resolve(".write.lock")
+      java.nio.file.Files.createFile(lock)
+      assert(intercept[IllegalStateException] {
+        Similarity.ivfAppend(emb, batch, path)
+      }.getMessage.contains("single-writer"))
+      // stale marker: stolen, createExclusive wins, append commits
+      java.nio.file.Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 2L * 3600 * 1000))
+      Similarity.ivfAppend(emb, batch, path)
+      assert(!java.nio.file.Files.exists(lock), "lock not released")
+      // the atomic path never stands election proposals
+      val elec = local.resolve(".write.lock.d")
+      assert(!java.nio.file.Files.exists(elec) ||
+        java.nio.file.Files.list(elec).count() == 0L)
+      val full = emb.select("vec_id", "embedding").unionByName(batch)
+      assert(Similarity.ivfQuery(full, path, k = 1, nQueries = 2).count() > 0)
+    } finally sys.props.remove("graft.lease.atomic.schemes")
+  }
+
   test("lease election is tie-safe and steals stale proposals: a live " +
       "rival proposal (older OR same mtime) refuses acquisition; a stale " +
       "one is swept") {

@@ -9,6 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // commit fork-verify settle window: mockfs listings are strongly
+    // consistent unless a test turns listVisibilityLagMs on, so the
+    // suite-wide settle stays near-zero (production default 250 ms); the
+    // delayed-visibility race test raises it locally above its lag
+    if (!sys.props.contains("graft.commit.settle.ms"))
+      sys.props("graft.commit.settle.ms") = "25"
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

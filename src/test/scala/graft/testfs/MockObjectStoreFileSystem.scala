@@ -97,7 +97,14 @@ class MockObjectStoreFileSystem extends RawLocalFileSystem {
     else {
       val kids = Option(file.listFiles()).getOrElse(
         throw new IOException(s"mockfs: cannot list $f"))
-      kids.sortBy(_.getName)
+      // legacy-S3 eventual LIST visibility emulation: a freshly PUT
+      // object (mtime within the lag) is absent from LISTINGS while
+      // point reads (getFileStatus/open) already see it — the classic
+      // LIST-after-PUT inconsistency window. Directories stay visible.
+      val lag = MockObjectStoreFileSystem.listVisibilityLagMs
+      val cutoff = System.currentTimeMillis() - lag
+      kids.filter(k => lag <= 0 || k.isDirectory || k.lastModified() <= cutoff)
+        .sortBy(_.getName)
         .map(k => statusFor(k, makeQualified(new Path(f, k.getName))))
     }
   }
@@ -156,6 +163,10 @@ object MockObjectStoreFileSystem {
   val DirPerm: FsPermission = FsPermission.valueOf("drwxrwxrwx")
   /** One-shot crash injection: destination-PATH substring to fail on. */
   @volatile var failNextCopyMatching: String = _
+  /** When > 0, objects PUT within the last N ms are invisible to
+    * listStatus (legacy-S3 eventual LIST visibility); point reads stay
+    * consistent. Reset to 0 after use. */
+  @volatile var listVisibilityLagMs: Long = 0L
   val renameCount = new java.util.concurrent.atomic.AtomicLong()
 }
 
