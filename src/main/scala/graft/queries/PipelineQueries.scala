@@ -934,6 +934,29 @@ object PipelineQueries {
           .select(col("user_id"), col("ts_s"), col("event_type")),
         nBatches = 3, workDir = java.nio.file.Files
           .createTempDirectory("graft-fn-fstream").toString)),
+    // INNER stream-stream interval join on the production path, over a
+    // DISORDERED feed (±300 s « the join's own watermark delays): real
+    // file source in, parquet sink out — shares the replay gate's oracle
+    "q_pipe_join_fstream" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .filter(col("user_id") < 200 &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts_s"))
+      graft.streaming.StreamJoin.clickAttributionStreamFile(ev,
+        lookbackSeconds = 7200L, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-ij-fstream").toString,
+        oooSkewSeconds = 300L)
+    }),
+    // UPDATE-mode heavy hitters on the production path: file source in,
+    // foreachBatch parquet update log out, exact top-50 — shares the
+    // batch q_pipe_heavy oracle
+    "q_pipe_heavy_fstream" -> ((s, dir) =>
+      graft.streaming.UpdateModeStats.heavyHittersStreamFile(
+        docs(s, dir), k = 50, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-hh-fstream").toString)),
     // stream-static broadcast enrichment on the production path: the
     // profile is re-broadcast per REAL micro-batch, enriched rows land
     // through a parquet sink
@@ -1040,18 +1063,7 @@ object PipelineQueries {
       ("q_pipe_enrich_stream" -> sharedStreamOracle("q_pipe_enrich_stream")) +
       ("q_pipe_hourly_stream" -> sharedStreamOracle("q_pipe_hourly_stream")) +
       ("q_pipe_outer_join_stream" -> sharedStreamOracle("q_pipe_outer_join_stream")) +
-      ("q_pipe_join_stream" ->
-        """WITH e AS (
-          | SELECT user_id, event_id, event_type,
-          |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
-          | FROM events
-          | WHERE user_id < 200 AND event_type IN ('click', 'purchase'))
-          |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
-          |       p.ts_s - c.ts_s AS gap_s
-          |FROM e p JOIN e c ON p.user_id = c.user_id
-          | AND p.event_type = 'purchase' AND c.event_type = 'click'
-          | AND c.ts_s >= p.ts_s - 7200 AND c.ts_s <= p.ts_s
-          |ORDER BY purchase_id, click_id""".stripMargin) +
+      ("q_pipe_join_stream" -> sharedStreamOracle("q_pipe_join_stream")) +
       ("q_pipe_dedup_stream" -> dedupFingerprintSetSql) +
       // file-source production path computes the same fingerprint set
       ("q_pipe_dedup_fstream" -> dedupFingerprintSetSql) +
@@ -1072,7 +1084,9 @@ object PipelineQueries {
       ("q_pipe_outer_join_fstream" -> sharedStreamOracle("q_pipe_outer_join_stream")) +
       ("q_pipe_window_stats_fstream" -> sharedStreamOracle("q_pipe_window_stats_stream")) +
       ("q_pipe_hourly_fstream" -> sharedStreamOracle("q_pipe_hourly_stream")) +
-      ("q_pipe_enrich_fstream" -> sharedStreamOracle("q_pipe_enrich_stream"))
+      ("q_pipe_enrich_fstream" -> sharedStreamOracle("q_pipe_enrich_stream")) +
+      ("q_pipe_join_fstream" -> sharedStreamOracle("q_pipe_join_stream")) +
+      ("q_pipe_heavy_fstream" -> oracleSqlBase("q_pipe_heavy"))
 
   /** Streaming-gate oracles shared between a replay gate and its
     * file-source production twin — one SQL text, two query entries, so
@@ -1122,6 +1136,18 @@ object PipelineQueries {
         |       p.ts_s - c.c_ts AS gap_s
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         | AND c.c_ts >= p.ts_s - 7200 AND c.c_ts <= p.ts_s
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "q_pipe_join_stream" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |        CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_s
+        | FROM events
+        | WHERE user_id < 200 AND event_type IN ('click', 'purchase'))
+        |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       p.ts_s - c.ts_s AS gap_s
+        |FROM e p JOIN e c ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts_s >= p.ts_s - 7200 AND c.ts_s <= p.ts_s
         |ORDER BY purchase_id, click_id""".stripMargin)
 
   private val oracleSqlBase: Map[String, String] = Map(

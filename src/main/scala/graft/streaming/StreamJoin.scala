@@ -192,6 +192,39 @@ object StreamJoin {
     sunk.orderBy("event_id")
   }
 
+  /** PRODUCTION twin of [[clickAttributionReplay]]: the INNER watermarked
+    * stream-stream join from a real file source into a parquet sink.
+    * Matches emit in whatever micro-batch completes the pair, so no
+    * sentinel flush is needed — but inner-join APPEND emission still
+    * waits on watermark advancement in Spark's implementation when a
+    * watermark is present, so one far-future sentinel pair flushes the
+    * final batches' matches. Feed is OOO-sliced (bounded disorder ≪ the
+    * join's own watermark delays), proving set-equivalence under the
+    * production arrival shape. */
+  def clickAttributionStreamFile(events: DataFrame, lookbackSeconds: Long,
+      nBatches: Int = 3, workDir: String, oooSkewSeconds: Long = 0L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col("user_id").cast("long"),
+      col("event_id").cast("long"), col("event_type").cast("string"),
+      col("ts_s").cast("long"))
+    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    val sentinelUser = -1L
+    def sentinelPair(ts: Long, idBase: Long): DataFrame =
+      Seq((sentinelUser, idBase, "click", ts),
+        (sentinelUser, idBase - 1L, "purchase", ts))
+        .toDF("user_id", "event_id", "event_type", "ts_s")
+    val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
+        tails = Seq(sentinelPair(maxT + 10L * lookbackSeconds, -1L)),
+        oooSkewSeconds = oooSkewSeconds)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("ts_s")).as("ts")).as[Ev]
+    val sunk = FileFeed.runToParquet(
+      clickAttribution(stream, lookbackSeconds), workDir, narrowTo = Some(8))
+    sunk.filter(col("user_id") =!= sentinelUser)
+      .orderBy("purchase_id", "click_id")
+  }
+
   /** Deterministic micro-batch replay of the streaming join over bounded
     * input (caller caps it; the gate uses user_id < 200). Events feed in
     * event-time order across `nBatches` contiguous slices; inner-join

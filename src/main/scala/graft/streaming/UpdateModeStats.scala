@@ -100,4 +100,21 @@ object UpdateModeStats {
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)
   }
+
+  /** PRODUCTION twin of [[heavyHittersReplay]]: the same UPDATE-mode
+    * term-count aggregation over a real file-source document stream,
+    * update log sunk via `foreachBatch` to parquet, reduced to exact
+    * final counts and the exact top-k. No document row on the driver. */
+  def heavyHittersStreamFile(docs: DataFrame, k: Int = 50,
+      nBatches: Int = 3, workDir: String): DataFrame = {
+    val ev = docs.select(col("doc_id").cast("long"), col("text"))
+    val stream = FileFeed.sliced(ev, "doc_id", nBatches, workDir)
+    val counts = stream
+      .select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val sunk = FileFeed.runUpdatesToParquet(counts, workDir, narrowTo = Some(8))
+    sunk.groupBy("term").agg(max(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(k)
+  }
 }

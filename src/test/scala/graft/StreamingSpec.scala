@@ -155,6 +155,35 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${sessions.toSeq}")
   }
 
+  test("watermark contract: a row later than the slack is DROPPED by the " +
+      "out-of-order sessionizer — the explicit data-loss budget, not a " +
+      "silent wrong merge") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{Replay, Sessionize}
+    import Sessionize.Event
+    import spark.implicits._
+    val base = 86400L
+    def ev(u: Long, tS: Long, t: String) =
+      Event(u, new Timestamp((base + tS) * 1000L), t)
+    // delay 100 s; t=5000 advances the watermark to 4900, so the t=1000
+    // straggler in the next batch is beyond slack and must be dropped.
+    // Were it kept, it would merge with t=0 (gap 1000 ≤ 1800) into one
+    // 2-event session — the assertion distinguishes the two outcomes.
+    val arrivals = IndexedSeq(ev(1, 0, "a"), ev(1, 5000, "b"), ev(1, 1000, "late"))
+    val sentinel = IndexedSeq(ev(-1, 100000, "_wm"))
+    val out = Replay.run(spark, arrivals, nBatches = 3,
+      tailBatches = Seq(sentinel)) { ds =>
+      Sessionize.sessionsOutOfOrder(
+        ds.withWatermark("ts", "100 seconds"), gapMs = 1800000L).toDF()
+    }
+    val sessions = out.filter(col("user_id") === 1L)
+      .orderBy("start_ms").collect()
+      .map(r => (r.getAs[Long]("start_ms") / 1000L - base,
+        r.getAs[Long]("n_events")))
+    assert(sessions.toSeq == Seq((0L, 1L), (5000L, 1L)),
+      s"late row must be dropped, not merged: ${sessions.toSeq}")
+  }
+
   test("graft streaming source tails committed versions (chunk-granular deltas)") {
     import graft.core._
     import graft.meta.{DatasetMeta, VariableDef}
