@@ -218,6 +218,13 @@ object Bench {
       // up to 256 MB of query-suite fixture blobs otherwise stay pinned
       // in old-gen while the engine suite is timed
       graft.spark.SparkStore.clearBlobCache()
+      // the streaming gates' stopped queries leave loaded state-store
+      // providers behind until periodic maintenance unloads them — with
+      // 11 streaming entries × passes that is real heap pressure on
+      // whatever is timed next (the per-gate unload in FileFeed/Replay
+      // covers the gates themselves; this covers anything they missed)
+      try org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+      catch { case _: Throwable => () }
       System.gc()
     }
     jvmHygiene()

@@ -97,8 +97,19 @@ object FileFeed {
         .start()
       q.awaitTermination()
     }
+    unloadStateStores()
     spark.read.parquet(s"$workDir/out")
   }
+
+  /** Drop the finished query's executor-side state-store providers: a
+    * stopped query's in-memory state maps otherwise linger in the JVM
+    * until the periodic maintenance unloads them (minutes), and a
+    * sequence of bounded gate streams in one JVM accumulates hundreds of
+    * loaded providers' worth of heap pressure that bleeds into whatever
+    * runs next. A later streaming query reloads providers on demand. */
+  private def unloadStateStores(): Unit =
+    try org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+    catch { case _: Throwable => () }
 
   /** UPDATE-mode production sink: parquet has no native update sink, so
     * the documented production pattern is `foreachBatch` appending each
@@ -121,6 +132,7 @@ object FileFeed {
         .start()
       q.awaitTermination()
     }
+    unloadStateStores()
     spark.read.parquet(path)
   }
 

@@ -49,7 +49,14 @@ private[graft] object Replay {
       tailBatches.foreach { b =>
         input.addData(b.toIndexedSeq); q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // drop the finished query's in-memory state-store providers now
+      // instead of waiting minutes for the maintenance unload — gate
+      // suites run many bounded streams per JVM (see FileFeed)
+      try org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+      catch { case _: Throwable => () }
+    }
     val out = spark.table(name)
     val frozen = spark.createDataFrame(
       spark.sparkContext.parallelize(out.collect().toIndexedSeq), out.schema)
