@@ -161,6 +161,29 @@ object StreamScaleProbe {
       report("sessions_tmo_unbounded", s, n, r)
     }
 
+    // ---- 5. OUT-OF-ORDER fragment sessionizer under an unbounded user
+    // population AND a disordered feed: every event a brand-new user,
+    // arrival displaced by a deterministic per-index perturbation within
+    // ±skew, watermark delay = 2·skew+1. State = open fragments within
+    // the (gap + delay) horizon — must stay flat across volume; disorder
+    // adds at most the displaced-window population, never volume-scaled
+    // growth.
+    for (s <- scales) {
+      val n = 6000 * s
+      val skew = 30L // seconds; delay 61 s covers the 2·skew bound
+      val evs = (0 until n).map { i =>
+        val trueTs = base + i / 10
+        val delta = (i * 2654435761L % (2 * skew + 1)) - skew
+        (trueTs + delta, graft.streaming.Sessionize.Event(
+          i.toLong, new Timestamp(trueTs * 1000L), "click"))
+      }.sortBy(_._1).map(_._2)
+      val r = runLeg(chunk(evs, 12))(in =>
+        graft.streaming.Sessionize.sessionsOutOfOrder(
+          in.toDS().withWatermark("ts", s"${2 * skew + 1} seconds"),
+          gapMs = 60000L).toDF())
+      report("sessions_ooo_unbounded", s, n, r)
+    }
+
     spark.stop()
   }
 
