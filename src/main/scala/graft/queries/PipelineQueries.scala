@@ -878,6 +878,31 @@ object PipelineQueries {
         workDir = java.nio.file.Files
           .createTempDirectory("graft-dedup-fstream").toString,
         oooSkewSeconds = 120L)),
+    // the SAME production dedup stream under the RocksDB state-store
+    // provider — the backend a 100 TB deployment actually runs (state on
+    // local SSD + block cache, not executor heap, so the dedup horizon is
+    // bounded by disk, not memory). Shares the heap-provider oracle:
+    // state-backend choice must be invisible to results.
+    "q_pipe_dedup_rocks" -> ((s, dir) =>
+      graft.streaming.StreamingDedup.byFingerprintStreamFile(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          col("text")),
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-dedup-rocks").toString,
+        oooSkewSeconds = 120L, rocksDb = true)),
+    // the EventTimeTimeout sessionizer under RocksDB: timers +
+    // flatMapGroupsWithState state live in the disk-backed store; the
+    // trailing no-data batch must still fire every armed timeout
+    "q_pipe_sessions_tmo_rocks" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      graft.streaming.Sessionize.sessionsStreamFileTimeout(
+        ev, gapSeconds = 1800L, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-tmo-rocks").toString,
+        rocksDb = true)
+    }),
     // the OUT-OF-ORDER sessionizer on a genuinely disordered feed:
     // fragment-merge sessions (order-independent) under a real watermark
     // delay (600 s > 2×240 s displacement bound), auto-closing at the
@@ -1030,6 +1055,10 @@ object PipelineQueries {
       ("q_pipe_sessions_fstream" -> oracleSqlBase("q_pipe_sessions")) +
       // watermark-timeout auto-close implements the same gap rule
       ("q_pipe_sessions_tmo" -> oracleSqlBase("q_pipe_sessions")) +
+      // state-backend choice (RocksDB vs heap) must be invisible to
+      // results — the RocksDB twins share their heap gates' oracles
+      ("q_pipe_sessions_tmo_rocks" -> oracleSqlBase("q_pipe_sessions")) +
+      ("q_pipe_dedup_rocks" -> dedupFingerprintSetSql) +
       // fragment-merge sessionization is order-independent: the same
       // sessions from a disordered feed under a real watermark delay
       ("q_pipe_sessions_ooo" -> oracleSqlBase("q_pipe_sessions")) +

@@ -86,16 +86,18 @@ object FileFeed {
     * state-store instance per session shuffle partition per micro-batch
     * — the partition count is captured into the checkpoint at start. */
   def runToParquet(out: DataFrame, workDir: String,
-      narrowTo: Option[Int] = None): DataFrame = {
+      narrowTo: Option[Int] = None, rocksDb: Boolean = false): DataFrame = {
     val spark = out.sparkSession
     withNarrowShuffle(spark, narrowTo) {
-      val q = out.writeStream.format("parquet")
-        .option("path", s"$workDir/out")
-        .option("checkpointLocation", s"$workDir/ckpt")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStateProvider(spark, rocksDb) {
+        val q = out.writeStream.format("parquet")
+          .option("path", s"$workDir/out")
+          .option("checkpointLocation", s"$workDir/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     unloadStateStores()
     spark.read.parquet(s"$workDir/out")
@@ -118,19 +120,21 @@ object FileFeed {
     * max per key). Rows go executor → parquet inside foreachBatch; the
     * driver never sees them. Returns the full update log. */
   def runUpdatesToParquet(out: DataFrame, workDir: String,
-      narrowTo: Option[Int] = None): DataFrame = {
+      narrowTo: Option[Int] = None, rocksDb: Boolean = false): DataFrame = {
     val spark = out.sparkSession
     val path = s"$workDir/out"
     withNarrowShuffle(spark, narrowTo) {
-      val q = out.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-          batch.write.mode("append").parquet(path); ()
-        }
-        .outputMode("update")
-        .option("checkpointLocation", s"$workDir/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStateProvider(spark, rocksDb) {
+        val q = out.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            batch.write.mode("append").parquet(path); ()
+          }
+          .outputMode("update")
+          .option("checkpointLocation", s"$workDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     unloadStateStores()
     spark.read.parquet(path)
@@ -145,4 +149,32 @@ object FileFeed {
       try body
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  /** Fully-qualified RocksDB state-store provider (bundled with Spark;
+    * rocksdbjni ships in the distribution's jars). */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the session's state-store provider switched to
+    * RocksDB (restored after). The provider class is captured per query
+    * at start, so wrapping the `start()`/`awaitTermination()` span is
+    * sufficient. At 100 TB the DEFAULT heap provider is the wrong tool —
+    * every active key lives on the executor heap, so state is bounded by
+    * executor memory; RocksDB keeps state on local SSD with a block-cache
+    * working set, which is how a production deployment holds a multi-TB
+    * dedup horizon or join buffer. The gates run both providers against
+    * the SAME oracle: state-backend choice must be invisible to results. */
+  def withStateProvider[A](spark: SparkSession, rocksDb: Boolean)(
+      body: => A): A =
+    if (!rocksDb) body
+    else {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, RocksDbProvider)
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
 }

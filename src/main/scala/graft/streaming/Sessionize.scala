@@ -222,7 +222,8 @@ object Sessionize {
     * the gate throws instead of returning silently-partial rows. This
     * is the shape an unbounded-user production feed runs. */
   def sessionsStreamFileTimeout(events: DataFrame, gapSeconds: Long,
-      nBatches: Int = 3, workDir: String, pinNoData: Boolean = true): DataFrame = {
+      nBatches: Int = 3, workDir: String, pinNoData: Boolean = true,
+      rocksDb: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits._
@@ -243,7 +244,8 @@ object Sessionize {
       pinNoData.toString)
     val sunk =
       try FileFeed.runToParquet(
-        sessionsWithTimeout(stream, gapMs = gapSeconds * 1000L).toDF(), workDir)
+        sessionsWithTimeout(stream, gapMs = gapSeconds * 1000L).toDF(), workDir,
+        narrowTo = Some(8), rocksDb = rocksDb)
       finally spark.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     // exact conservation: every input event belongs to exactly one CLOSED

@@ -57,7 +57,8 @@ object StreamingDedup {
     * crosses the driver; same synthetic doc_id-seconds event times and
     * whole-corpus horizon as the replay, so the same oracle gates it. */
   def byFingerprintStreamFile(docs: DataFrame, nBatches: Int = 3,
-      workDir: String, oooSkewSeconds: Long = 0L): DataFrame = {
+      workDir: String, oooSkewSeconds: Long = 0L,
+      rocksDb: Boolean = false): DataFrame = {
     val ev = docs.select(col("doc_id").cast("long"), col("text"))
       .withColumn("ts_s", col("doc_id") + 86400L)
     val maxId = ev.agg(max(col("doc_id"))).head().getLong(0)
@@ -69,7 +70,8 @@ object StreamingDedup {
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
         oooSkewSeconds = oooSkewSeconds)
       .select(timestamp_seconds(col("ts_s")).as("ts"), col("text"))
-    val sunk = FileFeed.runToParquet(byFingerprint(stream, horizon), workDir)
+    val sunk = FileFeed.runToParquet(byFingerprint(stream, horizon), workDir,
+      narrowTo = Some(8), rocksDb = rocksDb)
     sunk.select(col("fp")).orderBy("fp")
   }
 }

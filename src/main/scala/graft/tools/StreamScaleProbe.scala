@@ -36,6 +36,11 @@ object StreamScaleProbe {
   def main(args: Array[String]): Unit = {
     val scales = sys.env.getOrElse("SPARK_GRAFT_STREAM_SCALES", "1,4,16")
       .split(",").toSeq.map(_.trim.toInt)
+    // Optional leg filter (substring match, comma-separated) so one leg
+    // can be re-measured without re-running the whole sweep.
+    val legFilter = sys.env.get("SPARK_GRAFT_STREAM_LEGS")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    def on(leg: String): Boolean = legFilter.forall(_.exists(leg.contains))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -97,7 +102,7 @@ object StreamScaleProbe {
     // ---- 1. within-watermark dedup: density 10 docs/s, horizon 600 s.
     // Horizon-bounded state ≈ 10·600 = 6,000 keys + in-batch slack,
     // whatever the total volume.
-    for (s <- scales) {
+    if (on("dedup_fixed_horizon")) for (s <- scales) {
       val n = 6000 * s
       val docs = (0 until n).map(i => StreamingDedupDoc(
         new Timestamp((base + i / 10) * 1000L), s"document body $i"))
@@ -107,7 +112,7 @@ object StreamScaleProbe {
       report("dedup_fixed_horizon", s, n, r)
     }
     // horizon leg: fixed volume, horizon 300/600/1200 — expect ~linear
-    for (h <- Seq(300, 600, 1200)) {
+    if (on("dedup_horizon")) for (h <- Seq(300, 600, 1200)) {
       val n = 24000
       val docs = (0 until n).map(i => StreamingDedupDoc(
         new Timestamp((base + i / 10) * 1000L), s"document body $i"))
@@ -120,7 +125,7 @@ object StreamScaleProbe {
     // ---- 2. stream-stream interval join: density 2 ev/s (1 click +
     // 1 purchase), lookback 300 s (clicks watermark 600 s). State is
     // two watermark-bounded buffers ≈ density × horizon per side.
-    for (s <- scales) {
+    if (on("join_fixed_lookback")) for (s <- scales) {
       val nSec = 3000 * s
       val evs = (0 until nSec).flatMap { i =>
         val ts = new Timestamp((base + i) * 1000L)
@@ -137,7 +142,7 @@ object StreamScaleProbe {
     // ---- 3. sessionization: FIXED pool of 500 users, event volume
     // scales. State is one entry per user ever active (NoTimeout), so
     // max state rows must stay pinned at the pool size.
-    for (s <- scales) {
+    if (on("sessions_fixed_users")) for (s <- scales) {
       val n = 6000 * s
       val evs = (0 until n).map(i => graft.streaming.Sessionize.Event(
         (i % 500).toLong, new Timestamp((base + i / 10) * 1000L), "click"))
@@ -151,7 +156,7 @@ object StreamScaleProbe {
     // would grow linearly with volume), gap 60 s at 10 users/s — the
     // EventTimeTimeout variant must hold state at the gap-window
     // population (~600 + one batch), flat across volume.
-    for (s <- scales) {
+    if (on("sessions_tmo_unbounded")) for (s <- scales) {
       val n = 6000 * s
       val evs = (0 until n).map(i => graft.streaming.Sessionize.Event(
         i.toLong, new Timestamp((base + i / 10) * 1000L), "click"))
@@ -168,7 +173,7 @@ object StreamScaleProbe {
     // the (gap + delay) horizon — must stay flat across volume; disorder
     // adds at most the displaced-window population, never volume-scaled
     // growth.
-    for (s <- scales) {
+    if (on("sessions_ooo_unbounded")) for (s <- scales) {
       val n = 6000 * s
       val skew = 30L // seconds; delay 61 s covers the 2·skew bound
       val evs = (0 until n).map { i =>
@@ -182,6 +187,36 @@ object StreamScaleProbe {
           in.toDS().withWatermark("ts", s"${2 * skew + 1} seconds"),
           gapMs = 60000L).toDF())
       report("sessions_ooo_unbounded", s, n, r)
+    }
+
+    // ---- 6. RocksDB state backend, same dedup workload: state lives on
+    // local disk (block-cache working set on heap), the deployment shape
+    // for horizons whose key population exceeds executor memory. Rows
+    // must stay horizon-pinned exactly like the heap provider; the
+    // reported bytes are RocksDB's own memory estimate (block cache +
+    // memtables), expected ~flat across volume.
+    if (on("dedup_rocksdb")) for (s <- scales) {
+      val n = 6000 * s
+      val docs = (0 until n).map(i => StreamingDedupDoc(
+        new Timestamp((base + i / 10) * 1000L), s"document body $i"))
+      val r = graft.streaming.FileFeed.withStateProvider(spark, rocksDb = true) {
+        runLeg(chunk(docs, 12))(in =>
+          graft.streaming.StreamingDedup.byFingerprint(
+            in.toDF(), horizon = "600 seconds"))
+      }
+      report("dedup_rocksdb", s, n, r)
+    }
+    // timeout sessionizer (flatMapGroupsWithState + timers) on RocksDB
+    if (on("sessions_tmo_rocksdb")) for (s <- scales) {
+      val n = 6000 * s
+      val evs = (0 until n).map(i => graft.streaming.Sessionize.Event(
+        i.toLong, new Timestamp((base + i / 10) * 1000L), "click"))
+      val r = graft.streaming.FileFeed.withStateProvider(spark, rocksDb = true) {
+        runLeg(chunk(evs, 12))(in =>
+          graft.streaming.Sessionize.sessionsWithTimeout(
+            in.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000L).toDF())
+      }
+      report("sessions_tmo_rocksdb", s, n, r)
     }
 
     spark.stop()

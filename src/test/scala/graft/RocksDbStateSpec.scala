@@ -1,0 +1,134 @@
+package graft
+
+import graft.streaming.{FileFeed, StreamingDedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** State-backend independence and checkpoint recovery.
+  *
+  * At 100 TB the heap state-store provider is the wrong tool (every live
+  * key on the executor heap); production streams run RocksDB (state on
+  * local SSD, block-cache working set). Two invariants pin that path:
+  *
+  *  1. Backend choice is invisible to results — the RocksDB run of the
+  *     production dedup stream produces exactly the heap run's output,
+  *     and the checkpoint proves the provider actually engaged (RocksDB
+  *     snapshots state as version zips; the heap provider writes deltas).
+  *  2. A stream killed between micro-batches resumes from its checkpoint
+  *     EXACTLY-ONCE under both providers: recovered state still drops
+  *     duplicates of pre-crash rows, already-committed input is not
+  *     reprocessed, and nothing is lost.
+  */
+class RocksDbStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def fps(df: DataFrame): Seq[String] = {
+    import spark.implicits._
+    df.select("fp").as[String].collect().toSeq.sorted
+  }
+
+  private def stateFiles(ckpt: Path, suffix: String): Seq[Path] = {
+    val stateDir = ckpt.resolve("state")
+    if (!Files.exists(stateDir)) Seq.empty
+    else {
+      val it = Files.walk(stateDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala.filter(_.toString.endsWith(suffix)).toList
+      } finally it.close()
+    }
+  }
+
+  test("RocksDB provider: engaged for real, results identical to heap") {
+    val rows = (0L until 24L).map(i => (i, s"doc body ${i % 16}")) // 8 dups
+    val heapDir = Files.createTempDirectory("rocks-heap")
+    val rocksDir = Files.createTempDirectory("rocks-rocks")
+    val heap = fps(StreamingDedup.byFingerprintStreamFile(
+      docsDf(rows), workDir = heapDir.toString))
+    val rocks = fps(StreamingDedup.byFingerprintStreamFile(
+      docsDf(rows), workDir = rocksDir.toString, rocksDb = true))
+    assert(heap == rocks)
+    assert(heap.size == 16)
+    assert(heap.distinct.size == heap.size, "duplicate fingerprints emitted")
+    // provider engagement: RocksDB checkpoints state as <version>.zip
+    // snapshots (or .changelog files); the heap provider writes .delta
+    assert(stateFiles(heapDir.resolve("ckpt"), ".delta").nonEmpty,
+      "heap run left no .delta state files")
+    val rocksCkpt = rocksDir.resolve("ckpt")
+    assert(stateFiles(rocksCkpt, ".zip").nonEmpty ||
+      stateFiles(rocksCkpt, ".changelog").nonEmpty,
+      "RocksDB run left no RocksDB-format state files — provider did not engage")
+    assert(stateFiles(rocksCkpt, ".delta").isEmpty,
+      "RocksDB run wrote heap-provider deltas")
+  }
+
+  for (rocksDb <- Seq(false, true))
+    test(s"checkpoint restart is exactly-once (rocksDb=$rocksDb)") {
+      val work = Files.createTempDirectory(s"restart-$rocksDb")
+      val feed = work.resolve("feed"); Files.createDirectories(feed)
+      val out = s"$work/out"; val ckpt = s"$work/ckpt"
+
+      // one parquet file per micro-batch, monotone mtimes so the file
+      // source replays them oldest-first (same shape as FileFeed.sliced)
+      var nSlices = 0
+      def writeSlice(rows: Seq[(Long, String)]): Unit = {
+        val tmp = s"$work/tmp_$nSlices"
+        docsDf(rows).repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = feed.resolve(f"slice_$nSlices%03d.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(
+          System.currentTimeMillis() - 600000L + nSlices * 2000L)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+        nSlices += 1
+      }
+
+      // AvailableNow drains exactly the files present at start, then
+      // stops — a deterministic stand-in for a crash between batches
+      def runOnce(): Unit = FileFeed.withStateProvider(spark, rocksDb) {
+        val stream = spark.readStream
+          .schema(docsDf(Seq((0L, ""))).schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed.toString)
+          .select(timestamp_seconds(col("doc_id") + 86400L).as("ts"),
+            col("text"))
+        val q = StreamingDedup.byFingerprint(stream, horizon = "10 days")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+
+      // phase A: two slices, one internal dup
+      writeSlice(Seq((0L, "alpha"), (1L, "beta")))
+      writeSlice(Seq((2L, "alpha"), (3L, "gamma")))
+      runOnce()
+      val afterA = fps(spark.read.parquet(out))
+      assert(afterA.size == 3, s"phase A emitted $afterA")
+
+      // phase B (post-restart): dups of phase-A docs must be dropped by
+      // RECOVERED state; new docs pass; phase-A input is not re-emitted
+      writeSlice(Seq((4L, "beta"), (5L, "delta")))
+      writeSlice(Seq((6L, "gamma"), (7L, "epsilon")))
+      runOnce()
+      val finalFps = fps(spark.read.parquet(out))
+      val oracle = fps(
+        docsDf((0L until 8L).map(i => (i, Seq("alpha", "beta", "alpha",
+          "gamma", "beta", "delta", "gamma", "epsilon")(i.toInt))))
+          .select(graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
+          .distinct())
+      assert(finalFps.distinct.size == finalFps.size,
+        s"restart re-emitted rows: $finalFps")
+      assert(finalFps.toSet == oracle.toSet,
+        s"restart lost or invented rows: got $finalFps expected $oracle")
+      assert(finalFps.size == 5)
+    }
+}
