@@ -491,10 +491,28 @@ object Bench {
       val p = java.nio.file.Paths.get(configured).toAbsolutePath
       p.resolveSibling(s"BENCH_ATTEMPT_${attemptStamp}_$kind.json").toString
     }
-    val fullConfigured =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_LOCAL_full.json")
-    val summaryConfigured =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json")
+    // A SPARK_GRAFT_BENCH_ONLY subset run is a dev probe, not a record:
+    // it must never replace the official full/summary files (a 3-entry
+    // "full" record would erase the 190+-entry audit trail). Subset
+    // output diverts to _subset-suffixed siblings unless the caller
+    // explicitly configured the paths.
+    def subsetDivert(configured: String, envKey: String): String =
+      if (only.isEmpty || sys.env.contains(envKey)) configured
+      else {
+        val p = java.nio.file.Paths.get(configured).toAbsolutePath
+        val n = p.getFileName.toString
+        val dot = n.lastIndexOf('.')
+        val diverted =
+          if (dot >= 0) n.substring(0, dot) + "_subset" + n.substring(dot)
+          else n + "_subset"
+        p.resolveSibling(diverted).toString
+      }
+    val fullConfigured = subsetDivert(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_LOCAL_full.json"),
+      "SPARK_GRAFT_BENCH_FULL")
+    val summaryConfigured = subsetDivert(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json"),
+      "SPARK_GRAFT_BENCH_SUMMARY")
     if (contended) System.err.println(
       s"[bench] RECORD REFUSED (contended): ${contendedEntries.size} entries' " +
         s"medians sit >${floorX}x their own same-run floors after " +
