@@ -903,6 +903,20 @@ object PipelineQueries {
           .createTempDirectory("graft-tmo-rocks").toString,
         rocksDb = true)
     }),
+    // the gap sessionizer on Spark 4's transformWithState — the
+    // successor stateful API (typed state handles + explicit event-time
+    // timers, RocksDB-only state). Shares the q_pipe_sessions oracle:
+    // the ENGINE choice (flatMapGroupsWithState vs transformWithState)
+    // must be invisible to results, like the state backend above.
+    "q_pipe_sessions_tws" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      graft.streaming.Sessionize.sessionsStreamFileTws(
+        ev, gapSeconds = 1800L, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-tws").toString)
+    }),
     // the OUT-OF-ORDER sessionizer on a genuinely disordered feed:
     // fragment-merge sessions (order-independent) under a real watermark
     // delay (600 s > 2×240 s displacement bound), auto-closing at the
@@ -1058,6 +1072,10 @@ object PipelineQueries {
       // state-backend choice (RocksDB vs heap) must be invisible to
       // results — the RocksDB twins share their heap gates' oracles
       ("q_pipe_sessions_tmo_rocks" -> oracleSqlBase("q_pipe_sessions")) +
+      // the transformWithState engine implements the same gap rule —
+      // one oracle gates fmgws, tws, both state backends, and the batch
+      // twin alike
+      ("q_pipe_sessions_tws" -> oracleSqlBase("q_pipe_sessions")) +
       ("q_pipe_dedup_rocks" -> dedupFingerprintSetSql) +
       // fragment-merge sessionization is order-independent: the same
       // sessions from a disordered feed under a real watermark delay

@@ -223,7 +223,22 @@ object Sessionize {
     * is the shape an unbounded-user production feed runs. */
   def sessionsStreamFileTimeout(events: DataFrame, gapSeconds: Long,
       nBatches: Int = 3, workDir: String, pinNoData: Boolean = true,
-      rocksDb: Boolean = false): DataFrame = {
+      rocksDb: Boolean = false): DataFrame =
+    runTimeoutGate(events, gapSeconds, nBatches, workDir, pinNoData,
+      rocksDb)(ds => sessionsWithTimeout(ds, gapMs = gapSeconds * 1000L).toDF())
+
+  /** The same auto-closing gate on the `transformWithState` engine (see
+    * [[sessionsTws]]). transformWithState REQUIRES the RocksDB state
+    * store, so the provider is always switched for the stream's span. */
+  def sessionsStreamFileTws(events: DataFrame, gapSeconds: Long,
+      nBatches: Int = 3, workDir: String,
+      pinNoData: Boolean = true): DataFrame =
+    runTimeoutGate(events, gapSeconds, nBatches, workDir, pinNoData,
+      rocksDb = true)(ds => sessionsTws(ds, gapMs = gapSeconds * 1000L).toDF())
+
+  private def runTimeoutGate(events: DataFrame, gapSeconds: Long,
+      nBatches: Int, workDir: String, pinNoData: Boolean,
+      rocksDb: Boolean)(op: Dataset[Event] => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits._
@@ -243,8 +258,7 @@ object Sessionize {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       pinNoData.toString)
     val sunk =
-      try FileFeed.runToParquet(
-        sessionsWithTimeout(stream, gapMs = gapSeconds * 1000L).toDF(), workDir,
+      try FileFeed.runToParquet(op(stream), workDir,
         narrowTo = Some(8), rocksDb = rocksDb)
       finally spark.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -270,6 +284,90 @@ object Sessionize {
         col("n_events"), col("n_types").cast("long").as("n_types"),
         (col("duration_ms") / 1000L).cast("long").as("duration_s"))
       .orderBy("user_id", "session_no")
+  }
+
+  /** [[sessionsWithTimeout]] re-expressed on `transformWithState` —
+    * Spark 4's successor API to `flatMapGroupsWithState` and the one new
+    * stateful operators should target: typed state handles (ValueState /
+    * ListState / MapState, optional TTL), EXPLICIT event-time timers
+    * with a separate expiry callback instead of the per-key timeout
+    * timestamp, and RocksDB-only state (the API refuses the heap
+    * provider, which is the right default at 100 TB — state lives on
+    * local SSD from day one).
+    *
+    * Semantics are identical to [[sessionsWithTimeout]] — same gap rule,
+    * same auto-close at watermark passage — and the gate shares the
+    * q_pipe_sessions oracle, so the engine choice is provably invisible
+    * to results. Timer discipline: one timer per live session at
+    * `last + gap`; extending the session re-arms a later timer, and the
+    * expiry callback ignores STALE timers (expiry < the live session's
+    * own deadline) so an earlier armed time can never close an extended
+    * session early. */
+  def sessionsTws(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  /** Gap-sessionization [[org.apache.spark.sql.streaming.StatefulProcessor]]:
+    * ValueState holds the open session, an event-time timer fires its
+    * close when the watermark passes `last + gap`. */
+  private[streaming] class GapSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, n = s.n + 1,
+              types = s.types + e.event_type))
+          case Some(s) =>
+            closed += Session(userId, s.start, s.last, s.n,
+              s.types.size, s.last - s.start)
+            cur = Some(SessionState(t, t, 1, Set(e.event_type)))
+          case None =>
+            cur = Some(SessionState(t, t, 1, Set(e.event_type)))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        // timers must sit strictly above the current watermark; the
+        // clamp only moves a deadline the watermark ALREADY passed
+        getHandle.registerTimer(
+          math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs))
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!sess.exists()) return Iterator.empty // closed by a later event
+      val s = sess.get()
+      // stale timer: the session was extended after this timer was armed
+      // (its live deadline is later) — the re-armed timer will close it
+      if (info.getExpiryTimeInMs() < s.last + gapMs) return Iterator.empty
+      sess.clear()
+      Iterator(Session(userId, s.start, s.last, s.n, s.types.size,
+        s.last - s.start))
+    }
   }
 
   /** One open-session FRAGMENT: a maximal run of already-seen events

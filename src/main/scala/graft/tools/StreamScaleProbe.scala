@@ -206,6 +206,21 @@ object StreamScaleProbe {
       }
       report("dedup_rocksdb", s, n, r)
     }
+    // the transformWithState sessionizer (ValueState + explicit
+    // event-time timers; RocksDB-only API): progress reports the value
+    // rows (timer registry rides separate column families), so the pin
+    // is the same gap-window key population as the fmgws engine
+    if (on("sessions_tws_rocksdb")) for (s <- scales) {
+      val n = 6000 * s
+      val evs = (0 until n).map(i => graft.streaming.Sessionize.Event(
+        i.toLong, new Timestamp((base + i / 10) * 1000L), "click"))
+      val r = graft.streaming.FileFeed.withStateProvider(spark, rocksDb = true) {
+        runLeg(chunk(evs, 12))(in =>
+          graft.streaming.Sessionize.sessionsTws(
+            in.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000L).toDF())
+      }
+      report("sessions_tws_rocksdb", s, n, r)
+    }
     // timeout sessionizer (flatMapGroupsWithState + timers) on RocksDB
     if (on("sessions_tmo_rocksdb")) for (s <- scales) {
       val n = 6000 * s

@@ -1,0 +1,110 @@
+package graft
+
+import graft.streaming.{FileFeed, Sessionize}
+import graft.streaming.Sessionize.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+import java.nio.file.Files
+
+/** `transformWithState` sessionizer (Spark 4's successor API to
+  * flatMapGroupsWithState): engine choice must be invisible to results,
+  * its timer discipline must survive session extension, and its
+  * RocksDB-only contract must fail loudly, not silently fall back. */
+class TransformWithStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def evFrame(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts_s", "event_type")
+  }
+
+  test("tws engine output equals fmgws engine and the batch twin") {
+    // three users, multi-session, sessions spanning slice boundaries
+    val rows = (for {
+      u <- 1L to 3L
+      k <- 0 until 4 // four sessions per user...
+      j <- 0 until 3 // ...of three events each, 30 s apart
+    } yield (u, 1000000L + k * 7200L + j * 30L + u * 11L,
+      if (j == 0) "view" else "click")).toSeq
+    val gap = 1800L
+    val tws = Sessionize.sessionsStreamFileTws(evFrame(rows), gap,
+      workDir = Files.createTempDirectory("tws-eq").toString)
+    val fmg = Sessionize.sessionsStreamFileTimeout(evFrame(rows), gap,
+      workDir = Files.createTempDirectory("tws-eq-fmg").toString,
+      rocksDb = true)
+    val batch = Sessionize.sessionsBatch(
+      evFrame(rows).withColumn("event_id", col("ts_s")), gap)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(dump(tws) == dump(fmg))
+    assert(dump(tws) == dump(batch))
+    assert(tws.count() == 12) // 3 users × 4 sessions
+  }
+
+  test("stale timer from a pre-extension batch never closes the session early") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    FileFeed.withStateProvider(spark, rocksDb = true) {
+      val input = MemoryStream[Event]
+      val q = Sessionize.sessionsTws(
+        input.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000L)
+        .writeStream.format("memory").queryName("tws_stale")
+        .outputMode("append").start()
+      try {
+        def ev(u: Long, tMs: Long) = Event(u, new Timestamp(tMs), "click")
+        // timestamps sit strictly above the initial watermark (0): the
+        // pre-state late filter drops ts <= watermark
+        input.addData(ev(1, 10000)) // arms a timer at 70 s
+        q.processAllAvailable()
+        input.addData(ev(1, 40000)) // extends: live deadline now 100 s
+        q.processAllAvailable()
+        // watermark passes the STALE 70 s timer but not the 100 s one:
+        // the session must stay open
+        input.addData(ev(99, 80000))
+        q.processAllAvailable()
+        val mid = spark.table("tws_stale").as[Session].collect()
+        assert(!mid.exists(_.user_id == 1L),
+          s"stale timer closed an extended session early: ${mid.toSeq}")
+        // watermark passes 100 s: now it closes, as ONE two-event session
+        input.addData(ev(99, 300000))
+        q.processAllAvailable()
+        val done = spark.table("tws_stale").as[Session]
+          .collect().filter(_.user_id == 1L)
+        assert(done.length == 1 && done(0).n_events == 2 &&
+          done(0).duration_ms == 30000L, s"got ${done.toSeq}")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("tws_stale")
+      }
+    }
+    org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+  }
+
+  test("refuses the heap state-store provider loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // NO provider switch: the default heap provider is active
+    val input = MemoryStream[Event]
+    val err = intercept[Exception] {
+      val q = Sessionize.sessionsTws(
+        input.toDS().withWatermark("ts", "0 seconds"), gapMs = 60000L)
+        .writeStream.format("memory").queryName("tws_heap")
+        .outputMode("append").start()
+      try {
+        input.addData(Event(1, new Timestamp(0), "click"))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("tws_heap")
+      }
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(err).exists(m => m.contains("RocksDB") ||
+      m.contains("not supported") || m.contains("UNSUPPORTED")),
+      s"expected a RocksDB-requirement error, got: ${messages(err)}")
+  }
+}
