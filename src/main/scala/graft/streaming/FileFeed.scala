@@ -164,17 +164,26 @@ object FileFeed {
     * working set, which is how a production deployment holds a multi-TB
     * dedup horizon or join buffer. The gates run both providers against
     * the SAME oracle: state-backend choice must be invisible to results. */
-  def withStateProvider[A](spark: SparkSession, rocksDb: Boolean)(
-      body: => A): A =
+  def withStateProvider[A](spark: SparkSession, rocksDb: Boolean,
+      changelog: Boolean = false)(body: => A): A =
     if (!rocksDb) body
     else {
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, RocksDbProvider)
+      // Changelog checkpointing is the production commit path at scale:
+      // the default uploads a FULL RocksDB snapshot zip per micro-batch
+      // per partition (commit cost grows with total state size), the
+      // changelog mode uploads only the batch's changed keys and
+      // snapshots in the background (commit cost ~ batch delta). Both
+      // recover exactly-once — RocksDbStateSpec restarts under each.
+      val keys = Seq(
+        "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+          -> changelog.toString)
+      val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
       try body
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
 }

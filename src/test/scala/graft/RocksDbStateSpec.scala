@@ -70,9 +70,14 @@ class RocksDbStateSpec extends AnyFunSuite {
       "RocksDB run wrote heap-provider deltas")
   }
 
-  for (rocksDb <- Seq(false, true))
-    test(s"checkpoint restart is exactly-once (rocksDb=$rocksDb)") {
-      val work = Files.createTempDirectory(s"restart-$rocksDb")
+  // mode = (rocksDb, changelogCheckpointing): heap deltas, RocksDB
+  // full-snapshot commits, RocksDB changelog commits (the at-scale
+  // production path: per-batch upload is the batch's changed keys, not
+  // a full state zip) — all three must recover exactly-once
+  for ((rocksDb, changelog) <- Seq((false, false), (true, false), (true, true)))
+    test("checkpoint restart is exactly-once " +
+        s"(rocksDb=$rocksDb, changelog=$changelog)") {
+      val work = Files.createTempDirectory(s"restart-$rocksDb-$changelog")
       val feed = work.resolve("feed"); Files.createDirectories(feed)
       val out = s"$work/out"; val ckpt = s"$work/ckpt"
 
@@ -94,7 +99,8 @@ class RocksDbStateSpec extends AnyFunSuite {
 
       // AvailableNow drains exactly the files present at start, then
       // stops — a deterministic stand-in for a crash between batches
-      def runOnce(): Unit = FileFeed.withStateProvider(spark, rocksDb) {
+      def runOnce(): Unit = FileFeed.withStateProvider(spark, rocksDb,
+          changelog = changelog) {
         val stream = spark.readStream
           .schema(docsDf(Seq((0L, ""))).schema)
           .option("maxFilesPerTrigger", 1).parquet(feed.toString)
@@ -130,5 +136,15 @@ class RocksDbStateSpec extends AnyFunSuite {
       assert(finalFps.toSet == oracle.toSet,
         s"restart lost or invented rows: got $finalFps expected $oracle")
       assert(finalFps.size == 5)
+      // mode engagement, from the checkpoint itself: changelog commits
+      // write per-batch .changelog files; full-snapshot RocksDB commits
+      // write version .zip files and no changelogs
+      if (rocksDb && changelog)
+        assert(stateFiles(work.resolve("ckpt"), ".changelog").nonEmpty,
+          "changelog mode left no .changelog state files")
+      if (rocksDb && !changelog)
+        assert(stateFiles(work.resolve("ckpt"), ".changelog").isEmpty &&
+          stateFiles(work.resolve("ckpt"), ".zip").nonEmpty,
+          "snapshot mode should write .zip versions and no changelogs")
     }
 }
