@@ -930,6 +930,18 @@ object PipelineQueries {
         nBatches = 4, workDir = java.nio.file.Files
           .createTempDirectory("graft-ooo").toString)
     }),
+    // the same disordered feed through the transformWithState fragment
+    // sessionizer (ListState + explicit timers) — both modern-API legs
+    // and both fmgws legs hash-match one oracle
+    "q_pipe_sessions_ooo_tws" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      graft.streaming.Sessionize.sessionsStreamFileOooTws(ev,
+        gapSeconds = 1800L, skewSeconds = 240L, delaySeconds = 600L,
+        nBatches = 4, workDir = java.nio.file.Files
+          .createTempDirectory("graft-ooo-tws").toString)
+    }),
     // LEFT OUTER stream-stream join on its production path: real file
     // source, parquet sink, watermark-driven unmatched-row flush via two
     // far-future sentinel FILES — shares the replay gate's oracle
@@ -1080,6 +1092,7 @@ object PipelineQueries {
       // fragment-merge sessionization is order-independent: the same
       // sessions from a disordered feed under a real watermark delay
       ("q_pipe_sessions_ooo" -> oracleSqlBase("q_pipe_sessions")) +
+      ("q_pipe_sessions_ooo_tws" -> oracleSqlBase("q_pipe_sessions")) +
       // the production file-source twins compute exactly what their
       // replay-fed gates compute — one oracle each
       ("q_pipe_funnel_fstream" -> oracleSqlBase("q_pipe_funnel")) +

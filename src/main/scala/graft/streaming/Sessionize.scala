@@ -351,8 +351,9 @@ object Sessionize {
         sess.update(s)
         // timers must sit strictly above the current watermark; the
         // clamp only moves a deadline the watermark ALREADY passed
-        getHandle.registerTimer(
-          math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs))
+        val at = math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs)
+        if (!getHandle.listTimers().contains(at))
+          getHandle.registerTimer(at)
       }
       closed.result().iterator
     }
@@ -446,7 +447,25 @@ object Sessionize {
     * [[sessionsStreamFileTimeout]]). */
   def sessionsStreamFileOoo(events: DataFrame, gapSeconds: Long,
       skewSeconds: Long, delaySeconds: Long, nBatches: Int = 4,
-      workDir: String): DataFrame = {
+      workDir: String): DataFrame =
+    runOooGate(events, gapSeconds, skewSeconds, delaySeconds, nBatches,
+      workDir, rocksDb = false)(ds =>
+      sessionsOutOfOrder(ds, gapMs = gapSeconds * 1000L).toDF())
+
+  /** The disordered-feed gate on the `transformWithState` fragment
+    * sessionizer (see [[sessionsOutOfOrderTws]]); RocksDB-only API, so
+    * the provider is always switched. */
+  def sessionsStreamFileOooTws(events: DataFrame, gapSeconds: Long,
+      skewSeconds: Long, delaySeconds: Long, nBatches: Int = 4,
+      workDir: String): DataFrame =
+    runOooGate(events, gapSeconds, skewSeconds, delaySeconds, nBatches,
+      workDir, rocksDb = true)(ds =>
+      sessionsOutOfOrderTws(ds, gapMs = gapSeconds * 1000L).toDF())
+
+  private def runOooGate(events: DataFrame, gapSeconds: Long,
+      skewSeconds: Long, delaySeconds: Long, nBatches: Int,
+      workDir: String, rocksDb: Boolean)(
+      op: Dataset[Event] => DataFrame): DataFrame = {
     require(2 * skewSeconds < gapSeconds,
       "disorder bound must stay under the session gap")
     require(delaySeconds > 2 * skewSeconds,
@@ -470,9 +489,8 @@ object Sessionize {
       "spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val sunk =
-      try FileFeed.runToParquet(
-        sessionsOutOfOrder(stream, gapMs = gapSeconds * 1000L).toDF(), workDir,
-        narrowTo = Some(8))
+      try FileFeed.runToParquet(op(stream), workDir,
+        narrowTo = Some(8), rocksDb = rocksDb)
       finally spark.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
@@ -482,6 +500,81 @@ object Sessionize {
         col("n_events"), col("n_types").cast("long").as("n_types"),
         (col("duration_ms") / 1000L).cast("long").as("duration_s"))
       .orderBy("user_id", "session_no")
+  }
+
+  /** [[sessionsOutOfOrder]] re-expressed on `transformWithState`: the
+    * per-user open FRAGMENTS live in a typed ListState (the natural fit —
+    * fmgws had to wrap the Seq in a case class to satisfy its single
+    * state slot), and fragment closes are driven by explicit event-time
+    * timers. Same order-independent interval-merge semantics, same
+    * close-at-watermark rule, so the disordered-feed gate shares the
+    * q_pipe_sessions oracle. Timer discipline: re-armed each batch at
+    * the earliest possible close among open fragments; duplicate/stale
+    * timers are harmless because the expiry callback re-derives closes
+    * from the CURRENT watermark and re-arms for whatever stays open. */
+  def sessionsOutOfOrderTws(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new OooSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  /** Fragment-merge sessionization processor: ListState[Frag] + timers. */
+  private[streaming] class OooSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+      TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    @transient private var frags: ListState[Frag] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      frags = getHandle.getListState[Frag]("frags",
+        Encoders.product[Frag], TTLConfig.NONE)
+
+    /** Close watermark-passed fragments, store the rest, re-arm. */
+    private def closeAndRearm(userId: Long, open0: Seq[Frag],
+        wm: Long): Iterator[Session] = {
+      val (closed, open) = open0.partition(_.last + gapMs < wm)
+      if (open.isEmpty) frags.clear()
+      else {
+        frags.put(open.toArray)
+        val at = math.max(wm + 1, open.map(_.last + gapMs).min)
+        // listTimers is key-scoped and tiny (≤ open fragment count);
+        // skipping an already-armed expiry avoids a per-batch WARN +
+        // wasted state write when the earliest deadline is unchanged
+        if (!getHandle.listTimers().contains(at))
+          getHandle.registerTimer(at)
+      }
+      closed.sortBy(_.start).iterator.map(f =>
+        Session(userId, f.start, f.last, f.n, f.types.size, f.last - f.start))
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Session] = {
+      var fs = if (frags.exists()) frags.get().toSeq else Seq.empty[Frag]
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        val (touch, rest) = fs.partition(f =>
+          t >= f.start - gapMs && t <= f.last + gapMs)
+        val merged = touch.foldLeft(
+          Frag(t, t, 1L, Set(e.event_type))) { (a, f) =>
+          Frag(math.min(a.start, f.start), math.max(a.last, f.last),
+            a.n + f.n, a.types ++ f.types)
+        }
+        fs = merged +: rest
+      }
+      closeAndRearm(userId, fs, tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!frags.exists()) return Iterator.empty
+      closeAndRearm(userId, frags.get().toSeq, tv.getCurrentWatermarkInMs())
+    }
   }
 
   /** Batch variant — identical session definition expressed relationally

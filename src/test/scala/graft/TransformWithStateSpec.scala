@@ -43,6 +43,27 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(tws.count() == 12) // 3 users × 4 sessions
   }
 
+  test("ooo tws engine (ListState + timers) equals fmgws on a disordered feed") {
+    // same shape as the q_pipe_sessions_ooo gate, smaller: 2 users,
+    // sessions of 4 events 60 s apart, gap 600 s, disorder ±90 s under
+    // a 200 s watermark delay
+    val rows = (for {
+      u <- 1L to 2L
+      k <- 0 until 3
+      j <- 0 until 4
+    } yield (u, 500000L + k * 3600L + j * 60L + u * 7L, "click")).toSeq
+    val tws = Sessionize.sessionsStreamFileOooTws(evFrame(rows),
+      gapSeconds = 600L, skewSeconds = 90L, delaySeconds = 200L,
+      workDir = Files.createTempDirectory("ooo-tws").toString)
+    val fmg = Sessionize.sessionsStreamFileOoo(evFrame(rows),
+      gapSeconds = 600L, skewSeconds = 90L, delaySeconds = 200L,
+      workDir = Files.createTempDirectory("ooo-fmg").toString)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    assert(dump(tws) == dump(fmg))
+    assert(tws.count() == 6) // 2 users × 3 sessions
+  }
+
   test("stale timer from a pre-extension batch never closes the session early") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
