@@ -930,6 +930,19 @@ object PipelineQueries {
         nBatches = 4, workDir = java.nio.file.Files
           .createTempDirectory("graft-ooo").toString)
     }),
+    // the MapState engine: scalar session core in a ValueState,
+    // per-event-type counts in a MapState (point updates instead of
+    // whole-blob rewrites) — completes the typed-state triad on the
+    // same oracle
+    "q_pipe_sessions_tws_map" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      graft.streaming.Sessionize.sessionsStreamFileTwsMap(
+        ev, gapSeconds = 1800L, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-tws-map").toString)
+    }),
     // the same disordered feed through the transformWithState fragment
     // sessionizer (ListState + explicit timers) — both modern-API legs
     // and both fmgws legs hash-match one oracle
@@ -1093,6 +1106,7 @@ object PipelineQueries {
       // sessions from a disordered feed under a real watermark delay
       ("q_pipe_sessions_ooo" -> oracleSqlBase("q_pipe_sessions")) +
       ("q_pipe_sessions_ooo_tws" -> oracleSqlBase("q_pipe_sessions")) +
+      ("q_pipe_sessions_tws_map" -> oracleSqlBase("q_pipe_sessions")) +
       // the production file-source twins compute exactly what their
       // replay-fed gates compute — one oracle each
       ("q_pipe_funnel_fstream" -> oracleSqlBase("q_pipe_funnel")) +

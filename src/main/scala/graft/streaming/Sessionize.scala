@@ -236,6 +236,13 @@ object Sessionize {
     runTimeoutGate(events, gapSeconds, nBatches, workDir, pinNoData,
       rocksDb = true)(ds => sessionsTws(ds, gapMs = gapSeconds * 1000L).toDF())
 
+  /** The auto-closing gate on the MapState engine ([[sessionsTwsMap]]). */
+  def sessionsStreamFileTwsMap(events: DataFrame, gapSeconds: Long,
+      nBatches: Int = 3, workDir: String): DataFrame =
+    runTimeoutGate(events, gapSeconds, nBatches, workDir, pinNoData = true,
+      rocksDb = true)(ds =>
+      sessionsTwsMap(ds, gapMs = gapSeconds * 1000L).toDF())
+
   private def runTimeoutGate(events: DataFrame, gapSeconds: Long,
       nBatches: Int, workDir: String, pinNoData: Boolean,
       rocksDb: Boolean)(op: Dataset[Event] => DataFrame): DataFrame = {
@@ -500,6 +507,90 @@ object Sessionize {
         col("n_events"), col("n_types").cast("long").as("n_types"),
         (col("duration_ms") / 1000L).cast("long").as("duration_s"))
       .orderBy("user_id", "session_no")
+  }
+
+  /** Scalar core of an open session when the distinct-type set lives in
+    * its own MapState instead of inside the value row. */
+  final case class SessCore(start: Long, last: Long, n: Long)
+
+  /** Third `transformWithState` engine for the same gap rule, exercising
+    * the remaining typed state primitive: the open session's scalar core
+    * rides a ValueState and its per-event-type COUNTS ride a
+    * MapState[String, Long] — the shape a production profile accumulator
+    * takes when the per-key map is too large to rewrite wholesale every
+    * batch (MapState updates touch only the entries an event changes;
+    * a Set inside the value row rewrites the whole blob). n_types is the
+    * map's key count at close, so the output is bit-identical to the
+    * other engines and the same oracle gates it. */
+  def sessionsTwsMap(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionMapProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append)
+  }
+
+  private[streaming] class GapSessionMapProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState,
+      TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var core: ValueState[SessCore] = _
+    @transient private var types: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      core = getHandle.getValueState[SessCore]("core",
+        Encoders.product[SessCore], TTLConfig.NONE)
+      types = getHandle.getMapState[String, Long]("types",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def emit(userId: Long, s: SessCore): Session = {
+      val nTypes = types.keys().size
+      types.clear()
+      Session(userId, s.start, s.last, s.n, nTypes, s.last - s.start)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (core.exists()) Some(core.get()) else None
+      val closed = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(SessCore(s.start, t, s.n + 1))
+          case Some(s) =>
+            closed += emit(userId, s) // clears the type map for the next
+            cur = Some(SessCore(t, t, 1))
+          case None =>
+            cur = Some(SessCore(t, t, 1))
+        }
+        types.updateValue(e.event_type,
+          (if (types.containsKey(e.event_type))
+            types.getValue(e.event_type) else 0L) + 1L)
+      }
+      cur.foreach { s =>
+        core.update(s)
+        val at = math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs)
+        if (!getHandle.listTimers().contains(at))
+          getHandle.registerTimer(at)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!core.exists()) return Iterator.empty
+      val s = core.get()
+      if (info.getExpiryTimeInMs() < s.last + gapMs) return Iterator.empty
+      core.clear()
+      Iterator(emit(userId, s))
+    }
   }
 
   /** [[sessionsOutOfOrder]] re-expressed on `transformWithState`: the

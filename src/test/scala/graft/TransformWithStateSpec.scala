@@ -34,12 +34,15 @@ class TransformWithStateSpec extends AnyFunSuite {
     val fmg = Sessionize.sessionsStreamFileTimeout(evFrame(rows), gap,
       workDir = Files.createTempDirectory("tws-eq-fmg").toString,
       rocksDb = true)
+    val twsMap = Sessionize.sessionsStreamFileTwsMap(evFrame(rows), gap,
+      workDir = Files.createTempDirectory("tws-eq-map").toString)
     val batch = Sessionize.sessionsBatch(
       evFrame(rows).withColumn("event_id", col("ts_s")), gap)
     def dump(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
     assert(dump(tws) == dump(fmg))
     assert(dump(tws) == dump(batch))
+    assert(dump(tws) == dump(twsMap)) // MapState engine, same answer
     assert(tws.count() == 12) // 3 users × 4 sessions
   }
 
