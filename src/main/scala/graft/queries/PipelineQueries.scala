@@ -930,6 +930,20 @@ object PipelineQueries {
         nBatches = 4, workDir = java.nio.file.Files
           .createTempDirectory("graft-ooo").toString)
     }),
+    // batch→stream MIGRATION: the feed cut at its event-time midpoint,
+    // pre-cut sessions computed as a batch backfill whose per-user open
+    // tail SEEDS the stream's state (StatefulProcessorWithInitialState);
+    // the union must equal full-feed sessionization — the cut must be
+    // invisible, sessions spanning it continue rather than restart
+    "q_pipe_sessions_warm" -> ((s, dir) => {
+      val ev = EventTime.eventsWithSeconds(s, dir)
+        .select(col("user_id"), col("ts_s"), col("event_type"))
+        .filter(col("user_id") < 50)
+      graft.streaming.Sessionize.sessionsStreamFileWarm(
+        ev, gapSeconds = 1800L, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-warm").toString)
+    }),
     // the MapState engine: scalar session core in a ValueState,
     // per-event-type counts in a MapState (point updates instead of
     // whole-blob rewrites) — completes the typed-state triad on the
@@ -1107,6 +1121,9 @@ object PipelineQueries {
       ("q_pipe_sessions_ooo" -> oracleSqlBase("q_pipe_sessions")) +
       ("q_pipe_sessions_ooo_tws" -> oracleSqlBase("q_pipe_sessions")) +
       ("q_pipe_sessions_tws_map" -> oracleSqlBase("q_pipe_sessions")) +
+      // warm-start migration: batch backfill + seeded stream must union
+      // to exactly the full-feed sessions
+      ("q_pipe_sessions_warm" -> oracleSqlBase("q_pipe_sessions")) +
       // the production file-source twins compute exactly what their
       // replay-fed gates compute — one oracle each
       ("q_pipe_funnel_fstream" -> oracleSqlBase("q_pipe_funnel")) +

@@ -243,6 +243,95 @@ object Sessionize {
       rocksDb = true)(ds =>
       sessionsTwsMap(ds, gapMs = gapSeconds * 1000L).toDF())
 
+  /** BATCH→STREAM MIGRATION gate ([[sessionsTwsWarm]]): the feed is cut
+    * at its event-time midpoint; everything before the cut is a batch
+    * BACKFILL (sessions computed relationally — closed ones emitted
+    * directly, each user's last session becomes the stream's SEEDED open
+    * state), everything at/after the cut streams through the warm-start
+    * processor from a real file source. The union must equal the
+    * full-feed sessionization exactly (same oracle), proving the
+    * migration cut is invisible: a session SPANNING the cut is continued
+    * by the stream, not restarted, and a seeded session whose user never
+    * returns still closes at the watermark. */
+  def sessionsStreamFileWarm(events: DataFrame, gapSeconds: Long,
+      nBatches: Int = 3, workDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    val ev = events.select(col("user_id").cast("long"),
+      col("ts_s").cast("long"), col("event_type").cast("string"))
+    val Array(minT, maxT) = ev.agg(min(col("ts_s")), max(col("ts_s")))
+      .head() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val cut = (minT + maxT) / 2
+    // --- batch side: relational sessionization of the pre-cut slice
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s")
+    val pre = ev.filter(col("ts_s") < cut)
+      .withColumn("prev_ts", lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        col("ts_s") - col("prev_ts") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("sno", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val preSessions = pre.groupBy(col("user_id"), col("sno"))
+      .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("last_s"),
+        count(lit(1)).as("n"), collect_set(col("event_type")).as("types"))
+      .withColumn("last_sno", max(col("sno")).over(
+        Window.partitionBy("user_id")))
+    // closed before the cut: every pre-cut session except each user's
+    // last (whether the last is still open is the STREAM's decision)
+    val closedPre = preSessions.filter(col("sno") < col("last_sno"))
+      .select(col("user_id"), (col("start_s") * 1000L).as("start_ms"),
+        (col("last_s") * 1000L).as("end_ms"), col("n").as("n_events"),
+        size(col("types")).as("n_types"),
+        ((col("last_s") - col("start_s")) * 1000L).as("duration_ms"))
+    val warm: Dataset[(Long, SessionState)] = preSessions
+      .filter(col("sno") === col("last_sno"))
+      .select("user_id", "start_s", "last_s", "n", "types")
+      .as[(Long, Long, Long, Long, Seq[String])]
+      .map { case (u, s0, l, n, ts) =>
+        (u, SessionState(s0 * 1000L, l * 1000L, n, ts.toSet)) }
+    // --- stream side: post-cut slice through the warm-start processor
+    val post = ev.filter(col("ts_s") >= cut)
+    val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+      lit(maxT + 2 * gapSeconds).as("ts_s"), lit("_wm").as("event_type"))
+    val stream = FileFeed.sliced(post, "ts_s", nBatches, workDir,
+        tails = Seq(sentinel))
+      .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
+        col("event_type"))
+      .withWatermark("ts", "0 seconds")
+      .as[Event]
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val sunk =
+      try FileFeed.runToParquet(
+        sessionsTwsWarm(stream, gapMs, warm).toDF(), workDir,
+        narrowTo = Some(8), rocksDb = true)
+      finally spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    val all = sunk.filter(col("user_id") >= 0)
+      .select("user_id", "start_ms", "end_ms", "n_events", "n_types",
+        "duration_ms")
+      .unionByName(closedPre)
+    // conservation: every event of the FULL feed lands in exactly one
+    // closed session — a mismatch means a seeded session was dropped,
+    // restarted, or double-counted across the cut
+    val expected = ev.groupBy("user_id").agg(count(lit(1)).as("n_in"))
+    val got = all.groupBy("user_id").agg(sum("n_events").as("n_out"))
+    val bad = expected.join(got, Seq("user_id"), "left_outer")
+      .filter(col("n_out").isNull || col("n_out") =!= col("n_in")).count()
+    if (bad > 0) throw new IllegalStateException(
+      s"sessionsStreamFileWarm: $bad user(s) lost or duplicated events " +
+        "across the migration cut")
+    val byStart = Window.partitionBy("user_id").orderBy("start_ms")
+    all
+      .withColumn("session_no", row_number().over(byStart).cast("long"))
+      .select(col("user_id"), col("session_no"),
+        col("n_events"), col("n_types").cast("long").as("n_types"),
+        (col("duration_ms") / 1000L).cast("long").as("duration_s"))
+      .orderBy("user_id", "session_no")
+  }
+
   private def runTimeoutGate(events: DataFrame, gapSeconds: Long,
       nBatches: Int, workDir: String, pinNoData: Boolean,
       rocksDb: Boolean)(op: Dataset[Event] => DataFrame): DataFrame = {
@@ -320,25 +409,14 @@ object Sessionize {
         OutputMode.Append)
   }
 
-  /** Gap-sessionization [[org.apache.spark.sql.streaming.StatefulProcessor]]:
-    * ValueState holds the open session, an event-time timer fires its
-    * close when the watermark passes `last + gap`. */
-  private[streaming] class GapSessionProcessor(gapMs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, Event, Session] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
-      TimerValues, TTLConfig, ValueState}
-    import org.apache.spark.sql.{Encoders, streaming}
-    @transient private var sess: ValueState[SessionState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sess = getHandle.getValueState[SessionState]("sess",
-        Encoders.product[SessionState], TTLConfig.NONE)
-
-    override def handleInputRows(userId: Long, rows: Iterator[Event],
-        tv: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var cur = if (sess.exists()) Some(sess.get()) else None
+  /** The arrival-order gap fold shared by the ValueState tws engines:
+    * merge a batch's sorted events into the open session, closing on
+    * each gap crossing. Returns (open state, sessions closed mid-batch). */
+  private[streaming] object GapFold {
+    def apply(userId: Long, sorted: Seq[Event],
+        cur0: Option[SessionState], gapMs: Long)
+        : (Option[SessionState], Seq[Session]) = {
+      var cur = cur0
       val closed = Seq.newBuilder[Session]
       sorted.foreach { e =>
         val t = e.ts.getTime
@@ -354,6 +432,29 @@ object Sessionize {
             cur = Some(SessionState(t, t, 1, Set(e.event_type)))
         }
       }
+      (cur, closed.result())
+    }
+  }
+
+  /** Gap-sessionization [[org.apache.spark.sql.streaming.StatefulProcessor]]:
+    * ValueState holds the open session, an event-time timer fires its
+    * close when the watermark passes `last + gap`. */
+  private[streaming] class GapSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Session] = {
+      val (cur, closed) = GapFold(userId, rows.toSeq.sortBy(_.ts.getTime),
+        if (sess.exists()) Some(sess.get()) else None, gapMs)
       cur.foreach { s =>
         sess.update(s)
         // timers must sit strictly above the current watermark; the
@@ -362,7 +463,7 @@ object Sessionize {
         if (!getHandle.listTimers().contains(at))
           getHandle.registerTimer(at)
       }
-      closed.result().iterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(userId: Long, tv: TimerValues,
@@ -376,6 +477,69 @@ object Sessionize {
       Iterator(Session(userId, s.start, s.last, s.n, s.types.size,
         s.last - s.start))
     }
+  }
+
+  /** WARM-START engine: the same gap processor, but per-key state can be
+    * SEEDED from a batch backfill before the first micro-batch — the
+    * batch-to-stream MIGRATION path. `handleInitialState` runs once per
+    * seeded key at query start; each seeded open session arms its close
+    * timer exactly as if its events had streamed, so a user whose last
+    * backfill session never continues still closes at the watermark. */
+  private[streaming] class GapSessionWarmProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, Session, SessionState] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var sess: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("sess",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInitialState(userId: Long, init: SessionState,
+        tv: TimerValues): Unit = {
+      sess.update(init)
+      getHandle.registerTimer(
+        math.max(tv.getCurrentWatermarkInMs() + 1, init.last + gapMs))
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[Session] = {
+      val (cur, closed) = GapFold(userId, rows.toSeq.sortBy(_.ts.getTime),
+        if (sess.exists()) Some(sess.get()) else None, gapMs)
+      cur.foreach { s =>
+        sess.update(s)
+        val at = math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs)
+        if (!getHandle.listTimers().contains(at))
+          getHandle.registerTimer(at)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] = {
+      if (!sess.exists()) return Iterator.empty
+      val s = sess.get()
+      if (info.getExpiryTimeInMs() < s.last + gapMs) return Iterator.empty
+      sess.clear()
+      Iterator(Session(userId, s.start, s.last, s.n, s.types.size,
+        s.last - s.start))
+    }
+  }
+
+  /** [[sessionsTws]] with state seeded from a batch backfill: `initial`
+    * carries each user's OPEN session at the migration cut (epoch ms). */
+  def sessionsTwsWarm(events: Dataset[Event], gapMs: Long,
+      initial: Dataset[(Long, SessionState)]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionWarmProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append,
+        initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** One open-session FRAGMENT: a maximal run of already-seen events

@@ -67,6 +67,24 @@ class TransformWithStateSpec extends AnyFunSuite {
     assert(tws.count() == 6) // 2 users × 3 sessions
   }
 
+  test("warm start: a session spanning the migration cut stays ONE session") {
+    // span = [1000, 3000] s; the midpoint cut (2000) falls INSIDE user 1's
+    // only session (events every 300 s < gap 600 s) — a cold stream would
+    // restart it at the cut and emit two sessions; the seeded stream must
+    // continue it and emit exactly one. User 2 finishes before the cut
+    // and never returns: its seeded state must still close via watermark.
+    val u1 = (0 until 7).map(j => (1L, 1000L + j * 300L, "click"))
+    val u2 = Seq((2L, 1100L, "view"), (2L, 1200L, "view"))
+    val warm = Sessionize.sessionsStreamFileWarm(evFrame(u1 ++ u2),
+      gapSeconds = 600L,
+      workDir = Files.createTempDirectory("warm-span").toString)
+    val rows = warm.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq.sorted
+    // (user, session_no, n_events, n_types, duration_s)
+    assert(rows == Seq((1L, 1L, 7L, 1L, 1800L), (2L, 1L, 2L, 1L, 100L)),
+      s"got $rows")
+  }
+
   test("stale timer from a pre-extension batch never closes the session early") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
