@@ -78,7 +78,9 @@ object Bench {
     * metadata for audit. */
   def acceptRecovery(recovery: Seq[Double], floorX: Double): Boolean = {
     val ok = recovery.filter(_ >= 0)
-    ok.nonEmpty && !floorContended(ok, floorX)
+    // one surviving rep is "internally quiet" by definition (the floor
+    // test needs >= 2 points) — never let it replace a full sample
+    ok.length >= 2 && !floorContended(ok, floorX)
   }
 
   /** Machine-contention signature, independent of any baseline: the
@@ -373,6 +375,7 @@ object Bench {
     // the published number is always the median of one actual sample.
     // Bounded: recoverRounds × (quietTries × quietSleep + one resample).
     val effective = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    val rejectedSamples = scala.collection.mutable.Map.empty[String, Seq[Double]]
     def effReps(k: String): Seq[Double] = effective.getOrElse(k, runs(k))
     def contendedNow(): Seq[String] = runs.keys.filter { k =>
       val ok = effReps(k).filter(_ >= 0)
@@ -404,6 +407,15 @@ object Bench {
           entryFns(n)(spark, sfDir).write.format("noop").mode("overwrite").save() }
         t >= 0 && t <= 1.35 * floor
       }
+      if (canaries.isEmpty) {
+        // no canary can ever report quiet — the wait loop's outcome is
+        // predetermined, so refuse now instead of sleeping through it
+        System.err.println("[bench] recovery: no eligible canaries " +
+          "(subset run or all floors <= 0.3 s) — refusing without waiting")
+        recoveryRound = recoverRounds
+        contendedEntries = contendedNow()
+        // skip the wait/resample body entirely for this round
+      } else {
       jvmHygiene()
       var tries = 0
       var quiet = canaryQuiet()
@@ -439,12 +451,18 @@ object Bench {
         }
         sample.foreach { case (k, v) =>
           if (!preGuardMedians.contains(k)) preGuardMedians(k) = median(runs(k))
-          runs(k) = runs(k) ++ v // full audit trail
           if (acceptRecovery(v, floorX)) effective(k) = v
+          // REJECTED resamples go to the audit map only — folding them
+          // into runs(k) would make a non-recovered entry's published
+          // median the median of (main sample ++ rejected contended
+          // reps): a mixture that is the median of no actual sample
+          else rejectedSamples(k) = rejectedSamples.getOrElse(k,
+            Vector.empty[Double]) ++ v
         }
         recoveryRound += 1
       }
       contendedEntries = contendedNow()
+      } // canaries.nonEmpty
     }
 
     // Published medians: the plain median of each entry's effective
@@ -479,8 +497,12 @@ object Bench {
     // median of each recovered entry is the median of exactly this sample
     val recJson = effective.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    // rejected quiet-window resamples: audit-only — never folded into an
+    // entry's published sample (see the recovery loop)
+    val rejJson = rejectedSamples.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"contendedEntries":$contJson,"queries":$qs,"runs":$rs,"reps":$reps,"reran":$reran,"preGuardMedians":$preGuard,"recoverySamples":$recJson,"stallX":$StallX,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","contended":$contended,"contendedEntries":$contJson,"queries":$qs,"runs":$rs,"reps":$reps,"reran":$reran,"preGuardMedians":$preGuard,"recoverySamples":$recJson,"rejectedSamples":$rejJson,"stallX":$StallX,"sf":"$sfDir"}"""
     // attempt files land BESIDE the configured record (same directory),
     // so a driver pointing the outputs elsewhere still finds the refused
     // run's audit trail

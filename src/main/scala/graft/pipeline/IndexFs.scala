@@ -70,12 +70,22 @@ private[pipeline] object IndexFs {
     * scheme (Similarity.withWriteLock's atomic-scheme set). */
   def createExclusive(p: String, bytes: Array[Byte]): Boolean = {
     val (f, hp) = fs(p)
-    try {
-      scala.util.Using.resource(f.create(hp, false))(_.write(bytes)); true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case e: java.io.IOException if f.exists(hp) => false
+    val out =
+      try f.create(hp, false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        case _: java.io.IOException if f.exists(hp) => return false
+      }
+    // The object now exists and is OURS. A write/close failure past this
+    // point must not be mistaken for "a rival already holds it" (the old
+    // `if f.exists(hp)` guard saw our OWN partial file): a half-written
+    // orphan would read as a live holder and refuse every writer for the
+    // whole stale window. Remove it and surface the real error.
+    try { scala.util.Using.resource(out)(_.write(bytes)); true }
+    catch { case e: Throwable =>
+      try f.delete(hp, false) catch { case _: java.io.IOException => () }
+      throw e
     }
   }
 

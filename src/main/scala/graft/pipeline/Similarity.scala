@@ -919,8 +919,18 @@ object Similarity {
     val now = System.currentTimeMillis()
     try {
       if (IndexFs.exists(lock)) {
-        if (IndexFs.mtime(lock) < now - staleMs) IndexFs.delete(lock)
-        else refuse()
+        if (IndexFs.mtime(lock) < now - staleMs) {
+          // RENAME-ASIDE steal: a plain delete would race a co-stealer —
+          // its delayed delete(lock) could remove the FRESH lock the
+          // winner just re-created at the same path, admitting two
+          // holders. Renaming the stale object to a contender-unique
+          // name first means exactly one stealer's rename succeeds, and
+          // each contender only ever deletes its own aside object.
+          val aside = s"$lock.stale.$token"
+          if (IndexFs.rename(lock, aside)) IndexFs.delete(aside)
+          // lost the rename ⇒ a rival stole it first; the path is free
+          // (or freshly re-held) — the arbiter below decides either way
+        } else refuse()
       }
     } catch { case _: java.io.IOException => () }
     // ---- atomic-create fast path ----

@@ -139,10 +139,23 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * construction even when the loser never cleaned up. */
   private def versionManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
     val raw = versionManifestsRaw(name)
-    if (raw.lengthCompare(2) < 0) return raw
+    if (raw.isEmpty) return raw
     val losers = scala.collection.mutable.Set.empty[Long]
     raw.groupBy(_._3.parent).valuesIterator.filter(_.lengthCompare(1) > 0)
       .foreach(g => losers ++= g.sortBy(t => (t._1, t._2)).tail.map(_._2))
+    // DANGLING-PARENT orphaning: a manifest whose parent manifest is
+    // ABSENT from the listing chains onto a version that was rolled back
+    // under it (a rival fork verify deleted it between this child's
+    // parent-latest check and its commit) — the branch must be as
+    // unreadable as if the duplicate-parent evidence were still present.
+    // CHECKPOINTS are exempt: expireHistory legitimately deletes every
+    // pre-checkpoint manifest, leaving the checkpoint itself as the
+    // (self-contained) root of the surviving chain.
+    val present = raw.map(_._2).toSet
+    raw.foreach { case (_, v, m) =>
+      if (m.parent.exists(p => !present(p)) && !SparkStore.isCheckpoint(m))
+        losers += v
+    }
     if (losers.isEmpty) raw
     else {
       var changed = true
@@ -273,11 +286,35 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         .map(_.toLong).getOrElse(250L)
       if (settle > 0) Thread.sleep(settle)
     }
-    val rival = versionManifestsRaw(name)
+    val raw = versionManifestsRaw(name)
+    // Our PARENT may itself have been rolled back under us by ITS OWN
+    // fork verify (we chained onto it inside the rival's settle window).
+    // A commit on a rolled-back parent is part of the losing branch:
+    // withdraw it. Checkpoint parents aside, a fresh commit's parent is
+    // the previous latest, which concurrent expireHistory never deletes
+    // (it only drops versions strictly below the newest checkpoint).
+    if (myParent.exists(p => !raw.exists(_._2 == p))) {
+      StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$myVid.json"))
+      throw new IllegalStateException(
+        s"commit of version $myVid rolled back: its parent " +
+          s"${myParent.get} was rolled back by a rival's fork verify — " +
+          "re-run addVersion/finishVersion on the new latest")
+    }
+    val rival = raw
       .filter { case (_, v, m) => v != myVid && m.parent == myParent }
       .find { case (ts, v, _) => ts < myTs || (ts == myTs && v < myVid) }
     rival.foreach { case (_, rivalVid, _) =>
-      StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$myVid.json"))
+      // Roll back — but NEVER delete a manifest a successor has already
+      // chained onto: deleting it would erase the duplicate-parent
+      // evidence while leaving the child dangling. Leave both in place
+      // and let the read-side resolution orphan our branch (duplicate
+      // parent → (ts, vid)-min wins → descendants dropped); a child that
+      // lands AFTER this check is caught by its own parent-exists verify
+      // above (settle windows ≥ 2× the store's visibility lag make the
+      // two checks see each other's writes).
+      val hasChild = raw.exists(_._3.parent.contains(myVid))
+      if (!hasChild)
+        StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$myVid.json"))
       throw new IllegalStateException(
         s"commit of version $myVid rolled back: rival version $rivalVid " +
           s"committed parent ${myParent.getOrElse("none")} first — a forked " +

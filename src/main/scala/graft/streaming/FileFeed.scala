@@ -150,6 +150,21 @@ object FileFeed {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Pin one session conf for `body`'s span, restoring the previous
+    * value (or unsetting) after — the shared pattern for confs a stream
+    * depends on for its whole lifetime (e.g. noDataMicroBatches, which
+    * the timeout gates PIN rather than inherit). */
+  def withConf[A](spark: SparkSession, key: String, value: String)(
+      body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Fully-qualified RocksDB state-store provider (bundled with Spark;
     * rocksdbjni ships in the distribution's jars). */
   val RocksDbProvider: String =

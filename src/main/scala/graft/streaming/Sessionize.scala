@@ -225,7 +225,8 @@ object Sessionize {
       nBatches: Int = 3, workDir: String, pinNoData: Boolean = true,
       rocksDb: Boolean = false): DataFrame =
     runTimeoutGate(events, gapSeconds, nBatches, workDir, pinNoData,
-      rocksDb)(ds => sessionsWithTimeout(ds, gapMs = gapSeconds * 1000L).toDF())
+      rocksDb, "sessionsStreamFileTimeout")(ds =>
+      sessionsWithTimeout(ds, gapMs = gapSeconds * 1000L).toDF())
 
   /** The same auto-closing gate on the `transformWithState` engine (see
     * [[sessionsTws]]). transformWithState REQUIRES the RocksDB state
@@ -234,13 +235,14 @@ object Sessionize {
       nBatches: Int = 3, workDir: String,
       pinNoData: Boolean = true): DataFrame =
     runTimeoutGate(events, gapSeconds, nBatches, workDir, pinNoData,
-      rocksDb = true)(ds => sessionsTws(ds, gapMs = gapSeconds * 1000L).toDF())
+      rocksDb = true, "sessionsStreamFileTws")(ds =>
+      sessionsTws(ds, gapMs = gapSeconds * 1000L).toDF())
 
   /** The auto-closing gate on the MapState engine ([[sessionsTwsMap]]). */
   def sessionsStreamFileTwsMap(events: DataFrame, gapSeconds: Long,
       nBatches: Int = 3, workDir: String): DataFrame =
     runTimeoutGate(events, gapSeconds, nBatches, workDir, pinNoData = true,
-      rocksDb = true)(ds =>
+      rocksDb = true, "sessionsStreamFileTwsMap")(ds =>
       sessionsTwsMap(ds, gapMs = gapSeconds * 1000L).toDF())
 
   /** BATCH→STREAM MIGRATION gate ([[sessionsTwsWarm]]): the feed is cut
@@ -300,15 +302,12 @@ object Sessionize {
         col("event_type"))
       .withWatermark("ts", "0 seconds")
       .as[Event]
-    val prevNoData = spark.conf.get(
-      "spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val sunk =
-      try FileFeed.runToParquet(
+    val sunk = FileFeed.withConf(spark,
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true") {
+      FileFeed.runToParquet(
         sessionsTwsWarm(stream, gapMs, warm).toDF(), workDir,
         narrowTo = Some(8), rocksDb = true)
-      finally spark.conf.set(
-        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     val all = sunk.filter(col("user_id") >= 0)
       .select("user_id", "start_ms", "end_ms", "n_events", "n_types",
         "duration_ms")
@@ -334,7 +333,8 @@ object Sessionize {
 
   private def runTimeoutGate(events: DataFrame, gapSeconds: Long,
       nBatches: Int, workDir: String, pinNoData: Boolean,
-      rocksDb: Boolean)(op: Dataset[Event] => DataFrame): DataFrame = {
+      rocksDb: Boolean, gateName: String)(
+      op: Dataset[Event] => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits._
@@ -349,15 +349,11 @@ object Sessionize {
         col("event_type"))
       .withWatermark("ts", "0 seconds") // feed is time-ordered
       .as[Event]
-    val prevNoData = spark.conf.get(
-      "spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-      pinNoData.toString)
-    val sunk =
-      try FileFeed.runToParquet(op(stream), workDir,
+    val sunk = FileFeed.withConf(spark,
+      "spark.sql.streaming.noDataMicroBatches.enabled", pinNoData.toString) {
+      FileFeed.runToParquet(op(stream), workDir,
         narrowTo = Some(8), rocksDb = rocksDb)
-      finally spark.conf.set(
-        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     // exact conservation: every input event belongs to exactly one CLOSED
     // session by feed end (the sentinel's watermark passes every open
     // session), so any per-user count mismatch means armed timeouts never
@@ -370,9 +366,12 @@ object Sessionize {
       .filter(col("n_out").isNull || col("n_out") =!= col("n_in"))
       .count()
     if (bad > 0) throw new IllegalStateException(
-      s"sessionsStreamFileTimeout: $bad user(s) have unclosed sessions " +
-        "— trailing no-data micro-batches did not run the armed timeouts " +
-        "(spark.sql.streaming.noDataMicroBatches.enabled must be true)")
+      s"$gateName: $bad user(s) have unclosed sessions — trailing " +
+        "no-data micro-batches did not fire the armed timeouts/timers" +
+        (if (pinNoData) ""
+         else " (spark.sql.streaming.noDataMicroBatches.enabled was " +
+           "deliberately unpinned — this loud failure is the expected " +
+           "outcome without it)"))
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
     sunk.filter(col("user_id") >= 0)
       .withColumn("session_no", row_number().over(byStart).cast("long"))
@@ -436,33 +435,39 @@ object Sessionize {
     }
   }
 
-  /** Gap-sessionization [[org.apache.spark.sql.streaming.StatefulProcessor]]:
-    * ValueState holds the open session, an event-time timer fires its
-    * close when the watermark passes `last + gap`. */
-  private[streaming] class GapSessionProcessor(gapMs: Long)
+  /** The ValueState+timer discipline shared by the plain and warm-start
+    * gap processors — ONE copy, so the engines the gates prove
+    * equivalent cannot silently desynchronize. A trait may extend the
+    * StatefulProcessor class, and the warm variant's base
+    * (StatefulProcessorWithInitialState) is a subclass of it, so both
+    * concrete processors mix this in. */
+  private[streaming] trait GapTimerLogic
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, Session] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
       TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
-    @transient private var sess: ValueState[SessionState] = _
+    protected def gapMs: Long
+    @transient protected var sess: ValueState[SessionState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       sess = getHandle.getValueState[SessionState]("sess",
         Encoders.product[SessionState], TTLConfig.NONE)
 
+    /** Arm (or keep) the session's close timer at `last + gap`, strictly
+      * above the current watermark (the clamp only moves a deadline the
+      * watermark ALREADY passed). */
+    protected def arm(s: SessionState, tv: TimerValues): Unit = {
+      val at = math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs)
+      if (!getHandle.listTimers().contains(at))
+        getHandle.registerTimer(at)
+    }
+
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[Session] = {
       val (cur, closed) = GapFold(userId, rows.toSeq.sortBy(_.ts.getTime),
         if (sess.exists()) Some(sess.get()) else None, gapMs)
-      cur.foreach { s =>
-        sess.update(s)
-        // timers must sit strictly above the current watermark; the
-        // clamp only moves a deadline the watermark ALREADY passed
-        val at = math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs)
-        if (!getHandle.listTimers().contains(at))
-          getHandle.registerTimer(at)
-      }
+      cur.foreach { s => sess.update(s); arm(s, tv) }
       closed.iterator
     }
 
@@ -479,52 +484,27 @@ object Sessionize {
     }
   }
 
-  /** WARM-START engine: the same gap processor, but per-key state can be
-    * SEEDED from a batch backfill before the first micro-batch — the
-    * batch-to-stream MIGRATION path. `handleInitialState` runs once per
-    * seeded key at query start; each seeded open session arms its close
-    * timer exactly as if its events had streamed, so a user whose last
-    * backfill session never continues still closes at the watermark. */
-  private[streaming] class GapSessionWarmProcessor(gapMs: Long)
+  /** Gap-sessionization [[org.apache.spark.sql.streaming.StatefulProcessor]]:
+    * ValueState holds the open session, an event-time timer fires its
+    * close when the watermark passes `last + gap`. */
+  private[streaming] class GapSessionProcessor(val gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] with GapTimerLogic
+
+  /** WARM-START engine: the same gap discipline (mixed in, not copied),
+    * but per-key state can be SEEDED from a batch backfill before the
+    * first micro-batch — the batch-to-stream MIGRATION path.
+    * `handleInitialState` runs once per seeded key at query start; each
+    * seeded open session arms its close timer exactly as if its events
+    * had streamed, so a user whose last backfill session never continues
+    * still closes at the watermark. */
+  private[streaming] class GapSessionWarmProcessor(val gapMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
-        Long, Event, Session, SessionState] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
-      TimerValues, TTLConfig, ValueState}
-    import org.apache.spark.sql.Encoders
-    @transient private var sess: ValueState[SessionState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      sess = getHandle.getValueState[SessionState]("sess",
-        Encoders.product[SessionState], TTLConfig.NONE)
-
+        Long, Event, Session, SessionState] with GapTimerLogic {
     override def handleInitialState(userId: Long, init: SessionState,
-        tv: TimerValues): Unit = {
+        tv: org.apache.spark.sql.streaming.TimerValues): Unit = {
       sess.update(init)
-      getHandle.registerTimer(
-        math.max(tv.getCurrentWatermarkInMs() + 1, init.last + gapMs))
-    }
-
-    override def handleInputRows(userId: Long, rows: Iterator[Event],
-        tv: TimerValues): Iterator[Session] = {
-      val (cur, closed) = GapFold(userId, rows.toSeq.sortBy(_.ts.getTime),
-        if (sess.exists()) Some(sess.get()) else None, gapMs)
-      cur.foreach { s =>
-        sess.update(s)
-        val at = math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs)
-        if (!getHandle.listTimers().contains(at))
-          getHandle.registerTimer(at)
-      }
-      closed.iterator
-    }
-
-    override def handleExpiredTimer(userId: Long, tv: TimerValues,
-        info: ExpiredTimerInfo): Iterator[Session] = {
-      if (!sess.exists()) return Iterator.empty
-      val s = sess.get()
-      if (info.getExpiryTimeInMs() < s.last + gapMs) return Iterator.empty
-      sess.clear()
-      Iterator(Session(userId, s.start, s.last, s.n, s.types.size,
-        s.last - s.start))
+      arm(init, tv)
     }
   }
 
@@ -547,6 +527,25 @@ object Sessionize {
     * several not-yet-bridged fragments per user at once. */
   final case class Frag(start: Long, last: Long, n: Long, types: Set[String])
   final case class FragState(frags: Seq[Frag])
+
+  /** One-event interval-merge step shared by BOTH out-of-order engines
+    * (fmgws and the ListState tws processor): the event joins every
+    * fragment within gap of it (possibly bridging several) or starts its
+    * own. One copy keeps the engines' shared-oracle equivalence a
+    * structural fact rather than a maintenance discipline. */
+  private[streaming] object FragMerge {
+    def add(frags: Seq[Frag], e: Event, gapMs: Long): Seq[Frag] = {
+      val t = e.ts.getTime
+      val (touch, rest) = frags.partition(f =>
+        t >= f.start - gapMs && t <= f.last + gapMs)
+      val merged = touch.foldLeft(
+        Frag(t, t, 1L, Set(e.event_type))) { (a, f) =>
+        Frag(math.min(a.start, f.start), math.max(a.last, f.last),
+          a.n + f.n, a.types ++ f.types)
+      }
+      merged +: rest
+    }
+  }
 
   /** OUT-OF-ORDER-safe sessionizer — the production variant for a feed
     * with bounded disorder (reorder slack covered by the WATERMARK DELAY
@@ -579,19 +578,9 @@ object Sessionize {
         (userId: Long, batch: Iterator[Event], state: GroupState[FragState]) =>
           val wm = state.getCurrentWatermarkMs()
           var frags = state.getOption.map(_.frags).getOrElse(Seq.empty)
-          // merge phase: each event joins every fragment within gap of it
-          // (possibly bridging two) or starts its own
-          batch.foreach { e =>
-            val t = e.ts.getTime
-            val (touch, rest) = frags.partition(f =>
-              t >= f.start - gapMs && t <= f.last + gapMs)
-            val merged = touch.foldLeft(
-              Frag(t, t, 1L, Set(e.event_type))) { (a, f) =>
-              Frag(math.min(a.start, f.start), math.max(a.last, f.last),
-                a.n + f.n, a.types ++ f.types)
-            }
-            frags = merged +: rest
-          }
+          // merge phase (shared with the tws engine): each event joins
+          // every fragment within gap of it or starts its own
+          batch.foreach { e => frags = FragMerge.add(frags, e, gapMs) }
           // close phase: a fragment whose last+gap the watermark passed
           // can never be extended or bridged again — it IS the session
           val (closed, open) = frags.partition(_.last + gapMs < wm)
@@ -656,14 +645,11 @@ object Sessionize {
         col("event_type"))
       .withWatermark("ts", s"$delaySeconds seconds")
       .as[Event]
-    val prevNoData = spark.conf.get(
-      "spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    val sunk =
-      try FileFeed.runToParquet(op(stream), workDir,
+    val sunk = FileFeed.withConf(spark,
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true") {
+      FileFeed.runToParquet(op(stream), workDir,
         narrowTo = Some(8), rocksDb = rocksDb)
-      finally spark.conf.set(
-        "spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
     sunk.filter(col("user_id") >= 0)
       .withColumn("session_no", row_number().over(byStart).cast("long"))
@@ -811,17 +797,7 @@ object Sessionize {
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[Session] = {
       var fs = if (frags.exists()) frags.get().toSeq else Seq.empty[Frag]
-      rows.foreach { e =>
-        val t = e.ts.getTime
-        val (touch, rest) = fs.partition(f =>
-          t >= f.start - gapMs && t <= f.last + gapMs)
-        val merged = touch.foldLeft(
-          Frag(t, t, 1L, Set(e.event_type))) { (a, f) =>
-          Frag(math.min(a.start, f.start), math.max(a.last, f.last),
-            a.n + f.n, a.types ++ f.types)
-        }
-        fs = merged +: rest
-      }
+      rows.foreach { e => fs = FragMerge.add(fs, e, gapMs) }
       closeAndRearm(userId, fs, tv.getCurrentWatermarkInMs())
     }
 

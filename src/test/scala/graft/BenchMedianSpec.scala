@@ -53,6 +53,9 @@ class BenchMedianSpec extends AnyFunSuite {
     assert(!Bench.acceptRecovery(Seq(0.53, 1.28, 1.30), 1.5))
     // all-failed resample: rejected
     assert(!Bench.acceptRecovery(Seq(-1.0, -1.0), 1.5))
+    // a SINGLE surviving rep is "internally quiet" only by vacuity (the
+    // floor test needs two points) — it must never replace a full sample
+    assert(!Bench.acceptRecovery(Seq(-1.0, -1.0, 4.2), 1.5))
   }
 
   test("floorContended: median >1.5x own same-run floor is the " +

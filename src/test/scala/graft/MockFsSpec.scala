@@ -264,6 +264,30 @@ class MockFsSpec extends AnyFunSuite {
       "a crashed loser's orphan manifest must stay unreadable")
   }
 
+  test("dangling-parent orphaning: a mid-chain manifest deleted by a " +
+      "rival's rollback takes its descendants with it — never a " +
+      "divergent readable tail") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("dang")
+    val v0 = writeVals(store, "dang", (1 to 10).map(_.toDouble))
+    val vA = writeVals(store, "dang", (2 to 11).map(_.toDouble))
+    val vB = writeVals(store, "dang", (3 to 12).map(_.toDouble))
+    assert(store.versions("dang").map(_._2) == Seq(vB, vA, v0))
+    // Simulate the narrow cross-process interleaving where a rival fork
+    // verify rolled back vA AFTER vB chained onto it (vB's own
+    // parent-exists verify raced the delete): vB now references an
+    // absent parent and must drop out of every listing, exactly like a
+    // duplicate-parent loser — the fork stays unreadable even when no
+    // duplicate-parent evidence survives.
+    val versionsDir = StoreFs.child(
+      StoreFs.child(store.root, "dang"), "versions")
+    StoreFs.deleteIfExists(StoreFs.child(versionsDir, s"$vA.json"))
+    assert(store.versions("dang").map(_._2) == Seq(v0),
+      "children of a rolled-back parent must be orphaned")
+    // reads resolve on the surviving chain only
+    assert(store.reader("dang").onVersion(v0) != null)
+  }
+
   test("conf-faithfulness tripwire: resolving mockfs from a classpath-" +
       "default conf fails loudly (the credential only rides the session " +
       "conf / shipped driver conf)") {
