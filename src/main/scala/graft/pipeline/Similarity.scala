@@ -917,22 +917,62 @@ object Similarity {
         "after it commits (a crashed writer's lock is stolen after " +
         s"${staleMs / 1000} s)")
     val now = System.currentTimeMillis()
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
     try {
       if (IndexFs.exists(lock)) {
         if (IndexFs.mtime(lock) < now - staleMs) {
-          // RENAME-ASIDE steal: a plain delete would race a co-stealer —
-          // its delayed delete(lock) could remove the FRESH lock the
-          // winner just re-created at the same path, admitting two
-          // holders. Renaming the stale object to a contender-unique
-          // name first means exactly one stealer's rename succeeds, and
-          // each contender only ever deletes its own aside object.
+          // IDENTITY-VERIFIED rename-aside steal. A plain delete (or a
+          // blind rename) races a co-stealer: one descheduled between
+          // its staleness read and its move could displace the FRESH
+          // lock the faster stealer just created. So: remember the
+          // stale holder's token, re-check staleness immediately before
+          // the move, move the object aside, and confirm the aside
+          // carries THAT token — if a fresh lock got moved instead,
+          // restore it and stand down.
+          val oldTok = new String(IndexFs.readBytes(lock), utf8)
+          if (IndexFs.mtime(lock) >= now - staleMs) refuse()
           val aside = s"$lock.stale.$token"
-          if (IndexFs.rename(lock, aside)) IndexFs.delete(aside)
-          // lost the rename ⇒ a rival stole it first; the path is free
-          // (or freshly re-held) — the arbiter below decides either way
+          if (IndexFs.rename(lock, aside)) {
+            val moved =
+              try new String(IndexFs.readBytes(aside), utf8)
+              catch { case _: java.io.IOException => "" }
+            if (moved == oldTok) IndexFs.delete(aside)
+            else {
+              // we displaced a rival's fresh lock: put it back (or, if
+              // yet another contender re-created the path meanwhile,
+              // drop the aside — its owner's token-verified release
+              // will surface the theft loudly) and stand down
+              if (!IndexFs.rename(aside, lock)) IndexFs.delete(aside)
+              raced()
+            }
+          }
+          // lost the rename ⇒ a rival stole it first; the arbiter below
+          // decides. Sweep asides orphaned by crashed stealers — the
+          // index vacuum's name filters never match them.
+          try IndexFs.list(path).foreach { case (n, m) =>
+            if (n.startsWith(".write.lock.stale.") && m < now - staleMs)
+              IndexFs.delete(s"$path/$n")
+          } catch { case _: java.io.IOException => () }
         } else refuse()
       }
     } catch { case _: java.io.IOException => () }
+    // Token-verified release, shared by both paths: delete the lock only
+    // when it is still OURS. A holder whose body outlived the stale
+    // window must not delete a stealer's fresh lock, and the violated
+    // single-writer contract must surface loudly (only when the body
+    // succeeded — a body failure is the primary error, not masked).
+    def releaseOrThrow(bodyOk: Boolean): Unit = {
+      val mine =
+        try IndexFs.exists(lock) &&
+          new String(IndexFs.readBytes(lock), utf8) == token
+        catch { case _: java.io.IOException => false }
+      if (mine) {
+        try IndexFs.delete(lock) catch { case _: java.io.IOException => () }
+      } else if (bodyOk) throw new IllegalStateException(
+        s"graft: $lock was stolen while this writer held it (the body " +
+          s"outlived the ${staleMs / 1000} s stale window) — a rival may " +
+          "have written concurrently; verify or rebuild the index")
+    }
     // ---- atomic-create fast path ----
     val scheme = Option(new org.apache.hadoop.fs.Path(path).toUri.getScheme)
     val atomicSchemes = sys.props.get("graft.lease.atomic.schemes")
@@ -942,11 +982,11 @@ object Similarity {
     if (scheme.exists(atomicSchemes)) {
       // the create itself arbitrates: exactly one contender's
       // no-overwrite create succeeds, however close the race
-      if (!IndexFs.createExclusive(lock,
-          token.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      if (!IndexFs.createExclusive(lock, token.getBytes(utf8)))
         raced() // lost the create race; retry re-checks holder staleness
-      try return body
-      finally { try IndexFs.delete(lock) catch { case _: java.io.IOException => () } }
+      var bodyOk = false
+      try { val r = body; bodyOk = true; return r }
+      finally releaseOrThrow(bodyOk)
     }
     // ---- proposal-election fallback ----
     IndexFs.mkdirs(elecDir)
@@ -991,13 +1031,13 @@ object Similarity {
       }
       // elected: the marker create-overwrite is safe, the election
       // authorized exactly one writer to reach this line
-      IndexFs.writeBytes(lock,
-        token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      IndexFs.writeBytes(lock, token.getBytes(utf8))
     } catch { case t: Throwable => cleanup(); throw t }
-    try body
+    var bodyOk = false
+    try { val r = body; bodyOk = true; r }
     finally {
-      try IndexFs.delete(lock) catch { case _: java.io.IOException => () }
-      cleanup()
+      try releaseOrThrow(bodyOk)
+      finally cleanup()
     }
   }
 

@@ -153,7 +153,13 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // (self-contained) root of the surviving chain.
     val present = raw.map(_._2).toSet
     raw.foreach { case (_, v, m) =>
-      if (m.parent.exists(p => !present(p)) && !SparkStore.isCheckpoint(m))
+      // confirm absence with a DIRECT point probe before orphaning: a
+      // lagging LISTING omitting one committed mid-chain manifest must
+      // not transiently hide its whole descendant suffix — point GETs
+      // on long-visible objects are consistent where listings are not
+      if (m.parent.exists(p => !present(p)) && !SparkStore.isCheckpoint(m)
+          && m.parent.exists(p =>
+            !StoreFs.exists(StoreFs.child(versionsDir(name), s"$p.json"))))
         losers += v
     }
     if (losers.isEmpty) raw
@@ -293,7 +299,12 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // withdraw it. Checkpoint parents aside, a fresh commit's parent is
     // the previous latest, which concurrent expireHistory never deletes
     // (it only drops versions strictly below the newest checkpoint).
-    if (myParent.exists(p => !raw.exists(_._2 == p))) {
+    // probe the parent DIRECTLY (never via the listing): withdrawing a
+    // healthy commit because a lagging listing omitted its parent would
+    // turn eventual consistency into data loss — a point GET on a
+    // long-visible object is consistent where a listing is not
+    if (myParent.exists(p =>
+        !StoreFs.exists(StoreFs.child(versionsDir(name), s"$p.json")))) {
       StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$myVid.json"))
       throw new IllegalStateException(
         s"commit of version $myVid rolled back: its parent " +
@@ -1396,8 +1407,15 @@ object SparkStore {
 final class SparkDatasetReader(store: SparkStore, name: String) {
   def versions: Seq[(Long, Long)] = store.versions(name)
 
-  def onVersion(vid: Long): SparkPinnedReader =
+  def onVersion(vid: Long): SparkPinnedReader = {
+    // the direct-path load must honor the same fork orphaning the
+    // listing applies: a duplicate-parent loser or the dangling child
+    // of a rolled-back parent stays unreadable by explicit vid too
+    require(store.versions(name).exists(_._2 == vid),
+      s"no committed version $vid in dataset $name " +
+        "(missing, or orphaned by fork resolution)")
     new SparkPinnedReader(store, name, store.metadata(name, vid))
+  }
 
   def onNthVersion(n: Int): SparkPinnedReader = {
     val vs = versions

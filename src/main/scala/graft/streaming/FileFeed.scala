@@ -144,10 +144,7 @@ object FileFeed {
       body: => A): A = narrowTo match {
     case None => body
     case Some(n) =>
-      val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-      try body
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      withConf(spark, "spark.sql.shuffle.partitions", n.toString)(body)
   }
 
   /** Pin one session conf for `body`'s span, restoring the previous

@@ -284,8 +284,15 @@ class MockFsSpec extends AnyFunSuite {
     StoreFs.deleteIfExists(StoreFs.child(versionsDir, s"$vA.json"))
     assert(store.versions("dang").map(_._2) == Seq(v0),
       "children of a rolled-back parent must be orphaned")
-    // reads resolve on the surviving chain only
+    // reads resolve on the surviving chain only — and the DIRECT-path
+    // load honors the orphaning too: the dangling child is unreadable
+    // by explicit vid, not merely absent from the listing
     assert(store.reader("dang").onVersion(v0) != null)
+    val eDirect = intercept[IllegalArgumentException] {
+      store.reader("dang").onVersion(vB)
+    }
+    assert(eDirect.getMessage.contains("orphaned"),
+      s"direct onVersion of the dangling child must refuse: $eDirect")
   }
 
   test("conf-faithfulness tripwire: resolving mockfs from a classpath-" +
