@@ -206,6 +206,27 @@ object StreamScaleProbe {
       }
       report("dedup_rocksdb", s, n, r)
     }
+    // the ListState fragment sessionizer (out-of-order tws engine) under
+    // the same disordered unbounded-user feed as leg 5: state rows are
+    // the per-user ListState entries, expected pinned at the
+    // (gap + delay)-window population like the fmgws fragment engine
+    if (on("sessions_ooo_tws_rocksdb")) for (s <- scales) {
+      val n = 6000 * s
+      val skew = 30L
+      val evs = (0 until n).map { i =>
+        val trueTs = base + i / 10
+        val delta = (i * 2654435761L % (2 * skew + 1)) - skew
+        (trueTs + delta, graft.streaming.Sessionize.Event(
+          i.toLong, new Timestamp(trueTs * 1000L), "click"))
+      }.sortBy(_._1).map(_._2)
+      val r = graft.streaming.FileFeed.withStateProvider(spark, rocksDb = true) {
+        runLeg(chunk(evs, 12))(in =>
+          graft.streaming.Sessionize.sessionsOutOfOrderTws(
+            in.toDS().withWatermark("ts", s"${2 * skew + 1} seconds"),
+            gapMs = 60000L).toDF())
+      }
+      report("sessions_ooo_tws_rocksdb", s, n, r)
+    }
     // the transformWithState sessionizer (ValueState + explicit
     // event-time timers; RocksDB-only API): progress reports the value
     // rows (timer registry rides separate column families), so the pin
