@@ -931,7 +931,13 @@ object Similarity {
           // restore it and stand down.
           val oldTok = new String(IndexFs.readBytes(lock), utf8)
           if (IndexFs.mtime(lock) >= now - staleMs) refuse()
-          val aside = s"$lock.stale.$token"
+          // the steal INSTANT rides in the aside's NAME: rename
+          // preserves the stale lock's old mtime, so the orphan sweep
+          // below cannot use mtime without eating a co-stealer's
+          // just-renamed aside mid-verify (it would then read an empty
+          // token, fail the restore rename, and stand down despite
+          // having legitimately won the steal)
+          val aside = s"$lock.stale.$now.$token"
           if (IndexFs.rename(lock, aside)) {
             val moved =
               try new String(IndexFs.readBytes(aside), utf8)
@@ -949,9 +955,17 @@ object Similarity {
           // lost the rename ⇒ a rival stole it first; the arbiter below
           // decides. Sweep asides orphaned by crashed stealers — the
           // index vacuum's name filters never match them.
-          try IndexFs.list(path).foreach { case (n, m) =>
-            if (n.startsWith(".write.lock.stale.") && m < now - staleMs)
-              IndexFs.delete(s"$path/$n")
+          try IndexFs.list(path).foreach { case (n, _) =>
+            // sweep by the NAME-embedded steal instant, never mtime
+            // (see the aside comment above): only asides whose steal
+            // is itself a full stale window old are truly orphaned
+            if (n.startsWith(".write.lock.stale.")) {
+              val ts = n.stripPrefix(".write.lock.stale.")
+                .takeWhile(_.isDigit)
+              if (ts.nonEmpty && ts.length <= 17
+                  && ts.toLong < now - staleMs)
+                IndexFs.delete(s"$path/$n")
+            }
           } catch { case _: java.io.IOException => () }
         } else refuse()
       }

@@ -180,6 +180,47 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     DatasetMeta.fromJson(StoreFs.readString(p))
   }
 
+  /** Point-GET resolution of an explicitly pinned version — the hot-path
+    * twin of the fork-resolved LISTING. Gating a pinned read on
+    * [[versionManifests]] has two failure modes the committer's own probe
+    * rule ("a point GET is consistent where a listing is not") already
+    * names: on an eventually-consistent store a just-committed manifest
+    * can be transiently absent from the listing (a valid pinned read
+    * would spuriously refuse), and it turns an O(1) GET into parsing
+    * every manifest in the dataset. So: probe `<vid>.json` directly,
+    * then walk the PARENT CHAIN by point GETs (O(depth), floored by the
+    * nearest checkpoint) to honor the same dangling-parent orphaning the
+    * listing applies — a child chained onto a version that a rival's
+    * fork verify rolled back stays unreadable by explicit vid.
+    *
+    * A duplicate-parent loser whose manifest survived a pre-rollback
+    * crash has an INTACT chain and is served here: its vid is hidden
+    * from every listing and was never acknowledged to its writer, so an
+    * explicit pin of it is deliberate archaeology reading that branch's
+    * own internally-consistent view — not a torn read. */
+  private[graft] def committedMetadata(name: String, vid: Long): DatasetMeta = {
+    val dir = versionsDir(name)
+    if (!StoreFs.exists(dir)) throw new IllegalArgumentException(
+      s"""dataset with name "$name" does not exist.""")
+    val path = StoreFs.child(dir, s"$vid.json")
+    require(StoreFs.exists(path),
+      s"no committed version $vid in dataset $name " +
+        "(missing, or orphaned by fork resolution)")
+    val m = DatasetMeta.fromJson(StoreFs.readString(path))
+    var cur = m
+    val seen = scala.collection.mutable.Set(vid)
+    while (cur.parent.isDefined && !SparkStore.isCheckpoint(cur)) {
+      val p = cur.parent.get
+      require(seen.add(p), s"version chain of $name has a cycle at $p")
+      val pp = StoreFs.child(dir, s"$p.json")
+      require(StoreFs.exists(pp),
+        s"version $vid of $name is orphaned by fork resolution: ancestor " +
+          s"$p was rolled back by a rival's fork verify")
+      cur = DatasetMeta.fromJson(StoreFs.readString(pp))
+    }
+    m
+  }
+
   def reader(name: String): SparkDatasetReader = new SparkDatasetReader(this, name)
 
   /** V2 add-version (reference: src/io/mandoline.clj:143-158). */
@@ -1408,13 +1449,10 @@ final class SparkDatasetReader(store: SparkStore, name: String) {
   def versions: Seq[(Long, Long)] = store.versions(name)
 
   def onVersion(vid: Long): SparkPinnedReader = {
-    // the direct-path load must honor the same fork orphaning the
-    // listing applies: a duplicate-parent loser or the dangling child
-    // of a rolled-back parent stays unreadable by explicit vid too
-    require(store.versions(name).exists(_._2 == vid),
-      s"no committed version $vid in dataset $name " +
-        "(missing, or orphaned by fork resolution)")
-    new SparkPinnedReader(store, name, store.metadata(name, vid))
+    // point-GET resolution (never the listing): a lagging LISTING must
+    // not refuse a valid just-committed pin, and the direct path still
+    // honors dangling-parent fork orphaning via the parent-chain walk
+    new SparkPinnedReader(store, name, store.committedMetadata(name, vid))
   }
 
   def onNthVersion(n: Int): SparkPinnedReader = {

@@ -88,22 +88,18 @@ private[source] object GraftSource {
         s"graft write: the supplied metadata defines no variable '$variable'")
       return Resolved(store, meta, dataset, variable, chunked, create = true)
     }
-    val vid = {
-      val vs = store.versions(dataset)
-      options.get("version").map(_.toLong) match {
-        case Some(v) =>
-          // an explicit version must clear the same fork orphaning the
-          // listing applies — never read a rolled-back branch by vid
-          require(vs.exists(_._2 == v),
-            s"no committed version $v in dataset $dataset " +
-              "(missing, or orphaned by fork resolution)")
-          v
-        case None =>
-          require(vs.nonEmpty, s"dataset $dataset has no committed versions")
-          vs.head._2
-      }
+    val meta = options.get("version").map(_.toLong) match {
+      case Some(v) =>
+        // point-GET resolution + parent-chain orphan walk (never the
+        // listing): a rolled-back branch stays unreadable by vid, while
+        // a lagging listing can't spuriously refuse a fresh commit
+        store.committedMetadata(dataset, v)
+      case None =>
+        val vs = store.versions(dataset)
+        require(vs.nonEmpty, s"dataset $dataset has no committed versions")
+        store.metadata(dataset, vs.head._2)
     }
-    val meta = store.metadata(dataset, vid)
+    val vid = meta.versionId.get
     require(meta.variables.contains(variable),
       s"no variable '$variable' in dataset $dataset at version $vid")
     if (create) attestDefinition(options, variable, meta)

@@ -435,6 +435,26 @@ object Sessionize {
     }
   }
 
+  /** Re-arm a key's single live event-time deadline. Every OTHER armed
+    * timer for the key is SUPERSEDED — the deadline moved when the
+    * session/fragment was extended — and without cleanup they accumulate
+    * one per extending micro-batch in the timer column family, each
+    * later firing a no-op expiry callback: state growth plus wasted
+    * timer fires for long-lived sessions. So delete the superseded
+    * deadlines before (re-)registering; `listTimers` is key-scoped and
+    * tiny (≤ open-fragment count), and skipping an already-armed expiry
+    * avoids a per-batch WARN + wasted state write when the deadline is
+    * unchanged. */
+  private[graft] def rearmTimer(
+      h: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      at: Long): Unit = {
+    var armed = false
+    h.listTimers().foreach { t =>
+      if (t == at) armed = true else h.deleteTimer(t)
+    }
+    if (!armed) h.registerTimer(at)
+  }
+
   /** The ValueState+timer discipline shared by the plain and warm-start
     * gap processors — ONE copy, so the engines the gates prove
     * equivalent cannot silently desynchronize. A trait may extend the
@@ -456,12 +476,11 @@ object Sessionize {
 
     /** Arm (or keep) the session's close timer at `last + gap`, strictly
       * above the current watermark (the clamp only moves a deadline the
-      * watermark ALREADY passed). */
-    protected def arm(s: SessionState, tv: TimerValues): Unit = {
-      val at = math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs)
-      if (!getHandle.listTimers().contains(at))
-        getHandle.registerTimer(at)
-    }
+      * watermark ALREADY passed); superseded deadlines are deleted, not
+      * left to fire no-op expiries (see [[Sessionize.rearmTimer]]). */
+    protected def arm(s: SessionState, tv: TimerValues): Unit =
+      rearmTimer(getHandle,
+        math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs))
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[Session] = {
@@ -726,9 +745,8 @@ object Sessionize {
       }
       cur.foreach { s =>
         core.update(s)
-        val at = math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs)
-        if (!getHandle.listTimers().contains(at))
-          getHandle.registerTimer(at)
+        rearmTimer(getHandle,
+          math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs))
       }
       closed.result().iterator
     }
@@ -783,12 +801,8 @@ object Sessionize {
       if (open.isEmpty) frags.clear()
       else {
         frags.put(open.toArray)
-        val at = math.max(wm + 1, open.map(_.last + gapMs).min)
-        // listTimers is key-scoped and tiny (≤ open fragment count);
-        // skipping an already-armed expiry avoids a per-batch WARN +
-        // wasted state write when the earliest deadline is unchanged
-        if (!getHandle.listTimers().contains(at))
-          getHandle.registerTimer(at)
+        rearmTimer(getHandle,
+          math.max(wm + 1, open.map(_.last + gapMs).min))
       }
       closed.sortBy(_.start).iterator.map(f =>
         Session(userId, f.start, f.last, f.n, f.types.size, f.last - f.start))

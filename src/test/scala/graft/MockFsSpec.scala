@@ -295,6 +295,53 @@ class MockFsSpec extends AnyFunSuite {
       s"direct onVersion of the dangling child must refuse: $eDirect")
   }
 
+  test("pinned reads resolve by point GET, never the listing: a just-" +
+      "committed manifest a lagging LISTING still omits is readable by " +
+      "explicit vid the moment its object exists") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("lag")
+    val v1 = writeVals(store, "lag", (1 to 10).map(_.toDouble))
+    val v2 = writeVals(store, "lag", Seq(50.0, 51.0), at = 3L)
+    // emulate a rival process's just-acknowledged commit sitting in the
+    // LIST-after-PUT inconsistency window: PUT a fresh manifest chained
+    // on v2 directly, with listings lagging PUT visibility
+    val versionsDir = StoreFs.child(StoreFs.child(store.root, "lag"), "versions")
+    val v3 = v2 + 1
+    val m3 = store.metadata("lag", v2).copy(parent = Some(v2),
+      versionId = Some(v3),
+      extra = Some(s"""{"graft-committed-at":${System.currentTimeMillis()}}"""))
+    // age every pre-existing object out of the inconsistency window so
+    // ONLY the manifest PUT below is the freshly-written one listings lag on
+    val localRoot = java.nio.file.Paths.get(store.root.stripPrefix("mockfs://"))
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 300000L)
+    java.nio.file.Files.walk(localRoot).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, aged))
+    MockObjectStoreFileSystem.listVisibilityLagMs = 60000L
+    try {
+      StoreFs.writeString(StoreFs.child(versionsDir, s"$v3.json"), m3.toJson)
+      // the listing is lagging: v3 invisible there...
+      assert(store.versions("lag").map(_._2) == Seq(v2, v1),
+        "precondition: the lagging listing must still omit v3")
+      // ...but the explicit pin resolves by point GET + parent-chain
+      // walk and must serve it (the pre-fix listing gate threw here)
+      val r = store.reader("lag").onVersion(v3)
+      assert(r.meta.versionId.contains(v3))
+      // the empty-overlay version reads its parent's state
+      assert(readAll(store, "lag", v3) == readAll(store, "lag", v2))
+      // DSv2 explicit-version route takes the same point-GET path
+      assert(spark.read.format("graft")
+        .option("root", store.root).option("dataset", "lag")
+        .option("variable", "v").option("version", v3.toString)
+        .load().count() == 10L)
+      // and a truly absent vid still refuses — without a listing scan
+      val e = intercept[IllegalArgumentException] {
+        store.reader("lag").onVersion(v3 + 999)
+      }
+      assert(e.getMessage.contains("no committed version"), e.getMessage)
+    } finally MockObjectStoreFileSystem.listVisibilityLagMs = 0L
+  }
+
   test("conf-faithfulness tripwire: resolving mockfs from a classpath-" +
       "default conf fails loudly (the credential only rides the session " +
       "conf / shipped driver conf)") {

@@ -667,6 +667,45 @@ class SimilaritySpec extends AnyFunSuite {
     } finally sys.props.remove("graft.lease.atomic.schemes")
   }
 
+  test("orphaned-aside sweep keys on the NAME-embedded steal instant, " +
+      "not mtime: a co-stealer's just-renamed aside (rename preserves " +
+      "the stale lock's ancient mtime) survives; a genuinely orphaned " +
+      "aside is swept") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.attribute.FileTime
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-aside").toString
+    Similarity.ivfBuild(emb, path, nCentroids = 16)
+    val now = System.currentTimeMillis()
+    val old = now - 2L * 3600 * 1000
+    // a crashed writer's stale lock: the append below steals it, which
+    // runs the orphaned-aside sweep
+    val lock = java.nio.file.Paths.get(path, ".write.lock")
+    java.nio.file.Files.write(lock, "deadtok".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lock, FileTime.fromMillis(old))
+    // a co-stealer mid-verify: its aside NAME stamps a fresh steal
+    // instant, but the rename preserved the stale lock's old mtime —
+    // the pre-fix mtime sweep would eat it, making the co-stealer read
+    // an empty token and stand down despite having won
+    val fresh = java.nio.file.Paths.get(path, s".write.lock.stale.$now.corival")
+    java.nio.file.Files.write(fresh, "rivaltok".getBytes)
+    java.nio.file.Files.setLastModifiedTime(fresh, FileTime.fromMillis(old))
+    // a crashed stealer's aside: the steal instant itself is a full
+    // stale window old — truly orphaned
+    val orphan = java.nio.file.Paths.get(path, s".write.lock.stale.$old.crashed")
+    java.nio.file.Files.write(orphan, "crashtok".getBytes)
+    java.nio.file.Files.setLastModifiedTime(orphan, FileTime.fromMillis(old))
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 730000L).as("vec_id"), col("embedding"))
+    Similarity.ivfAppend(emb, batch, path)
+    assert(java.nio.file.Files.exists(fresh),
+      "sweep must not eat a co-stealer's just-renamed fresh-named aside")
+    assert(!java.nio.file.Files.exists(orphan),
+      "a genuinely orphaned aside must be swept")
+    assert(!java.nio.file.Files.exists(lock), "lock not released")
+    java.nio.file.Files.delete(fresh)
+  }
+
   test("lease election is tie-safe and steals stale proposals: a live " +
       "rival proposal (older OR same mtime) refuses acquisition; a stale " +
       "one is swept") {

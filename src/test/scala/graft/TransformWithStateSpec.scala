@@ -124,6 +124,56 @@ class TransformWithStateSpec extends AnyFunSuite {
     org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
   }
 
+  test("rearmTimer deletes superseded deadlines instead of accumulating " +
+      "one stale timer per extending micro-batch") {
+    // a stub handle backed by a plain set — rearmTimer only touches the
+    // three timer methods, so the state accessors can stay unimplemented
+    val timers = scala.collection.mutable.SortedSet.empty[Long]
+    object h extends org.apache.spark.sql.streaming.StatefulProcessorHandle {
+      import org.apache.spark.sql.Encoder
+      import org.apache.spark.sql.streaming.{ListState, MapState, QueryInfo,
+        TTLConfig, ValueState}
+      def registerTimer(at: Long): Unit = timers += at
+      def deleteTimer(at: Long): Unit = timers -= at
+      def listTimers(): Iterator[Long] = timers.toSeq.iterator
+      def getValueState[T](n: String, e: Encoder[T], t: TTLConfig): ValueState[T] =
+        throw new UnsupportedOperationException
+      def getValueState[T](n: String, t: TTLConfig)(
+          implicit e: Encoder[T]): ValueState[T] =
+        throw new UnsupportedOperationException
+      def getListState[T](n: String, e: Encoder[T], t: TTLConfig): ListState[T] =
+        throw new UnsupportedOperationException
+      def getListState[T](n: String, t: TTLConfig)(
+          implicit e: Encoder[T]): ListState[T] =
+        throw new UnsupportedOperationException
+      def getMapState[K, V](n: String, ek: Encoder[K], ev: Encoder[V],
+          t: TTLConfig): MapState[K, V] =
+        throw new UnsupportedOperationException
+      def getMapState[K, V](n: String, t: TTLConfig)(implicit ek: Encoder[K],
+          ev: Encoder[V]): MapState[K, V] =
+        throw new UnsupportedOperationException
+      def getQueryInfo(): QueryInfo = throw new UnsupportedOperationException
+      def deleteIfExists(n: String): Unit =
+        throw new UnsupportedOperationException
+    }
+    // a session extending across four micro-batches: exactly ONE live
+    // deadline at any time, never four accumulated
+    Sessionize.rearmTimer(h, 70000L)
+    assert(timers.toSeq == Seq(70000L))
+    Sessionize.rearmTimer(h, 100000L) // extension moved the deadline
+    assert(timers.toSeq == Seq(100000L),
+      s"superseded 70 s timer must be deleted, got $timers")
+    Sessionize.rearmTimer(h, 100000L) // unchanged deadline: no churn
+    assert(timers.toSeq == Seq(100000L))
+    Sessionize.rearmTimer(h, 130000L)
+    assert(timers.toSeq == Seq(130000L))
+    // a stray EARLIER timer (e.g. restored from a pre-fix checkpoint)
+    // is also cleaned at the next re-arm
+    timers += 40000L
+    Sessionize.rearmTimer(h, 130000L)
+    assert(timers.toSeq == Seq(130000L))
+  }
+
   test("refuses the heap state-store provider loudly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
