@@ -197,6 +197,28 @@ object ArrayQueries {
       })
   }
 
+  private object StreamIngestFileFixture {
+    final case class H(store: graft.spark.SparkStore, hours: Long,
+        nVersions: Int, nBatches: Int)
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, H]()
+    def get(s: SparkSession, dir: String): H =
+      cache.computeIfAbsent(dir, { d =>
+        val evs = EventTime.eventsWithSeconds(s, d).select("ts_s")
+        val mm = evs.agg(min(col("ts_s")), max(col("ts_s"))).head()
+        val h0 = mm.getLong(0) / 3600L
+        val hours = mm.getLong(1) / 3600L - h0 + 1
+        val store = new graft.spark.SparkStore(s, java.nio.file.Files
+          .createTempDirectory("graft_ingest_fstream").toString)
+        val nBatches = 3
+        val n = graft.streaming.StreamingIngest.hourlyVersionedStreamFile(
+          evs, store, "evstream", h0, hours, nBatches,
+          workDir = java.nio.file.Files
+            .createTempDirectory("graft_ingest_feed").toString)
+        H(store, hours, n, nBatches)
+      })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // streaming ingest end-to-end: micro-batch deltas → committed
     // versions → MVCC overlay; latest read ≡ the batch per-hour counts
@@ -206,6 +228,17 @@ object ArrayQueries {
       fx.store.reader("evstream").onLastVersion()
         .exploded("n", Slice(Seq(0L), Seq(fx.hours)))
         .withColumn("multi_version", lit(fx.nVersions >= 2))
+        .orderBy("h")
+    }),
+    // PRODUCTION twin of q_arr_stream_ingest: the same versioned sink
+    // fed from a real file landing zone — `multi_version` additionally
+    // gates EXACTLY one committed version per real micro-batch, and the
+    // MVCC overlay re-hashes against the same hour-counts oracle
+    "q_arr_stream_ingest_fstream" -> ((s, dir) => {
+      val fx = StreamIngestFileFixture.get(s, dir)
+      fx.store.reader("evstream").onLastVersion()
+        .exploded("n", Slice(Seq(0L), Seq(fx.hours)))
+        .withColumn("multi_version", lit(fx.nVersions == fx.nBatches))
         .orderBy("h")
     }),
     // R1-R6 + S1-S9 + W1-W8 + V2/V3 + P1/P2: hyperslab read at v2
@@ -938,6 +971,11 @@ object ArrayQueries {
         ORDER BY era, h""")
     }))
 
+  private lazy val streamIngestSql = cte +
+    """SELECT g.h AS h, COALESCE(c.cnt, -1) AS value, true AS multi_version
+      |""".stripMargin + grid +
+    " WHERE g.h < (SELECT maxh FROM hh) ORDER BY h"
+
   val oracleSql: Map[String, String] = Map(
     "q_arr_slice" -> (cte +
       """SELECT g.h AS h,
@@ -1017,11 +1055,10 @@ object ArrayQueries {
         | true AS expired, true AS reclaimed
         |FROM range(0, 48) g(h) ORDER BY h""".stripMargin,
     // streaming ingest: cumulative per-hour counts at the latest version;
-    // zero-event hours were never written → fill −1
-    "q_arr_stream_ingest" -> (cte +
-      """SELECT g.h AS h, COALESCE(c.cnt, -1) AS value, true AS multi_version
-        |""".stripMargin + grid +
-      " WHERE g.h < (SELECT maxh FROM hh) ORDER BY h"),
+    // zero-event hours were never written → fill −1 (the fstream twin
+    // shares the oracle verbatim: engine/feed choice must be invisible)
+    "q_arr_stream_ingest" -> streamIngestSql,
+    "q_arr_stream_ingest_fstream" -> streamIngestSql,
     "q_arr_scalar" -> "SELECT count(*) AS value FROM events",
     "q_arr_2d" ->
       """WITH lb AS (

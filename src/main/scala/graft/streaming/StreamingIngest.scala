@@ -84,4 +84,32 @@ object StreamingIngest {
       }
       .start()
   }
+
+  /** PRODUCTION twin of the MemoryStream-replayed versioned ingest: the
+    * hourly-count stream reads a real FILE landing zone
+    * ([[FileFeed.sliced]], `nBatches` time-ordered slices, one file per
+    * micro-batch) and every real micro-batch's delta commits one version
+    * through [[versionedSink]] — the gate where streaming exactly-once
+    * meets the store's own commit protocol, exercised on the path a
+    * deployment runs instead of a driver-fed replay. Returns the number
+    * of committed versions; callers assert it equals `nBatches` (each
+    * event-time slice is non-empty, so each real micro-batch must land
+    * exactly one version — no-data micro-batches carry no changed
+    * windows and must not commit). */
+  def hourlyVersionedStreamFile(eventsWithTsS: DataFrame, store: SparkStore,
+      dsName: String, h0: Long, hours: Long, nBatches: Int,
+      workDir: String): Int = {
+    val feed = FileFeed.sliced(
+      eventsWithTsS.select(col("ts_s").cast("long")), "ts_s",
+      nBatches, workDir)
+    // generous watermark: a bounded gate feed must never drop state
+    // mid-run (the twin shares the batch oracle exactly)
+    val q = versionedSink(store, dsName, h0, hours)(
+      hourlyCounts(feed.select(col("ts_s").cast("timestamp").as("ts")),
+        watermark = "9600 hours"))
+    try q.processAllAvailable() finally q.stop()
+    try org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+    catch { case _: Throwable => () }
+    store.versions(dsName).size
+  }
 }

@@ -292,4 +292,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(store.versions("stream_ev").size >= 2)
     } finally q.stop()
   }
+
+  test("file-source production twin: one committed version per real " +
+      "micro-batch, overlay equals the batch per-hour counts") {
+    import spark.implicits._
+    // 3 hours of events, deliberately uneven (2 + 1 + 3 per hour)
+    val h0 = 474000L
+    val secs = Seq(
+      h0 * 3600L + 60, h0 * 3600L + 120,
+      (h0 + 1) * 3600L + 60,
+      (h0 + 2) * 3600L + 60, (h0 + 2) * 3600L + 120, (h0 + 2) * 3600L + 180)
+    val events = secs.toDF("ts_s")
+    val store = new SparkStore(spark,
+      java.nio.file.Files.createTempDirectory("graft-fstream-ing").toString)
+    val nBatches = 3
+    val nVersions = StreamingIngest.hourlyVersionedStreamFile(
+      events, store, "fs_ev", h0, hours = 10L, nBatches = nBatches,
+      workDir = java.nio.file.Files
+        .createTempDirectory("graft-fstream-feed").toString)
+    assert(nVersions == nBatches,
+      s"expected exactly one committed version per real micro-batch " +
+        s"($nBatches), got $nVersions")
+    val s = store.reader("fs_ev").onLastVersion()
+      .getSlice("n", Slice(Seq(0L), Seq(4L)))
+    assert(s.valueAt(Seq(0L)) == 2.0 && s.valueAt(Seq(1L)) == 1.0 &&
+      s.valueAt(Seq(2L)) == 3.0 && s.valueAt(Seq(3L)) == -1.0,
+      "overlay must equal the batch per-hour counts, fill −1 elsewhere")
+  }
 }
