@@ -995,6 +995,19 @@ object PipelineQueries {
         workDir = java.nio.file.Files
           .createTempDirectory("graft-ws-fstream").toString)
     }),
+    // TTL-bounded MapState profile accumulator on the production path:
+    // per-user event-type counts in transformWithState MapState created
+    // with a generous processing-time TTL — retention bounding must be
+    // invisible to in-horizon answers, so the gate hashes against the
+    // plain batch groupBy oracle
+    "q_pipe_profile_ttl" -> ((s, dir) =>
+      graft.streaming.ProfileState.profilesStreamFile(
+        EventTime.eventsWithSeconds(s, dir)
+          .filter(col("user_id") < 50)
+          .select("user_id", "event_type", "ts_s"),
+        ttlMs = 3600000L, nBatches = 3,
+        workDir = java.nio.file.Files
+          .createTempDirectory("graft-prof-ttl").toString)),
     // UPDATE-mode hourly counts on the production path: file source in,
     // foreachBatch parquet update log out, reduced to final rows
     "q_pipe_hourly_fstream" -> ((s, dir) =>
@@ -1177,7 +1190,14 @@ object PipelineQueries {
       ("q_pipe_hourly_fstream" -> sharedStreamOracle("q_pipe_hourly_stream")) +
       ("q_pipe_enrich_fstream" -> sharedStreamOracle("q_pipe_enrich_stream")) +
       ("q_pipe_join_fstream" -> sharedStreamOracle("q_pipe_join_stream")) +
-      ("q_pipe_heavy_fstream" -> oracleSqlBase("q_pipe_heavy"))
+      ("q_pipe_heavy_fstream" -> oracleSqlBase("q_pipe_heavy")) +
+      // the TTL'd MapState profile stream must equal the batch per-user
+      // counts exactly: state retention is a resource bound, not a
+      // semantic (the TTL horizon generously covers the gate feed)
+      ("q_pipe_profile_ttl" ->
+        """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+          |FROM events WHERE user_id < 50
+          |GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin)
 
   /** Streaming-gate oracles shared between a replay gate and its
     * file-source production twin — one SQL text, two query entries, so

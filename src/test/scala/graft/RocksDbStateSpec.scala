@@ -22,6 +22,12 @@ import java.nio.file.{Files, Path}
   *     duplicates of pre-crash rows, already-committed input is not
   *     reprocessed, and nothing is lost.
   */
+/** Cross-task injection flag for the mid-batch failure leg (local mode:
+  * executor tasks share the JVM, so a static suffices). */
+object RocksDbStateSpec {
+  val poisonTripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class RocksDbStateSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
@@ -146,5 +152,96 @@ class RocksDbStateSpec extends AnyFunSuite {
         assert(stateFiles(work.resolve("ckpt"), ".changelog").isEmpty &&
           stateFiles(work.resolve("ckpt"), ".zip").nonEmpty,
           "snapshot mode should write .zip versions and no changelogs")
+    }
+
+  // The harder crash shape: a task failure MID micro-batch, after
+  // sibling output tasks already wrote their parquet parts and committed
+  // their state-store partitions. The batch never commits (no manifest
+  // entry, no source-offset advance); the re-run reprocesses it from the
+  // batch's input state version, overwriting the siblings' uncommitted
+  // state and re-writing their files — readers (manifest-filtered) see
+  // exactly-once output, orphaned first-attempt parts and all. local[n]
+  // has task-maxFailures=1, so the injected failure surfaces as a query
+  // failure and the retry is the checkpoint-driven batch replay — the
+  // same recompute path a cluster's in-query task retry runs.
+  for ((rocksDb, changelog) <- Seq((false, false), (true, false), (true, true)))
+    test("mid-batch failure with partial sink output recovers " +
+        s"exactly-once (rocksDb=$rocksDb, changelog=$changelog)") {
+      import spark.implicits._
+      RocksDbStateSpec.poisonTripped.set(false)
+      val work = Files.createTempDirectory(s"midb-$rocksDb-$changelog")
+      val feed = work.resolve("feed"); Files.createDirectories(feed)
+      val out = s"$work/out"; val ckpt = s"$work/ckpt"
+
+      var nSlices = 0
+      def writeSlice(rows: Seq[(Long, String)]): Unit = {
+        val tmp = s"$work/tmp_$nSlices"
+        docsDf(rows).repartition(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = feed.resolve(f"slice_$nSlices%03d.parquet")
+        Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(
+          System.currentTimeMillis() - 600000L + nSlices * 2000L)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp))
+        nSlices += 1
+      }
+
+      def runOnce(): Unit = FileFeed.withStateProvider(spark, rocksDb,
+          changelog = changelog) {
+        val stream = spark.readStream
+          .schema(docsDf(Seq((0L, ""))).schema)
+          .option("maxFilesPerTrigger", 1).parquet(feed.toString)
+          .select(timestamp_seconds(col("doc_id") + 86400L).as("ts"),
+            col("text"))
+        val deduped = StreamingDedup.byFingerprint(stream,
+          horizon = "10 days")
+        // first-attempt poison: the task holding "zeta" stalls long
+        // enough for sibling output tasks to finish their writes, then
+        // dies — a genuinely partial micro-batch
+        val poisoned = deduped
+          .as[(java.sql.Timestamp, String, String)]
+          .map { case r @ (_, text, _) =>
+            if (text == "zeta" &&
+                RocksDbStateSpec.poisonTripped.compareAndSet(false, true)) {
+              Thread.sleep(2000L)
+              throw new RuntimeException("injected first-attempt failure")
+            }
+            r
+          }.toDF("ts", "text", "fp")
+        val q = poisoned.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+
+      // batch 1 commits clean; batch 2 carries the poison row among
+      // enough distinct fps to fan output across sibling tasks
+      writeSlice(Seq((0L, "alpha"), (1L, "beta")))
+      writeSlice(Seq((2L, "zeta"), (3L, "gamma"), (4L, "delta"),
+        (5L, "alpha"), (6L, "epsilon")))
+      val e = intercept[Exception] { runOnce() }
+      assert(RocksDbStateSpec.poisonTripped.get, s"poison never fired: $e")
+      // the failed batch must not have committed: manifest-filtered
+      // readers still see only batch 1
+      assert(fps(spark.read.parquet(out)).size == 2,
+        "a failed micro-batch leaked committed output")
+      // (sibling tasks of the poisoned batch did write their parts —
+      // the 2 s stall guarantees it — but the manifest protocol's job
+      // abort best-effort-deletes staged files, so no orphan count is
+      // asserted; what matters is the reader saw none of them)
+      // re-run: the checkpoint replays the poisoned batch from its input
+      // state version; recovered output is exact despite the partial
+      // first attempt
+      runOnce()
+      val got = fps(spark.read.parquet(out))
+      assert(got.distinct.size == got.size, s"retry re-emitted rows: $got")
+      val oracle = fps(docsDf(Seq((0L, "alpha"), (1L, "beta"),
+        (2L, "zeta"), (3L, "gamma"), (4L, "delta"), (5L, "epsilon")))
+        .select(graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
+        .distinct())
+      assert(got.toSet == oracle.toSet,
+        s"retry lost or invented rows: got $got expected $oracle")
+      assert(got.size == 6)
     }
 }

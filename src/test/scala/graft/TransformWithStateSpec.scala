@@ -124,6 +124,77 @@ class TransformWithStateSpec extends AnyFunSuite {
     org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
   }
 
+  test("MapState TTL: expired entries vanish at the state layer; a " +
+      "fresh event restarts the count instead of resuming the expired " +
+      "tally") {
+    import spark.implicits._
+    import graft.streaming.ProfileState
+    implicit val sqlCtx = spark.sqlContext
+    // PIN no-data micro-batches OFF: in ProcessingTime mode every empty
+    // batch advances processing time, so the engine otherwise busy-loops
+    // empty micro-batches (each a full RocksDB commit) between addData
+    // calls; TTL expiry is filtered on READ, so the probe batch observes
+    // it without any empty-batch help
+    FileFeed.withConf(spark,
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
+    FileFeed.withStateProvider(spark, rocksDb = true) {
+      val input = MemoryStream[ProfileState.PEvent]
+      val q = ProfileState.profiles(input.toDS(), ttlMs = 1500L)
+        .toDF().writeStream.format("memory").queryName("ttl_prof")
+        .outputMode("update").start()
+      try {
+        def rows() = spark.table("ttl_prof")
+          .as[ProfileState.ProfileRow].collect().toSeq
+        input.addData(ProfileState.PEvent(1, "click"),
+          ProfileState.PEvent(1, "click"), ProfileState.PEvent(1, "view"))
+        q.processAllAvailable()
+        assert(rows().toSet == Set(
+          ProfileState.ProfileRow(1, "click", 2),
+          ProfileState.ProfileRow(1, "view", 1)), s"got ${rows()}")
+        Thread.sleep(2500L) // processing time crosses the 1.5 s TTL
+        val nBefore = rows().size
+        // a probe reads the profile without contributing: the state
+        // layer filters expired entries on read → empty profile, no
+        // emissions
+        input.addData(ProfileState.PEvent(1, ProfileState.Probe))
+        q.processAllAvailable()
+        assert(rows().size == nBefore,
+          s"expired map entries must vanish, got ${rows()}")
+        // a fresh event RESTARTS its count at 1 — never resumes the
+        // expired tally at 3
+        input.addData(ProfileState.PEvent(1, "click"))
+        q.processAllAvailable()
+        val after = rows()
+        assert(after.contains(ProfileState.ProfileRow(1, "click", 1)),
+          s"fresh post-expiry count must restart at 1: $after")
+        assert(!after.exists(r => r.event_type == "click" && r.n == 3),
+          s"expired tally resumed: $after")
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("ttl_prof")
+      }
+    } }
+    org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+  }
+
+  test("MapState TTL within the horizon is invisible: the TTL'd stream " +
+      "profile equals the batch groupBy exactly") {
+    import graft.streaming.ProfileState
+    import spark.implicits._
+    val ev = (for {
+      u <- 1L to 5L; k <- 0 until 6
+    } yield (u, 1000L + k * 60L + u, if (k % 3 == 0) "view" else "click"))
+      .toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), col("event_type"), col("ts_s"))
+    val got = ProfileState.profilesStreamFile(ev, ttlMs = 3600000L,
+      nBatches = 3, workDir = Files.createTempDirectory("ttl-prof").toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n")).orderBy("user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("rearmTimer deletes superseded deadlines instead of accumulating " +
       "one stale timer per extending micro-batch") {
     // a stub handle backed by a plain set — rearmTimer only touches the
