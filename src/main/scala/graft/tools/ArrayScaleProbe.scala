@@ -1,0 +1,196 @@
+package graft.tools
+
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.SparkStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+
+/** ORDER-OF-MAGNITUDE probe for the array engine (dev tool, not a gate):
+  * runs the performance-fixture shape (400×600×z short, 30³ chunks —
+  * reference resources/performance.json:1-19) at z = 900·scale for each
+  * requested scale and times the paths whose 100 TB posture was argued
+  * from plan shape: full ingest, full exploded read, chunk-aligned
+  * pruned window, driver slice, stats pushdown, chunk-grid aggregation,
+  * and the storage-partitioned join window — plus the DRIVER-side
+  * planning measurements the scale claims actually rest on (full-scan
+  * planning time and partition count, manifest listing cost, post-GC
+  * heap after planning).
+  *
+  * Healthy result: volume-proportional entries (ingest, full read, SPJ)
+  * grow ~linearly in scale; fixed-window entries (pruned window, driver
+  * slice) stay flat; planning partitions grow with #buckets while
+  * planning TIME and driver heap stay far sub-linear. A super-linear
+  * step names a structure that would not survive 100×.
+  *
+  * Usage:
+  *   SPARK_GRAFT_ARRAY_SCALES=1,10 sbt "runMain graft.tools.ArrayScaleProbe"
+  */
+object ArrayScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val scales = sys.env.getOrElse("SPARK_GRAFT_ARRAY_SCALES", "1,10")
+      .split(",").toSeq.map(_.trim.toDouble)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-array-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def rec(name: String, v: Double): Unit = {
+      results(name) = v
+      System.err.println(f"[probe] $name: $v%.3f")
+    }
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { f; rec(name, (System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] $name FAILED: ${e.getMessage}")
+        rec(name, -1.0)
+      }
+    }
+    def heapMb(): Double = {
+      System.gc(); Thread.sleep(300); System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / 1048576.0
+    }
+    def syncFs(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case _: Throwable => () }
+
+    for (scale <- scales) {
+      val tag = if (scale == scale.toLong.toDouble) s"x${scale.toLong}"
+        else s"x$scale"
+      val zDim = math.max(30L, (900 * scale).toLong)
+      val dims = Map("x" -> 400L, "y" -> 600L, "z" -> zDim)
+      val meta = DatasetMeta(
+        dimensions = dims,
+        chunkDimensions = Map("x" -> 30L, "y" -> 30L, "z" -> 30L),
+        variables = Map("foo" ->
+          VariableDef("short", Vector("x", "y", "z"), -3.0)))
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_scaleprobe_$tag").toString
+      val store = new SparkStore(spark, root)
+      val nChunks = 14L * 20L * ((zDim + 29L) / 30L)
+      rec(s"chunks_$tag", nChunks.toDouble)
+      rec(s"cells_$tag", 400.0 * 600.0 * zDim)
+
+      // ---- ingest: the bench writer shape, one x-slab row per x plane,
+      // slabs generated ON EXECUTORS (same codepath as ArrayBench)
+      def writePerf(ds: String, zD: Long): Unit = {
+        store.create(ds)
+        val w = store.addVersion(ds, meta.copy(dimensions = dims.updated("z", zD)))
+        val yz = 600L * zD
+        val slabRows = spark.range(400).map { xo =>
+          val x = xo.toLong
+          val bytes = new Array[Byte]((yz * 2).toInt)
+          var i = 0
+          while (i < yz) {
+            val v = ((x * 31 + i) % 1000).toShort
+            bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte
+            i += 1
+          }
+          (Array(x, 0L, 0L), Array(x + 1L, 600L, zD), bytes, x)
+        }.toDF("start", "stop", "bytes", "seq")
+        w.writeRows("foo", slabRows)
+        w.finishVersion()
+        ()
+      }
+      writePerf("warm", 60L) // untimed JIT warm-up, both scales alike
+      syncFs()
+      time(s"ingest_$tag") { writePerf("perf", zDim) }
+      syncFs()
+      rec(s"heap_after_ingest_mb_$tag", heapMb())
+
+      // ---- driver planning state: manifest listing, full-scan planning
+      time(s"listing_$tag") {
+        require(store.versions("perf").nonEmpty)
+      }
+      val heapBeforePlan = heapMb()
+      var planned = 0
+      time(s"plan_full_$tag") {
+        val df = spark.read.format("graft").option("root", root)
+          .option("dataset", "perf").option("variable", "foo").load()
+        planned = df.rdd.partitions.length
+      }
+      rec(s"plan_partitions_$tag", planned.toDouble)
+      rec(s"heap_plan_delta_mb_$tag", heapMb() - heapBeforePlan)
+
+      val reader = store.reader("perf").onLastVersion()
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      // untimed read warm-up (JIT + page cache for the decode path)
+      noop(reader.exploded("foo", Slice(Seq(0L, 0L, 0L), Seq(60L, 60L, 60L))))
+
+      // ---- volume-proportional reads
+      time(s"read_full_$tag") {
+        noop(reader.exploded("foo",
+          Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim))))
+      }
+      // ---- fixed-window reads: MUST stay flat across scales
+      time(s"read_window_$tag") { // 8 chunks, scale-independent
+        noop(reader.exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L))))
+      }
+      time(s"slice_driver_$tag") { // 27k cells assembled on the driver
+        reader.getSlice("foo", Slice(Seq(100L, 100L, 0L), Seq(130L, 130L, 30L)))
+        ()
+      }
+      // ---- pushdown: zone-map stats, no interior blob decode
+      time(s"stats_agg_$tag") {
+        val row = spark.read.format("graft").option("root", root)
+          .option("dataset", "perf").option("variable", "foo").load()
+          .agg(min("value"), max("value"), sum("value"), count(lit(1)))
+          .collect()(0)
+        require(row.getLong(3) == 400L * 600L * zDim, "bad pushed count")
+      }
+      // ---- chunk-grid aggregation + storage-partitioned join window
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        // chunk-aligned x<90 window (same as the SPJ window): volume-
+        // proportional in z AND under the chunked scan's 65536-chunk
+        // refusal cap at both scales. A FULL-grid chunked scan at x10
+        // (84k chunks) refuses BY DESIGN — per-chunk partitions are the
+        // co-location tool for bounded grid windows; whole-grid
+        // aggregation at scale belongs on the range scan + shuffle.
+        time(s"chunked_agg_$tag") {
+          noop(spark.read.format("graft").option("root", root)
+            .option("dataset", "perf").option("variable", "foo")
+            .option("chunked", "true").load()
+            .filter(col("x") < 90)
+            .groupBy("_chunk_x", "_chunk_y", "_chunk_z")
+            .agg(sum("value"), count(lit(1))))
+        }
+        System.gc()
+        time(s"spj_window_$tag") {
+          def side = spark.read.format("graft").option("root", root)
+            .option("dataset", "perf").option("variable", "foo")
+            .option("chunked", "true").load()
+            .filter(col("x") < 90)
+          noop(side.alias("a").join(side.alias("b").hint("shuffle_hash"),
+            Seq("_chunk_x", "_chunk_y", "_chunk_z", "x", "y", "z"))
+            .select(col("a.value") + col("b.value")))
+        }
+      } finally {
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+        spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      rec(s"heap_final_mb_$tag", heapMb())
+      // reclaim the multi-GB fixture before the next scale runs
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+      ()
+    }
+
+    val line = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    println(s"""{"probe":"array-scale","timings":$line}""")
+    spark.stop()
+  }
+}
