@@ -207,16 +207,32 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       s"no committed version $vid in dataset $name " +
         "(missing, or orphaned by fork resolution)")
     val m = DatasetMeta.fromJson(StoreFs.readString(path))
-    var cur = m
-    val seen = scala.collection.mutable.Set(vid)
-    while (cur.parent.isDefined && !SparkStore.isCheckpoint(cur)) {
-      val p = cur.parent.get
-      require(seen.add(p), s"version chain of $name has a cycle at $p")
-      val pp = StoreFs.child(dir, s"$p.json")
-      require(StoreFs.exists(pp),
-        s"version $vid of $name is orphaned by fork resolution: ancestor " +
-          s"$p was rolled back by a rival's fork verify")
-      cur = DatasetMeta.fromJson(StoreFs.readString(pp))
+    // The walk verdict is cached per JVM: "vid's ancestor chain was
+    // intact" is an almost-immutable fact — it changes only via (a) a
+    // rival's fork rollback deleting a just-committed ancestor (a
+    // seconds-wide window the UNCACHED walk races identically — the
+    // cache merely lets a reader that pinned before the rollback keep
+    // its working handle, ordinary pinned-snapshot semantics) or (b)
+    // expireHistory, which deletes only strictly-below-checkpoint
+    // manifests that a surviving vid's checkpoint-floored walk never
+    // reaches. vid's OWN manifest is still point-probed on every call.
+    val key = (root, name, vid)
+    if (!SparkStore.verifiedChains.contains(key)) {
+      var cur = m
+      val seen = scala.collection.mutable.Set(vid)
+      while (cur.parent.isDefined && !SparkStore.isCheckpoint(cur)) {
+        val p = cur.parent.get
+        require(seen.add(p), s"version chain of $name has a cycle at $p")
+        val pp = StoreFs.child(dir, s"$p.json")
+        require(StoreFs.exists(pp),
+          s"version $vid of $name is orphaned by fork resolution: ancestor " +
+            s"$p was rolled back by a rival's fork verify")
+        cur = DatasetMeta.fromJson(StoreFs.readString(pp))
+      }
+      if (SparkStore.verifiedChains.size > 100000)
+        SparkStore.verifiedChains.clear() // crude cap; re-verify is cheap
+      SparkStore.verifiedChains.add(key)
+      ()
     }
     m
   }
@@ -1305,6 +1321,14 @@ object SparkStore {
     new java.util.concurrent.ConcurrentHashMap[(String, String), Object]()
   private[spark] def commitLock(root: String, name: String): Object =
     commitLocks.computeIfAbsent((root, name), _ => new Object)
+
+  /** Pinned-read ancestor chains already verified intact by
+    * [[SparkStore.committedMetadata]] — see its scaladoc for why the
+    * verdict is safely cacheable per JVM. */
+  private val verifiedChains: java.util.Set[(String, String, Long)] =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
+        java.lang.Boolean]())
 
   /** Sidecar files already parsed into the per-JVM range cache (sidecars
     * are write-once, so one parse per JVM suffices). */

@@ -295,6 +295,27 @@ class MockFsSpec extends AnyFunSuite {
       s"direct onVersion of the dangling child must refuse: $eDirect")
   }
 
+  test("chain-walk verdict caches per JVM: a reader that pinned BEFORE " +
+      "a rollback keeps its working handle (pinned-snapshot semantics); " +
+      "never-pinned orphans still refuse (previous test)") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("cdang")
+    writeVals(store, "cdang", (1 to 10).map(_.toDouble))
+    val vA = writeVals(store, "cdang", (2 to 11).map(_.toDouble))
+    val vB = writeVals(store, "cdang", (3 to 12).map(_.toDouble))
+    // pin vB while its chain is intact — this verifies + caches the walk
+    assert(store.reader("cdang").onVersion(vB).meta.versionId.contains(vB))
+    val versionsDir = StoreFs.child(
+      StoreFs.child(store.root, "cdang"), "versions")
+    StoreFs.deleteIfExists(StoreFs.child(versionsDir, s"$vA.json"))
+    // the LISTING orphans vB immediately…
+    assert(!store.versions("cdang").map(_._2).contains(vB))
+    // …but the already-verified pin keeps resolving in this JVM — the
+    // same seconds-wide rollback race the uncached walk runs, extended
+    // only for a reader that had already pinned (snapshot semantics)
+    assert(store.reader("cdang").onVersion(vB).meta.versionId.contains(vB))
+  }
+
   test("pinned reads resolve by point GET, never the listing: a just-" +
       "committed manifest a lagging LISTING still omits is readable by " +
       "explicit vid the moment its object exists") {
