@@ -138,6 +138,14 @@ object Bench {
     // Interleaved passes: pass p runs EVERY query once, so a transient
     // machine stall poisons at most one rep per query instead of all
     // reps of whichever query it lands on (BENCH_r03's failure mode).
+    // NOTE (round 16): a per-entry System.gc() before each timed body was
+    // tried and REJECTED — on G1 the explicit full GC's follow-on
+    // concurrent cleanup and heap-resize churn bleed INTO the next timed
+    // body, elevating the sub-second entries ~1.3-2× across the board
+    // (A/B full runs: aggregate 1.18× without vs 1.23× with). Cross-entry
+    // pressure is real (q_pipe_dedup_incr_serve: 0.65 s in isolation vs
+    // 1.4-1.9 s mid-suite) but per-entry forced GC is the wrong remedy;
+    // the suite keeps the section-boundary jvmHygiene() instead.
     for (pass <- 0 until reps) {
       entries.foreach { case (name, fn) =>
         val t = time { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
