@@ -1238,10 +1238,20 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
 
 private[source] object GraftScan {
   /** Upper bound on `chunked=true` partitions: one task + one driver-side
-    * (coord, hash) entry per chunk. 64 Ki chunks ≈ a few MiB of driver
-    * state and a schedulable task count; larger windows must use the
-    * default range path (which plans O(buckets) driver state). */
-  val ChunkedMaxChunks: Long = 1L << 16
+    * (coord, hash) entry per chunk. The 64 Ki default ≈ a few MiB of
+    * driver state and a schedulable task count; larger windows must use
+    * the default range path (which plans O(buckets) driver state).
+    * Overridable per session via `spark.graft.chunkedMaxChunks` for
+    * drivers provisioned to hold more — a dial, not a fix: per-chunk
+    * partitions are the co-location tool for bounded grid windows, and
+    * whole-grid work at scale belongs on the range scan (the round-16
+    * ArrayScaleProbe pins both shapes at 84k chunks). */
+  val ChunkedMaxChunksDefault: Long = 1L << 16
+  def ChunkedMaxChunks: Long =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.chunkedMaxChunks").map(_.toLong)
+      .getOrElse(ChunkedMaxChunksDefault)
+    catch { case _: Throwable => ChunkedMaxChunksDefault }
 
   /** Decode a nullable stats struct column of a collected Row. */
   def rowStats(row: org.apache.spark.sql.Row, i: Int): SlabStats =

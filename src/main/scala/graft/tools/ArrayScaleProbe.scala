@@ -83,16 +83,17 @@ object ArrayScaleProbe {
 
       // ---- ingest: the bench writer shape, one x-slab row per x plane,
       // slabs generated ON EXECUTORS (same codepath as ArrayBench)
-      def writePerf(ds: String, zD: Long): Unit = {
-        store.create(ds)
+      def writePlanes(ds: String, zD: Long, nX: Long, create: Boolean,
+          salt: Long): Unit = {
+        if (create) store.create(ds)
         val w = store.addVersion(ds, meta.copy(dimensions = dims.updated("z", zD)))
         val yz = 600L * zD
-        val slabRows = spark.range(400).map { xo =>
+        val slabRows = spark.range(nX).map { xo =>
           val x = xo.toLong
           val bytes = new Array[Byte]((yz * 2).toInt)
           var i = 0
           while (i < yz) {
-            val v = ((x * 31 + i) % 1000).toShort
+            val v = ((x * 31 + i + salt) % 1000).toShort
             bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte
             i += 1
           }
@@ -102,6 +103,8 @@ object ArrayScaleProbe {
         w.finishVersion()
         ()
       }
+      def writePerf(ds: String, zD: Long): Unit =
+        writePlanes(ds, zD, 400L, create = true, salt = 0L)
       writePerf("warm", 60L) // untimed JIT warm-up, both scales alike
       syncFs()
       time(s"ingest_$tag") { writePerf("perf", zDim) }
@@ -180,6 +183,23 @@ object ArrayScaleProbe {
       } finally {
         spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
         spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+      // ---- MVCC overlay at scale: a second version overwriting the
+      // first 30-plane slab (one x-chunk row); reads at the child must
+      // overlay-resolve BOTH versions' indexes over the whole grid, and
+      // a pinned time-travel window at v1 must stay fixed-cost
+      val v1 = store.versions("perf").head._2
+      time(s"overlay_commit_$tag") {
+        writePlanes("perf", zDim, nX = 30L, create = false, salt = 7L)
+      }
+      val rv2 = store.reader("perf").onLastVersion()
+      time(s"read_full_v2_$tag") {
+        noop(rv2.exploded("foo",
+          Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim))))
+      }
+      time(s"read_window_v1_$tag") { // pinned time travel, 8 chunks
+        noop(store.reader("perf").onVersion(v1)
+          .exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L))))
       }
       rec(s"heap_final_mb_$tag", heapMb())
       // reclaim the multi-GB fixture before the next scale runs

@@ -303,6 +303,26 @@ class DataSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked cap is a session conf: a grid over " +
+      "spark.graft.chunkedMaxChunks refuses loudly; raising the dial " +
+      "admits it") {
+    val (store, _, _) = mkStore()
+    def loadChunked() = spark.read.format("graft").option("root", store.root)
+      .option("dataset", "ds").option("variable", "v")
+      .option("chunked", "true").load()
+    spark.conf.set("spark.graft.chunkedMaxChunks", "1")
+    try {
+      val e = intercept[Exception] { loadChunked().count() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else String.valueOf(t.getMessage) +: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("chunked=true scan covers")),
+        s"expected the cap refusal, got: ${msgs(e)}")
+      spark.conf.set("spark.graft.chunkedMaxChunks", "100000")
+      assert(loadChunked().count() > 0)
+    } finally spark.conf.unset("spark.graft.chunkedMaxChunks")
+  }
+
   test("CROSS-VARIABLE storage-partitioned join: two variables of one " +
       "grid join on (_chunk_*, dims) with no Exchange, fill included") {
     val root = java.nio.file.Files.createTempDirectory("graft-dsv2-xv").toString
