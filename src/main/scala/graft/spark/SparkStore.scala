@@ -86,6 +86,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // shared content-addressed blobs.
     validateDatasetName(name, "destroy")
     StoreFs.deleteTree(dsPath(name))
+    // a re-created dataset must never inherit the destroyed generation's
+    // verified-chain verdicts (vids are epoch-ms, so collision is
+    // implausible — but free to rule out)
+    SparkStore.dropVerifiedChains(root, name)
   }
 
   def listDatasets: Seq[String] =
@@ -1329,6 +1333,9 @@ object SparkStore {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
         java.lang.Boolean]())
+
+  private[spark] def dropVerifiedChains(root: String, name: String): Unit =
+    verifiedChains.removeIf(k => k._1 == root && k._2 == name)
 
   /** Sidecar files already parsed into the per-JVM range cache (sidecars
     * are write-once, so one parse per JVM suffices). */

@@ -448,8 +448,10 @@ object Sessionize {
   private[graft] def rearmTimer(
       h: org.apache.spark.sql.streaming.StatefulProcessorHandle,
       at: Long): Unit = {
+    // materialized before deleting: never mutate the timer column
+    // family under its own live state iterator (tiny per key)
     var armed = false
-    h.listTimers().foreach { t =>
+    h.listTimers().toVector.foreach { t =>
       if (t == at) armed = true else h.deleteTimer(t)
     }
     if (!armed) h.registerTimer(at)
