@@ -295,6 +295,28 @@ class MockFsSpec extends AnyFunSuite {
       s"direct onVersion of the dangling child must refuse: $eDirect")
   }
 
+  test("resolution-path equivalence on a linear history: every vid the " +
+      "fork-resolved LISTING serves is pinnable by point GET, and a " +
+      "never-committed vid refuses on both paths") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("eq")
+    val vids = (1 to 4).map(i =>
+      writeVals(store, "eq", (i to i + 9).map(_.toDouble)))
+    store.compact("eq") // a checkpoint mid-history floors later walks
+    val v5 = writeVals(store, "eq", Seq(1.0, 2.0), at = 3L)
+    val listed = store.versions("eq").map(_._2)
+    assert(listed.contains(v5) && vids.forall(listed.contains))
+    listed.foreach { v =>
+      assert(store.reader("eq").onVersion(v).meta.versionId.contains(v),
+        s"listing served $v but the point-GET pin refused it")
+    }
+    val bogus = listed.max + 999
+    intercept[IllegalArgumentException] {
+      store.reader("eq").onVersion(bogus)
+    }
+    assert(!store.versions("eq").map(_._2).contains(bogus))
+  }
+
   test("chain-walk verdict caches per JVM: a reader that pinned BEFORE " +
       "a rollback keeps its working handle (pinned-snapshot semantics); " +
       "never-pinned orphans still refuse (previous test)") {
