@@ -955,16 +955,28 @@ object Similarity {
           // lost the rename ⇒ a rival stole it first; the arbiter below
           // decides. Sweep asides orphaned by crashed stealers — the
           // index vacuum's name filters never match them.
-          try IndexFs.list(path).foreach { case (n, _) =>
+          try IndexFs.list(path).foreach { case (n, m) =>
             // sweep by the NAME-embedded steal instant, never mtime
             // (see the aside comment above): only asides whose steal
-            // is itself a full stale window old are truly orphaned
+            // is itself a full stale window old are truly orphaned.
+            // The instant must parse as a PLAUSIBLE epoch-ms (13-17
+            // digits) — a shorter digit run is a name that merely
+            // starts with digits (e.g. a legacy un-timestamped token),
+            // which must not be swept via a garbage timestamp.
             if (n.startsWith(".write.lock.stale.")) {
               val ts = n.stripPrefix(".write.lock.stale.")
                 .takeWhile(_.isDigit)
-              if (ts.nonEmpty && ts.length <= 17
-                  && ts.toLong < now - staleMs)
+              if (ts.length >= 13 && ts.length <= 17) {
+                if (ts.toLong < now - staleMs)
+                  IndexFs.delete(s"$path/$n")
+              } else if (m < now - 2 * staleMs) {
+                // no embedded instant (legacy/foreign name): fall back
+                // to DOUBLE the stale window on mtime — rename preserves
+                // the old lock's mtime (≥ staleMs at steal time), so 2×
+                // still grants a live co-stealer a full window to finish
+                // its ms-scale verify before its aside becomes sweepable
                 IndexFs.delete(s"$path/$n")
+              }
             }
           } catch { case _: java.io.IOException => () }
         } else refuse()

@@ -89,7 +89,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // a re-created dataset must never inherit the destroyed generation's
     // verified-chain verdicts (vids are epoch-ms, so collision is
     // implausible — but free to rule out)
-    SparkStore.dropVerifiedChains(root, name)
+    verifiedChains.removeIf(_._1 == name)
   }
 
   def listDatasets: Seq[String] =
@@ -211,17 +211,18 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       s"no committed version $vid in dataset $name " +
         "(missing, or orphaned by fork resolution)")
     val m = DatasetMeta.fromJson(StoreFs.readString(path))
-    // The walk verdict is cached per JVM: "vid's ancestor chain was
-    // intact" is an almost-immutable fact — it changes only via (a) a
-    // rival's fork rollback deleting a just-committed ancestor (a
-    // seconds-wide window the UNCACHED walk races identically — the
-    // cache merely lets a reader that pinned before the rollback keep
-    // its working handle, ordinary pinned-snapshot semantics) or (b)
-    // expireHistory, which deletes only strictly-below-checkpoint
-    // manifests that a surviving vid's checkpoint-floored walk never
-    // reaches. vid's OWN manifest is still point-probed on every call.
-    val key = (root, name, vid)
-    if (!SparkStore.verifiedChains.contains(key)) {
+    // The walk verdict is cached per STORE INSTANCE (not JVM-wide): a
+    // handle that verified the chain keeps resolving it — ordinary
+    // pinned-snapshot semantics, and exactly the serve-path win (one
+    // long-lived store resolving per query) — while a FRESH handle
+    // (each DSv2 resolve constructs its own SparkStore) re-verifies,
+    // so a fork rollback that orphans the branch after the fact is
+    // still refused to every new reader. The verdict is otherwise
+    // almost-immutable: expireHistory deletes only strictly-below-
+    // checkpoint manifests that a surviving vid's checkpoint-floored
+    // walk never reaches. vid's OWN manifest is point-probed every call.
+    val key = (name, vid)
+    if (!verifiedChains.contains(key)) {
       var cur = m
       val seen = scala.collection.mutable.Set(vid)
       while (cur.parent.isDefined && !SparkStore.isCheckpoint(cur)) {
@@ -233,12 +234,29 @@ final class SparkStore(val spark: SparkSession, val root: String) {
             s"$p was rolled back by a rival's fork verify")
         cur = DatasetMeta.fromJson(StoreFs.readString(pp))
       }
-      if (SparkStore.verifiedChains.size > 100000)
-        SparkStore.verifiedChains.clear() // crude cap; re-verify is cheap
-      SparkStore.verifiedChains.add(key)
+      if (verifiedChains.size > 100000)
+        verifiedChains.clear() // crude cap; re-verify is cheap
+      verifiedChains.add(key)
       ()
     }
     m
+  }
+
+  /** See [[committedMetadata]]: per-instance verified-chain verdicts. */
+  private val verifiedChains: java.util.Set[(String, Long)] =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(String, Long),
+        java.lang.Boolean]())
+
+  /** The fork-resolved listing WITH its parsed manifests, for callers
+    * that pick a version from the listing and then read it — re-GETting
+    * and re-parsing the manifest the listing just served (plus a chain
+    * walk) would be pure redundant round trips. Every listed vid is by
+    * construction chain-intact, so the verified-chain set is seeded too. */
+  private[spark] def listedManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
+    val vs = versionManifests(name)
+    vs.foreach { case (_, v, _) => verifiedChains.add((name, v)) }
+    vs
   }
 
   def reader(name: String): SparkDatasetReader = new SparkDatasetReader(this, name)
@@ -1326,17 +1344,6 @@ object SparkStore {
   private[spark] def commitLock(root: String, name: String): Object =
     commitLocks.computeIfAbsent((root, name), _ => new Object)
 
-  /** Pinned-read ancestor chains already verified intact by
-    * [[SparkStore.committedMetadata]] — see its scaladoc for why the
-    * verdict is safely cacheable per JVM. */
-  private val verifiedChains: java.util.Set[(String, String, Long)] =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
-        java.lang.Boolean]())
-
-  private[spark] def dropVerifiedChains(root: String, name: String): Unit =
-    verifiedChains.removeIf(k => k._1 == root && k._2 == name)
-
   /** Sidecar files already parsed into the per-JVM range cache (sidecars
     * are write-once, so one parse per JVM suffices). */
   private[spark] val loadedSidecars =
@@ -1486,19 +1493,22 @@ final class SparkDatasetReader(store: SparkStore, name: String) {
     new SparkPinnedReader(store, name, store.committedMetadata(name, vid))
   }
 
+  // listing-relative pins reuse the listing's parsed manifests: the
+  // fork-resolved listing already proves the chain, so re-probing and
+  // re-parsing via onVersion would be redundant round trips per read
   def onNthVersion(n: Int): SparkPinnedReader = {
-    val vs = versions
+    val vs = store.listedManifests(name)
     val idx = if (n < 0) vs.size + n else n
     require(idx >= 0 && idx < vs.size, s"no version at index $n (have ${vs.size})")
-    onVersion(vs(idx)._2)
+    new SparkPinnedReader(store, name, vs(idx)._3)
   }
 
   def onLastVersion(): SparkPinnedReader = onNthVersion(0)
 
   def onTimestamp(tsMillis: Long): SparkPinnedReader = {
-    val vs = versions.filter(_._1 <= tsMillis)
+    val vs = store.listedManifests(name).filter(_._1 <= tsMillis)
     require(vs.nonEmpty, s"no version at or before $tsMillis")
-    onVersion(vs.head._2)
+    new SparkPinnedReader(store, name, vs.head._3)
   }
 }
 

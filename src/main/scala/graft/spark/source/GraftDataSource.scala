@@ -77,7 +77,10 @@ private[source] object GraftSource {
     val variable = req("variable")
     val chunked = options.get("chunked").exists(_.toBoolean)
     val create = options.get("create").exists(_.toBoolean)
-    val committed =
+    // lazy: only the create path consults it — a plain read (explicit
+    // version or latest) must not pay a full fork-resolved listing here
+    // on top of its own resolution below
+    lazy val committed =
       store.datasetExists(dataset) && store.versions(dataset).nonEmpty
     if (create && !committed) {
       // fresh dataset: the definition comes from the options and is
@@ -95,9 +98,10 @@ private[source] object GraftSource {
         // a lagging listing can't spuriously refuse a fresh commit
         store.committedMetadata(dataset, v)
       case None =>
-        val vs = store.versions(dataset)
+        // the listing's parsed manifest is reused — no re-GET/re-parse
+        val vs = store.listedManifests(dataset)
         require(vs.nonEmpty, s"dataset $dataset has no committed versions")
-        store.metadata(dataset, vs.head._2)
+        vs.head._3
     }
     val vid = meta.versionId.get
     require(meta.variables.contains(variable),
@@ -1247,11 +1251,28 @@ private[source] object GraftScan {
     * whole-grid work at scale belongs on the range scan (the round-16
     * ArrayScaleProbe pins both shapes at 84k chunks). */
   val ChunkedMaxChunksDefault: Long = 1L << 16
-  def ChunkedMaxChunks: Long =
-    try org.apache.spark.sql.SparkSession.active.conf
-      .getOption("spark.graft.chunkedMaxChunks").map(_.toLong)
-      .getOrElse(ChunkedMaxChunksDefault)
-    catch { case _: Throwable => ChunkedMaxChunksDefault }
+  def ChunkedMaxChunks: Long = {
+    // no-active-session threads legitimately fall back to the default;
+    // a PRESENT dial must parse and bound-check LOUDLY — silently
+    // ignoring a malformed value would refuse scans with a message
+    // implying a cap the user believes they raised
+    val dial =
+      try org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.chunkedMaxChunks")
+      catch { case _: Throwable => None }
+    dial.fold(ChunkedMaxChunksDefault) { s =>
+      val v =
+        try s.trim.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.chunkedMaxChunks must be a positive long, got '$s'") }
+      // Int bound: the reported KeyGroupedPartitioning takes an Int
+      // partition count — a larger dial would overflow negative
+      require(v > 0 && v <= Int.MaxValue,
+        s"spark.graft.chunkedMaxChunks must be in (0, ${Int.MaxValue}], got $v")
+      v
+    }
+  }
 
   /** Decode a nullable stats struct column of a collected Row. */
   def rowStats(row: org.apache.spark.sql.Row, i: Int): SlabStats =

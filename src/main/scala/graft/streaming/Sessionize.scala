@@ -435,24 +435,39 @@ object Sessionize {
     }
   }
 
-  /** Re-arm a key's single live event-time deadline. Every OTHER armed
+  /** Re-arm a key's single live event-time deadline. Every other FUTURE
     * timer for the key is SUPERSEDED — the deadline moved when the
     * session/fragment was extended — and without cleanup they accumulate
     * one per extending micro-batch in the timer column family, each
     * later firing a no-op expiry callback: state growth plus wasted
     * timer fires for long-lived sessions. So delete the superseded
-    * deadlines before (re-)registering; `listTimers` is key-scoped and
-    * tiny (≤ open-fragment count), and skipping an already-armed expiry
-    * avoids a per-batch WARN + wasted state write when the deadline is
-    * unchanged. */
+    * future deadlines before (re-)registering.
+    *
+    * Timers AT OR BELOW the current watermark are DUE THIS BATCH and
+    * are never deleted: handleInputRows runs before the engine's
+    * expired-timer scan, and a due timer deleted here would close only
+    * after a FURTHER watermark advance — which a bounded run's final
+    * batch never gets (the close would be lost). For the gap processors
+    * this window is closed independently (an input row that could
+    * coexist with a due deadline is either late-dropped pre-state or
+    * closes the session inline in GapFold), but that safety is a
+    * coupling of three rules in two places — the guard here makes
+    * rearm locally correct for ANY processor, and costs nothing: the
+    * expiry callbacks are stale-safe, so letting a due-but-superseded
+    * timer fire is always sound.
+    *
+    * `listTimers` is key-scoped and tiny (≤ open-fragment count), and
+    * skipping an already-armed expiry avoids a per-batch WARN + wasted
+    * state write when the deadline is unchanged. */
   private[graft] def rearmTimer(
       h: org.apache.spark.sql.streaming.StatefulProcessorHandle,
-      at: Long): Unit = {
+      at: Long, wm: Long): Unit = {
     // materialized before deleting: never mutate the timer column
     // family under its own live state iterator (tiny per key)
     var armed = false
     h.listTimers().toVector.foreach { t =>
-      if (t == at) armed = true else h.deleteTimer(t)
+      if (t == at) armed = true
+      else if (t > wm) h.deleteTimer(t) // superseded FUTURE deadline only
     }
     if (!armed) h.registerTimer(at)
   }
@@ -480,9 +495,10 @@ object Sessionize {
       * above the current watermark (the clamp only moves a deadline the
       * watermark ALREADY passed); superseded deadlines are deleted, not
       * left to fire no-op expiries (see [[Sessionize.rearmTimer]]). */
-    protected def arm(s: SessionState, tv: TimerValues): Unit =
-      rearmTimer(getHandle,
-        math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs))
+    protected def arm(s: SessionState, tv: TimerValues): Unit = {
+      val wm = tv.getCurrentWatermarkInMs()
+      rearmTimer(getHandle, math.max(wm + 1, s.last + gapMs), wm)
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         tv: TimerValues): Iterator[Session] = {
@@ -747,8 +763,8 @@ object Sessionize {
       }
       cur.foreach { s =>
         core.update(s)
-        rearmTimer(getHandle,
-          math.max(tv.getCurrentWatermarkInMs() + 1, s.last + gapMs))
+        val wm = tv.getCurrentWatermarkInMs()
+        rearmTimer(getHandle, math.max(wm + 1, s.last + gapMs), wm)
       }
       closed.result().iterator
     }
@@ -804,7 +820,7 @@ object Sessionize {
       else {
         frags.put(open.toArray)
         rearmTimer(getHandle,
-          math.max(wm + 1, open.map(_.last + gapMs).min))
+          math.max(wm + 1, open.map(_.last + gapMs).min), wm)
       }
       closed.sortBy(_.start).iterator.map(f =>
         Session(userId, f.start, f.last, f.n, f.types.size, f.last - f.start))

@@ -127,7 +127,10 @@ class RealObjectStoreSpec extends AnyFunSuite {
     } finally store.destroy("dang")
   }
 
-  /** Tiny two-thread fan-out for the race test (no scala-parallel dep). */
+  /** Tiny two-thread fan-out for the race test (no scala-parallel dep).
+    * A thread that outlives the join timeout FAILS the test explicitly —
+    * returning null results would both mislead the race assertion and
+    * let the still-running committer race the finally-block destroy. */
   private implicit class Par[A](xs: Seq[A]) {
     def par[B](f: A => B): Seq[B] = {
       val out = new Array[Any](xs.size)
@@ -135,6 +138,10 @@ class RealObjectStoreSpec extends AnyFunSuite {
         new Thread(() => out(i) = f(x))
       }
       ts.foreach(_.start()); ts.foreach(_.join(120000))
+      val hung = ts.count(_.isAlive)
+      assert(hung == 0,
+        s"$hung committer thread(s) still running after 120 s — endpoint " +
+          "too slow or wedged; not destroying under a live writer")
       out.toSeq.asInstanceOf[Seq[B]]
     }
   }

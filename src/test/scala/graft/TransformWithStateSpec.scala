@@ -228,21 +228,29 @@ class TransformWithStateSpec extends AnyFunSuite {
         throw new UnsupportedOperationException
     }
     // a session extending across four micro-batches: exactly ONE live
-    // deadline at any time, never four accumulated
-    Sessionize.rearmTimer(h, 70000L)
+    // deadline at any time, never four accumulated (wm well below all)
+    Sessionize.rearmTimer(h, 70000L, wm = 0L)
     assert(timers.toSeq == Seq(70000L))
-    Sessionize.rearmTimer(h, 100000L) // extension moved the deadline
+    Sessionize.rearmTimer(h, 100000L, wm = 0L) // extension moved the deadline
     assert(timers.toSeq == Seq(100000L),
       s"superseded 70 s timer must be deleted, got $timers")
-    Sessionize.rearmTimer(h, 100000L) // unchanged deadline: no churn
+    Sessionize.rearmTimer(h, 100000L, wm = 0L) // unchanged deadline: no churn
     assert(timers.toSeq == Seq(100000L))
-    Sessionize.rearmTimer(h, 130000L)
+    Sessionize.rearmTimer(h, 130000L, wm = 0L)
     assert(timers.toSeq == Seq(130000L))
-    // a stray EARLIER timer (e.g. restored from a pre-fix checkpoint)
-    // is also cleaned at the next re-arm
-    timers += 40000L
-    Sessionize.rearmTimer(h, 130000L)
+    // a stray FUTURE timer (e.g. restored from a pre-fix checkpoint)
+    // is also cleaned at the next re-arm while it is still unexpired
+    timers += 125000L
+    Sessionize.rearmTimer(h, 130000L, wm = 40000L)
     assert(timers.toSeq == Seq(130000L))
+    // a timer AT OR BELOW the watermark is DUE THIS BATCH and must
+    // survive the re-arm: handleInputRows runs before the engine's
+    // expired-timer scan, and deleting the due close would lose the
+    // session on a bounded run's final batch (late event, delay > gap)
+    timers += 90000L // due: wm has passed it
+    Sessionize.rearmTimer(h, 130001L, wm = 95000L)
+    assert(timers.toSeq == Seq(90000L, 130001L),
+      s"a due (≤ wm) timer must never be deleted, got $timers")
   }
 
   test("refuses the heap state-store provider loudly") {
