@@ -52,6 +52,60 @@ object ArrayQueries {
     }
   }
 
+  /** Rank-5 fixture (no testdata dependency, memoized per JVM): dims
+    * (a,b,c,d,e) = (6,5,4,3,7), chunks (4,3,2,2,4) — every axis has
+    * overhang. v1 writes value = 1 + row-major linear index over the box
+    * [0,6)×[0,5)×[0,4)×[0,3)×[0,5) (e∈[5,7) stays fill −1: the fill
+    * corner); v2 overwrites the interior box [2,5)×[1,4)×[1,3)×[0,2)×
+    * [3,7) with 1000 + linear (partial-chunk overlap merge on all five
+    * axes). lin(a,b,c,d,e) = 420a + 84b + 21c + 7d + e. */
+  private object Fixture5D {
+    final case class H(store: graft.spark.SparkStore)
+    private val cache =
+      new java.util.concurrent.atomic.AtomicReference[H](null)
+    private def lin(a: Long, b: Long, c: Long, d: Long, e: Long): Long =
+      420 * a + 84 * b + 21 * c + 7 * d + e
+    private def boxVals(box: Slice, f: Long => Double): IndexedSeq[Double] =
+      box.iter.map { co =>
+        f(lin(co(0), co(1), co(2), co(3), co(4)))
+      }.toIndexedSeq
+    def get(s: SparkSession): H = {
+      val cur = cache.get()
+      if (cur != null) cur
+      else synchronized {
+        val again = cache.get()
+        if (again != null) again
+        else {
+          import graft.core._
+          import graft.meta.{DatasetMeta, VariableDef}
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_5d_fixture").toString
+          val store = new graft.spark.SparkStore(s, root)
+          val meta = DatasetMeta(
+            dimensions = Map("a" -> 6L, "b" -> 5L, "c" -> 4L,
+              "d" -> 3L, "e" -> 7L),
+            chunkDimensions = Map("a" -> 4L, "b" -> 3L, "c" -> 2L,
+              "d" -> 2L, "e" -> 4L),
+            variables = Map("v" ->
+              VariableDef("long", Vector("a", "b", "c", "d", "e"), -1.0)))
+          store.create("d5")
+          val boxA = Slice(Seq(0L, 0L, 0L, 0L, 0L), Seq(6L, 5L, 4L, 3L, 5L))
+          val w1 = store.addVersion("d5", meta)
+          w1.write("v", Seq(Slab.fromDoubles(DType.LONG, boxA,
+            boxVals(boxA, l => (1 + l).toDouble))))
+          w1.finishVersion()
+          val boxB = Slice(Seq(2L, 1L, 1L, 0L, 3L), Seq(5L, 4L, 3L, 2L, 7L))
+          val w2 = store.addVersion("d5", meta)
+          w2.write("v", Seq(Slab.fromDoubles(DType.LONG, boxB,
+            boxVals(boxB, l => (1000 + l).toDouble))))
+          w2.finishVersion()
+          val h = H(store)
+          cache.set(h); h
+        }
+      }
+    }
+  }
+
   /** `rck` = ev.n@v1 rechunked onto extent 100, created at most once per
     * fixture store (q_arr_rechunk and q_arr_xgrid both depend on it and
     * run in arbitrary order). */
@@ -330,6 +384,16 @@ object ArrayQueries {
         .withColumn("expired", lit(fx.expired))
         .withColumn("reclaimed", lit(fx.reclaimed))
         .orderBy("h")
+    }),
+    // rank-5 variable: slice + overlapping merge + fill corner — the
+    // coordinate math (ChunkGrid / Slice / row-major Slab iteration) is
+    // rank-generic; this gate pins it beyond the ≤4-D fixtures under the
+    // same DuckDB oracle discipline (closed-form ground truth)
+    "q_arr_5d" -> ((s, dir) => {
+      val fx = Fixture5D.get(s)
+      fx.store.reader("d5").onLastVersion()
+        .exploded("v", Slice(Seq(1L, 0L, 0L, 0L, 2L), Seq(6L, 5L, 4L, 3L, 7L)))
+        .orderBy("a", "b", "c", "d", "e")
     }),
     "q_arr_vacuum" -> ((s, dir) => {
       val fx = VacuumFixture.get(s)
@@ -1060,6 +1124,23 @@ object ArrayQueries {
     "q_arr_stream_ingest" -> streamIngestSql,
     "q_arr_stream_ingest_fstream" -> streamIngestSql,
     "q_arr_scalar" -> "SELECT count(*) AS value FROM events",
+    // rank-5 closed-form ground truth: v2 box first (overlap winner),
+    // then v1 box, else fill — lin = 420a+84b+21c+7d+e
+    "q_arr_5d" ->
+      """SELECT ga.a AS a, gb.b AS b, gc.c AS c, gd.d AS d, ge.e AS e,
+        | CAST(CASE
+        |  WHEN ga.a >= 2 AND ga.a < 5 AND gb.b >= 1 AND gb.b < 4
+        |   AND gc.c >= 1 AND gc.c < 3 AND gd.d < 2 AND ge.e >= 3
+        |  THEN 1000 + (420*ga.a + 84*gb.b + 21*gc.c + 7*gd.d + ge.e)
+        |  WHEN ge.e < 5
+        |  THEN 1 + (420*ga.a + 84*gb.b + 21*gc.c + 7*gd.d + ge.e)
+        |  ELSE -1 END AS BIGINT) AS value
+        |FROM range(1,6) ga(a)
+        |CROSS JOIN range(0,5) gb(b)
+        |CROSS JOIN range(0,4) gc(c)
+        |CROSS JOIN range(0,3) gd(d)
+        |CROSS JOIN range(2,7) ge(e)
+        |ORDER BY 1,2,3,4,5""".stripMargin,
     "q_arr_2d" ->
       """WITH lb AS (
         | SELECT (year(l_shipdate) * 12 + month(l_shipdate)) AS am,

@@ -89,7 +89,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // a re-created dataset must never inherit the destroyed generation's
     // verified-chain verdicts (vids are epoch-ms, so collision is
     // implausible — but free to rule out)
-    verifiedChains.removeIf(_._1 == name)
+    verifiedChains.keySet.removeIf(_._1 == name)
   }
 
   def listDatasets: Seq[String] =
@@ -211,51 +211,92 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       s"no committed version $vid in dataset $name " +
         "(missing, or orphaned by fork resolution)")
     val m = DatasetMeta.fromJson(StoreFs.readString(path))
-    // The walk verdict is cached per STORE INSTANCE (not JVM-wide): a
-    // handle that verified the chain keeps resolving it — ordinary
-    // pinned-snapshot semantics, and exactly the serve-path win (one
-    // long-lived store resolving per query) — while a FRESH handle
-    // (each DSv2 resolve constructs its own SparkStore) re-verifies,
-    // so a fork rollback that orphans the branch after the fact is
-    // still refused to every new reader. The verdict is otherwise
-    // almost-immutable: expireHistory deletes only strictly-below-
-    // checkpoint manifests that a surviving vid's checkpoint-floored
-    // walk never reaches. vid's OWN manifest is point-probed every call.
-    val key = (name, vid)
-    if (!verifiedChains.contains(key)) {
-      var cur = m
-      val seen = scala.collection.mutable.Set(vid)
-      while (cur.parent.isDefined && !SparkStore.isCheckpoint(cur)) {
-        val p = cur.parent.get
-        require(seen.add(p), s"version chain of $name has a cycle at $p")
-        val pp = StoreFs.child(dir, s"$p.json")
-        require(StoreFs.exists(pp),
-          s"version $vid of $name is orphaned by fork resolution: ancestor " +
-            s"$p was rolled back by a rival's fork verify")
-        cur = DatasetMeta.fromJson(StoreFs.readString(pp))
-      }
-      if (verifiedChains.size > 100000)
-        verifiedChains.clear() // crude cap; re-verify is cheap
-      verifiedChains.add(key)
-      ()
-    }
+    pinnedChain(name, m) // verify (or re-use the cached verified chain)
     m
   }
 
-  /** See [[committedMetadata]]: per-instance verified-chain verdicts. */
-  private val verifiedChains: java.util.Set[(String, Long)] =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[(String, Long),
-        java.lang.Boolean]())
+  /** The pinned version's verified PARENT CHAIN, walked by point GETs
+    * (O(depth), floored by the nearest checkpoint — inclusive), ordered
+    * pinned-first. This is both the orphan VERIFY [[committedMetadata]]
+    * gates on and the ADMISSIBLE VERSION SET a pinned DATA read resolves
+    * over (see [[resolvedIndexPinned]]) — metadata and data resolution
+    * share one source of truth, so a pinned read is chain-consistent
+    * end-to-end: a lagging listing can neither refuse the pin NOR
+    * silently drop the pinned version's own writes, and a
+    * duplicate-parent loser pin serves ITS branch's rows, never the
+    * rival winner's.
+    *
+    * The chain is cached per STORE INSTANCE (not JVM-wide): a handle
+    * that verified a chain keeps resolving that snapshot — while a
+    * FRESH handle (each DSv2 resolve constructs its own SparkStore)
+    * re-walks, so a fork rollback that orphans the branch after the
+    * fact is still refused to every new reader. The cached chain is
+    * otherwise almost-immutable: expireHistory deletes only
+    * strictly-below-checkpoint manifests the checkpoint-floored walk
+    * never reaches. vid's OWN manifest is point-probed by every
+    * [[committedMetadata]] call before this runs. */
+  private[graft] def pinnedChain(name: String,
+      pinned: DatasetMeta): IndexedSeq[DatasetMeta] = {
+    val vid = pinned.versionId.get
+    val key = (name, vid)
+    val cached = verifiedChains.get(key)
+    if (cached != null) return cached
+    val dir = versionsDir(name)
+    val buf = scala.collection.mutable.ArrayBuffer(pinned)
+    var cur = pinned
+    val seen = scala.collection.mutable.Set(vid)
+    while (cur.parent.isDefined && !SparkStore.isCheckpoint(cur)) {
+      val p = cur.parent.get
+      require(seen.add(p), s"version chain of $name has a cycle at $p")
+      val pp = StoreFs.child(dir, s"$p.json")
+      require(StoreFs.exists(pp),
+        s"version $vid of $name is orphaned by fork resolution: ancestor " +
+          s"$p was rolled back by a rival's fork verify")
+      cur = DatasetMeta.fromJson(StoreFs.readString(pp))
+      buf += cur
+    }
+    val chain = buf.toIndexedSeq
+    if (verifiedChains.size > 10000) {
+      // bounded: evict ONE arbitrary entry, never wholesale-clear — a
+      // hot serve path must not lose every verified chain at once
+      val it = verifiedChains.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() }
+    }
+    verifiedChains.put(key, chain)
+    chain
+  }
+
+  /** See [[pinnedChain]]: per-instance verified chains, pinned-first. */
+  private val verifiedChains =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      IndexedSeq[DatasetMeta]]()
 
   /** The fork-resolved listing WITH its parsed manifests, for callers
     * that pick a version from the listing and then read it — re-GETting
     * and re-parsing the manifest the listing just served (plus a chain
     * walk) would be pure redundant round trips. Every listed vid is by
-    * construction chain-intact, so the verified-chain set is seeded too. */
+    * construction chain-intact, so the verified-chain cache is seeded
+    * from the already-parsed manifests (memoized suffix-sharing walk,
+    * zero extra GETs); a vid whose parent the listing transiently lags
+    * is simply left unseeded and falls back to the lazy point-GET walk. */
   private[spark] def listedManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
     val vs = versionManifests(name)
-    vs.foreach { case (_, v, _) => verifiedChains.add((name, v)) }
+    val byId = vs.map { case (_, v, m) => v -> m }.toMap
+    val memo = scala.collection.mutable.Map[Long, IndexedSeq[DatasetMeta]]()
+    def chainOf(m: DatasetMeta): IndexedSeq[DatasetMeta] =
+      memo.getOrElseUpdate(m.versionId.get, {
+        if (m.parent.isEmpty || SparkStore.isCheckpoint(m)) IndexedSeq(m)
+        else byId.get(m.parent.get) match {
+          case Some(pm) =>
+            val tail = chainOf(pm)
+            if (tail == null) null else m +: tail
+          case None => null
+        }
+      })
+    vs.foreach { case (_, v, m) =>
+      val c = chainOf(m)
+      if (c != null) verifiedChains.putIfAbsent((name, v), c)
+    }
     vs
   }
 
@@ -521,10 +562,13 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       //    base terminal-provenance rows diffed against): parent resolve,
       //    or fill for no-parent / REPLACE variables
       val tornVars = torn.select("var").distinct().as[String].collect().toSeq
+      // chain-scoped on the committing version's own parent manifest —
+      // same rationale as the write-path base resolve
+      lazy val pMeta = meta.parent.map(metadata(name, _))
       val parents = tornVars.flatMap { varN =>
-        meta.parent match {
-          case Some(p) if !SparkStore.isReplaceOf(meta, varN) =>
-            Some(resolvedIndex(name, varN, upTo = p)
+        pMeta match {
+          case Some(pm) if !SparkStore.isReplaceOf(meta, varN) =>
+            Some(resolvedIndexPinned(name, varN, pm)
               .join(torn.filter(col("var") === varN).select("coordKey"),
                 Seq("coordKey"), "left_semi")
               .select(lit(varN).as("var"), col("coordKey"),
@@ -1207,10 +1251,35 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * `upTo`, plus (optionally) the in-flight version itself
     * (reference read rule: backend/mem.clj:32-49; write-side base lookup:
     * impl.clj:246-250). */
-  /** Public wrapper for the DSv2 source's planning step. */
-  def resolvedIndexPublic(name: String, varName: String, upTo: Long,
+  /** Public wrapper for the DSv2 source's planning step — pinned
+    * (chain-scoped) resolution, since DSv2 reads always hold a resolved
+    * manifest (explicit `version` option or the listing's head). */
+  def resolvedIndexPublic(name: String, varName: String, pinned: DatasetMeta,
       coordFilter: Column): DataFrame =
-    resolvedIndex(name, varName, upTo, coordFilter = coordFilter)
+    resolvedIndexPinned(name, varName, pinned, coordFilter = coordFilter)
+
+  /** MVCC resolve for a PINNED read: the admissible version set is the
+    * pinned version's own verified parent chain ([[pinnedChain]] — point
+    * GETs, O(depth), checkpoint-floored), truncated at the newest
+    * per-variable REPLACE barrier on that chain, NOT the fork-resolved
+    * listing. On a linear history this is exactly the listing-derived
+    * set; where the two diverge the chain is the correct one:
+    *  - a just-committed version a lagging LISTING still omits resolves
+    *    its OWN index rows (the listing-based set would silently return
+    *    parent data under the new manifest — a torn read);
+    *  - a duplicate-parent LOSER pin resolves its branch's rows and
+    *    never admits the rival winner's overlay (the listing-based set
+    *    would mix the two branches). */
+  private[spark] def resolvedIndexPinned(name: String, varName: String,
+      pinned: DatasetMeta,
+      includeUncommitted: Option[Long] = None,
+      coordFilter: Column = lit(true)): DataFrame = {
+    val chain = pinnedChain(name, pinned)
+    val replaceAt = chain.indexWhere(m => SparkStore.isReplaceOf(m, varName))
+    val floored = if (replaceAt >= 0) chain.take(replaceAt + 1) else chain
+    val admissible = floored.map(_.versionId.get) ++ includeUncommitted.toSeq
+    resolvedOver(name, varName, admissible, coordFilter)
+  }
 
   /** `coordFilter` is applied to the RAW index scan, before the group-by:
     * Catalyst cannot push a filter through max_by, and without this a
@@ -1297,7 +1366,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     true
   }
 
-  private def resolvedOver(name: String, varName: String,
+  private[spark] def resolvedOver(name: String, varName: String,
       admissible: Seq[Long], coordFilter: Column): DataFrame =
     indexDF(name)
       .filter(col("var") === varName && col("version").isin(admissible: _*))
@@ -1604,7 +1673,7 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     * race the append-side dedup) are dropped per coordinate. */
   private[spark] def chunkRows(varName: String, request: Slice): DataFrame = {
     val coords = coveringCoordsDF(varName, request)
-    val resolved = store.resolvedIndex(name, varName, vid,
+    val resolved = store.resolvedIndexPinned(name, varName, meta,
         coordFilter = coordEnvelopeFilter(varName, request))
       .select("coordKey", "hash")
     val joined =
@@ -1841,7 +1910,7 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     val req = request
 
     val rows = coveringCoordsDF(varName, request)
-      .join(store.resolvedIndex(name, varName, vid,
+      .join(store.resolvedIndexPinned(name, varName, meta,
         coordFilter = coordEnvelopeFilter(varName, request))
         .select("coordKey", "hash", "stats"), Seq("coordKey"), "left")
     val interior = (0 until request.rank).map { i =>
@@ -2080,8 +2149,16 @@ final class SparkVersionWriter(store: SparkStore, name: String,
             ChunkGrid.toChunkCoordinates(Slice(start.toVector, stop.toVector),
               m.chunkGridSlice(varN)).iterator.map(SparkStore.coordKey)
           }.distinct().toDF("coordKey")
-        val baseIdx = store.resolvedIndex(name, varN,
-          upTo = meta.parent.getOrElse(Long.MinValue), includeUncommitted = Some(vid))
+        // base resolution is CHAIN-scoped on the writer's own parent
+        // manifest (not the listing): a writer chained on a
+        // just-committed parent a lagging listing still omits must merge
+        // against the parent's real state, never the grandparent's
+        val baseIdx = (parentMeta match {
+          case Some(pm) => store.resolvedIndexPinned(name, varN, pm,
+            includeUncommitted = Some(vid))
+          case None => store.resolvedOver(name, varN, Seq(vid),
+            org.apache.spark.sql.functions.lit(true))
+        })
           .join(touched, Seq("coordKey"), "left_semi")
           .select(col("coordKey"), col("hash"),
             when(col("winVersion") === vid, col("winSeq")).otherwise(-1L)

@@ -832,6 +832,14 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
   // row-level filter still applies above the scan)
   @volatile private var request: Slice = request0
 
+  // the chunked-partition dial, captured ONCE from the session that
+  // planned this scan: outputPartitioning / planChunked / planGroupedAgg
+  // may later run on threads without an active session (whose fallback
+  // is the default), and a raised dial observed by only SOME of the
+  // three call sites would plan >default partitions while silently
+  // reporting UnknownPartitioning — dropping SPJ co-location
+  private val chunkedMaxChunks: Long = GraftScan.ChunkedMaxChunks
+
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // chunked scans report KeyGroupedPartitioning; runtime filtering that
     // shrank the partition set would violate Spark's preserved-partitioning
@@ -1025,7 +1033,7 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     // pushdown has no merge above the scan; subset-key partials shuffle
     // one tiny row per chunk)
     if (!r.chunked || isEmpty || aggSpec.isDefined ||
-        coveringChunks > GraftScan.ChunkedMaxChunks)
+        coveringChunks > chunkedMaxChunks)
       new UnknownPartitioning(0)
     else new KeyGroupedPartitioning(
       r.dims.map(d => org.apache.spark.sql.connector.expressions.Expressions
@@ -1051,8 +1059,7 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
         }.foldLeft(org.apache.spark.sql.functions.lit(true))(_ && _)
       case _ => envelope
     }
-    r.store.resolvedIndexPublic(r.dataset, r.variable,
-      r.meta.versionId.get, filt)
+    r.store.resolvedIndexPublic(r.dataset, r.variable, r.meta, filt)
       .select("coordKey", "hash", "stats").collect()
       .map(row => row.getString(0) ->
         (row.getString(1), GraftScan.rowStats(row, 2))).toMap
@@ -1068,8 +1075,8 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
     * subset keys shuffle tiny keyed partials). */
   private def planGroupedAgg(): Array[InputPartition] = {
     val n = coveringChunks
-    require(n <= GraftScan.ChunkedMaxChunks,
-      s"chunked=true scan covers $n chunks > ${GraftScan.ChunkedMaxChunks}; " +
+    require(n <= chunkedMaxChunks,
+      s"chunked=true scan covers $n chunks > $chunkedMaxChunks; " +
         "narrow the request or drop the chunked option (default range scan)")
     val coords = ChunkGrid.toChunkCoordinates(request, grid)
     val resolved = resolveWithStats()
@@ -1089,8 +1096,8 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
 
   private def planChunked(): Array[InputPartition] = {
     val n = coveringChunks
-    require(n <= GraftScan.ChunkedMaxChunks,
-      s"chunked=true scan covers $n chunks > ${GraftScan.ChunkedMaxChunks}; " +
+    require(n <= chunkedMaxChunks,
+      s"chunked=true scan covers $n chunks > $chunkedMaxChunks; " +
         "narrow the request or drop the chunked option (default range scan)")
     val coords = ChunkGrid.toChunkCoordinates(request, grid)
     val resolved = resolveWithStats()
@@ -1181,7 +1188,7 @@ private[source] class GraftScan(r: Resolved, request0: Slice, empty: Boolean,
       // executors read primitive fields; struct access via GroupReadSupport
       // is clumsier and no cheaper)
       val resolved = r.store.resolvedIndexPublic(r.dataset, r.variable,
-        r.meta.versionId.get, envelope)
+        r.meta, envelope)
         .select(col("coordKey"), col("hash"),
           col("stats.cnt").as("scnt"), col("stats.lmin").as("slmin"),
           col("stats.lmax").as("slmax"), col("stats.lsum").as("slsum"),

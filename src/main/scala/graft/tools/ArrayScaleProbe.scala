@@ -63,6 +63,16 @@ object ArrayScaleProbe {
     def syncFs(): Unit =
       try { new ProcessBuilder("sync").start().waitFor(); () }
       catch { case _: Throwable => () }
+    def duBytes(dir: String): Long = {
+      val p = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(p)) 0L
+      else {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(f => java.nio.file.Files.isRegularFile(f))
+          .mapToLong(f => java.nio.file.Files.size(f)).sum
+        finally s.close()
+      }
+    }
 
     for (scale <- scales) {
       val tag = if (scale == scale.toLong.toDouble) s"x${scale.toLong}"
@@ -107,8 +117,28 @@ object ArrayScaleProbe {
         writePlanes(ds, zD, 400L, create = true, salt = 0L)
       writePerf("warm", 60L) // untimed JIT warm-up, both scales alike
       syncFs()
+      // ---- ingest with IO ATTRIBUTION: store-root bytes (blob + index
+      // parquet landed by the write) vs shuffle-write bytes (the one
+      // cogroup shuffle) — the split a capacity planner sizes devices
+      // by, and the denominator for MB/s when the wall number is
+      // page-cache-writeback-bound on a single-disk box
+      val preStoreBytes = duBytes(root)
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      val ingestLst = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(ingestLst)
       time(s"ingest_$tag") { writePerf("perf", zDim) }
+      Thread.sleep(700) // listener bus drains asynchronously
+      spark.sparkContext.removeSparkListener(ingestLst)
       syncFs()
+      rec(s"ingest_store_mb_$tag", (duBytes(root) - preStoreBytes) / 1048576.0)
+      rec(s"ingest_shuffle_mb_$tag", shuffleBytes.get() / 1048576.0)
       rec(s"heap_after_ingest_mb_$tag", heapMb())
 
       // ---- driver planning state: manifest listing, full-scan planning
@@ -200,6 +230,51 @@ object ArrayScaleProbe {
       time(s"read_window_v1_$tag") { // pinned time travel, 8 chunks
         noop(store.reader("perf").onVersion(v1)
           .exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L))))
+      }
+
+      // ---- maintenance triad at scale (the weekly ops of a 100 TB
+      // store): compact → expireHistory → vacuum over the 2-version
+      // history just built. The O(changes)-not-O(history) resolve claim
+      // is pinned by MEASURING what the post-compact resolve scans —
+      // selected index files, all belonging to the checkpoint version —
+      // not by wall time alone.
+      time(s"compact_$tag") { store.compact("perf"); () }
+      val cpVid = store.versions("perf").head._2
+      val postIdx = store.resolvedIndexPublic("perf", "foo",
+        store.metadata("perf", cpVid), lit(true))
+      val scannedIdx = postIdx.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+      }.flatten
+      require(scannedIdx.nonEmpty &&
+        scannedIdx.forall(_.contains(s"version=$cpVid")),
+        s"post-compact resolve must scan only version=$cpVid index files")
+      rec(s"postcompact_resolve_files_$tag", scannedIdx.size.toDouble)
+      time(s"read_window_postcompact_$tag") { // must stay flat vs read_window
+        noop(store.reader("perf").onLastVersion()
+          .exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L))))
+      }
+      time(s"read_full_postcompact_$tag") { // vs read_full_v2 (2-version MVCC)
+        noop(store.reader("perf").onLastVersion()
+          .exploded("foo", Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim))))
+      }
+      time(s"expire_$tag") {
+        rec(s"expired_versions_$tag", store.expireHistory("perf").toDouble)
+      }
+      val preVacBytes = duBytes(root)
+      time(s"vacuum_$tag") {
+        rec(s"vacuum_reclaimed_blobs_$tag", store.vacuum(graceMs = 0L).toDouble)
+      }
+      syncFs()
+      rec(s"vacuum_reclaimed_mb_$tag", (preVacBytes - duBytes(root)) / 1048576.0)
+      // post-triad integrity: the zone-map count over the full grid is
+      // intact (cell-exact equality is the q_arr_compact gate's job)
+      time(s"stats_agg_postvacuum_$tag") {
+        val row = spark.read.format("graft").option("root", root)
+          .option("dataset", "perf").option("variable", "foo").load()
+          .agg(min("value"), max("value"), sum("value"), count(lit(1)))
+          .collect()(0)
+        require(row.getLong(3) == 400L * 600L * zDim, "bad post-vacuum count")
       }
       rec(s"heap_final_mb_$tag", heapMb())
       // reclaim the multi-GB fixture before the next scale runs

@@ -60,7 +60,7 @@ class CompactionSpec extends AnyFunSuite {
     // admissible versions at upTo=w are exactly {w} — the scan's
     // partition pruning must select only version=w files (inputFiles is
     // pre-pruning, so inspect the FileSourceScan's selected partitions)
-    val scanned = store.resolvedIndexPublic("ds", "n", w,
+    val scanned = store.resolvedIndexPublic("ds", "n", store.metadata("ds", w),
       org.apache.spark.sql.functions.lit(true))
       .queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>

@@ -336,6 +336,17 @@ class MockFsSpec extends AnyFunSuite {
     // same seconds-wide rollback race the uncached walk runs, extended
     // only for a reader that had already pinned (snapshot semantics)
     assert(store.reader("cdang").onVersion(vB).meta.versionId.contains(vB))
+    // and the snapshot is consistent END-TO-END: the handle's DATA reads
+    // resolve over the same cached verified chain (never the listing),
+    // so the served content cannot silently change under the verdict
+    assert(readAll(store, "cdang", vB) ==
+      (0L until 10L).map(x => x -> (x + 3)).toMap)
+    // a FRESH handle still refuses the orphaned branch outright
+    val fresh = new SparkStore(spark, store.root)
+    val e = intercept[IllegalArgumentException] {
+      fresh.reader("cdang").onVersion(vB)
+    }
+    assert(e.getMessage.contains("orphaned"), e.getMessage)
   }
 
   test("pinned reads resolve by point GET, never the listing: a just-" +
@@ -383,6 +394,87 @@ class MockFsSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("no committed version"), e.getMessage)
     } finally MockObjectStoreFileSystem.listVisibilityLagMs = 0L
+  }
+
+  test("a just-committed version's OWN WRITES are served through the " +
+      "pinned read while the listing still lags its manifest — data " +
+      "resolution follows the verified parent chain, not the listing") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("lagw")
+    val v1 = writeVals(store, "lagw", (1 to 10).map(_.toDouble))
+    // a REAL commit carrying index rows + blobs (unlike the empty-overlay
+    // manifest of the previous test, which reads parent data trivially)
+    val v2 = writeVals(store, "lagw", Seq(50.0, 51.0), at = 3L)
+    // age every object out of the inconsistency window, then put ONLY
+    // v2's manifest back inside it: listings now lag exactly the
+    // just-committed manifest while its index/blob files stay visible
+    val localRoot = java.nio.file.Paths.get(store.root.stripPrefix("mockfs://"))
+    val aged = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 300000L)
+    java.nio.file.Files.walk(localRoot).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, aged))
+    val m2Path = localRoot.resolve("lagw").resolve("versions").resolve(s"$v2.json")
+    java.nio.file.Files.setLastModifiedTime(m2Path,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    MockObjectStoreFileSystem.listVisibilityLagMs = 60000L
+    try {
+      // a FRESH handle (nothing cached from the committing handle)
+      val store2 = new SparkStore(spark, store.root)
+      assert(store2.versions("lagw").map(_._2) == Seq(v1),
+        "precondition: the lagging listing must still omit v2")
+      // the pinned read must serve v2's OWN writes — a listing-derived
+      // admissible set would silently return v1's data under v2's
+      // manifest (torn read)
+      val at2 = readAll(store2, "lagw", v2)
+      assert(at2(3L) == 50L && at2(4L) == 51L && at2(0L) == 1L,
+        s"pinned read of the lagging v2 must include v2's writes: $at2")
+      // DSv2 explicit-version route resolves the same chain
+      val dsv2 = spark.read.format("graft")
+        .option("root", store.root).option("dataset", "lagw")
+        .option("variable", "v").option("version", v2.toString)
+        .load().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dsv2(3L) == 50L && dsv2(4L) == 51L && dsv2(0L) == 1L)
+    } finally MockObjectStoreFileSystem.listVisibilityLagMs = 0L
+  }
+
+  test("duplicate-parent LOSER pin reads ITS branch: the loser's own " +
+      "writes are served and the rival winner's overlay is never " +
+      "admitted (chain-scoped, not listing-scoped, data resolution)") {
+    val store = new SparkStore(spark, mockRoot())
+    store.create("fork2")
+    val v1 = writeVals(store, "fork2", (1 to 10).map(_.toDouble))
+    // two rival writers chained on the SAME parent v1
+    val wWin = store.addVersion("fork2", meta1d())
+    Thread.sleep(3) // distinct epoch-ms version ids
+    val wLose = store.addVersion("fork2", meta1d())
+    val vL = wLose.meta.versionId.get
+    wWin.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(0L), Seq(2L)), Seq(200.0, 201.0))))
+    wLose.write("v", Seq(Slab.fromDoubles(DType.LONG,
+      Slice(Seq(5L), Seq(7L)), Seq(300.0, 301.0))))
+    val vW = wWin.finishVersion()
+    assert(vL > vW, s"loser vid $vL must order after winner vid $vW")
+    // the loser's manifest lands AFTER the winner's commit and the loser
+    // crashes before its post-commit verify can roll it back
+    val mL = wLose.meta.copy(extra =
+      Some(s"""{"graft-committed-at":${System.currentTimeMillis() + 10}}"""))
+    StoreFs.writeString(StoreFs.child(
+      StoreFs.child(StoreFs.child(store.root, "fork2"), "versions"),
+      s"$vL.json"), mL.toJson)
+    // the fork-resolved listing serves the winner branch only
+    val store2 = new SparkStore(spark, store.root)
+    assert(store2.versions("fork2").map(_._2) == Seq(vW, v1))
+    // winner reads: winner overlay on v1, no loser rows
+    val atW = readAll(store2, "fork2", vW)
+    assert(atW(0L) == 200L && atW(1L) == 201L && atW(5L) == 6L)
+    // loser pin (deliberate archaeology): loser overlay on v1 — its own
+    // writes present, the winner's NEVER admitted (the listing-derived
+    // set would show 200/201 at 0/1 and drop 300/301: a torn read)
+    val atL = readAll(store2, "fork2", vL)
+    assert(atL(5L) == 300L && atL(6L) == 301L,
+      s"loser pin must serve the loser's own writes: $atL")
+    assert(atL(0L) == 1L && atL(1L) == 2L,
+      s"loser pin must not admit the rival winner's overlay: $atL")
   }
 
   test("conf-faithfulness tripwire: resolving mockfs from a classpath-" +

@@ -85,11 +85,11 @@ class VersionDiffSpec extends AnyFunSuite {
     assert(diff.count() == 2L)
     // structural: of 8 chunks, exactly ONE pair survives the hash filter —
     // count the rows feeding the decode by re-deriving the changed set
-    val changed = store.resolvedIndexPublic("p", "v", v1,
+    val changed = store.resolvedIndexPublic("p", "v", store.metadata("p", v1),
         org.apache.spark.sql.functions.lit(true))
       .select(org.apache.spark.sql.functions.col("coordKey"),
         org.apache.spark.sql.functions.col("hash").as("h1"))
-      .join(store.resolvedIndexPublic("p", "v", v2,
+      .join(store.resolvedIndexPublic("p", "v", store.metadata("p", v2),
           org.apache.spark.sql.functions.lit(true))
         .select(org.apache.spark.sql.functions.col("coordKey"),
           org.apache.spark.sql.functions.col("hash").as("h2")), "coordKey")
