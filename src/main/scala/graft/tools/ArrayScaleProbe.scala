@@ -91,23 +91,40 @@ object ArrayScaleProbe {
       rec(s"chunks_$tag", nChunks.toDouble)
       rec(s"cells_$tag", 400.0 * 600.0 * zDim)
 
-      // ---- ingest: the bench writer shape, one x-slab row per x plane,
-      // slabs generated ON EXECUTORS (same codepath as ArrayBench)
+      // ---- ingest: the bench writer shape, slabs generated ON EXECUTORS
+      // (same codepath as ArrayBench). Slab rows are BOUNDED at one
+      // (x-plane × 900-z-block) = 600·900 shorts = 1.08 MB regardless of
+      // scale — the shape a scale-honest writer uses. The round-16 form
+      // (one UNBOUNDED row per whole x-plane, 10.8 MB/row at x10) made
+      // ingest look super-linear at x10; the attribution run pinned that
+      // to G1 humongous-allocation churn (85.6 s wall with 15.5 s GC and
+      // ZERO spill, store-bytes ~1.6 MB, shuffle 262 MB — i.e. not IO),
+      // a fixture artifact, not an engine property. Cell content is
+      // unchanged, so every read leg's data is identical.
       def writePlanes(ds: String, zD: Long, nX: Long, create: Boolean,
           salt: Long): Unit = {
         if (create) store.create(ds)
         val w = store.addVersion(ds, meta.copy(dimensions = dims.updated("z", zD)))
-        val yz = 600L * zD
-        val slabRows = spark.range(nX).map { xo =>
-          val x = xo.toLong
-          val bytes = new Array[Byte]((yz * 2).toInt)
-          var i = 0
-          while (i < yz) {
+        val zBlock = 900L // 30-aligned; 600*900 shorts = 1.08 MB per row
+        val nZ = (zD + zBlock - 1L) / zBlock
+        val slabRows = spark.range(nX * nZ).map { rid =>
+          val x = rid / nZ
+          val z0 = (rid % nZ) * zBlock
+          val z1 = math.min(zD, z0 + zBlock)
+          val zw = z1 - z0
+          val len = 600L * zw
+          val bytes = new Array[Byte]((len * 2).toInt)
+          var j = 0L
+          while (j < len) {
+            // same global cell content as the unsplit fixture:
+            // in-plane index i = y*zD + z
+            val i = (j / zw) * zD + z0 + j % zw
             val v = ((x * 31 + i + salt) % 1000).toShort
-            bytes(2 * i) = (v >> 8).toByte; bytes(2 * i + 1) = v.toByte
-            i += 1
+            val o = (2 * j).toInt
+            bytes(o) = (v >> 8).toByte; bytes(o + 1) = v.toByte
+            j += 1
           }
-          (Array(x, 0L, 0L), Array(x + 1L, 600L, zD), bytes, x)
+          (Array(x, 0L, z0), Array(x + 1L, 600L, z1), bytes, rid)
         }.toDF("start", "stop", "bytes", "seq")
         w.writeRows("foo", slabRows)
         w.finishVersion()
@@ -124,14 +141,26 @@ object ArrayScaleProbe {
       // page-cache-writeback-bound on a single-disk box
       val preStoreBytes = duBytes(root)
       val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      val spillDiskBytes = new java.util.concurrent.atomic.AtomicLong()
+      val spillMemBytes = new java.util.concurrent.atomic.AtomicLong()
       val ingestLst = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          if (m != null) {
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            spillDiskBytes.addAndGet(m.diskBytesSpilled)
+            spillMemBytes.addAndGet(m.memoryBytesSpilled)
+          }
           ()
         }
       }
+      def gcMillis(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      val preGc = gcMillis()
       spark.sparkContext.addSparkListener(ingestLst)
       time(s"ingest_$tag") { writePerf("perf", zDim) }
       Thread.sleep(700) // listener bus drains asynchronously
@@ -139,6 +168,9 @@ object ArrayScaleProbe {
       syncFs()
       rec(s"ingest_store_mb_$tag", (duBytes(root) - preStoreBytes) / 1048576.0)
       rec(s"ingest_shuffle_mb_$tag", shuffleBytes.get() / 1048576.0)
+      rec(s"ingest_spill_disk_mb_$tag", spillDiskBytes.get() / 1048576.0)
+      rec(s"ingest_spill_mem_mb_$tag", spillMemBytes.get() / 1048576.0)
+      rec(s"ingest_gc_sec_$tag", (gcMillis() - preGc) / 1000.0)
       rec(s"heap_after_ingest_mb_$tag", heapMb())
 
       // ---- driver planning state: manifest listing, full-scan planning
