@@ -46,8 +46,18 @@ import org.apache.spark.sql.functions._
   * independent (all coordination state lives in the store, none in
   * memory).
   *
+  * LEG C — deep-history metadata plane. A dataset BETWEEN maintenance
+  * runs accumulates un-compacted versions; a fresh handle's pin then
+  * pays the O(depth) point-GET chain walk and a pinned read resolves
+  * over depth-many index partitions. Measures, at depth N (default
+  * 200): listing, fresh-handle pin, pinned window read — then compact +
+  * expireHistory and the same three, where the checkpoint floors the
+  * walk to O(1) and the resolve to one partition. The claim under test
+  * is the round-17 chain-scoped resolution's cost envelope at the
+  * depths weekly maintenance permits.
+  *
   * Usage: sbt "runMain graft.tools.SustainProbe"   (or plain java -cp)
-  * Legs: SPARK_GRAFT_SUSTAIN_LEGS=stream,race (default both)
+  * Legs: SPARK_GRAFT_SUSTAIN_LEGS=stream,race,history (default all)
   */
 object SustainProbe {
   private val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -66,7 +76,7 @@ object SustainProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val legs = sys.env.getOrElse("SPARK_GRAFT_SUSTAIN_LEGS", "stream,race")
+    val legs = sys.env.getOrElse("SPARK_GRAFT_SUSTAIN_LEGS", "stream,race,history")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -83,6 +93,7 @@ object SustainProbe {
 
     if (legs("stream")) runStreamLeg(spark)
     if (legs("race")) runRaceLeg(spark)
+    if (legs("history")) runHistoryLeg(spark)
 
     val line = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -351,6 +362,58 @@ object SustainProbe {
     }
     checkConverged("race_dj", withBand = false)
     checkConverged("race_ov", withBand = true)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+    ()
+  }
+
+  // ---------------------------------------------------------------- leg C
+  private def runHistoryLeg(spark: SparkSession): Unit = {
+    val depth = sys.env.getOrElse("SPARK_GRAFT_HISTORY_DEPTH", "200").toInt
+    val root = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val store = new SparkStore(spark, root)
+    val meta = DatasetMeta(
+      dimensions = Map("h" -> 4096L), chunkDimensions = Map("h" -> 64L),
+      variables = Map("v" -> VariableDef("long", Vector("h"), -1.0)))
+    store.create("hist")
+    time(s"hist_commits_x$depth") {
+      var i = 0
+      while (i < depth) {
+        val w = store.addVersion("hist", meta)
+        val at = (i.toLong * 37L) % 4095L
+        w.write("v", Seq(Slab.fromDoubles(DType.LONG,
+          Slice(Seq(at), Seq(at + 1L)), Seq(i.toDouble))))
+        w.finishVersion()
+        i += 1
+      }
+    }
+    val latest = store.versions("hist").head._2
+    time("hist_listing") { require(store.versions("hist").size == depth) }
+    // fresh handle: nothing cached — the pin pays the O(depth) point-GET
+    // parent-chain walk the round-17 resolution is built on
+    time("hist_pin_fresh") {
+      val s2 = new SparkStore(spark, root)
+      require(s2.reader("hist").onVersion(latest).meta
+        .versionId.contains(latest))
+    }
+    time("hist_read_window") { // pinned read resolving over depth partitions
+      val n = new SparkStore(spark, root).reader("hist").onVersion(latest)
+        .exploded("v", Slice(Seq(0L), Seq(256L))).count()
+      require(n == 256L)
+    }
+    time("hist_compact") { store.compact("hist"); () }
+    time("hist_expire") {
+      rec("hist_expired_versions", store.expireHistory("hist").toDouble)
+    }
+    val cp = store.versions("hist").head._2
+    time("hist_pin_fresh_postcompact") { // checkpoint floors the walk to O(1)
+      val s3 = new SparkStore(spark, root)
+      require(s3.reader("hist").onVersion(cp).meta.versionId.contains(cp))
+    }
+    time("hist_read_window_postcompact") {
+      val n = new SparkStore(spark, root).reader("hist").onVersion(cp)
+        .exploded("v", Slice(Seq(0L), Seq(256L))).count()
+      require(n == 256L)
+    }
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
     ()
   }

@@ -320,6 +320,17 @@ class DataSourceSpec extends AnyFunSuite {
         s"expected the cap refusal, got: ${msgs(e)}")
       spark.conf.set("spark.graft.chunkedMaxChunks", "100000")
       assert(loadChunked().count() > 0)
+      // capture semantics: the dial is resolved ONCE when the scan is
+      // constructed (planning), so partition planning and
+      // outputPartitioning can never observe different values — a plan
+      // built under a raised dial keeps it even if the session dial
+      // changes (or a planner thread loses the active session) before
+      // the partitions are actually planned
+      val df = loadChunked()
+      val plan = df.queryExecution.executedPlan // constructs the scan
+      spark.conf.set("spark.graft.chunkedMaxChunks", "1")
+      assert(plan.execute().count() > 0,
+        "a scan planned under dial=100000 must keep it after the dial drops")
     } finally spark.conf.unset("spark.graft.chunkedMaxChunks")
   }
 
