@@ -910,6 +910,16 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         throw new IllegalStateException(
           s"expireHistory($name): no checkpoint — run compact first"))
       val expired = versions(name).map(_._2).filter(_ < cp).toSet
+      // MANIFESTS FIRST, index rows second: a crash between the two then
+      // leaves only INVISIBLE orphan index rows (no manifest → not
+      // listed, and the chain walk refuses), which are pure space until
+      // a retried expire or vacuum. The reverse order's crash window is
+      // silently WRONG: listed, chain-intact manifests whose index rows
+      // are gone read as fill. The manifest probe is also what the
+      // pinned-read expire tripwire keys on (see resolvedIndexPinned) —
+      // deleting it first closes that window too.
+      expired.foreach(v =>
+        StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$v.json")))
       StoreFs.list(indexDir(name))
         .collect { case (p, n, _, _) if n.startsWith("var=") => p }
         .foreach { vd =>
@@ -918,8 +928,6 @@ final class SparkStore(val spark: SparkSession, val root: String) {
               n.stripPrefix("version=").toLongOption.exists(expired.contains) }
             .foreach { case (pdir, _, _, _) => StoreFs.deleteTree(pdir) }
         }
-      expired.foreach(v =>
-        StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$v.json")))
       expired.size.toLong
     }
 
@@ -1275,6 +1283,21 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       includeUncommitted: Option[Long] = None,
       coordFilter: Column = lit(true)): DataFrame = {
     val chain = pinnedChain(name, pinned)
+    // EXPIRE TRIPWIRE (one point GET per plan): a compact+expireHistory
+    // that ran after this handle verified its chain deletes the
+    // sub-checkpoint manifests AND their index partitions — a cached
+    // chain would then silently resolve FILL for coordinates whose only
+    // rows were expired. The chain's FLOOR manifest still existing
+    // proves no expire has crossed this chain (expireHistory deletes
+    // manifests before index rows); if it is gone, the pinned snapshot
+    // is no longer materializable — refuse loudly.
+    val floorVid = chain.last.versionId.get
+    if (!StoreFs.exists(StoreFs.child(versionsDir(name), s"$floorVid.json")))
+      throw new IllegalStateException(
+        s"pinned read of $name@${pinned.versionId.get}: history at or " +
+          s"below version $floorVid was expired (compact + expireHistory " +
+          "ran after this handle pinned) — the snapshot is no longer " +
+          "materializable; re-pin at or after the checkpoint")
     val replaceAt = chain.indexWhere(m => SparkStore.isReplaceOf(m, varName))
     val floored = if (replaceAt >= 0) chain.take(replaceAt + 1) else chain
     val admissible = floored.map(_.versionId.get) ++ includeUncommitted.toSeq

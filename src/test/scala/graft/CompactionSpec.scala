@@ -160,6 +160,27 @@ class CompactionSpec extends AnyFunSuite {
     assert(store.versions("g").map(_._2) == Seq(cp2))
   }
 
+  test("expire tripwire: a pinned reader that outlives compact + " +
+      "expireHistory refuses loudly instead of silently reading fill") {
+    val (store, _, v2) = buildTwoVersions()
+    // pin + read BEFORE maintenance: the chain verdict is now cached
+    val rd = store.reader("ds").onVersion(v2)
+    assert(rd.exploded("n", Slice(Seq(0L), Seq(48L))).count() == 48)
+    store.compact("ds")
+    store.expireHistory("ds")
+    // the cached chain can no longer be materialized — its index
+    // partitions are gone; the floor-manifest probe must refuse LOUDLY
+    val e = intercept[IllegalStateException] {
+      rd.exploded("n", Slice(Seq(0L), Seq(48L))).collect()
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // a FRESH pin of the expired vid refuses on the manifest probe
+    intercept[IllegalArgumentException] { store.reader("ds").onVersion(v2) }
+    // and the checkpoint serves the identical content
+    val cp = store.versions("ds").head._2
+    assert(values(store, cp) == expected(compacted = true))
+  }
+
   test("never-written variable: compact skips its index, reads at the " +
       "checkpoint still see pure fill") {
     val store = freshStore()
