@@ -256,20 +256,31 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       buf += cur
     }
     val chain = buf.toIndexedSeq
-    if (verifiedChains.size > 10000) {
-      // bounded: evict ONE arbitrary entry, never wholesale-clear — a
-      // hot serve path must not lose every verified chain at once
-      val it = verifiedChains.keySet().iterator()
-      if (it.hasNext) { it.next(); it.remove() }
-    }
-    verifiedChains.put(key, chain)
+    cacheChain(key, chain)
     chain
   }
 
-  /** See [[pinnedChain]]: per-instance verified chains, pinned-first. */
+  /** See [[pinnedChain]]: per-instance verified chains, pinned-first.
+    * EVERY insertion goes through [[cacheChain]], which enforces the cap
+    * by evicting arbitrary entries — bounded without wholesale clears
+    * (a hot serve path must not lose every verified chain at once).
+    * Expired/rolled-back vids may linger as stale verdicts until
+    * evicted; that is safe — their DATA reads are guarded by the expire
+    * tripwire in [[resolvedIndexPinned]] and their manifests are
+    * re-probed by [[committedMetadata]]. */
   private val verifiedChains =
     new java.util.concurrent.ConcurrentHashMap[(String, Long),
       IndexedSeq[DatasetMeta]]()
+
+  private def cacheChain(key: (String, Long),
+      chain: IndexedSeq[DatasetMeta]): Unit = {
+    while (verifiedChains.size >= 10000) {
+      val it = verifiedChains.keySet().iterator()
+      if (it.hasNext) { it.next(); it.remove() } else return
+    }
+    verifiedChains.putIfAbsent(key, chain)
+    ()
+  }
 
   /** The fork-resolved listing WITH its parsed manifests, for callers
     * that pick a version from the listing and then read it — re-GETting
@@ -282,20 +293,51 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   private[spark] def listedManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
     val vs = versionManifests(name)
     val byId = vs.map { case (_, v, m) => v -> m }.toMap
+    // memo values: the chain, or null = proven unseedable (missing parent
+    // in the listing, or a cyclic link) — both fall back to the lazy
+    // point-GET walk on demand. Iterative (a multi-thousand-version
+    // un-compacted history must not blow the stack on a LISTING call)
+    // and cycle-guarded like pinnedChain's walk.
     val memo = scala.collection.mutable.Map[Long, IndexedSeq[DatasetMeta]]()
-    def chainOf(m: DatasetMeta): IndexedSeq[DatasetMeta] =
-      memo.getOrElseUpdate(m.versionId.get, {
-        if (m.parent.isEmpty || SparkStore.isCheckpoint(m)) IndexedSeq(m)
-        else byId.get(m.parent.get) match {
-          case Some(pm) =>
-            val tail = chainOf(pm)
-            if (tail == null) null else m +: tail
-          case None => null
+    def seedChain(m0: DatasetMeta): Unit = {
+      val path = scala.collection.mutable.ArrayBuffer[DatasetMeta]()
+      val seen = scala.collection.mutable.Set[Long]()
+      var cur = m0
+      var suffix: IndexedSeq[DatasetMeta] = null
+      var ok = true
+      var done = false
+      while (!done) {
+        val v = cur.versionId.get
+        if (memo.contains(v)) { suffix = memo(v); done = true }
+        else if (!seen.add(v)) { ok = false; done = true } // cycle
+        else {
+          path += cur
+          if (cur.parent.isEmpty || SparkStore.isCheckpoint(cur)) {
+            suffix = IndexedSeq.empty; done = true
+          } else byId.get(cur.parent.get) match {
+            case Some(pm) => cur = pm
+            case None => ok = false; done = true
+          }
         }
-      })
+      }
+      if (ok && suffix != null) {
+        var acc = suffix
+        var i = path.length - 1
+        while (i >= 0) {
+          acc = path(i) +: acc
+          memo(path(i).versionId.get) = acc
+          i -= 1
+        }
+      } else path.foreach(m => memo(m.versionId.get) = null)
+    }
     vs.foreach { case (_, v, m) =>
-      val c = chainOf(m)
-      if (c != null) verifiedChains.putIfAbsent((name, v), c)
+      // skip vids already verified — repeated listings of an unchanged
+      // dataset must not rebuild (and then discard) every chain per call
+      if (!verifiedChains.containsKey((name, v))) {
+        seedChain(m)
+        val c = memo(v)
+        if (c != null) cacheChain((name, v), c)
+      }
     }
     vs
   }
@@ -912,20 +954,30 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       val expired = versions(name).map(_._2).filter(_ < cp).toSet
       // MANIFESTS FIRST, index rows second: a crash between the two then
       // leaves only INVISIBLE orphan index rows (no manifest → not
-      // listed, and the chain walk refuses), which are pure space until
-      // a retried expire or vacuum. The reverse order's crash window is
-      // silently WRONG: listed, chain-intact manifests whose index rows
-      // are gone read as fill. The manifest probe is also what the
-      // pinned-read expire tripwire keys on (see resolvedIndexPinned) —
-      // deleting it first closes that window too.
+      // listed, and the chain walk refuses). The reverse order's crash
+      // window is silently WRONG: listed, chain-intact manifests whose
+      // index rows are gone read as fill. The manifest probe is also
+      // what the pinned-read expire tripwire keys on (see
+      // resolvedIndexPinned) — deleting it first closes that window too.
       expired.foreach(v =>
         StoreFs.deleteIfExists(StoreFs.child(versionsDir(name), s"$v.json")))
+      // The index sweep deletes EVERY version=<v> partition with v < cp —
+      // deliberately independent of the (just-shrunk) manifest set, so a
+      // retried expireHistory after a crash mid-sweep still removes the
+      // previous attempt's orphans (whose manifests are already gone;
+      // an `expired`-keyed filter would skip them forever, and their
+      // rows would pin blobs against vacuum's mark phase). Sound
+      // because nothing below cp remains resolvable: listings serve
+      // ≥ cp only, chains refuse on the deleted manifests, and an
+      // in-flight writer with vid < cp is already doomed — its parent
+      // predates the checkpoint, so its commit fails the parent-latest
+      // check regardless of these rows.
       StoreFs.list(indexDir(name))
         .collect { case (p, n, _, _) if n.startsWith("var=") => p }
         .foreach { vd =>
           StoreFs.list(vd)
             .filter { case (_, n, _, _) =>
-              n.stripPrefix("version=").toLongOption.exists(expired.contains) }
+              n.stripPrefix("version=").toLongOption.exists(_ < cp) }
             .foreach { case (pdir, _, _, _) => StoreFs.deleteTree(pdir) }
         }
       expired.size.toLong

@@ -231,12 +231,16 @@ object SustainProbe {
     // The shared-token race below writes a non-initial version too, so
     // race_single_fullpath is the like-for-like denominator for the
     // verify-overhead ratio; fastpath is recorded for context only.
-    store.create("base")
-    val wWarm = store.addVersion("base",
+    // JIT warm-up commits into a SEPARATE dataset — a warm-up version
+    // inside "base" would give the fastpath leg a parent with index
+    // data, silently demoting it to the full path.
+    store.create("warm")
+    val wWarm = store.addVersion("warm",
       meta.copy(dimensions = dims.updated("z", 60L)))
     wWarm.write("foo", Seq(Slab.empty(DType.SHORT,
       Slice(Seq(0L, 0L, 0L), Seq(30L, 30L, 60L)), 1.0)))
     wWarm.finishVersion()
+    store.create("base")
     time("race_single_fastpath") {
       val w = store.addVersion("base", meta)
       w.writeRows("foo", planeRows(0 until 400, tag = 0L, seqBase = 0L))
