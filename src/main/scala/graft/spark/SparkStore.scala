@@ -944,8 +944,17 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * compact → expireHistory → vacuum triad is the full storage-
     * maintenance cycle. Time travel to an expired version throws the
     * explicit "no committed version" error (never a silently-partial
-    * read: the manifest is gone, not just the rows). Returns the number
-    * of versions expired. */
+    * read: the manifest is gone, not just the rows); a reader PINNED
+    * before the expire refuses via the floor-manifest tripwire
+    * (see resolvedIndexPinned). Returns the number of versions expired.
+    *
+    * Operator note: do not run expireHistory CONCURRENTLY with a
+    * cloneDataset of the same source — the clone snapshots manifests
+    * first and copies index rows second, so an expire landing between
+    * the two can hand the CLONE sub-checkpoint manifests whose rows are
+    * gone (listed-but-fill in the destination). Maintenance and clones
+    * of one dataset belong in one serial schedule (the commitLock
+    * serializes commits, not clones). */
   def expireHistory(name: String): Long =
     SparkStore.commitLock(root, name).synchronized {
       val cp = latestCheckpointUpTo(name, Long.MaxValue).getOrElse(
