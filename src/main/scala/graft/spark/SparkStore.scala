@@ -948,19 +948,36 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * before the expire refuses via the floor-manifest tripwire
     * (see resolvedIndexPinned). Returns the number of versions expired.
     *
+    * Expiry is by RAW manifest listing, so hidden duplicate-parent
+    * losers below the checkpoint expire too: the crash-archaeology pin
+    * ([[committedMetadata]]) is a pre-expire affordance — after
+    * expireHistory, EVERYTHING below the checkpoint refuses with the
+    * same explicit error, loser branches included (never a
+    * manifest-intact/rows-gone silent-fill read).
+    *
     * Operator note: do not run expireHistory CONCURRENTLY with a
-    * cloneDataset of the same source — the clone snapshots manifests
-    * first and copies index rows second, so an expire landing between
-    * the two can hand the CLONE sub-checkpoint manifests whose rows are
-    * gone (listed-but-fill in the destination). Maintenance and clones
-    * of one dataset belong in one serial schedule (the commitLock
-    * serializes commits, not clones). */
+    * cloneDataset of the same source — the clone copies index files and
+    * then the snapshotted manifests, and an expire landing mid-clone
+    * deletes files the clone is about to copy, failing the clone LOUDLY
+    * (copyFile throws; nothing partial becomes visible). Maintenance
+    * and clones of one dataset belong in one serial schedule (the
+    * commitLock serializes commits, not clones). */
   def expireHistory(name: String): Long =
     SparkStore.commitLock(root, name).synchronized {
       val cp = latestCheckpointUpTo(name, Long.MaxValue).getOrElse(
         throw new IllegalStateException(
           s"expireHistory($name): no checkpoint — run compact first"))
-      val expired = versions(name).map(_._2).filter(_ < cp).toSet
+      // RAW listing, not the fork-resolved one: hidden duplicate-parent
+      // losers below cp must expire WITH their index rows — keeping a
+      // loser's manifest while sweeping its rows would turn the
+      // archaeology pin into a silent fill read (worst when the loser
+      // is itself a checkpoint-marked crashed compact, whose one-element
+      // chain passes the floor tripwire). Raw-listing recomputation is
+      // also what makes the manifest pass RETRY-HEALING: a manifest
+      // orphaned by a crashed earlier attempt is invisible to the
+      // fork-resolved listing (dangling parent) but still raw-listed,
+      // so the retry deletes it instead of leaving permanent litter.
+      val expired = versionManifestsRaw(name).map(_._2).filter(_ < cp).toSet
       // MANIFESTS FIRST, index rows second: a crash between the two then
       // leaves only INVISIBLE orphan index rows (no manifest → not
       // listed, and the chain walk refuses). The reverse order's crash

@@ -233,13 +233,19 @@ object SustainProbe {
     // verify-overhead ratio; fastpath is recorded for context only.
     // JIT warm-up commits into a SEPARATE dataset — a warm-up version
     // inside "base" would give the fastpath leg a parent with index
-    // data, silently demoting it to the full path.
+    // data, silently demoting it to the full path. TWO warm versions:
+    // the second runs the full read-modify-write path, so the timed
+    // fullpath baseline below is not the first (cold) execution of the
+    // base-resolve/merge pipeline — a cold denominator would bias every
+    // overhead ratio low.
     store.create("warm")
-    val wWarm = store.addVersion("warm",
-      meta.copy(dimensions = dims.updated("z", 60L)))
-    wWarm.write("foo", Seq(Slab.empty(DType.SHORT,
-      Slice(Seq(0L, 0L, 0L), Seq(30L, 30L, 60L)), 1.0)))
-    wWarm.finishVersion()
+    for (_ <- 0 until 2) {
+      val wWarm = store.addVersion("warm",
+        meta.copy(dimensions = dims.updated("z", 60L)))
+      wWarm.write("foo", Seq(Slab.empty(DType.SHORT,
+        Slice(Seq(0L, 0L, 0L), Seq(30L, 30L, 60L)), 1.0)))
+      wWarm.finishVersion()
+    }
     store.create("base")
     time("race_single_fastpath") {
       val w = store.addVersion("base", meta)

@@ -475,6 +475,19 @@ class MockFsSpec extends AnyFunSuite {
       s"loser pin must serve the loser's own writes: $atL")
     assert(atL(0L) == 1L && atL(1L) == 2L,
       s"loser pin must not admit the rival winner's overlay: $atL")
+    // expire ends archaeology: the maintenance triad expires the hidden
+    // loser WITH its index rows (raw-listing sweep) — the pin refuses
+    // with the explicit error instead of silently reading fill
+    store2.compact("fork2")
+    store2.expireHistory("fork2")
+    val e2 = intercept[IllegalArgumentException] {
+      store2.reader("fork2").onVersion(vL)
+    }
+    assert(e2.getMessage.contains("no committed version"), e2.getMessage)
+    val cp = store2.versions("fork2").head._2
+    val atCp = readAll(store2, "fork2", cp)
+    assert(atCp(0L) == 200L && atCp(5L) == 6L,
+      s"checkpoint must keep serving the winner branch: $atCp")
   }
 
   test("conf-faithfulness tripwire: resolving mockfs from a classpath-" +
