@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object ArrayQueries {
 
+  /** Memoized fixtures bind their SparkStore to the session that built
+    * them; serving a cached handle to a DIFFERENT (or restarted) session
+    * would run its jobs on a stale context. Every fixture `get` validates
+    * with this and rebuilds on mismatch (orphaned tempdir blobs are the
+    * only cost). */
+  private def fixtureLive(store: graft.spark.SparkStore,
+      s: SparkSession): Boolean =
+    (store.spark eq s) && !s.sparkContext.isStopped
+
   /** Self-contained mark-and-sweep fixture (no testdata dependency):
     * dataset `keep` = 7 on [0,20), dataset `drop` = 9 on [0,20) (distinct
     * content → distinct blobs), then destroy(`drop`) + vacuum(grace 0).
@@ -21,10 +30,10 @@ object ArrayQueries {
       new java.util.concurrent.atomic.AtomicReference[H](null)
     def get(s: SparkSession): H = {
       val cur = cache.get()
-      if (cur != null) cur
+      if (cur != null && fixtureLive(cur.store, s)) cur
       else synchronized {
         val again = cache.get()
-        if (again != null) again
+        if (again != null && fixtureLive(again.store, s)) again
         else {
           import graft.core._
           import graft.meta.{DatasetMeta, VariableDef}
@@ -71,10 +80,10 @@ object ArrayQueries {
       }.toIndexedSeq
     def get(s: SparkSession): H = {
       val cur = cache.get()
-      if (cur != null) cur
+      if (cur != null && fixtureLive(cur.store, s)) cur
       else synchronized {
         val again = cache.get()
-        if (again != null) again
+        if (again != null && fixtureLive(again.store, s)) again
         else {
           import graft.core._
           import graft.meta.{DatasetMeta, VariableDef}
@@ -181,10 +190,10 @@ object ArrayQueries {
       new java.util.concurrent.atomic.AtomicReference[H](null)
     def get(s: SparkSession): H = {
       val cur = cache.get()
-      if (cur != null) cur
+      if (cur != null && fixtureLive(cur.store, s)) cur
       else synchronized {
         val again = cache.get()
-        if (again != null) again
+        if (again != null && fixtureLive(again.store, s)) again
         else {
           import graft.core._
           import graft.meta.{DatasetMeta, VariableDef}
@@ -221,8 +230,12 @@ object ArrayQueries {
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, H]()
     final case class TsRow(ts: java.sql.Timestamp)
-    def get(s: SparkSession, dir: String): H =
-      cache.computeIfAbsent(dir, { d =>
+    def get(s: SparkSession, dir: String): H = {
+      val h = cache.computeIfAbsent(dir, build(s, _))
+      if (fixtureLive(h.store, s)) h
+      else { cache.remove(dir, h); get(s, dir) } // stale session: rebuild
+    }
+    private def build(s: SparkSession, d: String): H = {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -248,7 +261,7 @@ object ArrayQueries {
           }
         } finally q.stop()
         H(store, hours, store.versions("evstream").size)
-      })
+    }
   }
 
   private object StreamIngestFileFixture {
@@ -256,8 +269,12 @@ object ArrayQueries {
         nVersions: Int, nBatches: Int)
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, H]()
-    def get(s: SparkSession, dir: String): H =
-      cache.computeIfAbsent(dir, { d =>
+    def get(s: SparkSession, dir: String): H = {
+      val h = cache.computeIfAbsent(dir, build(s, _))
+      if (fixtureLive(h.store, s)) h
+      else { cache.remove(dir, h); get(s, dir) } // stale session: rebuild
+    }
+    private def build(s: SparkSession, d: String): H = {
         val evs = EventTime.eventsWithSeconds(s, d).select("ts_s")
         val mm = evs.agg(min(col("ts_s")), max(col("ts_s"))).head()
         val h0 = mm.getLong(0) / 3600L
@@ -270,7 +287,7 @@ object ArrayQueries {
           workDir = java.nio.file.Files
             .createTempDirectory("graft_ingest_feed").toString)
         H(store, hours, n, nBatches)
-      })
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

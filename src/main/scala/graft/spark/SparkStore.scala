@@ -39,6 +39,21 @@ import scala.jdk.CollectionConverters._
 final class SparkStore(val spark: SparkSession, val root: String) {
   import SparkStore._
 
+  // The expire tripwire in [[resolvedIndexPinned]] turns an
+  // expire-under-a-live-pin into a LOUD refusal — but only if Spark is
+  // not configured to swallow the symptom: with
+  // spark.sql.files.ignoreMissingFiles=true, an expireHistory landing
+  // in the tripwire's residual TOCTOU window (between the plan-time
+  // floor-manifest probe and the scan's file listing/execution) would
+  // silently DROP the expired index partitions and serve fill instead
+  // of failing. Refuse the combination up front, at handle construction.
+  require(!spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+      .toBoolean,
+    "SparkStore requires spark.sql.files.ignoreMissingFiles=false: with " +
+      "it true, an expireHistory racing a pinned read inside the expire " +
+      "tripwire's plan-to-execute window would silently read fill for " +
+      "expired coordinates instead of failing loudly")
+
   // All catalog/manifest/staging I/O goes through StoreFs (Hadoop
   // FileSystem resolved per path), so `root` may be a local path, a
   // file:/// URI, or any configured remote scheme (hdfs://, s3a://) —
@@ -89,7 +104,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // a re-created dataset must never inherit the destroyed generation's
     // verified-chain verdicts (vids are epoch-ms, so collision is
     // implausible — but free to rule out)
-    verifiedChains.keySet.removeIf(_._1 == name)
+    verifiedChains.synchronized {
+      verifiedChains.keySet.removeIf(_._1 == name); ()
+    }
   }
 
   def listDatasets: Seq[String] =
@@ -239,7 +256,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       pinned: DatasetMeta): IndexedSeq[DatasetMeta] = {
     val vid = pinned.versionId.get
     val key = (name, vid)
-    val cached = verifiedChains.get(key)
+    val cached = chainCached(key)
     if (cached != null) return cached
     val dir = versionsDir(name)
     val buf = scala.collection.mutable.ArrayBuffer(pinned)
@@ -261,26 +278,34 @@ final class SparkStore(val spark: SparkSession, val root: String) {
   }
 
   /** See [[pinnedChain]]: per-instance verified chains, pinned-first.
-    * EVERY insertion goes through [[cacheChain]], which enforces the cap
-    * by evicting arbitrary entries — bounded without wholesale clears
-    * (a hot serve path must not lose every verified chain at once).
-    * Expired/rolled-back vids may linger as stale verdicts until
-    * evicted; that is safe — their DATA reads are guarded by the expire
-    * tripwire in [[resolvedIndexPinned]] and their manifests are
-    * re-probed by [[committedMetadata]]. */
+    * Bounded ACCESS-ORDERED (LRU): a LinkedHashMap in access order whose
+    * eldest entry is dropped past the cap, under the map's own lock —
+    * so a burst of inserts evicts the COLDEST chains, never a just-read
+    * hot one (the previous arbitrary-iterator eviction could), and a
+    * listing over a >cap version history cycles the tail instead of
+    * rebuilding every hot chain. Expired/rolled-back vids may linger as
+    * stale verdicts until evicted; that is safe — their DATA reads are
+    * guarded by the expire tripwire in [[resolvedIndexPinned]] and
+    * their manifests are re-probed by [[committedMetadata]]. */
   private val verifiedChains =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long),
-      IndexedSeq[DatasetMeta]]()
+    new java.util.LinkedHashMap[(String, Long), IndexedSeq[DatasetMeta]](
+        64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), IndexedSeq[DatasetMeta]])
+          : Boolean = size() > 10000
+    }
+
+  private def chainCached(key: (String, Long)): IndexedSeq[DatasetMeta] =
+    verifiedChains.synchronized { verifiedChains.get(key) }
 
   private def cacheChain(key: (String, Long),
-      chain: IndexedSeq[DatasetMeta]): Unit = {
-    while (verifiedChains.size >= 10000) {
-      val it = verifiedChains.keySet().iterator()
-      if (it.hasNext) { it.next(); it.remove() } else return
+      chain: IndexedSeq[DatasetMeta]): Unit =
+    verifiedChains.synchronized {
+      // skip when present: a no-op put would still churn access order
+      // relative to the reader that just verified the same chain
+      if (!verifiedChains.containsKey(key)) verifiedChains.put(key, chain)
+      ()
     }
-    verifiedChains.putIfAbsent(key, chain)
-    ()
-  }
 
   /** The fork-resolved listing WITH its parsed manifests, for callers
     * that pick a version from the listing and then read it — re-GETting
@@ -333,7 +358,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     vs.foreach { case (_, v, m) =>
       // skip vids already verified — repeated listings of an unchanged
       // dataset must not rebuild (and then discard) every chain per call
-      if (!verifiedChains.containsKey((name, v))) {
+      if (chainCached((name, v)) == null) {
         seedChain(m)
         val c = memo(v)
         if (c != null) cacheChain((name, v), c)
@@ -1369,6 +1394,18 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     // proves no expire has crossed this chain (expireHistory deletes
     // manifests before index rows); if it is gone, the pinned snapshot
     // is no longer materializable — refuse loudly.
+    //
+    // RESIDUAL TOCTOU WINDOW (documented, narrowed not closed): this
+    // probe runs at PLAN time, so an expireHistory that lands between
+    // it and the scan's own file listing/execution can still surface
+    // as a FileNotFound mid-scan rather than this message — ugly but
+    // loud. What must never happen is the SILENT variant, where the
+    // scan skips the deleted index files and serves fill: that is why
+    // the constructor refuses spark.sql.files.ignoreMissingFiles=true.
+    // (Re-probing inside the partition reader factory would shrink the
+    // window further but cannot close it either — expire can always
+    // land between any probe and the read it guards; loudness, not
+    // probe placement, is the invariant.)
     val floorVid = chain.last.versionId.get
     if (!StoreFs.exists(StoreFs.child(versionsDir(name), s"$floorVid.json")))
       throw new IllegalStateException(

@@ -163,7 +163,22 @@ object ArrayScaleProbe {
       val preGc = gcMillis()
       spark.sparkContext.addSparkListener(ingestLst)
       time(s"ingest_$tag") { writePerf("perf", zDim) }
-      Thread.sleep(700) // listener bus drains asynchronously
+      // The listener bus drains asynchronously; a fixed sleep raced slow
+      // task-end events and silently dropped them from the attribution
+      // metrics. Poll until the counters are stable for two consecutive
+      // probes (bounded at 10 s) — the public-API analog of
+      // listenerBus.waitUntilEmpty, which is private[spark].
+      locally {
+        var last = -1L
+        var stable = 0
+        var waitedMs = 0L
+        while (stable < 2 && waitedMs < 10000L) {
+          Thread.sleep(200); waitedMs += 200
+          val now = shuffleBytes.get() + spillDiskBytes.get() +
+            spillMemBytes.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      }
       spark.sparkContext.removeSparkListener(ingestLst)
       syncFs()
       rec(s"ingest_store_mb_$tag", (duBytes(root) - preStoreBytes) / 1048576.0)

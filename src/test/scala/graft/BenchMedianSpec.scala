@@ -41,7 +41,9 @@ class BenchMedianSpec extends AnyFunSuite {
 
   test("acceptRecovery is SYMMETRIC: an internally-quiet resample is " +
       "adopted whether it lands faster or slower; a still-contended " +
-      "resample is rejected (no min-of-two-medians ratchet)") {
+      "resample is rejected (the verified-quiet sample always stands — " +
+      "the min-of-two publication rule applies to guard-grown samples " +
+      "only, see publishedMedian)") {
     // quiet resample, faster than whatever it replaces: accepted
     assert(Bench.acceptRecovery(Seq(0.60, 0.62, 0.61), 1.5))
     // quiet resample that happens to be SLOWER (honest regression or a
@@ -56,6 +58,24 @@ class BenchMedianSpec extends AnyFunSuite {
     // a SINGLE surviving rep is "internally quiet" only by vacuity (the
     // floor test needs two points) — it must never replace a full sample
     assert(!Bench.acceptRecovery(Seq(-1.0, -1.0, 4.2), 1.5))
+  }
+
+  test("publishedMedian: a guard-grown sample never publishes ABOVE the " +
+      "pre-guard median (r17: argmax 1.55x pre-guard, 2.58x post-guard " +
+      "published — the guard's reruns hit a worse window)") {
+    // guard reruns landed slower: pre-guard median wins
+    assert(Bench.publishedMedian(Some(0.50), 0.82) == 0.50)
+    // guard reruns rescued the entry (the designed case): grown wins
+    assert(Bench.publishedMedian(Some(1.55), 0.60) == 0.60)
+    // never flagged: no pre-guard median exists, grown median stands
+    assert(Bench.publishedMedian(None, 0.82) == 0.82)
+    // equal: no-op (and not reported as a min-kept entry by the caller)
+    assert(Bench.publishedMedian(Some(0.82), 0.82) == 0.82)
+    // an all-failed grown sample stays a visible failure — a pre-guard
+    // number must not paper over a query that stopped running
+    assert(Bench.publishedMedian(Some(0.50), -1.0) == -1.0)
+    // a failed PRE-guard median never replaces a working grown one
+    assert(Bench.publishedMedian(Some(-1.0), 0.82) == 0.82)
   }
 
   test("floorContended: median >1.5x own same-run floor is the " +
