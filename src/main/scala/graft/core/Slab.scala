@@ -82,11 +82,33 @@ final case class Slab(dtype: DType, slice: Slice, bytes: Array[Byte]) {
 
   /** Last-writer-wins overlay: clip `src` to this slab's slice and copy its
     * cells over this slab's buffer IN PLACE; returns this slab
-    * (reference: slab.clj:115-121 `merge` + 96-113 `copy-into`). */
+    * (reference: slab.clj:115-121 `merge` + 96-113 `copy-into`).
+    *
+    * Strided slabs (the strided READ path's response/chunk-clip pairs)
+    * merge by per-cell lattice gather: both sides must share the step
+    * vector and sit on the same lattice — copyRegion's contiguous-run
+    * copy is only valid at step 1. */
   def mergeFrom(src: Slab): Slab = {
     require(src.dtype == dtype, s"type mismatch: ${src.dtype} vs $dtype")
     val clipped = src.intersectWith(slice)
-    Slab.copyRegion(clipped, this, clipped.slice)
+    if (clipped.slice.stepIsOne && slice.stepIsOne)
+      Slab.copyRegion(clipped, this, clipped.slice)
+    else {
+      require(clipped.slice.step == slice.step,
+        s"mergeFrom: step mismatch (${clipped.slice.step} vs ${slice.step})")
+      var i = 0
+      while (i < slice.rank) {
+        require((clipped.slice.start(i) - slice.start(i)) % slice.step(i) == 0,
+          s"mergeFrom: ${clipped.slice} is off this slab's lattice $slice")
+        i += 1
+      }
+      val es = dtype.size
+      clipped.slice.iter.foreach { c =>
+        val co = c.toIndexedSeq
+        System.arraycopy(clipped.bytes, clipped.offsetOf(co),
+          bytes, offsetOf(co), es)
+      }
+    }
     this
   }
 

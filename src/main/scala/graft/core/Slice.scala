@@ -59,6 +59,37 @@ final case class Slice(start: Vector[Long], stop: Vector[Long], step: Vector[Lon
     }
   }
 
+  /** Intersection of THIS (possibly strided) slice with a STEP-1 box:
+    * the sub-lattice of this slice's selected points that fall inside
+    * the box, i.e. start aligned UP to the stride lattice, stop clipped,
+    * step preserved. Step-1 receivers degenerate to [[intersect]].
+    * Throws if no lattice point lies in the box (mirrors [[intersect]]).
+    *
+    * This is the per-chunk clip of the strided READ path: the reference
+    * deprecates whole-request strided reads (slice.clj:81-102) and keeps
+    * its hot path step-1 (slice.clj:104-126); here a strided request
+    * stays first-class by clipping the request lattice to each chunk box
+    * and gathering (Slab.subset handles the strided view). */
+  def intersectLattice(box: Slice): Slice =
+    intersectLatticeOpt(box).getOrElse(throw new IllegalArgumentException(
+      s"No lattice point of $this lies in $box"))
+
+  /** [[intersectLattice]] that answers None instead of throwing when no
+    * lattice point lies in the box — the chunk-skip test of the strided
+    * read paths. */
+  def intersectLatticeOpt(box: Slice): Option[Slice] = {
+    require(box.stepIsOne && rank == box.rank,
+      s"intersectLattice requires an equal-rank step-1 box: $this $box")
+    val s = Vector.tabulate(rank) { i =>
+      val lo = math.max(start(i), box.start(i))
+      // smallest lattice point >= lo (lattice: start + k*step, k >= 0)
+      start(i) + ((lo - start(i) + step(i) - 1) / step(i)) * step(i)
+    }
+    val e = Vector.tabulate(rank)(i => math.min(stop(i), box.stop(i)))
+    if ((0 until rank).exists(i => e(i) - s(i) <= 0)) None
+    else Some(Slice(s, e, step))
+  }
+
   def intersects(that: Slice): Boolean =
     rank == that.rank &&
       (0 until rank).forall(i =>

@@ -99,13 +99,21 @@ object Engine {
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
     val grid = meta.chunkGridSlice(varName)
+    // A STRIDED request stays first-class here (the reference deprecates
+    // its strided path, slice.clj:81-102; we keep the semantics without
+    // its per-point reads): toChunkCoordinates walks the stride lattice,
+    // so chunks holding NO selected point are never fetched (a step
+    // larger than the chunk extent skips whole chunks), and each fetched
+    // chunk is clipped to the request's lattice (gather subset) instead
+    // of the plain box intersection.
     ChunkGrid.toChunkCoordinates(request, grid).iterator.map { coord =>
       val chunkSlice = meta.chunkSlice(varName, coord)
       val slab = index.chunkAt(coord) match {
         case Some(h) => hashToSlab(h, store, dtype, chunkSlice)
         case None => blankSlab(meta, varName, dtype, chunkSlice)
       }
-      slab.intersectWith(request)
+      if (request.stepIsOne) slab.intersectWith(request)
+      else slab.subset(request.intersectLattice(slab.slice))
     }
   }
 

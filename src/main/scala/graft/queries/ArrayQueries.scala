@@ -412,6 +412,22 @@ object ArrayQueries {
         .exploded("v", Slice(Seq(1L, 0L, 0L, 0L, 2L), Seq(6L, 5L, 4L, 3L, 7L)))
         .orderBy("a", "b", "c", "d", "e")
     }),
+    // strided (step>1) read end-to-end: the reference DEPRECATES its
+    // strided path (slice.clj:81-102) and keeps the hot path step-1; here
+    // strides are first-class — bounding-box scan + stride-lattice filter
+    // on the distributed path (SparkStore.exploded), per-chunk lattice
+    // walk on the engine path (Engine.stream). Every axis is strided, one
+    // step exceeds its chunk extent (c: 3 > 2 — whole-chunk skipping),
+    // and the lattice crosses the v2-overlay, v1 and fill-corner regimes.
+    "q_arr_stride" -> ((s, dir) => {
+      val fx = Fixture5D.get(s)
+      fx.store.reader("d5").onLastVersion()
+        .exploded("v", Slice(
+          Vector(0L, 1L, 0L, 0L, 2L),
+          Vector(6L, 5L, 4L, 3L, 7L),
+          Vector(2L, 3L, 3L, 2L, 4L)))
+        .orderBy("a", "b", "c", "d", "e")
+    }),
     "q_arr_vacuum" -> ((s, dir) => {
       val fx = VacuumFixture.get(s)
       fx.store.reader("keep").onLastVersion()
@@ -1157,6 +1173,21 @@ object ArrayQueries {
         |CROSS JOIN range(0,4) gc(c)
         |CROSS JOIN range(0,3) gd(d)
         |CROSS JOIN range(2,7) ge(e)
+        |ORDER BY 1,2,3,4,5""".stripMargin,
+    "q_arr_stride" ->
+      """SELECT ga.a AS a, gb.b AS b, gc.c AS c, gd.d AS d, ge.e AS e,
+        | CAST(CASE
+        |  WHEN ga.a >= 2 AND ga.a < 5 AND gb.b >= 1 AND gb.b < 4
+        |   AND gc.c >= 1 AND gc.c < 3 AND gd.d < 2 AND ge.e >= 3
+        |  THEN 1000 + (420*ga.a + 84*gb.b + 21*gc.c + 7*gd.d + ge.e)
+        |  WHEN ge.e < 5
+        |  THEN 1 + (420*ga.a + 84*gb.b + 21*gc.c + 7*gd.d + ge.e)
+        |  ELSE -1 END AS BIGINT) AS value
+        |FROM range(0,6,2) ga(a)
+        |CROSS JOIN range(1,5,3) gb(b)
+        |CROSS JOIN range(0,4,3) gc(c)
+        |CROSS JOIN range(0,3,2) gd(d)
+        |CROSS JOIN range(2,7,4) ge(e)
         |ORDER BY 1,2,3,4,5""".stripMargin,
     "q_arr_2d" ->
       """WITH lb AS (

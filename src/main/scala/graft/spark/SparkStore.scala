@@ -1844,6 +1844,12 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
   def streamChunks(varName: String, request: Slice, checkBounds: Boolean = true): DataFrame = {
     val varSlice = meta.varSlice(varName)
     require(request.nonEmpty, s"request slice is empty: $request")
+    require(request.stepIsOne,
+      s"streamChunks is step-1 only (its frames are CHUNK-granular, which " +
+        "has no stride-lattice meaning): use exploded()/getSlice() for " +
+        s"strided reads — request was $request. The reference restricts " +
+        "its own hot path to step-1 (slice.clj:104-126) and deprecates " +
+        "strided reads (slice.clj:81-102).")
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
@@ -1920,6 +1926,16 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variables' extent: $varSlice.")
+    // strided: bounding-box read + lattice filter (see exploded's note)
+    if (!request.stepIsOne) {
+      val box = Slice(request.start, request.stop)
+      return (0 until request.rank).foldLeft(
+          explodedMulti(varNames, box, checkBounds)) { (df, i) =>
+        if (request.step(i) == 1L) df
+        else df.filter(
+          (col(dims(i)) - lit(request.start(i))) % lit(request.step(i)) === 0)
+      }
+    }
     val rank = dims.length
     val grid = meta.chunkGridSlice(varNames.head)
     graft.functions.ChunkFunctions.register(spark)
@@ -1958,6 +1974,26 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
     if (checkBounds && !request.isContainedIn(varSlice))
       throw new IndexOutOfBoundsException(
         s"Request slice $request crosses the variable's extent: $varSlice.")
+    // STRIDED request: read the step-1 bounding box (all chunk pruning,
+    // pushdown, and columnar decode of that path apply), then keep only
+    // the stride lattice — per-axis `(d - start) % step = 0` on the
+    // exploded coordinates. The reference deprecates strided reads
+    // outright (slice.clj:81-102); here they stay first-class with ONE
+    // documented scale caveat: chunk pruning on this distributed path is
+    // by request ENVELOPE, so a step wider than the chunk extent still
+    // fetches the box's interior chunks (the driver/engine path,
+    // Engine.stream, prunes per-chunk by lattice walk). A reader whose
+    // stride mostly skips chunks should window the request instead.
+    if (!request.stepIsOne) {
+      val dims = meta.variables(varName).shape
+      val box = Slice(request.start, request.stop)
+      return (0 until request.rank).foldLeft(
+          exploded(varName, box, checkBounds)) { (df, i) =>
+        if (request.step(i) == 1L) df
+        else df.filter(
+          (col(dims(i)) - lit(request.start(i))) % lit(request.step(i)) === 0)
+      }
+    }
     // Committed versions ride the DSv2 scan: the request envelope pushes
     // down as dim predicates (build-time chunk pruning), blobs are fetched
     // from hash-sorted files by the readers (no shuffle of chunk bytes,
@@ -2146,8 +2182,19 @@ final class SparkPinnedReader(store: SparkStore, name: String, val meta: Dataset
       if (!r.isNullAt(3)) {
         val coord = r.getSeq[Long](1).toVector
         val chunkSlice = meta.chunkSlice(varName, coord)
-        val slab = Slab(dtype, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](3)))
-        response.mergeFrom(slab.intersectWith(request))
+        // strided request: chunks in the bounding box that hold no
+        // lattice point are skipped; the rest gather-subset to the
+        // lattice (unwritten chunks need nothing — the response slab is
+        // pre-filled)
+        val clip =
+          if (request.stepIsOne) Some(request)
+          else request.intersectLatticeOpt(chunkSlice)
+        clip.foreach { c =>
+          val slab = Slab(dtype, chunkSlice, FilterChain.decode(r.getAs[Array[Byte]](3)))
+          response.mergeFrom(
+            if (request.stepIsOne) slab.intersectWith(request)
+            else slab.subset(c))
+        }
       }
     }
     response

@@ -41,6 +41,54 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("intersectLattice: strided slice clipped to a step-1 box — start " +
+      "aligned UP to the lattice, step preserved; Opt answers None when " +
+      "no lattice point lies in the box") {
+    val s = Slice(Vector(1L, 0L), Vector(20L, 10L), Vector(3L, 4L))
+    // box [5,13)x[2,9): x lattice {1,4,7,10,13,16,19} ∩ [5,13) = {7,10};
+    // y lattice {0,4,8} ∩ [2,9) = {4,8}
+    assert(s.intersectLattice(Slice(Seq(5L, 2L), Seq(13L, 9L))) ==
+      Slice(Vector(7L, 4L), Vector(13L, 9L), Vector(3L, 4L)))
+    // step-1 receiver degenerates to plain intersection
+    val p = Slice(Seq(0L, 0L), Seq(5L, 5L))
+    assert(p.intersectLattice(Slice(Seq(3L, 2L), Seq(9L, 4L))) ==
+      Slice(Seq(3L, 2L), Seq(5L, 4L)))
+    // box strictly between two lattice points: None / throws
+    assert(s.intersectLatticeOpt(Slice(Seq(5L, 0L), Seq(7L, 10L))).isEmpty)
+    intercept[IllegalArgumentException] {
+      s.intersectLattice(Slice(Seq(5L, 0L), Seq(7L, 10L)))
+    }
+    // box must be step-1
+    intercept[IllegalArgumentException] {
+      s.intersectLattice(Slice(Vector(0L, 0L), Vector(9L, 9L), Vector(2L, 2L)))
+    }
+  }
+
+  test("mergeFrom on strided slabs: per-cell lattice gather; step and " +
+      "lattice alignment enforced") {
+    import graft.core.DType
+    // response lattice x {0,3,6,9}, chunk-clip slabs carry sub-lattices
+    val resp = Slab.empty(DType.LONG,
+      Slice(Vector(0L), Vector(10L), Vector(3L)), -1.0)
+    val c1 = Slab.fromDoubles(DType.LONG,
+      Slice(Vector(0L), Vector(4L), Vector(3L)), Seq(10.0, 13.0)) // {0,3}
+    val c2 = Slab.fromDoubles(DType.LONG,
+      Slice(Vector(6L), Vector(10L), Vector(3L)), Seq(16.0, 19.0)) // {6,9}
+    resp.mergeFrom(c1).mergeFrom(c2)
+    assert(Seq(0L, 3L, 6L, 9L).map(x => resp.valueAt(Seq(x))) ==
+      Seq(10.0, 13.0, 16.0, 19.0))
+    // mismatched step refuses
+    intercept[IllegalArgumentException] {
+      resp.mergeFrom(Slab.fromDoubles(DType.LONG,
+        Slice(Vector(0L), Vector(4L), Vector(2L)), Seq(1.0, 2.0)))
+    }
+    // off-lattice start refuses (same step, shifted origin)
+    intercept[IllegalArgumentException] {
+      resp.mergeFrom(Slab.fromDoubles(DType.LONG,
+        Slice(Vector(1L), Vector(5L), Vector(3L)), Seq(1.0, 2.0)))
+    }
+  }
+
   test("translate re-origins") {
     val origin = Slice(Seq(2L, 2L), Seq(9L, 9L))
     val s = Slice(Seq(3L, 4L), Seq(5L, 6L))

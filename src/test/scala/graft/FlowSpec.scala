@@ -74,6 +74,50 @@ class FlowSpec extends AnyFunSuite {
     assert(s.valueAt(Seq(10L, 0L, 0L)) == -3.0)
   }
 
+  test("strided (step>1) read through Engine.stream/getSlice: lattice-" +
+      "exact values, fill at unwritten lattice points, whole chunks " +
+      "skipped when step exceeds the chunk extent (the reference " +
+      "deprecates strided reads, slice.clj:81-102; here first-class)") {
+    val store = freshStore()
+    store.create("foobar")
+    val vw = store.writer("foobar").addVersion(foobarMeta)
+    // write only [0,6)x[0,8)x[0,9): lattice points beyond read fill
+    val s1 = randomSlab(DType.SHORT, Slice(Seq(0L, 0L, 0L), Seq(6L, 8L, 9L)), 7)
+    vw.write("foo", Seq(s1))
+    vw.finishVersion()
+    val r = store.reader("foobar").onLastVersion()
+    val strided = Slice(Vector(1L, 0L, 2L), Vector(10L, 11L, 13L),
+      Vector(3L, 2L, 5L)) // x:{1,4,7} y:{0,2,..,10} z:{2,7,12}
+    val got = r.getSlice("foo", strided)
+    assert(got.slice == strided && got.volume == strided.volume)
+    val written = s1.slice
+    strided.iter.foreach { c =>
+      val co = c.toIndexedSeq
+      val expect =
+        if ((0 until 3).forall(i => co(i) >= written.start(i) &&
+            co(i) < written.stop(i))) s1.valueAt(co)
+        else -3.0 // fill
+      assert(got.valueAt(co) == expect, s"at ${co.mkString(",")}")
+    }
+    // stream yields one slab per lattice-bearing chunk, each clipped to
+    // the lattice — and chunk skipping is real: step 3 on the 2-extent x
+    // axis touches x-chunks {0,2,3} only (x=1,4,7), never x-chunk 1
+    val slabs = r.stream("foo", strided).toVector
+    assert(slabs.nonEmpty && slabs.forall(_.slice.step == strided.step))
+    val grid = foobarMeta.chunkGridSlice("foo")
+    val touched = graft.core.ChunkGrid.toChunkCoordinates(strided, grid)
+    assert(slabs.size == touched.size)
+    assert(!touched.exists(_(0) == 1L), "x-chunk 1 holds no lattice point")
+    val boxChunks = graft.core.ChunkGrid.toChunkCoordinates(
+      Slice(strided.start, strided.stop), grid)
+    assert(touched.size < boxChunks.size, "stride must skip chunks")
+    // round trip: strided getSlice == step-1 getSlice sampled on the lattice
+    val full = r.getSlice("foo", Slice(Seq(0L, 0L, 0L), Seq(10L, 11L, 13L)))
+    strided.iter.foreach { c =>
+      assert(got.valueAt(c.toIndexedSeq) == full.valueAt(c.toIndexedSeq))
+    }
+  }
+
   test("char variable round trip (entire_flow.clj:24-27)") {
     val store = freshStore()
     store.create("ds")

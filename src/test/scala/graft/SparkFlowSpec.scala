@@ -239,6 +239,40 @@ class SparkFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("strided (step>1) read on the distributed paths: exploded keeps " +
+      "exactly the stride lattice; getSlice gathers the same cells; " +
+      "streamChunks refuses loudly (step-1 contract named)") {
+    val store = freshStore()
+    store.create("ds")
+    val w = store.addVersion("ds", meta2d)
+    // write only x<5: lattice points at x>=5 read back fill
+    w.write("v", Seq(Slab.fromDoubles(DType.DOUBLE,
+      Slice(Seq(0L, 0L), Seq(5L, 10L)), (1 to 50).map(_.toDouble))))
+    w.finishVersion()
+    val r = store.reader("ds").onLastVersion()
+    val strided = Slice(Vector(1L, 0L), Vector(9L, 10L), Vector(3L, 4L))
+    // x lattice {1,4,7}, y lattice {0,4,8}
+    val df = r.exploded("v", strided)
+    val got = df.collect().map(row =>
+      (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    val expected = strided.iter.map { c =>
+      val (x, y) = (c(0), c(1))
+      (x, y) -> (if (x < 5) (x * 10 + y + 1).toDouble else -9.0)
+    }.toMap
+    assert(got == expected)
+    // distributed driver-assembly getSlice agrees cell-for-cell
+    val slab = r.getSlice("v", strided)
+    assert(slab.slice == strided)
+    strided.iter.foreach { c =>
+      assert(slab.valueAt(c.toIndexedSeq) == expected((c(0), c(1))))
+    }
+    // chunk-granular frames have no lattice meaning: loud refusal
+    val e = intercept[IllegalArgumentException] {
+      r.streamChunks("v", strided)
+    }
+    assert(e.getMessage.contains("step-1"))
+  }
+
   test("time travel + structural sharing + uncommitted invisibility on Spark backend") {
     val store = freshStore()
     store.create("ds")
