@@ -315,7 +315,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     * from the already-parsed manifests (memoized suffix-sharing walk,
     * zero extra GETs); a vid whose parent the listing transiently lags
     * is simply left unseeded and falls back to the lazy point-GET walk. */
-  private[spark] def listedManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
+  private[graft] def listedManifests(name: String): Seq[(Long, Long, DatasetMeta)] = {
     val vs = versionManifests(name)
     val byId = vs.map { case (_, v, m) => v -> m }.toMap
     // memo values: the chain, or null = proven unseedable (missing parent
@@ -2442,7 +2442,18 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         .groupBy("hash").agg(min("coordKey").as("coordKey"))
         .join(store.chunksDF.select("hash"), Seq("hash"), "left_anti")
         .select("coordKey")
-      val newBlobs = merged.join(winners, Seq("coordKey"))
+      // shuffle_hash on WINNERS pins the build side: `merged` flows out
+      // of a cogroup (object-serialized), whose STATIC size estimate is
+      // derived from its tiny inputs (spark.range rows), so the planner
+      // would otherwise pick merged — blob bytes and all — as the
+      // broadcast build side and collect the entire batch's blobs to the
+      // driver (surfaced by the round-18 incompressible-content probe:
+      // 1.6 GB of task results at the x4 shape, OOM/maxResultSize at
+      // scale; compressible fixtures had hidden it). winners is
+      // coordKey strings only and merged is already hash-partitioned by
+      // coordKey from the cogroup, so the hinted shuffled-hash join
+      // moves ONLY winners and never re-shuffles blob bytes.
+      val newBlobs = merged.join(winners.hint("shuffle_hash"), Seq("coordKey"))
         .select(col("hash"), lit(-1L).as("ref"), col("bytes"))
       // blobs are already LZ4-framed — skip parquet's recompression.
       // RANGE-partition by hash, then sort within partitions: each part

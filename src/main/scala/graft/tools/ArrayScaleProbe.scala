@@ -27,9 +27,37 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   *   SPARK_GRAFT_ARRAY_SCALES=1,10 sbt "runMain graft.tools.ArrayScaleProbe"
   */
 object ArrayScaleProbe {
+
+  /** splitmix64 finalizer — the `unique` content mode's cell generator:
+    * deterministic and avalanching, so every chunk's 27000-short payload
+    * is globally unique and incompressible (the lz4 filter's 1.2× ratio
+    * bail-out stores it raw). The default periodic content (v = f(i) %
+    * 1000) content-dedups ~2700× in the content-addressed store, which
+    * made both the blob-IO bandwidth and the vacuum-reclaim rows of the
+    * triad table degenerate (r17 verdict: "reclaimed blobs 0/0/0"). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   def main(args: Array[String]): Unit = {
     val scales = sys.env.getOrElse("SPARK_GRAFT_ARRAY_SCALES", "1,10")
       .split(",").toSeq.map(_.trim.toDouble)
+    // periodic (default) = the historical fixture, numbers comparable
+    // across rounds; unique = incompressible content for blob-IO /
+    // vacuum-reclaim measurement (SPARK_GRAFT_ARRAY_CONTENT=unique)
+    val uniqueContent =
+      sys.env.getOrElse("SPARK_GRAFT_ARRAY_CONTENT", "periodic") == "unique"
+    // metadata-plane mode (SPARK_GRAFT_ARRAY_METAONLY=1): skip the
+    // volume-proportional DATA legs (full exploded reads, chunked agg,
+    // SPJ) so the x100 shape (~840k chunks) measures what the 100 TB
+    // posture actually rests on — manifest listing, planning partitions
+    // + heap, pin cost, window reads, the maintenance triad, and the
+    // zone-map aggregate (index-driven by design) — without decoding
+    // 21.6 Gcells of fixture
+    val metaOnly = sys.env.get("SPARK_GRAFT_ARRAY_METAONLY").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -103,6 +131,7 @@ object ArrayScaleProbe {
       // unchanged, so every read leg's data is identical.
       def writePlanes(ds: String, zD: Long, nX: Long, create: Boolean,
           salt: Long): Unit = {
+        val uniq = uniqueContent // plain boolean for the executor closure
         if (create) store.create(ds)
         val w = store.addVersion(ds, meta.copy(dimensions = dims.updated("z", zD)))
         val zBlock = 900L // 30-aligned; 600*900 shorts = 1.08 MB per row
@@ -119,7 +148,9 @@ object ArrayScaleProbe {
             // same global cell content as the unsplit fixture:
             // in-plane index i = y*zD + z
             val i = (j / zw) * zD + z0 + j % zw
-            val v = ((x * 31 + i + salt) % 1000).toShort
+            val v: Short =
+              if (uniq) mix64(x * 600L * zD + i + salt * 0x632BE59BD9B4E019L).toShort
+              else ((x * 31 + i + salt) % 1000).toShort
             val o = (2 * j).toInt
             bytes(o) = (v >> 8).toByte; bytes(o + 1) = v.toByte
             j += 1
@@ -209,7 +240,7 @@ object ArrayScaleProbe {
       noop(reader.exploded("foo", Slice(Seq(0L, 0L, 0L), Seq(60L, 60L, 60L))))
 
       // ---- volume-proportional reads
-      time(s"read_full_$tag") {
+      if (!metaOnly) time(s"read_full_$tag") {
         noop(reader.exploded("foo",
           Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim))))
       }
@@ -232,7 +263,7 @@ object ArrayScaleProbe {
       // ---- chunk-grid aggregation + storage-partitioned join window
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      try {
+      if (!metaOnly) try {
         // chunk-aligned x<90 window (same as the SPJ window): volume-
         // proportional in z AND under the chunked scan's 65536-chunk
         // refusal cap at both scales. A FULL-grid chunked scan at x10
@@ -253,9 +284,11 @@ object ArrayScaleProbe {
             .option("dataset", "perf").option("variable", "foo")
             .option("chunked", "true").load()
             .filter(col("x") < 90)
+          // cast before adding: unique-content mode spans the full short
+          // range, and SHORT + SHORT overflows under ANSI arithmetic
           noop(side.alias("a").join(side.alias("b").hint("shuffle_hash"),
             Seq("_chunk_x", "_chunk_y", "_chunk_z", "x", "y", "z"))
-            .select(col("a.value") + col("b.value")))
+            .select(col("a.value").cast("int") + col("b.value").cast("int")))
         }
       } finally {
         spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
@@ -266,11 +299,15 @@ object ArrayScaleProbe {
       // overlay-resolve BOTH versions' indexes over the whole grid, and
       // a pinned time-travel window at v1 must stay fixed-cost
       val v1 = store.versions("perf").head._2
+      val preOverlayBytes = duBytes(root)
       time(s"overlay_commit_$tag") {
         writePlanes("perf", zDim, nX = 30L, create = false, salt = 7L)
       }
+      syncFs()
+      rec(s"overlay_store_mb_$tag",
+        (duBytes(root) - preOverlayBytes) / 1048576.0)
       val rv2 = store.reader("perf").onLastVersion()
-      time(s"read_full_v2_$tag") {
+      if (!metaOnly) time(s"read_full_v2_$tag") {
         noop(rv2.exploded("foo",
           Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim))))
       }
@@ -301,7 +338,7 @@ object ArrayScaleProbe {
         noop(store.reader("perf").onLastVersion()
           .exploded("foo", Slice(Seq(30L, 30L, 0L), Seq(90L, 90L, 60L))))
       }
-      time(s"read_full_postcompact_$tag") { // vs read_full_v2 (2-version MVCC)
+      if (!metaOnly) time(s"read_full_postcompact_$tag") { // vs read_full_v2
         noop(store.reader("perf").onLastVersion()
           .exploded("foo", Slice(Seq(0L, 0L, 0L), Seq(400L, 600L, zDim))))
       }
@@ -309,10 +346,25 @@ object ArrayScaleProbe {
         rec(s"expired_versions_$tag", store.expireHistory("perf").toDouble)
       }
       val preVacBytes = duBytes(root)
+      def blobCount(): Long = {
+        val p = java.nio.file.Paths.get(root, "chunks")
+        if (!java.nio.file.Files.exists(p)) 0L
+        else {
+          val s = java.nio.file.Files.walk(p)
+          try s.filter(f => java.nio.file.Files.isRegularFile(f)).count()
+          finally s.close()
+        }
+      }
+      // blob FILES, not blobs: the chunk store packs hash-sorted blobs
+      // into parquet files, so these two pin the file-level sweep while
+      // vacuum_reclaimed_blobs is the true per-blob count (live blobs
+      // after the triad = chunks_<tag>, every grid chunk exactly once)
+      rec(s"chunkstore_files_prevac_$tag", blobCount().toDouble)
       time(s"vacuum_$tag") {
         rec(s"vacuum_reclaimed_blobs_$tag", store.vacuum(graceMs = 0L).toDouble)
       }
       syncFs()
+      rec(s"chunkstore_files_postvac_$tag", blobCount().toDouble)
       rec(s"vacuum_reclaimed_mb_$tag", (preVacBytes - duBytes(root)) / 1048576.0)
       // post-triad integrity: the zone-map count over the full grid is
       // intact (cell-exact equality is the q_arr_compact gate's job)

@@ -1,38 +1,41 @@
 package graft.tools
 
+import graft.core._
+import graft.meta.{DatasetMeta, VariableDef}
+import graft.spark.SparkStore
 import org.apache.spark.sql.SparkSession
 
-/** Metadata-plane scaling probe for the ARRAY store (dev tool, not a
-  * gate — the pipeline-side analog is [[graft.ScaleProbe]]). The claims
-  * it turns into measurements: scan planning stays O(buckets) driver
-  * state (manifest rows live in parquet, never on the driver), the
-  * hash-range sidecar keeps point-lookup planning from opening footers,
-  * and driver retained heap after planning grows sub-linearly in the
-  * index size. The quantity that actually grows at 100 TB is CHUNKS —
-  * this probes the index at ~10⁶ chunk rows, 30× the round-9 probe.
+/** METADATA-PLANE probe for deep version histories (dev tool, not a
+  * gate): the 100 TB posture assumes multi-thousand-version datasets
+  * whose per-read cost is bounded by the checkpoint-floored chain walk
+  * and whose listing/planning cost is bounded by expireHistory — this
+  * measures those claims at depth N (default 2000) instead of arguing
+  * them from structure.
   *
-  * Per scale (chunk count): ingest a fresh 1-D dataset whose chunk size
-  * is 8 longs (tiny blobs — payload is irrelevant to the metadata
-  * plane; values vary per chunk so every blob hash is DISTINCT and the
-  * ranged chunk files carry realistic disjoint hash spans), then time
-  *  - ingest (context only; not the probe's subject),
-  *  - dsv2_first: full DSv2 count — scan-manifest BUILD + read,
-  *  - dsv2_cached: same count again — published-manifest reuse,
-  *  - window_plan: a 16-chunk windowed exploded read — O(window)
-  *    planning against the 10⁶-row index (resolve + sidecar-pruned
-  *    point partitions),
-  *  - slice_driver: a 4-chunk driver getSlice — the latency-path read,
-  * and record retained driver heap (post-GC used delta since session
-  * start) after the first plan.
+  * Legs (all driver-side wall clocks; blobs are tiny and content-dedup,
+  * so only manifests + index rows cost disk — the point of the probe):
+  *  - `commit_first100` / `commit_last100`: per-commit wall of the first
+  *    and last 100 of N single-chunk commits. Super-linear growth here
+  *    names an O(history) step in the commit path (listing, fork verify).
+  *  - `listing_cold`: versions() on a FRESH store handle at N manifests.
+  *  - `seed_chains_cold`: listedManifests on a fresh handle — the
+  *    memoized suffix-sharing chain seed over all N manifests.
+  *  - `pin_head_nocp_cold`: fresh-handle pinned read of the head version
+  *    with NO checkpoint anywhere — the worst case, O(depth) point GETs.
+  *  - `pin_head_postcp_cold`: same after compact() — the checkpoint
+  *    floors the walk at O(1).
+  *  - `read_window_head`: a small exploded read at the head (plan +
+  *    execute) — the end-to-end cost a reader actually pays.
+  *  - `expire`: expireHistory over the N-version history (mass manifest
+  *    delete + index sweep), then `listing_postexpire`.
   *
   * Usage:
-  *   SPARK_GRAFT_META_SCALES=65536,262144,1048576 \
-  *   sbt "runMain graft.tools.MetaScaleProbe"
+  *   SPARK_GRAFT_META_VERSIONS=2000 \
+  *     sbt "runMain graft.tools.MetaScaleProbe"
   */
 object MetaScaleProbe {
   def main(args: Array[String]): Unit = {
-    val scales = sys.env.getOrElse("SPARK_GRAFT_META_SCALES",
-      "65536,262144,1048576").split(",").toSeq.map(_.trim.toLong)
+    val nVersions = sys.env.getOrElse("SPARK_GRAFT_META_VERSIONS", "2000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,88 +46,122 @@ object MetaScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      try f catch { case e: Throwable =>
-        System.err.println(s"[meta-probe] failed: ${e.getMessage}"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
-    }
-    def usedHeapMb(): Double = {
-      System.gc(); Thread.sleep(200); System.gc()
-      val rt = Runtime.getRuntime
-      (rt.totalMemory() - rt.freeMemory()) / 1e6
-    }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val heap0 = usedHeapMb()
-    for (nChunks <- scales) {
-      val chunkX = 8L // 8 longs per chunk: 64-byte payload, metadata-bound
-      val dimX = nChunks * chunkX
-      val meta = graft.meta.DatasetMeta(
-        dimensions = Map("x" -> dimX),
-        chunkDimensions = Map("x" -> chunkX),
-        variables = Map("v" ->
-          graft.meta.VariableDef("long", Vector("x"), -1.0)))
-      val root = java.nio.file.Files.createTempDirectory("graft_meta_probe").toString
-      val store = new graft.spark.SparkStore(spark, root)
-      store.create("ds")
-
-      def rec(name: String)(f: => Unit): Unit = {
-        val t = time(f)
-        results(s"${name}_c$nChunks") = t
-        System.err.println(f"[meta-probe] ${name}_c$nChunks: $t%.2f s")
-      }
-
-      // distributed ingest: 1024 chunks (8192 cells) per slab row, value
-      // = absolute coordinate so every chunk's content hash is unique
-      rec("ingest") {
-        val cellsPerSlab = 8192L
-        val nSlabs = (dimX + cellsPerSlab - 1) / cellsPerSlab
-        val w = store.addVersion("ds", meta)
-        val slabRows = spark.range(nSlabs).map { s =>
-          val lo = s * cellsPerSlab
-          val hi = math.min(lo + cellsPerSlab, dimX)
-          val bytes = new Array[Byte](((hi - lo) * 8L).toInt)
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-          var x = lo
-          while (x < hi) { bb.putLong(x); x += 1 }
-          (Array(lo), Array(hi), bytes, s)
-        }.toDF("start", "stop", "bytes", "seq")
-        w.writeRows("v", slabRows)
-        w.finishVersion()
-      }
-
-      def fullDf = spark.read.format("graft").option("root", root)
-        .option("dataset", "ds").option("variable", "v").load()
-      rec("dsv2_first") { require(fullDf.count() == dimX) }
-      val heapAfterPlan = usedHeapMb() - heap0
-      results(s"heap_after_plan_mb_c$nChunks") = heapAfterPlan
-      System.err.println(f"[meta-probe] heap_after_plan_mb_c$nChunks: $heapAfterPlan%.1f MB")
-      rec("dsv2_cached") { require(fullDf.count() == dimX) }
-
-      val reader = store.reader("ds").onLastVersion()
-      rec("window_plan") {
-        // 16-chunk window in the middle of the grid: planning must prune
-        // via the index (version/var partitions) + hash-range sidecars,
-        // never list-or-open O(nChunks) anything
-        val lo = (nChunks / 2) * chunkX
-        val df = reader.exploded("v",
-          graft.core.Slice(Seq(lo), Seq(lo + 16 * chunkX)))
-        require(df.count() == 16 * chunkX)
-      }
-      rec("slice_driver") {
-        val lo = (nChunks / 3) * chunkX
-        val s = reader.getSlice("v",
-          graft.core.Slice(Seq(lo), Seq(lo + 4 * chunkX)))
-        require(s.valueAt(Seq(lo)) == lo.toDouble)
-      }
-      graft.spark.SparkStore.clearBlobCache()
-      spark.catalog.clearCache()
+    def rec(name: String, v: Double): Unit = {
+      results(name) = v
+      System.err.println(f"[probe] $name: $v%.4f")
     }
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      try { f; rec(name, (System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] $name FAILED: ${e.getMessage}")
+        rec(name, -1.0)
+      }
+    }
+    def heapMb(): Double = {
+      System.gc(); Thread.sleep(300); System.gc()
+      val rt = Runtime.getRuntime
+      (rt.totalMemory() - rt.freeMemory()) / 1048576.0
+    }
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_metaprobe").toString
+    val store = new SparkStore(spark, root)
+    val meta = DatasetMeta(
+      dimensions = Map("h" -> 64L),
+      chunkDimensions = Map("h" -> 16L),
+      variables = Map("v" -> VariableDef("long", Vector("h"), -1.0)))
+    store.create("deep")
+
+    // ---- N single-chunk commits; first/last-100 rate pins drift.
+    // Each version writes 4 cells in the chunk its index selects, so the
+    // MVCC overlay stays non-trivial (every version contributes rows).
+    def commitOne(i: Int): Unit = {
+      val at = (i % 16).toLong * 4L
+      val w = store.addVersion("deep", meta)
+      w.write("v", Seq(Slab.fromDoubles(DType.LONG,
+        Slice(Seq(at), Seq(at + 4L)),
+        (0 until 4).map(k => (i * 10 + k).toDouble))))
+      w.finishVersion()
+      ()
+    }
+    commitOne(0) // JIT + path warm-up rides the first bucket anyway
+    val t0 = System.nanoTime()
+    (1 until 100).foreach(commitOne)
+    rec("commit_first100", (System.nanoTime() - t0) / 1e9)
+    val mid0 = System.nanoTime()
+    (100 until (nVersions - 100)).foreach(commitOne)
+    rec("commit_middle", (System.nanoTime() - mid0) / 1e9)
+    val tl0 = System.nanoTime()
+    ((nVersions - 100) until nVersions).foreach(commitOne)
+    rec("commit_last100", (System.nanoTime() - tl0) / 1e9)
+    rec("versions_total", nVersions.toDouble)
+
+    val heapBefore = heapMb()
+    // ---- cold listing + chain seeding (fresh handles: no caches)
+    time("listing_cold") {
+      require(new SparkStore(spark, root).versions("deep").size == nVersions)
+    }
+    time("seed_chains_cold") {
+      require(new SparkStore(spark, root)
+        .listedManifests("deep").size == nVersions)
+    }
+    rec("heap_listing_delta_mb", heapMb() - heapBefore)
+
+    // ---- worst-case pin: head's chain has NO checkpoint -> O(depth)
+    val head = store.versions("deep").head._2
+    time("pin_head_nocp_cold") {
+      val fresh = new SparkStore(spark, root)
+      require(fresh.reader("deep").onVersion(head).meta.versionId
+        .contains(head))
+    }
+    // a loser-depth probe: nth-from-head pin (still no checkpoint)
+    time("pin_mid_nocp_cold") {
+      val mid = store.versions("deep")(nVersions / 2)._2
+      val fresh = new SparkStore(spark, root)
+      require(fresh.reader("deep").onVersion(mid).meta.versionId
+        .contains(mid))
+    }
+
+    time("read_window_head_nocp") {
+      store.reader("deep").onVersion(head)
+        .exploded("v", Slice(Seq(0L), Seq(64L)))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // ---- compact: the checkpoint floors every later walk at O(1)
+    time("compact") { store.compact("deep"); () }
+    val headCp = store.versions("deep").head._2
+    time("pin_head_postcp_cold") {
+      val fresh = new SparkStore(spark, root)
+      require(fresh.reader("deep").onVersion(headCp).meta.versionId
+        .contains(headCp))
+    }
+    time("read_window_head_postcp") {
+      store.reader("deep").onVersion(headCp)
+        .exploded("v", Slice(Seq(0L), Seq(64L)))
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // ---- expire the pre-checkpoint history: N manifests + index sweep
+    time("expire") {
+      rec("expired_versions", store.expireHistory("deep").toDouble)
+    }
+    time("listing_postexpire") {
+      require(new SparkStore(spark, root).versions("deep").nonEmpty)
+    }
+    time("read_window_head_postexpire") {
+      store.reader("deep").onVersion(headCp)
+        .exploded("v", Slice(Seq(0L), Seq(64L)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    rec("heap_final_mb", heapMb())
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(root))
+
     val line = results.map { case (k, v) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     }.mkString("{", ",", "}")
     println(s"""{"probe":"meta-scale","timings":$line}""")
     spark.stop()
