@@ -434,7 +434,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
         if (latest != meta.parent)
           throw new IllegalStateException(
             s"version $vid has parent ${meta.parent.getOrElse("none")}, " +
-              s"but the latest version is ${latest.getOrElse("none")}")
+              s"but the latest version is ${latest.getOrElse("none")} — " +
+              "a rival committed first; re-run addVersion/finishVersion " +
+              "on the new latest")
         // shared-writer TOCTOU closure: a co-writer that lands AFTER
         // another writer's post-write ownership verify is invisible to it —
         // only the committer, running after every co-writer is done, sees
@@ -2432,29 +2434,30 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // 4. chunk append: content-dedup within the batch, then against the
-      //    store (left-anti) — reference dedup bound impl_test.clj:17-39.
-      //    Dedup decisions move ONLY (hash, coordKey) strings through the
-      //    shuffles; blob bytes are fetched once from the persisted cogroup
-      //    output by joining the winner coordKeys back (merged is already
-      //    hash-partitioned by coordKey, so its bytes don't re-shuffle)
-      val winners = merged.select("coordKey", "hash")
-        .groupBy("hash").agg(min("coordKey").as("coordKey"))
-        .join(store.chunksDF.select("hash"), Seq("hash"), "left_anti")
-        .select("coordKey")
-      // shuffle_hash on WINNERS pins the build side: `merged` flows out
-      // of a cogroup (object-serialized), whose STATIC size estimate is
-      // derived from its tiny inputs (spark.range rows), so the planner
-      // would otherwise pick merged — blob bytes and all — as the
-      // broadcast build side and collect the entire batch's blobs to the
-      // driver (surfaced by the round-18 incompressible-content probe:
-      // 1.6 GB of task results at the x4 shape, OOM/maxResultSize at
-      // scale; compressible fixtures had hidden it). winners is
-      // coordKey strings only and merged is already hash-partitioned by
-      // coordKey from the cogroup, so the hinted shuffled-hash join
-      // moves ONLY winners and never re-shuffles blob bytes.
-      val newBlobs = merged.join(winners.hint("shuffle_hash"), Seq("coordKey"))
-        .select(col("hash"), lit(-1L).as("ref"), col("bytes"))
+      // 4. chunk append: content-dedup within the batch AND against the
+      //    store (reference dedup bound impl_test.clj:17-39), arranged so
+      //    blob BYTES move exactly ONCE — the range shuffle that lays out
+      //    hash-sorted disjoint part files (needed regardless):
+      //    - already-in-store hashes (re-ingested content) are a
+      //      string-only semi join against chunksDF, broadcast back as a
+      //      LEFT-ANTI filter below the range shuffle. The broadcast is
+      //      bounded by the batch's re-ingested DISTINCT hashes (40 B
+      //      each); the worst case — an idempotent full re-write —
+      //      broadcasts the batch's hash set and then writes zero blobs.
+      //    - within-batch duplicates land ADJACENT in the hash-sorted
+      //      range partitions and are dropped in-pass (mapPartitions),
+      //      costing no shuffle at all.
+      //    Earlier shapes both failed at scale, caught by the round-18
+      //    incompressible-content probe: a plain join of the cogroup
+      //    output with the winner coordKeys let the planner BROADCAST
+      //    the blob side (the cogroup's static size estimate derives
+      //    from its tiny spark.range inputs — 1.6 GB of driver results
+      //    at the x4 shape), and pinning the build side with a
+      //    shuffle-hash hint re-shuffled every blob byte a second time
+      //    (the cogroup's coordKey clustering does not survive object
+      //    serialization, so the join could not reuse it).
+      val existing = merged.select("hash").distinct()
+        .join(store.chunksDF.select("hash"), Seq("hash"), "left_semi")
       // blobs are already LZ4-framed — skip parquet's recompression.
       // RANGE-partition by hash, then sort within partitions: each part
       // file owns a DISJOINT hash range (footer min/max), so a point
@@ -2462,7 +2465,6 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       // every file (file-level pruning in ChunkBlobReader.fileHashRange —
       // without disjoint files, per-chunk tasks paid an open per file:
       // measured 277 ms/task on a 2240-chunk grid agg, ~8 ms after).
-      // The extra shuffle moves only NEW deduped blobs of this batch.
       // The batch lands in a STAGING dir and its part files are adopted
       // into the live chunks dir — the exact new-file list then comes
       // from one O(new files) listing (diffing the live dir would cost
@@ -2472,7 +2474,29 @@ final class SparkVersionWriter(store: SparkStore, name: String,
       // never has to open footers. Same adopt pattern as vacuum's
       // compaction; part-file names carry fresh UUIDs, so no collision.
       val staging = store.newChunkStagingDir()
-      newBlobs.repartitionByRange(col("hash")).sortWithinPartitions("hash")
+      merged.select(col("hash"), lit(-1L).as("ref"), col("bytes"))
+        .join(broadcast(existing), Seq("hash"), "left_anti")
+        .as[(String, Long, Array[Byte])]
+        // map-side pre-dedup (hashes only in memory, bounded by the
+        // partition's distinct chunks): a constant variable collapses to
+        // one row per partition BEFORE the shuffle, preserving the old
+        // shape's property that duplicate content never moves
+        .mapPartitions { it =>
+          val seen = new java.util.HashSet[String]()
+          it.filter(r => seen.add(r._1))
+        }
+        .repartitionByRange(col("_1")).sortWithinPartitions("_1")
+        // cross-partition duplicates land adjacent in the hash-sorted
+        // range partitions: drop-adjacent finishes the dedup shuffle-free
+        .mapPartitions { it =>
+          var last: String = null
+          it.filter { r =>
+            val keep = r._1 != last
+            last = r._1
+            keep
+          }
+        }
+        .toDF("hash", "ref", "bytes")
         .write.option("compression", "uncompressed")
         .parquet(staging)
       store.writeChunkRangeSidecar(store.adoptChunkFiles(staging))

@@ -36,6 +36,9 @@ import org.apache.spark.sql.SparkSession
 object MetaScaleProbe {
   def main(args: Array[String]): Unit = {
     val nVersions = sys.env.getOrElse("SPARK_GRAFT_META_VERSIONS", "2000").toInt
+    require(nVersions >= 300,
+      "SPARK_GRAFT_META_VERSIONS must be >= 300: the first-100 / middle / " +
+        "last-100 commit buckets overlap below that and the leg counts lie")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -32,20 +32,29 @@ import org.scalatest.funsuite.AnyFunSuite
   * on whatever semantics the real store has: lifecycle + MVCC overlay,
   * time travel, the commit protocol's fork defense under a real commit
   * race, and dangling-orphan refusal.
+  *
+  * OFFLINE STAND-IN (round 18): with no endpoint configured the suite no
+  * longer cancels — it runs against the in-process loopback-HTTP object
+  * store (`hos://127.0.0.1:<port>`, graft.testfs.InProcessObjectStoreServer):
+  * server-held state reached only over real sockets, whole-object PUT/
+  * GET/DELETE, per-object-atomic visibility, check-then-act create,
+  * copy+delete rename. A configured real endpoint always takes
+  * precedence — the env var remains the opt-in for true remote runs.
   */
 class RealObjectStoreSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private val endpoint = sys.env.get("GRAFT_S3A_TEST_ENDPOINT")
+  private lazy val endpoint: String = sys.env.get("GRAFT_S3A_TEST_ENDPOINT")
     .orElse(sys.props.get("graft.s3a.test.endpoint"))
+    .getOrElse {
+      spark // the session must exist first: hos resolves via its conf
+      graft.testfs.InProcessObjectStoreServer.endpoint()
+    }
 
-  /** Fresh per-test root under the endpoint; cancels the test offline. */
-  private def realRoot(): String = {
-    assume(endpoint.isDefined,
-      "GRAFT_S3A_TEST_ENDPOINT unset — real-object-store conformance " +
-        "is opt-in; see the suite scaladoc")
-    s"${endpoint.get.stripSuffix("/")}/graft-conf-${java.util.UUID.randomUUID}"
-  }
+  /** Fresh per-test root under the endpoint (real if configured, the
+    * loopback stand-in otherwise — never cancels). */
+  private def realRoot(): String =
+    s"${endpoint.stripSuffix("/")}/graft-conf-${java.util.UUID.randomUUID}"
 
   private def meta1d(n: Long = 10L, chunk: Long = 4L) = DatasetMeta(
     dimensions = Map("x" -> n), chunkDimensions = Map("x" -> chunk),

@@ -35,6 +35,14 @@ object SparkTestSession {
       // keep Hadoop's content-blind global FS cache out of the gate: a
       // credentialed instance must not be handed to a credential-less conf
       .config("spark.hadoop.fs.mockfs.impl.disable.cache", "true")
+      // hos://: in-process loopback-HTTP object store (the offline
+      // stand-in RealObjectStoreSpec runs against when no real endpoint
+      // is configured; see graft.testfs.InProcessObjectStoreServer)
+      .config("spark.hadoop.fs.hos.impl",
+        "graft.testfs.HttpObjectStoreFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.hos.impl",
+        "graft.testfs.HttpObjectStoreAbstractFs")
+      .config("spark.hadoop.fs.hos.impl.disable.cache", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
