@@ -107,6 +107,9 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     verifiedChains.synchronized {
       verifiedChains.keySet.removeIf(_._1 == name); ()
     }
+    manifestCache.synchronized {
+      manifestCache.keySet.removeIf(_._1 == name); ()
+    }
   }
 
   def listDatasets: Seq[String] =
@@ -140,12 +143,51 @@ final class SparkStore(val spark: SparkSession, val root: String) {
       s"""dataset with name "$name" does not exist.""")
     StoreFs.list(dir)
       .filter { case (_, n, _, _) => n.endsWith(".json") }
-      .map { case (p, _, _, _) =>
-        val m = DatasetMeta.fromJson(StoreFs.readString(p))
+      .map { case (p, n, _, _) =>
+        // committed <vid>.json manifests are WRITE-ONCE (published by
+        // tmp + move, never modified; expire/fork-rollback only DELETE
+        // whole files), so the parsed content is cached per handle and
+        // the LISTING stays authoritative for which vids exist — a
+        // deleted manifest drops out of the listing and its cache entry
+        // goes unused. Without this, every listing re-GETs and re-parses
+        // every manifest: the deep-history probe measured per-COMMIT
+        // wall drifting 1.08 s → ~2.8 s across the first 1000 versions
+        // of a 2000-version history from exactly this O(n)-per-listing,
+        // O(n²)-per-history re-parsing.
+        val vidOpt = n.stripSuffix(".json").toLongOption
+        val cached = vidOpt.flatMap(v => manifestCached(name, v))
+        val m = cached.getOrElse {
+          val mm = DatasetMeta.fromJson(StoreFs.readString(p))
+          // cache only when the filename vid matches the content's own
+          // id (defensive: a mismatched file must never alias an entry)
+          if (vidOpt.exists(mm.versionId.contains))
+            cacheManifest(name, vidOpt.get, mm)
+          mm
+        }
         (extractTimestamp(m), m.versionId.get, m)
       }
       .sortBy { case (ts, vid, _) => (ts, vid) }.reverse
   }
+
+  /** See [[versionManifestsRaw]]: per-handle write-once manifest cache,
+    * access-ordered LRU like [[verifiedChains]]; purged by destroy. */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long), DatasetMeta](
+        64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), DatasetMeta]): Boolean =
+        size() > 20000
+    }
+
+  private def manifestCached(name: String, vid: Long): Option[DatasetMeta] =
+    manifestCache.synchronized { Option(manifestCache.get((name, vid))) }
+
+  private def cacheManifest(name: String, vid: Long, m: DatasetMeta): Unit =
+    manifestCache.synchronized {
+      if (!manifestCache.containsKey((name, vid)))
+        manifestCache.put((name, vid), m)
+      ()
+    }
 
   /** [[versionManifestsRaw]] plus read-side FORK RESOLUTION — normally a
     * no-op (linear histories pass through untouched). If two manifests
