@@ -631,7 +631,10 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     val metaJson = meta.toJson
 
     // 1. metadata-only torn detection over the candidate vars' vid rows
-    val rows = indexDF(name)
+    // (explicit partition paths: only the candidates' OWN vid partitions,
+    // never a whole-index listing — see admittedIndexDF)
+    val rows = cand.map(v => admittedIndexDF(name, v, Seq(vid)))
+      .reduce(_ union _)
       .filter(col("version") === vid && col("var").isin(cand: _*))
       .select(col("var"), col("coordKey"), col("coord"), col("seq"),
         col("hash"), col("baseHash"), col("replacesHash"))
@@ -1401,6 +1404,36 @@ final class SparkStore(val spark: SparkSession, val root: String) {
     } catch { case _: java.io.IOException => true }
   }
 
+  /** The index rows a resolve may admit, read as EXPLICIT partition
+    * paths instead of a whole-dir scan. The index dir accumulates one
+    * `var=<v>/version=<vid>` partition for every version EVER committed,
+    * and `spark.read.parquet(indexDir)` pays a full recursive listing of
+    * all of them BEFORE partition pruning can drop any (one distributed
+    * listing job per resolve — per-commit wall on a deep linear history
+    * measured drifting 1.33 s → 4.03 s across its first 800 versions
+    * from exactly this, and on an object store it is a LIST storm).
+    * The caller already knows the admitted versions exactly, so list
+    * nothing: point-probe each admitted partition dir (versions that
+    * never wrote this variable have none) and hand Spark the survivors
+    * with `basePath` so the partition columns still resolve. Cost is
+    * O(|admissible|) exists-probes — O(changes since last compact) on
+    * every read path, independent of how much expired-but-unswept
+    * history the dir still holds. */
+  private[spark] def admittedIndexDF(name: String, varName: String,
+      admissible: Seq[Long]): DataFrame = {
+    val dir = indexDir(name)
+    val varDir = StoreFs.child(dir,
+      "var=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(varName))
+    val paths = admissible.distinct
+      .map(v => StoreFs.child(varDir, s"version=$v"))
+      .filter(StoreFs.exists)
+    if (paths.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], indexSchema)
+    else spark.read.schema(indexSchema).option("basePath", dir)
+      .parquet(paths: _*)
+  }
+
   /** MVCC index resolution: for each coordinate of `varName`, the hash of
     * the greatest (version, seq) among versions that are committed-and-≤
     * `upTo`, plus (optionally) the in-flight version itself
@@ -1550,7 +1583,7 @@ final class SparkStore(val spark: SparkSession, val root: String) {
 
   private[spark] def resolvedOver(name: String, varName: String,
       admissible: Seq[Long], coordFilter: Column): DataFrame =
-    indexDF(name)
+    admittedIndexDF(name, varName, admissible)
       .filter(col("var") === varName && col("version").isin(admissible: _*))
       .filter(coordFilter)
       .groupBy("coordKey")
@@ -2609,7 +2642,7 @@ final class SparkVersionWriter(store: SparkStore, name: String,
         ChunkGrid.toChunkCoordinates(Slice(start.toVector, stop.toVector),
           m.chunkGridSlice(varN)).iterator.map(SparkStore.coordKey)
       }.distinct().toDF("coordKey")
-    val winners = store.indexDF(name)
+    val winners = store.admittedIndexDF(name, varN, Seq(vid))
       .filter(col("var") === varN && col("version") === vid)
       .join(touched, Seq("coordKey"), "left_semi")
       .groupBy("coordKey")

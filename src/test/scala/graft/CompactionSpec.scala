@@ -79,6 +79,39 @@ class CompactionSpec extends AnyFunSuite {
     assert(after(20L) == 61L && after(40L) == 80L)
   }
 
+  test("resolve never LISTS the index dir: admitted partitions are read as " +
+      "explicit paths (poison sibling partition invisible; inputFiles ⊆ " +
+      "admitted versions)") {
+    val (store, v1, v2) = buildTwoVersions()
+    val w = store.compact("ds")
+    // A sibling partition dir that any whole-dir listing would have to
+    // visit — non-long partition value, non-parquet content. The index
+    // dir legitimately accumulates partitions of every version ever
+    // committed (expire may lag compact indefinitely); resolve cost and
+    // resolve HEALTH must not depend on what else sits in the dir.
+    val bad = StoreFs.child(
+      StoreFs.child(store.indexDir("ds"), "var=n"), "version=bogus")
+    StoreFs.mkdirs(bad)
+    StoreFs.writeString(StoreFs.child(bad, "junk.parquet"), "not parquet")
+    // latest read resolves and its file index holds ONLY version=w files
+    assert(values(store, w) == expected(true))
+    val dfW = store.resolvedIndexPublic("ds", "n", store.metadata("ds", w),
+      org.apache.spark.sql.functions.lit(true))
+    assert(dfW.inputFiles.nonEmpty &&
+      dfW.inputFiles.forall(_.contains(s"version=$w")),
+      s"head resolve must read only version=$w: ${dfW.inputFiles.toSeq}")
+    // pinned time travel below the checkpoint: v1's snapshot admits {v1}
+    assert(values(store, v1) == (0L until 48L).map(h => h -> 2 * h).toMap)
+    val df1 = store.resolvedIndexPublic("ds", "n", store.metadata("ds", v1),
+      org.apache.spark.sql.functions.lit(true))
+    assert(df1.inputFiles.nonEmpty &&
+      df1.inputFiles.forall(_.contains(s"version=$v1")),
+      s"pinned v1 resolve must read only version=$v1: ${df1.inputFiles.toSeq}")
+    // and a version that exists but wrote nothing for a variable resolves
+    // EMPTY rather than probing nonexistent partition dirs into an error
+    assert(store.resolvedIndexBetween("ds", "n", v2, v2).count() == 0)
+  }
+
   test("expireHistory + vacuum: latest read intact, expired version gone " +
       "explicitly, overwritten blob reclaimed") {
     val (store, v1, v2) = buildTwoVersions()
