@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scale-adaptive scan fan-out for CPU-bound per-row derivations
+  * (shingling, MD5 minhash signatures, tokenization, image decode).
+  *
+  * Guide §2.5 ("input skew: one huge unsplittable file — repartition
+  * immediately after the read"): a corpus that arrives as FEW parquet
+  * files caps the parallelism of everything row-local computed from it —
+  * parquet splits by byte range but a small file is one split, so at
+  * gate scale the 5,000-document corpus shingles/hashes on ONE task of a
+  * 32-core session (measured: q_pipe_novelty spent 4.4 of its 4.4
+  * compute-seconds in two sequential single-task stages). At 100 TB the
+  * corpus is tens of thousands of splits and the condition below is
+  * false, so the repartition — a full shuffle of the payload, which the
+  * guide rightly bans as a default — never fires on a well-laid-out
+  * production table. It fires exactly when the scan's own parallelism is
+  * structurally deficient for the cluster.
+  *
+  * The partitioner is HASH on a caller-named deterministic key column
+  * (never round-robin on random values — retry-safety, guide §2.5), so
+  * a retried task reproduces the same row placement.
+  */
+object FanOut {
+
+  /** `df` repartitioned to the session's core parallelism iff its file
+    * scan yields materially fewer splits; identity otherwise (including
+    * for non-file-backed frames, whose parallelism already tracks the
+    * cluster). */
+  def byKey(df: DataFrame, key: Column): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    val files = try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
+    // 2× headroom: a scan already within a factor of two of core count
+    // gains less from a fan-out shuffle than the shuffle costs
+    if (files > 0 && files * 2 <= target) df.repartition(target, key) else df
+  }
+}

@@ -36,11 +36,21 @@ private[graft] object Replay {
     // queries on the session are unaffected).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
+    // memory-sink replays checkpoint to a Spark-managed LOCAL temp dir,
+    // so the NIO manager applies (kills the per-file chmod forks of the
+    // default FileContext manager — see LocalNioCheckpointFileManager)
+    val ckptKey = "spark.sql.streaming.checkpointFileManagerClass"
+    val prevCkptMgr = spark.conf.getOption(ckptKey)
+    if (prevCkptMgr.isEmpty)
+      spark.conf.set(ckptKey, classOf[LocalNioCheckpointFileManager].getName)
     val q =
       try build(input.toDS())
         .writeStream.format("memory").queryName(name)
         .outputMode(outputMode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        if (prevCkptMgr.isEmpty) spark.conf.unset(ckptKey)
+      }
     try {
       val per = math.max(1, (rows.length + nBatches - 1) / nBatches)
       rows.grouped(per).foreach { b =>

@@ -61,7 +61,8 @@ object Rollup {
       variables = Map(
         "sum" -> graft.meta.VariableDef("long", dims, 0.0),
         "cnt" -> graft.meta.VariableDef("long", dims, 0.0))).toJson
-    val q = spark.readStream.format("graft")
+    val q = FileFeed.withLocalCheckpoints(spark, checkpoint) {
+      spark.readStream.format("graft")
       .option("root", root).option("dataset", srcDataset)
       .option("variable", srcVar).load()
       .writeStream
@@ -88,6 +89,7 @@ object Rollup {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+    }
     q.awaitTermination()
   }
 }

@@ -194,8 +194,13 @@ object Sessionize {
         tails = Seq(sentinels))
       .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
         col("event_type")).as[Event]
+    // narrowTo matches every sibling file gate: a bounded feed does not
+    // need one state-store instance per session shuffle partition per
+    // micro-batch (this gate alone ran 32-wide: 4× the providers, delta
+    // files and tasks of the other sessionizer gates for the same rows)
     val sunk = FileFeed.runToParquet(
-      sessions(stream, gapMs = gapSeconds * 1000L).toDF(), workDir)
+      sessions(stream, gapMs = gapSeconds * 1000L).toDF(), workDir,
+      narrowTo = Some(8))
 
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
     sunk

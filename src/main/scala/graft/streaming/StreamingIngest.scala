@@ -53,6 +53,10 @@ object StreamingIngest {
       dimensions = Map("h" -> hours),
       chunkDimensions = Map("h" -> 64L),
       variables = Map("n" -> VariableDef("long", Vector("h"), -1.0)))
+    // checkpoint goes to a Spark-managed LOCAL temp dir (no explicit
+    // location) — route it through the NIO manager (see
+    // LocalNioCheckpointFileManager; the default forks chmod per file)
+    FileFeed.withLocalCheckpoints(counts.sparkSession, "/") {
     counts.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -83,6 +87,7 @@ object StreamingIngest {
         ()
       }
       .start()
+    }
   }
 
   /** PRODUCTION twin of the MemoryStream-replayed versioned ingest: the
