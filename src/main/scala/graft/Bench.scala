@@ -130,6 +130,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Sort-based shuffle writer even for no-combine (repartition)
+      // shuffles: the bypass writer creates R partition files PER MAP
+      // TASK (M×R creates/shuffle — stack-sampled as the dominant wait
+      // of the fanned-out gates: FileOutputStream.open0 + mmap under
+      // IndexShuffleBlockResolver), the sort writer one data+index pair
+      // per task. With our R ≈ cores and row-sized records the sort is
+      // noise; bypass's file-create storm is not. Env-overridable so a
+      // deployment whose reducer count is huge (where bypass exists to
+      // win) can restore it.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

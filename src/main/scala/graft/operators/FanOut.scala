@@ -31,9 +31,17 @@ object FanOut {
   def byKey(df: DataFrame, key: Column): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val target = sc.defaultParallelism
+    // idempotent: a frame whose plan already repartitions (this helper
+    // upstream, or an operator's own salting/partitioning) has its
+    // parallelism established — a second exchange would be pure cost
+    val repartitioned = df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+    }.nonEmpty
     val files = try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
     // 2× headroom: a scan already within a factor of two of core count
     // gains less from a fan-out shuffle than the shuffle costs
-    if (files > 0 && files * 2 <= target) df.repartition(target, key) else df
+    if (!repartitioned && files > 0 && files * 2 <= target)
+      df.repartition(target, key)
+    else df
   }
 }

@@ -30,6 +30,15 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 3,
       scale: Long = 1000000L): DataFrame = {
     require(scale % 100L == 0L, "scale must keep 0.15·scale integral")
+    // Deliberately LAZY loop frames (round-18 A/B): persisting ed/nodes
+    // (with localCheckpoint lineage cuts, both at session-width and at
+    // size-derived partitioning) measured 3.8-4.0 s vs 2.3 s for the lazy
+    // plan at gate scale — the cached frames pin the loop joins at the
+    // cache's partition layout (AQE cannot re-coalesce a cached plan) and
+    // the extra materialization jobs outweigh re-deriving the (fanned-out,
+    // parallel) edge subtree iters times for a bounded iteration count.
+    // An unbounded-iteration CC-style loop wants the opposite trade —
+    // see duplicateClusters, which persists + checkpoints per round.
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, "src")

@@ -338,7 +338,10 @@ object Curation {
     * and the two-pass distributed prefix sum (packing). */
   def curatePipeline(docs: DataFrame, minTokens: Long = 20L,
       minQuality: Double = 0.3): DataFrame = {
-    val q = docs.select(Seq(col("doc_id").cast("long").as("doc_id"),
+    // fan-out: the gate stage's tokenize/quality columns are CPU-bound
+    // row-local work, otherwise serialized by the corpus file count
+    val q = graft.operators.FanOut.byKey(docs, col("doc_id"))
+      .select(Seq(col("doc_id").cast("long").as("doc_id"),
         col("lang"), col("text")) ++ TextOps.qualityColumns(col("text")): _*)
       .filter(col("n_tokens") >= minTokens && col("quality") >= minQuality)
     val fp = q.withColumn("fp", TextOps.fingerprint(col("text")))

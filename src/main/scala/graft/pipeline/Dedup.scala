@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** (doc_id, word) pairs, distinct — the word-set representation. */
+  /** (doc_id, word) pairs, distinct — the word-set representation.
+    * Fan-out first: tokenization is CPU-bound row-local work whose
+    * parallelism is otherwise capped by the corpus file count
+    * (guide §2.5; FanOut is a no-op when the scan is already wide). */
   def wordSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word")).distinct()
+    graft.operators.FanOut.byKey(docs, col(idCol))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word")).distinct()
 
   /** (doc_id, shingle) pairs: character n-gram shingles over the
     * whitespace-normalized lowercase text — far more discriminative than
@@ -30,7 +34,10 @@ object Dedup {
     // the transform lambda it would re-run the regex PER SHINGLE (O(len)
     // regex × len shingles per doc — measured 15 s of the novelty gate's
     // 18 s at sf0.1; one regex per row after this split)
-    docs
+    // Fan-out first: shingling is CPU-bound and the gate corpus arrives
+    // as ONE parquet split, serializing the whole explode on one core
+    // (q_pipe_novelty: 4.4 s in two sequential single-task stages).
+    graft.operators.FanOut.byKey(docs, col(idCol))
       .select(col(idCol),
         trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")).as("_norm"))
       .select(col(idCol), explode(transform(
@@ -70,7 +77,10 @@ object Dedup {
   def minHashSignaturesFast(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text"))
+    // fan-out before the signature loop: the md5 walk is pure CPU and a
+    // single-file corpus otherwise hashes on one core (guide §2.5)
+    graft.operators.FanOut.byKey(docs, col("doc_id"))
+      .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -410,7 +420,9 @@ object Dedup {
     require(p > 0 && 16 % p == 0, s"p must divide 16 (got $p)")
     val keepDigits = "0123456789abcdef".take(16 / p).map(_.toString)
     val ids = docs.select(col("doc_id").cast("long").as("doc_id"))
-    val grams = docs
+    // fan-out: k-gram explode + md5 sampling is CPU-bound row-local work
+    // (q_pipe_dup_spans: 2.3 s single-task gram stage on one corpus file)
+    val grams = graft.operators.FanOut.byKey(docs, col("doc_id"))
       .filter(length(col("text")) >= k)
       .select(col("doc_id").cast("long").as("doc_id"),
         explode(transform(sequence(lit(1), length(col("text")) - (k - 1)),

@@ -25,8 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  // Both corpora fan out at the read (guide §2.5): at gate scale each is
+  // ONE parquet split, which serializes every CPU-bound derivation
+  // (tokenize, shingle, md5, vector math) on a single core of the
+  // 32-core session — measured 50-70% of the heavy batch gates' wall.
+  // FanOut no-ops when the table is already multi-split (production
+  // layout) or when an operator repartitions on its own.
   private def docs(s: SparkSession, dir: String) =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.operators.FanOut.byKey(
+      s.read.parquet(s"$dir/documents.parquet"), col("doc_id"))
+  // embeddings deliberately NOT fanned out (round-18 A/B): the
+  // similarity/ANN operators make several short passes over the vectors
+  // (Lloyd assignment, codebook training, centroid-sized collects), and
+  // the per-pass fan-out exchange cost exceeded the parallel-decode win
+  // (q_pipe_knn_ivfpq 2.8 -> 6.3 s fanned, back under 3 s unfanned;
+  // q_pipe_gram likewise flat-to-worse). Their CPU stages are already
+  // dominated by post-shuffle (wide) aggregates.
   private def emb(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -581,7 +595,10 @@ object PipelineQueries {
     }),
 
     "q_pipe_pagerank" -> ((s, dir) => {
-      val pairs = EventTime.readEvents(s, dir)
+      // fan-out before the JSON parse: get_json_object per event is
+      // CPU-bound and the events table arrives as one file at gate scale
+      val pairs = graft.operators.FanOut
+        .byKey(EventTime.readEvents(s, dir), col("event_id"))
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .filter(col("k").isNotNull)

@@ -103,14 +103,18 @@ object ProfileQuery {
     val names = if (args.length > 1) args(1).split(",").toSeq else Seq("q_pipe_novelty")
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-profile")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // extra session confs for A/B probes: SPARK_GRAFT_PROFILE_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try graft.queries.ArrayFixtures.get(spark, sfDir) catch { case _: Throwable => () }
     val sampleStacks = sys.env.get("SPARK_GRAFT_PROFILE_STACKS").contains("1")
