@@ -584,9 +584,20 @@ object Dedup {
     val parts = math.max(1, math.min(shufParts, (undAll.count() / 100000L).toInt + 1))
     val und = undAll.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = und.select(col("src").as("id"), col("src").as("lbl")).distinct()
-      .localCheckpoint(true)
-    // the label init materialized `und`; the pre-repartition copy is now
+    // Round 1 FUSED into initialization (round-18): with identity labels
+    // the first propagation is algebraically just min(src) per dst (the
+    // self-loops make it total), so the identity-label frame, its
+    // checkpoint, and the first labels⋈edges join are all dead work —
+    // one whole round of (join + groupBy + checkpoint + sum) dropped
+    // from every clustering call. Same fixpoint, `rounds` now counts
+    // from the fused round (still within DedupClusterSpec's bounds).
+    def jump(prop: DataFrame): DataFrame = prop.as("x")
+      .join(prop.as("y"), col("x.lbl") === col("y.id"), "left")
+      .select(col("x.id").as("id"),
+        coalesce(col("y.lbl"), col("x.lbl")).as("lbl"))
+    val prop0 = und.groupBy(col("dst").as("id")).agg(min("src").as("lbl"))
+    var labels = jump(prop0).localCheckpoint(true)
+    // the fused round materialized `und`; the pre-repartition copy is now
     // dead weight — release it before the (memory-hungry) rounds
     undAll.unpersist()
     // Labels only ever decrease, so sum(lbl) is strictly monotone until the
@@ -596,7 +607,7 @@ object Dedup {
       BigDecimal(df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0))
     var prevSum = lblSum(labels)
     var converged = false
-    var it = 0
+    var it = 1 // the fused initialization IS round 1
     while (!converged) {
       require(it < maxIter,
         s"duplicateClusters: no convergence after $maxIter rounds — " +

@@ -112,7 +112,12 @@ object FileFeed {
     val spark = out.sparkSession
     withNarrowShuffle(spark, narrowTo) {
       withLocalCheckpoints(spark, s"$workDir/ckpt") {
-      withStateProvider(spark, rocksDb) {
+      // changelog checkpointing when RocksDB: the production commit path
+      // (per-batch cost ~ batch delta, not total state; the default mode
+      // zips a FULL snapshot per store per micro-batch — measured as the
+      // dominant task wait of the transformWithState gates). Recovery
+      // equivalence under all three modes is pinned by RocksDbStateSpec.
+      withStateProvider(spark, rocksDb, changelog = rocksDb) {
         val q = out.writeStream.format("parquet")
           .option("path", s"$workDir/out")
           .option("checkpointLocation", s"$workDir/ckpt")
@@ -149,7 +154,12 @@ object FileFeed {
     val path = s"$workDir/out"
     withNarrowShuffle(spark, narrowTo) {
       withLocalCheckpoints(spark, s"$workDir/ckpt") {
-      withStateProvider(spark, rocksDb) {
+      // changelog checkpointing when RocksDB: the production commit path
+      // (per-batch cost ~ batch delta, not total state; the default mode
+      // zips a FULL snapshot per store per micro-batch — measured as the
+      // dominant task wait of the transformWithState gates). Recovery
+      // equivalence under all three modes is pinned by RocksDbStateSpec.
+      withStateProvider(spark, rocksDb, changelog = rocksDb) {
         val q = out.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
             batch.write.mode("append").parquet(path); ()
