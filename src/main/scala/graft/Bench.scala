@@ -608,31 +608,30 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}") }
-    // Compact stdout line, budgeted to survive a ~2 KB tail capture:
-    // engine bench_* entries first (the BASELINE.md-critical numbers),
-    // then the slowest queries by median until the byte budget is spent;
-    // everything else is summarized under "others" and fully present in
-    // the local file.
+    // Compact stdout line. THE DRIVER PARSES PER-QUERY TIMINGS FROM THIS
+    // LINE — round 18's lesson: audit metadata (reran + preGuardMedians,
+    // 87 entries each that run) consumed the byte budget before a single
+    // query entry was picked, so PERF_r18 lost every per-query comparison
+    // (n_common: 0, phantom "dropped" list, empty scaling block). The
+    // QUERIES MAP NOW COMES FIRST and the default budget is sized so all
+    // ~207 entries fit (~7 KB; the round-18 line itself parsed at ~5 KB);
+    // audit metadata rides only in whatever budget remains, degrading to
+    // always-present counts — the full lists and preGuardMedians live in
+    // the full file unconditionally.
     // Locale.ROOT: the f interpolator uses the default locale, which on
     // e.g. a de_DE JVM renders "0,123" — malformed JSON for the driver
     def f3(d: Double): String =
       if (d < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_STDOUT_BYTES", "1600").toInt
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_STDOUT_BYTES", "24000").toInt
+    // bench_* first, then slowest-first: with the default budget EVERY
+    // entry fits; the ordering only matters if a deployment shrinks the
+    // budget, in which case the most informative entries survive
     val ordered = {
       val (bench, rest) = meds.toSeq.partition(_._1.startsWith("bench_"))
       bench.sortBy(_._1) ++ rest.sortBy(-_._2)
     }
-    // Guard-free medians ride the HEADLINE artifact too, not only the
-    // full-file audit trail: the guard is one-sided (it only resamples
-    // entries that look slow), so the summary carries what the unguarded
-    // record would have said for every entry it touched — a reader of
-    // the compact line alone sees both numbers.
-    val preGuardCompact = preGuardMedians.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val picked = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // fixed-key overhead incl. sf path + others + preGuard + recovered
-    var used = 155 + reran.length + preGuardCompact.length +
-      recoveredNames.length + minKeptJson.length
+    var used = 320 // fixed keys + counts + "full"/"sf" path headroom
     ordered.foreach { case (k, v) =>
       val cost = k.length + f3(v).length + 4
       if (used + cost <= budget) { picked(k) = v; used += cost }
@@ -640,8 +639,20 @@ object Bench {
     val othersTotal = meds.collect { case (k, v) if !picked.contains(k) && v >= 0 => v }.sum
     val qsCompact = picked.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // Audit metadata AFTER the queries map, included only if it still
+    // fits: each list collapses to [] (its count is always present) and
+    // preGuardMedians to {} when the budget is spent. Readers needing the
+    // full audit trail use the full file, which always carries everything.
+    val preGuardCompactFull = preGuardMedians.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    def budgeted(s: String, empty: String): String =
+      if (used + s.length <= budget) { used += s.length; s } else empty
+    val reranC = budgeted(reran, "[]")
+    val recoveredC = budgeted(recoveredNames, "[]")
+    val minKeptC = budgeted(minKeptJson, "[]")
+    val preGuardC = budgeted(preGuardCompactFull, "{}")
     val compactLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","contended":$contended,"queries":$qsCompact,"others":{"n":${meds.size - picked.size},"total":${f3(othersTotal)}},"n_queries":${meds.size},"reps":$reps,"reran":$reran,"recovered":$recoveredNames,"minKept":$minKeptJson,"preGuardMedians":$preGuardCompact,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","contended":$contended,"queries":$qsCompact,"others":{"n":${meds.size - picked.size},"total":${f3(othersTotal)}},"n_queries":${meds.size},"reps":$reps,"reranN":${everFlagged.size},"recoveredN":${effective.size},"minKeptN":${minKept.size},"reran":$reranC,"recovered":$recoveredC,"minKept":$minKeptC,"preGuardMedians":$preGuardC,"full":"$fullPath","sf":"$sfDir"}"""
     println(compactLine)
     // The same line as the SINGLE line of BENCH_SUMMARY.json: under sbt
     // the stdout line prints mid-stream and sbt's own "[success]" trailer

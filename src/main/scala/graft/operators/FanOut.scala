@@ -47,12 +47,47 @@ object FanOut {
     val repartitioned = df.queryExecution.logical.collectFirst {
       case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
     }.nonEmpty
-    val files = try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
+    // Deficiency is judged on SCAN SPLITS, not file count (round-18
+    // advice): parquet splits large files by byte range, so a production
+    // table of few LARGE files (30 × 4 GB on 256 cores ≈ 1000 splits) is
+    // already wide and must never trigger a full-payload shuffle. The
+    // estimate mirrors FilePartition's packing — maxSplitBytes =
+    // min(maxPartitionBytes, max(openCostInBytes, paddedBytes/cores)),
+    // splits ≈ ceil(paddedBytes / maxSplitBytes) — so a single file
+    // bigger than maxPartitionBytes counts as its many byte-range splits.
+    // The size lookup only runs when the FILE count is already deficient
+    // (cheap few-HEAD probe; a many-file table short-circuits above it).
+    val splits: Long = try {
+      val files = df.inputFiles
+      if (files.isEmpty) Long.MaxValue // non-file-backed frame
+      else if (files.length.toLong * 2 > sc.defaultParallelism) Long.MaxValue
+      else {
+        import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+        val maxPB = byteStringAsBytes(
+          df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        val openCost = byteStringAsBytes(
+          df.sparkSession.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+        val hconf = sc.hadoopConfiguration
+        val sizes = files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(hconf).getFileStatus(p).getLen
+        }
+        // maxSplitBytes exactly as Spark computes it (FilePartition):
+        // open-cost-padded total spread over the default parallelism
+        val padded = sizes.map(_ + openCost).sum
+        val bytesPerCore = padded / math.max(1, sc.defaultParallelism)
+        val maxSplit = math.max(1L, math.min(maxPB, math.max(openCost, bytesPerCore)))
+        // per-file byte-range split count (≥ 1 per file); bin packing can
+        // only MERGE small splits, so this upper-bounds nothing we need —
+        // a large file contributes its many splits, a tiny file one
+        sizes.map(s => math.max(1L, (s + maxSplit - 1) / maxSplit)).sum
+      }
+    } catch { case _: Throwable => Long.MaxValue }
     // fire on deficiency vs CORE count (2× headroom: a scan already
     // within a factor of two of the cores gains less from a fan-out
     // shuffle than the shuffle costs), but fan to the narrower target
-    if (!repartitioned && files > 0 && files * 2 <= sc.defaultParallelism
-        && files < target)
+    if (!repartitioned && splits > 0 && splits != Long.MaxValue &&
+        splits * 2 <= sc.defaultParallelism && splits < target)
       df.repartition(target, key)
     else df
   }

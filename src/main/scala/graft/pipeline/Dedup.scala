@@ -507,21 +507,29 @@ object Dedup {
   def successorJaccard(docs: DataFrame, lang: String): DataFrame = {
     val sel = docs.filter(col("lang") === lang).select("doc_id")
     val pairs = successorPairs(sel)
-    // word sets restricted to the language under comparison — pairs are
-    // language-local, so the result is identical and the tokenize +
-    // distinct shuffle shrinks to the subset. Deliberately NOT persisted:
-    // caching the full set measured 2× slower than per-branch recompute.
-    val words = wordSets(docs.filter(col("lang") === lang))
-    val wa = words.select(col("doc_id").as("a"), col("word"))
-    val wb = words.select(col("doc_id").as("b"), col("word"))
-    val sizes = words.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pairs.join(wa, "a").join(wb, Seq("b", "word"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // ONE tokenize + ONE aggregation (round-19 rewrite): per-doc DISTINCT
+    // word sets as arrays — collect_set dedupes, so the former separate
+    // (doc_id, word) distinct shuffle is gone, and the word-level
+    // (b, word) equi-join (which shuffled an exploded pairs×words frame
+    // and re-derived the tokenize subtree for each of its three
+    // consumers: 20 scans / 4 tokenize Generates in the r18 plan) becomes
+    // two doc-keyed joins of one-row-per-doc set frames (guide §2.3/§2.4:
+    // shuffle keys+sets once, never the exploded expansion). Counts are
+    // identical: |A∩B| via array_intersect over distinct sets ≡ the
+    // word-match count; a doc with no tokens is absent from `sets` and
+    // its pairs drop in the inner join, exactly as the former inner join
+    // on `sizes` dropped them.
+    val sets = graft.operators.FanOut
+      .byKey(docs.filter(col("lang") === lang), col("doc_id"))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("doc_id").agg(collect_set(col("word")).as("ws"))
     pairs
-      .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .join(sets.select(col("doc_id").as("a"), col("ws").as("wsa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("ws").as("wsb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("wsa"), col("wsb"))).cast("long"))
+      .withColumn("uni",
+        (size(col("wsa")) + size(col("wsb"))).cast("long") - col("inter"))
       .filter(col("inter") * 10 >= col("uni"))
       .select(col("a"), col("b"), col("inter"), col("uni"))
       .orderBy("a", "b")

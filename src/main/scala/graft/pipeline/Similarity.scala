@@ -280,9 +280,6 @@ object Similarity {
     d(a, a) - lit(2.0) * d(a, b) + d(b, b)
   }
 
-  private val pqArgminW = Window.partitionBy("vec_id", "s")
-    .orderBy(col("d2").asc, col("cent_id").asc)
-
   /** Codebooks (s, cent_id, cv), broadcast: seeded from the ksub lowest
     * vec_ids' sub-vectors, refined by quantized-integer Lloyd passes;
     * collected per pass (m · ksub · dsub doubles — driver-trivial). */
@@ -293,10 +290,16 @@ object Similarity {
     var cb: DataFrame = broadcast(sub.filter(col("vec_id") < ksub)
       .select(col("s"), col("vec_id").cast("int").as("cent_id"), col("sv").as("cv")))
     for (_ <- 0 until lloydIters) {
+      // argmin as min_by (same winner as the former rank-1 window; hash
+      // aggregate with map-side partials instead of a sorted window —
+      // see ivfAssign/pqEncode)
       val refined = sub.join(cb, Seq("s"))
         .withColumn("d2", pqL2(emb)(col("sv"), col("cv")))
-        .withColumn("rk", row_number().over(pqArgminW)).filter(col("rk") === 1)
-        .select(col("s"), col("cent_id"), posexplode(col("sv")).as(Seq("j", "x")))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(struct(col("cent_id"), col("sv")),
+          struct(col("d2"), col("cent_id"))).as("m"))
+        .select(col("s"), col("m.cent_id").as("cent_id"),
+          posexplode(col("m.sv")).as(Seq("j", "x")))
         .groupBy("s", "cent_id", "j")
         .agg(sum(round(col("x") * 1024).cast("long")).as("ssum"),
           count(lit(1)).as("cnt"))
@@ -320,11 +323,16 @@ object Similarity {
   }
 
   /** (vec_id, codes): each vector's nearest codebook centroid per
-    * sub-space, in sub-space order. */
+    * sub-space, in sub-space order. Argmin as a min_by hash aggregate
+    * (identical winner to the former rank-1 window — d2 asc, cent_id asc
+    * — but partial aggregation collapses the ksub candidates per
+    * (vec_id, s) inside the task, so the exchange carries one row per
+    * sub-vector instead of ksub and nothing is sorted; guide §2.3). */
   private def pqEncode(emb: DataFrame, sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(cb, Seq("s"))
       .withColumn("d2", pqL2(emb)(col("sv"), col("cv")))
-      .withColumn("rk", row_number().over(pqArgminW)).filter(col("rk") === 1)
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id"))).as("cent_id"))
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("s"), col("cent_id")))),
         _.getField("cent_id")).as("codes"))
@@ -378,14 +386,36 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val d = dot(emb) _
-    val kC = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
+    // The coarse-quantizer chain and the PQ-model chain are INDEPENDENT
+    // sequences of driver collects (Lloyd refine passes, codebook
+    // passes), each a string of small stages — run them CONCURRENTLY
+    // (guide §2.6: overlap independent jobs) so one chain's stage tails
+    // backfill the other's idle cores. Results are unchanged: the chains
+    // share nothing but the read-only emb frame, and each collect is the
+    // same deterministic computation it was sequentially.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val (centsLocal, sub, cb) = try {
+      val centsF = scala.concurrent.Future {
+        val kC = if (nCentroids > 0) nCentroids else autoCentroids(emb.count())
+        val n0 = withNorm(emb)
+        var cl = n0.filter(col("vec_id") < kC)
+          .select(col("vec_id").as("cent_id"), col("v"))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+        for (_ <- 0 until lloydIters)
+          cl = ivfRefine(n0, ivfCentsDF(emb, cl))
+        cl
+      }(ec)
+      val pqF = scala.concurrent.Future {
+        val (s0, _) = pqSubvectors(emb, m)
+        (s0, pqCodebook(emb, s0, ksub, lloydIters))
+      }(ec)
+      import scala.concurrent.duration.Duration
+      (scala.concurrent.Await.result(centsF, Duration.Inf),
+        scala.concurrent.Await.result(pqF, Duration.Inf)._1,
+        scala.concurrent.Await.result(pqF, Duration.Inf)._2)
+    } finally pool.shutdown()
     val n = withNorm(emb)
-    // coarse quantizer — identical construction to ivfTopK
-    var centsLocal = n.filter(col("vec_id") < kC)
-      .select(col("vec_id").as("cent_id"), col("v"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    for (_ <- 0 until lloydIters)
-      centsLocal = ivfRefine(n, ivfCentsDF(emb, centsLocal))
     val cents = ivfCentsDF(emb, centsLocal)
     val assigned = ivfAssign(n, cents, d)
       .select(col("vec_id").as("neighbor_id"), col("cent_id"))
@@ -399,8 +429,6 @@ object Similarity {
       .filter(col("prk") <= nProbe)
       .select(col("query_id"), col("cent_id"))
     // PQ model — identical construction to pqTopK
-    val (sub, _) = pqSubvectors(emb, m)
-    val cb = pqCodebook(emb, sub, ksub, lloydIters)
     val codes = pqEncode(emb, sub, cb)
     val qtab = pqQueryTable(emb, sub, cb, nQueries)
     // candidates = probed lists only; rank by ADC over their codes
@@ -617,17 +645,27 @@ object Similarity {
       .withColumn("cn", sqrt(d(col("cv"), col("cv")))))
   }
 
-  /** Assign every vector to its nearest centroid (rank 1 by cosine). */
+  /** Assign every vector to its nearest centroid.
+    *
+    * Argmin as `min_by` over struct(−csim, cent_id) — the identical
+    * winner to the former rank-1 window (−x ascending ≡ x descending for
+    * doubles, ties broken by cent_id ascending), but a HASH AGGREGATE
+    * with map-side partials instead of a window: the window shuffled and
+    * sorted the N×K crossJoin expansion (every vector duplicated per
+    * centroid, payload included) while the partial aggregate collapses
+    * the K candidates of each vector inside the scan task, so only N
+    * rows cross the exchange (guide §2.3 "aggregate before you shuffle";
+    * at K = √N this removes a ×K shuffle inflation). min_by/struct are
+    * codegen-friendly DeclarativeAggregates (guide step 4). */
   private def ivfAssign(n: DataFrame, cents: DataFrame,
-      d: (Column, Column) => Column): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id").asc)
+      d: (Column, Column) => Column): DataFrame =
     n.crossJoin(cents)
       .withColumn("csim", d(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cent_id"), col("v"), col("nrm")),
+        struct((-col("csim")).as("nc"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.cent_id").as("cent_id"))
 
   /** Lloyd update: order-free exact integer sums per (centroid, dim),
     * one double division at the end — bit-identical on any engine. */

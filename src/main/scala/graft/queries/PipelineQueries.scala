@@ -595,10 +595,13 @@ object PipelineQueries {
     }),
 
     "q_pipe_pagerank" -> ((s, dir) => {
-      // fan-out before the JSON parse: get_json_object per event is
-      // CPU-bound and the events table arrives as one file at gate scale
-      val pairs = graft.operators.FanOut
-        .byKey(EventTime.readEvents(s, dir), col("event_id"))
+      // NO fan-out before the JSON parse (round-19 same-window A/B,
+      // 5 alternating warm reps: fanned med 2.90 s vs unfanned 2.88 s —
+      // a wash; the round-18 fan-out was flagged perf-weak by both driver
+      // windows and buys nothing here because the distinct's exchange
+      // already runs the parse once via stage reuse, while the extra
+      // exchange cost lands in every loop re-derivation)
+      val pairs = EventTime.readEvents(s, dir)
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .filter(col("k").isNotNull)

@@ -37,7 +37,8 @@ object FileFeed {
     * the stateful operator's watermark filter, per Spark's contract).
     * Tail frames are never perturbed (they are watermark sentinels). */
   def sliced(df: DataFrame, tsCol: String, nBatches: Int, workDir: String,
-      tails: Seq[DataFrame] = Nil, oooSkewSeconds: Long = 0L): DataFrame = {
+      tails: Seq[DataFrame] = Nil, oooSkewSeconds: Long = 0L,
+      knownBounds: Option[(Long, Long)] = None): DataFrame = {
     val spark = df.sparkSession
     val feed = s"$workDir/feed"
     new java.io.File(feed).mkdirs()
@@ -49,9 +50,17 @@ object FileFeed {
         pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
           lit(2 * oooSkewSeconds + 1)) - oooSkewSeconds
     val withPos = df.withColumn("_feed_pos", pos)
-    val mm = withPos.agg(min(col("_feed_pos")), max(col("_feed_pos"))).head()
-    require(!mm.isNullAt(0), "FileFeed.sliced: empty input")
-    val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
+    // knownBounds: a caller that already aggregated min/max of tsCol can
+    // hand them over and skip the second full-input agg job this method
+    // would otherwise run. Only valid for unperturbed feeds — with skew
+    // the slicing position is NOT tsCol, so the caller cannot know it.
+    require(knownBounds.isEmpty || oooSkewSeconds <= 0,
+      "FileFeed.sliced: knownBounds is only valid without oooSkewSeconds")
+    val (minT, maxT) = knownBounds.getOrElse {
+      val mm = withPos.agg(min(col("_feed_pos")), max(col("_feed_pos"))).head()
+      require(!mm.isNullAt(0), "FileFeed.sliced: empty input")
+      (mm.getLong(0), mm.getLong(1))
+    }
     val span = math.max(1L, maxT - minT + 1)
     val mtimeBase = System.currentTimeMillis() - 600000L
     def writeSlice(slice: DataFrame, i: Int): Unit = {
@@ -74,15 +83,31 @@ object FileFeed {
     // floor(((d+1)*nBatches - 1) / span) — row-identical to the old
     // per-slice range filters (pinned by FileFeedSliceSpec).
     val tmpAll = s"$workDir/slices_tmp"
-    withPos
+    // tails ride the SAME write job as fixed trailing slice indices
+    // (nBatches + j) instead of one repartition(1) job each — sentinel
+    // frames are single rows, so a dedicated Spark job per tail was pure
+    // scheduling overhead across every file gate (guide §2.4)
+    val mainSlices = withPos
       .withColumn("_slice", expr(
         s"CAST(((_feed_pos - ${minT}L + 1L) * ${nBatches}L - 1L) div ${span}L AS INT)"))
       .select((df.columns.map(col) :+ col("_slice")).toIndexedSeq: _*)
+    val tailSlices = tails.zipWithIndex.map { case (t, j) =>
+      t.select(df.columns.map(col).toIndexedSeq: _*)
+        .withColumn("_slice", lit(nBatches + j))
+    }
+    tailSlices.foldLeft(mainSlices)(_ unionByName _)
       .repartition(col("_slice"))
       .write.partitionBy("_slice").parquet(tmpAll)
-    for (i <- 0 until nBatches) {
+    for (i <- 0 until nBatches + tails.length) {
       val dir = new java.io.File(tmpAll, s"_slice=$i")
-      Option(dir.listFiles()).flatMap(_.find(_.getName.endsWith(".parquet"))) match {
+      val parts = Option(dir.listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(".parquet"))
+      // one part per slice dir is the repartition(col)'s invariant; if a
+      // future conf (maxRecordsPerFile, skew splitting) ever breaks it,
+      // fail loudly instead of silently dropping the extra parts' rows
+      require(parts.length <= 1, s"FileFeed.sliced: slice $i produced " +
+        s"${parts.length} part files — single-file-per-slice invariant broken")
+      parts.headOption match {
         case Some(part) =>
           val dst = new java.io.File(feed, f"slice_$i%03d.parquet")
           java.nio.file.Files.move(part.toPath, dst.toPath)
@@ -95,8 +120,6 @@ object FileFeed {
       }
     }
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmpAll))
-    tails.zipWithIndex.foreach { case (t, j) =>
-      writeSlice(t.select(df.columns.map(col).toIndexedSeq: _*), nBatches + j) }
     spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(feed)
   }
@@ -196,7 +219,13 @@ object FileFeed {
       body: => A): A = narrowTo match {
     case None => body
     case Some(n) =>
-      withConf(spark, "spark.sql.shuffle.partitions", n.toString)(body)
+      // SPARK_GRAFT_STREAM_NARROW overrides the caller's width (A/B dial
+      // + deployment sizing: state-store instance count per operator is a
+      // scale-dependent choice — a production feed wants >= cores, a
+      // bounded gate feed wants few instances; see OPTIMIZATION_r19.md)
+      val eff = sys.env.get("SPARK_GRAFT_STREAM_NARROW")
+        .map(_.toInt).getOrElse(n)
+      withConf(spark, "spark.sql.shuffle.partitions", eff.toString)(body)
   }
 
   /** Pin one session conf for `body`'s span, restoring the previous

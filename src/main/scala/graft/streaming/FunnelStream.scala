@@ -97,7 +97,7 @@ object FunnelStream {
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir).as[Ev]
     val sunk = FileFeed.runUpdatesToParquet(
       stageUpdates(stream).toDF("user_id", "stage"), workDir,
-      narrowTo = Some(8))
+      narrowTo = Some(4))
     val finalStage = sunk.groupBy("user_id").agg(max("stage").as("stage"))
     finalStage.agg(
         sum(when(col("stage") >= 1, 1L).otherwise(0L)).as("n_view"),

@@ -62,21 +62,33 @@ final class LocalNioCheckpointFileManager(root: Path, conf: Configuration)
         if (!done) {
           done = true
           out.close()
-          // POSIX rename() always replaces, so ATOMIC_MOVE alone cannot
-          // enforce no-overwrite — check-then-move, exactly the contract
-          // (and the race window) of Hadoop's local rename with
-          // Options.Rename.NONE that the default manager relies on; the
-          // metadata logs' first-writer-wins catch needs the Hadoop
-          // exception type
           def alreadyExists(): Nothing = {
             Files.deleteIfExists(tmp)
             throw new FileAlreadyExistsException(
               s"Failed to rename temp file $tmp to $dst as $dst already exists")
           }
-          if (!overwriteIfPossible && Files.exists(dst)) alreadyExists()
-          try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-          catch { case _: NioExists => alreadyExists() }
+          if (overwriteIfPossible) {
+            try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            catch { case _: NioExists => alreadyExists() }
+          } else {
+            // POSIX rename() always replaces, so ATOMIC_MOVE alone cannot
+            // enforce no-overwrite. link(2) CAN: it fails atomically with
+            // EEXIST when dst exists, so the first writer genuinely wins
+            // with no check-then-move race window (round-18 advice). The
+            // metadata logs' first-writer-wins catch needs the Hadoop
+            // exception type. Filesystems without hard links fall back to
+            // check-then-move — still Hadoop-local-rename parity.
+            try { Files.createLink(dst, tmp); Files.deleteIfExists(tmp) }
+            catch {
+              case _: NioExists => alreadyExists()
+              case _: UnsupportedOperationException =>
+                if (Files.exists(dst)) alreadyExists()
+                try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+                  StandardCopyOption.REPLACE_EXISTING)
+                catch { case _: NioExists => alreadyExists() }
+            }
+          }
         }
       }
       override def cancel(): Unit = synchronized {

@@ -92,7 +92,7 @@ object ProfileState {
     val sunk = FileFeed.withConf(spark,
         "spark.sql.streaming.noDataMicroBatches.enabled", "false") {
       FileFeed.runUpdatesToParquet(profiles(typed, ttlMs).toDF(),
-        workDir, narrowTo = Some(8), rocksDb = true)
+        workDir, narrowTo = Some(4), rocksDb = true)
     }
     sunk.groupBy("user_id", "event_type").agg(max(col("n")).as("n"))
       .orderBy("user_id", "event_type")

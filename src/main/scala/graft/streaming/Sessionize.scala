@@ -186,12 +186,13 @@ object Sessionize {
     import spark.implicits._
     val ev = events.select(col("user_id").cast("long"),
       col("ts_s").cast("long"), col("event_type").cast("string"))
-    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    val mm = ev.agg(min(col("ts_s")), max(col("ts_s"))).head()
+    val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
     val sentinels = ev.select("user_id").distinct()
       .withColumn("ts_s", lit(maxT + 2 * gapSeconds))
       .withColumn("event_type", lit("_flush"))
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
-        tails = Seq(sentinels))
+        tails = Seq(sentinels), knownBounds = Some((minT, maxT)))
       .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
         col("event_type")).as[Event]
     // narrowTo matches every sibling file gate: a bounded feed does not
@@ -200,7 +201,7 @@ object Sessionize {
     // files and tasks of the other sessionizer gates for the same rows)
     val sunk = FileFeed.runToParquet(
       sessions(stream, gapMs = gapSeconds * 1000L).toDF(), workDir,
-      narrowTo = Some(8))
+      narrowTo = Some(4))
 
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
     sunk
@@ -279,11 +280,19 @@ object Sessionize {
         col("ts_s") - col("prev_ts") > gapSeconds, 1L).otherwise(0L))
       .withColumn("sno", sum(col("new_s")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    // localCheckpoint (eager): the backfill feeds THREE consumers — the
+    // stream's seeded initial state, the conservation check, and the
+    // final union — and unmaterialized each re-ran the full window chain
+    // over the pre-cut slice (profiled: 24 jobs/rep, the three heaviest
+    // being this subtree). One window-chain pass; the checkpointed frame
+    // is one row per pre-cut session (tiny at any corpus: sessions, not
+    // events). Fresh per call — never reused across bench reps.
     val preSessions = pre.groupBy(col("user_id"), col("sno"))
       .agg(min(col("ts_s")).as("start_s"), max(col("ts_s")).as("last_s"),
         count(lit(1)).as("n"), collect_set(col("event_type")).as("types"))
       .withColumn("last_sno", max(col("sno")).over(
         Window.partitionBy("user_id")))
+      .localCheckpoint()
     // closed before the cut: every pre-cut session except each user's
     // last (whether the last is still open is the STREAM's decision)
     val closedPre = preSessions.filter(col("sno") < col("last_sno"))
@@ -301,8 +310,13 @@ object Sessionize {
     val post = ev.filter(col("ts_s") >= cut)
     val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
       lit(maxT + 2 * gapSeconds).as("ts_s"), lit("_wm").as("event_type"))
+    // bounds (cut, maxT) instead of a dedicated min/max job over post:
+    // the true post-cut minimum is >= cut, so slicing from cut only
+    // shifts slice boundaries within the same ordered range — session
+    // results are batch-composition-invariant (the ooo gates prove it),
+    // and an empty leading slice still feeds one (empty) micro-batch
     val stream = FileFeed.sliced(post, "ts_s", nBatches, workDir,
-        tails = Seq(sentinel))
+        tails = Seq(sentinel), knownBounds = Some((cut, maxT)))
       .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
         col("event_type"))
       .withWatermark("ts", "0 seconds")
@@ -311,7 +325,7 @@ object Sessionize {
       "spark.sql.streaming.noDataMicroBatches.enabled", "true") {
       FileFeed.runToParquet(
         sessionsTwsWarm(stream, gapMs, warm).toDF(), workDir,
-        narrowTo = Some(8), rocksDb = true)
+        narrowTo = Some(4), rocksDb = true)
     }
     val all = sunk.filter(col("user_id") >= 0)
       .select("user_id", "start_ms", "end_ms", "n_events", "n_types",
@@ -345,11 +359,13 @@ object Sessionize {
     import spark.implicits._
     val ev = events.select(col("user_id").cast("long"),
       col("ts_s").cast("long"), col("event_type").cast("string"))
-    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    val mm = ev.agg(min(col("ts_s")), max(col("ts_s"))).head()
+    val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
     def sentinel(ts: Long): DataFrame = spark.range(1).select(
       lit(-1L).as("user_id"), lit(ts).as("ts_s"), lit("_wm").as("event_type"))
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
-        tails = Seq(sentinel(maxT + 2 * gapSeconds)))
+        tails = Seq(sentinel(maxT + 2 * gapSeconds)),
+        knownBounds = Some((minT, maxT)))
       .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
         col("event_type"))
       .withWatermark("ts", "0 seconds") // feed is time-ordered
@@ -357,7 +373,7 @@ object Sessionize {
     val sunk = FileFeed.withConf(spark,
       "spark.sql.streaming.noDataMicroBatches.enabled", pinNoData.toString) {
       FileFeed.runToParquet(op(stream), workDir,
-        narrowTo = Some(8), rocksDb = rocksDb)
+        narrowTo = Some(4), rocksDb = rocksDb)
     }
     // exact conservation: every input event belongs to exactly one CLOSED
     // session by feed end (the sentinel's watermark passes every open
@@ -690,7 +706,7 @@ object Sessionize {
     val sunk = FileFeed.withConf(spark,
       "spark.sql.streaming.noDataMicroBatches.enabled", "true") {
       FileFeed.runToParquet(op(stream), workDir,
-        narrowTo = Some(8), rocksDb = rocksDb)
+        narrowTo = Some(4), rocksDb = rocksDb)
     }
     val byStart = Window.partitionBy("user_id").orderBy("start_ms")
     sunk.filter(col("user_id") >= 0)

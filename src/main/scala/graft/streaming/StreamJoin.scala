@@ -149,7 +149,10 @@ object StreamJoin {
     val ev = events.select(col("user_id").cast("long"),
       col("event_id").cast("long"), col("event_type").cast("string"),
       col("ts_s").cast("long"))
-    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    // one agg answers both needs: the sentinel timestamp AND the slice
+    // bounds FileFeed.sliced would otherwise re-aggregate (guide §2.4)
+    val mm = ev.agg(min(col("ts_s")), max(col("ts_s"))).head()
+    val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
     val sentinelUser = -1L
     val farFuture = maxT + 10L * lookbackSeconds
     // one click+purchase pair per sentinel file: the pair matches itself
@@ -160,12 +163,13 @@ object StreamJoin {
         .toDF("user_id", "event_id", "event_type", "ts_s")
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
         tails = Seq(sentinelPair(farFuture, -1L),
-          sentinelPair(farFuture + lookbackSeconds, -11L)))
+          sentinelPair(farFuture + lookbackSeconds, -11L)),
+        knownBounds = Some((minT, maxT)))
       .select(col("user_id"), col("event_id"), col("event_type"),
         timestamp_seconds(col("ts_s")).as("ts")).as[Ev]
     val sunk = FileFeed.runToParquet(
       clickAttributionOuter(stream, lookbackSeconds), workDir,
-      narrowTo = Some(8))
+      narrowTo = Some(4))
     sunk.filter(col("user_id") =!= sentinelUser)
       .orderBy("purchase_id", "click_id")
   }
@@ -188,7 +192,7 @@ object StreamJoin {
       .select(col("user_id"), col("event_id"), col("event_type"),
         timestamp_seconds(col("ts_s")).as("ts")).as[Ev]
     val sunk = FileFeed.runToParquet(
-      enrichWithProfile(stream, profile), workDir, narrowTo = Some(8))
+      enrichWithProfile(stream, profile), workDir, narrowTo = Some(4))
     sunk.orderBy("event_id")
   }
 
@@ -208,7 +212,8 @@ object StreamJoin {
     val ev = events.select(col("user_id").cast("long"),
       col("event_id").cast("long"), col("event_type").cast("string"),
       col("ts_s").cast("long"))
-    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    val mm = ev.agg(min(col("ts_s")), max(col("ts_s"))).head()
+    val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
     val sentinelUser = -1L
     def sentinelPair(ts: Long, idBase: Long): DataFrame =
       Seq((sentinelUser, idBase, "click", ts),
@@ -216,11 +221,14 @@ object StreamJoin {
         .toDF("user_id", "event_id", "event_type", "ts_s")
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
         tails = Seq(sentinelPair(maxT + 10L * lookbackSeconds, -1L)),
-        oooSkewSeconds = oooSkewSeconds)
+        oooSkewSeconds = oooSkewSeconds,
+        // a perturbed feed's slicing position is not ts_s — only the
+        // ordered variant can reuse this agg's bounds
+        knownBounds = if (oooSkewSeconds <= 0) Some((minT, maxT)) else None)
       .select(col("user_id"), col("event_id"), col("event_type"),
         timestamp_seconds(col("ts_s")).as("ts")).as[Ev]
     val sunk = FileFeed.runToParquet(
-      clickAttribution(stream, lookbackSeconds), workDir, narrowTo = Some(8))
+      clickAttribution(stream, lookbackSeconds), workDir, narrowTo = Some(4))
     sunk.filter(col("user_id") =!= sentinelUser)
       .orderBy("purchase_id", "click_id")
   }

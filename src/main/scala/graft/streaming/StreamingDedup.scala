@@ -61,17 +61,23 @@ object StreamingDedup {
       rocksDb: Boolean = false): DataFrame = {
     val ev = docs.select(col("doc_id").cast("long"), col("text"))
       .withColumn("ts_s", col("doc_id") + 86400L)
-    val maxId = ev.agg(max(col("doc_id"))).head().getLong(0)
+    val mm = ev.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (minId, maxId) = (mm.getLong(0), mm.getLong(1))
     // the horizon doubles as the watermark DELAY, so it dwarfs any
     // bounded feed disorder: no row is ever late-dropped and no state
     // evicts mid-feed — within-watermark dedup equals global dedup on a
     // non-time-ordered feed too
     val horizon = s"${maxId + 1 + 86400} seconds"
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
-        oooSkewSeconds = oooSkewSeconds)
+        oooSkewSeconds = oooSkewSeconds,
+        // ts_s = doc_id + 86400 exactly, so the id agg already knows the
+        // slice bounds (perturbed feeds cannot reuse them)
+        knownBounds =
+          if (oooSkewSeconds <= 0) Some((minId + 86400L, maxId + 86400L))
+          else None)
       .select(timestamp_seconds(col("ts_s")).as("ts"), col("text"))
     val sunk = FileFeed.runToParquet(byFingerprint(stream, horizon), workDir,
-      narrowTo = Some(8), rocksDb = rocksDb)
+      narrowTo = Some(4), rocksDb = rocksDb)
     sunk.select(col("fp")).orderBy("fp")
   }
 }

@@ -53,10 +53,16 @@ object StreamingIngest {
       dimensions = Map("h" -> hours),
       chunkDimensions = Map("h" -> 64L),
       variables = Map("n" -> VariableDef("long", Vector("h"), -1.0)))
-    // checkpoint goes to a Spark-managed LOCAL temp dir (no explicit
-    // location) — route it through the NIO manager (see
-    // LocalNioCheckpointFileManager; the default forks chmod per file)
-    FileFeed.withLocalCheckpoints(counts.sparkSession, "/") {
+    // No explicit checkpoint location: Spark manages one under
+    // spark.sql.streaming.checkpointLocation when the session sets it,
+    // else under the local tmp dir. Route the NIO manager decision
+    // through the root that will ACTUALLY be used — a session pointing
+    // checkpoints at an object store must keep the default manager
+    // (withLocalCheckpoints only switches for file: roots).
+    val ckptRoot = counts.sparkSession.conf
+      .getOption("spark.sql.streaming.checkpointLocation")
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    FileFeed.withLocalCheckpoints(counts.sparkSession, ckptRoot) {
     counts.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

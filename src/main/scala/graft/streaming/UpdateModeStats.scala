@@ -64,7 +64,7 @@ object UpdateModeStats {
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir)
       .select(col("event_type"), col("ts_s"))
     val sunk = FileFeed.runUpdatesToParquet(
-      hourlyCounts(stream), workDir, narrowTo = Some(8))
+      hourlyCounts(stream), workDir, narrowTo = Some(4))
     sunk.groupBy("hour_s", "event_type")
       .agg(max(col("n")).as("n"))
       .orderBy("hour_s", "event_type")
@@ -112,7 +112,7 @@ object UpdateModeStats {
     val counts = stream
       .select(explode(graft.pipeline.TextOps.tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val sunk = FileFeed.runUpdatesToParquet(counts, workDir, narrowTo = Some(8))
+    val sunk = FileFeed.runUpdatesToParquet(counts, workDir, narrowTo = Some(4))
     sunk.groupBy("term").agg(max(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)

@@ -76,18 +76,20 @@ object WindowedStats {
     import spark.implicits._
     val ev = events.select(col("ts_s").cast("long"),
       col("lang").cast("string"), col("text").cast("string"))
-    val maxT = ev.agg(max(col("ts_s"))).head().getLong(0)
+    val mm = ev.agg(min(col("ts_s")), max(col("ts_s"))).head()
+    val (minT, maxT) = (mm.getLong(0), mm.getLong(1))
     val flushT = maxT + horizonSeconds + 2 * windowSeconds
     def sentinel(ts: Long): DataFrame =
       Seq((ts, "_flush", "")).toDF("ts_s", "lang", "text")
     val stream = FileFeed.sliced(ev, "ts_s", nBatches, workDir,
         // two sentinel files: append emission lags the watermark by one
         // micro-batch (the first advances it, the second flushes)
-        tails = Seq(sentinel(flushT), sentinel(flushT + windowSeconds)))
+        tails = Seq(sentinel(flushT), sentinel(flushT + windowSeconds)),
+        knownBounds = Some((minT, maxT)))
       .select(timestamp_seconds(col("ts_s")).as("ts"), col("lang"), col("text"))
     val sunk = FileFeed.runToParquet(
       perWindow(stream, s"$windowSeconds seconds", s"$horizonSeconds seconds"),
-      workDir, narrowTo = Some(8))
+      workDir, narrowTo = Some(4))
     sunk.filter(col("lang") =!= "_flush")
       .select(
         expr("unix_micros(window_start) div 1000000").cast("long").as("window_start_s"),

@@ -79,8 +79,9 @@ object ProfileQuery {
     override def run(): Unit = while (!halted) {
       val all = Thread.getAllStackTraces
       all.forEach { (t, tr) =>
-        if (t.getName.startsWith("Executor task launch") && tr.nonEmpty &&
-            t.getState != Thread.State.WAITING || t.getName.startsWith("stream execution")) {
+        if ((t.getName.startsWith("Executor task launch") ||
+              t.getName.startsWith("stream execution")) &&
+            tr.nonEmpty && t.getState != Thread.State.WAITING) {
           // skip idle pool threads parked in queue take
           val topC = tr.headOption.map(_.getClassName).getOrElse("")
           val idle = topC.contains("Unsafe") && tr.exists(
@@ -96,6 +97,29 @@ object ProfileQuery {
     def report(top: Int = 30): String =
       hits.toSeq.sortBy(-_._2).take(top)
         .map { case (k, n) => f"$n%5d  $k" }.mkString("\n")
+  }
+
+  /** Per-micro-batch phase durations from the streaming progress events —
+    * the driver-gap attribution the stage metrics cannot see
+    * (queryPlanning / walCommit / commitOffsets / addBatch / getBatch
+    * are driver-side phases). Printed per progress when
+    * SPARK_GRAFT_PROFILE_STREAM=1. */
+  final class StreamProgress extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val d = p.durationMs
+      val keys = Seq("triggerExecution", "queryPlanning", "getBatch",
+        "walCommit", "commitOffsets", "addBatch", "latestOffset")
+      val parts = keys.flatMap(k => Option(d.get(k)).map(v => s"$k=$v"))
+      val st = p.stateOperators.map(s =>
+        s"commit=${s.allUpdatesTimeMs}/${s.commitTimeMs}ms rows=${s.numRowsTotal}")
+        .mkString(" | ")
+      println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+        parts.mkString(" ") + (if (st.nonEmpty) s"  state: $st" else ""))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -118,6 +142,8 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     try graft.queries.ArrayFixtures.get(spark, sfDir) catch { case _: Throwable => () }
     val sampleStacks = sys.env.get("SPARK_GRAFT_PROFILE_STACKS").contains("1")
+    if (sys.env.get("SPARK_GRAFT_PROFILE_STREAM").contains("1"))
+      spark.streams.addListener(new StreamProgress)
     names.foreach { n =>
       val fn = graft.SparkEntry.queries(n)
       for (r <- 0 until reps) {
