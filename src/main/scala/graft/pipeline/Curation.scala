@@ -242,16 +242,28 @@ object Curation {
     * No global `ORDER BY` window (which would sort the corpus in one
     * task) anywhere. */
   def packSequences(docs: DataFrame, seqLen: Long = 2048L,
-      nBuckets: Int = 256, tokensCol: Option[String] = None): DataFrame = {
+      nBuckets: Int = 256, tokensCol: Option[String] = None,
+      idBounds: Option[(Long, Long)] = None): DataFrame = {
     val spark = docs.sparkSession
-    // id bounds need no tokenization — scan doc_id alone (column-pruned)
-    val stats = docs.agg(min(col("doc_id").cast("long")),
-      max(col("doc_id").cast("long"))).head()
-    if (stats.isNullAt(0))
-      return spark.emptyDataFrame
-        .select(lit(0L).as("seq_id"), lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
-          lit(0L).as("first_doc"), lit(0L).as("last_doc")).limit(0)
-    val lo = stats.getLong(0); val hi = stats.getLong(1)
+    // `idBounds`: a caller that knows a SUPERSET contiguous id range can
+    // pass it and skip the eager bounds scan — which, when `docs` is the
+    // tail of a heavy derivation chain (curatePipeline: tokenize →
+    // fingerprint → dedup → sample), re-executed that whole chain once
+    // before the real computation ran it again. Bucketing is correct for
+    // ANY superset range: buckets stay contiguous id ranges, so the
+    // (bucket, doc_id) order is the global doc_id order and the two-pass
+    // prefix sum is unchanged — a wider span only leaves some buckets
+    // empty.
+    val (lo, hi) = idBounds.getOrElse {
+      // id bounds need no tokenization — scan doc_id alone (column-pruned)
+      val stats = docs.agg(min(col("doc_id").cast("long")),
+        max(col("doc_id").cast("long"))).head()
+      if (stats.isNullAt(0))
+        return spark.emptyDataFrame
+          .select(lit(0L).as("seq_id"), lit(0L).as("n_docs"), lit(0L).as("n_tokens"),
+            lit(0L).as("first_doc"), lit(0L).as("last_doc")).limit(0)
+      (stats.getLong(0), stats.getLong(1))
+    }
     val span = math.max(hi - lo + 1, 1L)
     val width = math.max(1L, (span + nBuckets - 1) / nBuckets)
     // `tokensCol` lets a caller that ALREADY tokenized (e.g. a quality
@@ -351,8 +363,15 @@ object Curation {
     val sampled = deduped.join(
       stratifiedSample(deduped).select("doc_id"), Seq("doc_id"), "left_semi")
     // the gate stage already tokenized — reuse its n_tokens so the
-    // corpus is tokenized ONCE across the whole chain
-    packSequences(sampled, tokensCol = Some("n_tokens"))
+    // corpus is tokenized ONCE across the whole chain.
+    // id bounds from the RAW input (one column-pruned scan of doc_id):
+    // sampled ⊆ docs, so the range is a valid superset and packSequences
+    // skips its own bounds pass — which would have re-executed the whole
+    // tokenize → fingerprint → dedup → sample chain a second time
+    val b = docs.agg(min(col("doc_id").cast("long")),
+      max(col("doc_id").cast("long"))).head()
+    packSequences(sampled, tokensCol = Some("n_tokens"),
+      idBounds = if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1))))
   }
 
   /** Corpus vocabulary: the k most frequent tokens (frequency counts over

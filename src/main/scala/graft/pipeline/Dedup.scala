@@ -548,7 +548,8 @@ object Dedup {
     * Scale: each round shuffles only the LABEL frame, O(|V|) (the edge
     * frame is persisted pre-partitioned by src; the min aggregate combines
     * map-side) — no all-pairs step, no driver-side graph. Each round's
-    * label frame is EAGERLY localCheckpoint-ed: without lineage truncation
+    * label frame is localCheckpoint-ed (lazily — the convergence scan right
+    * after is the materializing action): without lineage truncation
     * the plan tree grows per round (re-planning cost and recursive
     * recomputation on failure), and checkpoint blocks are reclaimed by the
     * context cleaner as rounds are dropped. Convergence is decided by the
@@ -604,7 +605,12 @@ object Dedup {
       .select(col("x.id").as("id"),
         coalesce(col("y.lbl"), col("x.lbl")).as("lbl"))
     val prop0 = und.groupBy(col("dst").as("id")).agg(min("src").as("lbl"))
-    var labels = jump(prop0).localCheckpoint(true)
+    // LAZY localCheckpoint: the convergence sum right below is the first
+    // action, so ONE job materializes the checkpoint AND computes the
+    // sum — the former eager checkpoint spent a dedicated job per round
+    // (profiled: the CC gates are driver/job-count bound, ~55 jobs at
+    // ~20 ms of scheduling gap each)
+    var labels = jump(prop0).localCheckpoint(false)
     // the fused round materialized `und`; the pre-repartition copy is now
     // dead weight — release it before the (memory-hungry) rounds
     undAll.unpersist()
@@ -636,7 +642,7 @@ object Dedup {
         .join(prop.as("y"), col("x.lbl") === col("y.id"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("y.lbl"), col("x.lbl")).as("lbl"))
-        .localCheckpoint(true) // eager: truncates lineage AND materializes
+        .localCheckpoint(false) // lazy: lblSum is the materializing action
       val s = lblSum(next)
       converged = s == prevSum
       prevSum = s

@@ -47,12 +47,22 @@ object Projection {
       .withColumn("ma", array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
         x => when(col("ma") === 0.0, 0.0).otherwise(round(x * (lit(127.0) / col("ma"))))))
-    val terms = array((for { i <- 0 until dim; j <- i until dim } yield
-      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"),
-        (element_at(col("qv"), i + 1) * element_at(col("qv"), j + 1))
-          .cast("long").as("p"),
-        element_at(col("qv"), i + 1).cast("long").as("qi"),
-        element_at(col("qv"), j + 1).cast("long").as("qj"))): _*)
+    // (i, j) index pairs as ONE constant-folded array literal, with the
+    // per-pair arithmetic in a single transform lambda — the former
+    // unrolled form built dim·(dim+1)/2 = 136 struct terms with inlined
+    // element_at trees (~700 expression nodes analyzed/optimized per
+    // execution; the projectQ8 scaladoc documents the same pathology).
+    // Arithmetic per element is unchanged (same element_at, product,
+    // cast order), so the result is bit-identical.
+    val idx = array((for { i <- 0 until dim; j <- i until dim } yield
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j"))): _*)
+    val terms = transform(idx, t => {
+      val qi = element_at(col("qv"), (t.getField("i") + 1).cast("int"))
+      val qj = element_at(col("qv"), (t.getField("j") + 1).cast("int"))
+      struct(t.getField("i").as("i"), t.getField("j").as("j"),
+        (qi * qj).cast("long").as("p"),
+        qi.cast("long").as("qi"), qj.cast("long").as("qj"))
+    })
     q8.select(explode(terms).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum("t.p").as("g"), sum("t.qi").as("s_i"),
